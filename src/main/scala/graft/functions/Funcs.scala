@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared scalar/column helpers used across the engine.
+  *
+  * These are all codegen'd `Column` expression builders (no UDFs) so they
+  * stay inside whole-stage codegen at 100 TB scale.
+  */
+object Funcs {
+
+  /** ε used by the reference's ubiquitous `x/(y+1e-8)` idiom
+    * (reference: src/features/temporal_features_engine.py:144-147).
+    * Centralized so oracle hashes stay stable across operators (SURVEY §7).
+    */
+  val Eps = 1e-8
+
+  /** Safe division `x / (y + ε)` (reference idiom D12). */
+  def safeDiv(x: Column, y: Column): Column = x / (y + lit(Eps))
+
+  /** Day-of-week normalized to the pandas convention Mon=0..Sun=6.
+    * Spark's `dayofweek` is Sun=1..Sat=7 (SURVEY §2.6 D1 convention gap:
+    * reference src/features/temporal_features_engine.py:77-96 relies on
+    * Mon=0..Sun=6 for `is_sunday`).
+    */
+  def dowMon0(d: Column): Column = (dayofweek(d) + lit(5)) % lit(7)
+
+  /** is_weekend under pandas convention (dow ∈ {5,6} = Sat/Sun). */
+  def isWeekend(d: Column): Column = dowMon0(d) >= lit(5)
+
+  /** Clip a column into [lo, hi] (reference D10 `np.clip`). */
+  def clip(c: Column, lo: Column, hi: Column): Column = greatest(least(c, hi), lo)
+
+  /** Deterministic hash-bucket `pmod(abs(hash(x)), n)` (reference D13,
+    * src/utils/data_loader.py:363 — hash function differs from Python's
+    * `hash`; documented semantic divergence).
+    */
+  def hashBucket(c: Column, n: Int): Column = pmod(abs(hash(c)), lit(n))
+
+  /** Rounded double for oracle-stable output: sums of doubles differ from
+    * other engines in the last ULPs; rounding both sides to `scale`
+    * decimals makes hash comparison deterministic.
+    */
+  def r(c: Column, scale: Int = 4): Column = round(c, scale)
+}

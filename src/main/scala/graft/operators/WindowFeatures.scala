@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import graft.functions.Funcs.safeDiv
+import org.apache.spark.sql.functions._
+
+/** Per-series window/temporal operators W1-W24 (SURVEY §2.5).
+  *
+  * Everything here shares ONE window spec `partitionBy(keys).orderBy(ord)`
+  * — mirroring the reference's `sort_values(keys+date).groupby(keys)`
+  * pattern (reference: src/features/temporal_features_engine.py:120-207) —
+  * so Spark plans a single shuffle+sort on the series key and reuses the
+  * exchange across every derived column (ReuseExchange). That single
+  * shuffle is the only fact-sized data movement the whole temporal layer
+  * needs, which is what makes it viable at 100 TB.
+  *
+  * Ordering columns must include a unique tiebreaker for deterministic
+  * output (the reference inherits pandas' stable sort; we pin it
+  * explicitly).
+  */
+final case class SeriesWindow(keys: Seq[Column], ord: Seq[Column]) {
+  val w: WindowSpec = Window.partitionBy(keys: _*).orderBy(ord: _*)
+  def rows(lo: Long, hi: Long): WindowSpec = w.rowsBetween(lo, hi)
+  def group: WindowSpec = Window.partitionBy(keys: _*)
+}
+
+object WindowFeatures {
+
+  /** W1 — lag features `shift(k)` (reference: temporal_features_engine.py:120-161). */
+  def lags(c: Column, ks: Seq[Int], sw: SeriesWindow): Seq[(String, Column)] =
+    ks.map(k => s"lag_$k" -> lag(c, k).over(sw.w))
+
+  /** W2 — lag deltas: diff / pct_change / ratio vs a lag
+    * (reference: temporal_features_engine.py:143-148). */
+  def lagDelta(c: Column, k: Int, sw: SeriesWindow): Column = c - lag(c, k).over(sw.w)
+  def lagPctChange(c: Column, k: Int, sw: SeriesWindow): Column =
+    safeDiv(c - lag(c, k).over(sw.w), lag(c, k).over(sw.w))
+  def lagRatio(c: Column, k: Int, sw: SeriesWindow): Column =
+    safeDiv(c, lag(c, k).over(sw.w))
+
+  /** W4 — rolling stats over trailing n rows, min_periods=1 semantics
+    * (frame = [-(n-1), 0]; reference: temporal_features_engine.py:179-186). */
+  def rollingAvg(c: Column, n: Int, sw: SeriesWindow): Column = avg(c).over(sw.rows(-(n - 1), 0))
+  def rollingStd(c: Column, n: Int, sw: SeriesWindow): Column = stddev(c).over(sw.rows(-(n - 1), 0))
+  def rollingMin(c: Column, n: Int, sw: SeriesWindow): Column = min(c).over(sw.rows(-(n - 1), 0))
+  def rollingMax(c: Column, n: Int, sw: SeriesWindow): Column = max(c).over(sw.rows(-(n - 1), 0))
+  def rollingSum(c: Column, n: Int, sw: SeriesWindow): Column = sum(c).over(sw.rows(-(n - 1), 0))
+
+  /** W5 — rolling coefficient of variation std/mean (reference: :189-194). */
+  def rollingCv(c: Column, n: Int, sw: SeriesWindow): Column =
+    safeDiv(rollingStd(c, n, sw), rollingAvg(c, n, sw))
+
+  /** W7 — rolling OLS slope over the trailing n rows via the closed form
+    * (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with x = row position
+    * (reference `polyfit(range(n), y, 1)[0]`,
+    * temporal_features_engine.py:204-207,332-342). Pure windowed sums —
+    * no UDAF, stays in codegen.
+    */
+  def rollingSlope(c: Column, n: Int, sw: SeriesWindow): Column = {
+    val x = row_number().over(sw.w).cast("double")
+    val f = sw.rows(-(n - 1), 0)
+    val cnt = count(c).over(f).cast("double")
+    val sx = sum(x).over(f)
+    val sy = sum(c).over(f)
+    val sxy = sum(x * c).over(f)
+    val sxx = sum(x * x).over(f)
+    val den = cnt * sxx - sx * sx
+    when(den > 0, (cnt * sxy - sx * sy) / den)
+  }
+
+  /** W8 — rolling lag-1 autocorrelation via windowed corr
+    * (reference: temporal_features_engine.py:211-215). */
+  def rollingAutocorr1(c: Column, n: Int, sw: SeriesWindow): Column =
+    corr(c, lag(c, 1).over(sw.w)).over(sw.rows(-(n - 1), 0))
+
+  /** W12 — momentum pct_change over period p (reference: :350-353). */
+  def momentum(c: Column, p: Int, sw: SeriesWindow): Column =
+    safeDiv(c, lag(c, p).over(sw.w)) - lit(1.0)
+
+  /** W14 — whole-group stability mean/(std+ε) (reference: :364-368). */
+  def groupStability(c: Column, sw: SeriesWindow): Column =
+    safeDiv(avg(c).over(sw.group), stddev(c).over(sw.group))
+
+  /** W11 — Fourier terms sin/cos(2πk·t/period) (reference: :283-313). */
+  def fourierTerms(daysSinceEpoch: Column, periods: Seq[Double], maxK: Int): Seq[(String, Column)] =
+    for {
+      p <- periods
+      k <- 1 to maxK
+      (nm, f) <- Seq(
+        (s"sin_${p.toInt}_$k", sin(lit(2 * math.Pi * k) * daysSinceEpoch / lit(p))),
+        (s"cos_${p.toInt}_$k", cos(lit(2 * math.Pi * k) * daysSinceEpoch / lit(p))))
+    } yield (nm, f)
+
+  /** W17 — consecutive-zero streak islands via the gaps-and-islands
+    * double-row_number trick (reference computes run lengths with a
+    * Python groupby-apply, behavioral_features_engine.py:91-132; here it
+    * is pure window algebra on the SAME series shuffle).
+    * Returns one row per zero-run with its length.
+    */
+  def zeroStreaks(df: DataFrame, keys: Seq[Column], ord: Seq[Column], qty: Column,
+                  outKeys: Seq[String]): DataFrame = {
+    val sw = SeriesWindow(keys, ord)
+    val flagged = df.withColumn("__zero", (qty <= 0).cast("int"))
+      .withColumn("__rn", row_number().over(sw.w))
+    val zw = Window.partitionBy((keys :+ col("__zero")): _*).orderBy(ord: _*)
+    flagged.withColumn("__island", col("__rn") - row_number().over(zw))
+      .filter(col("__zero") === 1)
+      .groupBy((outKeys.map(col) :+ col("__island")): _*)
+      .agg(count(lit(1)).as("streak_len"))
+      .drop("__island")
+  }
+
+  /** W18 — inter-purchase gaps: days between consecutive non-zero rows
+    * (reference: behavioral_features_engine.py:135-168). */
+  def interPurchaseGapDays(date: Column, sw: SeriesWindow): Column =
+    datediff(date, lag(date, 1).over(sw.w))
+
+  /** W19 — lifecycle ages: first/last date over the group + day distances
+    * (reference: behavioral_features_engine.py:222-253). */
+  def firstDate(date: Column, sw: SeriesWindow): Column = min(date).over(sw.group)
+  def lastDate(date: Column, sw: SeriesWindow): Column = max(date).over(sw.group)
+
+  /** W21 — recent-vs-historical ratio: mean of the last quartile of rows
+    * vs mean of the first three quartiles, per series
+    * (reference: behavioral_features_engine.py:308-334). */
+  def recentVsHistorical(df: DataFrame, keys: Seq[Column], ord: Seq[Column], c: Column,
+                         outKeys: Seq[String]): DataFrame = {
+    val sw = SeriesWindow(keys, ord)
+    df.withColumn("__q", ntile(4).over(sw.w))
+      .groupBy(outKeys.map(col): _*)
+      .agg(
+        avg(when(col("__q") === 4, c)).as("recent_mean"),
+        avg(when(col("__q") =!= 4, c)).as("hist_mean"))
+      .withColumn("recent_ratio", safeDiv(col("recent_mean"), col("hist_mean")))
+      .withColumn("is_declining", (col("recent_ratio") < 0.8).cast("int"))
+  }
+
+  /** W23 — growth cap post-processing: pred ≤ capMult × previous pred per
+    * series (reference: src/submissions/post_processor.py:135-163). */
+  def growthCap(pred: Column, capMult: Double, sw: SeriesWindow): Column = {
+    val prev = lag(pred, 1).over(sw.w)
+    when(prev.isNotNull && prev > 0, least(pred, prev * capMult)).otherwise(pred)
+  }
+
+  /** W24 — centered moving-average smoothing of a prediction sequence
+    * (reference: src/models/business_rules.py:231-294). */
+  def smooth(pred: Column, k: Int, sw: SeriesWindow): Column =
+    avg(pred).over(sw.rows(-k, k))
+
+  /** W25 — sliding sequence windows as ArrayType (LSTM input prep,
+    * reference: src/models/lstm_temporal.py:199-295). */
+  def slidingWindow(c: Column, n: Int, sw: SeriesWindow): Column =
+    collect_list(c).over(sw.rows(-(n - 1), 0))
+}
