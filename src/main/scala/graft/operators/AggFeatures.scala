@@ -61,7 +61,7 @@ object AggFeatures {
                 outNames: Seq[String], n: Int = 5): DataFrame = {
     val inner = df.groupBy((outerKey ++ innerKey): _*).agg(sum(value).as("__v"))
     val w = Window.partitionBy(outNames.map(col): _*)
-      .orderBy(col("__v").desc, innerKey.map(_.asc): _*)
+      .orderBy((col("__v").desc +: innerKey.map(_.asc)): _*)
     inner.withColumn("__rk", row_number().over(w))
       .groupBy(outNames.map(col): _*)
       .agg((sum(when(col("__rk") <= n, col("__v")).otherwise(0.0)) / sum(col("__v"))).as(s"top${n}_share"))
@@ -100,7 +100,7 @@ object AggFeatures {
   def marketShareRank(df: DataFrame, key: Seq[Column], value: Column, keyNames: Seq[String]): DataFrame = {
     val agg = df.groupBy(key: _*).agg(sum(value).as("volume"))
     val all = Window.partitionBy()
-    val byVol = Window.orderBy(col("volume").desc, keyNames.map(col(_).asc): _*)
+    val byVol = Window.orderBy((col("volume").desc +: keyNames.map(col(_).asc)): _*)
     agg.withColumn("share", col("volume") / sum(col("volume")).over(all))
       .withColumn("rnk", row_number().over(byVol))
       .withColumn("is_top100", (col("rnk") <= 100).cast("int"))
@@ -121,19 +121,15 @@ object AggFeatures {
   /** A10 — hierarchy-level aggregations in ONE pass via GROUPING SETS
     * instead of the reference's four separate scans
     * (aggregation_features_engine.py:368-472; SURVEY §4 optimization).
-    * Requires the input registered as a temp view.
+    * Uses the Spark 4 `Dataset.groupingSets` API directly — no temp view,
+    * so concurrent callers can't collide on a shared view name.
     */
-  def hierarchyRollup(df: DataFrame, levels: Seq[String], value: String): DataFrame = {
-    val spark = df.sparkSession
-    df.createOrReplaceTempView("__hier")
-    val sets = levels.map(l => s"($l)").mkString(", ")
-    spark.sql(
-      s"""SELECT ${levels.mkString(", ")},
-         |  SUM($value) AS level_sum, AVG($value) AS level_avg,
-         |  COUNT(1) AS level_count
-         |FROM __hier
-         |GROUP BY GROUPING SETS ($sets)""".stripMargin)
-  }
+  def hierarchyRollup(df: DataFrame, levels: Seq[String], value: String): DataFrame =
+    df.groupingSets(levels.map(l => Seq(col(l))), levels.map(col): _*)
+      .agg(
+        sum(col(value)).as("level_sum"),
+        avg(col(value)).as("level_avg"),
+        count(lit(1)).as("level_count"))
 
   /** A25 — discount lift: mean(qty | discounted) / mean(qty | full price)
     * (reference: business_features_engine.py:186-193) — conditional aggs,
@@ -175,8 +171,13 @@ object AggFeatures {
     val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
     val a = items.toDF((basketKey :+ "item_a"): _*)
     val b = items.toDF((basketKey :+ "item_b"): _*)
-    val nBaskets = items.select(basketKey.map(col): _*).distinct().count().toDouble
-    val itemCounts = items.groupBy(col("item")).agg(countDistinct(basketKey.map(col): _*).as("n"))
+    // Total basket count as a 1-row agg cross-joined in (broadcast) — no
+    // driver-side action at plan-construction time (the eager .count()
+    // here was a scale-killer: two extra full scans per call).
+    val nBaskets = items.select(basketKey.map(col): _*).distinct()
+      .agg(count(lit(1)).cast("double").as("__n_baskets"))
+    val itemCounts = items.groupBy(col("item"))
+      .agg(countDistinct(col(basketKey.head), basketKey.tail.map(col): _*).as("n"))
     val pairs = a.join(b, basketKey).filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minSupport)
@@ -185,9 +186,11 @@ object AggFeatures {
       .drop("item")
       .join(broadcast(itemCounts.withColumnRenamed("n", "n_b")), col("item_b") === col("item"))
       .drop("item")
+      .join(broadcast(nBaskets))
       .withColumn("lift",
-        (col("pair_count") / nBaskets) /
-          ((col("n_a") / nBaskets) * (col("n_b") / nBaskets)))
+        (col("pair_count") / col("__n_baskets")) /
+          ((col("n_a") / col("__n_baskets")) * (col("n_b") / col("__n_baskets"))))
+      .drop("__n_baskets")
   }
 
   /** A18 — frequency encoding: per-value counts joined back

@@ -51,28 +51,65 @@ object WindowFeatures {
   def rollingCv(c: Column, n: Int, sw: SeriesWindow): Column =
     safeDiv(rollingStd(c, n, sw), rollingAvg(c, n, sw))
 
+  /** W3 — backfill nulls in a (lag) column with the per-group median
+    * (reference: temporal_features_engine.py:152-157). Exact percentile
+    * over the unbounded group frame for oracle parity. */
+  def backfillGroupMedian(c: Column, base: Column, sw: SeriesWindow): Column =
+    coalesce(c, percentile(base, lit(0.5)).over(sw.group))
+
+  /** W4 (median leg) — rolling exact median over the trailing n rows. */
+  def rollingMedian(c: Column, n: Int, sw: SeriesWindow): Column =
+    percentile(c, lit(0.5)).over(sw.rows(-(n - 1), 0))
+
+  /** W6 — rolling skewness over the trailing n rows (reference: :197-201). */
+  def rollingSkew(c: Column, n: Int, sw: SeriesWindow): Column =
+    skewness(c).over(sw.rows(-(n - 1), 0))
+
   /** W7 — rolling OLS slope over the trailing n rows via the closed form
     * (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with x = row position
     * (reference `polyfit(range(n), y, 1)[0]`,
     * temporal_features_engine.py:204-207,332-342). Pure windowed sums —
     * no UDAF, stays in codegen.
+    *
+    * Spark's analyzer rejects a window expression inside another window
+    * function's arguments, so the x = row_number column is materialized
+    * first and the frame sums run over it in a second projection — same
+    * single shuffle (both windows share the series partitioning).
     */
-  def rollingSlope(c: Column, n: Int, sw: SeriesWindow): Column = {
-    val x = row_number().over(sw.w).cast("double")
+  def withRollingSlope(df: DataFrame, valueCol: String, n: Int, sw: SeriesWindow,
+                       outCol: String): DataFrame = {
     val f = sw.rows(-(n - 1), 0)
-    val cnt = count(c).over(f).cast("double")
-    val sx = sum(x).over(f)
-    val sy = sum(c).over(f)
-    val sxy = sum(x * c).over(f)
-    val sxx = sum(x * x).over(f)
-    val den = cnt * sxx - sx * sx
-    when(den > 0, (cnt * sxy - sx * sy) / den)
+    val x = col("__x")
+    val c = col(valueCol)
+    df.withColumn("__x", row_number().over(sw.w).cast("double"))
+      .withColumn(outCol, {
+        val cnt = count(c).over(f).cast("double")
+        val sx = sum(x).over(f)
+        val sy = sum(c).over(f)
+        val sxy = sum(x * c).over(f)
+        val sxx = sum(x * x).over(f)
+        val den = cnt * sxx - sx * sx
+        when(den > 0, (cnt * sxy - sx * sy) / den)
+      })
+      .drop("__x")
   }
 
   /** W8 — rolling lag-1 autocorrelation via windowed corr
-    * (reference: temporal_features_engine.py:211-215). */
-  def rollingAutocorr1(c: Column, n: Int, sw: SeriesWindow): Column =
-    corr(c, lag(c, 1).over(sw.w)).over(sw.rows(-(n - 1), 0))
+    * (reference: temporal_features_engine.py:211-215). The lag column is
+    * materialized first (same window-in-window constraint as W7). */
+  def withRollingAutocorr1(df: DataFrame, valueCol: String, n: Int, sw: SeriesWindow,
+                           outCol: String): DataFrame =
+    df.withColumn("__lag1", lag(col(valueCol), 1).over(sw.w))
+      .withColumn(outCol, corr(col(valueCol), col("__lag1")).over(sw.rows(-(n - 1), 0)))
+      .drop("__lag1")
+
+  /** W15 — trend acceleration: first difference of the rolling slope
+    * (reference: temporal_features_engine.py:344-347). */
+  def withTrendAccel(df: DataFrame, valueCol: String, n: Int, sw: SeriesWindow,
+                     outCol: String): DataFrame =
+    withRollingSlope(df, valueCol, n, sw, "__slope")
+      .withColumn(outCol, col("__slope") - lag(col("__slope"), 1).over(sw.w))
+      .drop("__slope")
 
   /** W12 — momentum pct_change over period p (reference: :350-353). */
   def momentum(c: Column, p: Int, sw: SeriesWindow): Column =
@@ -111,6 +148,18 @@ object WindowFeatures {
       .drop("__island")
   }
 
+  /** W17 (rollup leg) — per-series max/avg/count of zero-run lengths
+    * (reference: behavioral_features_engine.py:91-132 returns these three
+    * stats per (product, store)). */
+  def zeroStreakStats(df: DataFrame, keys: Seq[Column], ord: Seq[Column], qty: Column,
+                      outKeys: Seq[String]): DataFrame =
+    zeroStreaks(df, keys, ord, qty, outKeys)
+      .groupBy(outKeys.map(col): _*)
+      .agg(
+        max(col("streak_len")).as("max_zero_streak"),
+        avg(col("streak_len")).as("avg_zero_streak"),
+        count(lit(1)).as("n_zero_streaks"))
+
   /** W18 — inter-purchase gaps: days between consecutive non-zero rows
     * (reference: behavioral_features_engine.py:135-168). */
   def interPurchaseGapDays(date: Column, sw: SeriesWindow): Column =
@@ -120,6 +169,60 @@ object WindowFeatures {
     * (reference: behavioral_features_engine.py:222-253). */
   def firstDate(date: Column, sw: SeriesWindow): Column = min(date).over(sw.group)
   def lastDate(date: Column, sw: SeriesWindow): Column = max(date).over(sw.group)
+
+  /** W19 (stage leg) — 4-way lifecycle stage from age / recency vs the
+    * dataset max date (reference: behavioral_features_engine.py:239-253). */
+  def lifecycleStage(ageDays: Column, daysSinceLast: Column): Column =
+    when(daysSinceLast > 90, "discontinued")
+      .when(ageDays <= 30, "new")
+      .when(ageDays <= 180, "growth")
+      .otherwise("mature")
+
+  /** W16 — seasonal group means, fit/transform split: a small stats table
+    * (mean per keys×seasonal bucket) broadcast-joined back with a global
+    * fallback (reference: src/features/temporal.py:225-305). */
+  def seasonalGroupMeans(df: DataFrame, keys: Seq[String], bucket: Column, value: Column,
+                         outCol: String): DataFrame = {
+    val withB = df.withColumn("__bucket", bucket)
+    val stats = withB.groupBy((keys :+ "__bucket").map(col): _*).agg(avg(value).as("__smean"))
+    val glob = withB.agg(avg(value).as("__gmean"))
+    withB.join(broadcast(stats), keys :+ "__bucket", "left")
+      .join(broadcast(glob))
+      .withColumn(outCol, coalesce(col("__smean"), col("__gmean")))
+      .drop("__bucket", "__smean", "__gmean")
+  }
+
+  /** W20 — growth trend over the trailing-n tail only: the W7 kernel
+    * restricted to each series' last n rows
+    * (reference: behavioral_features_engine.py:258-285). Emits one row per
+    * series (keys + slope over the tail). */
+  def tailSlope(df: DataFrame, keys: Seq[Column], ord: Seq[Column], valueCol: String,
+                n: Int, outKeys: Seq[String]): DataFrame = {
+    val sw = SeriesWindow(keys, ord)
+    val revOrd = ord.map(_.desc)
+    val rev = Window.partitionBy(keys: _*).orderBy(revOrd: _*)
+    val c = col(valueCol)
+    val x = col("__x")
+    df.withColumn("__revrn", row_number().over(rev))
+      .filter(col("__revrn") <= n)
+      .withColumn("__x", row_number().over(sw.w).cast("double"))
+      .groupBy(outKeys.map(col): _*)
+      .agg(
+        count(c).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(c).as("__sy"),
+        sum(x * c).as("__sxy"), sum(x * x).as("__sxx"))
+      .withColumn(s"tail${n}_slope",
+        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx"))))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /** W22 — rolling 7-row average price + promo flag: price below
+    * 0.9×rolling average marks a promotion
+    * (reference: business_features_engine.py:196-222). */
+  def promoFlag(price: Column, n: Int, sw: SeriesWindow, threshold: Double = 0.9): Column =
+    (price < rollingAvg(price, n, sw) * threshold).cast("int")
 
   /** W21 — recent-vs-historical ratio: mean of the last quartile of rows
     * vs mean of the first three quartiles, per series

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AggFeatures, WindowFeatures, SeriesWindow}
+
+/** Manual end-to-end probe: exercises the operator library through its
+  * public API over the driver-provided test parquet. Not part of the
+  * driver contract — a human/debug entry point (`sbt "runMain
+  * graft.tools.SmokeProbe /root/testdata/sf0.001"`).
+  */
+object SmokeProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-smoke")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = Tables.lineitem(spark, dir)
+
+    println("== A7 topNShare (share of supplier volume in its top-5 parts) ==")
+    AggFeatures.topNShare(li, Seq(col("l_suppkey")), Seq(col("l_partkey")),
+      col("l_quantity"), Seq("l_suppkey"), n = 5)
+      .orderBy("l_suppkey").show(5, truncate = false)
+
+    println("== A13 marketShareRank (by part brand, joined) ==")
+    val withBrand = li.join(broadcast(Tables.part(spark, dir)),
+      li("l_partkey") === col("p_partkey"), "left")
+    AggFeatures.marketShareRank(withBrand, Seq(col("p_brand")), col("l_quantity"), Seq("p_brand"))
+      .orderBy("rnk").show(5, truncate = false)
+
+    println("== A29 coOccurrence (parts within orders, minSupport=2) ==")
+    AggFeatures.coOccurrence(li, Seq("l_orderkey"), "l_partkey", minSupport = 2)
+      .orderBy(desc("pair_count"), asc("item_a"), asc("item_b")).show(5, truncate = false)
+
+    println("== A10 hierarchyRollup (brand/type grouping sets) ==")
+    AggFeatures.hierarchyRollup(
+      withBrand.select(col("p_brand"), col("p_type"), col("l_quantity")),
+      Seq("p_brand", "p_type"), "l_quantity")
+      .orderBy(asc_nulls_last("p_brand"), asc_nulls_last("p_type")).show(5, truncate = false)
+
+    println("== W7 withRollingSlope / W8 withRollingAutocorr1 (per part-supp series) ==")
+    val sw = SeriesWindow(
+      Seq(col("l_partkey"), col("l_suppkey")),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+    val slid = WindowFeatures.withRollingSlope(li, "l_quantity", 4, sw, "slope4")
+    val auto = WindowFeatures.withRollingAutocorr1(slid, "l_quantity", 8, sw, "ac1")
+    auto.select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity", "slope4", "ac1")
+      .orderBy("l_partkey", "l_suppkey", "l_shipdate").show(8, truncate = false)
+
+    println("SMOKE_OK")
+    spark.stop()
+  }
+}
