@@ -1,13 +1,859 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl.{Cleaning, Enrichment}
+import graft.functions.{Calendar, Funcs}
+import graft.functions.Funcs.{r, nanToNull, safeDiv}
+import graft.metrics.Metrics
+import graft.operators.{AggFeatures, WindowFeatures, SeriesWindow}
+
+/** Driver contract — one registered query per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL below.
+  *
+  * Conventions keeping the Spark result hash-identical to the oracle:
+  *  - every computed double is `round(_, 4)` on BOTH sides (Funcs.r);
+  *  - Spark IntegerType derivations are cast to long where DuckDB returns
+  *    BIGINT (counts, row_number, date_diff) and the SQL casts to INT
+  *    where Spark returns int (year/month/flags);
+  *  - NaN (zero-variance corr/stddev) is normalized to NULL on the Spark
+  *    side, matching DuckDB;
+  *  - ordering-sensitive ops pin a unique tiebreaker
+  *    (l_shipdate, l_orderkey, l_linenumber).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+
+  /** The standard per-series window: series = (part, supplier), ordered
+    * by ship date with a unique tiebreaker. */
+  private def sw = SeriesWindow(
+    Seq(col("l_partkey"), col("l_suppkey")),
+    Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+
+  private def enrichedPart(s: SparkSession, d: String): DataFrame =
+    li(s, d).join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+
+  /** Flagship: the reference pipeline spine on one frame — clean →
+    * enrich → weekly grain → lag/rolling features → naive forecast →
+    * scorecard (SURVEY §7 minimum end-to-end slice). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val cleaned = Cleaning.positiveOnly("l_quantity")(li(spark, d))
+    val enriched = Enrichment.enrich(cleaned, part(spark, d), "l_partkey", "p_partkey")
+    val weekly = Enrichment.weeklyAggregate(enriched, col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
+    val w = SeriesWindow(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("week_start")))
+    val scored = weekly
+      .withColumn("pred", coalesce(WindowFeatures.rollingAvg(col("qty_sum"), 4, w), lit(0.0)))
+    Metrics.scorecard(scored, col("qty_sum"), col("pred"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 cleaning ----
+    "q01_clean_filter" -> ((s, d) => {
+      val f = Cleaning.dateRange("l_shipdate", "1995-01-01", "1996-12-31")(
+        Cleaning.positiveOnly("l_quantity")(li(s, d)))
+      f.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    "q02_quantile_range" -> ((s, d) => {
+      Cleaning.quantileRangeFilter("l_extendedprice")(li(s, d))
+        .agg(count(lit(1)).as("n_rows"), r(avg(col("l_extendedprice"))).as("avg_price"))
+    }),
+    "q03_zscore_cap" -> ((s, d) => {
+      Cleaning.zscoreCap("l_quantity")(li(s, d))
+        .agg(r(sum(col("l_quantity"))).as("sum_qty"),
+          r(max(col("l_quantity"))).as("max_qty"),
+          r(min(col("l_quantity"))).as("min_qty"))
+    }),
+    "q04_dedup_keep_first" -> ((s, d) => {
+      Cleaning.dedupKeepFirst(Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))(li(s, d))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    "q05_rare_categories" -> ((s, d) => {
+      Cleaning.groupRareCategories("p_type", 10)(part(s, d))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n_parts"))
+    }),
+    "q06_orphans" -> ((s, d) => {
+      val dim = part(s, d).filter(col("p_size") <= 25)
+      Cleaning.orphans(li(s, d), dim, "l_partkey", "p_partkey")
+        .agg(count(lit(1)).as("n_orphans"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    "q07_quality_report" -> ((s, d) =>
+      Cleaning.qualityReport(li(s, d), Seq("l_quantity", "l_discount"))),
+    "q08_range_violations" -> ((s, d) =>
+      Cleaning.rangeViolations(li(s, d), Seq(
+        "neg_qty" -> (col("l_quantity") < 0),
+        "big_qty" -> (col("l_quantity") > 45),
+        "big_price" -> (col("l_extendedprice") > 50000)))),
+
+    // ---- §2.4 aggregations ----
+    "q09_key_stats" -> ((s, d) => {
+      AggFeatures.keyStats(li(s, d), Seq(col("l_returnflag")), col("l_quantity"),
+        Seq("n_parts" -> col("l_partkey")))
+        .select(col("l_returnflag"), r(col("qty_sum")).as("qty_sum"),
+          r(col("qty_mean")).as("qty_mean"), r(col("qty_median")).as("qty_median"),
+          r(col("qty_std")).as("qty_std"), r(col("qty_min")).as("qty_min"),
+          r(col("qty_max")).as("qty_max"), col("qty_count"),
+          r(col("qty_var")).as("qty_var"), col("n_parts"))
+    }),
+    "q10_share_of_total" -> ((s, d) => {
+      val agg = enrichedPart(s, d).groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("volume"))
+      AggFeatures.withShareOfTotal(agg, "volume", "share")
+        .select(col("p_brand"), r(col("volume")).as("volume"), r(col("share")).as("share"))
+    }),
+    "q11_entropy" -> ((s, d) =>
+      AggFeatures.entropy(enrichedPart(s, d), Seq(col("p_brand")), Seq(col("l_partkey")),
+        col("l_quantity"), Seq("p_brand"))
+        .select(col("p_brand"), r(col("entropy")).as("entropy"))),
+    "q12_top5_share" -> ((s, d) =>
+      AggFeatures.topNShare(li(s, d), Seq(col("l_suppkey")), Seq(col("l_partkey")),
+        col("l_quantity"), Seq("l_suppkey"), 5)
+        .select(col("l_suppkey"), r(col("top5_share")).as("top5_share"))),
+    "q13_monthly_slope" -> ((s, d) =>
+      AggFeatures.monthlyTrendSlope(li(s, d), Seq(col("l_suppkey")), col("l_shipdate"),
+        col("l_quantity"), Seq("l_suppkey"), epochYear = 1995)
+        .select(col("l_suppkey"), r(col("trend_slope")).as("trend_slope"))),
+    "q14_hierarchy_rollup" -> ((s, d) =>
+      AggFeatures.hierarchyRollup(
+        enrichedPart(s, d).select(col("p_brand"), col("p_type"), col("l_quantity")),
+        Seq("p_brand", "p_type"), "l_quantity")
+        .select(col("p_brand"), col("p_type"), r(col("level_sum")).as("level_sum"),
+          r(col("level_avg")).as("level_avg"), col("level_count"))),
+    "q15_market_share_rank" -> ((s, d) =>
+      AggFeatures.marketShareRank(enrichedPart(s, d), Seq(col("p_brand")), col("l_quantity"),
+        Seq("p_brand"))
+        .select(col("p_brand"), r(col("volume")).as("volume"), r(col("share")).as("share"),
+          col("rnk").cast("long").as("rnk"), col("is_top100"), col("is_long_tail"))),
+    "q16_hhi" -> ((s, d) =>
+      AggFeatures.hhi(enrichedPart(s, d), Seq(col("p_brand")), Seq(col("l_partkey")),
+        col("l_quantity"), Seq("p_brand"))
+        .select(col("p_brand"), r(col("hhi")).as("hhi"))),
+    "q17_percent_rank" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(AggFeatures.percentRankWithin(Seq(col("l_returnflag")),
+          Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))).as("qty_prank"))),
+    "q18_price_elasticity" -> ((s, d) =>
+      AggFeatures.priceElasticity(li(s, d), Seq(col("l_partkey")),
+        col("l_extendedprice") / col("l_quantity"), col("l_quantity"))
+        .select(col("l_partkey"), r(col("price_qty_corr")).as("price_qty_corr"),
+          col("n_obs"), col("elasticity_class"))),
+    "q19_discount_lift" -> ((s, d) =>
+      AggFeatures.discountLift(li(s, d), Seq(col("l_returnflag")), col("l_quantity"),
+        col("l_discount"))
+        .select(col("l_returnflag"),
+          r(col("avg_qty_discounted")).as("avg_qty_discounted"),
+          r(col("avg_qty_full")).as("avg_qty_full"),
+          r(col("discount_lift")).as("discount_lift"))),
+    "q20_zero_demand" -> ((s, d) =>
+      AggFeatures.zeroDemand(li(s, d), Seq(col("l_partkey")), col("l_discount"))
+        .select(col("l_partkey"), r(col("zero_ratio")).as("zero_ratio"),
+          col("zero_count"), col("n_obs"))),
+    "q21_cooccurrence" -> ((s, d) =>
+      AggFeatures.coOccurrence(li(s, d), Seq("l_orderkey"), "l_partkey", 3)
+        .select(col("item_a"), col("item_b"), col("pair_count"), col("n_a"), col("n_b"),
+          r(col("lift")).as("lift"))),
+    "q22_weekly_aggregate" -> ((s, d) =>
+      Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("qty_sum")).as("qty_sum"), col("n_rows"))),
+    "q23_enrich_join" -> ((s, d) =>
+      Enrichment.enrich(li(s, d), part(s, d).filter(col("p_size") <= 40),
+        "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))),
+    "q24_join_loss_check" -> ((s, d) => {
+      val before = li(s, d)
+      val after = Enrichment.enrich(before, part(s, d), "l_partkey", "p_partkey")
+      Enrichment.lossCheck(before, after, "l_quantity")
+        .select(col("rows_before"), r(col("vol_before")).as("vol_before"),
+          col("rows_after"), r(col("vol_after")).as("vol_after"),
+          col("rows_lost"), r(col("vol_lost")).as("vol_lost"))
+    }),
+    "q25_derived_ratios" -> ((s, d) => {
+      val agg = AggFeatures.keyStats(li(s, d), Seq(col("l_partkey")), col("l_quantity"),
+        Seq("n_stores" -> col("l_suppkey")))
+      val tot = li(s, d).agg(countDistinct(col("l_suppkey")).as("__tot"))
+      AggFeatures.withDerivedRatios(agg.crossJoin(broadcast(tot)), col("__tot"))
+        .select(col("l_partkey"), r(col("velocity")).as("velocity"),
+          r(col("consistency")).as("consistency"), r(col("penetration")).as("penetration"))
+    }),
+    "q26_modal_share" -> ((s, d) =>
+      AggFeatures.modalShare(enrichedPart(s, d), Seq(col("l_suppkey")), Seq(col("p_brand")),
+        col("l_quantity"), Seq("l_suppkey"))
+        .select(col("l_suppkey"), r(col("modal_share")).as("modal_share"))),
+    "q27_dominance" -> ((s, d) =>
+      AggFeatures.dominance(enrichedPart(s, d), Seq(col("p_type")), Seq(col("p_brand")),
+        col("l_quantity"), Seq("p_type"))
+        .select(col("p_type"), col("p_brand"), r(col("volume")).as("volume"),
+          r(col("dominance")).as("dominance"))),
+    "q28_volume_tiers" -> ((s, d) =>
+      AggFeatures.volumeTiers(li(s, d), Seq(col("l_partkey")), col("l_quantity"),
+        Seq("l_partkey"), hi = 0.001, lo = 0.0005)
+        .select(col("l_partkey"), r(col("volume")).as("volume"),
+          r(col("weight")).as("weight"), col("tier"))),
+    "q29_freq_encode" -> ((s, d) =>
+      AggFeatures.frequencyEncode(li(s, d), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag_freq"))),
+    "q30_label_encode" -> ((s, d) =>
+      AggFeatures.labelEncode(part(s, d), "p_brand", 2)
+        .select(col("p_partkey"), col("p_brand_code"))),
+    "q31_daily_rollup" -> ((s, d) =>
+      Enrichment.dailyStoreRollup(li(s, d), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_quantity"), col("l_partkey"))
+        .select(col("l_suppkey"), col("day"), r(col("revenue_sum")).as("revenue_sum"),
+          r(col("qty_sum")).as("qty_sum"), col("n_products"),
+          r(col("avg_tx_value")).as("avg_tx_value"), col("n_tx"))),
+    "q32_turnover" -> ((s, d) =>
+      AggFeatures.turnover(li(s, d), Seq(col("l_partkey")), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+        // turnover ratios recomputed from the ROUNDED numerator so both
+        // engines divide bit-identical inputs (raw sums differ in the
+        // last ulp and can straddle a .xxxx5 rounding boundary)
+        .select(col("l_partkey"), r(col("qty_sum")).as("qty_sum"),
+          r(col("rev_sum")).as("rev_sum"), col("active_days"),
+          r(r(col("qty_sum")) / col("active_days")).as("qty_turnover"),
+          r(r(col("rev_sum")) / col("active_days")).as("rev_turnover"))),
+    "q33_burst_freq" -> ((s, d) =>
+      AggFeatures.burstFrequency(li(s, d), Seq(col("l_partkey")), col("l_quantity"),
+        Seq("l_partkey"))
+        .select(col("l_partkey"), r(col("burst_freq")).as("burst_freq"), col("n_obs"))),
+    "q34_basket_stats" -> ((s, d) =>
+      AggFeatures.basketStats(li(s, d), Seq(col("l_orderkey")), Seq(col("l_suppkey")),
+        col("l_partkey"), Seq("l_suppkey"))
+        .select(col("l_suppkey"), r(col("avg_basket_size")).as("avg_basket_size"),
+          r(col("std_basket_size")).as("std_basket_size"), col("max_basket_size"),
+          col("n_baskets"))),
+    "q35_substitutes" -> ((s, d) => {
+      val weekly = li(s, d).withColumn("ws", to_date(date_trunc("week", col("l_shipdate"))))
+      AggFeatures.substituteDetection(weekly, Seq(col("ws")), col("l_partkey"),
+        col("l_quantity"), Seq("ws"), topN = 50, corrThreshold = -0.2)
+        .select(col("item_a"), col("item_b"), r(col("demand_corr")).as("demand_corr"),
+          col("n_buckets"))
+    }),
+    "q36_global_topn" -> ((s, d) =>
+      AggFeatures.topN(li(s, d), Seq(col("l_partkey")), col("l_quantity"), 10)
+        .select(col("l_partkey"), r(col("volume")).as("volume"))),
+
+    // ---- §2.4 metrics ----
+    "q37_scorecard" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      Metrics.scorecard(t, col("l_quantity"), col("pred"))
+        .select(r(col("wmape")).as("wmape"), r(col("mape")).as("mape"),
+          r(col("smape")).as("smape"), r(col("mae")).as("mae"),
+          r(col("rmse")).as("rmse"), r(col("bias")).as("bias"), col("n_rows"))
+    }),
+    "q38_wmape_by_group" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      Metrics.wmapeByGroup(t, Seq("l_returnflag"), col("l_quantity"), col("pred"))
+        .select(col("l_returnflag"), r(col("wmape")).as("wmape"), col("n_rows"))
+    }),
+
+    // ---- §2.5 window/temporal ----
+    "q39_lags" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_quantity"), 1).over(sw.w).as("lag1_qty"),
+        lag(col("l_quantity"), 4).over(sw.w).as("lag4_qty"))),
+    "q40_rolling_stats" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(WindowFeatures.rollingAvg(col("l_quantity"), 4, sw)).as("roll_avg"),
+        r(WindowFeatures.rollingStd(col("l_quantity"), 4, sw)).as("roll_std"),
+        WindowFeatures.rollingMin(col("l_quantity"), 4, sw).as("roll_min"),
+        WindowFeatures.rollingMax(col("l_quantity"), 4, sw).as("roll_max"))),
+    "q41_rolling_slope" -> ((s, d) =>
+      WindowFeatures.withRollingSlope(li(s, d), "l_quantity", 4, sw, "slope4")
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("slope4")).as("slope4"))),
+    "q42_rolling_autocorr" -> ((s, d) =>
+      WindowFeatures.withRollingAutocorr1(li(s, d), "l_quantity", 8, sw, "ac1")
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("ac1")).as("ac1"))),
+    "q43_fourier" -> ((s, d) => {
+      val spine = li(s, d).select(to_date(col("l_shipdate")).as("day")).distinct()
+        .withColumn("t", Calendar.daysSinceEpoch(col("day"), "1995-01-01"))
+      val terms = WindowFeatures.fourierTerms(col("t"), Seq(7.0, 365.0), 2)
+      spine.select(col("day") +: terms.map { case (n, c) => r(c).as(n) }: _*)
+    }),
+    "q44_momentum" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(WindowFeatures.momentum(col("l_quantity"), 1, sw)).as("mom1"))),
+    "q45_group_stability" -> ((s, d) =>
+      li(s, d).select(col("l_partkey"), col("l_suppkey"),
+        r(WindowFeatures.groupStability(col("l_quantity"), sw)).as("stability")).distinct()),
+    "q46_recent_vs_hist" -> ((s, d) =>
+      WindowFeatures.recentVsHistorical(li(s, d),
+        Seq(col("l_partkey"), col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        col("l_quantity"), Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          r(col("recent_mean")).as("recent_mean"), r(col("hist_mean")).as("hist_mean"),
+          r(col("recent_ratio")).as("recent_ratio"), col("is_declining"))),
+    "q47_zero_streaks" -> ((s, d) =>
+      WindowFeatures.zeroStreakStats(li(s, d),
+        Seq(col("l_partkey"), col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        col("l_discount"), Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("max_zero_streak"),
+          r(col("avg_zero_streak")).as("avg_zero_streak"), col("n_zero_streaks"))),
+    "q48_purchase_gaps" -> ((s, d) => {
+      val t = li(s, d).filter(col("l_discount") > 0)
+        .withColumn("gap", WindowFeatures.interPurchaseGapDays(to_date(col("l_shipdate")), sw))
+      t.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(r(avg(col("gap"))).as("avg_gap"), max(col("gap")).cast("long").as("max_gap"),
+          count(col("gap")).as("n_gaps"))
+    }),
+    "q49_lifecycle" -> ((s, d) => {
+      val series = li(s, d).groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(to_date(col("l_shipdate"))).as("first_date"),
+          max(to_date(col("l_shipdate"))).as("last_date"))
+      val glob = li(s, d).agg(max(to_date(col("l_shipdate"))).as("__maxd"))
+      series.crossJoin(broadcast(glob))
+        .withColumn("age_days", datediff(col("last_date"), col("first_date")).cast("long"))
+        .withColumn("days_since_last", datediff(col("__maxd"), col("last_date")).cast("long"))
+        .withColumn("stage",
+          WindowFeatures.lifecycleStage(col("age_days"), col("days_since_last")))
+        .select(col("l_partkey"), col("l_suppkey"), col("first_date"), col("last_date"),
+          col("age_days"), col("days_since_last"), col("stage"))
+    }),
+    "q50_seasonal_means" -> ((s, d) =>
+      WindowFeatures.seasonalGroupMeans(li(s, d), Seq("l_returnflag"),
+        Funcs.dowMon0(col("l_shipdate")), col("l_quantity"), "dow_mean")
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("dow_mean")).as("dow_mean"))),
+    "q51_growth_cap" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val w = SeriesWindow(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("week_start")))
+      weekly.select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+        r(WindowFeatures.growthCap(col("qty_sum"), 2.0, w)).as("capped_qty"))
+    }),
+    "q52_smoothing" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val w = SeriesWindow(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("week_start")))
+      weekly.select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+        r(WindowFeatures.smooth(col("qty_sum"), 1, w)).as("smoothed_qty"))
+    }),
+    "q53_tail_slope" -> ((s, d) =>
+      WindowFeatures.tailSlope(li(s, d),
+        Seq(col("l_partkey"), col("l_suppkey")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        "l_quantity", 8, Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), r(col("tail8_slope")).as("tail8_slope"))),
+
+    // ---- §2.6 scalar/date functions ----
+    "q54_date_parts" -> ((s, d) => {
+      val spine = li(s, d).select(to_date(col("l_shipdate")).as("day")).distinct()
+      val cols = Calendar.dateParts(col("day")) ++ Calendar.calendarFlags(col("day"))
+      spine.select(col("day") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+    "q55_cyclical" -> ((s, d) => {
+      val spine = li(s, d).select(to_date(col("l_shipdate")).as("day")).distinct()
+      val cols = Calendar.cyclicalEncodings(col("day"))
+      spine.select(col("day") +: cols.map { case (n, c) => r(c).as(n) }: _*)
+    }),
+    "q56_seasons" -> ((s, d) => {
+      val spine = li(s, d).select(to_date(col("l_shipdate")).as("day")).distinct()
+      val cols = Calendar.seasonFlags(col("day"))
+      spine.select(col("day") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+    "q57_holidays" -> ((s, d) => {
+      val spine = li(s, d).select(to_date(col("l_shipdate")).as("day")).distinct()
+      Calendar.withHolidayDistance(spine, col("day"),
+        Calendar.brazilianHolidays(s, 1992 to 2005))
+        .select(col("day"), col("is_holiday"),
+          col("days_to_holiday").cast("long").as("days_to_holiday"),
+          col("days_since_holiday").cast("long").as("days_since_holiday"))
+    }),
+    "q58_business_round" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        Calendar.businessRound(col("l_quantity") * (lit(1) - col("l_discount")))
+          .as("rounded_qty"))),
+
+    // ---- events table ----
+    "q59_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r(sum(col("value"))).as("value_sum")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_clean_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity),4) AS sum_qty
+         FROM lineitem WHERE l_quantity > 0
+           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+         GROUP BY l_returnflag""",
+    "q02_quantile_range" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                           quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
+         SELECT count(*) AS n_rows, round(avg(l_extendedprice),4) AS avg_price
+         FROM lineitem, b WHERE l_extendedprice BETWEEN lo AND hi""",
+    "q03_zscore_cap" ->
+      """WITH s AS (SELECT avg(l_quantity) mu, stddev(l_quantity) sd FROM lineitem)
+         SELECT round(sum(q),4) AS sum_qty, round(max(q),4) AS max_qty, round(min(q),4) AS min_qty
+         FROM (SELECT greatest(least(l_quantity, mu+3*sd), greatest(mu-3*sd, 0.0)) q
+               FROM lineitem, s)""",
+    "q04_dedup_keep_first" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity),4) AS sum_qty
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice) rn FROM lineitem)
+         WHERE rn = 1""",
+    "q05_rare_categories" ->
+      """SELECT CASE WHEN cnt < 10 THEN 'Other' ELSE p_type END AS p_type, count(*) AS n_parts
+         FROM (SELECT p_type, count(*) OVER (PARTITION BY p_type) AS cnt FROM part)
+         GROUP BY 1""",
+    "q06_orphans" ->
+      """SELECT count(*) AS n_orphans, round(sum(l_quantity),4) AS sum_qty FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)""",
+    "q07_quality_report" ->
+      """SELECT sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity_nulls,
+                count(DISTINCT l_quantity) AS l_quantity_distinct,
+                sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS l_quantity_zeros,
+                sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS l_discount_nulls,
+                count(DISTINCT l_discount) AS l_discount_distinct,
+                sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS l_discount_zeros,
+                count(*) AS total_rows
+         FROM lineitem""",
+    "q08_range_violations" ->
+      """SELECT sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS neg_qty,
+                sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS big_qty,
+                sum(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS big_price,
+                count(*) AS total_rows
+         FROM lineitem""",
+    "q09_key_stats" ->
+      """SELECT l_returnflag, round(sum(l_quantity),4) AS qty_sum,
+                round(avg(l_quantity),4) AS qty_mean,
+                round(quantile_cont(l_quantity, 0.5),4) AS qty_median,
+                round(stddev(l_quantity),4) AS qty_std,
+                round(min(l_quantity),4) AS qty_min, round(max(l_quantity),4) AS qty_max,
+                count(l_quantity) AS qty_count, round(var_samp(l_quantity),4) AS qty_var,
+                count(DISTINCT l_partkey) AS n_parts
+         FROM lineitem GROUP BY l_returnflag""",
+    "q10_share_of_total" ->
+      """SELECT p_brand, round(volume,4) AS volume,
+                round(volume/sum(volume) OVER (),4) AS share
+         FROM (SELECT p_brand, sum(l_quantity) AS volume FROM lineitem
+               LEFT JOIN part ON l_partkey = p_partkey GROUP BY p_brand)""",
+    "q11_entropy" ->
+      """WITH i AS (SELECT p_brand, l_partkey, sum(l_quantity) v FROM lineitem
+                    LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2),
+              p AS (SELECT p_brand, v / sum(v) OVER (PARTITION BY p_brand) pr FROM i)
+         SELECT p_brand,
+                round(-sum(CASE WHEN pr > 0 THEN pr * ln(pr) ELSE 0 END),4) AS entropy
+         FROM p GROUP BY p_brand""",
+    "q12_top5_share" ->
+      """WITH i AS (SELECT l_suppkey, l_partkey, sum(l_quantity) v FROM lineitem GROUP BY 1,2),
+              rk AS (SELECT l_suppkey, v, row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY v DESC, l_partkey ASC) rn FROM i)
+         SELECT l_suppkey,
+                round(sum(CASE WHEN rn <= 5 THEN v ELSE 0 END) / sum(v),4) AS top5_share
+         FROM rk GROUP BY l_suppkey""",
+    "q13_monthly_slope" ->
+      """WITH m AS (SELECT l_suppkey,
+                      CAST((year(l_shipdate)-1995)*12 + month(l_shipdate) AS DOUBLE) x,
+                      sum(l_quantity) y
+                    FROM lineitem GROUP BY 1,2),
+              s AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) n, sum(x) sx, sum(y) sy,
+                      sum(x*y) sxy, sum(x*x) sxx FROM m GROUP BY 1)
+         SELECT l_suppkey,
+                round(CASE WHEN n*sxx - sx*sx > 0
+                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END,4) AS trend_slope
+         FROM s""",
+    "q14_hierarchy_rollup" ->
+      """SELECT p_brand, p_type, round(sum(l_quantity),4) AS level_sum,
+                round(avg(l_quantity),4) AS level_avg, count(*) AS level_count
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         GROUP BY GROUPING SETS ((p_brand),(p_type))""",
+    "q15_market_share_rank" ->
+      """WITH a AS (SELECT p_brand, sum(l_quantity) volume FROM lineitem
+                    LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1),
+              rk AS (SELECT p_brand, volume, volume/sum(volume) OVER () AS share,
+                       row_number() OVER (ORDER BY volume DESC, p_brand ASC) AS rnk,
+                       count(*) OVER () AS n FROM a)
+         SELECT p_brand, round(volume,4) AS volume, round(share,4) AS share,
+                rnk, CAST(rnk <= 100 AS INT) AS is_top100,
+                CAST(rnk > n*0.8 AS INT) AS is_long_tail
+         FROM rk""",
+    "q16_hhi" ->
+      """WITH i AS (SELECT p_brand, l_partkey, sum(l_quantity) v FROM lineitem
+                    LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2),
+              p AS (SELECT p_brand, v / sum(v) OVER (PARTITION BY p_brand) pr FROM i)
+         SELECT p_brand, round(sum(pr*pr),4) AS hhi FROM p GROUP BY p_brand""",
+    "q17_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(percent_rank() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber),4) AS qty_prank
+         FROM lineitem""",
+    "q18_price_elasticity" ->
+      """SELECT l_partkey,
+                round(corr(l_extendedprice/l_quantity, l_quantity),4) AS price_qty_corr,
+                count(*) AS n_obs,
+                CASE WHEN count(*) <= 5 OR corr(l_extendedprice/l_quantity, l_quantity) IS NULL
+                       THEN 'unknown'
+                     WHEN corr(l_extendedprice/l_quantity, l_quantity) < -0.1 THEN 'elastic'
+                     WHEN corr(l_extendedprice/l_quantity, l_quantity) > 0.1 THEN 'premium'
+                     ELSE 'inelastic' END AS elasticity_class
+         FROM lineitem GROUP BY l_partkey""",
+    "q19_discount_lift" ->
+      """SELECT l_returnflag,
+                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END),4) AS avg_qty_discounted,
+                round(avg(CASE WHEN l_discount <= 0 THEN l_quantity END),4) AS avg_qty_full,
+                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END)
+                      /(avg(CASE WHEN l_discount <= 0 THEN l_quantity END) + 1e-8),4)
+                  AS discount_lift
+         FROM lineitem GROUP BY l_returnflag""",
+    "q20_zero_demand" ->
+      """SELECT l_partkey,
+                round(avg(CASE WHEN l_discount <= 0 THEN 1.0 ELSE 0.0 END),4) AS zero_ratio,
+                sum(CASE WHEN l_discount <= 0 THEN 1 ELSE 0 END) AS zero_count,
+                count(*) AS n_obs
+         FROM lineitem GROUP BY l_partkey""",
+    "q21_cooccurrence" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) n FROM items),
+              ic AS (SELECT l_partkey item, count(DISTINCT l_orderkey) n FROM items GROUP BY 1),
+              pairs AS (SELECT a.l_partkey item_a, b.l_partkey item_b, count(*) pair_count
+                        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                        GROUP BY 1,2 HAVING count(*) >= 3)
+         SELECT item_a, item_b, pair_count, ia.n AS n_a, ib.n AS n_b,
+                round((pair_count/nb.n)/((ia.n/nb.n)*(ib.n/nb.n)),4) AS lift
+         FROM pairs, nb, ic ia, ic ib
+         WHERE item_a = ia.item AND item_b = ib.item""",
+    "q22_weekly_aggregate" ->
+      """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                l_partkey, l_suppkey, round(sum(l_quantity),4) AS qty_sum,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1,2,3""",
+    "q23_enrich_join" ->
+      """SELECT coalesce(p_brand, 'Unknown') AS p_brand, count(*) AS n_rows,
+                round(sum(l_quantity),4) AS sum_qty
+         FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size <= 40) p
+           ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "q24_join_loss_check" ->
+      """WITH b AS (SELECT count(*) rb, sum(l_quantity) vb FROM lineitem),
+              a AS (SELECT count(*) ra, sum(l_quantity) va FROM lineitem
+                    LEFT JOIN part ON l_partkey = p_partkey)
+         SELECT rb AS rows_before, round(vb,4) AS vol_before, ra AS rows_after,
+                round(va,4) AS vol_after, rb - ra AS rows_lost,
+                round(vb - va,4) AS vol_lost
+         FROM b, a""",
+    "q25_derived_ratios" ->
+      """WITH a AS (SELECT l_partkey, sum(l_quantity) qs, avg(l_quantity) qm,
+                      stddev(l_quantity) qsd, count(DISTINCT l_suppkey) ns
+                    FROM lineitem GROUP BY 1),
+              t AS (SELECT count(DISTINCT l_suppkey) tot FROM lineitem)
+         SELECT l_partkey, round(qs*ns,4) AS velocity,
+                round(qm/(qsd+1e-8),4) AS consistency,
+                round(CAST(ns AS DOUBLE)/tot,4) AS penetration
+         FROM a, t""",
+    "q26_modal_share" ->
+      """WITH i AS (SELECT l_suppkey, p_brand, sum(l_quantity) v FROM lineitem
+                    LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2),
+              rk AS (SELECT l_suppkey, v, row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY v DESC, p_brand ASC) rn FROM i)
+         SELECT l_suppkey,
+                round(sum(CASE WHEN rn = 1 THEN v ELSE 0 END) / sum(v),4) AS modal_share
+         FROM rk GROUP BY l_suppkey""",
+    "q27_dominance" ->
+      """SELECT p_type, p_brand, round(volume,4) AS volume,
+                round(volume / sum(volume) OVER (PARTITION BY p_type),4) AS dominance
+         FROM (SELECT p_type, p_brand, sum(l_quantity) volume FROM lineitem
+               LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2)""",
+    "q28_volume_tiers" ->
+      """WITH a AS (SELECT l_partkey, sum(l_quantity) volume FROM lineitem GROUP BY 1),
+              w AS (SELECT l_partkey, volume, volume/sum(volume) OVER () weight FROM a)
+         SELECT l_partkey, round(volume,4) AS volume, round(weight,4) AS weight,
+                CASE WHEN weight >= 0.001 THEN 'high'
+                     WHEN weight >= 0.0005 THEN 'medium' ELSE 'low' END AS tier
+         FROM w""",
+    "q29_freq_encode" ->
+      """SELECT l_orderkey, l_linenumber,
+                count(*) OVER (PARTITION BY l_returnflag) AS l_returnflag_freq
+         FROM lineitem""",
+    "q30_label_encode" ->
+      """WITH c AS (SELECT p_brand, count(*) cnt FROM part GROUP BY 1 HAVING count(*) >= 2),
+              codes AS (SELECT p_brand,
+                          CAST(row_number() OVER (ORDER BY cnt DESC, p_brand ASC) - 1 AS INT)
+                            code FROM c)
+         SELECT p_partkey, coalesce(code, -1) AS p_brand_code
+         FROM part LEFT JOIN codes USING (p_brand)""",
+    "q31_daily_rollup" ->
+      """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+                round(sum(l_extendedprice),4) AS revenue_sum,
+                round(sum(l_quantity),4) AS qty_sum,
+                count(DISTINCT l_partkey) AS n_products,
+                round(avg(l_extendedprice),4) AS avg_tx_value,
+                count(*) AS n_tx
+         FROM lineitem GROUP BY 1,2""",
+    "q32_turnover" ->
+      """SELECT l_partkey, round(sum(l_quantity),4) AS qty_sum,
+                round(sum(l_extendedprice),4) AS rev_sum,
+                count(DISTINCT CAST(l_shipdate AS DATE)) AS active_days,
+                round(round(sum(l_quantity),4)/count(DISTINCT CAST(l_shipdate AS DATE)),4)
+                  AS qty_turnover,
+                round(round(sum(l_extendedprice),4)/count(DISTINCT CAST(l_shipdate AS DATE)),4)
+                  AS rev_turnover
+         FROM lineitem GROUP BY 1""",
+    "q33_burst_freq" ->
+      """WITH m AS (SELECT l_partkey, l_quantity,
+                      quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_partkey) med
+                    FROM lineitem)
+         SELECT l_partkey,
+                round(avg(CASE WHEN l_quantity > med THEN 1.0 ELSE 0.0 END),4) AS burst_freq,
+                count(*) AS n_obs
+         FROM m GROUP BY 1""",
+    "q34_basket_stats" ->
+      """WITH b AS (SELECT l_orderkey, l_suppkey, count(DISTINCT l_partkey) bs
+                    FROM lineitem GROUP BY 1,2)
+         SELECT l_suppkey, round(avg(bs),4) AS avg_basket_size,
+                round(stddev(bs),4) AS std_basket_size, max(bs) AS max_basket_size,
+                count(*) AS n_baskets
+         FROM b GROUP BY 1""",
+    "q35_substitutes" ->
+      """WITH tot AS (SELECT l_partkey, sum(l_quantity) v FROM lineitem GROUP BY 1
+                      ORDER BY v DESC, l_partkey ASC LIMIT 50),
+              lng AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws,
+                        l.l_partkey item, sum(l_quantity) q
+                      FROM lineitem l JOIN tot t ON l.l_partkey = t.l_partkey
+                      GROUP BY 1,2)
+         SELECT a.item AS item_a, b.item AS item_b, round(corr(a.q, b.q),4) AS demand_corr,
+                count(*) AS n_buckets
+         FROM lng a JOIN lng b ON a.ws = b.ws AND a.item < b.item
+         GROUP BY 1,2 HAVING corr(a.q, b.q) < -0.2""",
+    "q36_global_topn" ->
+      """SELECT l_partkey, round(volume,4) AS volume
+         FROM (SELECT l_partkey, sum(l_quantity) volume FROM lineitem GROUP BY 1
+               ORDER BY volume DESC, l_partkey ASC LIMIT 10)""",
+    "q37_scorecard" ->
+      """WITH t AS (SELECT l_quantity a, avg(l_quantity) OVER (PARTITION BY l_partkey) p
+                    FROM lineitem)
+         SELECT round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100,4) AS wmape,
+                round(avg(abs(a-p)/(abs(a)+1e-8))*100,4) AS mape,
+                round(avg(abs(a-p)/((abs(a)+abs(p))/2 + 1e-8))*100,4) AS smape,
+                round(avg(abs(a-p)),4) AS mae,
+                round(sqrt(avg((a-p)*(a-p))),4) AS rmse,
+                round(avg(p-a),4) AS bias, count(*) AS n_rows
+         FROM t""",
+    "q38_wmape_by_group" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity a,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p
+                    FROM lineitem)
+         SELECT l_returnflag, round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100,4) AS wmape,
+                count(*) AS n_rows
+         FROM t GROUP BY 1""",
+    "q39_lags" ->
+      """SELECT l_orderkey, l_linenumber,
+                lag(l_quantity, 1) OVER w AS lag1_qty,
+                lag(l_quantity, 4) OVER w AS lag4_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+    "q40_rolling_stats" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(avg(l_quantity) OVER w,4) AS roll_avg,
+                round(stddev(l_quantity) OVER w,4) AS roll_std,
+                min(l_quantity) OVER w AS roll_min,
+                max(l_quantity) OVER w AS roll_max
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    "q41_rolling_slope" ->
+      """WITH t AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) x
+                    FROM lineitem),
+              f AS (SELECT l_orderkey, l_linenumber,
+                      CAST(count(l_quantity) OVER w AS DOUBLE) cnt,
+                      sum(x) OVER w sx, sum(l_quantity) OVER w sy,
+                      sum(x*l_quantity) OVER w sxy, sum(x*x) OVER w sxx
+                    FROM t
+                    WINDOW w AS (PARTITION BY l_partkey, l_suppkey ORDER BY x
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber,
+                round(CASE WHEN cnt*sxx - sx*sx > 0
+                  THEN (cnt*sxy - sx*sy)/(cnt*sxx - sx*sx) END,4) AS slope4
+         FROM f""",
+    "q42_rolling_autocorr" ->
+      """WITH t AS (SELECT *, lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber) lag1
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                round(corr(l_quantity, lag1) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),4) AS ac1
+         FROM t""",
+    "q43_fourier" ->
+      """SELECT day,
+                round(sin(2*pi()*1*t/7),4) AS sin_7_1, round(cos(2*pi()*1*t/7),4) AS cos_7_1,
+                round(sin(2*pi()*2*t/7),4) AS sin_7_2, round(cos(2*pi()*2*t/7),4) AS cos_7_2,
+                round(sin(2*pi()*1*t/365),4) AS sin_365_1,
+                round(cos(2*pi()*1*t/365),4) AS cos_365_1,
+                round(sin(2*pi()*2*t/365),4) AS sin_365_2,
+                round(cos(2*pi()*2*t/365),4) AS cos_365_2
+         FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day,
+                 date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS t
+               FROM lineitem)""",
+    "q44_momentum" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_quantity/(lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber) + 1e-8) - 1,4) AS mom1
+         FROM lineitem""",
+    "q45_group_stability" ->
+      """SELECT DISTINCT l_partkey, l_suppkey,
+                round(avg(l_quantity) OVER g /(stddev(l_quantity) OVER g + 1e-8),4) AS stability
+         FROM lineitem
+         WINDOW g AS (PARTITION BY l_partkey, l_suppkey)""",
+    "q46_recent_vs_hist" ->
+      """WITH t AS (SELECT l_partkey, l_suppkey, l_quantity,
+                      ntile(4) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) q
+                    FROM lineitem),
+              a AS (SELECT l_partkey, l_suppkey,
+                      avg(CASE WHEN q = 4 THEN l_quantity END) rm,
+                      avg(CASE WHEN q <> 4 THEN l_quantity END) hm
+                    FROM t GROUP BY 1,2)
+         SELECT l_partkey, l_suppkey, round(rm,4) AS recent_mean, round(hm,4) AS hist_mean,
+                round(rm/(hm + 1e-8),4) AS recent_ratio,
+                CAST(rm/(hm + 1e-8) < 0.8 AS INT) AS is_declining
+         FROM a""",
+    "q47_zero_streaks" ->
+      """WITH f AS (SELECT l_partkey, l_suppkey, CAST(l_discount <= 0 AS INT) z,
+                      row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) rn,
+                      row_number() OVER (PARTITION BY l_partkey, l_suppkey, (l_discount <= 0)
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) rz
+                    FROM lineitem),
+              runs AS (SELECT l_partkey, l_suppkey, rn - rz AS island, count(*) streak_len
+                       FROM f WHERE z = 1 GROUP BY 1,2,3)
+         SELECT l_partkey, l_suppkey, max(streak_len) AS max_zero_streak,
+                round(avg(streak_len),4) AS avg_zero_streak, count(*) AS n_zero_streaks
+         FROM runs GROUP BY 1,2""",
+    "q48_purchase_gaps" ->
+      """WITH t AS (SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) dd,
+                      lag(CAST(l_shipdate AS DATE),1) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) pd
+                    FROM lineitem WHERE l_discount > 0)
+         SELECT l_partkey, l_suppkey, round(avg(date_diff('day', pd, dd)),4) AS avg_gap,
+                max(date_diff('day', pd, dd)) AS max_gap, count(pd) AS n_gaps
+         FROM t GROUP BY 1,2""",
+    "q49_lifecycle" ->
+      """WITH s AS (SELECT l_partkey, l_suppkey, min(CAST(l_shipdate AS DATE)) fd,
+                      max(CAST(l_shipdate AS DATE)) ld FROM lineitem GROUP BY 1,2),
+              g AS (SELECT max(CAST(l_shipdate AS DATE)) md FROM lineitem)
+         SELECT l_partkey, l_suppkey, fd AS first_date, ld AS last_date,
+                date_diff('day', fd, ld) AS age_days,
+                date_diff('day', ld, md) AS days_since_last,
+                CASE WHEN date_diff('day', ld, md) > 90 THEN 'discontinued'
+                     WHEN date_diff('day', fd, ld) <= 30 THEN 'new'
+                     WHEN date_diff('day', fd, ld) <= 180 THEN 'growth'
+                     ELSE 'mature' END AS stage
+         FROM s, g""",
+    "q50_seasonal_means" ->
+      """WITH st AS (SELECT l_returnflag, CAST(isodow(l_shipdate) AS INT) - 1 b,
+                       avg(l_quantity) m
+                     FROM lineitem GROUP BY 1,2),
+              g AS (SELECT avg(l_quantity) gm FROM lineitem)
+         SELECT l_orderkey, l_linenumber, round(coalesce(m, gm),4) AS dow_mean
+         FROM lineitem l CROSS JOIN g
+         LEFT JOIN st ON l.l_returnflag = st.l_returnflag
+           AND CAST(isodow(l.l_shipdate) AS INT) - 1 = st.b""",
+    "q51_growth_cap" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2,3),
+              c AS (SELECT ws, l_partkey, l_suppkey, q,
+                      lag(q,1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) pq
+                    FROM w)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                round(CASE WHEN pq IS NOT NULL AND pq > 0 THEN least(q, pq*2.0)
+                      ELSE q END,4) AS capped_qty
+         FROM c""",
+    "q52_smoothing" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2,3)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                round(avg(q) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),4) AS smoothed_qty
+         FROM w""",
+    "q53_tail_slope" ->
+      """WITH rev AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) rr
+                      FROM lineitem),
+              t AS (SELECT l_partkey, l_suppkey, l_quantity,
+                      CAST(row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) x
+                    FROM rev WHERE rr <= 8),
+              s AS (SELECT l_partkey, l_suppkey, CAST(count(l_quantity) AS DOUBLE) n,
+                      sum(x) sx, sum(l_quantity) sy, sum(x*l_quantity) sxy, sum(x*x) sxx
+                    FROM t GROUP BY 1,2)
+         SELECT l_partkey, l_suppkey,
+                round(CASE WHEN n*sxx - sx*sx > 0
+                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END,4) AS tail8_slope
+         FROM s""",
+    "q54_date_parts" ->
+      """SELECT day, CAST(year(day) AS INT) AS year, CAST(month(day) AS INT) AS month,
+                CAST(day(day) AS INT) AS dom, CAST(isodow(day) - 1 AS INT) AS dow,
+                CAST(dayofyear(day) AS INT) AS doy, CAST(quarter(day) AS INT) AS quarter,
+                CAST(week(day) AS INT) AS week_of_year,
+                CAST(isodow(day) - 1 >= 5 AS INT) AS is_weekend,
+                CAST(isodow(day) - 1 = 6 AS INT) AS is_sunday,
+                CAST(day(day) <= 7 AS INT) AS is_month_start,
+                CAST(day(day) >= 24 AS INT) AS is_month_end,
+                CAST(floor((day(day) - 1) / 7) + 1 AS INT) AS week_of_month
+         FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)""",
+    "q55_cyclical" ->
+      """SELECT day,
+                round(sin(month(day) * 2*pi()/12),4) AS month_sin,
+                round(cos(month(day) * 2*pi()/12),4) AS month_cos,
+                round(sin((isodow(day)-1) * 2*pi()/7),4) AS dow_sin,
+                round(cos((isodow(day)-1) * 2*pi()/7),4) AS dow_cos,
+                round(sin(dayofyear(day) * 2*pi()/365),4) AS doy_sin,
+                round(cos(dayofyear(day) * 2*pi()/365),4) AS doy_cos
+         FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)""",
+    "q56_seasons" ->
+      """SELECT day,
+                CAST(month(day) IN (12,1,2) AS INT) AS is_summer,
+                CAST(month(day) IN (6,7,8) AS INT) AS is_winter,
+                CAST(month(day) NOT IN (1,7,12) AS INT) AS is_school_period,
+                CAST(day(day) <= 5 OR day(day) >= 28 AS INT) AS is_payday_window,
+                CAST(month(day) = 11 AS INT) AS is_black_friday_season,
+                CAST(month(day) = 12 AS INT) AS is_christmas_season
+         FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)""",
+    "q57_holidays" ->
+      """WITH years AS (SELECT unnest(range(1992, 2006)) y),
+              md AS (SELECT unnest(['01-01','04-21','05-01','09-07','10-12','11-02',
+                                    '11-15','12-25']) m),
+              hol AS (SELECT CAST(y || '-' || m AS DATE) h FROM years, md),
+              dd AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem),
+              j AS (SELECT day, CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END is_h
+                    FROM dd LEFT JOIN hol ON day = h),
+              e AS (SELECT day, is_h,
+                      min(CASE WHEN is_h = 1 THEN day END) OVER (ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nh,
+                      max(CASE WHEN is_h = 1 THEN day END) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ph
+                    FROM j)
+         SELECT day, is_h AS is_holiday,
+                date_diff('day', day, nh) AS days_to_holiday,
+                date_diff('day', ph, day) AS days_since_holiday
+         FROM e""",
+    "q58_business_round" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(greatest(round(l_quantity*(1-l_discount), 0), 0.0) AS BIGINT)
+                  AS rounded_qty
+         FROM lineitem""",
+    "q59_events_hourly" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour, event_type,
+                count(*) AS n_events, round(sum(value),4) AS value_sum
+         FROM events GROUP BY 1,2,3"""
+  )
 }

@@ -128,4 +128,14 @@ object Cleaning {
     } :+ count(lit(1)).as("total_rows")
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** F15 — business-range violation report: counts of rows breaking
+    * named predicates (reference: src/data/validators.py:536-541 checks
+    * non-negativity and hard caps). One pass, conditional sums. */
+  def rangeViolations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(n)
+    } :+ count(lit(1)).as("total_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -42,5 +42,21 @@ object Funcs {
     * other engines in the last ULPs; rounding both sides to `scale`
     * decimals makes hash comparison deterministic.
     */
-  def r(c: Column, scale: Int = 4): Column = round(c, scale)
+  def r(c: Column, scale: Int = 4): Column = {
+    // multiply→round(0)→divide mimics the common engine implementation
+    // (std::round(x*10^s)/10^s). Spark's native round(c, s) converts the
+    // exact binary double to decimal first, so a value printed as
+    // x.xxxx5 (binary ...49999) rounds DOWN while engines using the
+    // multiply form round it UP — a systematic off-by-one-ulp divergence
+    // on terminating-decimal data (prices / small-int divisions).
+    val p = math.pow(10, scale)
+    round(c * lit(p), 0) / lit(p)
+  }
+
+  /** Normalize NaN → NULL. Spark's corr/stddev return NaN on zero
+    * variance where most SQL engines (and the reference's pandas ops)
+    * return NULL; normalizing keeps downstream `when` ladders and oracle
+    * comparisons consistent.
+    */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null).cast("double")).otherwise(c)
 }

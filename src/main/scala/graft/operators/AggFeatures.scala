@@ -26,11 +26,11 @@ object AggFeatures {
       sum(qty).as("qty_sum"),
       avg(qty).as("qty_mean"),
       percentile(qty, lit(0.5)).as("qty_median"),
-      stddev(qty).as("qty_std"),
+      graft.functions.Funcs.nanToNull(stddev(qty)).as("qty_std"),
       min(qty).as("qty_min"),
       max(qty).as("qty_max"),
       count(qty).as("qty_count"),
-      variance(qty).as("qty_var"))
+      graft.functions.Funcs.nanToNull(variance(qty)).as("qty_var"))
     val distincts = extraDistinct.map { case (n, c) => countDistinct(c).as(n) }
     df.groupBy(key: _*).agg(base.head, (base.tail ++ distincts): _*)
   }
@@ -74,9 +74,9 @@ object AggFeatures {
     * agg — the big asymptotic win flagged in SURVEY §4.
     */
   def monthlyTrendSlope(df: DataFrame, key: Seq[Column], date: Column, value: Column,
-                        outNames: Seq[String]): DataFrame = {
+                        outNames: Seq[String], epochYear: Int = 1970): DataFrame = {
     val monthly = df
-      .withColumn("__x", (year(date) * 12 + month(date)).cast("double"))
+      .withColumn("__x", ((year(date) - epochYear) * 12 + month(date)).cast("double"))
       .groupBy((key :+ col("__x")): _*)
       .agg(sum(value).as("__y"))
     monthly.groupBy(outNames.map(col): _*)
@@ -155,6 +155,9 @@ object AggFeatures {
                       minN: Int = 5): DataFrame =
     df.groupBy(key: _*)
       .agg(corr(price, qty).as("price_qty_corr"), count(lit(1)).as("n_obs"))
+      // zero-variance groups: Spark corr yields NaN, pandas/SQL yield
+      // NULL — normalize so the class ladder matches the reference
+      .withColumn("price_qty_corr", graft.functions.Funcs.nanToNull(col("price_qty_corr")))
       .withColumn("elasticity_class",
         when(col("n_obs") <= minN || col("price_qty_corr").isNull, "unknown")
           .when(col("price_qty_corr") < -0.1, "elastic")
@@ -199,4 +202,139 @@ object AggFeatures {
     val counts = df.groupBy(col(c)).agg(count(lit(1)).as(s"${c}_freq"))
     df.join(broadcast(counts), Seq(c), "left")
   }
+
+  /** A4 — derived per-key ratios on top of keyStats: avg unit price
+    * Σnet/Σqty, velocity, consistency mean/std, penetration
+    * (reference: aggregation_features_engine.py:114-144). Pure post-agg
+    * expressions — no extra shuffle. */
+  def withDerivedRatios(agg: DataFrame, totalStores: Column): DataFrame =
+    agg
+      .withColumn("velocity", col("qty_sum") * col("n_stores"))
+      .withColumn("consistency", safeDiv(col("qty_mean"), col("qty_std")))
+      .withColumn("penetration", col("n_stores") / totalStores)
+
+  /** A8 — modal-category focus: share of the group's volume held by its
+    * most frequent inner value (reference: :241-244). max_by-style via a
+    * rank window over the two-level agg. */
+  def modalShare(df: DataFrame, outerKey: Seq[Column], innerKey: Seq[Column], value: Column,
+                 outNames: Seq[String]): DataFrame = {
+    val inner = df.groupBy((outerKey ++ innerKey): _*).agg(sum(value).as("__v"))
+    val w = Window.partitionBy(outNames.map(col): _*)
+      .orderBy((col("__v").desc +: innerKey.map(_.asc)): _*)
+    inner.withColumn("__rk", row_number().over(w))
+      .groupBy(outNames.map(col): _*)
+      .agg((sum(when(col("__rk") === 1, col("__v")).otherwise(0.0)) / sum(col("__v"))).as("modal_share"))
+  }
+
+  /** A11 — brand-in-category dominance: Σv(inner within outer)/Σv(outer)
+    * (reference: aggregation_features_engine.py:447-467). One two-level
+    * agg + a window over the (small) aggregated frame. */
+  def dominance(df: DataFrame, outerKey: Seq[Column], innerKey: Seq[Column], value: Column,
+                outNames: Seq[String]): DataFrame = {
+    val inner = df.groupBy((outerKey ++ innerKey): _*).agg(sum(value).as("volume"))
+    val w = Window.partitionBy(outNames.map(col): _*)
+    inner.withColumn("dominance", col("volume") / sum(col("volume")).over(w))
+  }
+
+  /** A12 — volume-weight tiers: share of global total bucketed into
+    * high/medium/low (reference `pd.cut` tiers,
+    * aggregation_features_engine.py:474-533). */
+  def volumeTiers(df: DataFrame, key: Seq[Column], value: Column, keyNames: Seq[String],
+                  hi: Double = 0.01, lo: Double = 0.001): DataFrame = {
+    val agg = df.groupBy(key: _*).agg(sum(value).as("volume"))
+    val all = Window.partitionBy()
+    agg.withColumn("weight", col("volume") / sum(col("volume")).over(all))
+      .withColumn("tier",
+        when(col("weight") >= hi, "high")
+          .when(col("weight") >= lo, "medium")
+          .otherwise("low"))
+  }
+
+  /** A15 — percent-rank of a value within a key
+    * (reference `rank(pct=True)`, aggregation_features_engine.py:340-351).
+    * pandas pct rank = rank/count; Spark percent_rank = (rank-1)/(n-1) —
+    * engine exposes Spark semantics (documented divergence), with the
+    * ordering pinned by a tiebreaker for determinism.
+    */
+  def percentRankWithin(key: Seq[Column], order: Seq[Column]): Column =
+    percent_rank().over(Window.partitionBy(key: _*).orderBy(order: _*))
+
+  /** A19 — label encoding with OOV: values with count ≥ minCount get a
+    * dense rank id, the rest map to -1 (reference "__other__",
+    * preprocessors.py:222-248). Deterministic: ids ordered by
+    * (count desc, value asc) over the dim-sized counts frame. */
+  def labelEncode(df: DataFrame, c: String, minCount: Long = 2): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .withColumn(s"${c}_code",
+        row_number().over(Window.orderBy(col("__cnt").desc, col(c).asc)) - 1)
+      .drop("__cnt")
+    df.join(broadcast(counts), Seq(c), "left")
+      .na.fill(-1, Seq(s"${c}_code"))
+  }
+
+  /** A22 — turnover: volume and revenue per active day
+    * (reference: business_features_engine.py:531-542). */
+  def turnover(df: DataFrame, key: Seq[Column], qty: Column, revenue: Column,
+               date: Column): DataFrame =
+    df.groupBy(key: _*)
+      .agg(sum(qty).as("qty_sum"), sum(revenue).as("rev_sum"),
+        countDistinct(to_date(date)).as("active_days"))
+      .withColumn("qty_turnover", col("qty_sum") / col("active_days"))
+      .withColumn("rev_turnover", col("rev_sum") / col("active_days"))
+
+  /** A27 — burst frequency: share of rows above the per-key median
+    * (reference: behavioral_features_engine.py:171-180). Exact percentile
+    * as a group window (same shuffle as the agg). */
+  def burstFrequency(df: DataFrame, key: Seq[Column], value: Column,
+                     outNames: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key: _*)
+    df.withColumn("__med", percentile(value, lit(0.5)).over(w))
+      .groupBy(outNames.map(col): _*)
+      .agg(avg(when(value > col("__med"), 1.0).otherwise(0.0)).as("burst_freq"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** A28 — basket stats: per-basket item counts, then per-group
+    * mean/std/max basket size (reference: behavioral_features_engine.py:454-517). */
+  def basketStats(df: DataFrame, basketKey: Seq[Column], group: Seq[Column], item: Column,
+                  groupNames: Seq[String]): DataFrame =
+    df.groupBy((basketKey ++ group): _*)
+      .agg(countDistinct(item).as("basket_size"))
+      .groupBy(groupNames.map(col): _*)
+      .agg(
+        avg(col("basket_size")).as("avg_basket_size"),
+        graft.functions.Funcs.nanToNull(stddev(col("basket_size"))).as("std_basket_size"),
+        max(col("basket_size")).as("max_basket_size"),
+        count(lit(1)).as("n_baskets"))
+
+  /** A30 — substitute detection: negative demand correlation between
+    * same-bucket item pairs. The reference pivots top-100 items into a
+    * wide matrix and scans pairwise corr
+    * (behavioral_features_engine.py:593-621); here it is a distributed
+    * self-join of the (bucket, item, qty) long table on the bucket key
+    * restricted to a top-N item set (bounded fan-out, never all-pairs
+    * over the catalog). */
+  def substituteDetection(df: DataFrame, bucket: Seq[Column], item: Column, qty: Column,
+                          bucketNames: Seq[String], topN: Int = 100,
+                          corrThreshold: Double = -0.3): DataFrame = {
+    val totals = df.groupBy(item.as("__item")).agg(sum(qty).as("__v"))
+    val top = totals.orderBy(col("__v").desc, col("__item").asc).limit(topN).drop("__v")
+    val long = df.join(broadcast(top), item === col("__item")).drop("__item")
+      .groupBy((bucket :+ item.as("item")): _*).agg(sum(qty).as("q"))
+    val a = long.toDF((bucketNames :+ "item_a" :+ "qa"): _*)
+    val b = long.toDF((bucketNames :+ "item_b" :+ "qb"): _*)
+    a.join(b, bucketNames).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(corr(col("qa"), col("qb")).as("demand_corr"), count(lit(1)).as("n_buckets"))
+      .filter(col("demand_corr") < corrThreshold)
+  }
+
+  /** O2 — global top-N by aggregated value (reference `nlargest`,
+    * analyze_real_data.py:96-106). orderBy+limit = TakeOrdered: per
+    * partition top-N then driver merge — no global sort shuffle. */
+  def topN(df: DataFrame, key: Seq[Column], value: Column, n: Int): DataFrame =
+    df.groupBy(key: _*).agg(sum(value).as("volume"))
+      .orderBy(col("volume").desc, key.head.asc)
+      .limit(n)
 }

@@ -42,7 +42,9 @@ object WindowFeatures {
   /** W4 — rolling stats over trailing n rows, min_periods=1 semantics
     * (frame = [-(n-1), 0]; reference: temporal_features_engine.py:179-186). */
   def rollingAvg(c: Column, n: Int, sw: SeriesWindow): Column = avg(c).over(sw.rows(-(n - 1), 0))
-  def rollingStd(c: Column, n: Int, sw: SeriesWindow): Column = stddev(c).over(sw.rows(-(n - 1), 0))
+  // NaN→NULL: Spark stddev_samp of a 1-row frame is NaN; pandas/SQL = NULL
+  def rollingStd(c: Column, n: Int, sw: SeriesWindow): Column =
+    graft.functions.Funcs.nanToNull(stddev(c).over(sw.rows(-(n - 1), 0)))
   def rollingMin(c: Column, n: Int, sw: SeriesWindow): Column = min(c).over(sw.rows(-(n - 1), 0))
   def rollingMax(c: Column, n: Int, sw: SeriesWindow): Column = max(c).over(sw.rows(-(n - 1), 0))
   def rollingSum(c: Column, n: Int, sw: SeriesWindow): Column = sum(c).over(sw.rows(-(n - 1), 0))
@@ -63,7 +65,7 @@ object WindowFeatures {
 
   /** W6 — rolling skewness over the trailing n rows (reference: :197-201). */
   def rollingSkew(c: Column, n: Int, sw: SeriesWindow): Column =
-    skewness(c).over(sw.rows(-(n - 1), 0))
+    graft.functions.Funcs.nanToNull(skewness(c).over(sw.rows(-(n - 1), 0)))
 
   /** W7 — rolling OLS slope over the trailing n rows via the closed form
     * (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) with x = row position
@@ -100,7 +102,8 @@ object WindowFeatures {
   def withRollingAutocorr1(df: DataFrame, valueCol: String, n: Int, sw: SeriesWindow,
                            outCol: String): DataFrame =
     df.withColumn("__lag1", lag(col(valueCol), 1).over(sw.w))
-      .withColumn(outCol, corr(col(valueCol), col("__lag1")).over(sw.rows(-(n - 1), 0)))
+      .withColumn(outCol, graft.functions.Funcs.nanToNull(
+        corr(col(valueCol), col("__lag1")).over(sw.rows(-(n - 1), 0))))
       .drop("__lag1")
 
   /** W15 — trend acceleration: first difference of the rolling slope
@@ -117,7 +120,7 @@ object WindowFeatures {
 
   /** W14 — whole-group stability mean/(std+ε) (reference: :364-368). */
   def groupStability(c: Column, sw: SeriesWindow): Column =
-    safeDiv(avg(c).over(sw.group), stddev(c).over(sw.group))
+    safeDiv(avg(c).over(sw.group), graft.functions.Funcs.nanToNull(stddev(c).over(sw.group)))
 
   /** W11 — Fourier terms sin/cos(2πk·t/period) (reference: :283-313). */
   def fourierTerms(daysSinceEpoch: Column, periods: Seq[Double], maxK: Int): Seq[(String, Column)] =

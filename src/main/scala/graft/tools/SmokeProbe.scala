@@ -17,6 +17,7 @@ object SmokeProbe {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .appName("graft-smoke")
       .getOrCreate()
