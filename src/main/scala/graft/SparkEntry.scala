@@ -380,7 +380,77 @@ object SparkEntry {
     "q59_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), r(sum(col("value"))).as("value_sum")))
+        .agg(count(lit(1)).as("n_events"), r(sum(col("value"))).as("value_sum"))),
+
+    // ---- LLM-pipeline: dedup / text / similarity / multimodal ----
+    "q60_doc_exact_dedup" -> ((s, d) =>
+      graft.text.Dedup.exactDedup(Tables.documents(s, d), "text", Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"))),
+    "q61_text_stats" -> ((s, d) => {
+      val stats = graft.text.TextAnalysis.textStats(col("text"))
+      Tables.documents(s, d).select(col("doc_id") +: stats.map {
+        case (n, c) if Set("avg_word_len", "punct_ratio", "digit_ratio")(n) => r(c).as(n)
+        case (n, c) => c.as(n)
+      }: _*)
+    }),
+    "q62_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("q", graft.text.TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          r(avg(length(col("text")))).as("avg_chars"),
+          r(avg(size(graft.text.TextAnalysis.tokens(col("text"))))).as("avg_words"),
+          r(avg(col("q"))).as("avg_quality"))),
+    "q63_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.languageId(col("text")).as("pred_lang"))),
+    "q64_ngram_jaccard" -> ((s, d) =>
+      graft.text.Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("sz_a"), col("sz_b"),
+          r(col("jaccard")).as("jaccard"))),
+    // hash-derived candidates — engine-specific blocking keys; rows-only
+    // driver check, recall asserted against exact Jaccard in unit tests
+    "q65_minhash_candidates" -> ((s, d) =>
+      graft.text.Dedup.minHashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), r(col("est_jaccard")).as("est_jaccard"))),
+    "q66_simhash_candidates" -> ((s, d) =>
+      graft.text.Dedup.simHashCandidates(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 10)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+    "q67_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q68_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.bruteForceTopK(emb, queries, 10)
+    }),
+    "q69_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.lshTopK(emb, queries, 10, dim = 64)
+    }),
+    "q70_embed_norms" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          r(avg(graft.sim.Similarity.l2Norm(col("embedding").cast("array<double>"))))
+            .as("avg_norm"))),
+    "q71_frame_sample" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      graft.multimodal.Multimodal.frameSample(media, 1000L)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    }),
+    "q72_media_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      graft.multimodal.Multimodal.featuresByPartition(
+        graft.multimodal.Multimodal.decodeStub(media))
+        .select(col("media_id"), col("decoded.width").as("width"),
+          col("decoded.height").as("height"), size(col("features")).as("feat_dim"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -854,6 +924,97 @@ object SparkEntry {
     "q59_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour, event_type,
                 count(*) AS n_events, round(sum(value),4) AS value_sum
-         FROM events GROUP BY 1,2,3"""
+         FROM events GROUP BY 1,2,3""",
+    "q60_doc_exact_dedup" ->
+      """SELECT doc_id, lang
+         FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+               FROM documents)
+         WHERE rn = 1""",
+    "q61_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(string_split_regex(trim(text), '\s+')) AS n_words,
+                len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_words,
+                round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                        w -> length(w)))
+                      /(len(string_split_regex(trim(text), '\s+')) + 1e-8),4)
+                  AS avg_word_len,
+                round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                      /(length(text) + 1e-8),4) AS punct_ratio,
+                round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      /(length(text) + 1e-8),4) AS digit_ratio
+         FROM documents""",
+    "q62_text_quality" ->
+      """WITH t AS (SELECT lang, length(text) nc,
+                      len(string_split_regex(trim(text), '\s+')) nw,
+                      len(list_distinct(string_split_regex(trim(text), '\s+'))) nu,
+                      length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) np
+                    FROM documents),
+              q AS (SELECT lang, nc, nw,
+                      0.4 * least(nw/20.0, 1.0)
+                      + 0.4 * (nu/(nw + 1e-8))
+                      + 0.2 * (1.0 - least(np/(nc + 1e-8)*5.0, 1.0)) AS score
+                    FROM t)
+         SELECT lang, count(*) AS n_docs, round(avg(nc),4) AS avg_chars,
+                round(avg(nw),4) AS avg_words, round(avg(score),4) AS avg_quality
+         FROM q GROUP BY 1""",
+    "q63_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, text,
+                      string_split_regex(trim(lower(text)), '\s+') ws FROM documents),
+              sc AS (SELECT doc_id, lang, text,
+                       len(list_filter(ws, x -> list_contains(
+                         ['der','die','das','und','ist','nicht','mit','ein','zu','den'], x)))
+                         s_de,
+                       len(list_filter(ws, x -> list_contains(
+                         ['the','and','of','to','a','in','is','that','for','with'], x))) s_en,
+                       len(list_filter(ws, x -> list_contains(
+                         ['el','la','los','y','es','no','por','que','una','con'], x))) s_es,
+                       len(list_filter(ws, x -> list_contains(
+                         ['le','la','les','et','est','pas','pour','que','une','dans'], x)))
+                         s_fr
+                     FROM w)
+         SELECT doc_id, lang,
+                CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                     WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+                     ELSE 'unknown' END AS pred_lang
+         FROM sc""",
+    "q64_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+              sh AS (SELECT doc_id, unnest(list_distinct(
+                       CASE WHEN len(w) >= 3
+                         THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+                         ELSE [array_to_string(w, ' ')] END)) sh FROM ws),
+              sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1,2)
+         SELECT id_a, id_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+                round(n_common/(sa.sz + sb.sz - n_common),4) AS jaccard
+         FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         WHERE n_common/(sa.sz + sb.sz - n_common) >= 0.8""",
+    "q68_ann_brute" ->
+      """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings
+                    WHERE vec_id < 5),
+              c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
+              s AS (SELECT query_id, vec_id neighbor_id,
+                      round(list_dot_product(cv, qv)
+                        /(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv)))
+                        *1e4)/1e4 cos_sim
+                    FROM c, q WHERE vec_id <> query_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) rank FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10""",
+    "q70_embed_norms" ->
+      """SELECT label, count(*) AS n_vecs,
+                round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                  embedding::DOUBLE[]))),4) AS avg_norm
+         FROM embeddings GROUP BY 1""",
+    "q71_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                least(CAST(floor(n_chars*40/1000) AS BIGINT) + 1, 100) AS n_frames
+         FROM documents"""
   )
 }

@@ -1,0 +1,103 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB scale path
+  * (candidates from a signature equi-join, exact cosine only on
+  * candidates — never all-pairs).
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns as a codegen'd expression
+    * (zip_with + aggregate — no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; arrays are cast to double first so accumulation
+    * order is the only (sub-ulp) divergence across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Brute-force cosine top-k: every query vector against the whole
+    * corpus. The query set rides a broadcast nested-loop join (queries
+    * ≪ corpus — the corpus is NEVER replicated), then a per-query
+    * window keeps the top k. Ranking runs on cosine rounded to 4
+    * decimals with an id tiebreak so result order is stable across
+    * engines and float-accumulation orders.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cos_sim", round(cosine(col(corpusVec), col(queryVec)) * 1e4, 0) / 1e4)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dimension d ↦
+    * a value in [−0.5, 0.5) derived from a 64-bit mix of (seed, p, d).
+    * Generated driver-side as literals — tiny (planes × dim doubles). */
+  private def hyperplane(p: Int, dim: Int, seed: Long): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var h = seed + p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+      h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL
+      h = (h ^ (h >>> 33)) * 0xC4CEB9FE1A85EC53L
+      h = h ^ (h >>> 33)
+      (h.toDouble / Long.MaxValue.toDouble) / 2.0
+    }
+
+  /** Random-hyperplane signature: bit p = sign(v · h_p). Returned as an
+    * int (numPlanes ≤ 31 bits). */
+  def rhpSignature(vec: Column, dim: Int, numPlanes: Int = 16,
+                   seed: Long = 42L): Column = {
+    val vd = vec.cast("array<double>")
+    (0 until numPlanes).map { p =>
+      val plane = array(hyperplane(p, dim, seed).map(lit): _*)
+      when(dot(vd, plane) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are signed with
+    * `numPlanes` hyperplane bits grouped into `bands`; vectors sharing
+    * any band bucket become candidates (equi-join on (band, bucket)),
+    * and exact cosine + top-k runs on candidates only. Recall < 1 by
+    * construction — the scale path; brute force is the oracle. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              numPlanes: Int = 16, bands: Int = 4, seed: Long = 42L,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val width = numPlanes / bands
+    val mask = (1 << width) - 1
+    def banded(df: DataFrame, id: String, vec: String, outId: String, outVec: String) =
+      df.withColumn("__sig", rhpSignature(col(vec), dim, numPlanes, seed))
+        .select(col(id).as(outId), col(vec).as(outVec),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
+        .toDF(outId, outVec, "band", "bucket")
+    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", "__cvec")
+    val q = banded(queries, queryId, queryVec, "query_id", "__qvec")
+    val cand = c.join(q, Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__cvec"), col("__qvec"))
+      .distinct()
+      .withColumn("cos_sim", round(cosine(col("__cvec"), col("__qvec")) * 1e4, 0) / 1e4)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+}

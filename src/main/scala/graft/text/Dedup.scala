@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, word
+  * n-gram Jaccard, MinHash+LSH and SimHash near-dup detection.
+  *
+  * Scale discipline (the whole point at 100 TB): candidate pairs are
+  * ALWAYS produced by an equi-join on a blocking key (shingle, LSH
+  * band signature, SimHash chunk) — never an all-pairs cross join. The
+  * verify step then runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup on a content column, deterministic keep-first by
+    * tiebreaker (usually the id). Shuffles on a 64-bit content hash
+    * rather than the full text — at scale the exchange carries 8 bytes
+    * per row instead of the document body. Hash collisions are resolved
+    * by partitioning on the hash but ranking within the true content. */
+  def exactDedup(df: DataFrame, content: String, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(content)), col(content)).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle) long
+    * table. The shingle is hashed to 64 bits so the exploded table and
+    * the join exchange stay narrow. */
+  def shingles(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
+    val ws = TextAnalysis.tokens(col(text))
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array(xxhash64(concat_ws(" ", ws))))
+    df.select(col(id), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate pairs
+    * come from the shingle equi-join (docs sharing ≥1 shingle); Jaccard
+    * = |∩| / (|A|+|B|−|∩|) from the co-count and per-doc sizes. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, id, text, n).cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("sz_a"), col("sz_b"),
+        col("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the minimum over the document's shingles. Returned as (id,
+    * sig ArrayType(Long)). One shuffle on id. */
+  def minHashSignatures(sh: DataFrame, id: String, numHashes: Int = 32): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    sh.groupBy(col(id))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(id), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** MinHash LSH candidate pairs: signatures are split into `bands`
+    * bands of numHashes/bands rows; docs agreeing on any full band
+    * become candidates (equi-join on (band, bandHash) — never
+    * all-pairs). Estimated Jaccard = matching signature positions. */
+  def minHashCandidates(df: DataFrame, id: String, text: String,
+                        n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(shingles(df, id, text, n), id, numHashes).cache()
+    val banded = sigs.select(col(id), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
+      .toDF(id, "band", "band_hash")
+      .distinct()
+    val a = banded.toDF("id_a", "band", "band_hash")
+    val b = banded.toDF("id_b", "band", "band_hash")
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigs.toDF("id_a", "sig_a"), "id_a")
+      .join(sigs.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint: each token hashes to 64 bits; each bit
+    * position accumulates +1/−1 votes weighted by token frequency; the
+    * sign pattern is the fingerprint. Expressed as 64 conditional sums
+    * over the exploded token table — one shuffle on id. */
+  def simHash(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, lit(1L)).otherwise(lit(-1L))).as(s"b$i"))
+    toks.groupBy(col(id))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(id),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ maxHamming.
+    * Blocking: the 64-bit fingerprint is cut into `chunks` pieces; by
+    * pigeonhole, pairs within distance (chunks−1) share ≥1 exact chunk —
+    * candidates come from the (chunkIdx, chunkValue) equi-join, then the
+    * exact popcount filter runs on candidates only. */
+  def simHashCandidates(df: DataFrame, id: String, text: String,
+                        maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val sh = simHash(df, id, text).cache()
+    val chunked = sh.select(col(id), col("simhash"),
+      posexplode(array((0 until chunks).map(cix =>
+        shiftright(col("simhash"), cix * width).bitwiseAND(lit(mask))): _*)))
+      .toDF(id, "simhash", "chunk_idx", "chunk_val")
+    val a = chunked.toDF("id_a", "sh_a", "chunk_idx", "chunk_val")
+    val b = chunked.toDF("id_b", "sh_b", "chunk_idx", "chunk_val")
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.safeDiv
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, document statistics, quality scoring, language ID and
+  * fingerprinting. All pure column expressions (codegen'd higher-order
+  * functions — no UDFs), so they stream through whole-stage codegen at
+  * 100 TB: one narrow pass per document, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` keeps no trailing empty token for
+    * the \s+ pattern when input is trimmed first. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token-count proxy: words plus punctuation runs counted as
+    * separate tokens (a cheap stand-in for a subword tokenizer's token
+    * count; exact BPE requires the merges table). */
+  def tokenCountApprox(text: Column): Column =
+    size(tokens(text)) + size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]")))
+
+  /** Per-document statistics block. */
+  def textStats(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_words" -> size(ws).cast("long"),
+      "n_unique_words" -> size(array_distinct(ws)).cast("long"),
+      "avg_word_len" -> avgWordLen(ws),
+      "punct_ratio" -> safeDiv(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double"),
+        length(text).cast("double")),
+      "digit_ratio" -> safeDiv(
+        (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double"),
+        length(text).cast("double")))
+  }
+
+  private def avgWordLen(ws: Column): Column =
+    safeDiv(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double"),
+      size(ws).cast("double"))
+
+  /** Quality score in [0,1]: combines length sanity, lexical diversity
+    * and punctuation balance — the heuristic family used for pretraining
+    * corpus filtering. Weights are arbitrary but fixed. */
+  def qualityScore(text: Column): Column = {
+    val ws = tokens(text)
+    val nWords = size(ws).cast("double")
+    val lenScore = least(nWords / lit(20.0), lit(1.0)) // saturates at 20 words
+    val diversity = safeDiv(size(array_distinct(ws)).cast("double"), nWords)
+    val punct = safeDiv(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double"),
+      length(text).cast("double"))
+    val punctScore = lit(1.0) - least(punct * 5.0, lit(1.0))
+    lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * punctScore
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Small fixed lists — broadcast as literals into codegen. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "con"))
+
+  /** Count of tokens that appear in a marker list. */
+  def markerHits(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(markers)))
+
+  /** Language ID: CJK-character detection short-circuits to zh; else the
+    * language with the most marker-word hits wins (ties break by
+    * alphabetical language code); no hits → "unknown". */
+  def languageId(text: Column): Column = {
+    val ws = tokens(lower(text))
+    val scored = LangMarkers.toSeq.sortBy(_._1)
+      .map { case (lang, m) => (lang, markerHits(ws, m)) }
+    // argmax as a when-ladder: first (alphabetical) language reaching the max wins
+    val maxScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("unknown")) { case ((lang, sc), acc) =>
+      when(sc === maxScore && sc > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint: minimum 64-bit hash over character 8-gram
+    * shingles (winnowing-lite). Equal fingerprints → near-identical
+    * prefixes; used as a cheap near-dup blocking key. Hash values are
+    * engine-specific (xxhash64) — a blocking key, not a portable id. */
+  def fingerprint(text: Column, shingle: Int = 8): Column = {
+    val n = length(text) - (shingle - 1)
+    val grams = transform(sequence(lit(1), greatest(n, lit(1))),
+      i => xxhash64(text.substr(i, lit(shingle))))
+    array_min(grams)
+  }
+}
