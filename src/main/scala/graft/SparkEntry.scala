@@ -450,6 +450,58 @@ object SparkEntry {
         graft.multimodal.Multimodal.decodeStub(media))
         .select(col("media_id"), col("decoded.width").as("width"),
           col("decoded.height").as("height"), size(col("features")).as("feat_dim"))
+    }),
+
+    // ---- sequential kernels (W9/W10/M5/M6) ----
+    "q73_ewma" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.withEwma(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", 0.3, "ewma")
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("ewma")).as("ewma"))
+    }),
+    // Holt/Croston/TSB recursions: conditional state machines — not
+    // SQL-expressible per contract; parity is unit-tested against
+    // hand-computed recursions instead
+    "q74_holt" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.withHolt(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", 0.3, 0.1)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("holt_level")).as("holt_level"), r(col("holt_trend")).as("holt_trend"))
+    }),
+    "q75_croston" -> ((s, d) => {
+      val weekly = li(s, d)
+        .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("week_start"),
+          col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_discount") > 0, col("l_quantity")).otherwise(0.0)).as("dq"))
+      graft.seq.SequentialKernels.withCroston(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "dq", 0.2, sba = true)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("croston_forecast")).as("croston_forecast"))
+    }),
+    "q76_tsb" -> ((s, d) => {
+      val weekly = li(s, d)
+        .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("week_start"),
+          col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_discount") > 0, col("l_quantity")).otherwise(0.0)).as("dq"))
+      graft.seq.SequentialKernels.withTsb(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "dq", 0.2, 0.1)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("tsb_forecast")).as("tsb_forecast"))
+    }),
+    "q77_intermittency" -> ((s, d) => {
+      val weekly = li(s, d)
+        .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("week_start"),
+          col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_discount") > 0, col("l_quantity")).otherwise(0.0)).as("dq"))
+      graft.seq.SequentialKernels.classifyIntermittency(weekly,
+        Seq(col("l_partkey"), col("l_suppkey")), col("dq"),
+        Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("n_periods"), col("n_nonzero"),
+          r(col("adi")).as("adi"), r(col("cv2")).as("cv2"), col("demand_class"))
     })
   )
 
@@ -1015,6 +1067,42 @@ object SparkEntry {
     "q71_frame_sample" ->
       """SELECT doc_id AS media_id,
                 least(CAST(floor(n_chars*40/1000) AS BIGINT) + 1, 100) AS n_frames
-         FROM documents"""
+         FROM documents""",
+    "q73_ewma" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, q AS y FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, 0.3*t.q + 0.7*e.y
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey, round(y*1e4)/1e4 AS ewma FROM e""",
+    "q77_intermittency" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey,
+                      sum(CASE WHEN l_discount > 0 THEN l_quantity ELSE 0.0 END) dq
+                    FROM lineitem GROUP BY 1,2,3),
+              a AS (SELECT l_partkey, l_suppkey, count(*) n_periods,
+                      sum(CASE WHEN dq > 0 THEN 1 ELSE 0 END) n_nonzero,
+                      avg(CASE WHEN dq > 0 THEN dq END) nz_mean,
+                      stddev(CASE WHEN dq > 0 THEN dq END) nz_std
+                    FROM w GROUP BY 1,2),
+              c AS (SELECT *, CASE WHEN n_nonzero = 0 THEN NULL
+                      ELSE CAST(n_periods AS DOUBLE)/n_nonzero END adi,
+                      CASE WHEN nz_std IS NULL THEN NULL
+                      ELSE (nz_std/nz_mean)*(nz_std/nz_mean) END cv2
+                    FROM a)
+         SELECT l_partkey, l_suppkey, n_periods, n_nonzero,
+                round(adi*1e4)/1e4 AS adi, round(cv2*1e4)/1e4 AS cv2,
+                CASE WHEN n_nonzero = 0 THEN 'dead'
+                     WHEN adi < 1.32 AND (cv2 < 0.49 OR cv2 IS NULL) THEN 'smooth'
+                     WHEN adi >= 1.32 AND (cv2 < 0.49 OR cv2 IS NULL) THEN 'intermittent'
+                     WHEN adi < 1.32 THEN 'erratic'
+                     ELSE 'lumpy' END AS demand_class
+         FROM c"""
   )
 }

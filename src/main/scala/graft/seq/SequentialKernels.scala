@@ -1,0 +1,159 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequential per-series recursions that frame-based window functions
+  * cannot express: EWMA, Holt level/trend, Croston/SBA/TSB intermittent
+  * forecasters (SURVEY W9/W10/M5 — reference:
+  * src/features/temporal_features_engine.py:243-276 `ewm(adjust=False)`,
+  * src/models/intermittent_demand.py:44-175).
+  *
+  * Execution shape: ONE hash shuffle on the series key, sort within
+  * partitions by (key, order), then a streaming fold over the sorted
+  * iterator detecting key-run boundaries. Unlike `groupByKey.
+  * flatMapGroups` this never materializes a whole group in memory, so a
+  * pathological million-row series streams instead of OOMing — the
+  * 100 TB-safe shape for sequential kernels.
+  *
+  * Null values leave the state unchanged and emit the current state
+  * (pandas `ewm(ignore_na=False)`-adjacent; exact NaN weighting of
+  * pandas is not reproduced — documented divergence).
+  */
+object SequentialKernels {
+
+  /** Generic keyed streaming fold: emits input row + extra double
+    * columns computed by `step`, which receives the row's value and the
+    * per-series state (None at series start) and returns (outputs,
+    * newState). */
+  private def keyedFold[S](df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                           valueCol: String, outCols: Seq[String])(
+                           step: (Option[Double], Option[S]) => (Seq[Option[Double]], Option[S])): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++
+      outCols.map(c => StructField(c, DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ ordCols: _*)
+      .mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var state: Option[S] = None
+        rows.map { row =>
+          val k = keyIdx.map(row.get)
+          if (k != curKey) { curKey = k; state = None }
+          val v = if (row.isNullAt(valIdx)) None
+                  else Some(row.get(valIdx).toString.toDouble)
+          val (outs, ns) = step(v, state)
+          state = ns
+          Row.fromSeq(row.toSeq ++ outs.map(_.orNull))
+        }
+      }(enc)
+  }
+
+  /** W9 — EWMA with pandas `adjust=False` recursion:
+    * y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}. */
+  def withEwma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+               valueCol: String, alpha: Double, outCol: String): DataFrame =
+    keyedFold[Double](df, keyCols, ordCols, valueCol, Seq(outCol)) {
+      case (None, st) => (Seq(st), st)
+      case (Some(x), None) => (Seq(Some(x)), Some(x))
+      case (Some(x), Some(prev)) =>
+        val y = alpha * x + (1 - alpha) * prev
+        (Seq(Some(y)), Some(y))
+    }
+
+  /** W10 — Holt level/trend as the reference computes them: level =
+    * EWMA(α) of the value, trend = EWMA(β) of the first differences
+    * (temporal_features_engine.py:262-276). */
+  def withHolt(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+               valueCol: String, alpha: Double, beta: Double,
+               levelCol: String = "holt_level", trendCol: String = "holt_trend"): DataFrame =
+    keyedFold[(Double, Option[Double], Double)](df, keyCols, ordCols, valueCol,
+      Seq(levelCol, trendCol)) {
+      // state = (level, trendOpt, lastRawValue)
+      case (None, st) => (Seq(st.map(_._1), st.flatMap(_._2)), st)
+      case (Some(x), None) =>
+        (Seq(Some(x), None), Some((x, None, x)))
+      case (Some(x), Some((lvl, tr, lastX))) =>
+        val nl = alpha * x + (1 - alpha) * lvl
+        val d = x - lastX
+        val nt = tr match {
+          case None => d
+          case Some(t) => beta * d + (1 - beta) * t
+        }
+        (Seq(Some(nl), Some(nt)), Some((nl, Some(nt), x)))
+    }
+
+  /** M5 — Croston's method (and the SBA bias-corrected variant):
+    * exponential smoothing of the nonzero-demand sizes (z) and the
+    * inter-demand intervals (p); per-row forecast = z/p
+    * (× (1−α/2) for SBA). Zero-demand rows emit the carried forecast.
+    * (reference: intermittent_demand.py:44-111) */
+  def withCroston(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                  valueCol: String, alpha: Double, sba: Boolean = false,
+                  outCol: String = "croston_forecast"): DataFrame = {
+    val factor = if (sba) 1.0 - alpha / 2.0 else 1.0
+    keyedFold[(Double, Double, Long)](df, keyCols, ordCols, valueCol, Seq(outCol)) {
+      // state = (z, p, periodsSinceLastDemand)
+      case (None, st) => (Seq(st.map { case (z, p, _) => factor * z / p }), st)
+      case (Some(x), None) =>
+        if (x > 0) (Seq(Some(factor * x / 1.0)), Some((x, 1.0, 0L)))
+        else (Seq(None), None)
+      case (Some(x), Some((z, p, gap))) =>
+        if (x > 0) {
+          val interval = (gap + 1).toDouble
+          val nz = alpha * x + (1 - alpha) * z
+          val np = alpha * interval + (1 - alpha) * p
+          (Seq(Some(factor * nz / np)), Some((nz, np, 0L)))
+        } else {
+          (Seq(Some(factor * z / p)), Some((z, p, gap + 1)))
+        }
+    }
+  }
+
+  /** M5 — TSB (Teunter-Syntetos-Babai): demand-probability smoothing
+    * every period (β), size smoothing on demand periods (α); forecast =
+    * prob × size (reference: intermittent_demand.py:113-175). */
+  def withTsb(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+              valueCol: String, alpha: Double, beta: Double,
+              outCol: String = "tsb_forecast"): DataFrame =
+    keyedFold[(Double, Double)](df, keyCols, ordCols, valueCol, Seq(outCol)) {
+      // state = (prob, size)
+      case (None, st) => (Seq(st.map { case (b, z) => b * z }), st)
+      case (Some(x), None) =>
+        val b0 = if (x > 0) 1.0 else 0.0
+        val z0 = if (x > 0) x else 0.0
+        (Seq(Some(b0 * z0)), Some((b0, z0)))
+      case (Some(x), Some((b, z))) =>
+        val nb = beta * (if (x > 0) 1.0 else 0.0) + (1 - beta) * b
+        val nz = if (x > 0) alpha * x + (1 - alpha) * z else z
+        (Seq(Some(nb * nz)), Some((nb, nz)))
+    }
+
+  /** M6 — intermittency classification: ADI = periods/nonzero-periods,
+    * CV² of nonzero demand sizes → smooth / intermittent / erratic /
+    * lumpy (reference: intermittent_demand.py:411-490; standard
+    * Syntetos-Boylan cutoffs 1.32 / 0.49). Pure aggregation — no kernel.
+    */
+  def classifyIntermittency(df: DataFrame, keyCols: Seq[Column], value: Column,
+                            outNames: Seq[String]): DataFrame = {
+    import graft.functions.Funcs.nanToNull
+    df.groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_periods"),
+        sum(when(value > 0, 1L).otherwise(0L)).as("n_nonzero"),
+        avg(when(value > 0, value)).as("nz_mean"),
+        nanToNull(stddev(when(value > 0, value))).as("nz_std"))
+      .withColumn("adi", col("n_periods") / col("n_nonzero"))
+      .withColumn("cv2", pow(col("nz_std") / col("nz_mean"), 2))
+      .withColumn("demand_class",
+        when(col("n_nonzero") === 0, "dead")
+          .when(col("adi") < 1.32 && (col("cv2") < 0.49 || col("cv2").isNull), "smooth")
+          .when(col("adi") >= 1.32 && (col("cv2") < 0.49 || col("cv2").isNull), "intermittent")
+          .when(col("adi") < 1.32, "erratic")
+          .otherwise("lumpy"))
+  }
+}
