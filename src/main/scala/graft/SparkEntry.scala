@@ -502,6 +502,42 @@ object SparkEntry {
         Seq("l_partkey", "l_suppkey"))
         .select(col("l_partkey"), col("l_suppkey"), col("n_periods"), col("n_nonzero"),
           r(col("adi")).as("adi"), r(col("cv2")).as("cv2"), col("demand_class"))
+    }),
+
+    // ---- submission pipeline / post-processing / CV (S7, M13/M14/M17, M1) ----
+    "q78_submission_report" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val mean = weekly.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(avg(col("qty_sum")).as("p"))
+      val grid = mean
+        .withColumn("semana", explode(sequence(lit(1), lit(5))))
+        .select(col("semana"), col("l_suppkey").as("pdv"),
+          col("l_partkey").as("produto"),
+          Calendar.businessRound(col("p")).as("quantidade"))
+      graft.io.SubmissionValidator.report(grid)
+        .select(col("total_rows"), col("null_rows"), col("bad_week_rows"),
+          col("negative_qty_rows"), col("non_integer_rows"), col("n_weeks"),
+          col("n_stores"), col("n_products"), col("qty_min"), col("qty_max"),
+          r(col("qty_mean")).as("qty_mean"), col("dup_rows"))
+    }),
+    "q79_postprocess_chain" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val w = SeriesWindow(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("week_start")))
+      val processed = graft.post.PostProcess.chain(Seq(
+        graft.post.PostProcess.nonNegative("qty_sum"),
+        graft.post.PostProcess.sigmaCap("qty_sum", 3.0),
+        graft.post.PostProcess.growthCap("qty_sum", w, 2.0),
+        graft.post.PostProcess.integerize("qty_sum")))(weekly)
+      processed.select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+        col("qty_sum").cast("long").as("final_qty"))
+    }),
+    "q80_cv_folds" -> ((s, d) => {
+      val (lo, hi) = graft.cv.TimeSplits.dateBounds(li(s, d), col("l_shipdate"))
+      graft.cv.TimeSplits.foldTable(s,
+        graft.cv.TimeSplits.walkForward(lo, hi, initialTrainWeeks = 52,
+          horizonWeeks = 4, stepWeeks = 26, gapWeeks = 1, maxSplits = 5))
     })
   )
 
@@ -1103,6 +1139,55 @@ object SparkEntry {
                      WHEN adi >= 1.32 AND (cv2 < 0.49 OR cv2 IS NULL) THEN 'intermittent'
                      WHEN adi < 1.32 THEN 'erratic'
                      ELSE 'lumpy' END AS demand_class
-         FROM c"""
+         FROM c""",
+    "q78_submission_report" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q FROM lineitem GROUP BY 1,2,3),
+              m AS (SELECT l_partkey, l_suppkey, avg(q) p FROM w GROUP BY 1,2),
+              g AS (SELECT r.semana, l_suppkey pdv, l_partkey produto,
+                      CAST(greatest(round(p, 0), 0.0) AS BIGINT) quantidade
+                    FROM m, range(1, 6) r(semana))
+         SELECT count(*) AS total_rows,
+                sum(CASE WHEN semana IS NULL OR pdv IS NULL OR produto IS NULL
+                         OR quantidade IS NULL THEN 1 ELSE 0 END) AS null_rows,
+                sum(CASE WHEN semana < 1 OR semana > 5 THEN 1 ELSE 0 END) AS bad_week_rows,
+                sum(CASE WHEN quantidade < 0 THEN 1 ELSE 0 END) AS negative_qty_rows,
+                sum(CASE WHEN quantidade <> CAST(quantidade AS BIGINT) THEN 1 ELSE 0 END)
+                  AS non_integer_rows,
+                count(DISTINCT semana) AS n_weeks,
+                count(DISTINCT pdv) AS n_stores,
+                count(DISTINCT produto) AS n_products,
+                min(quantidade) AS qty_min, max(quantidade) AS qty_max,
+                round(avg(quantidade)*1e4)/1e4 AS qty_mean,
+                (SELECT coalesce(sum(c - 1), 0) FROM
+                  (SELECT count(*) c FROM g GROUP BY semana, pdv, produto HAVING count(*) > 1))
+                  AS dup_rows
+         FROM g""",
+    "q79_postprocess_chain" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q FROM lineitem GROUP BY 1,2,3),
+              c1 AS (SELECT ws, l_partkey, l_suppkey, greatest(q, 0.0) q FROM w),
+              st AS (SELECT avg(q) mu, stddev(q) sd FROM c1),
+              c2 AS (SELECT ws, l_partkey, l_suppkey,
+                       CASE WHEN sd IS NOT NULL THEN least(q, mu + 3*sd) ELSE q END q
+                     FROM c1, st),
+              c3 AS (SELECT ws, l_partkey, l_suppkey,
+                       CASE WHEN lag(q,1) OVER sw IS NOT NULL AND lag(q,1) OVER sw > 0
+                            THEN least(q, lag(q,1) OVER sw * 2.0) ELSE q END q
+                     FROM c2
+                     WINDOW sw AS (PARTITION BY l_partkey, l_suppkey ORDER BY ws))
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                CAST(greatest(round(q, 0), 0.0) AS BIGINT) AS final_qty
+         FROM c3""",
+    "q80_cv_folds" ->
+      """WITH g AS (SELECT min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
+                    FROM lineitem)
+         SELECT fold, train_start, train_end, test_start, test_end
+         FROM (SELECT CAST(i AS INT) fold, mn AS train_start,
+                 mn + CAST((52 + i*26)*7 AS INT) AS train_end,
+                 mn + CAST((52 + i*26)*7 + 7 AS INT) AS test_start,
+                 mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end, mx
+               FROM g, range(0, 5) r(i))
+         WHERE test_end <= mx + 1"""
   )
 }

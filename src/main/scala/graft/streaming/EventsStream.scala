@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest for the events stream: watermarked
+  * tumbling-window aggregation (the streaming analogue of the A16
+  * weekly grain) and a stateful per-user session aggregator via
+  * mapGroupsWithState.
+  *
+  * Scale shape: the windowed aggregate is a streaming shuffle on
+  * (window, event_type) with watermark-driven state eviction; the
+  * session aggregator keys state by user_id with a processing-time
+  * timeout so state size is bounded by active users, not history.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events-shaped directory. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregate: per (window, event_type)
+    * counts and value sums. `window`/`watermark` as durations, e.g.
+    * "7 days" / "1 day". Late data beyond the watermark is dropped and
+    * its state evicted — bounded memory forever. */
+  def windowedCounts(events: DataFrame, windowDur: String = "7 days",
+                     watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, valueSum: Double, lastTs: Long)
+  final case class SessionUpdate(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Stateful per-user running aggregate — the mapGroupsWithState
+    * custom-state surface. Emits the running totals on every trigger.
+    * `timeoutMs > 0` arms a processing-time idle timeout that evicts
+    * state (bounded memory in production); `timeoutMs <= 0` disables it
+    * (deterministic batches — used by tests, where timeout-driven empty
+    * micro-batches would never settle). */
+  def userSessions(events: Dataset[Event], timeoutMs: Long = 3600000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nEvents, s.valueSum)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val (n, v, last) = rows.foldLeft((prev.nEvents, prev.valueSum, prev.lastTs)) {
+              case ((cn, cv, cl), e) => (cn + 1, cv + e.value, math.max(cl, e.ts.getTime))
+            }
+            state.update(SessionState(n, v, last))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            SessionUpdate(userId, n, v)
+          }
+      }
+  }
+
+  /** Batch-equivalent of windowedCounts for parity testing: the same
+    * 7-day tumbling buckets computed with groupBy over a static frame. */
+  def windowedCountsBatch(events: DataFrame, windowDur: String = "7 days"): DataFrame =
+    events.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+}

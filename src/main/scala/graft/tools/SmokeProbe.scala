@@ -55,6 +55,20 @@ object SmokeProbe {
     auto.select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity", "slope4", "ac1")
       .orderBy("l_partkey", "l_suppkey", "l_shipdate").show(8, truncate = false)
 
+    println("== S7/M17 submission sink round-trip + validator ==")
+    import spark.implicits._
+    val sub = Seq((1, 10L, 100L, 5L), (2, 10L, 100L, 3L), (5, 11L, 101L, 0L))
+      .toDF("semana", "pdv", "produto", "quantidade")
+    val subDir = java.nio.file.Files.createTempDirectory("graft_probe").toString + "/sub"
+    val back = graft.io.Sinks.csvSubmission(spark, sub, subDir)
+    graft.io.SubmissionValidator.report(back).show(truncate = false)
+    println(s"isValid=${graft.io.SubmissionValidator.isValid(back)}")
+
+    println("== Streaming windowed counts over the events table (batch parity) ==")
+    val ev = Tables.events(spark, dir)
+    graft.streaming.EventsStream.windowedCountsBatch(ev, "7 days")
+      .orderBy("window_start", "event_type").show(5, truncate = false)
+
     println("SMOKE_OK")
     spark.stop()
   }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.metrics.Metrics
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seriesGen = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0))
+
+  test("WMAPE(a, a) = 0 (scalacheck-generated series)") {
+    (0 until 20).foreach { i =>
+      val xs = seriesGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = xs.toDF("a").withColumn("p", col("a"))
+      val w = df.agg(Metrics.wmape(col("a"), col("p"))).as[Double].head()
+      assert(math.abs(w) < 1e-9, s"seed $i")
+    }
+  }
+
+  test("WMAPE is scale invariant (up to epsilon guard)") {
+    val xs = Seq(10.0, 20.0, 30.0, 40.0)
+    val ps = Seq(12.0, 18.0, 33.0, 39.0)
+    def wm(scale: Double) = xs.zip(ps).map { case (a, p) => (a * scale, p * scale) }
+      .toDF("a", "p").agg(Metrics.wmape(col("a"), col("p"))).as[Double].head()
+    assert(math.abs(wm(1.0) - wm(100.0)) < 1e-6)
+  }
+
+  test("volume-weighted recombination of group WMAPEs equals global WMAPE") {
+    val df = Seq(("g1", 10.0, 12.0), ("g1", 20.0, 19.0), ("g2", 5.0, 9.0), ("g2", 50.0, 45.0))
+      .toDF("g", "a", "p")
+    val global = df.agg(Metrics.wmape(col("a"), col("p"))).as[Double].head()
+    // Σ_g wmape_g · (Σ|a|_g / Σ|a|)  ==  global (with eps ≈ 0)
+    val parts = Metrics.wmapeByGroup(df, Seq("g"), col("a"), col("p"))
+      .join(df.groupBy("g").agg(sum(abs(col("a"))).as("va")), "g")
+      .select((col("wmape") * col("va")).as("wv"), col("va"))
+      .agg(sum(col("wv")) / sum(col("va"))).as[Double].head()
+    assert(math.abs(global - parts) < 1e-6)
+  }
+
+  test("scorecard computes all metrics in one pass with expected values") {
+    val df = Seq((10.0, 12.0), (20.0, 18.0)).toDF("a", "p")
+    val row = Metrics.scorecard(df, col("a"), col("p")).head()
+    val wmape = row.getAs[Double]("wmape")
+    assert(math.abs(wmape - (4.0 / 30.0 * 100)) < 1e-4)
+    assert(row.getAs[Double]("mae") == 2.0)
+    assert(math.abs(row.getAs[Double]("rmse") - 2.0) < 1e-9)
+    assert(row.getAs[Double]("bias") == 0.0)
+    assert(row.getAs[Long]("n_rows") == 2L)
+  }
+}

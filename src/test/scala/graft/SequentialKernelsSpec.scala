@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.seq.SequentialKernels
+
+class SequentialKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, Int, java.lang.Double)*) =
+    rows.toSeq.toDF("k", "t", "v")
+
+  test("EWMA matches the pandas adjust=False recursion, hand-computed") {
+    val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("a", 4, 40.0))
+    val out = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", 0.5, "e")
+      .orderBy("t").select("e").as[Double].collect()
+    // y0=10; y1=.5*20+.5*10=15; y2=.5*0+.5*15=7.5; y3=.5*40+.5*7.5=23.75
+    assert(out.toSeq == Seq(10.0, 15.0, 7.5, 23.75))
+  }
+
+  test("EWMA state resets at series boundaries and skips nulls") {
+    val df = series(("a", 1, 10.0), ("a", 2, null), ("a", 3, 20.0),
+      ("b", 1, 100.0), ("b", 2, 200.0))
+    val out = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", 0.5, "e")
+      .orderBy("k", "t").select("e").as[Double].collect()
+    // a: 10, carried 10 (null), .5*20+.5*10=15 ; b restarts: 100, 150
+    assert(out.toSeq == Seq(10.0, 10.0, 15.0, 100.0, 150.0))
+  }
+
+  test("Holt level/trend = EWMA of value and of first differences") {
+    val df = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 10.0))
+    val out = SequentialKernels.withHolt(df, Seq("k"), Seq(col("t")), "v", 0.5, 0.5)
+      .orderBy("t").select("holt_level", "holt_trend").collect()
+    // level: 10, 12, 11 ; trend: null, 4 (first diff), .5*(-4)+.5*4=0
+    assert(out(0).getDouble(0) == 10.0 && out(0).isNullAt(1))
+    assert(out(1).getDouble(0) == 12.0 && out(1).getDouble(1) == 4.0)
+    assert(out(2).getDouble(0) == 11.0 && out(2).getDouble(1) == 0.0)
+  }
+
+  test("Croston hand-computed on an intermittent series") {
+    // demands: 0, 5, 0, 0, 8  with alpha=0.5
+    val df = series(("a", 1, 0.0), ("a", 2, 5.0), ("a", 3, 0.0), ("a", 4, 0.0), ("a", 5, 8.0))
+    val out = SequentialKernels.withCroston(df, Seq("k"), Seq(col("t")), "v", 0.5)
+      .orderBy("t").select("croston_forecast").collect()
+    // t1: leading zero, no demand yet -> null
+    assert(out(0).isNullAt(0))
+    // t2: first demand: z=5, p=1 -> 5.0  (interval convention: first=1)
+    assert(out(1).getDouble(0) == 5.0)
+    // t3, t4: carried
+    assert(out(2).getDouble(0) == 5.0 && out(3).getDouble(0) == 5.0)
+    // t5: interval=3, z=.5*8+.5*5=6.5, p=.5*3+.5*1=2 -> 3.25
+    assert(out(4).getDouble(0) == 3.25)
+  }
+
+  test("SBA applies the 1-alpha/2 correction") {
+    val df = series(("a", 1, 4.0))
+    val out = SequentialKernels.withCroston(df, Seq("k"), Seq(col("t")), "v", 0.5, sba = true)
+      .select("croston_forecast").as[Double].head()
+    assert(out == 0.75 * 4.0)
+  }
+
+  test("TSB probability decays on zero periods") {
+    val df = series(("a", 1, 10.0), ("a", 2, 0.0))
+    val out = SequentialKernels.withTsb(df, Seq("k"), Seq(col("t")), "v", 0.5, 0.5)
+      .orderBy("t").select("tsb_forecast").as[Double].collect()
+    // t1: b=1, z=10 -> 10 ; t2: b=.5*0+.5*1=.5, z stays -> 5
+    assert(out.toSeq == Seq(10.0, 5.0))
+  }
+
+  test("intermittency classes follow Syntetos-Boylan cutoffs") {
+    val smooth = (1 to 10).map(i => ("s", i, java.lang.Double.valueOf(10.0)))
+    val intermittent = (1 to 10).map(i =>
+      ("i", i, java.lang.Double.valueOf(if (i % 3 == 0) 10.0 else 0.0)))
+    val dead = (1 to 4).map(i => ("d", i, java.lang.Double.valueOf(0.0)))
+    val df = (smooth ++ intermittent ++ dead).toDF("k", "t", "v")
+    val cls = SequentialKernels.classifyIntermittency(df, Seq(col("k")), col("v"), Seq("k"))
+      .select("k", "demand_class").as[(String, String)].collect().toMap
+    assert(cls("s") == "smooth")
+    assert(cls("i") == "intermittent")
+    assert(cls("d") == "dead")
+  }
+}

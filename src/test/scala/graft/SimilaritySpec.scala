@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(2.0f, 0.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  /** Deterministic clustered vectors: 3 clusters in 8 dims. */
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 1.0f else 0.0f)
+      val noisy = base.map(x => x + rnd.nextFloat() * 0.1f)
+      (i.toLong, noisy)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k returns same-cluster neighbors first") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.bruteForceTopK(corpus, queries, 5)
+    val rows = top.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.length == 15)
+    // every neighbor of query q belongs to q's cluster (q mod 3)
+    rows.foreach { case (q, n) => assert(n % 3 == q % 3, s"query $q got $n") }
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries, 5, dim = 8, numPlanes = 16, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("LSH candidate join is an equi-join, not a cartesian product") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = Similarity.lshTopK(corpus, queries, 5, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling-window aggregate matches the batch equivalent") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventsStream.windowedCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 5.0))
+    query.processAllAvailable()
+    // advance watermark far past the first windows so they close
+    input.addData((ts("2024-01-01 15:00:00"), "click", 0.5))
+    query.processAllAvailable()
+
+    val out = spark.table("win_counts")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .as[(String, String, Long, Double)].collect().toSet
+    query.stop()
+
+    assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventsStream.windowedCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), "click", 1.0)) // advances watermark
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 10:30:00"), "click", 99.0)) // too late
+    query.processAllAvailable()
+
+    val clicks10 = spark.table("late_counts")
+      .filter(col("window_start").cast("string") === "2024-01-01 10:00:00")
+      .agg(sum("n_events")).head().getLong(0)
+    query.stop()
+    assert(clicks10 == 1L) // the late 10:30 row never lands
+  }
+
+  test("stateful user sessions accumulate per-user totals") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.userSessions(input.toDS(), timeoutMs = 0L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData(
+      EventsStream.Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 2.0),
+      EventsStream.Event(2, ts("2024-01-01 10:01:00"), 7L, "click", 3.0),
+      EventsStream.Event(3, ts("2024-01-01 10:02:00"), 8L, "view", 1.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions").as[EventsStream.SessionUpdate]
+      .collect().map(u => u.user_id -> (u.n_events, u.value_sum)).toMap
+    query.stop()
+    assert(out(7L) == (2L, 5.0))
+    assert(out(8L) == (1L, 1.0))
+  }
+}
