@@ -538,7 +538,165 @@ object SparkEntry {
       graft.cv.TimeSplits.foldTable(s,
         graft.cv.TimeSplits.walkForward(lo, hi, initialTrainWeeks = 52,
           horizonWeeks = 4, stepWeeks = 26, gapWeeks = 1, maxSplits = 5))
-    })
+    }),
+
+    // ---- batch 2: moments, regional, profit, feature quality, joins, ML-adjacent ----
+    "q81_moments" -> ((s, d) =>
+      AggFeatures.moments(li(s, d), Seq(col("l_returnflag")), col("l_quantity"))
+        .select(col("l_returnflag"), r(col("qty_skew")).as("qty_skew"),
+          r(col("qty_kurt")).as("qty_kurt"), col("n_obs"))),
+    "q82_prophet_prep" -> ((s, d) =>
+      li(s, d).groupBy(to_date(col("l_shipdate")).as("ds"))
+        .agg(r(sum(col("l_quantity"))).as("y"), count(lit(1)).as("n_tx"))
+        .filter(col("y") > 0)),
+    "q83_regional_rollup" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val joined = li(s, d)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      AggFeatures.regionalRollup(joined, col("n_name"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"), "region")
+        .select(col("region"), r(col("vol_sum")).as("vol_sum"),
+          r(col("vol_mean")).as("vol_mean"), col("n_rows"), r(col("vol_std")).as("vol_std"),
+          col("n_stores"), col("n_products"), r(col("vol_share")).as("vol_share"),
+          col("econ_tier").cast("long").as("econ_tier"),
+          r(col("product_diversity")).as("product_diversity"))
+    }),
+    "q84_profit_rollup" -> ((s, d) =>
+      enrichedPart(s, d)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("profit", col("revenue") - col("l_quantity") * col("p_retailprice") * 0.5)
+        .groupBy(col("p_brand"))
+        .agg(r(sum(col("profit"))).as("profit_sum"),
+          r(avg(col("profit"))).as("profit_mean"),
+          r(nanToNull(stddev(col("profit")))).as("profit_std"),
+          r(r(sum(col("profit"))) / r(sum(col("revenue")))).as("margin"))),
+    "q85_feature_quality" -> ((s, d) => {
+      val feats = AggFeatures.keyStats(li(s, d), Seq(col("l_partkey")), col("l_quantity"))
+      graft.operators.FeatureQuality.qualityScan(feats,
+        Seq("qty_sum", "qty_mean", "qty_std"))
+        .select(col("feature"), col("n_nulls"), col("n_nans"), col("n_zeros"),
+          col("n_distinct"), col("is_constant"), r(col("mean")).as("mean"),
+          r(col("std")).as("std"))
+    }),
+    "q86_high_corr" -> ((s, d) => {
+      val feats = AggFeatures.keyStats(li(s, d), Seq(col("l_partkey")), col("l_quantity"))
+      graft.operators.FeatureQuality.highCorrPairs(feats,
+        Seq("qty_sum", "qty_mean", "qty_count"), 0.5)
+        .select(col("feature_a"), col("feature_b"), r(col("corr")).as("corr"))
+    }),
+    "q87_importance" -> ((s, d) => {
+      val feats = AggFeatures.keyStats(li(s, d), Seq(col("l_partkey")), col("l_quantity"))
+      graft.operators.FeatureQuality.importanceScores(feats,
+        Seq("qty_mean", "qty_std", "qty_count"), "qty_sum")
+        .select(col("feature"), r(col("score")).as("score"))
+    }),
+    "q88_scoring_join" -> ((s, d) => {
+      val preds = li(s, d).groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("pred"))
+      val scored = li(s, d).join(preds, Seq("l_partkey"), "inner")
+      scored.agg(r(Metrics.wmape(col("l_quantity"), col("pred"))).as("wmape"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "q89_multiway_outer" -> ((s, d) => {
+      val a = li(s, d).groupBy(col("l_partkey")).agg(r(sum(col("l_quantity"))).as("qty_sum"))
+      val b = li(s, d).groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      val c = li(s, d).filter(col("l_discount") > 0.08).groupBy(col("l_partkey"))
+        .agg(r(sum(col("l_quantity"))).as("disc_qty"))
+      a.join(b, Seq("l_partkey"), "outer").join(c, Seq("l_partkey"), "outer")
+    }),
+    "q90_affinity" -> ((s, d) =>
+      AggFeatures.affinity(li(s, d), col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+        .select(col("store"), col("product"), r(col("pair_mean")).as("pair_mean"),
+          r(col("product_mean")).as("product_mean"), r(col("store_mean")).as("store_mean"),
+          r(col("product_affinity")).as("product_affinity"),
+          r(col("store_affinity")).as("store_affinity"))),
+    "q91_pivot" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag")).pivot("l_linestatus", Seq("O", "F"))
+        .agg(r(sum(col("l_quantity"))))),
+    "q92_hurdle" -> ((s, d) =>
+      graft.model.Models.hurdleForecast(li(s, d), Seq(col("l_partkey")),
+        when(col("l_discount") > 0, col("l_quantity")).otherwise(lit(0.0)),
+        Seq("l_partkey"))
+        .select(col("l_partkey"), r(col("p_nonzero")).as("p_nonzero"),
+          r(col("nz_mean")).as("nz_mean"), col("n_obs"),
+          r(col("hurdle_forecast")).as("hurdle_forecast"))),
+    "q93_fallback" -> ((s, d) => {
+      val train = li(s, d).filter(col("l_shipdate") < lit("1997-01-01"))
+      graft.model.Models.hierarchicalFallback(li(s, d), train,
+        Seq("l_partkey", "l_suppkey"), Seq("l_partkey"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("fallback_forecast")).as("fallback_forecast"))
+    }),
+    "q94_ensemble_meta" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      val preds = li(s, d)
+        .withColumn("p1", avg(col("l_quantity")).over(w))
+        .withColumn("p2", coalesce(
+          WindowFeatures.rollingAvg(col("l_quantity"), 4, sw), col("l_quantity")))
+        .withColumn("p3", coalesce(lag(col("l_quantity"), 1).over(sw.w), col("l_quantity")))
+      graft.model.Models.ensembleMetaFeatures(preds, Seq("p1", "p2", "p3"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("ens_mean")).as("ens_mean"), r(col("ens_min")).as("ens_min"),
+          r(col("ens_max")).as("ens_max"), r(col("ens_range")).as("ens_range"),
+          r(col("ens_std")).as("ens_std"),
+          r(col("ens_max_disagreement")).as("ens_max_disagreement"))
+    }),
+    "q95_blend" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      val preds = li(s, d)
+        .withColumn("p1", avg(col("l_quantity")).over(w))
+        .withColumn("p2", coalesce(
+          WindowFeatures.rollingAvg(col("l_quantity"), 4, sw), col("l_quantity")))
+        .withColumn("p3", coalesce(lag(col("l_quantity"), 1).over(sw.w), col("l_quantity")))
+      graft.model.Models.blend(preds, Seq("p1" -> 0.5, "p2" -> 0.3, "p3" -> 0.2))
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("blended")).as("blended"))
+    }),
+    "q96_kpi" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      Metrics.wmapeByGroup(t, Seq("l_returnflag"), col("l_quantity"), col("pred"))
+        .select(col("l_returnflag"), r(col("wmape")).as("wmape"),
+          graft.model.Models.kpiStatus(col("wmape")).as("status"))
+    }),
+    "q97_error_decomp" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+        .withColumn("resid", col("pred") - col("l_quantity"))
+      t.groupBy(col("l_linestatus"))
+        .agg(r(Metrics.wmape(col("l_quantity"), col("pred"))).as("wmape"),
+          r(avg(col("resid"))).as("bias"),
+          r(nanToNull(stddev(col("resid")))).as("resid_std"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q98_lag_deltas" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(WindowFeatures.lagDelta(col("l_quantity"), 1, sw)).as("d1"),
+        r(WindowFeatures.lagPctChange(col("l_quantity"), 1, sw)).as("pct1"),
+        r(WindowFeatures.lagRatio(col("l_quantity"), 1, sw)).as("ratio1"))),
+    "q99_rolling_skew" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(WindowFeatures.rollingSkew(col("l_quantity"), 6, sw)).as("skew6"))),
+    "q100_trend_accel" -> ((s, d) =>
+      WindowFeatures.withTrendAccel(li(s, d), "l_quantity", 4, sw, "accel4")
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("accel4")).as("accel4"))),
+    "q101_promo_flag" -> ((s, d) => {
+      val priced = li(s, d).withColumn("price", col("l_extendedprice") / col("l_quantity"))
+      priced.select(col("l_orderkey"), col("l_linenumber"),
+        WindowFeatures.promoFlag(col("price"), 7, sw).as("is_promo"))
+    }),
+    "q102_sliding_seq" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        array_join(WindowFeatures.slidingWindow(col("l_quantity").cast("long"), 3, sw)
+          .cast("array<string>"), ",").as("seq3"))),
+    // engine-specific determinism (seeded sample / murmur3 hash): driver
+    // records rows-only; determinism is unit-tested
+    "q103_sample" -> ((s, d) =>
+      AggFeatures.sampleRows(li(s, d), 0.1).agg(count(lit(1)).as("n_sampled"))),
+    "q104_hash_bucket" -> ((s, d) =>
+      li(s, d).groupBy(Funcs.hashBucket(col("l_partkey"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1188,6 +1346,260 @@ object SparkEntry {
                  mn + CAST((52 + i*26)*7 + 7 AS INT) AS test_start,
                  mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end, mx
                FROM g, range(0, 5) r(i))
-         WHERE test_end <= mx + 1"""
+         WHERE test_end <= mx + 1""",
+    "q81_moments" ->
+      """WITH a AS (SELECT l_returnflag, count(*) n, avg(l_quantity) m1,
+                      avg(l_quantity*l_quantity) m2r,
+                      avg(l_quantity*l_quantity*l_quantity) m3r,
+                      avg(l_quantity*l_quantity*l_quantity*l_quantity) m4r
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+                round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5) * 1e4)/1e4
+                  AS qty_skew,
+                round(((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*pow(m1,4))
+                       / pow(m2r - m1*m1, 2) - 3) * 1e4)/1e4 AS qty_kurt,
+                n AS n_obs
+         FROM a""",
+    "q82_prophet_prep" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ds, round(sum(l_quantity)*1e4)/1e4 AS y,
+                count(*) AS n_tx
+         FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity)*1e4)/1e4 > 0""",
+    "q83_regional_rollup" ->
+      """WITH j AS (SELECT n_name region, l_suppkey, l_partkey, l_quantity
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey),
+              a AS (SELECT region, sum(l_quantity) vs, avg(l_quantity) vm, count(*) n_rows,
+                      stddev(l_quantity) vstd, count(DISTINCT l_suppkey) ns,
+                      count(DISTINCT l_partkey) np
+                    FROM j GROUP BY 1)
+         SELECT region, round(vs*1e4)/1e4 AS vol_sum, round(vm*1e4)/1e4 AS vol_mean,
+                n_rows, round(vstd*1e4)/1e4 AS vol_std, ns AS n_stores, np AS n_products,
+                round(vs/sum(vs) OVER ()*1e4)/1e4 AS vol_share,
+                ntile(3) OVER (ORDER BY vs ASC, region ASC) AS econ_tier,
+                round(CAST(np AS DOUBLE)/ns*1e4)/1e4 AS product_diversity
+         FROM a""",
+    "q84_profit_rollup" ->
+      """WITH t AS (SELECT p_brand, l_extendedprice*(1-l_discount) revenue,
+                      l_extendedprice*(1-l_discount) - l_quantity*p_retailprice*0.5 profit
+                    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey)
+         SELECT p_brand, round(sum(profit)*1e4)/1e4 AS profit_sum,
+                round(avg(profit)*1e4)/1e4 AS profit_mean,
+                round(stddev(profit)*1e4)/1e4 AS profit_std,
+                round((round(sum(profit)*1e4)/1e4) / (round(sum(revenue)*1e4)/1e4) * 1e4)/1e4
+                  AS margin
+         FROM t GROUP BY 1""",
+    "q85_feature_quality" ->
+      """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
+                      CASE WHEN count(*) > 1 THEN stddev(l_quantity) END qty_std
+                    FROM lineitem GROUP BY 1)
+         SELECT 'qty_sum' AS feature,
+                sum(CASE WHEN qty_sum IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                sum(CASE WHEN isnan(qty_sum) THEN 1 ELSE 0 END) AS n_nans,
+                sum(CASE WHEN qty_sum = 0 THEN 1 ELSE 0 END) AS n_zeros,
+                count(DISTINCT qty_sum) AS n_distinct,
+                CAST(count(DISTINCT qty_sum) <= 1 AS INT) AS is_constant,
+                round(avg(qty_sum)*1e4)/1e4 AS mean, round(stddev(qty_sum)*1e4)/1e4 AS std
+         FROM f
+         UNION ALL
+         SELECT 'qty_mean',
+                sum(CASE WHEN qty_mean IS NULL THEN 1 ELSE 0 END),
+                sum(CASE WHEN isnan(qty_mean) THEN 1 ELSE 0 END),
+                sum(CASE WHEN qty_mean = 0 THEN 1 ELSE 0 END),
+                count(DISTINCT qty_mean),
+                CAST(count(DISTINCT qty_mean) <= 1 AS INT),
+                round(avg(qty_mean)*1e4)/1e4, round(stddev(qty_mean)*1e4)/1e4
+         FROM f
+         UNION ALL
+         SELECT 'qty_std',
+                sum(CASE WHEN qty_std IS NULL THEN 1 ELSE 0 END),
+                sum(CASE WHEN isnan(qty_std) THEN 1 ELSE 0 END),
+                sum(CASE WHEN qty_std = 0 THEN 1 ELSE 0 END),
+                count(DISTINCT qty_std),
+                CAST(count(DISTINCT qty_std) <= 1 AS INT),
+                round(avg(qty_std)*1e4)/1e4, round(stddev(qty_std)*1e4)/1e4
+         FROM f""",
+    "q86_high_corr" ->
+      """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
+                      count(l_quantity) qty_count FROM lineitem GROUP BY 1),
+              p AS (SELECT 'qty_sum' fa, 'qty_mean' fb, corr(qty_sum, qty_mean) c FROM f
+                    UNION ALL
+                    SELECT 'qty_sum', 'qty_count', corr(qty_sum, qty_count) FROM f
+                    UNION ALL
+                    SELECT 'qty_mean', 'qty_count', corr(qty_mean, qty_count) FROM f)
+         SELECT fa AS feature_a, fb AS feature_b, round(c*1e4)/1e4 AS corr
+         FROM p WHERE abs(c) > 0.5""",
+    "q87_importance" ->
+      """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
+                      CASE WHEN count(*) > 1 THEN stddev(l_quantity) END qty_std,
+                      count(l_quantity) qty_count FROM lineitem GROUP BY 1),
+              sc AS (SELECT 'qty_mean' feature,
+                       coalesce(abs(corr(qty_mean, qty_sum)), 0)*0.3
+                       + coalesce(stddev(qty_mean)/(abs(avg(qty_mean))+1e-8), 0)*0.2 + 0.0 s
+                     FROM f
+                     UNION ALL
+                     SELECT 'qty_std',
+                       coalesce(abs(corr(qty_std, qty_sum)), 0)*0.3
+                       + coalesce(stddev(qty_std)/(abs(avg(qty_std))+1e-8), 0)*0.2 + 0.0
+                     FROM f
+                     UNION ALL
+                     SELECT 'qty_count',
+                       coalesce(abs(corr(qty_count, qty_sum)), 0)*0.3
+                       + coalesce(stddev(qty_count)/(abs(avg(qty_count))+1e-8), 0)*0.2 + 0.0
+                     FROM f)
+         SELECT feature, round(s*1e4)/1e4 AS score FROM sc""",
+    "q88_scoring_join" ->
+      """WITH p AS (SELECT l_partkey, avg(l_quantity) pred FROM lineitem GROUP BY 1)
+         SELECT round(sum(abs(l_quantity - pred))/(sum(abs(l_quantity)) + 1e-8)*100*1e4)/1e4
+                  AS wmape,
+                count(*) AS n_rows
+         FROM lineitem JOIN p USING (l_partkey)""",
+    "q89_multiway_outer" ->
+      """WITH a AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 qty_sum
+                    FROM lineitem GROUP BY 1),
+              b AS (SELECT l_partkey, count(DISTINCT l_suppkey) n_supp
+                    FROM lineitem GROUP BY 1),
+              c AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 disc_qty
+                    FROM lineitem WHERE l_discount > 0.08 GROUP BY 1)
+         SELECT l_partkey, qty_sum, n_supp, disc_qty
+         FROM a FULL JOIN b USING (l_partkey) FULL JOIN c USING (l_partkey)""",
+    "q90_affinity" ->
+      """WITH pair AS (SELECT l_suppkey store, l_partkey product, avg(l_quantity) pm
+                       FROM lineitem GROUP BY 1,2),
+              bp AS (SELECT l_partkey product, avg(l_quantity) prm FROM lineitem GROUP BY 1),
+              bs AS (SELECT l_suppkey store, avg(l_quantity) sm FROM lineitem GROUP BY 1)
+         SELECT store, product, round(pm*1e4)/1e4 AS pair_mean,
+                round(prm*1e4)/1e4 AS product_mean, round(sm*1e4)/1e4 AS store_mean,
+                round(pm/prm*1e4)/1e4 AS product_affinity,
+                round(pm/sm*1e4)/1e4 AS store_affinity
+         FROM pair JOIN bp USING (product) JOIN bs USING (store)""",
+    "q91_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)*1e4)/1e4 AS "O",
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)*1e4)/1e4 AS "F"
+         FROM lineitem GROUP BY 1""",
+    "q92_hurdle" ->
+      """SELECT l_partkey,
+                round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)*1e4)/1e4
+                  AS p_nonzero,
+                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END)*1e4)/1e4 AS nz_mean,
+                count(*) AS n_obs,
+                round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)
+                      * coalesce(avg(CASE WHEN l_discount > 0 THEN l_quantity END), 0)
+                      *1e4)/1e4 AS hurdle_forecast
+         FROM lineitem GROUP BY 1""",
+    "q93_fallback" ->
+      """WITH tr AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+              f AS (SELECT l_partkey, l_suppkey, avg(l_quantity) fm FROM tr GROUP BY 1,2),
+              c AS (SELECT l_partkey, avg(l_quantity) cm FROM tr GROUP BY 1),
+              g AS (SELECT avg(l_quantity) gm FROM tr)
+         SELECT l_orderkey, l_linenumber,
+                round(coalesce(fm, cm, gm)*1e4)/1e4 AS fallback_forecast
+         FROM lineitem LEFT JOIN f USING (l_partkey, l_suppkey)
+         LEFT JOIN c USING (l_partkey) CROSS JOIN g""",
+    "q94_ensemble_meta" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p1,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) p2,
+                      coalesce(lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber), l_quantity) p3
+                    FROM lineitem),
+              m AS (SELECT *, ((0.0 + p1) + p2 + p3)/3 mean FROM t)
+         SELECT l_orderkey, l_linenumber, round(mean*1e4)/1e4 AS ens_mean,
+                round(least(p1, p2, p3)*1e4)/1e4 AS ens_min,
+                round(greatest(p1, p2, p3)*1e4)/1e4 AS ens_max,
+                round((greatest(p1,p2,p3) - least(p1,p2,p3))*1e4)/1e4 AS ens_range,
+                round(sqrt(((0.0 + (p1-mean)*(p1-mean)) + (p2-mean)*(p2-mean)
+                  + (p3-mean)*(p3-mean))/3)*1e4)/1e4 AS ens_std,
+                round(greatest(abs(p1-p2), abs(p1-p3), abs(p2-p3))*1e4)/1e4
+                  AS ens_max_disagreement
+         FROM m""",
+    "q95_blend" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p1,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) p2,
+                      coalesce(lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber), l_quantity) p3
+                    FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                round((p1*0.5 + p2*0.3 + p3*0.2)*1e4)/1e4 AS blended
+         FROM t""",
+    "q96_kpi" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity a,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem),
+              g AS (SELECT l_returnflag,
+                      sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100 wm FROM t GROUP BY 1)
+         SELECT l_returnflag, round(wm*1e4)/1e4 AS wmape,
+                CASE WHEN wm >= 30 THEN 'CRIT' WHEN wm >= 20 THEN 'WARN'
+                     ELSE 'OK' END AS status
+         FROM g""",
+    "q97_error_decomp" ->
+      """WITH t AS (SELECT l_linestatus, l_quantity a,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem)
+         SELECT l_linestatus,
+                round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100*1e4)/1e4 AS wmape,
+                round(avg(p-a)*1e4)/1e4 AS bias,
+                round(stddev(p-a)*1e4)/1e4 AS resid_std,
+                count(*) AS n_rows
+         FROM t GROUP BY 1""",
+    "q98_lag_deltas" ->
+      """SELECT l_orderkey, l_linenumber,
+                round((l_quantity - lag(l_quantity,1) OVER w)*1e4)/1e4 AS d1,
+                round((l_quantity - lag(l_quantity,1) OVER w)
+                      /(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 AS pct1,
+                round(l_quantity/(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 AS ratio1
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
+    "q99_rolling_skew" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber,
+                      avg(l_quantity) OVER w m1,
+                      avg(l_quantity*l_quantity) OVER w m2r,
+                      avg(l_quantity*l_quantity*l_quantity) OVER w m3r
+                    FROM lineitem
+                    WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber,
+                round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5)*1e4)/1e4
+                  AS skew6
+         FROM f""",
+    "q100_trend_accel" ->
+      """WITH t AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) x
+                    FROM lineitem),
+              f AS (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, x,
+                      CAST(count(l_quantity) OVER w AS DOUBLE) cnt,
+                      sum(x) OVER w sx, sum(l_quantity) OVER w sy,
+                      sum(x*l_quantity) OVER w sxy, sum(x*x) OVER w sxx
+                    FROM t
+                    WINDOW w AS (PARTITION BY l_partkey, l_suppkey ORDER BY x
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+              sl AS (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, x,
+                       CASE WHEN cnt*sxx - sx*sx > 0
+                         THEN (cnt*sxy - sx*sy)/(cnt*sxx - sx*sx) END slope
+                     FROM f)
+         SELECT l_orderkey, l_linenumber,
+                round((slope - lag(slope,1) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY x))*1e4)/1e4 AS accel4
+         FROM sl""",
+    "q101_promo_flag" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+                      l_extendedprice/l_quantity price FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                CAST(price < avg(price) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 0.9 AS INT) AS is_promo
+         FROM t""",
+    "q102_sliding_seq" ->
+      """SELECT l_orderkey, l_linenumber,
+                array_to_string(list(CAST(l_quantity AS BIGINT)) OVER (
+                  PARTITION BY l_partkey, l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS seq3
+         FROM lineitem"""
   )
 }

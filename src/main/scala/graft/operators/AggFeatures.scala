@@ -337,4 +337,59 @@ object AggFeatures {
     df.groupBy(key: _*).agg(sum(value).as("volume"))
       .orderBy(col("volume").desc, key.head.asc)
       .limit(n)
+
+  /** A2 — higher moments per key: skewness and excess kurtosis
+    * (reference: aggregation_features_engine.py:80-91). Spark's
+    * built-ins are the population (g1/g2) definitions; NaN on zero
+    * variance normalized to NULL. */
+  def moments(df: DataFrame, key: Seq[Column], value: Column): DataFrame =
+    df.groupBy(key: _*)
+      .agg(
+        graft.functions.Funcs.nanToNull(skewness(value)).as("qty_skew"),
+        graft.functions.Funcs.nanToNull(kurtosis(value)).as("qty_kurt"),
+        count(lit(1)).as("n_obs"))
+
+  /** A23 — regional rollups: sum/mean/count/std, share of total,
+    * 3-way quantile tier, store density and product diversity per
+    * region (reference: business_features_engine.py:277-361). The
+    * window ops run on the REGION-grain aggregated frame (dim-sized). */
+  def regionalRollup(df: DataFrame, region: Column, store: Column, product: Column,
+                     value: Column, regionName: String): DataFrame = {
+    val agg = df.groupBy(region.as(regionName))
+      .agg(
+        sum(value).as("vol_sum"),
+        avg(value).as("vol_mean"),
+        count(lit(1)).as("n_rows"),
+        graft.functions.Funcs.nanToNull(stddev(value)).as("vol_std"),
+        countDistinct(store).as("n_stores"),
+        countDistinct(product).as("n_products"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("vol_share", col("vol_sum") / sum(col("vol_sum")).over(all))
+      .withColumn("econ_tier",
+        ntile(3).over(Window.orderBy(col("vol_sum").asc, col(regionName).asc)))
+      .withColumn("product_diversity", col("n_products") / col("n_stores"))
+  }
+
+  /** J6 — cross-dimension affinity: the (store, product) pair mean
+    * against the product's overall mean and the store's overall mean
+    * (reference: aggregation_features_engine.py:275-295) — two
+    * broadcast joins of dim-grain aggs onto the pair-grain agg. */
+  def affinity(df: DataFrame, store: Column, product: Column, value: Column): DataFrame = {
+    val pair = df.groupBy(store.as("store"), product.as("product"))
+      .agg(avg(value).as("pair_mean"))
+    val byProduct = df.groupBy(product.as("product")).agg(avg(value).as("product_mean"))
+    val byStore = df.groupBy(store.as("store")).agg(avg(value).as("store_mean"))
+    pair
+      .join(broadcast(byProduct), Seq("product"))
+      .join(broadcast(byStore), Seq("store"))
+      .withColumn("product_affinity", col("pair_mean") / col("product_mean"))
+      .withColumn("store_affinity", col("pair_mean") / col("store_mean"))
+  }
+
+  /** S3 — deterministic row sampling: Bernoulli sample with a fixed
+    * seed (the engine analogue of the reference's random row-group
+    * sampling, loaders.py:68-98). Pushed to the scan where possible. */
+  def sampleRows(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Models
+import graft.operators.FeatureQuality
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GBT baseline fits and predicts on a learnable relationship") {
+    val train = (1 to 200).map(i => (i.toDouble, i * 2.0 + 3))
+      .toDF("x", "y")
+    val model = Models.fitGbt(train, Seq("x"), "y", maxIter = 5, maxDepth = 3)
+    val preds = Models.predictGbt(model, train, Seq("x"))
+    val wmape = preds.agg(
+      graft.metrics.Metrics.wmape(col("y"), col("prediction"))).as[Double].head()
+    assert(wmape < 10.0, s"wmape $wmape")
+  }
+
+  test("hurdle forecast = P(nonzero) x mean(nonzero)") {
+    val df = Seq(("a", 0.0), ("a", 0.0), ("a", 6.0), ("a", 10.0)).toDF("k", "v")
+    val r = Models.hurdleForecast(df, Seq(col("k")), col("v"), Seq("k")).head()
+    assert(r.getAs[Double]("p_nonzero") == 0.5)
+    assert(r.getAs[Double]("nz_mean") == 8.0)
+    assert(r.getAs[Double]("hurdle_forecast") == 4.0)
+  }
+
+  test("hierarchical fallback: fine -> coarse -> global") {
+    val stats = Seq(("p1", "s1", 10.0), ("p1", "s2", 20.0), ("p2", "s1", 50.0))
+      .toDF("p", "s", "v")
+    val apply = Seq(("p1", "s1"), ("p1", "s9"), ("p9", "s9")).toDF("p", "s")
+    val out = Models.hierarchicalFallback(apply, stats, Seq("p", "s"), Seq("p"), col("v"))
+      .select("p", "s", "fallback_forecast").as[(String, String, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out(("p1", "s1")) == 10.0)           // fine hit
+    assert(out(("p1", "s9")) == 15.0)           // coarse: mean of p1
+    assert(math.abs(out(("p9", "s9")) - 80.0 / 3) < 1e-9) // global
+  }
+
+  test("KMeans clusters separable data") {
+    val df = (1 to 30).map(i => (if (i % 2 == 0) 0.0 else 100.0) + i * 0.01)
+      .map(x => Tuple1(x)).toDF("x")
+    val out = Models.fitKMeans(df, Seq("x"), 2)
+    assert(out.select("cluster").distinct().count() == 2)
+  }
+
+  test("ensemble meta-features and blend") {
+    val df = Seq((10.0, 20.0, 30.0)).toDF("p1", "p2", "p3")
+    val meta = Models.ensembleMetaFeatures(df, Seq("p1", "p2", "p3")).head()
+    assert(meta.getAs[Double]("ens_mean") == 20.0)
+    assert(meta.getAs[Double]("ens_range") == 20.0)
+    assert(meta.getAs[Double]("ens_max_disagreement") == 20.0)
+    val blended = Models.blend(df, Seq("p1" -> 1.0, "p2" -> 1.0)).head()
+      .getAs[Double]("blended")
+    assert(blended == 15.0) // normalized weights .5/.5
+  }
+
+  test("KPI ladder") {
+    val df = Seq(5.0, 25.0, 50.0).toDF("m")
+    val out = df.select(Models.kpiStatus(col("m")).as("s")).as[String].collect()
+    assert(out.toSeq == Seq("OK", "WARN", "CRIT"))
+  }
+
+  test("feature quality scan flags constants and selectTopK keeps essentials") {
+    val df = (1 to 50).map(i => (i.toDouble, 1.0, i * 3.0, i % 7 * 1.0))
+      .toDF("target", "const", "good", "noise")
+    val scan = FeatureQuality.qualityScan(df, Seq("const", "good"))
+      .select("feature", "is_constant").as[(String, Int)].collect().toMap
+    assert(scan("const") == 1 && scan("good") == 0)
+    val kept = FeatureQuality.selectTopK(df, Seq("const", "good", "noise"), "target",
+      k = 1, essentials = Seq("target"))
+    assert(kept.columns.contains("target"))
+    assert(kept.columns.contains("good")) // highest |corr| with target
+  }
+}
