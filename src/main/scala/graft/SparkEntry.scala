@@ -696,7 +696,11 @@ object SparkEntry {
       AggFeatures.sampleRows(li(s, d), 0.1).agg(count(lit(1)).as("n_sampled"))),
     "q104_hash_bucket" -> ((s, d) =>
       li(s, d).groupBy(Funcs.hashBucket(col("l_partkey"), 16).as("bucket"))
-        .agg(count(lit(1)).as("n_rows")))
+        .agg(count(lit(1)).as("n_rows"))),
+    "q105_backfill_median" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(WindowFeatures.backfillGroupMedian(
+          lag(col("l_quantity"), 1).over(sw.w), col("l_quantity"), sw)).as("lag1_filled")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1600,6 +1604,14 @@ object SparkEntry {
                   PARTITION BY l_partkey, l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS seq3
-         FROM lineitem"""
+         FROM lineitem""",
+    "q105_backfill_median" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(coalesce(lag(l_quantity,1) OVER w,
+                  quantile_cont(l_quantity, 0.5) OVER g)*1e4)/1e4 AS lag1_filled
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                g AS (PARTITION BY l_partkey, l_suppkey)"""
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Physical-plan assertions: the scale-critical properties the engine
+  * promises — pushdown, pruning, broadcast joins, no cartesian
+  * products — checked against actual executed plans over the test
+  * parquet (S1/S2 and the §4 optimizer mapping). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("S2: filters reach the parquet scan as PushedFilters") {
+    val plan = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 10 && col("l_returnflag") === "N")
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)")
+      || plan.contains("GreaterThan(l_quantity,10.0)"), plan)
+  }
+
+  test("S1: projection prunes the read schema to selected columns") {
+    val plan = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("J1: dimension enrichment joins broadcast, never shuffle the fact") {
+    val plan = SparkEntry.queries("q23_enrich_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("window features reuse one exchange on the series key") {
+    val plan = SparkEntry.queries("q40_rolling_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = graft.sim.Similarity.bruteForceTopK(emb, queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
