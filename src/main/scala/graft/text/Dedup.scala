@@ -39,15 +39,35 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate pairs
-    * come from the shingle equi-join (docs sharing ≥1 shingle); Jaccard
-    * = |∩| / (|A|+|B|−|∩|) from the co-count and per-doc sizes. */
+    * come from a PREFIX-FILTERED shingle equi-join (AllPairs/PPJoin
+    * family): order each doc's shingles by ascending global document
+    * frequency; a pair with Jaccard ≥ t MUST share a shingle within the
+    * first ⌊(1−t)·|d|⌋+1 shingles of each doc, so only that prefix
+    * participates in candidate generation — the frequent-shingle
+    * blowup (every doc sharing "the same common 3-gram") never reaches
+    * the join. Verification then counts the FULL intersection for
+    * candidates only. Exactness is preserved; at 100 TB this is the
+    * difference between a bounded join and a quadratic one. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
     val sh = shingles(df, id, text, n).cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("id_a", "shingle")
-    val b = sh.toDF("id_b", "shingle")
-    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+    // global doc-frequency rank per shingle → prefix = rarest shingles
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("__df").asc, col("shingle").asc)))
+      .join(broadcast(sizes), id)
+      .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col(id), col("shingle"))
+    val a = ranked.toDF("id_a", "shingle")
+    val b = ranked.toDF("id_b", "shingle")
+    val cand = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // full-intersection verify on candidates only
+    val fullA = sh.toDF("id_a", "shingle")
+    val fullB = sh.toDF("id_b", "shingle")
+    val inter = cand.join(fullA, "id_a").join(fullB, Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
     inter
       .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
