@@ -69,6 +69,9 @@ object SmokeProbe {
     graft.streaming.EventsStream.windowedCountsBatch(ev, "7 days")
       .orderBy("window_start", "event_type").show(5, truncate = false)
 
+    println("== entry() flagship pipeline (driver smoke contract) ==")
+    graft.SparkEntry.entry(spark).show(truncate = false)
+
     println("SMOKE_OK")
     spark.stop()
   }
