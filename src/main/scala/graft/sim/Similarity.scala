@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns as a codegen'd expression
-    * (zip_with + aggregate — no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd Catalyst expression
+    * (graft.expr.DotProduct): a primitive double loop inside
+    * whole-stage codegen. Spark's higher-order functions
+    * (zip_with+aggregate) evaluate interpreted with per-row lambda
+    * allocation — measurably slower on the dim·candidates ANN hot
+    * path. Accumulation order is identical (left fold), so results are
+    * bit-equal to the HOF formulation. */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpressions.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
