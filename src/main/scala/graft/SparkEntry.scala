@@ -461,9 +461,9 @@ object SparkEntry {
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           r(col("ewma")).as("ewma"))
     }),
-    // Holt/Croston/TSB recursions: conditional state machines — not
-    // SQL-expressible per contract; parity is unit-tested against
-    // hand-computed recursions instead
+    // Holt/TSB recursions stay rows-only (parity unit-tested against
+    // hand-computed recursions); EWMA and Croston carry full
+    // recursive-CTE oracles
     "q74_holt" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -1279,6 +1279,43 @@ object SparkEntry {
                  FROM t JOIN e ON t.l_partkey = e.l_partkey
                    AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
          SELECT ws AS week_start, l_partkey, l_suppkey, round(y*1e4)/1e4 AS ewma FROM e""",
+    "q75_croston" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey,
+                   sum(CASE WHEN l_discount > 0 THEN l_quantity ELSE 0.0 END) dq
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn,
+               CASE WHEN dq > 0 THEN dq END z,
+               CASE WHEN dq > 0 THEN 1.0e0 END p,
+               CASE WHEN dq > 0 THEN 0 END gap,
+               CASE WHEN dq > 0 THEN (1e0 - 0.2e0/2)*dq/1.0e0 END f
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
+               CASE WHEN e.z IS NULL THEN CASE WHEN t.dq > 0 THEN t.dq END
+                    WHEN t.dq > 0 THEN 0.2e0*t.dq + (1e0-0.2e0)*e.z
+                    ELSE e.z END,
+               CASE WHEN e.z IS NULL THEN CASE WHEN t.dq > 0 THEN 1.0e0 END
+                    WHEN t.dq > 0 THEN 0.2e0*(e.gap + 1) + (1e0-0.2e0)*e.p
+                    ELSE e.p END,
+               CASE WHEN e.z IS NULL THEN CASE WHEN t.dq > 0 THEN 0 END
+                    WHEN t.dq > 0 THEN 0
+                    ELSE e.gap + 1 END,
+               CASE WHEN e.z IS NULL
+                      THEN CASE WHEN t.dq > 0 THEN (1e0 - 0.2e0/2)*t.dq/1.0e0 END
+                    WHEN t.dq > 0
+                      THEN (1e0 - 0.2e0/2)*(0.2e0*t.dq + (1e0-0.2e0)*e.z)
+                           /(0.2e0*(e.gap + 1) + (1e0-0.2e0)*e.p)
+                    ELSE (1e0 - 0.2e0/2)*e.z/e.p END
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                round(f*1e4)/1e4 AS croston_forecast
+         FROM e""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

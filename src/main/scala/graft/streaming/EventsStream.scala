@@ -22,9 +22,20 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events-shaped directory. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** File-source stream over an events-shaped path (directory or file
+    * glob). The driver's events.parquet carries TIMESTAMP(NANOS), which
+    * the schema declares as long (with the nanosAsLong session flag)
+    * and converts to a microsecond timestamp — same handling as the
+    * batch reader (core.Tables.events). */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 
   /** Watermarked tumbling-window aggregate: per (window, event_type)
     * counts and value sums. `window`/`watermark` as durations, e.g.

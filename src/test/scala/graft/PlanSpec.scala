@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
   }
 
+  test("graft_dot registers as a SQL function, folds constants, codegens over tables") {
+    GraftFunctions.register(spark)
+    // constant args fold at optimization time (proof interpreted eval works)
+    val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+    assert(v.head().getDouble(0) == 11.0)
+    assert(v.queryExecution.optimizedPlan.toString.contains("11.0"))
+    // over a real table the projection stays inside a codegen stage ("*(n)")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb_plan_test")
+    val t = spark.sql("SELECT graft_dot(embedding, embedding) AS n2 FROM emb_plan_test")
+    assert(t.queryExecution.executedPlan.toString.contains("*(1)"),
+      t.queryExecution.executedPlan.toString)
+    assert(t.agg(org.apache.spark.sql.functions.min("n2")).head().getDouble(0) > 0)
+  }
+
   test("ANN brute force broadcasts the query side, never the corpus") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)

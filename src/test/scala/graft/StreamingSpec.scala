@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     assert(clicks10 == 1L) // the late 10:30 row never lands
   }
 
+  test("file-source stream over the real events parquet matches the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    // the file streaming source requires a DIRECTORY; stage the real
+    // events parquet into one
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stageDir/events.parquet"))
+    val stream = EventsStream.readEventsStream(spark, stageDir)
+    val query = EventsStream.windowedCounts(stream, "7 days", "1 day")
+      .writeStream.format("memory").queryName("file_counts")
+      .outputMode(OutputMode.Append()).start()
+    query.processAllAvailable()
+    query.stop()
+    // append mode only emits CLOSED windows; compare those against batch
+    val batch = EventsStream.windowedCountsBatch(
+      graft.core.Tables.events(spark, dir), "7 days")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val streamed = spark.table("file_counts")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (w, t, n) => assert(batch((w, t)) == n, s"window $w $t") }
+  }
+
   test("stateful user sessions accumulate per-user totals") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
