@@ -1316,6 +1316,50 @@ object SparkEntry {
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 round(f*1e4)/1e4 AS croston_forecast
          FROM e""",
+    "q74_holt" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn, q,
+               q AS lvl, CAST(NULL AS DOUBLE) AS tr, q AS lastx
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.q,
+               0.3e0*t.q + (1e0-0.3e0)*e.lvl,
+               CASE WHEN e.tr IS NULL THEN t.q - e.lastx
+                    ELSE 0.1e0*(t.q - e.lastx) + (1e0-0.1e0)*e.tr END,
+               t.q
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                round(lvl*1e4)/1e4 AS holt_level, round(tr*1e4)/1e4 AS holt_trend
+         FROM e""",
+    "q76_tsb" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey,
+                   sum(CASE WHEN l_discount > 0 THEN l_quantity ELSE 0.0 END) dq
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn, dq,
+               CASE WHEN dq > 0 THEN 1.0e0 ELSE 0.0e0 END b,
+               CASE WHEN dq > 0 THEN dq ELSE 0.0e0 END z
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.dq,
+               0.1e0*(CASE WHEN t.dq > 0 THEN 1.0e0 ELSE 0.0e0 END) + (1e0-0.1e0)*e.b,
+               CASE WHEN t.dq > 0 THEN 0.2e0*t.dq + (1e0-0.2e0)*e.z ELSE e.z END
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                round(b*z*1e4)/1e4 AS tsb_forecast
+         FROM e""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,
