@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Calendar, Funcs}
+
+class CalendarFuncsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def days(ds: String*) = ds.toSeq.toDF("d").withColumn("d", to_date(col("d")))
+
+  test("dowMon0 follows the pandas convention Mon=0..Sun=6") {
+    // 2024-01-01 is a Monday
+    val out = days("2024-01-01", "2024-01-06", "2024-01-07")
+      .select(Funcs.dowMon0(col("d")).as("dow")).as[Int].collect()
+    assert(out.toSeq == Seq(0, 5, 6))
+  }
+
+  test("is_sunday flag uses the normalized convention") {
+    val flags = Calendar.calendarFlags(col("d")).toMap
+    val out = days("2024-01-07", "2024-01-08")
+      .select(flags("is_sunday").as("s")).as[Int].collect()
+    assert(out.toSeq == Seq(1, 0))
+  }
+
+  test("week_of_month buckets by 7-day groups with floor semantics") {
+    val flags = Calendar.calendarFlags(col("d")).toMap
+    val out = days("2024-01-01", "2024-01-07", "2024-01-08", "2024-01-31")
+      .select(flags("week_of_month").as("w")).as[Int].collect()
+    assert(out.toSeq == Seq(1, 1, 2, 5))
+  }
+
+  test("holiday distance: zero on the holiday, symmetric around it") {
+    val hol = Calendar.brazilianHolidays(spark, Seq(2024))
+    val out = Calendar.withHolidayDistance(
+      days("2024-04-21", "2024-04-30", "2024-05-01", "2024-05-03"), col("d"), hol)
+      .select(col("d").cast("string"), col("is_holiday"),
+        coalesce(col("days_to_holiday"), lit(-1)),
+        coalesce(col("days_since_holiday"), lit(-1)))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out("2024-05-01") == (1, 0, 0))
+    assert(out("2024-04-30") == (0, 1, 9))  // 1 day to May 1, 9 since Apr 21
+    assert(out("2024-05-03")._3 == 2)       // 2 days since May 1
+  }
+
+  test("toDateCoerce nulls on failure, parses valid dates") {
+    val out = Seq("2020-05-05", "garbage").toDF("s")
+      .select(Calendar.toDateCoerce(col("s")).as("d")).collect()
+    assert(out(0).getDate(0).toString == "2020-05-05")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("businessRound: half-up, floored at zero, long-typed") {
+    val out = Seq(2.5, 2.4, -3.0).toDF("v")
+      .select(Calendar.businessRound(col("v")).as("r")).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 2L, 0L))
+  }
+
+  test("clip and safeDiv behave at the edges") {
+    val out = Seq((5.0, 0.0)).toDF("x", "y")
+      .select(Funcs.clip(col("x"), lit(0.0), lit(3.0)).as("c"),
+        Funcs.safeDiv(col("x"), col("y")).as("s")).head()
+    assert(out.getDouble(0) == 3.0)
+    assert(out.getDouble(1) == 5.0 / 1e-8)
+  }
+
+  test("hashBucket is deterministic and in range") {
+    val b1 = Seq(1L, 2L, 3L).toDF("k").select(Funcs.hashBucket(col("k"), 16).as("b"))
+      .as[Int].collect()
+    val b2 = Seq(1L, 2L, 3L).toDF("k").select(Funcs.hashBucket(col("k"), 16).as("b"))
+      .as[Int].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+}
