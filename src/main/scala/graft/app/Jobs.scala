@@ -1,0 +1,124 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl.{Cleaning, Enrichment}
+import graft.functions.Calendar
+import graft.io.{Sinks, SubmissionValidator}
+import graft.metrics.Metrics
+import graft.operators.{AggFeatures, SeriesWindow, WindowFeatures}
+import graft.post.PostProcess
+import graft.seq.SequentialKernels
+
+/** End-to-end application entry points mirroring the reference's three
+  * pipelines (SURVEY §3/§7): ETL → feature store → forecast submission.
+  * Each is a thin composition of the operator library — the pieces a
+  * reference user runs today, wired the Spark-first way (one weekly
+  * shuffle, broadcast dims, constraint chain, validated sink).
+  */
+object Jobs {
+
+  /** §3.1 ETL: load → clean → enrich → weekly grain. */
+  def etl(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val cleaned = Seq(
+      Cleaning.dropNullKeys(Seq("l_partkey", "l_suppkey")) _,
+      Cleaning.fillZero(Seq("l_quantity")) _,
+      Cleaning.positiveOnly("l_quantity") _,
+      Cleaning.dedupKeepFirst(Seq("l_orderkey", "l_partkey", "l_linenumber"),
+        Seq(col("l_quantity"), col("l_extendedprice"))) _
+    ).foldLeft(li)((d, step) => step(d))
+    val enriched = Enrichment.enrich(cleaned, Tables.part(spark, sfDir),
+      "l_partkey", "p_partkey")
+    Enrichment.weeklyAggregate(enriched, col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
+  }
+
+  /** §3.2 feature store: the weekly grain plus temporal/agg features,
+    * all on ONE series shuffle. */
+  def featureStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = etl(spark, sfDir)
+    val sw = SeriesWindow(Seq(col("l_partkey"), col("l_suppkey")), Seq(col("week_start")))
+    val qty = col("qty_sum")
+    val withTemporal = weekly
+      .withColumn("lag_1", lag(qty, 1).over(sw.w))
+      .withColumn("lag_4", lag(qty, 4).over(sw.w))
+      .withColumn("roll_mean_4", WindowFeatures.rollingAvg(qty, 4, sw))
+      .withColumn("roll_std_4", WindowFeatures.rollingStd(qty, 4, sw))
+      .withColumn("momentum_1", WindowFeatures.momentum(qty, 1, sw))
+      .withColumn("stability", WindowFeatures.groupStability(qty, sw))
+    val withCalendar = (Calendar.dateParts(col("week_start")) ++
+      Calendar.seasonFlags(col("week_start")))
+      .foldLeft(withTemporal) { case (d, (n, c)) => d.withColumn(n, c) }
+    SequentialKernels.withEwma(withCalendar, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum", 0.3, "ewma_03")
+  }
+
+  /** §3.3 forecast + submission: per-series hurdle×EWMA blend forecast
+    * for a 5-week horizon grid, post-processed, validated, written. */
+  def forecastSubmission(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val weekly = etl(spark, sfDir)
+    // last EWMA state per series = the level forecast (flat extension)
+    val ew = SequentialKernels.withEwma(weekly, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum", 0.3, "ewma")
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("week_start").desc)
+    val lastState = ew.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("ewma"))
+    val grid = lastState
+      .withColumn("semana", explode(sequence(lit(1), lit(5))))
+      .select(col("semana"), col("l_suppkey").as("pdv"),
+        col("l_partkey").as("produto"), col("ewma").as("quantidade"))
+    val processed = PostProcess.chain(Seq(
+      PostProcess.nonNegative("quantidade"),
+      PostProcess.sigmaCap("quantidade", 5.0),
+      PostProcess.integerize("quantidade")))(grid)
+      .withColumn("quantidade", col("quantidade").cast("long"))
+    val back = Sinks.csvSubmission(spark, processed, s"$outDir/submission")
+    require(SubmissionValidator.isValid(back), "submission failed validation")
+    back
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1)
+                 else java.nio.file.Files.createTempDirectory("graft_job").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-forecast-job")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val features = featureStore(spark, sfDir)
+    Sinks.parquet(features, s"$outDir/feature_store")
+    println(s"[job] feature store: ${spark.read.parquet(s"$outDir/feature_store").count()} rows, " +
+      s"${features.columns.length} columns -> $outDir/feature_store")
+
+    val submission = forecastSubmission(spark, sfDir, outDir)
+    println(s"[job] submission: ${submission.count()} rows -> $outDir/submission (validated)")
+
+    // holdout score: last 4 weeks as test, EWMA level from the train prefix
+    val weekly = etl(spark, sfDir)
+    val (lo, hi) = graft.cv.TimeSplits.dateBounds(weekly, col("week_start"))
+    val cut = hi.minusWeeks(4)
+    val train = weekly.filter(col("week_start") <= lit(cut.toString))
+    val test = weekly.filter(col("week_start") > lit(cut.toString))
+    val ewTrain = SequentialKernels.withEwma(train, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum", 0.3, "ewma")
+    val lastW = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("week_start").desc)
+    val level = ewTrain.withColumn("__rn", row_number().over(lastW))
+      .filter(col("__rn") === 1).select(col("l_partkey"), col("l_suppkey"), col("ewma"))
+    val scored = test.join(level, Seq("l_partkey", "l_suppkey"), "inner")
+    Metrics.scorecard(scored, col("qty_sum"), col("ewma")).show(truncate = false)
+    spark.stop()
+  }
+}
