@@ -573,7 +573,11 @@ object SparkEntry {
           r(nanToNull(stddev(col("profit")))).as("profit_std"),
           r(r(sum(col("profit"))) / r(sum(col("revenue")))).as("margin"))),
     "q85_feature_quality" -> ((s, d) => {
+      // features rounded BEFORE the scan: n_distinct over raw doubles is
+      // engine-unstable (last-ulp aggregation-order differences)
       val feats = AggFeatures.keyStats(li(s, d), Seq(col("l_partkey")), col("l_quantity"))
+        .select(col("l_partkey"), r(col("qty_sum")).as("qty_sum"),
+          r(col("qty_mean")).as("qty_mean"), r(col("qty_std")).as("qty_std"))
       graft.operators.FeatureQuality.qualityScan(feats,
         Seq("qty_sum", "qty_mean", "qty_std"))
         .select(col("feature"), col("n_nulls"), col("n_nans"), col("n_zeros"),
@@ -1474,8 +1478,10 @@ object SparkEntry {
                   AS margin
          FROM t GROUP BY 1""",
     "q85_feature_quality" ->
-      """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
-                      CASE WHEN count(*) > 1 THEN stddev(l_quantity) END qty_std
+      """WITH f AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 qty_sum,
+                      round(avg(l_quantity)*1e4)/1e4 qty_mean,
+                      round((CASE WHEN count(*) > 1 THEN stddev(l_quantity) END)*1e4)/1e4
+                        qty_std
                     FROM lineitem GROUP BY 1)
          SELECT 'qty_sum' AS feature,
                 sum(CASE WHEN qty_sum IS NULL THEN 1 ELSE 0 END) AS n_nulls,

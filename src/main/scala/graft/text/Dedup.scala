@@ -58,7 +58,12 @@ object Dedup {
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(id)).orderBy(col("__df").asc, col("shingle").asc)))
       .join(broadcast(sizes), id)
-      .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      // +2, not the theoretical +1: (1−t)·|d| is computed in floating
+      // point, and when it lands near an integer the floor can
+      // under-count by one and silently drop a qualifying pair (seen at
+      // sf0.1). One extra prefix element costs a few candidates and
+      // restores the exactness guarantee under float jitter.
+      .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("sz")) + 2)
       .select(col(id), col("shingle"))
     val a = ranked.toDF("id_a", "shingle")
     val b = ranked.toDF("id_b", "shingle")
