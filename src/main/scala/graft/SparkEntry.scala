@@ -736,18 +736,18 @@ object SparkEntry {
       """SELECT count(*) AS n_orphans, round(sum(l_quantity),4) AS sum_qty FROM lineitem
          WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)""",
     "q07_quality_report" ->
-      """SELECT sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS l_quantity_nulls,
+      """SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
                 count(DISTINCT l_quantity) AS l_quantity_distinct,
-                sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS l_quantity_zeros,
-                sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS l_discount_nulls,
+                CAST(sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_zeros,
+                CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_nulls,
                 count(DISTINCT l_discount) AS l_discount_distinct,
-                sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS l_discount_zeros,
+                CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_zeros,
                 count(*) AS total_rows
          FROM lineitem""",
     "q08_range_violations" ->
-      """SELECT sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS neg_qty,
-                sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS big_qty,
-                sum(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS big_price,
+      """SELECT CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_qty,
+                CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
+                CAST(sum(CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
                 count(*) AS total_rows
          FROM lineitem""",
     "q09_key_stats" ->
@@ -835,7 +835,7 @@ object SparkEntry {
     "q20_zero_demand" ->
       """SELECT l_partkey,
                 round(avg(CASE WHEN l_discount <= 0 THEN 1.0 ELSE 0.0 END),4) AS zero_ratio,
-                sum(CASE WHEN l_discount <= 0 THEN 1 ELSE 0 END) AS zero_count,
+                CAST(sum(CASE WHEN l_discount <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
                 count(*) AS n_obs
          FROM lineitem GROUP BY l_partkey""",
     "q21_cooccurrence" ->
@@ -1370,7 +1370,7 @@ object SparkEntry {
                       sum(CASE WHEN l_discount > 0 THEN l_quantity ELSE 0.0 END) dq
                     FROM lineitem GROUP BY 1,2,3),
               a AS (SELECT l_partkey, l_suppkey, count(*) n_periods,
-                      sum(CASE WHEN dq > 0 THEN 1 ELSE 0 END) n_nonzero,
+                      CAST(sum(CASE WHEN dq > 0 THEN 1 ELSE 0 END) AS BIGINT) n_nonzero,
                       avg(CASE WHEN dq > 0 THEN dq END) nz_mean,
                       stddev(CASE WHEN dq > 0 THEN dq END) nz_std
                     FROM w GROUP BY 1,2),
@@ -1395,18 +1395,18 @@ object SparkEntry {
                       CAST(greatest(round(p, 0), 0.0) AS BIGINT) quantidade
                     FROM m, range(1, 6) r(semana))
          SELECT count(*) AS total_rows,
-                sum(CASE WHEN semana IS NULL OR pdv IS NULL OR produto IS NULL
-                         OR quantidade IS NULL THEN 1 ELSE 0 END) AS null_rows,
-                sum(CASE WHEN semana < 1 OR semana > 5 THEN 1 ELSE 0 END) AS bad_week_rows,
-                sum(CASE WHEN quantidade < 0 THEN 1 ELSE 0 END) AS negative_qty_rows,
-                sum(CASE WHEN quantidade <> CAST(quantidade AS BIGINT) THEN 1 ELSE 0 END)
+                CAST(sum(CASE WHEN semana IS NULL OR pdv IS NULL OR produto IS NULL
+                         OR quantidade IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+                CAST(sum(CASE WHEN semana < 1 OR semana > 5 THEN 1 ELSE 0 END) AS BIGINT) AS bad_week_rows,
+                CAST(sum(CASE WHEN quantidade < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_qty_rows,
+                CAST(sum(CASE WHEN quantidade <> CAST(quantidade AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
                   AS non_integer_rows,
                 count(DISTINCT semana) AS n_weeks,
                 count(DISTINCT pdv) AS n_stores,
                 count(DISTINCT produto) AS n_products,
                 min(quantidade) AS qty_min, max(quantidade) AS qty_max,
                 round(avg(quantidade)*1e4)/1e4 AS qty_mean,
-                (SELECT coalesce(sum(c - 1), 0) FROM
+                (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
                   (SELECT count(*) c FROM g GROUP BY semana, pdv, produto HAVING count(*) > 1))
                   AS dup_rows
          FROM g""",
@@ -1484,27 +1484,27 @@ object SparkEntry {
                         qty_std
                     FROM lineitem GROUP BY 1)
          SELECT 'qty_sum' AS feature,
-                sum(CASE WHEN qty_sum IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-                sum(CASE WHEN isnan(qty_sum) THEN 1 ELSE 0 END) AS n_nans,
-                sum(CASE WHEN qty_sum = 0 THEN 1 ELSE 0 END) AS n_zeros,
+                CAST(sum(CASE WHEN qty_sum IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                CAST(sum(CASE WHEN isnan(qty_sum) THEN 1 ELSE 0 END) AS BIGINT) AS n_nans,
+                CAST(sum(CASE WHEN qty_sum = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
                 count(DISTINCT qty_sum) AS n_distinct,
                 CAST(count(DISTINCT qty_sum) <= 1 AS INT) AS is_constant,
                 round(avg(qty_sum)*1e4)/1e4 AS mean, round(stddev(qty_sum)*1e4)/1e4 AS std
          FROM f
          UNION ALL
          SELECT 'qty_mean',
-                sum(CASE WHEN qty_mean IS NULL THEN 1 ELSE 0 END),
-                sum(CASE WHEN isnan(qty_mean) THEN 1 ELSE 0 END),
-                sum(CASE WHEN qty_mean = 0 THEN 1 ELSE 0 END),
+                CAST(sum(CASE WHEN qty_mean IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN isnan(qty_mean) THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN qty_mean = 0 THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT qty_mean),
                 CAST(count(DISTINCT qty_mean) <= 1 AS INT),
                 round(avg(qty_mean)*1e4)/1e4, round(stddev(qty_mean)*1e4)/1e4
          FROM f
          UNION ALL
          SELECT 'qty_std',
-                sum(CASE WHEN qty_std IS NULL THEN 1 ELSE 0 END),
-                sum(CASE WHEN isnan(qty_std) THEN 1 ELSE 0 END),
-                sum(CASE WHEN qty_std = 0 THEN 1 ELSE 0 END),
+                CAST(sum(CASE WHEN qty_std IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN isnan(qty_std) THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN qty_std = 0 THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT qty_std),
                 CAST(count(DISTINCT qty_std) <= 1 AS INT),
                 round(avg(qty_std)*1e4)/1e4, round(stddev(qty_std)*1e4)/1e4
