@@ -704,7 +704,15 @@ object SparkEntry {
     "q105_backfill_median" -> ((s, d) =>
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         r(WindowFeatures.backfillGroupMedian(
-          lag(col("l_quantity"), 1).over(sw.w), col("l_quantity"), sw)).as("lag1_filled")))
+          lag(col("l_quantity"), 1).over(sw.w), col("l_quantity"), sw)).as("lag1_filled"))),
+    // IVF cell assignment depends on the KMeans fit — rows-only; recall
+    // vs brute force asserted in SimilaritySpec
+    "q106_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -74,6 +74,50 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: KMeans coarse quantization
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and exact cosine runs only within them —
+    * candidates come from an equi-join on the cell id, never all-pairs.
+    * The centroid table is tiny (nlist × dim) and broadcast; the corpus
+    * assignment is one MLlib transform. Recall grows with nprobe;
+    * brute force is the oracle.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val assembled = corpus.withColumn("__v",
+      array_to_vector(col(corpusVec).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(assembled)
+    val assigned = model.transform(assembled).drop("__v")
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cvec"), col("cell"))
+    // centroid table as literal rows -> broadcast equi-join for probing
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col(queryId)).orderBy(col("__cdist").asc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("__cdist",
+        lit(1.0) - cosine(col(queryVec), col("centroid")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= nprobe)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qvec"), col("cell"))
+    val cand = assigned.join(probed, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__cvec"), col("__qvec")) * 1e4, 0) / 1e4)
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are signed with
     * `numPlanes` hyperplane bits grouped into `bands`; vectors sharing
     * any band bucket become candidates (equi-join on (band, bucket)),

@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF top-k achieves high recall vs brute force and joins on cell ids") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nlist = 6, nprobe = 2)
+    val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("LSH candidate join is an equi-join, not a cartesian product") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") < 3)
