@@ -39,6 +39,25 @@ class TimeSplitsSpec extends SparkSpec {
     }
   }
 
+  test("per-segment folds derive boundaries from each segment's own date range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (
+      (0 until 200).map(i => ("a", LocalDate.parse("2022-01-03").plusDays(i).toString)) ++
+      (0 until 400).map(i => ("b", LocalDate.parse("2023-01-02").plusDays(i).toString))
+    ).toDF("seg", "d").withColumn("d", to_date(col("d")))
+    val folds = TimeSplits.perSegment(df, col("seg"), col("d"),
+      (lo, hi) => TimeSplits.walkForward(lo, hi, initialTrainWeeks = 8,
+        horizonWeeks = 2, stepWeeks = 8, gapWeeks = 0, maxSplits = 3))
+    val m = folds.toMap
+    assert(m.keySet == Set("a", "b"))
+    assert(m("a").nonEmpty && m("b").nonEmpty)
+    assert(m("a").head.trainStart == LocalDate.parse("2022-01-03"))
+    assert(m("b").head.trainStart == LocalDate.parse("2023-01-02"))
+    // segment a spans ~28 weeks -> fewer folds than segment b (~57 weeks)
+    assert(m("b").length >= m("a").length)
+  }
+
   test("split() materializes leakage-free train/test frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
