@@ -39,6 +39,29 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(global - parts) < 1e-6)
   }
 
+  test("metric inequalities hold on generated series: rmse >= mae, smape in [0,200]") {
+    (0 until 10).foreach { i =>
+      val xs = seriesGen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val ps = seriesGen.apply(Gen.Parameters.default, Seed(200L + i)).get
+      val n = math.min(xs.length, ps.length)
+      if (n > 0) {
+        val df = xs.take(n).zip(ps.take(n)).toDF("a", "p")
+        val row = Metrics.scorecard(df, col("a"), col("p")).head()
+        assert(row.getAs[Double]("rmse") >= row.getAs[Double]("mae") - 1e-9, s"seed $i")
+        val sm = row.getAs[Double]("smape")
+        assert(sm >= 0 && sm <= 200 + 1e-9, s"seed $i smape=$sm")
+      }
+    }
+  }
+
+  test("weightedWmape with unit weights equals plain wmape") {
+    val df = Seq((10.0, 12.0), (20.0, 15.0), (5.0, 9.0)).toDF("a", "p")
+    val plain = df.agg(Metrics.wmape(col("a"), col("p"))).as[Double].head()
+    val weighted = df.agg(Metrics.weightedWmape(col("a"), col("p"), lit(1.0)))
+      .as[Double].head()
+    assert(math.abs(plain - weighted) < 1e-9)
+  }
+
   test("scorecard computes all metrics in one pass with expected values") {
     val df = Seq((10.0, 12.0), (20.0, 18.0)).toDF("a", "p")
     val row = Metrics.scorecard(df, col("a"), col("p")).head()
