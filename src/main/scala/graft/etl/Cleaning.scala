@@ -35,10 +35,11 @@ object Cleaning {
     * Exact `percentile` (not approx) for oracle parity; at 100 TB swap to
     * `percentile_approx` — the transform shape is unchanged.
     */
-  def quantileRangeFilter(c: String, lo: Double = 0.01, hi: Double = 0.99)(df: DataFrame): DataFrame = {
+  def quantileRangeFilter(c: String, lo: Double = 0.01, hi: Double = 0.99,
+                          exact: Boolean = true)(df: DataFrame): DataFrame = {
     val b = df.agg(
-      percentile(col(c), lit(lo)).as("__lo"),
-      percentile(col(c), lit(hi)).as("__hi"))
+      graft.functions.Funcs.pct(col(c), lo, exact).as("__lo"),
+      graft.functions.Funcs.pct(col(c), hi, exact).as("__hi"))
     df.join(broadcast(b))
       .filter(col(c).between(col("__lo"), col("__hi")))
       .drop("__lo", "__hi")
@@ -95,9 +96,10 @@ object Cleaning {
 
   /** F11 — price anomaly repair: drop negatives, cap values above
     * capMult×Q99 at Q99 (reference: clean_data.py:204-219, capMult=10). */
-  def priceAnomalyRepair(c: String, capMult: Double = 10.0)(df: DataFrame): DataFrame = {
+  def priceAnomalyRepair(c: String, capMult: Double = 10.0,
+                         exact: Boolean = true)(df: DataFrame): DataFrame = {
     val pos = df.filter(col(c) >= 0)
-    val q = pos.agg(percentile(col(c), lit(0.99)).as("__q99"))
+    val q = pos.agg(graft.functions.Funcs.pct(col(c), 0.99, exact).as("__q99"))
     pos.join(broadcast(q))
       .withColumn(c, when(col(c) > lit(capMult) * col("__q99"), col("__q99")).otherwise(col(c)))
       .drop("__q99")

@@ -59,4 +59,12 @@ object Funcs {
     * comparisons consistent.
     */
   def nanToNull(c: Column): Column = when(isnan(c), lit(null).cast("double")).otherwise(c)
+
+  /** Percentile with an exactness switch: exact `percentile` matches
+    * pandas/the oracle bit-for-bit; `percentile_approx` is the 100 TB
+    * swap (t-digest sketch, bounded memory per group). Operators take
+    * an `exact` flag defaulting to true so the scale swap is a config
+    * choice, not a code edit. */
+  def pct(c: Column, p: Double, exact: Boolean = true): Column =
+    if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
 }

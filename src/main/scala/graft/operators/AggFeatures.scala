@@ -21,11 +21,13 @@ object AggFeatures {
     * (reference: aggregation_features_engine.py:64-91). Exact `percentile`
     * for oracle parity — swap to percentile_approx at 100 TB.
     */
-  def keyStats(df: DataFrame, key: Seq[Column], qty: Column, extraDistinct: Seq[(String, Column)] = Nil): DataFrame = {
+  def keyStats(df: DataFrame, key: Seq[Column], qty: Column,
+               extraDistinct: Seq[(String, Column)] = Nil,
+               exactMedian: Boolean = true): DataFrame = {
     val base = Seq(
       sum(qty).as("qty_sum"),
       avg(qty).as("qty_mean"),
-      percentile(qty, lit(0.5)).as("qty_median"),
+      graft.functions.Funcs.pct(qty, 0.5, exactMedian).as("qty_median"),
       graft.functions.Funcs.nanToNull(stddev(qty)).as("qty_std"),
       min(qty).as("qty_min"),
       max(qty).as("qty_max"),
@@ -172,6 +174,7 @@ object AggFeatures {
   def coOccurrence(df: DataFrame, basketKey: Seq[String], item: String,
                    minSupport: Long = 5): DataFrame = {
     val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+      .cache() // reused 4x below (pair join sides, basket count, item counts)
     val a = items.toDF((basketKey :+ "item_a"): _*)
     val b = items.toDF((basketKey :+ "item_b"): _*)
     // Total basket count as a 1-row agg cross-joined in (broadcast) — no
@@ -287,9 +290,9 @@ object AggFeatures {
     * (reference: behavioral_features_engine.py:171-180). Exact percentile
     * as a group window (same shuffle as the agg). */
   def burstFrequency(df: DataFrame, key: Seq[Column], value: Column,
-                     outNames: Seq[String]): DataFrame = {
+                     outNames: Seq[String], exact: Boolean = true): DataFrame = {
     val w = Window.partitionBy(key: _*)
-    df.withColumn("__med", percentile(value, lit(0.5)).over(w))
+    df.withColumn("__med", graft.functions.Funcs.pct(value, 0.5, exact).over(w))
       .groupBy(outNames.map(col): _*)
       .agg(avg(when(value > col("__med"), 1.0).otherwise(0.0)).as("burst_freq"),
         count(lit(1)).as("n_obs"))
