@@ -712,6 +712,19 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.sim.Similarity.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+    }),
+    // LSH-blocked (recall < 1 by design) — rows-only; recall vs exact
+    // all-pairs asserted in SimilaritySpec
+    "q107_embed_near_dupes" -> ((s, d) =>
+      graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d), dim = 64,
+        threshold = 0.9)),
+    "q108_weighted_wmape" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      t.groupBy(col("l_returnflag"))
+        .agg(r(Metrics.weightedWmape(col("l_quantity"), col("pred"),
+          col("l_extendedprice"))).as("weighted_wmape"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -1372,6 +1385,14 @@ object SparkEntry {
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 round(b*z*1e4)/1e4 AS tsb_forecast
          FROM e""",
+    "q108_weighted_wmape" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity a, l_extendedprice w,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem)
+         SELECT l_returnflag,
+                round(sum(abs(a-p)*w)/(sum(abs(a)*w) + 1e-8)*100*1e4)/1e4
+                  AS weighted_wmape,
+                count(*) AS n_rows
+         FROM t GROUP BY 1""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

@@ -74,6 +74,32 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors with cosine ≥
+    * threshold, candidates from random-hyperplane LSH bands (equi-join
+    * on (band, bucket) — high-cosine pairs agree on many sign bits, so
+    * band collisions catch them), exact cosine verify on candidates
+    * only. Recall < 1 by construction (raise bands/lower width to push
+    * it up); the all-pairs exact computation is the test oracle. */
+  def cosineNearDupes(df: DataFrame, dim: Int, threshold: Double = 0.95,
+                      numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val width = numPlanes / bands
+    val mask = (1 << width) - 1
+    val signed = df.withColumn("__sig", rhpSignature(col(vecCol), dim, numPlanes, seed))
+      .select(col(idCol), col(vecCol), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .toDF(idCol, vecCol, "band", "bucket")
+    val a = signed.toDF("id_a", "__va", "band", "bucket")
+    val b = signed.toDF("id_b", "__vb", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")) * 1e4, 0) / 1e4)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k: KMeans coarse quantization
     * partitions the corpus into `nlist` cells; each query probes its
     * `nprobe` nearest cells and exact cosine runs only within them —

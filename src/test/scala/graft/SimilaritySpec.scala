@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("cosine near-dup pairs: high recall vs exact all-pairs, no false positives") {
+    // planted near-dups: pairs (i, i+100) share a base vector with tiny noise
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(50)(Array.fill(8)(rnd.nextFloat()))
+    val vecs = (0 until 50).map(i => (i.toLong, base(i))) ++
+      (0 until 50).map(i => (i + 100L, base(i).map(x => x + rnd.nextFloat() * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val found = graft.sim.Similarity.cosineNearDupes(df, dim = 8, threshold = 0.999,
+      numPlanes = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 50).map(i => (i.toLong, i + 100L)).toSet
+    val recall = (found & planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall")
+    // every reported pair really is >= threshold (verify step is exact)
+    val exact = Similarity.cosineNearDupes(df, 8, 0.999, numPlanes = 16, bands = 16)
+    assert(exact.filter(col("cos_sim") < 0.999).count() == 0)
+  }
+
   test("LSH candidate join is an equi-join, not a cartesian product") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") < 3)
