@@ -16,6 +16,14 @@ class EnrichmentSpec extends SparkSpec {
     assert(brands.toSeq == Seq("A", "B", "Unknown", "Unknown"))
   }
 
+  test("enrich with prefix namespaces the dimension payload columns (J2)") {
+    val out = Enrichment.enrich(fact, dim, "pk", "dk", prefix = "pdv_")
+    assert(out.columns.contains("pdv_brand"))
+    assert(!out.columns.contains("brand"))
+    val brands = out.select("pdv_brand").as[String].collect().sorted
+    assert(brands.toSeq == Seq("A", "B", "Unknown", "Unknown"))
+  }
+
   test("lossCheck reports zero loss for a left join against a unique dim") {
     val after = Enrichment.enrich(fact, dim, "pk", "dk")
     val r = Enrichment.lossCheck(fact, after, "qty").head()
