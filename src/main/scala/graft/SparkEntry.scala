@@ -725,6 +725,13 @@ object SparkEntry {
         .agg(r(Metrics.weightedWmape(col("l_quantity"), col("pred"),
           col("l_extendedprice"))).as("weighted_wmape"),
           count(lit(1)).as("n_rows"))
+    }),
+    "q109_dedup_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val clusters = graft.text.Dedup.dedupClusters(pairs)
+      graft.text.Dedup.dropNearDupes(docs, "doc_id", clusters)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
     })
   )
 
@@ -1393,6 +1400,31 @@ object SparkEntry {
                   AS weighted_wmape,
                 count(*) AS n_rows
          FROM t GROUP BY 1""",
+    "q109_dedup_pipeline" ->
+      """WITH RECURSIVE
+           ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+                      ELSE [array_to_string(w, ' ')] END)) sh FROM ws),
+           sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) nc
+                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1,2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+                     WHERE nc/(sa.sz + sb.sz - nc) >= 0.8),
+           bid AS (SELECT id_a a, id_b b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+           reach AS (SELECT a, b FROM bid
+                     UNION
+                     SELECT r.a, p.b FROM reach r JOIN bid p ON r.b = p.a
+                     WHERE p.b <> r.a),
+           comp AS (SELECT a doc, least(a, min(b)) cid FROM reach GROUP BY a)
+         SELECT lang, count(*) AS n_survivors
+         FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc
+         WHERE comp.doc IS NULL OR comp.cid = d.doc_id
+         GROUP BY 1""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

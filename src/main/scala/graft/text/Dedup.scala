@@ -140,6 +140,31 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Transitive dedup clustering: near-dup PAIRS (id_a, id_b) from any
+    * of the candidate generators imply equivalence classes (a~b, b~c ⇒
+    * one cluster). Connected components via GraphX give each doc its
+    * cluster id (the minimum member id); keep-one-per-cluster is then a
+    * trivial filter. The distributed closure step every real dedup
+    * pipeline needs between "pairs found" and "rows dropped". */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val graph = Graph.fromEdges[Unit, Unit](edges, ())
+    graph.connectedComponents().vertices
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Keep one representative per near-dup cluster: docs absent from any
+    * cluster keep themselves; cluster members survive only if they ARE
+    * the cluster id (the minimum member — deterministic). */
+  def dropNearDupes(df: DataFrame, id: String, clusters: DataFrame): DataFrame =
+    df.join(clusters, df(id) === clusters("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === df(id))
+      .drop("doc_id", "cluster_id")
+
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming.
     * Blocking: the 64-bit fingerprint is cut into `chunks` pieces; by
     * pigeonhole, pairs within distance (chunks−1) share ≥1 exact chunk —

@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(!plan2.contains("CartesianProduct"), plan2)
   }
 
+  test("dedup clusters close transitively and keep one representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs)
+    val byDoc = clusters.as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L)) // transitive
+    assert(byDoc(10L) == byDoc(11L) && byDoc(10L) != byDoc(1L))
+    val docs2 = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id2")
+    val kept = Dedup.dropNearDupes(docs2, "doc_id2", clusters)
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L)) // min per cluster + untouched doc
+  }
+
   test("language ID identifies marker-heavy texts and CJK") {
     val samples = Seq(
       (1L, "the cat and the dog in a house"),
