@@ -83,6 +83,38 @@ object Jobs {
     back
   }
 
+  /** §3.3 model path: GBT trained on the feature store (the MLlib
+    * stand-in for the reference's LightGBM), forecasting the NEXT
+    * week's quantity from features computed through the current week —
+    * the label is lead(qty_sum) per series, so current-row-inclusive
+    * rolling/EWMA features are history, not leakage. Walk-forward
+    * holdout; returns (model WMAPE, naive carry-forward WMAPE). */
+  def gbtForecast(spark: SparkSession, sfDir: String,
+                  holdoutWeeks: Int = 4): (Double, Double) = {
+    val sw = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("week_start"))
+    val features = featureStore(spark, sfDir)
+      .withColumn("label", lead(col("qty_sum"), 1).over(sw))
+      .filter(col("label").isNotNull)
+      .na.fill(0.0)
+    val featCols = Seq("qty_sum", "lag_1", "lag_4", "roll_mean_4", "roll_std_4",
+      "momentum_1", "stability", "ewma_03", "month", "dow", "quarter", "week_of_year")
+    val (_, hi) = graft.cv.TimeSplits.dateBounds(features, col("week_start"))
+    val cut = hi.minusWeeks(holdoutWeeks)
+    val train = features.filter(col("week_start") <= lit(cut.toString))
+    val test = features.filter(col("week_start") > lit(cut.toString))
+    val model = graft.model.Models.fitGbt(train, featCols, "label",
+      maxIter = 20, maxDepth = 5)
+    val scored = graft.model.Models.predictGbt(model, test, featCols)
+      .withColumn("prediction", greatest(col("prediction"), lit(0.0)))
+    val gbtWmape = scored.agg(Metrics.wmape(col("label"), col("prediction")))
+      .head().getDouble(0)
+    // naive: carry the EWMA level forward one week
+    val naiveWmape = scored.agg(Metrics.wmape(col("label"), col("ewma_03")))
+      .head().getDouble(0)
+    (gbtWmape, naiveWmape)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)
@@ -119,6 +151,9 @@ object Jobs {
       .filter(col("__rn") === 1).select(col("l_partkey"), col("l_suppkey"), col("ewma"))
     val scored = test.join(level, Seq("l_partkey", "l_suppkey"), "inner")
     Metrics.scorecard(scored, col("qty_sum"), col("ewma")).show(truncate = false)
+
+    val (gbtW, naiveW) = gbtForecast(spark, sfDir)
+    println(f"[job] holdout WMAPE: gbt=$gbtW%.2f%% vs naive-ewma=$naiveW%.2f%%")
     spark.stop()
   }
 }
