@@ -15,7 +15,11 @@ import graft.operators.{AggFeatures, WindowFeatures, SeriesWindow}
   * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL below.
   *
   * Conventions keeping the Spark result hash-identical to the oracle:
-  *  - every computed double is `round(_, 4)` on BOTH sides (Funcs.r);
+  *  - every computed double is rounded multiply-form on BOTH sides:
+  *    Spark `Funcs.r` = `round(x*1e4,0)/1e4 + 0.0`, oracle SQL
+  *    `round(x*1e4)/1e4 + 0.0e0` — the trailing `+ 0.0` collapses IEEE
+  *    -0.0 to +0.0 identically in both engines (the driver hashes bytes,
+  *    so a -0.0/+0.0 split is a failure even though `==` says equal);
   *  - Spark IntegerType derivations are cast to long where DuckDB returns
   *    BIGINT (counts, row_number, date_diff) and the SQL casts to INT
   *    where Spark returns int (year/month/flags);
@@ -737,22 +741,22 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_clean_filter" ->
-      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity),4) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n_rows, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem WHERE l_quantity > 0
            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
          GROUP BY l_returnflag""",
     "q02_quantile_range" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
                            quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
-         SELECT count(*) AS n_rows, round(avg(l_extendedprice),4) AS avg_price
+         SELECT count(*) AS n_rows, (round((avg(l_extendedprice))*1e4)/1e4 + 0.0e0) AS avg_price
          FROM lineitem, b WHERE l_extendedprice BETWEEN lo AND hi""",
     "q03_zscore_cap" ->
       """WITH s AS (SELECT avg(l_quantity) mu, stddev(l_quantity) sd FROM lineitem)
-         SELECT round(sum(q),4) AS sum_qty, round(max(q),4) AS max_qty, round(min(q),4) AS min_qty
+         SELECT (round((sum(q))*1e4)/1e4 + 0.0e0) AS sum_qty, (round((max(q))*1e4)/1e4 + 0.0e0) AS max_qty, (round((min(q))*1e4)/1e4 + 0.0e0) AS min_qty
          FROM (SELECT greatest(least(l_quantity, mu+3*sd), greatest(mu-3*sd, 0.0)) q
                FROM lineitem, s)""",
     "q04_dedup_keep_first" ->
-      """SELECT count(*) AS n_rows, round(sum(l_quantity),4) AS sum_qty
+      """SELECT count(*) AS n_rows, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
                  ORDER BY l_linenumber, l_quantity, l_extendedprice) rn FROM lineitem)
          WHERE rn = 1""",
@@ -761,7 +765,7 @@ object SparkEntry {
          FROM (SELECT p_type, count(*) OVER (PARTITION BY p_type) AS cnt FROM part)
          GROUP BY 1""",
     "q06_orphans" ->
-      """SELECT count(*) AS n_orphans, round(sum(l_quantity),4) AS sum_qty FROM lineitem
+      """SELECT count(*) AS n_orphans, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty FROM lineitem
          WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)""",
     "q07_quality_report" ->
       """SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
@@ -779,17 +783,17 @@ object SparkEntry {
                 count(*) AS total_rows
          FROM lineitem""",
     "q09_key_stats" ->
-      """SELECT l_returnflag, round(sum(l_quantity),4) AS qty_sum,
-                round(avg(l_quantity),4) AS qty_mean,
-                round(quantile_cont(l_quantity, 0.5),4) AS qty_median,
-                round(stddev(l_quantity),4) AS qty_std,
-                round(min(l_quantity),4) AS qty_min, round(max(l_quantity),4) AS qty_max,
-                count(l_quantity) AS qty_count, round(var_samp(l_quantity),4) AS qty_var,
+      """SELECT l_returnflag, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_sum,
+                (round((avg(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_mean,
+                (round((quantile_cont(l_quantity, 0.5))*1e4)/1e4 + 0.0e0) AS qty_median,
+                (round((stddev(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_std,
+                (round((min(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_min, (round((max(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_max,
+                count(l_quantity) AS qty_count, (round((var_samp(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_var,
                 count(DISTINCT l_partkey) AS n_parts
          FROM lineitem GROUP BY l_returnflag""",
     "q10_share_of_total" ->
-      """SELECT p_brand, round(volume,4) AS volume,
-                round(volume/sum(volume) OVER (),4) AS share
+      """SELECT p_brand, (round((volume)*1e4)/1e4 + 0.0e0) AS volume,
+                (round((volume/sum(volume) OVER ())*1e4)/1e4 + 0.0e0) AS share
          FROM (SELECT p_brand, sum(l_quantity) AS volume FROM lineitem
                LEFT JOIN part ON l_partkey = p_partkey GROUP BY p_brand)""",
     "q11_entropy" ->
@@ -797,14 +801,14 @@ object SparkEntry {
                     LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2),
               p AS (SELECT p_brand, v / sum(v) OVER (PARTITION BY p_brand) pr FROM i)
          SELECT p_brand,
-                round(-sum(CASE WHEN pr > 0 THEN pr * ln(pr) ELSE 0 END),4) AS entropy
+                (round((-sum(CASE WHEN pr > 0 THEN pr * ln(pr) ELSE 0 END))*1e4)/1e4 + 0.0e0) AS entropy
          FROM p GROUP BY p_brand""",
     "q12_top5_share" ->
       """WITH i AS (SELECT l_suppkey, l_partkey, sum(l_quantity) v FROM lineitem GROUP BY 1,2),
               rk AS (SELECT l_suppkey, v, row_number() OVER (PARTITION BY l_suppkey
                        ORDER BY v DESC, l_partkey ASC) rn FROM i)
          SELECT l_suppkey,
-                round(sum(CASE WHEN rn <= 5 THEN v ELSE 0 END) / sum(v),4) AS top5_share
+                (round((sum(CASE WHEN rn <= 5 THEN v ELSE 0 END) / sum(v))*1e4)/1e4 + 0.0e0) AS top5_share
          FROM rk GROUP BY l_suppkey""",
     "q13_monthly_slope" ->
       """WITH m AS (SELECT l_suppkey,
@@ -814,12 +818,12 @@ object SparkEntry {
               s AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) n, sum(x) sx, sum(y) sy,
                       sum(x*y) sxy, sum(x*x) sxx FROM m GROUP BY 1)
          SELECT l_suppkey,
-                round(CASE WHEN n*sxx - sx*sx > 0
-                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END,4) AS trend_slope
+                (round((CASE WHEN n*sxx - sx*sx > 0
+                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END)*1e4)/1e4 + 0.0e0) AS trend_slope
          FROM s""",
     "q14_hierarchy_rollup" ->
-      """SELECT p_brand, p_type, round(sum(l_quantity),4) AS level_sum,
-                round(avg(l_quantity),4) AS level_avg, count(*) AS level_count
+      """SELECT p_brand, p_type, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS level_sum,
+                (round((avg(l_quantity))*1e4)/1e4 + 0.0e0) AS level_avg, count(*) AS level_count
          FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
          GROUP BY GROUPING SETS ((p_brand),(p_type))""",
     "q15_market_share_rank" ->
@@ -828,7 +832,7 @@ object SparkEntry {
               rk AS (SELECT p_brand, volume, volume/sum(volume) OVER () AS share,
                        row_number() OVER (ORDER BY volume DESC, p_brand ASC) AS rnk,
                        count(*) OVER () AS n FROM a)
-         SELECT p_brand, round(volume,4) AS volume, round(share,4) AS share,
+         SELECT p_brand, (round((volume)*1e4)/1e4 + 0.0e0) AS volume, (round((share)*1e4)/1e4 + 0.0e0) AS share,
                 rnk, CAST(rnk <= 100 AS INT) AS is_top100,
                 CAST(rnk > n*0.8 AS INT) AS is_long_tail
          FROM rk""",
@@ -836,15 +840,15 @@ object SparkEntry {
       """WITH i AS (SELECT p_brand, l_partkey, sum(l_quantity) v FROM lineitem
                     LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2),
               p AS (SELECT p_brand, v / sum(v) OVER (PARTITION BY p_brand) pr FROM i)
-         SELECT p_brand, round(sum(pr*pr),4) AS hhi FROM p GROUP BY p_brand""",
+         SELECT p_brand, (round((sum(pr*pr))*1e4)/1e4 + 0.0e0) AS hhi FROM p GROUP BY p_brand""",
     "q17_percent_rank" ->
       """SELECT l_orderkey, l_linenumber,
-                round(percent_rank() OVER (PARTITION BY l_returnflag
-                  ORDER BY l_quantity, l_orderkey, l_linenumber),4) AS qty_prank
+                (round((percent_rank() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber))*1e4)/1e4 + 0.0e0) AS qty_prank
          FROM lineitem""",
     "q18_price_elasticity" ->
       """SELECT l_partkey,
-                round(corr(l_extendedprice/l_quantity, l_quantity),4) AS price_qty_corr,
+                (round((corr(l_extendedprice/l_quantity, l_quantity))*1e4)/1e4 + 0.0e0) AS price_qty_corr,
                 count(*) AS n_obs,
                 CASE WHEN count(*) <= 5 OR corr(l_extendedprice/l_quantity, l_quantity) IS NULL
                        THEN 'unknown'
@@ -854,15 +858,15 @@ object SparkEntry {
          FROM lineitem GROUP BY l_partkey""",
     "q19_discount_lift" ->
       """SELECT l_returnflag,
-                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END),4) AS avg_qty_discounted,
-                round(avg(CASE WHEN l_discount <= 0 THEN l_quantity END),4) AS avg_qty_full,
-                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END)
-                      /(avg(CASE WHEN l_discount <= 0 THEN l_quantity END) + 1e-8),4)
+                (round((avg(CASE WHEN l_discount > 0 THEN l_quantity END))*1e4)/1e4 + 0.0e0) AS avg_qty_discounted,
+                (round((avg(CASE WHEN l_discount <= 0 THEN l_quantity END))*1e4)/1e4 + 0.0e0) AS avg_qty_full,
+                (round((avg(CASE WHEN l_discount > 0 THEN l_quantity END)
+                      /(avg(CASE WHEN l_discount <= 0 THEN l_quantity END) + 1e-8))*1e4)/1e4 + 0.0e0)
                   AS discount_lift
          FROM lineitem GROUP BY l_returnflag""",
     "q20_zero_demand" ->
       """SELECT l_partkey,
-                round(avg(CASE WHEN l_discount <= 0 THEN 1.0 ELSE 0.0 END),4) AS zero_ratio,
+                (round((avg(CASE WHEN l_discount <= 0 THEN 1.0 ELSE 0.0 END))*1e4)/1e4 + 0.0e0) AS zero_ratio,
                 CAST(sum(CASE WHEN l_discount <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
                 count(*) AS n_obs
          FROM lineitem GROUP BY l_partkey""",
@@ -875,17 +879,17 @@ object SparkEntry {
                           AND a.l_partkey < b.l_partkey
                         GROUP BY 1,2 HAVING count(*) >= 3)
          SELECT item_a, item_b, pair_count, ia.n AS n_a, ib.n AS n_b,
-                round((pair_count/nb.n)/((ia.n/nb.n)*(ib.n/nb.n)),4) AS lift
+                (round(((pair_count/nb.n)/((ia.n/nb.n)*(ib.n/nb.n)))*1e4)/1e4 + 0.0e0) AS lift
          FROM pairs, nb, ic ia, ic ib
          WHERE item_a = ia.item AND item_b = ib.item""",
     "q22_weekly_aggregate" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
-                l_partkey, l_suppkey, round(sum(l_quantity),4) AS qty_sum,
+                l_partkey, l_suppkey, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_sum,
                 count(*) AS n_rows
          FROM lineitem GROUP BY 1,2,3""",
     "q23_enrich_join" ->
       """SELECT coalesce(p_brand, 'Unknown') AS p_brand, count(*) AS n_rows,
-                round(sum(l_quantity),4) AS sum_qty
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size <= 40) p
            ON l_partkey = p_partkey
          GROUP BY 1""",
@@ -893,18 +897,18 @@ object SparkEntry {
       """WITH b AS (SELECT count(*) rb, sum(l_quantity) vb FROM lineitem),
               a AS (SELECT count(*) ra, sum(l_quantity) va FROM lineitem
                     LEFT JOIN part ON l_partkey = p_partkey)
-         SELECT rb AS rows_before, round(vb,4) AS vol_before, ra AS rows_after,
-                round(va,4) AS vol_after, rb - ra AS rows_lost,
-                round(vb - va,4) AS vol_lost
+         SELECT rb AS rows_before, (round((vb)*1e4)/1e4 + 0.0e0) AS vol_before, ra AS rows_after,
+                (round((va)*1e4)/1e4 + 0.0e0) AS vol_after, rb - ra AS rows_lost,
+                (round((vb - va)*1e4)/1e4 + 0.0e0) AS vol_lost
          FROM b, a""",
     "q25_derived_ratios" ->
       """WITH a AS (SELECT l_partkey, sum(l_quantity) qs, avg(l_quantity) qm,
                       stddev(l_quantity) qsd, count(DISTINCT l_suppkey) ns
                     FROM lineitem GROUP BY 1),
               t AS (SELECT count(DISTINCT l_suppkey) tot FROM lineitem)
-         SELECT l_partkey, round(qs*ns,4) AS velocity,
-                round(qm/(qsd+1e-8),4) AS consistency,
-                round(CAST(ns AS DOUBLE)/tot,4) AS penetration
+         SELECT l_partkey, (round((qs*ns)*1e4)/1e4 + 0.0e0) AS velocity,
+                (round((qm/(qsd+1e-8))*1e4)/1e4 + 0.0e0) AS consistency,
+                (round((CAST(ns AS DOUBLE)/tot)*1e4)/1e4 + 0.0e0) AS penetration
          FROM a, t""",
     "q26_modal_share" ->
       """WITH i AS (SELECT l_suppkey, p_brand, sum(l_quantity) v FROM lineitem
@@ -912,17 +916,17 @@ object SparkEntry {
               rk AS (SELECT l_suppkey, v, row_number() OVER (PARTITION BY l_suppkey
                        ORDER BY v DESC, p_brand ASC) rn FROM i)
          SELECT l_suppkey,
-                round(sum(CASE WHEN rn = 1 THEN v ELSE 0 END) / sum(v),4) AS modal_share
+                (round((sum(CASE WHEN rn = 1 THEN v ELSE 0 END) / sum(v))*1e4)/1e4 + 0.0e0) AS modal_share
          FROM rk GROUP BY l_suppkey""",
     "q27_dominance" ->
-      """SELECT p_type, p_brand, round(volume,4) AS volume,
-                round(volume / sum(volume) OVER (PARTITION BY p_type),4) AS dominance
+      """SELECT p_type, p_brand, (round((volume)*1e4)/1e4 + 0.0e0) AS volume,
+                (round((volume / sum(volume) OVER (PARTITION BY p_type))*1e4)/1e4 + 0.0e0) AS dominance
          FROM (SELECT p_type, p_brand, sum(l_quantity) volume FROM lineitem
                LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1,2)""",
     "q28_volume_tiers" ->
       """WITH a AS (SELECT l_partkey, sum(l_quantity) volume FROM lineitem GROUP BY 1),
               w AS (SELECT l_partkey, volume, volume/sum(volume) OVER () weight FROM a)
-         SELECT l_partkey, round(volume,4) AS volume, round(weight,4) AS weight,
+         SELECT l_partkey, (round((volume)*1e4)/1e4 + 0.0e0) AS volume, (round((weight)*1e4)/1e4 + 0.0e0) AS weight,
                 CASE WHEN weight >= 0.001 THEN 'high'
                      WHEN weight >= 0.0005 THEN 'medium' ELSE 'low' END AS tier
          FROM w""",
@@ -939,19 +943,19 @@ object SparkEntry {
          FROM part LEFT JOIN codes USING (p_brand)""",
     "q31_daily_rollup" ->
       """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-                round(sum(l_extendedprice),4) AS revenue_sum,
-                round(sum(l_quantity),4) AS qty_sum,
+                (round((sum(l_extendedprice))*1e4)/1e4 + 0.0e0) AS revenue_sum,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_sum,
                 count(DISTINCT l_partkey) AS n_products,
-                round(avg(l_extendedprice),4) AS avg_tx_value,
+                (round((avg(l_extendedprice))*1e4)/1e4 + 0.0e0) AS avg_tx_value,
                 count(*) AS n_tx
          FROM lineitem GROUP BY 1,2""",
     "q32_turnover" ->
-      """SELECT l_partkey, round(sum(l_quantity),4) AS qty_sum,
-                round(sum(l_extendedprice),4) AS rev_sum,
+      """SELECT l_partkey, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS qty_sum,
+                (round((sum(l_extendedprice))*1e4)/1e4 + 0.0e0) AS rev_sum,
                 count(DISTINCT CAST(l_shipdate AS DATE)) AS active_days,
-                round(round(sum(l_quantity),4)/count(DISTINCT CAST(l_shipdate AS DATE)),4)
+                (round(((round((sum(l_quantity))*1e4)/1e4 + 0.0e0)/count(DISTINCT CAST(l_shipdate AS DATE)))*1e4)/1e4 + 0.0e0)
                   AS qty_turnover,
-                round(round(sum(l_extendedprice),4)/count(DISTINCT CAST(l_shipdate AS DATE)),4)
+                (round(((round((sum(l_extendedprice))*1e4)/1e4 + 0.0e0)/count(DISTINCT CAST(l_shipdate AS DATE)))*1e4)/1e4 + 0.0e0)
                   AS rev_turnover
          FROM lineitem GROUP BY 1""",
     "q33_burst_freq" ->
@@ -959,14 +963,14 @@ object SparkEntry {
                       quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_partkey) med
                     FROM lineitem)
          SELECT l_partkey,
-                round(avg(CASE WHEN l_quantity > med THEN 1.0 ELSE 0.0 END),4) AS burst_freq,
+                (round((avg(CASE WHEN l_quantity > med THEN 1.0 ELSE 0.0 END))*1e4)/1e4 + 0.0e0) AS burst_freq,
                 count(*) AS n_obs
          FROM m GROUP BY 1""",
     "q34_basket_stats" ->
       """WITH b AS (SELECT l_orderkey, l_suppkey, count(DISTINCT l_partkey) bs
                     FROM lineitem GROUP BY 1,2)
-         SELECT l_suppkey, round(avg(bs),4) AS avg_basket_size,
-                round(stddev(bs),4) AS std_basket_size, max(bs) AS max_basket_size,
+         SELECT l_suppkey, (round((avg(bs))*1e4)/1e4 + 0.0e0) AS avg_basket_size,
+                (round((stddev(bs))*1e4)/1e4 + 0.0e0) AS std_basket_size, max(bs) AS max_basket_size,
                 count(*) AS n_baskets
          FROM b GROUP BY 1""",
     "q35_substitutes" ->
@@ -976,29 +980,29 @@ object SparkEntry {
                         l.l_partkey item, sum(l_quantity) q
                       FROM lineitem l JOIN tot t ON l.l_partkey = t.l_partkey
                       GROUP BY 1,2)
-         SELECT a.item AS item_a, b.item AS item_b, round(corr(a.q, b.q),4) AS demand_corr,
+         SELECT a.item AS item_a, b.item AS item_b, (round((corr(a.q, b.q))*1e4)/1e4 + 0.0e0) AS demand_corr,
                 count(*) AS n_buckets
          FROM lng a JOIN lng b ON a.ws = b.ws AND a.item < b.item
          GROUP BY 1,2 HAVING corr(a.q, b.q) < -0.2""",
     "q36_global_topn" ->
-      """SELECT l_partkey, round(volume,4) AS volume
+      """SELECT l_partkey, (round((volume)*1e4)/1e4 + 0.0e0) AS volume
          FROM (SELECT l_partkey, sum(l_quantity) volume FROM lineitem GROUP BY 1
                ORDER BY volume DESC, l_partkey ASC LIMIT 10)""",
     "q37_scorecard" ->
       """WITH t AS (SELECT l_quantity a, avg(l_quantity) OVER (PARTITION BY l_partkey) p
                     FROM lineitem)
-         SELECT round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100,4) AS wmape,
-                round(avg(abs(a-p)/(abs(a)+1e-8))*100,4) AS mape,
-                round(avg(abs(a-p)/((abs(a)+abs(p))/2 + 1e-8))*100,4) AS smape,
-                round(avg(abs(a-p)),4) AS mae,
-                round(sqrt(avg((a-p)*(a-p))),4) AS rmse,
-                round(avg(p-a),4) AS bias, count(*) AS n_rows
+         SELECT (round((sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape,
+                (round((avg(abs(a-p)/(abs(a)+1e-8))*100)*1e4)/1e4 + 0.0e0) AS mape,
+                (round((avg(abs(a-p)/((abs(a)+abs(p))/2 + 1e-8))*100)*1e4)/1e4 + 0.0e0) AS smape,
+                (round((avg(abs(a-p)))*1e4)/1e4 + 0.0e0) AS mae,
+                (round((sqrt(avg((a-p)*(a-p))))*1e4)/1e4 + 0.0e0) AS rmse,
+                (round((avg(p-a))*1e4)/1e4 + 0.0e0) AS bias, count(*) AS n_rows
          FROM t""",
     "q38_wmape_by_group" ->
       """WITH t AS (SELECT l_returnflag, l_quantity a,
                       avg(l_quantity) OVER (PARTITION BY l_partkey) p
                     FROM lineitem)
-         SELECT l_returnflag, round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100,4) AS wmape,
+         SELECT l_returnflag, (round((sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape,
                 count(*) AS n_rows
          FROM t GROUP BY 1""",
     "q39_lags" ->
@@ -1010,8 +1014,8 @@ object SparkEntry {
                       ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
     "q40_rolling_stats" ->
       """SELECT l_orderkey, l_linenumber,
-                round(avg(l_quantity) OVER w,4) AS roll_avg,
-                round(stddev(l_quantity) OVER w,4) AS roll_std,
+                (round((avg(l_quantity) OVER w)*1e4)/1e4 + 0.0e0) AS roll_avg,
+                (round((stddev(l_quantity) OVER w)*1e4)/1e4 + 0.0e0) AS roll_std,
                 min(l_quantity) OVER w AS roll_min,
                 max(l_quantity) OVER w AS roll_max
          FROM lineitem
@@ -1030,37 +1034,37 @@ object SparkEntry {
                     WINDOW w AS (PARTITION BY l_partkey, l_suppkey ORDER BY x
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
          SELECT l_orderkey, l_linenumber,
-                round(CASE WHEN cnt*sxx - sx*sx > 0
-                  THEN (cnt*sxy - sx*sy)/(cnt*sxx - sx*sx) END,4) AS slope4
+                (round((CASE WHEN cnt*sxx - sx*sx > 0
+                  THEN (cnt*sxy - sx*sy)/(cnt*sxx - sx*sx) END)*1e4)/1e4 + 0.0e0) AS slope4
          FROM f""",
     "q42_rolling_autocorr" ->
       """WITH t AS (SELECT *, lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber) lag1
                     FROM lineitem)
          SELECT l_orderkey, l_linenumber,
-                round(corr(l_quantity, lag1) OVER (PARTITION BY l_partkey, l_suppkey
+                (round((corr(l_quantity, lag1) OVER (PARTITION BY l_partkey, l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),4) AS ac1
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))*1e4)/1e4 + 0.0e0) AS ac1
          FROM t""",
     "q43_fourier" ->
       """SELECT day,
-                round(sin(2*pi()*1*t/7),4) AS sin_7_1, round(cos(2*pi()*1*t/7),4) AS cos_7_1,
-                round(sin(2*pi()*2*t/7),4) AS sin_7_2, round(cos(2*pi()*2*t/7),4) AS cos_7_2,
-                round(sin(2*pi()*1*t/365),4) AS sin_365_1,
-                round(cos(2*pi()*1*t/365),4) AS cos_365_1,
-                round(sin(2*pi()*2*t/365),4) AS sin_365_2,
-                round(cos(2*pi()*2*t/365),4) AS cos_365_2
+                (round((sin(2*pi()*1*t/7))*1e4)/1e4 + 0.0e0) AS sin_7_1, (round((cos(2*pi()*1*t/7))*1e4)/1e4 + 0.0e0) AS cos_7_1,
+                (round((sin(2*pi()*2*t/7))*1e4)/1e4 + 0.0e0) AS sin_7_2, (round((cos(2*pi()*2*t/7))*1e4)/1e4 + 0.0e0) AS cos_7_2,
+                (round((sin(2*pi()*1*t/365))*1e4)/1e4 + 0.0e0) AS sin_365_1,
+                (round((cos(2*pi()*1*t/365))*1e4)/1e4 + 0.0e0) AS cos_365_1,
+                (round((sin(2*pi()*2*t/365))*1e4)/1e4 + 0.0e0) AS sin_365_2,
+                (round((cos(2*pi()*2*t/365))*1e4)/1e4 + 0.0e0) AS cos_365_2
          FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day,
                  date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS t
                FROM lineitem)""",
     "q44_momentum" ->
       """SELECT l_orderkey, l_linenumber,
-                round(l_quantity/(lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber) + 1e-8) - 1,4) AS mom1
+                (round((l_quantity/(lag(l_quantity,1) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber) + 1e-8) - 1)*1e4)/1e4 + 0.0e0) AS mom1
          FROM lineitem""",
     "q45_group_stability" ->
       """SELECT DISTINCT l_partkey, l_suppkey,
-                round(avg(l_quantity) OVER g /(stddev(l_quantity) OVER g + 1e-8),4) AS stability
+                (round((avg(l_quantity) OVER g /(stddev(l_quantity) OVER g + 1e-8))*1e4)/1e4 + 0.0e0) AS stability
          FROM lineitem
          WINDOW g AS (PARTITION BY l_partkey, l_suppkey)""",
     "q46_recent_vs_hist" ->
@@ -1072,8 +1076,8 @@ object SparkEntry {
                       avg(CASE WHEN q = 4 THEN l_quantity END) rm,
                       avg(CASE WHEN q <> 4 THEN l_quantity END) hm
                     FROM t GROUP BY 1,2)
-         SELECT l_partkey, l_suppkey, round(rm,4) AS recent_mean, round(hm,4) AS hist_mean,
-                round(rm/(hm + 1e-8),4) AS recent_ratio,
+         SELECT l_partkey, l_suppkey, (round((rm)*1e4)/1e4 + 0.0e0) AS recent_mean, (round((hm)*1e4)/1e4 + 0.0e0) AS hist_mean,
+                (round((rm/(hm + 1e-8))*1e4)/1e4 + 0.0e0) AS recent_ratio,
                 CAST(rm/(hm + 1e-8) < 0.8 AS INT) AS is_declining
          FROM a""",
     "q47_zero_streaks" ->
@@ -1086,14 +1090,14 @@ object SparkEntry {
               runs AS (SELECT l_partkey, l_suppkey, rn - rz AS island, count(*) streak_len
                        FROM f WHERE z = 1 GROUP BY 1,2,3)
          SELECT l_partkey, l_suppkey, max(streak_len) AS max_zero_streak,
-                round(avg(streak_len),4) AS avg_zero_streak, count(*) AS n_zero_streaks
+                (round((avg(streak_len))*1e4)/1e4 + 0.0e0) AS avg_zero_streak, count(*) AS n_zero_streaks
          FROM runs GROUP BY 1,2""",
     "q48_purchase_gaps" ->
       """WITH t AS (SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) dd,
                       lag(CAST(l_shipdate AS DATE),1) OVER (PARTITION BY l_partkey, l_suppkey
                         ORDER BY l_shipdate, l_orderkey, l_linenumber) pd
                     FROM lineitem WHERE l_discount > 0)
-         SELECT l_partkey, l_suppkey, round(avg(date_diff('day', pd, dd)),4) AS avg_gap,
+         SELECT l_partkey, l_suppkey, (round((avg(date_diff('day', pd, dd)))*1e4)/1e4 + 0.0e0) AS avg_gap,
                 max(date_diff('day', pd, dd)) AS max_gap, count(pd) AS n_gaps
          FROM t GROUP BY 1,2""",
     "q49_lifecycle" ->
@@ -1113,7 +1117,7 @@ object SparkEntry {
                        avg(l_quantity) m
                      FROM lineitem GROUP BY 1,2),
               g AS (SELECT avg(l_quantity) gm FROM lineitem)
-         SELECT l_orderkey, l_linenumber, round(coalesce(m, gm),4) AS dow_mean
+         SELECT l_orderkey, l_linenumber, (round((coalesce(m, gm))*1e4)/1e4 + 0.0e0) AS dow_mean
          FROM lineitem l CROSS JOIN g
          LEFT JOIN st ON l.l_returnflag = st.l_returnflag
            AND CAST(isodow(l.l_shipdate) AS INT) - 1 = st.b""",
@@ -1125,16 +1129,16 @@ object SparkEntry {
                       lag(q,1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) pq
                     FROM w)
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                round(CASE WHEN pq IS NOT NULL AND pq > 0 THEN least(q, pq*2.0)
-                      ELSE q END,4) AS capped_qty
+                (round((CASE WHEN pq IS NOT NULL AND pq > 0 THEN least(q, pq*2.0)
+                      ELSE q END)*1e4)/1e4 + 0.0e0) AS capped_qty
          FROM c""",
     "q52_smoothing" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey, sum(l_quantity) q
                     FROM lineitem GROUP BY 1,2,3)
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                round(avg(q) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws
-                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),4) AS smoothed_qty
+                (round((avg(q) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))*1e4)/1e4 + 0.0e0) AS smoothed_qty
          FROM w""",
     "q53_tail_slope" ->
       """WITH rev AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
@@ -1148,8 +1152,8 @@ object SparkEntry {
                       sum(x) sx, sum(l_quantity) sy, sum(x*l_quantity) sxy, sum(x*x) sxx
                     FROM t GROUP BY 1,2)
          SELECT l_partkey, l_suppkey,
-                round(CASE WHEN n*sxx - sx*sx > 0
-                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END,4) AS tail8_slope
+                (round((CASE WHEN n*sxx - sx*sx > 0
+                  THEN (n*sxy - sx*sy)/(n*sxx - sx*sx) END)*1e4)/1e4 + 0.0e0) AS tail8_slope
          FROM s""",
     "q54_date_parts" ->
       """SELECT day, CAST(year(day) AS INT) AS year, CAST(month(day) AS INT) AS month,
@@ -1164,12 +1168,12 @@ object SparkEntry {
          FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)""",
     "q55_cyclical" ->
       """SELECT day,
-                round(sin(month(day) * 2*pi()/12),4) AS month_sin,
-                round(cos(month(day) * 2*pi()/12),4) AS month_cos,
-                round(sin((isodow(day)-1) * 2*pi()/7),4) AS dow_sin,
-                round(cos((isodow(day)-1) * 2*pi()/7),4) AS dow_cos,
-                round(sin(dayofyear(day) * 2*pi()/365),4) AS doy_sin,
-                round(cos(dayofyear(day) * 2*pi()/365),4) AS doy_cos
+                (round((sin(month(day) * 2*pi()/12))*1e4)/1e4 + 0.0e0) AS month_sin,
+                (round((cos(month(day) * 2*pi()/12))*1e4)/1e4 + 0.0e0) AS month_cos,
+                (round((sin((isodow(day)-1) * 2*pi()/7))*1e4)/1e4 + 0.0e0) AS dow_sin,
+                (round((cos((isodow(day)-1) * 2*pi()/7))*1e4)/1e4 + 0.0e0) AS dow_cos,
+                (round((sin(dayofyear(day) * 2*pi()/365))*1e4)/1e4 + 0.0e0) AS doy_sin,
+                (round((cos(dayofyear(day) * 2*pi()/365))*1e4)/1e4 + 0.0e0) AS doy_cos
          FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem)""",
     "q56_seasons" ->
       """SELECT day,
@@ -1200,12 +1204,12 @@ object SparkEntry {
          FROM e""",
     "q58_business_round" ->
       """SELECT l_orderkey, l_linenumber,
-                CAST(greatest(round(l_quantity*(1-l_discount), 0), 0.0) AS BIGINT)
+                CAST(greatest((round((l_quantity*(1-l_discount))*1e0)/1e0 + 0.0e0), 0.0) AS BIGINT)
                   AS rounded_qty
          FROM lineitem""",
     "q59_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour, event_type,
-                count(*) AS n_events, round(sum(value),4) AS value_sum
+                count(*) AS n_events, (round((sum(value))*1e4)/1e4 + 0.0e0) AS value_sum
          FROM events GROUP BY 1,2,3""",
     "q60_doc_exact_dedup" ->
       """SELECT doc_id, lang
@@ -1217,14 +1221,14 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars,
                 len(string_split_regex(trim(text), '\s+')) AS n_words,
                 len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_words,
-                round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                (round((list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                         w -> length(w)))
-                      /(len(string_split_regex(trim(text), '\s+')) + 1e-8),4)
+                      /(len(string_split_regex(trim(text), '\s+')) + 1e-8))*1e4)/1e4 + 0.0e0)
                   AS avg_word_len,
-                round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-                      /(length(text) + 1e-8),4) AS punct_ratio,
-                round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                      /(length(text) + 1e-8),4) AS digit_ratio
+                (round(((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                      /(length(text) + 1e-8))*1e4)/1e4 + 0.0e0) AS punct_ratio,
+                (round(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      /(length(text) + 1e-8))*1e4)/1e4 + 0.0e0) AS digit_ratio
          FROM documents""",
     "q62_text_quality" ->
       """WITH t AS (SELECT lang, length(text) nc,
@@ -1237,8 +1241,8 @@ object SparkEntry {
                       + 0.4 * (nu/(nw + 1e-8))
                       + 0.2 * (1.0 - least(np/(nc + 1e-8)*5.0, 1.0)) AS score
                     FROM t)
-         SELECT lang, count(*) AS n_docs, round(avg(nc),4) AS avg_chars,
-                round(avg(nw),4) AS avg_words, round(avg(score),4) AS avg_quality
+         SELECT lang, count(*) AS n_docs, (round((avg(nc))*1e4)/1e4 + 0.0e0) AS avg_chars,
+                (round((avg(nw))*1e4)/1e4 + 0.0e0) AS avg_words, (round((avg(score))*1e4)/1e4 + 0.0e0) AS avg_quality
          FROM q GROUP BY 1""",
     "q63_lang_id" ->
       """WITH w AS (SELECT doc_id, lang, text,
@@ -1274,7 +1278,7 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                         GROUP BY 1,2)
          SELECT id_a, id_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
-                round(n_common/(sa.sz + sb.sz - n_common),4) AS jaccard
+                (round((n_common/(sa.sz + sb.sz - n_common))*1e4)/1e4 + 0.0e0) AS jaccard
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE n_common/(sa.sz + sb.sz - n_common) >= 0.8""",
     "q68_ann_brute" ->
@@ -1282,17 +1286,17 @@ object SparkEntry {
                     WHERE vec_id < 5),
               c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
               s AS (SELECT query_id, vec_id neighbor_id,
-                      round(list_dot_product(cv, qv)
+                      (round(list_dot_product(cv, qv)
                         /(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv)))
-                        *1e4)/1e4 cos_sim
+                        *1e4)/1e4 + 0.0e0) cos_sim
                     FROM c, q WHERE vec_id <> query_id),
               rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, neighbor_id ASC) rank FROM s)
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10""",
     "q70_embed_norms" ->
       """SELECT label, count(*) AS n_vecs,
-                round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
-                  embedding::DOUBLE[]))),4) AS avg_norm
+                (round((avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                  embedding::DOUBLE[]))))*1e4)/1e4 + 0.0e0) AS avg_norm
          FROM embeddings GROUP BY 1""",
     "q71_frame_sample" ->
       """SELECT doc_id AS media_id,
@@ -1310,7 +1314,7 @@ object SparkEntry {
                  SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, 0.3*t.q + 0.7*e.y
                  FROM t JOIN e ON t.l_partkey = e.l_partkey
                    AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
-         SELECT ws AS week_start, l_partkey, l_suppkey, round(y*1e4)/1e4 AS ewma FROM e""",
+         SELECT ws AS week_start, l_partkey, l_suppkey, (round(y*1e4)/1e4 + 0.0e0) AS ewma FROM e""",
     "q75_croston" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
@@ -1346,7 +1350,7 @@ object SparkEntry {
              FROM t JOIN e ON t.l_partkey = e.l_partkey
                AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                round(f*1e4)/1e4 AS croston_forecast
+                (round(f*1e4)/1e4 + 0.0e0) AS croston_forecast
          FROM e""",
     "q74_holt" ->
       """WITH RECURSIVE
@@ -1368,7 +1372,7 @@ object SparkEntry {
              FROM t JOIN e ON t.l_partkey = e.l_partkey
                AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                round(lvl*1e4)/1e4 AS holt_level, round(tr*1e4)/1e4 AS holt_trend
+                (round(lvl*1e4)/1e4 + 0.0e0) AS holt_level, (round(tr*1e4)/1e4 + 0.0e0) AS holt_trend
          FROM e""",
     "q76_tsb" ->
       """WITH RECURSIVE
@@ -1390,13 +1394,13 @@ object SparkEntry {
              FROM t JOIN e ON t.l_partkey = e.l_partkey
                AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                round(b*z*1e4)/1e4 AS tsb_forecast
+                (round(b*z*1e4)/1e4 + 0.0e0) AS tsb_forecast
          FROM e""",
     "q108_weighted_wmape" ->
       """WITH t AS (SELECT l_returnflag, l_quantity a, l_extendedprice w,
                       avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem)
          SELECT l_returnflag,
-                round(sum(abs(a-p)*w)/(sum(abs(a)*w) + 1e-8)*100*1e4)/1e4
+                (round(sum(abs(a-p)*w)/(sum(abs(a)*w) + 1e-8)*100*1e4)/1e4 + 0.0e0)
                   AS weighted_wmape,
                 count(*) AS n_rows
          FROM t GROUP BY 1""",
@@ -1441,7 +1445,7 @@ object SparkEntry {
                       ELSE (nz_std/nz_mean)*(nz_std/nz_mean) END cv2
                     FROM a)
          SELECT l_partkey, l_suppkey, n_periods, n_nonzero,
-                round(adi*1e4)/1e4 AS adi, round(cv2*1e4)/1e4 AS cv2,
+                (round(adi*1e4)/1e4 + 0.0e0) AS adi, (round(cv2*1e4)/1e4 + 0.0e0) AS cv2,
                 CASE WHEN n_nonzero = 0 THEN 'dead'
                      WHEN adi < 1.32 AND (cv2 < 0.49 OR cv2 IS NULL) THEN 'smooth'
                      WHEN adi >= 1.32 AND (cv2 < 0.49 OR cv2 IS NULL) THEN 'intermittent'
@@ -1453,7 +1457,7 @@ object SparkEntry {
                       l_suppkey, sum(l_quantity) q FROM lineitem GROUP BY 1,2,3),
               m AS (SELECT l_partkey, l_suppkey, avg(q) p FROM w GROUP BY 1,2),
               g AS (SELECT r.semana, l_suppkey pdv, l_partkey produto,
-                      CAST(greatest(round(p, 0), 0.0) AS BIGINT) quantidade
+                      CAST(greatest((round((p)*1e0)/1e0 + 0.0e0), 0.0) AS BIGINT) quantidade
                     FROM m, range(1, 6) r(semana))
          SELECT count(*) AS total_rows,
                 CAST(sum(CASE WHEN semana IS NULL OR pdv IS NULL OR produto IS NULL
@@ -1466,7 +1470,7 @@ object SparkEntry {
                 count(DISTINCT pdv) AS n_stores,
                 count(DISTINCT produto) AS n_products,
                 min(quantidade) AS qty_min, max(quantidade) AS qty_max,
-                round(avg(quantidade)*1e4)/1e4 AS qty_mean,
+                (round(avg(quantidade)*1e4)/1e4 + 0.0e0) AS qty_mean,
                 (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
                   (SELECT count(*) c FROM g GROUP BY semana, pdv, produto HAVING count(*) > 1))
                   AS dup_rows
@@ -1485,7 +1489,7 @@ object SparkEntry {
                      FROM c2
                      WINDOW sw AS (PARTITION BY l_partkey, l_suppkey ORDER BY ws))
          SELECT ws AS week_start, l_partkey, l_suppkey,
-                CAST(greatest(round(q, 0), 0.0) AS BIGINT) AS final_qty
+                CAST(greatest((round((q)*1e0)/1e0 + 0.0e0), 0.0) AS BIGINT) AS final_qty
          FROM c3""",
     "q80_cv_folds" ->
       """WITH g AS (SELECT min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
@@ -1504,16 +1508,16 @@ object SparkEntry {
                       avg(l_quantity*l_quantity*l_quantity*l_quantity) m4r
                     FROM lineitem GROUP BY 1)
          SELECT l_returnflag,
-                round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5) * 1e4)/1e4
+                (round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5) * 1e4)/1e4 + 0.0e0)
                   AS qty_skew,
-                round(((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*pow(m1,4))
-                       / pow(m2r - m1*m1, 2) - 3) * 1e4)/1e4 AS qty_kurt,
+                (round(((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*pow(m1,4))
+                       / pow(m2r - m1*m1, 2) - 3) * 1e4)/1e4 + 0.0e0) AS qty_kurt,
                 n AS n_obs
          FROM a""",
     "q82_prophet_prep" ->
-      """SELECT CAST(l_shipdate AS DATE) AS ds, round(sum(l_quantity)*1e4)/1e4 AS y,
+      """SELECT CAST(l_shipdate AS DATE) AS ds, (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) AS y,
                 count(*) AS n_tx
-         FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity)*1e4)/1e4 > 0""",
+         FROM lineitem GROUP BY 1 HAVING (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) > 0""",
     "q83_regional_rollup" ->
       """WITH j AS (SELECT n_name region, l_suppkey, l_partkey, l_quantity
                     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -1522,26 +1526,26 @@ object SparkEntry {
                       stddev(l_quantity) vstd, count(DISTINCT l_suppkey) ns,
                       count(DISTINCT l_partkey) np
                     FROM j GROUP BY 1)
-         SELECT region, round(vs*1e4)/1e4 AS vol_sum, round(vm*1e4)/1e4 AS vol_mean,
-                n_rows, round(vstd*1e4)/1e4 AS vol_std, ns AS n_stores, np AS n_products,
-                round(vs/sum(vs) OVER ()*1e4)/1e4 AS vol_share,
+         SELECT region, (round(vs*1e4)/1e4 + 0.0e0) AS vol_sum, (round(vm*1e4)/1e4 + 0.0e0) AS vol_mean,
+                n_rows, (round(vstd*1e4)/1e4 + 0.0e0) AS vol_std, ns AS n_stores, np AS n_products,
+                (round(vs/sum(vs) OVER ()*1e4)/1e4 + 0.0e0) AS vol_share,
                 ntile(3) OVER (ORDER BY vs ASC, region ASC) AS econ_tier,
-                round(CAST(np AS DOUBLE)/ns*1e4)/1e4 AS product_diversity
+                (round(CAST(np AS DOUBLE)/ns*1e4)/1e4 + 0.0e0) AS product_diversity
          FROM a""",
     "q84_profit_rollup" ->
       """WITH t AS (SELECT p_brand, l_extendedprice*(1-l_discount) revenue,
                       l_extendedprice*(1-l_discount) - l_quantity*p_retailprice*0.5 profit
                     FROM lineitem LEFT JOIN part ON l_partkey = p_partkey)
-         SELECT p_brand, round(sum(profit)*1e4)/1e4 AS profit_sum,
-                round(avg(profit)*1e4)/1e4 AS profit_mean,
-                round(stddev(profit)*1e4)/1e4 AS profit_std,
-                round((round(sum(profit)*1e4)/1e4) / (round(sum(revenue)*1e4)/1e4) * 1e4)/1e4
+         SELECT p_brand, (round(sum(profit)*1e4)/1e4 + 0.0e0) AS profit_sum,
+                (round(avg(profit)*1e4)/1e4 + 0.0e0) AS profit_mean,
+                (round(stddev(profit)*1e4)/1e4 + 0.0e0) AS profit_std,
+                (round(((round(sum(profit)*1e4)/1e4 + 0.0e0)) / ((round(sum(revenue)*1e4)/1e4 + 0.0e0)) * 1e4)/1e4 + 0.0e0)
                   AS margin
          FROM t GROUP BY 1""",
     "q85_feature_quality" ->
-      """WITH f AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 qty_sum,
-                      round(avg(l_quantity)*1e4)/1e4 qty_mean,
-                      round((CASE WHEN count(*) > 1 THEN stddev(l_quantity) END)*1e4)/1e4
+      """WITH f AS (SELECT l_partkey, (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) qty_sum,
+                      (round(avg(l_quantity)*1e4)/1e4 + 0.0e0) qty_mean,
+                      (round((CASE WHEN count(*) > 1 THEN stddev(l_quantity) END)*1e4)/1e4 + 0.0e0)
                         qty_std
                     FROM lineitem GROUP BY 1)
          SELECT 'qty_sum' AS feature,
@@ -1550,7 +1554,7 @@ object SparkEntry {
                 CAST(sum(CASE WHEN qty_sum = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
                 count(DISTINCT qty_sum) AS n_distinct,
                 CAST(count(DISTINCT qty_sum) <= 1 AS INT) AS is_constant,
-                round(avg(qty_sum)*1e4)/1e4 AS mean, round(stddev(qty_sum)*1e4)/1e4 AS std
+                (round(avg(qty_sum)*1e4)/1e4 + 0.0e0) AS mean, (round(stddev(qty_sum)*1e4)/1e4 + 0.0e0) AS std
          FROM f
          UNION ALL
          SELECT 'qty_mean',
@@ -1559,7 +1563,7 @@ object SparkEntry {
                 CAST(sum(CASE WHEN qty_mean = 0 THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT qty_mean),
                 CAST(count(DISTINCT qty_mean) <= 1 AS INT),
-                round(avg(qty_mean)*1e4)/1e4, round(stddev(qty_mean)*1e4)/1e4
+                (round(avg(qty_mean)*1e4)/1e4 + 0.0e0), (round(stddev(qty_mean)*1e4)/1e4 + 0.0e0)
          FROM f
          UNION ALL
          SELECT 'qty_std',
@@ -1568,7 +1572,7 @@ object SparkEntry {
                 CAST(sum(CASE WHEN qty_std = 0 THEN 1 ELSE 0 END) AS BIGINT),
                 count(DISTINCT qty_std),
                 CAST(count(DISTINCT qty_std) <= 1 AS INT),
-                round(avg(qty_std)*1e4)/1e4, round(stddev(qty_std)*1e4)/1e4
+                (round(avg(qty_std)*1e4)/1e4 + 0.0e0), (round(stddev(qty_std)*1e4)/1e4 + 0.0e0)
          FROM f""",
     "q86_high_corr" ->
       """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
@@ -1578,7 +1582,7 @@ object SparkEntry {
                     SELECT 'qty_sum', 'qty_count', corr(qty_sum, qty_count) FROM f
                     UNION ALL
                     SELECT 'qty_mean', 'qty_count', corr(qty_mean, qty_count) FROM f)
-         SELECT fa AS feature_a, fb AS feature_b, round(c*1e4)/1e4 AS corr
+         SELECT fa AS feature_a, fb AS feature_b, (round(c*1e4)/1e4 + 0.0e0) AS corr
          FROM p WHERE abs(c) > 0.5""",
     "q87_importance" ->
       """WITH f AS (SELECT l_partkey, sum(l_quantity) qty_sum, avg(l_quantity) qty_mean,
@@ -1598,19 +1602,19 @@ object SparkEntry {
                        coalesce(abs(corr(qty_count, qty_sum)), 0)*0.3
                        + coalesce(stddev(qty_count)/(abs(avg(qty_count))+1e-8), 0)*0.2 + 0.0
                      FROM f)
-         SELECT feature, round(s*1e4)/1e4 AS score FROM sc""",
+         SELECT feature, (round(s*1e4)/1e4 + 0.0e0) AS score FROM sc""",
     "q88_scoring_join" ->
       """WITH p AS (SELECT l_partkey, avg(l_quantity) pred FROM lineitem GROUP BY 1)
-         SELECT round(sum(abs(l_quantity - pred))/(sum(abs(l_quantity)) + 1e-8)*100*1e4)/1e4
+         SELECT (round(sum(abs(l_quantity - pred))/(sum(abs(l_quantity)) + 1e-8)*100*1e4)/1e4 + 0.0e0)
                   AS wmape,
                 count(*) AS n_rows
          FROM lineitem JOIN p USING (l_partkey)""",
     "q89_multiway_outer" ->
-      """WITH a AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 qty_sum
+      """WITH a AS (SELECT l_partkey, (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) qty_sum
                     FROM lineitem GROUP BY 1),
               b AS (SELECT l_partkey, count(DISTINCT l_suppkey) n_supp
                     FROM lineitem GROUP BY 1),
-              c AS (SELECT l_partkey, round(sum(l_quantity)*1e4)/1e4 disc_qty
+              c AS (SELECT l_partkey, (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) disc_qty
                     FROM lineitem WHERE l_discount > 0.08 GROUP BY 1)
          SELECT l_partkey, qty_sum, n_supp, disc_qty
          FROM a FULL JOIN b USING (l_partkey) FULL JOIN c USING (l_partkey)""",
@@ -1619,25 +1623,25 @@ object SparkEntry {
                        FROM lineitem GROUP BY 1,2),
               bp AS (SELECT l_partkey product, avg(l_quantity) prm FROM lineitem GROUP BY 1),
               bs AS (SELECT l_suppkey store, avg(l_quantity) sm FROM lineitem GROUP BY 1)
-         SELECT store, product, round(pm*1e4)/1e4 AS pair_mean,
-                round(prm*1e4)/1e4 AS product_mean, round(sm*1e4)/1e4 AS store_mean,
-                round(pm/prm*1e4)/1e4 AS product_affinity,
-                round(pm/sm*1e4)/1e4 AS store_affinity
+         SELECT store, product, (round(pm*1e4)/1e4 + 0.0e0) AS pair_mean,
+                (round(prm*1e4)/1e4 + 0.0e0) AS product_mean, (round(sm*1e4)/1e4 + 0.0e0) AS store_mean,
+                (round(pm/prm*1e4)/1e4 + 0.0e0) AS product_affinity,
+                (round(pm/sm*1e4)/1e4 + 0.0e0) AS store_affinity
          FROM pair JOIN bp USING (product) JOIN bs USING (store)""",
     "q91_pivot" ->
       """SELECT l_returnflag,
-                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)*1e4)/1e4 AS "O",
-                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)*1e4)/1e4 AS "F"
+                (round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)*1e4)/1e4 + 0.0e0) AS "O",
+                (round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)*1e4)/1e4 + 0.0e0) AS "F"
          FROM lineitem GROUP BY 1""",
     "q92_hurdle" ->
       """SELECT l_partkey,
-                round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)*1e4)/1e4
+                (round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)*1e4)/1e4 + 0.0e0)
                   AS p_nonzero,
-                round(avg(CASE WHEN l_discount > 0 THEN l_quantity END)*1e4)/1e4 AS nz_mean,
+                (round(avg(CASE WHEN l_discount > 0 THEN l_quantity END)*1e4)/1e4 + 0.0e0) AS nz_mean,
                 count(*) AS n_obs,
-                round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)
+                (round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END)
                       * coalesce(avg(CASE WHEN l_discount > 0 THEN l_quantity END), 0)
-                      *1e4)/1e4 AS hurdle_forecast
+                      *1e4)/1e4 + 0.0e0) AS hurdle_forecast
          FROM lineitem GROUP BY 1""",
     "q93_fallback" ->
       """WITH tr AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
@@ -1645,7 +1649,7 @@ object SparkEntry {
               c AS (SELECT l_partkey, avg(l_quantity) cm FROM tr GROUP BY 1),
               g AS (SELECT avg(l_quantity) gm FROM tr)
          SELECT l_orderkey, l_linenumber,
-                round(coalesce(fm, cm, gm)*1e4)/1e4 AS fallback_forecast
+                (round(coalesce(fm, cm, gm)*1e4)/1e4 + 0.0e0) AS fallback_forecast
          FROM lineitem LEFT JOIN f USING (l_partkey, l_suppkey)
          LEFT JOIN c USING (l_partkey) CROSS JOIN g""",
     "q94_ensemble_meta" ->
@@ -1658,13 +1662,13 @@ object SparkEntry {
                         ORDER BY l_shipdate, l_orderkey, l_linenumber), l_quantity) p3
                     FROM lineitem),
               m AS (SELECT *, ((0.0 + p1) + p2 + p3)/3 mean FROM t)
-         SELECT l_orderkey, l_linenumber, round(mean*1e4)/1e4 AS ens_mean,
-                round(least(p1, p2, p3)*1e4)/1e4 AS ens_min,
-                round(greatest(p1, p2, p3)*1e4)/1e4 AS ens_max,
-                round((greatest(p1,p2,p3) - least(p1,p2,p3))*1e4)/1e4 AS ens_range,
-                round(sqrt(((0.0 + (p1-mean)*(p1-mean)) + (p2-mean)*(p2-mean)
-                  + (p3-mean)*(p3-mean))/3)*1e4)/1e4 AS ens_std,
-                round(greatest(abs(p1-p2), abs(p1-p3), abs(p2-p3))*1e4)/1e4
+         SELECT l_orderkey, l_linenumber, (round(mean*1e4)/1e4 + 0.0e0) AS ens_mean,
+                (round(least(p1, p2, p3)*1e4)/1e4 + 0.0e0) AS ens_min,
+                (round(greatest(p1, p2, p3)*1e4)/1e4 + 0.0e0) AS ens_max,
+                (round((greatest(p1,p2,p3) - least(p1,p2,p3))*1e4)/1e4 + 0.0e0) AS ens_range,
+                (round(sqrt(((0.0 + (p1-mean)*(p1-mean)) + (p2-mean)*(p2-mean)
+                  + (p3-mean)*(p3-mean))/3)*1e4)/1e4 + 0.0e0) AS ens_std,
+                (round(greatest(abs(p1-p2), abs(p1-p3), abs(p2-p3))*1e4)/1e4 + 0.0e0)
                   AS ens_max_disagreement
          FROM m""",
     "q95_blend" ->
@@ -1677,14 +1681,14 @@ object SparkEntry {
                         ORDER BY l_shipdate, l_orderkey, l_linenumber), l_quantity) p3
                     FROM lineitem)
          SELECT l_orderkey, l_linenumber,
-                round((p1*0.5 + p2*0.3 + p3*0.2)*1e4)/1e4 AS blended
+                (round((p1*0.5 + p2*0.3 + p3*0.2)*1e4)/1e4 + 0.0e0) AS blended
          FROM t""",
     "q96_kpi" ->
       """WITH t AS (SELECT l_returnflag, l_quantity a,
                       avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem),
               g AS (SELECT l_returnflag,
                       sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100 wm FROM t GROUP BY 1)
-         SELECT l_returnflag, round(wm*1e4)/1e4 AS wmape,
+         SELECT l_returnflag, (round(wm*1e4)/1e4 + 0.0e0) AS wmape,
                 CASE WHEN wm >= 30 THEN 'CRIT' WHEN wm >= 20 THEN 'WARN'
                      ELSE 'OK' END AS status
          FROM g""",
@@ -1692,17 +1696,17 @@ object SparkEntry {
       """WITH t AS (SELECT l_linestatus, l_quantity a,
                       avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem)
          SELECT l_linestatus,
-                round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100*1e4)/1e4 AS wmape,
-                round(avg(p-a)*1e4)/1e4 AS bias,
-                round(stddev(p-a)*1e4)/1e4 AS resid_std,
+                (round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100*1e4)/1e4 + 0.0e0) AS wmape,
+                (round(avg(p-a)*1e4)/1e4 + 0.0e0) AS bias,
+                (round(stddev(p-a)*1e4)/1e4 + 0.0e0) AS resid_std,
                 count(*) AS n_rows
          FROM t GROUP BY 1""",
     "q98_lag_deltas" ->
       """SELECT l_orderkey, l_linenumber,
-                round((l_quantity - lag(l_quantity,1) OVER w)*1e4)/1e4 AS d1,
-                round((l_quantity - lag(l_quantity,1) OVER w)
-                      /(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 AS pct1,
-                round(l_quantity/(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 AS ratio1
+                (round((l_quantity - lag(l_quantity,1) OVER w)*1e4)/1e4 + 0.0e0) AS d1,
+                (round((l_quantity - lag(l_quantity,1) OVER w)
+                      /(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 + 0.0e0) AS pct1,
+                (round(l_quantity/(lag(l_quantity,1) OVER w + 1e-8)*1e4)/1e4 + 0.0e0) AS ratio1
          FROM lineitem
          WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber)""",
@@ -1716,7 +1720,7 @@ object SparkEntry {
                                  ORDER BY l_shipdate, l_orderkey, l_linenumber
                                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
          SELECT l_orderkey, l_linenumber,
-                round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5)*1e4)/1e4
+                (round((m3r - 3*m1*m2r + 2*m1*m1*m1) / pow(m2r - m1*m1, 1.5)*1e4)/1e4 + 0.0e0)
                   AS skew6
          FROM f""",
     "q100_trend_accel" ->
@@ -1735,8 +1739,8 @@ object SparkEntry {
                          THEN (cnt*sxy - sx*sy)/(cnt*sxx - sx*sx) END slope
                      FROM f)
          SELECT l_orderkey, l_linenumber,
-                round((slope - lag(slope,1) OVER (PARTITION BY l_partkey, l_suppkey
-                  ORDER BY x))*1e4)/1e4 AS accel4
+                (round((slope - lag(slope,1) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY x))*1e4)/1e4 + 0.0e0) AS accel4
          FROM sl""",
     "q101_promo_flag" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
@@ -1755,8 +1759,8 @@ object SparkEntry {
          FROM lineitem""",
     "q105_backfill_median" ->
       """SELECT l_orderkey, l_linenumber,
-                round(coalesce(lag(l_quantity,1) OVER w,
-                  quantile_cont(l_quantity, 0.5) OVER g)*1e4)/1e4 AS lag1_filled
+                (round(coalesce(lag(l_quantity,1) OVER w,
+                  quantile_cont(l_quantity, 0.5) OVER g)*1e4)/1e4 + 0.0e0) AS lag1_filled
          FROM lineitem
          WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber),

@@ -50,7 +50,11 @@ object Funcs {
     // multiply form round it UP — a systematic off-by-one-ulp divergence
     // on terminating-decimal data (prices / small-int divisions).
     val p = math.pow(10, scale)
-    round(c * lit(p), 0) / lit(p)
+    // + 0.0 normalizes IEEE -0.0 → +0.0 (NULL stays NULL). The driver's
+    // correctness gate hashes raw bytes, so a -0.0/+0.0 split between
+    // engines is a hash mismatch; both this and every oracle SQL append
+    // the same `+ 0.0` after rounding so zeros are bit-identical.
+    round(c * lit(p), 0) / lit(p) + lit(0.0)
   }
 
   /** Normalize NaN → NULL. Spark's corr/stddev return NaN on zero

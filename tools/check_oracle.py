@@ -70,7 +70,11 @@ def main():
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     af = a.astype("float64").to_numpy()
                     bf = b.astype("float64").to_numpy()
-                    neq = ~((np.isnan(af) & np.isnan(bf)) | (af == bf))
+                    # signbit-strict: the driver hashes raw bytes, so
+                    # -0.0 != +0.0 there even though IEEE == says equal.
+                    eq = (np.isnan(af) & np.isnan(bf)) | (
+                        (af == bf) & (np.signbit(af) == np.signbit(bf)))
+                    neq = ~eq
                 else:
                     neq = (a != b) & ~(a.isna() & b.isna())
                 if neq.any():
