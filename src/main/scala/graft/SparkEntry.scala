@@ -1188,7 +1188,20 @@ object SparkEntry {
       """WITH years AS (SELECT unnest(range(1992, 2006)) y),
               md AS (SELECT unnest(['01-01','04-21','05-01','09-07','10-12','11-02',
                                     '11-15','12-25']) m),
-              hol AS (SELECT CAST(y || '-' || m AS DATE) h FROM years, md),
+              -- movable feasts (computus-derived, hardcoded per year):
+              -- Carnaval = Easter-47d, Good Friday = Easter-2d, Corpus Christi = Easter+60d
+              mov AS (SELECT CAST(unnest([
+                '1992-03-03','1992-04-17','1992-06-18','1993-02-23','1993-04-09','1993-06-10',
+                '1994-02-15','1994-04-01','1994-06-02','1995-02-28','1995-04-14','1995-06-15',
+                '1996-02-20','1996-04-05','1996-06-06','1997-02-11','1997-03-28','1997-05-29',
+                '1998-02-24','1998-04-10','1998-06-11','1999-02-16','1999-04-02','1999-06-03',
+                '2000-03-07','2000-04-21','2000-06-22','2001-02-27','2001-04-13','2001-06-14',
+                '2002-02-12','2002-03-29','2002-05-30','2003-03-04','2003-04-18','2003-06-19',
+                '2004-02-24','2004-04-09','2004-06-10','2005-02-08','2005-03-25','2005-05-26'
+                ]) AS DATE) h),
+              hol AS (SELECT DISTINCT h FROM
+                (SELECT CAST(y || '-' || m AS DATE) h FROM years, md
+                 UNION ALL SELECT h FROM mov)),
               dd AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem),
               j AS (SELECT day, CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END is_h
                     FROM dd LEFT JOIN hol ON day = h),

@@ -84,15 +84,39 @@ object Calendar {
     df.join(broadcast(enriched), to_date(date) === col("__d"), "left").drop("__d")
   }
 
-  /** A fixed Brazilian national-holiday dimension for a given year range
-    * (fixed-date holidays only; movable feasts omitted — documented
-    * divergence from the reference's `holidays.Brazil` lookup,
-    * business_features_engine.py:56-60). */
+  /** Easter Sunday by the anonymous Gregorian computus
+    * (Meeus/Jones/Butcher) — the standard published algorithm. */
+  private[graft] def easterSunday(y: Int): java.time.LocalDate = {
+    val a = y % 19
+    val b = y / 100; val c = y % 100
+    val d = b / 4; val e = b % 4
+    val f = (b + 8) / 25
+    val g = (b - f + 1) / 3
+    val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4; val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = ((h + l - 7 * m + 114) % 31) + 1
+    java.time.LocalDate.of(y, month, day)
+  }
+
+  /** The Brazilian national-holiday dimension for a given year range:
+    * the eight fixed-date holidays plus the computus-derived movable
+    * feasts — Carnaval Tuesday (Easter − 47d), Good Friday (− 2d),
+    * Corpus Christi (+ 60d) — matching the reference's
+    * `holidays.Brazil` lookup (business_features_engine.py:56-60).
+    * Deduplicated: Good Friday can land on fixed Tiradentes (2000-04-21),
+    * and a duplicate date would fan out the holiday-distance join. */
   def brazilianHolidays(spark: SparkSession, years: Seq[Int]): DataFrame = {
     import spark.implicits._
     val fixed = Seq("01-01", "04-21", "05-01", "09-07", "10-12", "11-02", "11-15", "12-25")
-    years.flatMap(y => fixed.map(md => s"$y-$md")).toDF("h_date")
-      .withColumn("h_date", to_date(col("h_date")))
+    val dates = years.flatMap { y =>
+      val easter = easterSunday(y)
+      fixed.map(md => s"$y-$md") ++
+        Seq(-47L, -2L, 60L).map(off => easter.plusDays(off).toString)
+    }.distinct
+    dates.toDF("h_date").withColumn("h_date", to_date(col("h_date")))
   }
 
   /** D8 — coercing date parse: null on failure (reference

@@ -1,8 +1,9 @@
 package graft.model
 
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{GBTRegressor, GBTRegressionModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.regression.{GBTRegressor, GBTRegressionModel, LinearRegression, LinearRegressionModel}
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -51,6 +52,56 @@ object Models {
         count(lit(1)).as("n_obs"))
       .withColumn("hurdle_forecast",
         col("p_nonzero") * coalesce(col("nz_mean"), lit(0.0)))
+
+  /** M7 (fitted leg) — the reference's actual hurdle composition: a
+    * LogisticRegression classifier for P(y > 0 | x) × a regressor fit on
+    * the NONZERO rows only for E[y | y > 0, x]; the forecast is the
+    * product (reference: src/models/intermittent_demand.py:177-375).
+    * Unlike the aggregate `hurdleForecast` (one number per key), both
+    * legs condition on the feature vector, so the forecast varies
+    * within a key. Fitting is two MLlib passes; scoring is two
+    * transforms — no extra shuffle beyond MLlib's own. */
+  final case class HurdleModel(classifier: LogisticRegressionModel,
+                               regressor: GBTRegressionModel,
+                               features: Seq[String]) {
+    /** Score: P(y>0) from the classifier's probability vector ×
+      * conditional size from the regressor. */
+    def transform(df: DataFrame, outCol: String = "hurdle_fitted"): DataFrame = {
+      val assembled = new VectorAssembler()
+        .setInputCols(features.toArray).setOutputCol("__features")
+        .setHandleInvalid("keep")
+        .transform(df)
+      val withP = classifier.setProbabilityCol("__prob")
+        .setPredictionCol("__clf_pred").setRawPredictionCol("__raw")
+        .transform(assembled)
+        .withColumn("__p_nonzero", vector_to_array(col("__prob")).getItem(1))
+        .drop("__prob", "__clf_pred", "__raw")
+      regressor.setPredictionCol("__nz_pred").transform(withP)
+        .withColumn(outCol, col("__p_nonzero") * greatest(col("__nz_pred"), lit(0.0)))
+        .drop("__features", "__p_nonzero", "__nz_pred")
+    }
+  }
+
+  /** Fit the two hurdle legs. The classifier sees every row (label =
+    * y > 0); the regressor sees only rows with y > 0 — the conditional
+    * distribution, exactly the reference's split. */
+  def fitHurdle(train: DataFrame, features: Seq[String], target: String,
+                maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): HurdleModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("__features")
+      .setHandleInvalid("keep")
+      .transform(train)
+      .withColumn("__nonzero", (col(target) > 0).cast("double"))
+    val clf = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__nonzero")
+      .setMaxIter(50)
+      .fit(assembled)
+    val reg = new GBTRegressor()
+      .setFeaturesCol("__features").setLabelCol(target)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled.filter(col(target) > 0))
+    HurdleModel(clf, reg, features)
+  }
 
   /** M8 — hierarchical cold-start fallback: per-pair mean, falling back
     * to the item mean, then the global mean (cold_start_solutions.py:
@@ -109,6 +160,46 @@ object Models {
     val total = weighted.map(_._2).sum
     val expr = weighted.map { case (c, w) => col(c) * lit(w / total) }.reduce(_ + _)
     df.withColumn(outCol, expr)
+  }
+
+  /** M12 (learned leg) — stacking meta-model: fit linear meta-weights
+    * on the base models' predictions (optionally + ensemble
+    * meta-features) against the actual, on a held-out fold the base
+    * models did NOT train on (walk-forward, so the meta-fit never sees
+    * leaked residuals). The reference's dynamic-weighting ensemble
+    * (advanced_ensemble.py:204-660) reduced to its data-engine core:
+    * assemble → one MLlib linear fit → a scoring transform. */
+  final case class StackModel(lr: LinearRegressionModel, inputCols: Seq[String]) {
+    /** Learned weight per input column (plus intercept) — the
+      * interpretable summary the reference logs per ensemble round. */
+    def weights: Map[String, Double] =
+      inputCols.zip(lr.coefficients.toArray).toMap + ("__intercept" -> lr.intercept)
+
+    def transform(df: DataFrame, outCol: String = "stacked"): DataFrame = {
+      val assembled = new VectorAssembler()
+        .setInputCols(inputCols.toArray).setOutputCol("__meta_features")
+        .setHandleInvalid("keep")
+        .transform(df)
+      lr.setPredictionCol(outCol).transform(assembled).drop("__meta_features")
+    }
+  }
+
+  /** Fit the stacking meta-model on a meta-fold: `metaTrain` must be a
+    * slice where base predictions exist and the target is known, and
+    * that postdates every base model's training window. L2
+    * regularization keeps near-collinear base predictions (ensembles
+    * correlate!) from exploding the weights. */
+  def fitStacker(metaTrain: DataFrame, predCols: Seq[String], target: String,
+                 regParam: Double = 1e-4): StackModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(predCols.toArray).setOutputCol("__meta_features")
+      .setHandleInvalid("keep")
+      .transform(metaTrain)
+    val lr = new LinearRegression()
+      .setFeaturesCol("__meta_features").setLabelCol(target)
+      .setRegParam(regParam).setElasticNetParam(0.0)
+      .fit(assembled)
+    StackModel(lr, predCols)
   }
 
   /** M16 — KPI threshold ladder: metric value → OK / WARN / CRIT

@@ -199,6 +199,51 @@ object AggFeatures {
       .drop("__n_baskets")
   }
 
+  /** A29 (FP-Growth path) — the same co-occurrence+lift table computed
+    * via MLlib's distributed FP-Growth instead of the pair self-join.
+    * The self-join shuffles |basket|² candidate pairs per basket; at
+    * >10⁹ baskets with fat baskets FP-Growth's conditional-tree mining
+    * bounds that blowup (BENCH_NOTES names this as the q21 scale path).
+    * Output schema and values are identical to `coOccurrence` —
+    * AggFeaturesSpec proves parity on real sf0.01 data.
+    *
+    * One deliberate driver-side action: FP-Growth takes min support as a
+    * FRACTION, so the basket count is aggregated once (a single scalar,
+    * once per call — not per row). The fraction is nudged half a count
+    * below `minSupport` (MLlib takes `ceil(fraction·n)`) and the exact
+    * `pair_count >= minSupport` filter is re-applied on the result, so
+    * float rounding at the boundary can only over-generate, never drop.
+    */
+  def coOccurrenceFpGrowth(df: DataFrame, basketKey: Seq[String], item: String,
+                           minSupport: Long = 5): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+      .groupBy(basketKey.map(col): _*)
+      .agg(collect_set(col("item")).as("items"))
+      .cache() // two MLlib passes + the basket count below
+    val nBaskets = baskets.count()
+    val model = new FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport((minSupport.toDouble - 0.5) / nBaskets)
+      .fit(baskets)
+    val freq = model.freqItemsets
+    val singles = freq.filter(size(col("items")) === 1)
+      .select(element_at(col("items"), 1).as("item"), col("freq").as("n"))
+    val pairs = freq.filter(size(col("items")) === 2)
+      .select(array_sort(col("items")).as("__its"), col("freq").as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+      .select(element_at(col("__its"), 1).as("item_a"),
+        element_at(col("__its"), 2).as("item_b"), col("pair_count"))
+    pairs
+      .join(broadcast(singles.toDF("item", "n_a")), col("item_a") === col("item"))
+      .drop("item")
+      .join(broadcast(singles.toDF("item", "n_b")), col("item_b") === col("item"))
+      .drop("item")
+      .withColumn("lift",
+        (col("pair_count") / lit(nBaskets.toDouble)) /
+          ((col("n_a") / lit(nBaskets.toDouble)) * (col("n_b") / lit(nBaskets.toDouble))))
+  }
+
   /** A18 — frequency encoding: per-value counts joined back
     * (reference: src/data/preprocessors.py:210-248). */
   def frequencyEncode(df: DataFrame, c: String): DataFrame = {

@@ -36,6 +36,20 @@ object SequentialKernels {
     val enc = RowEncoder.encoderFor(outSchema)
     val keyIdx = keyCols.map(df.schema.fieldIndex)
     val valIdx = df.schema.fieldIndex(valueCol)
+    // Typed primitive extraction resolved once from the schema — the fold
+    // runs once per fact row, so a per-row toString/parse would be a
+    // measurable constant-factor tax at scale.
+    val getValue: Row => Double = df.schema(valIdx).dataType match {
+      case DoubleType => _.getDouble(valIdx)
+      case FloatType => _.getFloat(valIdx).toDouble
+      case LongType => _.getLong(valIdx).toDouble
+      case IntegerType => _.getInt(valIdx).toDouble
+      case ShortType => _.getShort(valIdx).toDouble
+      case ByteType => _.getByte(valIdx).toDouble
+      case dt: DecimalType => _.getDecimal(valIdx).doubleValue()
+      case dt => throw new IllegalArgumentException(
+        s"keyedFold value column '$valueCol' must be numeric, got $dt")
+    }
     df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col) ++ ordCols: _*)
       .mapPartitions { rows =>
@@ -44,8 +58,7 @@ object SequentialKernels {
         rows.map { row =>
           val k = keyIdx.map(row.get)
           if (k != curKey) { curKey = k; state = None }
-          val v = if (row.isNullAt(valIdx)) None
-                  else Some(row.get(valIdx).toString.toDouble)
+          val v = if (row.isNullAt(valIdx)) None else Some(getValue(row))
           val (outs, ns) = step(v, state)
           state = ns
           Row.fromSeq(row.toSeq ++ outs.map(_.orNull))

@@ -43,7 +43,7 @@ object Similarity {
                      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("cos_sim", round(cosine(col(corpusVec), col(queryVec)) * 1e4, 0) / 1e4)
+      .withColumn("cos_sim", graft.functions.Funcs.r(cosine(col(corpusVec), col(queryVec))))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -95,7 +95,7 @@ object Similarity {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
-      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")) * 1e4, 0) / 1e4)
+      .withColumn("cos_sim", graft.functions.Funcs.r(cosine(col("__va"), col("__vb"))))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -136,7 +136,7 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(queryVec).as("__qvec"), col("cell"))
     val cand = assigned.join(probed, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__cvec"), col("__qvec")) * 1e4, 0) / 1e4)
+      .withColumn("cos_sim", graft.functions.Funcs.r(cosine(col("__cvec"), col("__qvec"))))
     val rw = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
@@ -167,7 +167,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__cvec"), col("__qvec"))
       .distinct()
-      .withColumn("cos_sim", round(cosine(col("__cvec"), col("__qvec")) * 1e4, 0) / 1e4)
+      .withColumn("cos_sim", graft.functions.Funcs.r(cosine(col("__cvec"), col("__qvec"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, word
   * n-gram Jaccard, MinHash+LSH and SimHash near-dup detection.
@@ -13,6 +14,15 @@ import org.apache.spark.sql.functions._
   * verify step then runs only on candidates.
   */
 object Dedup {
+
+  /** Persist a fact-sized intermediate (shingle/signature table) reused
+    * across the candidate-generation and verify stages. Default
+    * MEMORY_AND_DISK: at 100 TB the shingle table is LARGER than the
+    * corpus, so memory-only caching would thrash the block manager —
+    * spill-to-disk keeps reuse without eviction storms. Pass
+    * StorageLevel.NONE to skip persistence and recompute instead. */
+  private def persisted(df: DataFrame, level: StorageLevel): DataFrame =
+    if (level == StorageLevel.NONE) df else df.persist(level)
 
   /** Exact dedup on a content column, deterministic keep-first by
     * tiebreaker (usually the id). Shuffles on a 64-bit content hash
@@ -49,8 +59,9 @@ object Dedup {
     * candidates only. Exactness is preserved; at 100 TB this is the
     * difference between a bounded join and a quadratic one. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int = 3,
-                        threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, id, text, n).cache()
+                        threshold: Double = 0.8,
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sh = persisted(shingles(df, id, text, n), storage)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     // global doc-frequency rank per shingle → prefix = rarest shingles
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
@@ -101,9 +112,10 @@ object Dedup {
     * all-pairs). Estimated Jaccard = matching signature positions. */
   def minHashCandidates(df: DataFrame, id: String, text: String,
                         n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                        minEstJaccard: Double = 0.5): DataFrame = {
+                        minEstJaccard: Double = 0.5,
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(shingles(df, id, text, n), id, numHashes).cache()
+    val sigs = persisted(minHashSignatures(shingles(df, id, text, n), id, numHashes), storage)
     val banded = sigs.select(col(id), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"), b))))
@@ -171,10 +183,11 @@ object Dedup {
     * candidates come from the (chunkIdx, chunkValue) equi-join, then the
     * exact popcount filter runs on candidates only. */
   def simHashCandidates(df: DataFrame, id: String, text: String,
-                        maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                        maxHamming: Int = 3, chunks: Int = 4,
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val sh = simHash(df, id, text).cache()
+    val sh = persisted(simHash(df, id, text), storage)
     val chunked = sh.select(col(id), col("simhash"),
       posexplode(array((0 until chunks).map(cix =>
         shiftright(col("simhash"), cix * width).bitwiseAND(lit(mask))): _*)))

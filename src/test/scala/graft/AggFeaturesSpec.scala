@@ -72,4 +72,22 @@ class AggFeaturesSpec extends SparkSpec {
     val b = AggFeatures.sampleRows(df, 0.2).count()
     assert(a == b && a > 100 && a < 320)
   }
+
+  test("FP-Growth co-occurrence matches the exact pair self-join at sf0.01, min-support 5") {
+    // The >10^9-basket scale path (BENCH_NOTES): FP-Growth must produce
+    // the IDENTICAL pair/count/lift table as the exact self-join, on
+    // real data (lineitem baskets by order, items by part).
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("item_a").cast("long"), col("item_b").cast("long"),
+        col("pair_count").cast("long"), col("n_a").cast("long"), col("n_b").cast("long"),
+        round(col("lift") * 1e9).cast("long"))
+      .collect().map(_.toSeq).toSet
+    val exact = key(AggFeatures.coOccurrence(li, Seq("l_orderkey"), "l_partkey", 5))
+    val fp = key(AggFeatures.coOccurrenceFpGrowth(li, Seq("l_orderkey"), "l_partkey", 5))
+    assert(exact.nonEmpty, "parity test needs a nonempty pair table")
+    assert(fp == exact,
+      s"FP-Growth diverges: ${fp.size} vs ${exact.size} rows; " +
+        s"onlyFp=${(fp -- exact).take(3)} onlyExact=${(exact -- fp).take(3)}")
+  }
 }

@@ -42,6 +42,21 @@ class CalendarFuncsSpec extends SparkSpec {
     assert(out("2024-05-03")._3 == 2)       // 2 days since May 1
   }
 
+  test("computus: Easter Sunday matches published dates; movable feasts derived") {
+    // Published Gregorian Easter dates (Meeus/Jones/Butcher reference values).
+    assert(Calendar.easterSunday(2000).toString == "2000-04-23")
+    assert(Calendar.easterSunday(2008).toString == "2008-03-23") // earliest in range
+    assert(Calendar.easterSunday(2011).toString == "2011-04-24") // latest in range
+    assert(Calendar.easterSunday(2024).toString == "2024-03-31")
+    val hol = Calendar.brazilianHolidays(spark, Seq(2000))
+      .select(col("h_date").cast("string")).as[String].collect().toSet
+    assert(hol.contains("2000-03-07"))  // Carnaval = Easter - 47d
+    assert(hol.contains("2000-04-21"))  // Good Friday collides with Tiradentes
+    assert(hol.contains("2000-06-22"))  // Corpus Christi = Easter + 60d
+    // Collision must be deduplicated: 8 fixed + 3 movable - 1 overlap.
+    assert(hol.size == 10)
+  }
+
   test("toDateCoerce nulls on failure, parses valid dates") {
     val out = Seq("2020-05-05", "garbage").toDF("s")
       .select(Calendar.toDateCoerce(col("s")).as("d")).collect()

@@ -25,6 +25,67 @@ class ModelsSpec extends SparkSpec {
     assert(r.getAs[Double]("hurdle_forecast") == 4.0)
   }
 
+  test("fitted hurdle conditions on features and beats the aggregate hurdle") {
+    // Demand is feature-driven: probability of a sale AND its size both
+    // grow with x. The aggregate hurdle emits ONE number per key, so it
+    // cannot track x; the fitted classifier x regressor can.
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val x = (i % 100).toDouble / 100.0
+      val sold = rng.nextDouble() < x
+      val y = if (sold) 10.0 * x + rng.nextDouble() else 0.0
+      ("k", x, y, i)
+    }
+    val df = rows.toDF("k", "x", "y", "i")
+    val train = df.filter(col("i") <= 300)
+    val test = df.filter(col("i") > 300)
+
+    val fitted = Models.fitHurdle(train, Seq("x"), "y", maxIter = 10, maxDepth = 3)
+    val scored = fitted.transform(test)
+    val aggScored = test.join(
+      broadcast(Models.hurdleForecast(train, Seq(col("k")), col("y"), Seq("k"))
+        .select("k", "hurdle_forecast")), Seq("k"))
+
+    val fittedMae = scored.agg(graft.metrics.Metrics.mae(col("y"), col("hurdle_fitted")))
+      .as[Double].head()
+    val aggMae = aggScored.agg(graft.metrics.Metrics.mae(col("y"), col("hurdle_forecast")))
+      .as[Double].head()
+    assert(fittedMae < aggMae,
+      s"fitted hurdle MAE $fittedMae should beat aggregate hurdle MAE $aggMae")
+    // sanity: probabilities are probabilities
+    val p = Models.fitHurdle(train, Seq("x"), "y", maxIter = 5, maxDepth = 2)
+      .classifier
+    assert(p.numClasses == 2)
+  }
+
+  test("learned stacker recovers blend weights and beats every single base model") {
+    // Truth is a fixed linear blend of two base predictors with noise;
+    // the meta-fit happens on a LATER slice than the base "training"
+    // (walk-forward discipline), scoring on the final holdout.
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 600).map { i =>
+      val p1 = rng.nextDouble() * 100
+      val p2 = rng.nextDouble() * 100
+      val y = 0.3 * p1 + 0.7 * p2 + rng.nextGaussian() * 0.5
+      (i, p1, p2, y)
+    }
+    val df = rows.toDF("i", "p1", "p2", "y")
+    val metaTrain = df.filter(col("i") <= 400)
+    val holdout = df.filter(col("i") > 400)
+
+    val stack = Models.fitStacker(metaTrain, Seq("p1", "p2"), "y")
+    val w = stack.weights
+    assert(math.abs(w("p1") - 0.3) < 0.05, s"w(p1)=${w("p1")}")
+    assert(math.abs(w("p2") - 0.7) < 0.05, s"w(p2)=${w("p2")}")
+
+    val scored = stack.transform(holdout)
+    def wm(pred: String) = scored.agg(
+      graft.metrics.Metrics.wmape(col("y"), col(pred))).as[Double].head()
+    val stacked = wm("stacked")
+    assert(stacked <= wm("p1") && stacked <= wm("p2"),
+      s"stacked $stacked vs singles ${wm("p1")}, ${wm("p2")}")
+  }
+
   test("hierarchical fallback: fine -> coarse -> global") {
     val stats = Seq(("p1", "s1", 10.0), ("p1", "s2", 20.0), ("p2", "s1", 50.0))
       .toDF("p", "s", "v")
