@@ -736,6 +736,17 @@ object SparkEntry {
       val clusters = graft.text.Dedup.dedupClusters(pairs)
       graft.text.Dedup.dropNearDupes(docs, "doc_id", clusters)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
+    }),
+    // M15 residual diagnostics: score lineitem with a per-part group-mean
+    // model, then diagnose the residuals per return flag — lag-1..3
+    // autocorrelation + Ljung-Box, median-cutoff runs test, fitted-vs-
+    // squared-residual correlation.
+    "q111_residual_diag" -> ((s, d) => {
+      val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val scored = li(s, d).withColumn("__pred", avg(col("l_quantity")).over(byPart))
+      graft.metrics.ResidualDiagnostics.diagnose(
+        scored, Seq("l_returnflag"), col("l_quantity"), col("__pred"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
     })
   )
 
@@ -1442,6 +1453,63 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc
          WHERE comp.doc IS NULL OR comp.cid = d.doc_id
          GROUP BY 1""",
+    "q111_residual_diag" ->
+      """WITH scored AS (
+           SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                  (round((avg(l_quantity) OVER (PARTITION BY l_partkey))*1e4)/1e4 + 0.0e0) AS fitted,
+                  (round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_partkey))*1e4)/1e4 + 0.0e0) AS resid
+           FROM lineitem),
+         stats AS (
+           SELECT l_returnflag,
+                  (round((avg(resid))*1e4)/1e4 + 0.0e0) AS rmean,
+                  median(resid) AS rmedian
+           FROM scored GROUP BY 1),
+         lagged AS (
+           SELECT s.l_returnflag, t.rmean, s.fitted, s.resid,
+                  s.resid - t.rmean AS c,
+                  lag(s.resid - t.rmean, 1) OVER w AS c1,
+                  lag(s.resid - t.rmean, 2) OVER w AS c2,
+                  lag(s.resid - t.rmean, 3) OVER w AS c3,
+                  CASE WHEN s.resid > t.rmedian THEN 1 ELSE 0 END AS bin,
+                  lag(CASE WHEN s.resid > t.rmedian THEN 1 ELSE 0 END, 1) OVER w AS binprev
+           FROM scored s JOIN stats t USING (l_returnflag)
+           WINDOW w AS (PARTITION BY s.l_returnflag
+                        ORDER BY s.l_shipdate, s.l_orderkey, s.l_linenumber, s.l_quantity)),
+         agg AS (
+           SELECT l_returnflag,
+                  count(*) AS n,
+                  min(rmean) AS resid_mean,
+                  sum(c*c) AS ss,
+                  sum(CASE WHEN c1 IS NOT NULL THEN c*c1 ELSE 0.0e0 END) AS s1,
+                  sum(CASE WHEN c2 IS NOT NULL THEN c*c2 ELSE 0.0e0 END) AS s2,
+                  sum(CASE WHEN c3 IS NOT NULL THEN c*c3 ELSE 0.0e0 END) AS s3,
+                  CAST(sum(CASE WHEN binprev IS NOT NULL AND bin <> binprev THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+                  CAST(sum(bin) AS BIGINT) AS n_above,
+                  corr(fitted, resid*resid) AS bp
+           FROM lagged GROUP BY 1),
+         derived AS (
+           SELECT l_returnflag, n, resid_mean,
+                  (round(((round(s1*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) AS acf1,
+                  (round(((round(s2*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) AS acf2,
+                  (round(((round(s3*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) AS acf3,
+                  changes + 1 AS runs, n_above,
+                  CAST(n AS DOUBLE) AS nd,
+                  CAST(n_above AS DOUBLE) AS n1d,
+                  CAST(n - n_above AS DOUBLE) AS n2d,
+                  (round(bp*1e4)/1e4 + 0.0e0) AS bp_corr
+           FROM agg)
+         SELECT l_returnflag, n, resid_mean, acf1, acf2, acf3,
+                (round((n*(n+2)*(pow(acf1,2)/(n-1) + pow(acf2,2)/(n-2) + pow(acf3,2)/(n-3)))*1e4)/1e4 + 0.0e0) AS lb_q,
+                runs, n_above,
+                (round((CASE WHEN (2.0e0*n1d*n2d*(2.0e0*n1d*n2d - nd))/(nd*nd*(nd-1.0e0)) > 0
+                   THEN (runs - (2.0e0*n1d*n2d/nd + 1.0e0))
+                        / sqrt((2.0e0*n1d*n2d*(2.0e0*n1d*n2d - nd))/(nd*nd*(nd-1.0e0)))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS runs_z,
+                bp_corr,
+                CASE WHEN abs(bp_corr) < 1
+                  THEN (round((bp_corr * sqrt((n-2)/(1.0e0 - pow(bp_corr,2))))*1e4)/1e4 + 0.0e0)
+                END AS bp_t
+         FROM derived""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,
