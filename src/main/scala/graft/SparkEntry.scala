@@ -737,6 +737,28 @@ object SparkEntry {
       graft.text.Dedup.dropNearDupes(docs, "doc_id", clusters)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
     }),
+    // Wide feature store: the four-family composition on the weekly
+    // grain; the oracle checks a slice spanning every family (temporal
+    // lag/delta/rolling/momentum, behavioral rank/age/activity,
+    // calendar cyclical, aggregation share/ADI).
+    "q110_feature_store" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.operators.FeatureStore.wide(weekly,
+        Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum")
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("lag_1")).as("lag_1"),
+          r(col("delta_2")).as("delta_2"),
+          r(col("roll4_mean")).as("roll4_mean"),
+          r(col("roll4_std")).as("roll4_std"),
+          r(col("momentum_1")).as("momentum_1"),
+          r(col("pct_rank_in_key")).as("pct_rank_in_key"),
+          col("age_weeks"),
+          r(col("month_sin")).as("month_sin"),
+          r(col("share_of_key")).as("share_of_key"),
+          r(col("adi")).as("adi"),
+          col("nonzero_last_4"))
+    }),
     // M15 residual diagnostics: score lineitem with a per-part group-mean
     // model, then diagnose the residuals per return flag — lag-1..3
     // autocorrelation + Ljung-Box, median-cutoff runs test, fitted-vs-
@@ -1453,6 +1475,52 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc
          WHERE comp.doc IS NULL OR comp.cid = d.doc_id
          GROUP BY 1""",
+    "q110_feature_store" ->
+      """WITH weekly AS (
+           SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                  l_partkey, l_suppkey, sum(l_quantity) AS qty_sum
+           FROM lineitem GROUP BY 1,2,3),
+         key_agg AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(qty_sum) AS key_sum,
+                  count(*) AS key_n_weeks,
+                  avg(CASE WHEN qty_sum > 0 THEN 1.0e0 ELSE 0.0e0 END) AS key_nonzero_ratio
+           FROM weekly GROUP BY 1,2),
+         feat AS (
+           SELECT week_start, l_partkey, l_suppkey, qty_sum,
+                  lag(qty_sum, 1) OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY week_start) AS lag_1,
+                  qty_sum - lag(qty_sum, 2) OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY week_start) AS delta_2,
+                  avg(qty_sum) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY week_start
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4_mean,
+                  stddev(qty_sum) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY week_start
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4_std,
+                  qty_sum/(lag(qty_sum, 1) OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY week_start) + 1e-8) - 1 AS momentum_1,
+                  percent_rank() OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY qty_sum, week_start) AS pct_rank_in_key,
+                  CAST(date_diff('day',
+                    min(week_start) OVER (PARTITION BY l_partkey, l_suppkey),
+                    week_start)/7 AS BIGINT) AS age_weeks,
+                  sin(month(week_start) * 2*pi()/12) AS month_sin,
+                  CAST(sum(CASE WHEN qty_sum > 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_partkey, l_suppkey ORDER BY week_start
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS nonzero_last_4
+           FROM weekly)
+         SELECT f.week_start, f.l_partkey, f.l_suppkey,
+                (round(f.lag_1*1e4)/1e4 + 0.0e0) AS lag_1,
+                (round(f.delta_2*1e4)/1e4 + 0.0e0) AS delta_2,
+                (round(f.roll4_mean*1e4)/1e4 + 0.0e0) AS roll4_mean,
+                (round(f.roll4_std*1e4)/1e4 + 0.0e0) AS roll4_std,
+                (round(f.momentum_1*1e4)/1e4 + 0.0e0) AS momentum_1,
+                (round(f.pct_rank_in_key*1e4)/1e4 + 0.0e0) AS pct_rank_in_key,
+                f.age_weeks,
+                (round((f.month_sin)*1e4)/1e4 + 0.0e0) AS month_sin,
+                (round((f.qty_sum/(k.key_sum + 1e-8))*1e4)/1e4 + 0.0e0) AS share_of_key,
+                (round((k.key_n_weeks/(k.key_nonzero_ratio*k.key_n_weeks + 1e-8))*1e4)/1e4 + 0.0e0) AS adi,
+                f.nonzero_last_4
+         FROM feat f JOIN key_agg k USING (l_partkey, l_suppkey)""",
     "q111_residual_diag" ->
       """WITH scored AS (
            SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,

@@ -57,6 +57,14 @@ object Jobs {
       Seq(col("week_start")), "qty_sum", 0.3, "ewma_03")
   }
 
+  /** §3.2 (wide) — the reference's full-pipeline shape: ~100+ columns
+    * from all four feature families, then top-K selection against a
+    * leak-free next-week target (feature_pipeline.py:80-186,423-468).
+    * The narrow `featureStore` stays as the curated fast path. */
+  def featureStoreWide(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    graft.operators.FeatureStore.wideSelected(etl(spark, sfDir),
+      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum", k)
+
   /** §3.3 forecast + submission: per-series hurdle×EWMA blend forecast
     * for a 5-week horizon grid, post-processed, validated, written. */
   def forecastSubmission(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {

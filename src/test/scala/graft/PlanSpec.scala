@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
   }
 
+  test("wide feature store: temporal+behavioral families ride ONE series exchange") {
+    val weekly = graft.etl.Enrichment.weeklyAggregate(
+      Tables.lineitem(spark, dir), col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+    val plan = graft.operators.FeatureStore.wide(weekly,
+      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum", withEwma = false)
+      .queryExecution.executedPlan.toString
+    // Exchange budget: 1 weekly-grain groupBy (fact) + 1 series exchange
+    // shared by EVERY window family (temporal, behavioral, key-level
+    // aggregation). ~60 window columns must NOT each add an exchange.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
+
   test("graft_dot registers as a SQL function, folds constants, codegens over tables") {
     GraftFunctions.register(spark)
     // constant args fold at optimization time (proof interpreted eval works)

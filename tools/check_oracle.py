@@ -33,6 +33,29 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+INTEGRAL = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+FLOATING = {"FLOAT", "DOUBLE"}
+
+
+def duck_types(con, sql):
+    """Column -> DuckDB type for a query, BEFORE pandas coercion (a
+    nullable BIGINT becomes float64 in pandas, hiding int-vs-double
+    schema splits that the driver's byte-hash gate rejects)."""
+    return {r[0]: str(r[1]).upper() for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
+def dtype_kind_problems(stypes, otypes):
+    problems = []
+    for c in sorted(set(stypes) & set(otypes)):
+        st, ot = stypes[c], otypes[c]
+        if (st in INTEGRAL and ot in FLOATING) or (st in FLOATING and ot in INTEGRAL):
+            problems.append(f"col {c}: dtype kind mismatch spark={st} oracle={ot}")
+        elif st in FLOATING and ot in FLOATING and st != ot:
+            problems.append(f"col {c}: float width mismatch spark={st} oracle={ot}")
+    return problems
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -52,14 +75,16 @@ def main():
             n_fail += 1
             continue
         try:
-            sdf = norm(con.execute(
-                f"SELECT * FROM read_parquet({spark_files!r})").fetchdf())
+            spark_sql = f"SELECT * FROM read_parquet({spark_files!r})"
+            sdf = norm(con.execute(spark_sql).fetchdf())
             odf = norm(con.execute(sql).fetchdf())
+            stypes = duck_types(con, spark_sql)
+            otypes = duck_types(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = dtype_kind_problems(stypes, otypes)
         if list(sdf.columns) != list(odf.columns):
             problems.append(f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
         elif len(sdf) != len(odf):
