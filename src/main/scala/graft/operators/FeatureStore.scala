@@ -25,9 +25,10 @@ import graft.functions.Funcs.safeDiv
   *     no join-back, no broadcast of a series-dim agg (which grows
   *     with the data and would OOM a broadcast at 100 TB).
   *
-  * The EWMA column is the one documented extra exchange: the sequential
-  * kernel repartitions for its streaming fold (SequentialKernels
-  * scaladoc). PlanSpec pins the exchange budget.
+  * The EWMA sequential kernel runs FIRST on the narrow weekly frame;
+  * its repartition(keys) then doubles as the series exchange the window
+  * families reuse, so the whole store is weekly-agg + series = two
+  * exchanges total. PlanSpec pins that budget.
   */
 object FeatureStore {
 
@@ -44,8 +45,16 @@ object FeatureStore {
     val sw = SeriesWindow(keys.map(col), Seq(col(weekCol)))
     val qty = col(qtyCol)
 
+    // ---- sequential kernel FIRST, on the narrow frame ----
+    // Two wins: the fold's row encoder serializes ~5 columns instead of
+    // ~110, and its repartition(keys) BECOMES the series exchange every
+    // window family below reuses (EnsureRequirements sees the
+    // partitioning satisfied) — so the kernel costs no extra shuffle.
+    var out = if (withEwma)
+      graft.seq.SequentialKernels.withEwma(weekly, keys, Seq(col(weekCol)), qtyCol, 0.3, "ewma_03")
+    else weekly
+
     // ---- temporal family: one window partitioning ----
-    var out = weekly
     WindowFeatures.lags(qty, lagSet, sw).foreach { case (n, c) =>
       out = out.withColumn(n, c)
     }
@@ -114,11 +123,7 @@ object FeatureStore {
       .withColumn("adi",
         col("key_n_weeks") / (col("key_nonzero_ratio") * col("key_n_weeks") + lit(Funcs.Eps)))
       .withColumn("share_of_key", safeDiv(qty, col("key_sum")))
-
-    // ---- sequential kernel (documented extra exchange) ----
-    if (withEwma)
-      graft.seq.SequentialKernels.withEwma(out, keys, Seq(col(weekCol)), qtyCol, 0.3, "ewma_03")
-    else out
+    out
   }
 
   /** `wide` + the reference's select-top-K step: score every generated

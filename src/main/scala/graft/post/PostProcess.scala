@@ -78,6 +78,35 @@ object PostProcess {
       df.withColumn(c, col(c) * expr)
   }
 
+  /** M14 capacity constraint: per-group (store) proportional scale-down
+    * when the group's predicted total exceeds that group's capacity
+    * limit (business_rules.py:163-215 — `limit / total_predicted`
+    * scaling). `limits` is a small (group..., limit) dimension,
+    * broadcast; the group total is an unbounded group frame — one
+    * exchange on the group key, no driver loop over stores. */
+  def capacityCap(c: String, groupCols: Seq[String], limits: DataFrame): Step = { df =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    df.join(broadcast(limits.toDF(groupCols :+ "__limit": _*)), groupCols, "left")
+      .withColumn("__total", sum(col(c)).over(w))
+      .withColumn(c,
+        when(col("__limit").isNotNull && col("__total") > col("__limit"),
+          col(c) * col("__limit") / col("__total")).otherwise(col(c)))
+      .drop("__limit", "__total")
+  }
+
+  /** M14 market-share constraint: when the global predicted total
+    * implies a market share above target, scale every row by
+    * target/current (business_rules.py:727-775). One 1-row aggregate
+    * broadcast back — never an eager driver-side sum. */
+  def marketShareCap(c: String, totalMarketSize: Double, targetShare: Double): Step = { df =>
+    val stats = df.agg(sum(col(c)).as("__tot"))
+    df.join(broadcast(stats))
+      .withColumn(c,
+        when(col("__tot") / lit(totalMarketSize) > lit(targetShare),
+          col(c) * lit(targetShare * totalMarketSize) / col("__tot")).otherwise(col(c)))
+      .drop("__tot")
+  }
+
   /** D14 integer business rounding, final step (business_rules.py:553-690). */
   def integerize(c: String): Step =
     df => df.withColumn(c, businessRound(col(c)).cast("double"))

@@ -46,13 +46,20 @@ class PlanSpec extends SparkSpec {
       Tables.lineitem(spark, dir), col("l_shipdate"),
       Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
     val plan = graft.operators.FeatureStore.wide(weekly,
-      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum", withEwma = false)
+      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum")
       .queryExecution.executedPlan.toString
     // Exchange budget: 1 weekly-grain groupBy (fact) + 1 series exchange
-    // shared by EVERY window family (temporal, behavioral, key-level
-    // aggregation). ~60 window columns must NOT each add an exchange.
+    // (the EWMA kernel's repartition, which every window family —
+    // temporal, behavioral, key-level aggregation — then reuses).
+    // ~60 window columns must NOT each add an exchange.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
+    // and the no-kernel variant is exactly the two relational exchanges
+    val plainPlan = graft.operators.FeatureStore.wide(weekly,
+      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum", withEwma = false)
+      .queryExecution.executedPlan.toString
+    val plainExchanges = "Exchange hashpartitioning".r.findAllIn(plainPlan).length
+    assert(plainExchanges <= 2, s"$plainExchanges exchanges:\n$plainPlan")
   }
 
   test("graft_dot registers as a SQL function, folds constants, codegens over tables") {

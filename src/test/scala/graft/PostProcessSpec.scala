@@ -44,4 +44,25 @@ class PostProcessSpec extends SparkSpec {
     val out = PostProcess.sigmaCap("v", 1.0)(df).as[Double].head()
     assert(out == 42.0)
   }
+
+  test("capacity cap scales over-limit stores proportionally, leaves others alone") {
+    val df = Seq(("s1", 60.0), ("s1", 40.0), ("s2", 30.0), ("s3", 10.0))
+      .toDF("store", "v")
+    val limits = Seq(("s1", 50.0), ("s2", 100.0)).toDF("store", "limit")
+    val out = PostProcess.capacityCap("v", Seq("store"), limits)(df)
+      .orderBy("store", "v").select("store", "v").as[(String, Double)].collect()
+    // s1 total 100 > 50 -> scale by 0.5; s2 under limit; s3 no limit row
+    assert(out.toSeq == Seq(("s1", 20.0), ("s1", 30.0), ("s2", 30.0), ("s3", 10.0)))
+  }
+
+  test("market share cap scales globally only when the implied share exceeds target") {
+    val df = Seq(30.0, 30.0).toDF("v")
+    // total 60 over market 100 = 0.6 > target 0.3 -> scale to sum 30
+    val capped = PostProcess.marketShareCap("v", 100.0, 0.3)(df)
+      .as[Double].collect()
+    assert(capped.toSeq == Seq(15.0, 15.0))
+    // under target -> untouched
+    val ok = PostProcess.marketShareCap("v", 1000.0, 0.3)(df).as[Double].collect()
+    assert(ok.toSeq == Seq(30.0, 30.0))
+  }
 }
