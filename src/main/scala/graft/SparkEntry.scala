@@ -737,6 +737,12 @@ object SparkEntry {
       graft.text.Dedup.dropNearDupes(docs, "doc_id", clusters)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
     }),
+    // A29 FP-Growth path: must produce the IDENTICAL table as the exact
+    // pair self-join (q21) — same oracle, mined distributively.
+    "q112_cooccurrence_fp" -> ((s, d) =>
+      AggFeatures.coOccurrenceFpGrowth(li(s, d), Seq("l_orderkey"), "l_partkey", 3)
+        .select(col("item_a"), col("item_b"), col("pair_count"), col("n_a"), col("n_b"),
+          r(col("lift")).as("lift"))),
     // Wide feature store: the four-family composition on the weekly
     // grain; the oracle checks a slice spanning every family (temporal
     // lag/delta/rolling/momentum, behavioral rank/age/activity,
@@ -1475,6 +1481,18 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc
          WHERE comp.doc IS NULL OR comp.cid = d.doc_id
          GROUP BY 1""",
+    "q112_cooccurrence_fp" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) n FROM items),
+              ic AS (SELECT l_partkey item, count(DISTINCT l_orderkey) n FROM items GROUP BY 1),
+              pairs AS (SELECT a.l_partkey item_a, b.l_partkey item_b, count(*) pair_count
+                        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                        GROUP BY 1,2 HAVING count(*) >= 3)
+         SELECT item_a, item_b, pair_count, ia.n AS n_a, ib.n AS n_b,
+                (round(((pair_count/nb.n)/((ia.n/nb.n)*(ib.n/nb.n)))*1e4)/1e4 + 0.0e0) AS lift
+         FROM pairs, nb, ic ia, ic ib
+         WHERE item_a = ia.item AND item_b = ib.item""",
     "q110_feature_store" ->
       """WITH weekly AS (
            SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,

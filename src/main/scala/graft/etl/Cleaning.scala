@@ -36,7 +36,7 @@ object Cleaning {
     * `percentile_approx` — the transform shape is unchanged.
     */
   def quantileRangeFilter(c: String, lo: Double = 0.01, hi: Double = 0.99,
-                          exact: Boolean = true)(df: DataFrame): DataFrame = {
+                          exact: Option[Boolean] = None)(df: DataFrame): DataFrame = {
     val b = df.agg(
       graft.functions.Funcs.pct(col(c), lo, exact).as("__lo"),
       graft.functions.Funcs.pct(col(c), hi, exact).as("__hi"))
@@ -97,7 +97,7 @@ object Cleaning {
   /** F11 — price anomaly repair: drop negatives, cap values above
     * capMult×Q99 at Q99 (reference: clean_data.py:204-219, capMult=10). */
   def priceAnomalyRepair(c: String, capMult: Double = 10.0,
-                         exact: Boolean = true)(df: DataFrame): DataFrame = {
+                         exact: Option[Boolean] = None)(df: DataFrame): DataFrame = {
     val pos = df.filter(col(c) >= 0)
     val q = pos.agg(graft.functions.Funcs.pct(col(c), 0.99, exact).as("__q99"))
     pos.join(broadcast(q))

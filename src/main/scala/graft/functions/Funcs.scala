@@ -64,11 +64,22 @@ object Funcs {
     */
   def nanToNull(c: Column): Column = when(isnan(c), lit(null).cast("double")).otherwise(c)
 
-  /** Percentile with an exactness switch: exact `percentile` matches
-    * pandas/the oracle bit-for-bit; `percentile_approx` is the 100 TB
-    * swap (t-digest sketch, bounded memory per group). Operators take
-    * an `exact` flag defaulting to true so the scale swap is a config
-    * choice, not a code edit. */
-  def pct(c: Column, p: Double, exact: Boolean = true): Column =
-    if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
+  /** Session conf controlling the engine-wide percentile default:
+    * `true` (the unset default) = exact `percentile`, bit-identical to
+    * pandas/the oracle; `false` = `percentile_approx` (t-digest sketch,
+    * bounded memory per group) — the 100 TB setting. A cluster
+    * deployment flips this ONE conf; no operator call sites change.
+    * Only WHOLE-GROUP percentiles consult it — rolling medians over
+    * bounded frames (n ≤ 12 rows) are already memory-bounded and stay
+    * exact. */
+  val ExactPercentilesConf = "spark.graft.exactPercentiles"
+
+  /** Percentile with an exactness switch. Callers that need a specific
+    * mode pass Some(...); the default (None) consults
+    * [[ExactPercentilesConf]] on the active session. */
+  def pct(c: Column, p: Double, exact: Option[Boolean] = None): Column = {
+    val ex = exact.getOrElse(org.apache.spark.sql.SparkSession.active
+      .conf.get(ExactPercentilesConf, "true").toBoolean)
+    if (ex) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
+  }
 }

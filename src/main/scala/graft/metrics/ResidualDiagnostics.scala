@@ -34,7 +34,7 @@ object ResidualDiagnostics {
     * bp_corr / bp_t (corr(fitted, resid²) and its t-statistic).
     */
   def diagnose(df: DataFrame, sliceCols: Seq[String], actual: Column, pred: Column,
-               ord: Seq[Column], maxLag: Int = 3, exactMedian: Boolean = true): DataFrame = {
+               ord: Seq[Column], maxLag: Int = 3, exactMedian: Option[Boolean] = None): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val slice = sliceCols.map(col)
     val base = df

@@ -18,12 +18,14 @@ object AggFeatures {
 
   /** A1+A2+A3 — per-key descriptive stats: sum/mean/median/std/min/max/
     * count, higher moments, distinct counts
-    * (reference: aggregation_features_engine.py:64-91). Exact `percentile`
-    * for oracle parity — swap to percentile_approx at 100 TB.
+    * (reference: aggregation_features_engine.py:64-91). The median is
+    * exact by default (oracle parity); a cluster deployment sets
+    * `spark.graft.exactPercentiles=false` to switch every whole-group
+    * percentile in the engine to the t-digest sketch.
     */
   def keyStats(df: DataFrame, key: Seq[Column], qty: Column,
                extraDistinct: Seq[(String, Column)] = Nil,
-               exactMedian: Boolean = true): DataFrame = {
+               exactMedian: Option[Boolean] = None): DataFrame = {
     val base = Seq(
       sum(qty).as("qty_sum"),
       avg(qty).as("qty_mean"),
@@ -335,7 +337,7 @@ object AggFeatures {
     * (reference: behavioral_features_engine.py:171-180). Exact percentile
     * as a group window (same shuffle as the agg). */
   def burstFrequency(df: DataFrame, key: Seq[Column], value: Column,
-                     outNames: Seq[String], exact: Boolean = true): DataFrame = {
+                     outNames: Seq[String], exact: Option[Boolean] = None): DataFrame = {
     val w = Window.partitionBy(key: _*)
     df.withColumn("__med", graft.functions.Funcs.pct(value, 0.5, exact).over(w))
       .groupBy(outNames.map(col): _*)

@@ -84,6 +84,23 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup — the ingest-side leg of the dedup pipeline
+    * (the batch legs live in graft.text.Dedup): drop events whose
+    * content hash was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys state by the 64-bit content
+    * hash (not the payload) and evicts state as the watermark passes —
+    * bounded memory forever, the only dedup shape that survives an
+    * unbounded stream. Exactness holds WITHIN the horizon; duplicates
+    * farther apart than the watermark must be caught by the batch
+    * compaction pass (the standard lambda split). */
+  def dedupStream(events: DataFrame, contentCols: Seq[String],
+                  watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__content_hash", xxhash64(contentCols.map(col): _*))
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Batch-equivalent of windowedCounts for parity testing: the same
     * 7-day tumbling buckets computed with groupBy over a static frame. */
   def windowedCountsBatch(events: DataFrame, windowDur: String = "7 days"): DataFrame =

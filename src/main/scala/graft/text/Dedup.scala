@@ -158,14 +158,22 @@ object Dedup {
     * cluster id (the minimum member id); keep-one-per-cluster is then a
     * trivial filter. The distributed closure step every real dedup
     * pipeline needs between "pairs found" and "rows dropped". */
-  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+  /** @param maxIterations cap on the label-propagation rounds. CC
+    *   converges in O(diameter) rounds; near-dup graphs are usually
+    *   star/clique-shaped (diameter ≤ ~4), but a pathological chain of
+    *   pairwise-similar docs can stretch the diameter to the corpus
+    *   size and stall the job at 100 TB. The cap bounds the worst case:
+    *   an unconverged chain splits into a few adjacent clusters —
+    *   slightly under-merged dedup, never a hung cluster. */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                    maxIterations: Int = 20): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
       .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
     val graph = Graph.fromEdges[Unit, Unit](edges, ())
-    graph.connectedComponents().vertices
+    graph.connectedComponents(maxIterations).vertices
       .toDF("doc_id", "cluster_id")
   }
 

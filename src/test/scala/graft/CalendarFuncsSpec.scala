@@ -57,6 +57,15 @@ class CalendarFuncsSpec extends SparkSpec {
     assert(hol.size == 10)
   }
 
+  test("spark.graft.exactPercentiles=false flips default percentiles to t-digest") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution.optimizedPlan.toString
+    assert(plan(df.agg(Funcs.pct(col("v"), 0.5))).contains("percentile("))
+    spark.conf.set(Funcs.ExactPercentilesConf, "false")
+    try assert(plan(df.agg(Funcs.pct(col("v"), 0.5))).contains("percentile_approx("))
+    finally spark.conf.unset(Funcs.ExactPercentilesConf)
+  }
+
   test("toDateCoerce nulls on failure, parses valid dates") {
     val out = Seq("2020-05-05", "garbage").toDF("s")
       .select(Calendar.toDateCoerce(col("s")).as("d")).collect()

@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "body")
+
+    val query = EventsStream.dedupStream(events, Seq("body"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "same text"),
+      (ts("2024-01-01 10:01:00"), 2L, "same text"),   // dup in same batch
+      (ts("2024-01-01 10:02:00"), 3L, "other text"))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 10:30:00"), 4L, "same text")) // dup across batches
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSet
+    query.stop()
+    assert(ids == Set(1L, 3L), s"survivors: $ids")
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
