@@ -123,6 +123,80 @@ object Jobs {
     (gbtWmape, naiveWmape)
   }
 
+  /** §3.3 stacked path (M12 learned leg, end-to-end): three base
+    * forecasters — GBT over the feature store, the EWMA level carry,
+    * and the 4-week rolling mean — are combined by a linear meta-model
+    * fit on a META window that postdates all base training, then scored
+    * on the untouched final holdout. Walk-forward discipline throughout:
+    * base-train < meta < holdout, so neither fit ever sees its own
+    * evaluation residuals. The stacker is validation-gated: it ships
+    * only if it beats every single on the meta window. Returns
+    * (selected candidate's holdout WMAPE, best single's holdout WMAPE).
+    */
+  def stackedForecast(spark: SparkSession, sfDir: String,
+                      metaWeeks: Int = 8, holdoutWeeks: Int = 4): (Double, Double) = {
+    val sw = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("week_start"))
+    val features = featureStore(spark, sfDir)
+      .withColumn("label", lead(col("qty_sum"), 1).over(sw))
+      .filter(col("label").isNotNull)
+      .na.fill(0.0)
+    val featCols = Seq("qty_sum", "lag_1", "lag_4", "roll_mean_4", "roll_std_4",
+      "momentum_1", "stability", "ewma_03", "month", "dow", "quarter", "week_of_year")
+    val (_, hi) = graft.cv.TimeSplits.dateBounds(features, col("week_start"))
+    val cutMeta = hi.minusWeeks(metaWeeks + holdoutWeeks)
+    val cutSel = hi.minusWeeks(metaWeeks / 2 + holdoutWeeks)
+    val cutHold = hi.minusWeeks(holdoutWeeks)
+    val train = features.filter(col("week_start") <= lit(cutMeta.toString))
+    // the meta window splits again: combiners FIT on the first half and
+    // are SELECTED on the second, so no candidate is ever scored on a
+    // window it was fit on (scoring the stacker in-sample would always
+    // pick it — a 0% training WMAPE says nothing about transfer)
+    val metaFit = features.filter(col("week_start") > lit(cutMeta.toString)
+      && col("week_start") <= lit(cutSel.toString))
+    val metaSel = features.filter(col("week_start") > lit(cutSel.toString)
+      && col("week_start") <= lit(cutHold.toString))
+    val holdout = features.filter(col("week_start") > lit(cutHold.toString))
+
+    val gbt = graft.model.Models.fitGbt(train, featCols, "label", maxIter = 20, maxDepth = 5)
+    def withBases(df: DataFrame): DataFrame =
+      graft.model.Models.predictGbt(gbt, df, featCols, "pred_gbt")
+        .withColumn("pred_gbt", greatest(col("pred_gbt"), lit(0.0)))
+        .withColumn("pred_ewma", col("ewma_03"))
+        .withColumn("pred_roll", col("roll_mean_4"))
+    val baseCols = Seq("pred_gbt", "pred_ewma", "pred_roll")
+    // Two ensemble candidates, both fit on the meta-FIT slice only:
+    // unconstrained OLS meta-weights, and the WMAPE-optimal convex
+    // blend (whose simplex corners include every single model).
+    val metaFitBased = withBases(metaFit)
+    val stack = graft.model.Models.fitStacker(metaFitBased, baseCols, "label")
+    val (convexW, _) = graft.model.Models.blendSearch(metaFitBased, baseCols, "label")
+    def withEnsembles(df: DataFrame): DataFrame =
+      graft.model.Models.blend(stack.transform(df), convexW, "convex")
+    // Margin-gated selection (the reference's dynamic ensemble keeps a
+    // combiner only when it clearly wins on validation): candidates are
+    // scored on the meta-SELECT slice, and a LESS constrained combiner
+    // only displaces the incumbent if it beats it by >5% relative — a
+    // thin out-of-fit edge from an unconstrained fit is exactly what
+    // fails to transfer under level shift. Still leak-free: the holdout
+    // is untouched until the final score.
+    def wmOn(df: DataFrame, c: String) =
+      df.agg(Metrics.wmape(col("label"), col(c))).head().getDouble(0)
+    val selEval = withEnsembles(withBases(metaSel))
+    val selScore = (baseCols ++ Seq("convex", "stacked"))
+      .map(c => c -> wmOn(selEval, c)).toMap
+    val bestSingle = baseCols.minBy(selScore)
+    val chosen = Seq("convex", "stacked").foldLeft(bestSingle) { (inc, cand) =>
+      if (selScore(cand) < 0.95 * selScore(inc)) cand else inc
+    }
+    println(s"[job] ensemble selection-window WMAPEs: " +
+      selScore.toSeq.sortBy(_._2).map { case (c, s) => f"$c=$s%.2f" }.mkString(", ") +
+      s" -> chosen $chosen")
+
+    val scored = withEnsembles(withBases(holdout))
+    (wmOn(scored, chosen), baseCols.map(c => wmOn(scored, c)).min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)
@@ -162,6 +236,13 @@ object Jobs {
 
     val (gbtW, naiveW) = gbtForecast(spark, sfDir)
     println(f"[job] holdout WMAPE: gbt=$gbtW%.2f%% vs naive-ewma=$naiveW%.2f%%")
+
+    val wideStore = featureStoreWide(spark, sfDir, k = 50)
+    println(s"[job] wide feature store: ${wideStore.columns.length} selected columns " +
+      s"(of ~110 generated), ${wideStore.count()} rows")
+
+    val (stackedW, bestSingleW) = stackedForecast(spark, sfDir)
+    println(f"[job] holdout WMAPE: ensemble-selected=$stackedW%.2f%% vs best-single=$bestSingleW%.2f%%")
     spark.stop()
   }
 }

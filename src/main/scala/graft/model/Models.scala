@@ -202,6 +202,35 @@ object Models {
     StackModel(lr, predCols)
   }
 
+  /** M12 (searched leg) — WMAPE-optimal convex blend: enumerate weight
+    * vectors on a simplex grid (weights ≥ 0, Σ = 1) and score EVERY
+    * candidate in ONE distributed pass — each candidate is a single
+    * aggregate expression, so a 15-candidate search costs one scan.
+    * This optimizes the business metric directly (the reference's
+    * dynamic weighting, advanced_ensemble.py:204-660, tunes on WMAPE,
+    * not MSE), and convexity keeps the blend robust to level shift
+    * between the validation window and serving — unlike unconstrained
+    * OLS stacking, it can never do worse on its fit window than the
+    * best single model (the corners of the simplex ARE the singles).
+    * Returns (weights per column, fit-window WMAPE). */
+  def blendSearch(df: DataFrame, predCols: Seq[String], target: String,
+                  step: Double = 0.25): (Seq[(String, Double)], Double) = {
+    require(predCols.nonEmpty && step > 0 && step <= 1.0)
+    val parts = math.round(1.0 / step).toInt
+    def simplex(k: Int, remaining: Int): Seq[Seq[Int]] =
+      if (k == 1) Seq(Seq(remaining))
+      else (0 to remaining).flatMap(i => simplex(k - 1, remaining - i).map(i +: _))
+    val grids = simplex(predCols.size, parts).map(_.map(_.toDouble / parts))
+    val aggs = grids.zipWithIndex.map { case (w, i) =>
+      val blended = predCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      graft.metrics.Metrics.wmape(col(target), blended).as(s"__w$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val scores = grids.indices.map(i => row.getDouble(i))
+    val best = scores.indices.minBy(scores)
+    (predCols.zip(grids(best)), scores(best))
+  }
+
   /** M16 — KPI threshold ladder: metric value → OK / WARN / CRIT
     * (reference: src/validation/kpi_system.py:28-300; WMAPE 20/30). */
   def kpiStatus(metric: Column, warn: Double = 20.0, crit: Double = 30.0): Column =

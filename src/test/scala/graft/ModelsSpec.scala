@@ -86,6 +86,21 @@ class ModelsSpec extends SparkSpec {
       s"stacked $stacked vs singles ${wm("p1")}, ${wm("p2")}")
   }
 
+  test("blendSearch finds the WMAPE-optimal convex weights on the simplex grid") {
+    // y == p2 exactly: the optimal corner is (0, 1); a coarse grid must
+    // land there and report ~0 WMAPE.
+    val df = (1 to 50).map { i => (i * 1.0 + 100, i * 3.0, i * 3.0) }
+      .toDF("p1", "p2", "y")
+    val (w, score) = Models.blendSearch(df, Seq("p1", "p2"), "y", step = 0.25)
+    assert(w.toMap == Map("p1" -> 0.0, "p2" -> 1.0), w.toString)
+    assert(score < 1e-6, s"score $score")
+    // corners include the singles, so the search can never be worse
+    // than the best single on its fit window
+    val single = df.agg(graft.metrics.Metrics.wmape(col("y"), col("p1")))
+      .as[Double].head()
+    assert(score <= single)
+  }
+
   test("hierarchical fallback: fine -> coarse -> global") {
     val stats = Seq(("p1", "s1", 10.0), ("p1", "s2", 20.0), ("p2", "s1", 50.0))
       .toDF("p", "s", "v")
