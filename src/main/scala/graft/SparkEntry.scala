@@ -775,7 +775,26 @@ object SparkEntry {
       graft.metrics.ResidualDiagnostics.diagnose(
         scored, Seq("l_returnflag"), col("l_quantity"), col("__pred"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
-    })
+    }),
+    // Portable-hash family: unlike q103/q104 (seeded sample / murmur3 —
+    // engine-private, rows-only checks), these compute bit-identical
+    // values in any engine, so the driver's hash gate covers them fully.
+    "q113_fingerprint_poly" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.PortableHash.polyFingerprint(col("text")).as("fp"))),
+    "q114_det_sample" -> ((s, d) =>
+      graft.functions.PortableHash.detSample(li(s, d), col("l_orderkey"), 0.1)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))),
+    "q115_bucket_poly" -> ((s, d) =>
+      part(s, d)
+        .groupBy(graft.functions.PortableHash.polyBucket(col("p_brand"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))),
+    "q116_sessionize" -> ((s, d) =>
+      graft.operators.Sessions.stats(Tables.events(s, d), 30, col("value"))),
+    "q117_tfidf" -> ((s, d) =>
+      graft.text.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1596,6 +1615,58 @@ object SparkEntry {
                   THEN (round((bp_corr * sqrt((n-2)/(1.0e0 - pow(bp_corr,2))))*1e4)/1e4 + 0.0e0)
                 END AS bp_t
          FROM derived""",
+    "q113_fingerprint_poly" ->
+      """SELECT doc_id, list_min([
+           list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0,8)],
+                       (a,x) -> (a*31+x) % 1000000007)
+           FOR i IN range(1, greatest(len(text)-7, 1)+1)]) AS fp
+         FROM documents""",
+    "q114_det_sample" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
+         FROM lineitem
+         WHERE ((l_orderkey % 2147483647) * 48271 % 2147483647)
+                * 48271 % 2147483647 * 48271 % 2147483647 < 214748364
+         GROUP BY 1""",
+    "q115_bucket_poly" ->
+      """SELECT list_reduce([ord(p_brand[i:i])::BIGINT FOR i IN range(1, len(p_brand)+1)],
+                            (a,x) -> (a*31+x) % 1000000007) % 16 AS bucket,
+                count(*) AS n_rows
+         FROM part GROUP BY 1""",
+    "q116_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, value, us,
+                  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us,
+                (max(us) - min(us)) // 1000000 AS dur_sec,
+                (round((sum(value))*1e4)/1e4 + 0.0e0) AS value_sum
+         FROM s GROUP BY 1,2""",
+    "q117_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, term, tf, df,
+                (round((tf * ln((n_docs+1.0e0)/(df+1.0e0)))*1e4)/1e4 + 0.0e0) AS tfidf,
+                rank
+         FROM (SELECT doc_id, term, tf, df, n_docs,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY (round((tf * ln((n_docs+1.0e0)/(df+1.0e0)))*1e4)/1e4 + 0.0e0) DESC,
+                                 term ASC) AS rank
+               FROM tf JOIN df USING (term) CROSS JOIN n)
+         WHERE rank <= 3""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

@@ -24,14 +24,16 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long (session flag) and convert to a
-    * microsecond TimestampType column. */
+    * microsecond TimestampType column. Integer `div` (not `/`): the
+    * nanos values exceed 2^53, so a double division rounds the
+    * microsecond off by ±1 on ~6% of rows, while DuckDB (and parquet
+    * readers generally) truncate — `div` matches them exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+class PortableHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyHash matches a reference JVM fold (no trailing-empty-token drift)") {
+    val rows = Seq("a", "ab", "graft", "the quick brown fox").toDF("s")
+    val got = rows.select(col("s"), PortableHash.polyHash(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % PortableHash.MPoly)
+    got.foreach { case (s, h) => assert(h == ref(s), s"polyHash('$s')") }
+  }
+
+  test("polyHash of empty string is 0") {
+    val h = Seq("").toDF("s").select(PortableHash.polyHash(col("s"))).as[Long].head()
+    assert(h == 0L)
+  }
+
+  test("lehmer is deterministic and spreads a contiguous key range") {
+    val keys = spark.range(1, 10001).toDF("k")
+    val frac = keys.select(PortableHash.lehmer(col("k")).as("h"))
+      .filter(col("h") < lit((PortableHash.M31 / 10))).count() / 10000.0
+    // 3 rounds break the one-round linearity (one round gives ~30% on
+    // contiguous keys); expect ≈10% within a loose tolerance
+    assert(frac > 0.07 && frac < 0.13, s"frac=$frac")
+  }
+
+  test("detSample keeps all-or-none of the rows sharing a key") {
+    val df = spark.range(0, 2000).select((col("id") % 500).as("k"), col("id").as("v"))
+    val sampled = PortableHash.detSample(df, col("k"), 0.2)
+    val perKey = sampled.groupBy("k").count().select("count").as[Long].collect()
+    assert(perKey.forall(_ == 4L)) // every surviving key keeps its 4 rows
+  }
+
+  test("polyFingerprint equals min over shingle polyHashes (JVM reference)") {
+    val texts = Seq("abcdefghijk", "the quick brown fox jumps")
+    def ref(s: String): Long =
+      s.sliding(8).map(g => g.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % PortableHash.MPoly)).min
+    val got = texts.toDF("text")
+      .select(col("text"), PortableHash.polyFingerprint(col("text")).as("fp"))
+      .as[(String, Long)].collect().toMap
+    texts.foreach(t => assert(got(t) == ref(t), s"fp('$t')"))
+  }
+
+  test("polyBucket lands in [0, n)") {
+    val b = Seq("x", "yy", "zzz").toDF("s")
+      .select(PortableHash.polyBucket(col("s"), 16).as("b")).as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+}

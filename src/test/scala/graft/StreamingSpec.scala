@@ -109,6 +109,42 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (w, t, n) => assert(batch((w, t)) == n, s"window $w $t") }
   }
 
+  test("streaming gap sessions match the batch Sessions.stats on closed sessions") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.gapSessions(input.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 7: two sessions (gap 40m); user 8: one session
+    val evts = Seq(
+      EventsStream.Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 10:10:00"), 7L, "click", 2.0),
+      EventsStream.Event(3, ts("2024-01-01 10:50:00"), 7L, "click", 3.0),
+      EventsStream.Event(4, ts("2024-01-01 10:05:00"), 8L, "view", 4.0))
+    input.addData(evts: _*)
+    query.processAllAvailable()
+    // far-future event advances the watermark past lastTs+gap for all
+    // users → open sessions close via EventTimeTimeout
+    input.addData(EventsStream.Event(99, ts("2024-01-02 00:00:00"), 9L, "flush", 0.0))
+    query.processAllAvailable()
+    input.addData(EventsStream.Event(100, ts("2024-01-03 00:00:00"), 9L, "flush", 0.0))
+    query.processAllAvailable()
+
+    val streamed = spark.table("gap_sessions")
+      .filter(col("user_id").isin(7L, 8L))
+      .select("user_id", "session_id", "n_events", "dur_sec", "value_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    query.stop()
+
+    val batch = graft.operators.Sessions.stats(
+      evts.toDF().select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      30, col("value"))
+      .select("user_id", "session_id", "n_events", "dur_sec", "value_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("stateful user sessions accumulate per-user totals") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
