@@ -21,6 +21,30 @@ import graft.seq.SequentialKernels
   */
 object Jobs {
 
+  /** The 100 TB deployment posture, in one place. Local/test sessions
+    * keep the exactness defaults (bit-identical to the pandas reference
+    * and the DuckDB oracle); a cluster deployment calls this once and
+    * every operator site follows, no code changes:
+    *
+    *  - `spark.graft.exactPercentiles=false`: whole-group percentiles
+    *    (F4 quantile filters, A27 burst thresholds, W3 medians, q09
+    *    key stats) switch from exact `percentile` (ObjectHashAggregate,
+    *    per-group value buffers — the one non-scale-safe default) to
+    *    t-digest `percentile_approx` (bounded memory per group).
+    *  - AQE on with skew-join splitting: runtime re-plan handles the
+    *    skewed keys that salting utilities (etl.Skew) handle statically.
+    *  - 128 MiB target partition size for coalescing shuffle output.
+    *
+    * Returns the session for chaining. */
+  def configureForScale(spark: SparkSession): SparkSession = {
+    spark.conf.set(graft.functions.Funcs.ExactPercentilesConf, "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+    spark
+  }
+
   /** §3.1 ETL: load → clean → enrich → weekly grain. */
   def etl(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)

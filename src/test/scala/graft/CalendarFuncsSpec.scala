@@ -66,6 +66,19 @@ class CalendarFuncsSpec extends SparkSpec {
     finally spark.conf.unset(Funcs.ExactPercentilesConf)
   }
 
+  test("Jobs.configureForScale flips the percentile default and arms AQE skew handling") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution.optimizedPlan.toString
+    try {
+      graft.app.Jobs.configureForScale(spark)
+      assert(plan(df.agg(Funcs.pct(col("v"), 0.5))).contains("percentile_approx("))
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    } finally {
+      spark.conf.unset(Funcs.ExactPercentilesConf)
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("toDateCoerce nulls on failure, parses valid dates") {
     val out = Seq("2020-05-05", "garbage").toDF("s")
       .select(Calendar.toDateCoerce(col("s")).as("d")).collect()

@@ -62,6 +62,29 @@ class PlanSpec extends SparkSpec {
     assert(plainExchanges <= 2, s"$plainExchanges exchanges:\n$plainPlan")
   }
 
+  test("sessionization: lag + running session counter share ONE user exchange") {
+    val plan = SparkEntry.queries("q116_sessionize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // 1 exchange on user_id (both windows + the final groupBy reuse it)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("tfidf: vocabulary-side joins broadcast; fact frame never re-shuffles for them") {
+    val plan = SparkEntry.queries("q117_tfidf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("deterministic sampling is a pure pushed filter: no shuffle before the agg") {
+    val sampled = graft.functions.PortableHash.detSample(
+      Tables.lineitem(spark, dir), col("l_orderkey"), 0.1)
+      .select(col("l_quantity"))
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext, plan)
+  }
+
   test("graft_dot registers as a SQL function, folds constants, codegens over tables") {
     GraftFunctions.register(spark)
     // constant args fold at optimization time (proof interpreted eval works)
