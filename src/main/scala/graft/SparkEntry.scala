@@ -794,7 +794,45 @@ object SparkEntry {
     "q116_sessionize" -> ((s, d) =>
       graft.operators.Sessions.stats(Tables.events(s, d), 30, col("value"))),
     "q117_tfidf" -> ((s, d) =>
-      graft.text.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3))
+      graft.text.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3)),
+    // as-of join: every purchase picks up the user's most recent
+    // click (inclusive) — union-and-carry, one user exchange
+    "q118_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_t")).as("click_us"),
+          col("asof_click_id").as("click_id"),
+          r(col("asof_click_value")).as("click_value"))
+    }),
+    // banded range join: price → fixed 5000-wide tier intervals via the
+    // bucketed equi-join (the large-interval-table scale path)
+    "q119_range_band" -> ((s, d) => {
+      val bands = s.range(0, 22).select(col("id").as("tier"),
+        (col("id") * lit(5000.0)).as("lo"), ((col("id") + 1) * lit(5000.0)).as("hi"))
+      graft.operators.RangeJoin.bandedRange(li(s, d), col("l_extendedprice"),
+        bands, "lo", "hi", 5000.0)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    // class-rebalancing stratified sample (portable, key-consistent)
+    "q120_stratified_sample" -> ((s, d) =>
+      graft.functions.PortableHash.stratifiedSample(li(s, d), col("l_orderkey"),
+        col("l_returnflag"), Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))),
+    // PII-style scrub + structured extraction over semi-structured props
+    "q121_scrub_extract" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        graft.text.TextAnalysis.extractLong(col("props"), "\"k\":\\s*(\\d+)").as("k"),
+        graft.text.TextAnalysis.redact(col("props"), "\\d+").as("props_redacted")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1667,6 +1705,36 @@ object SparkEntry {
                                  term ASC) AS rank
                FROM tf JOIN df USING (term) CROSS JOIN n)
          WHERE rank <= 3""",
+    "q118_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+                epoch_us(c.ts) AS click_us, c.event_id AS click_id,
+                (round((c.value)*1e4)/1e4 + 0.0e0) AS click_value
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q119_range_band" ->
+      """WITH bands AS (SELECT i AS tier, i*5000.0e0 AS lo, (i+1)*5000.0e0 AS hi
+                        FROM range(0,22) t(i))
+         SELECT tier, count(*) AS n_rows,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
+         FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY 1""",
+    "q120_stratified_sample" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
+         FROM lineitem
+         WHERE ((l_orderkey % 2147483647) * 48271 % 2147483647)
+                * 48271 % 2147483647 * 48271 % 2147483647
+               < CASE l_returnflag WHEN 'A' THEN 107374182
+                                   WHEN 'N' THEN 429496729
+                                   WHEN 'R' THEN 214748364
+                                   ELSE 0 END
+         GROUP BY 1""",
+    "q121_scrub_extract" ->
+      """SELECT event_id,
+                TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+                regexp_replace(props, '\d+', '#', 'g') AS props_redacted
+         FROM events""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

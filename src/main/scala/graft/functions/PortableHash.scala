@@ -49,6 +49,22 @@ object PortableHash {
   def detSample(df: DataFrame, key: Column, frac: Double): DataFrame =
     df.filter(lehmer(key) < lit((M31 * frac).toLong))
 
+  /** Deterministic STRATIFIED sample: a per-stratum fraction (e.g.
+    * downsample the dominant class, keep all of a rare one — the
+    * class-rebalancing primitive of training-data pipelines). The
+    * fraction ladder compiles to a codegen'd `when` chain (strata maps
+    * are small by definition); rows in strata absent from the map get
+    * `default`. Same key → same decision, so a key sampled in one
+    * stratum is sampled consistently everywhere it appears. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       fracs: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    val thr = fracs.foldLeft(lit((M31 * default).toLong)) {
+      case (acc, (s, f)) => when(strata === lit(s), lit((M31 * f).toLong)).otherwise(acc)
+    }
+    df.filter(lehmer(key) < thr)
+  }
+
   /** Polynomial rolling hash of a string: fold `acc·31 + codepoint`
     * mod 1e9+7 over the characters. Portable across engines
     * (DuckDB: `list_reduce` over `ord` codepoints). Characters come from
@@ -71,8 +87,17 @@ object PortableHash {
     * `TextAnalysis.fingerprint` (xxhash64 — engine-private, faster),
     * this value is reproducible by any engine, so it can serve as a
     * cross-system document identity, not just a blocking key.
-    * Documents shorter than `shingle` hash their whole text once. */
-  def polyFingerprint(text: Column, shingle: Int = 8): Column = {
+    * Documents shorter than `shingle` hash their whole text once.
+    * Backed by the codegen'd Karp–Rabin expression
+    * (graft.expr.PolyFingerprintExpr): O(len) rolling arithmetic inside
+    * whole-stage codegen, vs the O(len·shingle) interpreted HOF form. */
+  def polyFingerprint(text: Column, shingle: Int = 8): Column =
+    graft.expr.PolyFingerprintExpr.column(text, shingle)
+
+  /** The higher-order-function formulation of [[polyFingerprint]] —
+    * the readable reference the codegen'd expression is pinned against
+    * (PortableHashSpec) and the shape of the DuckDB oracle SQL. */
+  def polyFingerprintHof(text: Column, shingle: Int = 8): Column = {
     val n = length(text) - lit(shingle - 1)
     array_min(transform(sequence(lit(1), greatest(n, lit(1))),
       i => polyHash(text.substr(i, lit(shingle)))))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, attach the payload of the right row
+  * with the greatest time ≤ (inclusive) or < (strict) the left row's
+  * time, per key. The operator Spark's DataFrame API lacks (pandas
+  * `merge_asof`, DuckDB `ASOF JOIN`).
+  *
+  * Implementation is the union-and-carry trick, NOT a range self-join:
+  * tag both sides, union, and per key take a running `last` of the
+  * right payload over the merged time order. One hash exchange on the
+  * key + one sort — the same cost as a single window pass, no
+  * candidate blow-up, no skew amplification (a key's cost is linear in
+  * its rows). At 100 TB this beats any join-based formulation: the
+  * range condition never materializes pairs.
+  *
+  * The right payload travels as ONE struct so every attached column
+  * comes from the SAME right row (per-column `last(ignoreNulls)` would
+  * mix rows when a payload field is itself null).
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to attach (become `asof_<name>`;
+    *                the matched right time is `asof_t`)
+    * @param inclusive `true`: right rows at exactly the left time match
+    *                  (DuckDB `>=`); `false`: strictly earlier only */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String, payload: Seq[String],
+           inclusive: Boolean = true): DataFrame = {
+    val rStruct = struct(
+      col(rightTime).as("asof_t") +: payload.map(c => col(c).as(s"asof_$c")): _*)
+    val rTag = right.select(keys.map(col) :+ col(rightTime).as("__t")
+      :+ rStruct.as("__p"): _*).withColumn("__r", lit(1))
+    val lTag = left.withColumn("__t", col(leftTime)).withColumn("__r", lit(0))
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    // at equal __t: inclusive puts the right row BEFORE the left row in
+    // the running order (so `last` sees it); strict puts it after
+    val rOrder = if (inclusive) col("__r").desc else col("__r").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, rOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(left.columns.map(col) :+ col("__match.*"): _*)
+  }
+}

@@ -85,6 +85,18 @@ object TextAnalysis {
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
 
+  /** Scrubbing / extraction for training-data pipelines: replace every
+    * match of `pattern` (PII shapes — digit runs, emails, ids) with
+    * `mask`. Pure codegen'd regexp — a narrow map pass at any scale. */
+  def redact(c: Column, pattern: String, mask: String = "#"): Column =
+    regexp_replace(c, pattern, mask)
+
+  /** First capture group of `pattern` as a long (null when absent) —
+    * the structured-field-out-of-text primitive (log/JSON-ish props
+    * mining without a parser dependency). */
+  def extractLong(c: Column, pattern: String): Column =
+    regexp_extract(c, pattern, 1).cast("long")
+
   /** Document fingerprint: minimum 64-bit hash over character 8-gram
     * shingles (winnowing-lite). Equal fingerprints → near-identical
     * prefixes; used as a cheap near-dup blocking key. Hash values are

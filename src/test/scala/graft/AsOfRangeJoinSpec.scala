@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+
+class AsOfRangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0, "a"),
+    (1L, ts("2024-01-01 10:05:00"), 101.0, "b"),
+    (1L, ts("2024-01-01 10:10:00"), 102.0, "c"),
+    (2L, ts("2024-01-01 10:07:00"), 55.0, "d")
+  ).toDF("key", "qts", "px", "tag")
+
+  private val trades = Seq(
+    (1L, ts("2024-01-01 10:03:00"), 1),  // after 10:00 quote
+    (1L, ts("2024-01-01 10:05:00"), 2),  // exactly at 10:05
+    (1L, ts("2024-01-01 10:20:00"), 3),  // after all
+    (2L, ts("2024-01-01 10:00:00"), 4),  // before any quote of key 2
+    (3L, ts("2024-01-01 10:00:00"), 5)   // key with no quotes
+  ).toDF("key", "tts", "trade_id")
+
+  test("asOf inclusive picks the latest quote at-or-before each trade") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts", Seq("px", "tag"))
+      .select(col("trade_id"), col("asof_px"), col("asof_tag"))
+      .as[(Int, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1) == (Some(100.0), Some("a")))
+    assert(out(2) == (Some(101.0), Some("b"))) // inclusive: equal ts matches
+    assert(out(3) == (Some(102.0), Some("c")))
+    assert(out(4) == (None, None))             // quote is later than trade
+    assert(out(5) == (None, None))             // key absent from right
+  }
+
+  test("asOf strict excludes the equal-timestamp right row") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts", Seq("px"),
+      inclusive = false)
+      .select(col("trade_id"), col("asof_px"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(out(2) == Some(100.0)) // 10:05 quote no longer eligible
+  }
+
+  test("asOf payload fields always come from the SAME right row (null field safe)") {
+    val q = Seq((1L, ts("2024-01-01 10:00:00"), Some(100.0), "a"),
+                (1L, ts("2024-01-01 10:05:00"), None: Option[Double], "b"))
+      .toDF("key", "qts", "px", "tag")
+    val t = Seq((1L, ts("2024-01-01 10:06:00"), 1)).toDF("key", "tts", "trade_id")
+    val row = AsOfJoin.asOf(t, q, Seq("key"), "tts", "qts", Seq("px", "tag"))
+      .select(col("asof_px"), col("asof_tag"))
+      .as[(Option[Double], String)].head()
+    // latest row (b) has null px — a per-column carry would smuggle
+    // 100.0 from row a next to tag "b"
+    assert(row == (None, "b"))
+  }
+
+  test("bandedRange matches broadcastRange exactly, including boundary values") {
+    val intervals = Seq((0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0))
+      .toDF("tier", "lo", "hi")
+    // values on bucket and interval boundaries
+    val fact = Seq(0.0, 5.0, 9.999, 10.0, 24.999, 25.0, 39.999, 40.0, 41.0)
+      .toDF("v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("v"), col("tier")).as[(Double, Int)].collect().toSet
+    val banded = pairs(RangeJoin.bandedRange(fact, col("v"), intervals, "lo", "hi", 7.0))
+    val bcast = pairs(RangeJoin.broadcastRange(fact, col("v"), intervals,
+      col("lo"), col("hi")))
+    assert(banded == bcast)
+    assert(!banded.exists(_._1 == 40.0)) // hi exclusive
+    assert(banded.contains((10.0, 1)))   // lo inclusive
+  }
+
+  test("overlapping intervals emit one row per matching interval") {
+    val intervals = Seq((0, 0.0, 20.0), (1, 10.0, 30.0)).toDF("tier", "lo", "hi")
+    val fact = Seq(15.0).toDF("v")
+    val out = RangeJoin.bandedRange(fact, col("v"), intervals, "lo", "hi", 8.0)
+      .select("tier").as[Int].collect().toSet
+    assert(out == Set(0, 1))
+  }
+}

@@ -85,6 +85,20 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext, plan)
   }
 
+  test("as-of join is ONE key exchange — no range-pair materialization") {
+    val plan = SparkEntry.queries("q118_asof")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("banded range join plans as an equi-join on the bucket, not a nested loop") {
+    val plan = SparkEntry.queries("q119_range_band")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("graft_dot registers as a SQL function, folds constants, codegens over tables") {
     GraftFunctions.register(spark)
     // constant args fold at optimization time (proof interpreted eval works)

@@ -35,6 +35,27 @@ class PortableHashSpec extends SparkSpec {
     assert(perKey.forall(_ == 4L)) // every surviving key keeps its 4 rows
   }
 
+  test("stratifiedSample applies per-stratum fractions; unknown strata use default") {
+    val df = spark.range(0, 30000)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, "big").when(col("id") % 3 === 1, "small")
+          .otherwise("unknown").as("s"))
+    val out = PortableHash.stratifiedSample(df, col("k"), col("s"),
+      Map("big" -> 0.5, "small" -> 0.05))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(out.getOrElse("unknown", 0L) == 0L)            // default 0.0
+    assert(out("big") > 4000 && out("big") < 6000)        // ≈ 5000
+    assert(out("small") > 250 && out("small") < 750)      // ≈ 500
+  }
+
+  test("same key gets the same decision in every stratum it appears in") {
+    val df = Seq((7L, "a"), (7L, "b"), (8L, "a"), (8L, "b")).toDF("k", "s")
+    val kept = PortableHash.stratifiedSample(df, col("k"), col("s"),
+      Map("a" -> 0.5, "b" -> 0.5)).select("k").as[Long].collect()
+    // equal fractions → per-key all-or-nothing across strata
+    assert(kept.groupBy(identity).values.forall(g => g.length == 2))
+  }
+
   test("polyFingerprint equals min over shingle polyHashes (JVM reference)") {
     val texts = Seq("abcdefghijk", "the quick brown fox jumps")
     def ref(s: String): Long =
@@ -43,6 +64,23 @@ class PortableHashSpec extends SparkSpec {
       .select(col("text"), PortableHash.polyFingerprint(col("text")).as("fp"))
       .as[(String, Long)].collect().toMap
     texts.foreach(t => assert(got(t) == ref(t), s"fp('$t')"))
+  }
+
+  test("codegen'd Karp-Rabin fingerprint is value-identical to the HOF reference") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val diff = docs.select(
+      PortableHash.polyFingerprint(col("text")).as("fast"),
+      PortableHash.polyFingerprintHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0L)
+    // edge cases: shorter than / equal to the shingle width, empty
+    val edges = Seq("", "ab", "abcdefgh", "abcdefghi").toDF("text")
+    val rows = edges.select(
+      PortableHash.polyFingerprint(col("text")).as("fast"),
+      PortableHash.polyFingerprintHof(col("text")).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (f, r) => assert(f == r) }
   }
 
   test("polyBucket lands in [0, n)") {

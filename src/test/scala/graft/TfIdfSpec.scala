@@ -32,6 +32,19 @@ class TfIdfSpec extends SparkSpec {
     assert(top1(1L) == expected)
   }
 
+  test("redact masks every match; extractLong pulls the capture or null") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    val rows = Seq("""{"k": 42, "u": 7}""", "no digits here")
+      .toDF("props")
+      .select(
+        TextAnalysis.redact(col("props"), "\\d+").as("red"),
+        TextAnalysis.extractLong(col("props"), "\"k\":\\s*(\\d+)").as("k"))
+      .as[(String, Option[Long])].collect()
+    assert(rows(0) == ("""{"k": #, "u": #}""", Some(42L)))
+    assert(rows(1) == ("no digits here", None))
+  }
+
   test("k bounds output per doc; rank is 1-based contiguous") {
     val g = TfIdf.topTerms(docs, "doc_id", "text", 2)
       .select("doc_id", "rank").as[(Long, Long)].collect()
