@@ -832,7 +832,13 @@ object SparkEntry {
     "q121_scrub_extract" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
         graft.text.TextAnalysis.extractLong(col("props"), "\"k\":\\s*(\\d+)").as("k"),
-        graft.text.TextAnalysis.redact(col("props"), "\\d+").as("props_redacted")))
+        graft.text.TextAnalysis.redact(col("props"), "\\d+").as("props_redacted"))),
+    // portable MinHash-LSH: the band-bucket candidate set itself is
+    // engine-reproducible (vs q65's xxhash64 variant, rows-only)
+    "q122_minhash_portable" -> ((s, d) =>
+      graft.text.Dedup.minHashCandidatesPortable(Tables.documents(s, d), "doc_id", "text")),
+    "q123_simhash_portable" -> ((s, d) =>
+      graft.text.Dedup.simHashCandidatesPortable(Tables.documents(s, d), "doc_id", "text"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1735,6 +1741,56 @@ object SparkEntry {
                 TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
                 regexp_replace(props, '\d+', '#', 'g') AS props_redacted
          FROM events""",
+    "q122_minhash_portable" -> {
+      val pa = (0 until 32).map(i =>
+        graft.functions.PortableHash.lehmerLong(i + 1L)).mkString(",")
+      val pb = (0 until 32).map(i =>
+        graft.functions.PortableHash.lehmerLong(10000L + i)).mkString(",")
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct([
+             list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0,4)],
+                         (a,x) -> (a*31+x) % 1000000007)
+             FOR i IN range(1, len(text)-2)]) AS hs
+           FROM documents WHERE len(text) >= 4),
+         sig AS (
+           SELECT doc_id,
+             [list_min([ ([$pa][i+1]*h + [$pb][i+1]) % 2147483647 FOR h IN hs ])
+              FOR i IN range(0,32)] AS sg
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b,
+                  list_reduce(sg[b*4+1:b*4+4], (a,x) -> (a*31+x) % 1000000007) AS bkey
+           FROM sig, range(0,8) t(b))
+         SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bands a JOIN bands b2
+           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id"""
+    },
+    "q123_simhash_portable" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+                  list_reduce([ord(tok[i:i])::BIGINT FOR i IN range(1, len(tok)+1)],
+                              (a,x) -> (a*31+x) % 1000000007) AS h
+           FROM tok),
+         hs AS (SELECT doc_id, list(h) AS hl FROM th GROUP BY 1),
+         fp AS (
+           SELECT doc_id,
+                  list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1
+                                                THEN 1 ELSE -1 END FOR h IN hl]) > 0
+                            THEN (1::BIGINT << i) ELSE 0 END
+                            FOR i IN range(0,30)]) AS f
+           FROM hs),
+         bands AS (
+           SELECT doc_id, b, (f >> (b*5)) & 31 AS key, f
+           FROM fp, range(0,6) t(b))
+         SELECT id_a, id_b, hamming FROM (
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                  CAST(bit_count(xor(a.f, c.f)) AS BIGINT) AS hamming
+           FROM bands a JOIN bands c
+             ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+         WHERE hamming <= 10""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

@@ -41,6 +41,11 @@ object PortableHash {
       (h, _) => h * lit(48271L) % lit(M31)
     }
 
+  /** Driver-side twin of [[lehmer]] for generating deterministic
+    * constant streams (permutation coefficients, salt literals). */
+  def lehmerLong(key: Long, rounds: Int = 3): Long =
+    (0 until rounds).foldLeft(key % M31)((h, _) => h * 48271L % M31)
+
   /** Deterministic keyed sample: keeps rows whose `lehmer(key)` falls
     * under `frac` of the modulus. Same key → same decision in every
     * engine and every run (cluster-stable: all rows of one key are kept

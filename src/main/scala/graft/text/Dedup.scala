@@ -136,6 +136,84 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** PORTABLE MinHash-LSH candidates: the same band-bucket shape as
+    * [[minHashCandidates]] but every hash is engine-portable integer
+    * arithmetic (graft.functions.PortableHash) instead of xxhash64 —
+    * char-`gram` shingles hash polynomially, `numHashes` universal
+    * permutations `(a_i·h + b_i) mod 2^31−1` (a_i, b_i from the
+    * iterated-Lehmer stream) take the shingle-set minimum, and band
+    * keys fold the signature slice polynomially. Any engine reproduces
+    * the exact candidate set — the cross-system dedup contract the
+    * xxhash64 variant (faster; values engine-private) cannot give.
+    * Same scale shape: narrow per-doc signature pass, equi-join on
+    * (band, key), never all-pairs. */
+  def minHashCandidatesPortable(df: DataFrame, id: String, text: String,
+                                gram: Int = 4, numHashes: Int = 32,
+                                bands: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.{M31, MPoly, lehmerLong, polyHash}
+    val rows = numHashes / bands
+    val pa = (0 until numHashes).map(i => lehmerLong(i + 1L))
+    val pb = (0 until numHashes).map(i => lehmerLong(10000L + i))
+    val hs = array_distinct(transform(
+      sequence(lit(1), length(col(text)) - (gram - 1)),
+      i => polyHash(col(text).substr(i, lit(gram)))))
+    val signed = df.filter(length(col(text)) >= gram)
+      .withColumn("__hs", hs)
+      .withColumn("__sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("__hs"),
+          h => (lit(pa(i)) * h + lit(pb(i))) % lit(M31)))): _*))
+    val banded = signed.select(col(id), posexplode(
+      array((0 until bands).map { b =>
+        aggregate(slice(col("__sig"), b * rows + 2, rows - 1),
+          element_at(col("__sig"), b * rows + 1),
+          (acc, x) => (acc * lit(31L) + x) % lit(MPoly))
+      }: _*)))
+      .toDF(id, "band", "bkey")
+    val a = banded.toDF("id_a", "band", "bkey")
+    val b = banded.toDF("id_b", "band", "bkey")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** PORTABLE SimHash (30-bit) + pigeonhole candidates: token hashes
+    * come from the portable polynomial hash (30 usable bits — the
+    * modulus is 1e9+7), bit votes and the sign fingerprint follow the
+    * classic construction, and candidates block on 6 bands of 5 bits
+    * (pigeonhole: any pair within hamming 5 shares a band; the wider
+    * `maxHamming` filter then runs exactly on candidates). Every value
+    * is engine-reproducible — the same query in DuckDB yields the
+    * identical pair set — unlike [[simHash]]'s xxhash64 (faster,
+    * engine-private). Same scale shape: one shuffle on id for votes,
+    * equi-join on (band, key), never all-pairs. */
+  def simHashCandidatesPortable(df: DataFrame, id: String, text: String,
+                                maxHamming: Int = 10): DataFrame = {
+    import graft.functions.PortableHash.polyHash
+    val bits = 30
+    val toks = df.select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+      .withColumn("h", polyHash(col("tok")))
+    val votes = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$i"))
+    val fp = toks.groupBy(col(id))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(id),
+        (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    val banded = fp.select(col(id), col("fp"), posexplode(
+      array((0 until 6).map(b =>
+        shiftright(col("fp"), b * 5).bitwiseAND(lit(31L))): _*)))
+      .toDF(id, "fp", "band", "key")
+    val a = banded.toDF("id_a", "fp_a", "band", "key")
+    val b = banded.toDF("id_b", "fp_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash 64-bit fingerprint: each token hashes to 64 bits; each bit
     * position accumulates +1/−1 votes weighted by token frequency; the
     * sign pattern is the fingerprint. Expressed as 64 conditional sums

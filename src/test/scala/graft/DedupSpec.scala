@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(cand), s"missed: ${exact -- cand}")
   }
 
+  test("portable MinHash candidates catch identical and near-dup docs") {
+    val cand = Dedup.minHashCandidatesPortable(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L))) // identical text → identical signature
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L))) // near dup collides on some band
+  }
+
+  test("portable SimHash: identical docs at hamming 0; near-dups within threshold") {
+    val cand = Dedup.simHashCandidatesPortable(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cand.get((1L, 2L)).contains(0L)) // identical text → hamming 0
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+  }
+
   test("SimHash: identical docs at hamming 0; near-dups close; unrelated far") {
     val cand = Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 16)
       .select(col("id_a"), col("id_b"), col("hamming")).as[(Long, Long, Int)]
