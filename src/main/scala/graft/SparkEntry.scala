@@ -838,7 +838,28 @@ object SparkEntry {
     "q122_minhash_portable" -> ((s, d) =>
       graft.text.Dedup.minHashCandidatesPortable(Tables.documents(s, d), "doc_id", "text")),
     "q123_simhash_portable" -> ((s, d) =>
-      graft.text.Dedup.simHashCandidatesPortable(Tables.documents(s, d), "doc_id", "text"))
+      graft.text.Dedup.simHashCandidatesPortable(Tables.documents(s, d), "doc_id", "text")),
+    // span-level (exact-substring-style) corpus dedup: keep the first
+    // global occurrence of every 10-word span, reconstruct documents
+    "q124_span_dedup" -> ((s, d) =>
+      graft.text.SpanDedup.dedupSpans(Tables.documents(s, d), "doc_id", "text", 10)),
+    // Gopher-style repetition signals over word bigrams
+    "q125_repetition" -> ((s, d) =>
+      graft.text.Repetition.ngramRepetition(Tables.documents(s, d), "doc_id", "text", 2)
+        .select(col("doc_id"), col("top_gram"), col("top_cnt"),
+          col("top_gram_char_frac"), col("dup_gram_char_frac"))),
+    // closed-form per-series harmonic (yearly-seasonality) fit on the
+    // weekly supplier series — the distributed Prophet-lite seasonal term
+    "q126_harmonic_fit" -> ((s, d) => {
+      val wk = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.operators.HarmonicRegression.fit(wk, Seq("l_suppkey"),
+        datediff(col("week_start"), lit(java.sql.Date.valueOf("1995-01-01"))).cast("double") / 7.0,
+        col("qty_sum"), 52.0)
+        .select(col("l_suppkey"), col("n_obs"),
+          r(col("b0")).as("b0"), r(col("b1")).as("b1"), r(col("b2")).as("b2"),
+          r(col("amplitude")).as("amplitude"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1791,6 +1812,76 @@ object SparkEntry {
            FROM bands a JOIN bands c
              ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
          WHERE hamming <= 10""",
+    "q124_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         ch AS (SELECT doc_id,
+                       unnest([{'no': i, 'chunk': array_to_string(ws[((i-1)*10+1):(i*10)], ' ')}
+                               FOR i IN range(1, CAST(ceil(len(ws)/10.0) AS BIGINT)+1)]) AS c
+                FROM w),
+         fl AS (SELECT doc_id, c.no AS span_no, c.chunk AS span FROM ch),
+         kept AS (SELECT doc_id, span_no, span,
+                         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
+                  FROM fl)
+         SELECT doc_id,
+                count(*) AS n_spans,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_no), '')
+                  AS text_dedup
+         FROM kept GROUP BY doc_id""",
+    "q125_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, n_chars,
+                      unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS gram
+               FROM w),
+         c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1,2,3),
+         t AS (SELECT doc_id, n_chars, gram, cnt,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+               FROM c)
+         SELECT doc_id,
+                max(CASE WHEN rk=1 THEN gram END) AS top_gram,
+                CAST(max(CASE WHEN rk=1 THEN cnt END) AS BIGINT) AS top_cnt,
+                (round((max(CASE WHEN rk=1 THEN cnt*length(gram) END)
+                        / (any_value(n_chars)*1.0))*1e4)/1e4 + 0.0e0) AS top_gram_char_frac,
+                (round((least(1.0, sum(CASE WHEN cnt >= 2 THEN cnt*length(gram) ELSE 0 END)
+                        / (any_value(n_chars)*1.0)))*1e4)/1e4 + 0.0e0) AS dup_gram_char_frac
+         FROM t GROUP BY doc_id""",
+    "q126_harmonic_fit" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                       sum(l_quantity) q FROM lineitem GROUP BY 1,2),
+         f AS (SELECT l_suppkey,
+                      sin(date_diff('day', DATE '1995-01-01', ws)/7.0 * (2*pi()/52)) s,
+                      cos(date_diff('day', DATE '1995-01-01', ws)/7.0 * (2*pi()/52)) c,
+                      q
+               FROM wk),
+         m AS (SELECT l_suppkey, count(*) AS n_obs,
+                      (round((sum(s))*1e6)/1e6 + 0.0e0) ss, (round((sum(c))*1e6)/1e6 + 0.0e0) sc,
+                      (round((sum(s*s))*1e6)/1e6 + 0.0e0) sss, (round((sum(c*c))*1e6)/1e6 + 0.0e0) scc,
+                      (round((sum(s*c))*1e6)/1e6 + 0.0e0) ssc,
+                      (round((sum(q))*1e6)/1e6 + 0.0e0) sy, (round((sum(s*q))*1e6)/1e6 + 0.0e0) ssy,
+                      (round((sum(c*q))*1e6)/1e6 + 0.0e0) scy
+               FROM f GROUP BY 1),
+         sol AS (SELECT l_suppkey, n_obs,
+                        CAST(n_obs AS DOUBLE) n, ss, sc, sss, scc, ssc, sy, ssy, scy,
+                        n*(sss*scc - ssc*ssc) - ss*(ss*scc - ssc*sc) + sc*(ss*ssc - sss*sc) AS det
+                 FROM m),
+         b AS (SELECT l_suppkey, n_obs,
+                      CASE WHEN abs(det) > 1e-9 THEN
+                        (sy*(sss*scc - ssc*ssc) - ss*(ssy*scc - ssc*scy) + sc*(ssy*ssc - sss*scy))/det
+                      END AS b0,
+                      CASE WHEN abs(det) > 1e-9 THEN
+                        (n*(ssy*scc - ssc*scy) - sy*(ss*scc - ssc*sc) + sc*(ss*scy - ssy*sc))/det
+                      END AS b1,
+                      CASE WHEN abs(det) > 1e-9 THEN
+                        (n*(sss*scy - ssy*ssc) - ss*(ss*scy - ssy*sc) + sy*(ss*ssc - sss*sc))/det
+                      END AS b2
+               FROM sol)
+         SELECT l_suppkey, n_obs,
+                (round((b0)*1e4)/1e4 + 0.0e0) AS b0,
+                (round((b1)*1e4)/1e4 + 0.0e0) AS b1,
+                (round((b2)*1e4)/1e4 + 0.0e0) AS b2,
+                (round((sqrt(b1*b1 + b2*b2))*1e4)/1e4 + 0.0e0) AS amplitude
+         FROM b""",
     "q77_intermittency" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                       l_suppkey,

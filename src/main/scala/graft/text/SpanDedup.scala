@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span-level (exact-substring-style) corpus deduplication: split every
+  * document into non-overlapping `w`-word spans, keep only the FIRST
+  * global occurrence of each span (ordered by document id, then span
+  * position), and reconstruct documents from their surviving spans.
+  *
+  * This is the chunk-granularity variant of suffix-array exact-substring
+  * dedup ("Deduplicating Training Data Makes Language Models Better",
+  * Lee et al. 2022): boilerplate and copied passages shared across
+  * documents are removed corpus-wide while each document keeps one copy.
+  * The reference engine's dedup layer is row-level keep-first
+  * (reference: src/utils/data_loader.py:300-330); this extends the same
+  * keep-first discipline below document grain, which is what an LLM
+  * training-data pipeline needs.
+  *
+  * Scale shape (100 TB): exploding to spans multiplies row COUNT but not
+  * corpus bytes (each word lands in exactly one span). The keep decision
+  * is one hash shuffle partitioned by span text — span frequency is
+  * naturally capped (a span duplicated a million times still lands on
+  * one partition but collapses to one winner in the window's single
+  * pass), and reassembly is a second shuffle back on the document id
+  * with a per-document (bounded) collect_list. No all-pairs step exists
+  * anywhere; memory per task is O(longest document), not O(corpus).
+  */
+object SpanDedup {
+
+  /** Explode documents into 1-based numbered `w`-word spans.
+    * The last span of a document may be shorter than `w`. */
+  def spans(df: DataFrame, id: String, text: String, w: Int): DataFrame = {
+    val ws = split(col(text), " ")
+    val nSpans = ceil(size(ws).cast("double") / w).cast("int")
+    val chunks = transform(
+      sequence(lit(1), greatest(nSpans, lit(1))),
+      i => struct(i.cast("long").as("span_no"),
+        concat_ws(" ", slice(ws, (i - 1) * w + 1, lit(w))).as("span")))
+    df.select(col(id), explode(chunks).as("__s"))
+      .select(col(id), col("__s.span_no").as("span_no"), col("__s.span").as("span"))
+  }
+
+  /** Corpus-wide keep-first span dedup. Returns one row per document:
+    * span counts before/after plus the reconstructed text (surviving
+    * spans re-joined in original order with single spaces).
+    *
+    * Determinism: the global winner of a span is the minimal
+    * (`id`, `span_no`) pair, so output is stable across runs and
+    * engines. Duplicate spans WITHIN one document also collapse to
+    * their first occurrence — intended (self-repetition is noise too).
+    */
+  def dedupSpans(df: DataFrame, id: String, text: String, w: Int = 10): DataFrame = {
+    val sp = spans(df, id, text, w)
+    val keepW = Window.partitionBy(col("span")).orderBy(col(id), col("span_no"))
+    val flagged = sp.withColumn("__rn", row_number().over(keepW))
+    flagged.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("span_no"), col("span"))))),
+          s => s.getField("span"))).as("text_dedup"))
+  }
+}
