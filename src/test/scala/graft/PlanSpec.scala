@@ -48,10 +48,13 @@ class PlanSpec extends SparkSpec {
     val plan = graft.operators.FeatureStore.wide(weekly,
       Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum")
       .queryExecution.executedPlan.toString
-    // Exchange budget: 1 weekly-grain groupBy (fact) + 1 series exchange
-    // (the EWMA kernel's repartition, which every window family —
-    // temporal, behavioral, key-level aggregation — then reuses).
-    // ~60 window columns must NOT each add an exchange.
+    // Exchange budget: 1 weekly-grain groupBy (fact) + the EWMA kernel's
+    // narrow repartition + 1 series exchange for the window families
+    // (the kernel's MapPartitions erases partitioning metadata, so the
+    // windows re-shuffle — measured cheaper than the 2-exchange
+    // kernel-last order, which pays the wide-row encoder tax; see
+    // FeatureStore doc). ~60 window columns must NOT each add an
+    // exchange.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
     // and the no-kernel variant is exactly the two relational exchanges
