@@ -859,8 +859,56 @@ object SparkEntry {
         .select(col("l_suppkey"), col("n_obs"),
           r(col("b0")).as("b0"), r(col("b1")).as("b1"), r(col("b2")).as("b2"),
           r(col("amplitude")).as("amplitude"))
-    })
+    }),
+    // sketch-based profiling: HLL distinct + t-digest median — the
+    // bounded-memory scale posture (estimates are engine-specific →
+    // rows-only; AggFeaturesSpec bounds the error vs exact)
+    "q127_sketch_profile" -> ((s, d) =>
+      AggFeatures.sketchProfile(li(s, d), Seq(col("l_returnflag")), col("l_quantity"))
+        .select(col("l_returnflag"), col("n_rows"), col("approx_distinct"),
+          r(col("approx_median")).as("approx_median"), r(col("mean")).as("mean"))),
+    // fuzzy-dedup verify: LSH candidates → exact Levenshtein gate
+    // (levenshtein is engine-portable, so this IS oracle-checkable)
+    "q128_edit_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.FuzzyVerify.editDistanceVerify(docs,
+        graft.text.Dedup.minHashCandidatesPortable(docs, "doc_id", "text"),
+        "doc_id", "text", maxRatio = 0.3)
+    }),
+    // corpus vocabulary: Zipf top-200 with cumulative coverage
+    "q129_vocab" -> ((s, d) =>
+      graft.text.Vocab.topTokens(Tables.documents(s, d), "text", 200)),
+    // Gopher-style quality filter rule bundle + keep decision
+    "q130_quality_filter" -> ((s, d) =>
+      graft.text.QualityFilter.gopherFilter(Tables.documents(s, d), "doc_id", "text"))
   )
+
+  /** Portable MinHash-LSH candidate SQL, shared by q122 (the candidate
+    * set itself) and q128 (candidates → Levenshtein verify). */
+  private lazy val minhashPortableSql: String = {
+    val pa = (0 until 32).map(i =>
+      graft.functions.PortableHash.lehmerLong(i + 1L)).mkString(",")
+    val pb = (0 until 32).map(i =>
+      graft.functions.PortableHash.lehmerLong(10000L + i)).mkString(",")
+    s"""WITH sh AS (
+           SELECT doc_id, list_distinct([
+             list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0,4)],
+                         (a,x) -> (a*31+x) % 1000000007)
+             FOR i IN range(1, len(text)-2)]) AS hs
+           FROM documents WHERE len(text) >= 4),
+         sig AS (
+           SELECT doc_id,
+             [list_min([ ([$pa][i+1]*h + [$pb][i+1]) % 2147483647 FOR h IN hs ])
+              FOR i IN range(0,32)] AS sg
+           FROM sh),
+         bands AS (
+           SELECT doc_id, b,
+                  list_reduce(sg[b*4+1:b*4+4], (a,x) -> (a*31+x) % 1000000007) AS bkey
+           FROM sig, range(0,8) t(b))
+         SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bands a JOIN bands b2
+           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_clean_filter" ->
@@ -1762,30 +1810,67 @@ object SparkEntry {
                 TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
                 regexp_replace(props, '\d+', '#', 'g') AS props_redacted
          FROM events""",
-    "q122_minhash_portable" -> {
-      val pa = (0 until 32).map(i =>
-        graft.functions.PortableHash.lehmerLong(i + 1L)).mkString(",")
-      val pb = (0 until 32).map(i =>
-        graft.functions.PortableHash.lehmerLong(10000L + i)).mkString(",")
-      s"""WITH sh AS (
-           SELECT doc_id, list_distinct([
-             list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0,4)],
-                         (a,x) -> (a*31+x) % 1000000007)
-             FOR i IN range(1, len(text)-2)]) AS hs
-           FROM documents WHERE len(text) >= 4),
-         sig AS (
-           SELECT doc_id,
-             [list_min([ ([$pa][i+1]*h + [$pb][i+1]) % 2147483647 FOR h IN hs ])
-              FOR i IN range(0,32)] AS sg
-           FROM sh),
-         bands AS (
-           SELECT doc_id, b,
-                  list_reduce(sg[b*4+1:b*4+4], (a,x) -> (a*31+x) % 1000000007) AS bkey
-           FROM sig, range(0,8) t(b))
-         SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-         FROM bands a JOIN bands b2
-           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id"""
-    },
+    "q122_minhash_portable" -> minhashPortableSql,
+    "q128_edit_verify" ->
+      s"""WITH cand AS ($minhashPortableSql),
+         v AS (SELECT cand.id_a, cand.id_b,
+                      CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+                      (round((levenshtein(da.text, db.text)
+                         / (greatest(length(da.text), length(db.text))*1.0))*1e4)/1e4 + 0.0e0)
+                        AS edit_ratio
+               FROM cand
+               JOIN documents da ON cand.id_a = da.doc_id
+               JOIN documents db ON cand.id_b = db.doc_id)
+         SELECT id_a, id_b, lev, edit_ratio FROM v WHERE edit_ratio <= 0.3""",
+    "q129_vocab" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                    FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+         rk AS (SELECT token, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+                FROM c),
+         top AS (SELECT * FROM rk WHERE rank <= 200)
+         SELECT token, cnt, rank,
+                (round((sum(cnt) OVER (ORDER BY rank
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/total)*1e4)/1e4
+                  + 0.0e0) AS cum_share
+         FROM top, tot""",
+    "q130_quality_filter" ->
+      """WITH g AS (SELECT doc_id, n_chars,
+                           unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS gram
+                    FROM (SELECT doc_id, length(text) AS n_chars,
+                                 string_split(text, ' ') AS ws FROM documents)),
+         gc AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1,2,3),
+         gr AS (SELECT doc_id, n_chars, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+                FROM gc),
+         rep AS (SELECT doc_id,
+                        (round((max(CASE WHEN rk=1 THEN cnt*length(gram) END)
+                               / (any_value(n_chars)*1.0))*1e4)/1e4 + 0.0e0) AS top_frac,
+                        (round((least(1.0, sum(CASE WHEN cnt >= 2 THEN cnt*length(gram) ELSE 0 END)
+                               / (any_value(n_chars)*1.0)))*1e4)/1e4 + 0.0e0) AS dup_frac
+                 FROM gr GROUP BY doc_id),
+         st AS (SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_words,
+                       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                w -> length(w)))
+                         / (len(string_split_regex(trim(text), '\s+')) + 1e-8) AS avg_len,
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / (length(text) + 1e-8) AS digit_ratio
+                FROM documents)
+         SELECT st.doc_id,
+                CAST(st.n_words >= 10 AND st.n_words <= 1000 AS INT) AS ok_words,
+                CAST(st.avg_len >= 2.0 AND st.avg_len <= 12.0 AS INT) AS ok_word_len,
+                CAST(st.digit_ratio < 0.2 AS INT) AS ok_digit,
+                CAST(coalesce(rep.top_frac, 0.0) < 0.2 AS INT) AS ok_top2,
+                CAST(coalesce(rep.dup_frac, 0.0) < 0.4 AS INT) AS ok_dup2,
+                CAST(st.n_words >= 10 AND st.n_words <= 1000
+                     AND st.avg_len >= 2.0 AND st.avg_len <= 12.0
+                     AND st.digit_ratio < 0.2
+                     AND coalesce(rep.top_frac, 0.0) < 0.2
+                     AND coalesce(rep.dup_frac, 0.0) < 0.4 AS INT) AS keep
+         FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id""",
     "q123_simhash_portable" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

@@ -442,4 +442,22 @@ object AggFeatures {
     * sampling, loaders.py:68-98). Pushed to the scan where possible. */
   def sampleRows(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Sketch-based per-key profile — the bounded-memory 100 TB posture
+    * for A1/A3-style profiling: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, fixed ~kilobytes per group regardless of
+    * cardinality) and t-digest medians (`percentile_approx`, bounded by
+    * `accuracy`) instead of exact distinct sets / ObjectHashAggregate
+    * value buffers. Estimates are engine-specific (registered rows-only;
+    * `AggFeaturesSpec` bounds the relative error against the exact
+    * aggregates), deterministic for a fixed input.
+    */
+  def sketchProfile(df: DataFrame, keys: Seq[Column], value: Column,
+                    accuracy: Int = 10000, rsd: Double = 0.02): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(value, rsd).as("approx_distinct"),
+        percentile_approx(value, lit(0.5), lit(accuracy)).as("approx_median"),
+        avg(value).as("mean"))
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{FuzzyVerify, QualityFilter, Vocab}
+import graft.operators.AggFeatures
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // 1 edit-word from 1
+    (3L, "zz xx yy ww vv uu tt ss rr qq")
+  ).toDF("doc_id", "text")
+
+  test("vocab topTokens: counts, zipf rank and cumulative coverage") {
+    val top = Vocab.topTokens(docs, "text", 3)
+      .as[(String, Long, Long, Double)].collect()
+    // 28 tokens total; "the" appears 4x, then 2x-words (brown < fox < ...)
+    assert(top(0) == (("the", 4L, 1L, 0.1429)))
+    assert(top(1)._1 == "brown" && top(1)._2 == 2L && top(1)._3 == 2L)
+    assert(top(2)._4 > top(1)._4) // coverage is cumulative
+  }
+
+  test("fuzzy verify keeps the near-identical pair and rejects unrelated") {
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = FuzzyVerify.editDistanceVerify(docs, cand, "doc_id", "text", maxRatio = 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 == 3L) // dog -> cat: 3 substitutions
+  }
+
+  test("gopher filter: word-count and repetition rules decide keep") {
+    val mixed = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"), // clean, 11 words
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // repetition
+      (3L, "too short") // below min words
+    ).toDF("doc_id", "text")
+    val out = QualityFilter.gopherFilter(mixed, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "ok_words", "ok_top2", "ok_dup2", "keep")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out(0) == ((1L, 1, 1, 1, 1)))
+    assert(out(1)._3 == 0 || out(1)._4 == 0) // repetition rule fires
+    assert(out(1)._5 == 0)
+    assert(out(2)._2 == 0 && out(2)._5 == 0) // too short
+  }
+
+  test("sketch profile estimates stay within 5% of exact on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val sk = AggFeatures.sketchProfile(li, Seq(col("l_returnflag")), col("l_quantity"))
+      .select("l_returnflag", "approx_distinct", "approx_median")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_quantity")).as("d"),
+        percentile(col("l_quantity"), lit(0.5)).as("m"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = sk(k)
+      assert(math.abs(ad - d).toDouble / d <= 0.05, s"$k distinct: approx=$ad exact=$d")
+      assert(math.abs(am - m) / math.max(m, 1.0) <= 0.05, s"$k median: approx=$am exact=$m")
+    }
+  }
+}
