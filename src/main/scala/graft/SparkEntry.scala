@@ -880,8 +880,28 @@ object SparkEntry {
       graft.text.Vocab.topTokens(Tables.documents(s, d), "text", 200)),
     // Gopher-style quality filter rule bundle + keep decision
     "q130_quality_filter" -> ((s, d) =>
-      graft.text.QualityFilter.gopherFilter(Tables.documents(s, d), "doc_id", "text"))
+      graft.text.QualityFilter.gopherFilter(Tables.documents(s, d), "doc_id", "text")),
+    // data mixing: deterministic sample to target source proportions
+    "q131_source_mix" -> ((s, d) =>
+      graft.text.CorpusMix.mixToTarget(Tables.documents(s, d), "doc_id", "source",
+        MixWeights, targetFraction = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+    // benchmark decontamination: train docs sharing 4-word shingles
+    // with the (stand-in) benchmark slice doc_id < 10
+    "q132_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Decontaminate.report(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 4)
+    })
   )
+
+  /** Target mix for q131: five named sources get explicit weights (the
+    * others drop), half the corpus as the target budget. src0 is
+    * over-asked (weight·budget > its size) to exercise the cap. */
+  private val MixWeights: Map[String, Double] = Map(
+    "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.05, "src4" -> 0.05)
 
   /** Portable MinHash-LSH candidate SQL, shared by q122 (the candidate
     * set itself) and q128 (candidates → Levenshtein verify). */
@@ -1822,6 +1842,35 @@ object SparkEntry {
                JOIN documents da ON cand.id_a = da.doc_id
                JOIN documents db ON cand.id_b = db.doc_id)
          SELECT id_a, id_b, lev, edit_ratio FROM v WHERE edit_ratio <= 0.3""",
+    "q131_source_mix" -> {
+      val cases = MixWeights.map { case (s, w) =>
+        s"WHEN '$s' THEN ${w * 0.5}" }.mkString(" ")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+         k AS (SELECT d.doc_id, d.source, d.n_chars,
+                      CAST(trunc(2147483647 * least(1.0,
+                        (CASE d.source $cases ELSE 0.0 END) * total / cnt))
+                        AS BIGINT) AS thr
+               FROM documents d JOIN c ON d.source = c.source, tot)
+         SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM k
+         WHERE ((doc_id % 2147483647) * 48271 % 2147483647)
+                * 48271 % 2147483647 * 48271 % 2147483647 < thr
+         GROUP BY 1"""
+    },
+    "q132_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT doc_id,
+                        unnest([array_to_string(ws[i:i+3], ' ')
+                                FOR i IN range(1, len(ws)-2)]) AS shingle
+                 FROM w WHERE len(ws) >= 4),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+         SELECT t.doc_id, count(*) AS n_matched
+         FROM sh t JOIN b USING (shingle)
+         WHERE t.doc_id >= 10
+         GROUP BY 1""",
     "q129_vocab" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
                     FROM documents),
