@@ -18,7 +18,8 @@ object Bench {
     "q22_weekly_aggregate", "q23_enrich_join", "q37_scorecard", "q40_rolling_stats",
     "q41_rolling_slope", "q47_zero_streaks", "q64_ngram_jaccard", "q65_minhash_candidates",
     "q68_ann_brute", "q69_ann_lsh", "q73_ewma", "q77_intermittency", "q79_postprocess_chain",
-    "q110_feature_store", "q111_residual_diag", "q116_sessionize", "q117_tfidf")
+    "q110_feature_store", "q111_residual_diag", "q116_sessionize", "q117_tfidf",
+    "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
