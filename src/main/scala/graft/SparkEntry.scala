@@ -894,7 +894,11 @@ object SparkEntry {
       graft.text.Decontaminate.report(
         docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
         "doc_id", "text", n = 4)
-    })
+    }),
+    // BM25 ranked retrieval against a fixed bag-of-words query
+    "q133_bm25" -> ((s, d) =>
+      graft.text.Bm25.search(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "window", "hash", "merge"), k = 20))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -1859,6 +1863,25 @@ object SparkEntry {
                 * 48271 % 2147483647 * 48271 % 2147483647 < thr
          GROUP BY 1"""
     },
+    "q133_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+         p AS (SELECT doc_id, dl,
+                      unnest(list_filter(ws,
+                        t -> t IN ('spark','join','window','hash','merge'))) AS term
+               FROM d),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1,2,3),
+         dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+         sc AS (SELECT doc_id, count(*) AS n_terms_matched,
+                       (round((sum( ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+                            * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) ))*1e4)/1e4
+                         + 0.0e0) AS score
+                FROM tf JOIN dft USING (term), st
+                GROUP BY doc_id)
+         SELECT doc_id, n_terms_matched, score FROM sc
+         ORDER BY score DESC, doc_id ASC LIMIT 20""",
     "q132_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          sh0 AS (SELECT doc_id,

@@ -47,6 +47,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2)._2 == 0 && out(2)._5 == 0) // too short
   }
 
+  test("bm25: term-dense short doc outranks sparse long doc; k respected") {
+    val corpus = Seq(
+      (1L, "spark spark shuffle"), // 2 hits of one query term, short
+      (2L, "spark mentioned once in a much longer document about other things entirely"),
+      (3L, "nothing relevant here at all"),
+      (4L, "shuffle talk but also spark and spark again and shuffle")
+    ).toDF("doc_id", "text")
+    val hits = graft.text.Bm25.search(corpus, "doc_id", "text",
+      Seq("spark", "shuffle"), k = 2)
+      .select("doc_id", "n_terms_matched", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.length == 2)
+    assert(hits.map(_._1).toSet == Set(1L, 4L)) // both-term docs win
+    assert(!hits.map(_._1).contains(3L))
+    assert(hits.forall(_._3 > 0.0))
+  }
+
   test("sketch profile estimates stay within 5% of exact on real data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val sk = AggFeatures.sketchProfile(li, Seq(col("l_returnflag")), col("l_quantity"))
