@@ -898,7 +898,16 @@ object SparkEntry {
     // BM25 ranked retrieval against a fixed bag-of-words query
     "q133_bm25" -> ((s, d) =>
       graft.text.Bm25.search(Tables.documents(s, d), "doc_id", "text",
-        Seq("spark", "join", "window", "hash", "merge"), k = 20))
+        Seq("spark", "join", "window", "hash", "merge"), k = 20)),
+    // pretraining sequence packing: contiguous-fill 256-token bins per source
+    "q134_seq_pack" -> ((s, d) =>
+      graft.text.SequencePack.bins(Tables.documents(s, d), "source", "doc_id",
+        "text", budget = 256)),
+    // robust (median/IQR) scaling within return-flag groups
+    "q135_robust_scale" -> ((s, d) =>
+      graft.etl.Cleaning.robustScale(li(s, d), Seq(col("l_returnflag")), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), r(col("l_quantity")).as("qty"),
+          r(col("robust_z")).as("robust_z")))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -1863,6 +1872,28 @@ object SparkEntry {
                 * 48271 % 2147483647 * 48271 % 2147483647 < thr
          GROUP BY 1"""
     },
+    "q134_seq_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         a AS (SELECT source, doc_id, n_tokens,
+                      CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / 256) AS BIGINT) AS bin
+               FROM d)
+         SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         FROM a GROUP BY 1,2""",
+    "q135_robust_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+                (round((l_quantity)*1e4)/1e4 + 0.0e0) AS qty,
+                (round(((l_quantity - med)/(iqr + 1e-8))*1e4)/1e4 + 0.0e0) AS robust_z
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      quantile_cont(l_quantity, 0.5)
+                        OVER (PARTITION BY l_returnflag) AS med,
+                      quantile_cont(l_quantity, 0.75) OVER (PARTITION BY l_returnflag)
+                      - quantile_cont(l_quantity, 0.25) OVER (PARTITION BY l_returnflag) AS iqr
+               FROM lineitem)""",
     "q133_bm25" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w),

@@ -140,4 +140,19 @@ object Cleaning {
     } :+ count(lit(1)).as("total_rows")
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Robust (median/IQR) scaling within keys — the outlier-resistant
+    * sibling of the F5 z-score (median and quartiles shrug off the tail
+    * values that drag a mean/stddev). Percentiles go through
+    * [[graft.functions.Funcs.pct]], so the engine-wide exactness conf
+    * applies: exact (oracle parity) locally, t-digest sketches at
+    * 100 TB. One exchange — all three quantiles share the key window. */
+  def robustScale(df: DataFrame, keys: Seq[Column], value: Column,
+                  out: String = "robust_z"): DataFrame = {
+    import graft.functions.Funcs
+    val w = Window.partitionBy(keys: _*)
+    val med = Funcs.pct(value, 0.5).over(w)
+    val iqr = Funcs.pct(value, 0.75).over(w) - Funcs.pct(value, 0.25).over(w)
+    df.withColumn(out, Funcs.safeDiv(value - med, iqr))
+  }
 }

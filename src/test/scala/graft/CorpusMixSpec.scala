@@ -54,4 +54,34 @@ class CorpusMixSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(10L -> 2L))
   }
+
+  test("sequence packing: contiguous fill respects id order and budget boundaries") {
+    // tokens: 3, 4, 5, 2 with budget 7 → exclusive prefix sums 0,3,7,12
+    // → bins 0,0,1,1
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f g"),
+      (3L, "s", "h i j k l"), (4L, "s", "m n"),
+      (5L, "t", "x y z")) // separate group packs independently from 0
+      .toDF("doc_id", "source", "text")
+    val a = graft.text.SequencePack.assign(docs, "source", "doc_id", "text", 7)
+      .orderBy("source", "doc_id")
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSeq
+    assert(a == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L)))
+    val b = graft.text.SequencePack.bins(docs, "source", "doc_id", "text", 7)
+      .orderBy("source", "bin")
+      .select("source", "bin", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(b == Seq(("s", 0L, 2L, 7L), ("s", 1L, 2L, 7L), ("t", 0L, 1L, 3L)))
+  }
+
+  test("robust scale: median/IQR within key, outlier-resistant") {
+    val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0), (1, 1000.0))
+      .toDF("k", "v")
+    val out = graft.etl.Cleaning.robustScale(df, Seq(col("k")), col("v"))
+      .orderBy("v").select("robust_z").as[Double].collect()
+    // median=3, q1=2, q3=4, iqr=2: z = (v-3)/(2+eps)
+    assert(math.abs(out(0) - (-1.0)) < 1e-6) // v=1
+    assert(math.abs(out(2) - 0.0) < 1e-6)    // v=3
+    assert(out(4) > 400.0)                   // outlier stays an outlier
+  }
 }
