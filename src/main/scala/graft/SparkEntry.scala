@@ -907,7 +907,25 @@ object SparkEntry {
     "q135_robust_scale" -> ((s, d) =>
       graft.etl.Cleaning.robustScale(li(s, d), Seq(col("l_returnflag")), col("l_quantity"))
         .select(col("l_orderkey"), col("l_linenumber"), r(col("l_quantity")).as("qty"),
-          r(col("robust_z")).as("robust_z")))
+          r(col("robust_z")).as("robust_z"))),
+    // STL-lite additive decomposition on the weekly supplier series
+    "q136_decompose" -> ((s, d) => {
+      val wk = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.operators.Decompose.additive(wk, Seq("l_suppkey"), col("week_start"),
+        col("qty_sum"), weekofyear(col("week_start")))
+        .select(col("l_suppkey"), col("week_start"), r(col("qty_sum")).as("qty"),
+          r(col("trend")).as("trend"), r(col("seasonal")).as("seasonal"),
+          r(col("residual")).as("residual"))
+    }),
+    // PSI drift: price distribution, 1995 (reference) vs 1996+ (current)
+    "q137_psi" -> ((s, d) =>
+      graft.operators.Decompose.psi(li(s, d),
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        col("l_extendedprice"))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          r(col("ref_share")).as("ref_share"), r(col("cur_share")).as("cur_share"),
+          r(col("psi_contrib")).as("psi_contrib")))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -1871,6 +1889,45 @@ object SparkEntry {
          WHERE ((doc_id % 2147483647) * 48271 % 2147483647)
                 * 48271 % 2147483647 * 48271 % 2147483647 < thr
          GROUP BY 1"""
+    },
+    "q136_decompose" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                       sum(l_quantity) q FROM lineitem GROUP BY 1,2),
+         t AS (SELECT l_suppkey, ws, q,
+                      avg(q) OVER (PARTITION BY l_suppkey ORDER BY ws
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+                      weekofyear(ws) AS woy
+               FROM wk),
+         s AS (SELECT *, avg(q - trend) OVER (PARTITION BY l_suppkey, woy) AS seasonal
+               FROM t)
+         SELECT l_suppkey, ws AS week_start,
+                (round((q)*1e4)/1e4 + 0.0e0) AS qty,
+                (round((trend)*1e4)/1e4 + 0.0e0) AS trend,
+                (round((seasonal)*1e4)/1e4 + 0.0e0) AS seasonal,
+                (round((q - trend - seasonal)*1e4)/1e4 + 0.0e0) AS residual
+         FROM s""",
+    "q137_psi" -> {
+      val edges = (1 until 10).map { i =>
+        s"quantile_cont(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN l_extendedprice END, 0.${i}) AS e${i - 1}"
+      }.mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"(CASE WHEN l_extendedprice > e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT $edges FROM lineitem),
+         b AS (SELECT CAST($binExpr AS BIGINT) AS bin,
+                      CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS is_ref
+               FROM lineitem, e),
+         c AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+                      CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt, CAST(sum(cur_n) AS DOUBLE) AS ct
+               FROM c)
+         SELECT bin, ref_n, cur_n,
+                (round((ref_n/rt)*1e4)/1e4 + 0.0e0) AS ref_share,
+                (round((cur_n/ct)*1e4)/1e4 + 0.0e0) AS cur_share,
+                (round(((cur_n/ct - ref_n/rt)
+                       * ln((cur_n/ct + 1e-6)/(ref_n/rt + 1e-6)))*1e4)/1e4 + 0.0e0)
+                  AS psi_contrib
+         FROM c, t"""
     },
     "q134_seq_pack" ->
       """WITH d AS (SELECT source, doc_id,
