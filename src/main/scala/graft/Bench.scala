@@ -19,7 +19,8 @@ object Bench {
     "q41_rolling_slope", "q47_zero_streaks", "q64_ngram_jaccard", "q65_minhash_candidates",
     "q68_ann_brute", "q69_ann_lsh", "q73_ewma", "q77_intermittency", "q79_postprocess_chain",
     "q110_feature_store", "q111_residual_diag", "q116_sessionize", "q117_tfidf",
-    "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix")
+    "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix",
+    "q136_decompose", "q138_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

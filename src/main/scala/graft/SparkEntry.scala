@@ -925,7 +925,11 @@ object SparkEntry {
         col("l_extendedprice"))
         .select(col("bin"), col("ref_n"), col("cur_n"),
           r(col("ref_share")).as("ref_share"), r(col("cur_share")).as("cur_share"),
-          r(col("psi_contrib")).as("psi_contrib")))
+          r(col("psi_contrib")).as("psi_contrib"))),
+    // the full corpus-curation pipeline: quality filter → exact dedup →
+    // source mix → sequence pack (composition of q130/q60/q131/q134)
+    "q138_curate" -> ((s, d) =>
+      graft.app.Jobs.curateCorpus(s, d, MixWeights, targetFraction = 0.5, budget = 256))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -1889,6 +1893,65 @@ object SparkEntry {
          WHERE ((doc_id % 2147483647) * 48271 % 2147483647)
                 * 48271 % 2147483647 * 48271 % 2147483647 < thr
          GROUP BY 1"""
+    },
+    "q138_curate" -> {
+      val cases = MixWeights.map { case (s, w) =>
+        s"WHEN '$s' THEN ${w * 0.5}" }.mkString(" ")
+      s"""WITH g AS (SELECT doc_id, n_chars,
+                           unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS gram
+                    FROM (SELECT doc_id, length(text) AS n_chars,
+                                 string_split(text, ' ') AS ws FROM documents)),
+         gc AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1,2,3),
+         gr AS (SELECT doc_id, n_chars, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+                FROM gc),
+         rep AS (SELECT doc_id,
+                        (round((max(CASE WHEN rk=1 THEN cnt*length(gram) END)
+                               / (any_value(n_chars)*1.0))*1e4)/1e4 + 0.0e0) AS top_frac,
+                        (round((least(1.0, sum(CASE WHEN cnt >= 2 THEN cnt*length(gram) ELSE 0 END)
+                               / (any_value(n_chars)*1.0)))*1e4)/1e4 + 0.0e0) AS dup_frac
+                 FROM gr GROUP BY doc_id),
+         st AS (SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                       list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                w -> length(w)))
+                         / (len(string_split_regex(trim(text), '\\s+')) + 1e-8) AS avg_len,
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / (length(text) + 1e-8) AS digit_ratio
+                FROM documents),
+         keep AS (SELECT st.doc_id FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id
+                  WHERE st.n_words >= 10 AND st.n_words <= 1000
+                    AND st.avg_len >= 2.0 AND st.avg_len <= 12.0
+                    AND st.digit_ratio < 0.2
+                    AND coalesce(rep.top_frac, 0.0) < 0.2
+                    AND coalesce(rep.dup_frac, 0.0) < 0.4),
+         k1 AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
+         dd AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text
+                                ORDER BY doc_id) AS rn FROM k1) WHERE rn = 1),
+         c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt FROM dd GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM dd),
+         mx AS (SELECT dd.doc_id, dd.source, dd.text,
+                       CAST(trunc(2147483647 * least(1.0,
+                         (CASE dd.source $cases ELSE 0.0 END) * total / cnt))
+                         AS BIGINT) AS thr
+                FROM dd JOIN c ON dd.source = c.source, tot),
+         sm AS (SELECT * FROM mx
+                WHERE ((doc_id % 2147483647) * 48271 % 2147483647)
+                       * 48271 % 2147483647 * 48271 % 2147483647 < thr),
+         d2 AS (SELECT source, doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM sm),
+         a AS (SELECT source, doc_id, n_tokens,
+                      CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / 256) AS BIGINT) AS bin
+               FROM d2),
+         b AS (SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+               FROM a GROUP BY 1,2)
+         SELECT source, count(*) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1"""
     },
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,

@@ -221,6 +221,32 @@ object Jobs {
     (wmOn(scored, chosen), baseCols.map(c => wmOn(scored, c)).min)
   }
 
+  /** The LLM-training-data curation pipeline, end to end: quality
+    * filter (Gopher rules) → exact dedup (keep-first) → source mixing
+    * to target proportions → sequence packing into token-budget bins;
+    * returns the per-source packing summary. Every stage is the
+    * oracle-backed operator (q130/q60/q131/q134) — this is the
+    * composition a corpus-curation user runs, shaped for 100 TB: the
+    * quality+rep stages shuffle on (doc, gram) and doc id, dedup on the
+    * text key, mixing never shuffles the corpus, packing is per-source
+    * parallel. */
+  def curateCorpus(spark: SparkSession, sfDir: String,
+                   weights: Map[String, Double],
+                   targetFraction: Double = 0.5,
+                   budget: Int = 256): DataFrame = {
+    import graft.text.{CorpusMix, Dedup, QualityFilter, SequencePack}
+    val docs = Tables.documents(spark, sfDir)
+    val keepIds = QualityFilter.gopherFilter(docs, "doc_id", "text")
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val kept = docs.join(keepIds, Seq("doc_id"))
+    val deduped = Dedup.exactDedup(kept, "text", Seq(col("doc_id")))
+    val mixed = CorpusMix.mixToTarget(deduped, "doc_id", "source", weights, targetFraction)
+    SequencePack.bins(mixed, "source", "doc_id", "text", budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)

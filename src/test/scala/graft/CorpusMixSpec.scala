@@ -74,6 +74,22 @@ class CorpusMixSpec extends SparkSpec {
     assert(b == Seq(("s", 0L, 2L, 7L), ("s", 1L, 2L, 7L), ("t", 0L, 1L, 3L)))
   }
 
+  test("curateCorpus composes filter→dedup→mix→pack with sane invariants") {
+    val out = graft.app.Jobs.curateCorpus(spark, "/root/testdata/sf0.001",
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.05, "src4" -> 0.05),
+      targetFraction = 0.5, budget = 256)
+      .select("source", "n_bins", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.subsetOf(Set("src0", "src1", "src2", "src3", "src4")))
+    out.foreach { case (src, nBins, nDocs, nTokens) =>
+      assert(nBins >= 1 && nDocs >= nBins, s"$src: $nBins bins, $nDocs docs")
+      // contiguous fill: every bin except possibly the last is filled past
+      // the budget boundary by construction → tokens > (bins-1) * budget
+      assert(nTokens > (nBins - 1) * 256, s"$src: $nTokens tokens in $nBins bins")
+    }
+  }
+
   test("robust scale: median/IQR within key, outlier-resistant") {
     val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0), (1, 1000.0))
       .toDF("k", "v")
