@@ -150,18 +150,14 @@ object Dedup {
   def minHashCandidatesPortable(df: DataFrame, id: String, text: String,
                                 gram: Int = 4, numHashes: Int = 32,
                                 bands: Int = 8): DataFrame = {
-    import graft.functions.PortableHash.{M31, MPoly, lehmerLong, polyHash}
+    import graft.functions.PortableHash.MPoly
     val rows = numHashes / bands
-    val pa = (0 until numHashes).map(i => lehmerLong(i + 1L))
-    val pb = (0 until numHashes).map(i => lehmerLong(10000L + i))
-    val hs = array_distinct(transform(
-      sequence(lit(1), length(col(text)) - (gram - 1)),
-      i => polyHash(col(text).substr(i, lit(gram)))))
+    // signature via the native codegen'd expression (one primitive
+    // rolling pass; value-identical to the HOF transform/array_min
+    // formulation — see graft.expr.MinHashSigExpr)
     val signed = df.filter(length(col(text)) >= gram)
-      .withColumn("__hs", hs)
-      .withColumn("__sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("__hs"),
-          h => (lit(pa(i)) * h + lit(pb(i))) % lit(M31)))): _*))
+      .withColumn("__sig",
+        graft.expr.MinHashSigExpr.column(col(text), gram, numHashes))
     val banded = signed.select(col(id), posexplode(
       array((0 until bands).map { b =>
         aggregate(slice(col("__sig"), b * rows + 2, rows - 1),

@@ -88,4 +88,29 @@ class PortableHashSpec extends SparkSpec {
       .select(PortableHash.polyBucket(col("s"), 16).as("b")).as[Long].collect()
     assert(b.forall(x => x >= 0 && x < 16))
   }
+
+  test("MinHashSigExpr equals the HOF reference formulation per element") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) >= 4).limit(100)
+    // the interpreted reference the expression replaced (kept here as
+    // the semantics pin): distinct shingle polyHashes, then per-
+    // permutation array_min
+    val hs = array_distinct(transform(
+      sequence(lit(1), length(col("text")) - 3),
+      i => PortableHash.polyHash(col("text").substr(i, lit(4)))))
+    val ref = array((0 until 32).map(i =>
+      array_min(transform(hs,
+        h => (lit(PortableHash.lehmerLong(i + 1L)) * h +
+          lit(PortableHash.lehmerLong(10000L + i))) % lit(PortableHash.M31)))): _*)
+    val diff = docs.select(
+      graft.expr.MinHashSigExpr.column(col("text"), 4, 32).as("fast"),
+      ref.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0L)
+    // short-text edge: empty array below the gram width
+    val short = Seq("abc").toDF("text")
+      .select(size(graft.expr.MinHashSigExpr.column(col("text"), 4, 32)))
+      .as[Int].head()
+    assert(short == 0)
+  }
 }
