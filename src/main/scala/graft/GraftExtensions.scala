@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.DotProduct
+import graft.expr.{DotProduct, MinHashSigExpr, PolyFingerprintExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions as
   * SQL-visible functions. Activate cluster-wide with
@@ -25,7 +26,31 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProduct(children.head, children(1))
-      }))
+      }),
+      (
+        FunctionIdentifier("graft_poly_fingerprint"),
+        new ExpressionInfo(classOf[PolyFingerprintExpr].getName, "graft_poly_fingerprint"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "graft_poly_fingerprint(text, shingleWidth) takes 2 arguments")
+          PolyFingerprintExpr(children.head, intLit(children(1), "shingleWidth"))
+        }),
+      (
+        FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "graft_minhash_sig(text, gram, numHashes) takes 3 arguments")
+          MinHashSigExpr(children.head,
+            intLit(children(1), "gram"), intLit(children(2), "numHashes"))
+        }))
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

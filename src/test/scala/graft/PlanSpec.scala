@@ -116,6 +116,23 @@ class PlanSpec extends SparkSpec {
     assert(t.agg(org.apache.spark.sql.functions.min("n2")).head().getDouble(0) > 0)
   }
 
+  test("graft_poly_fingerprint / graft_minhash_sig register on the SQL surface") {
+    GraftFunctions.register(spark)
+    val fp = spark.sql(
+      "SELECT graft_poly_fingerprint('abcdefghij', 8) AS fp").head().getLong(0)
+    assert(fp >= 0L)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig('the quick brown fox', 4, 32) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 32 && sig.forall(v => v >= 0L && v < 2147483647L))
+    // parity with the Column-API path
+    import spark.implicits._
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.expr.MinHashSigExpr.column(org.apache.spark.sql.functions.col("t"), 4, 32))
+      .head().getSeq[Long](0)
+    assert(sig == viaCol)
+  }
+
   test("ANN brute force broadcasts the query side, never the corpus") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
