@@ -116,6 +116,39 @@ class PlanSpec extends SparkSpec {
     assert(t.agg(org.apache.spark.sql.functions.min("n2")).head().getDouble(0) > 0)
   }
 
+  test("source mix: corpus filter rides broadcasts — only the rollup shuffles") {
+    val plan = SparkEntry.queries("q131_source_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // two hash exchanges, BOTH aggregations of narrow projections (the
+    // source-count agg feeding the broadcast, and the final rollup);
+    // the document rows themselves ride broadcast joins + a codegen'd
+    // Lehmer filter — the corpus is never hash-shuffled
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("decontamination: benchmark shingles broadcast, no sort-merge join") {
+    val plan = SparkEntry.queries("q132_contamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bm25: df and corpus stats join broadcast; no corpus-wide sort-merge") {
+    val plan = SparkEntry.queries("q133_bm25")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("span dedup: exactly the keep-decision and reassembly exchanges") {
+    val plan = SparkEntry.queries("q124_span_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+  }
+
   test("graft_poly_fingerprint / graft_minhash_sig register on the SQL surface") {
     GraftFunctions.register(spark)
     val fp = spark.sql(
