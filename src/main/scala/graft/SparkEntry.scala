@@ -929,7 +929,23 @@ object SparkEntry {
     // the full corpus-curation pipeline: quality filter → exact dedup →
     // source mix → sequence pack (composition of q130/q60/q131/q134)
     "q138_curate" -> ((s, d) =>
-      graft.app.Jobs.curateCorpus(s, d, MixWeights, targetFraction = 0.5, budget = 256))
+      graft.app.Jobs.curateCorpus(s, d, MixWeights, targetFraction = 0.5, budget = 256)),
+    // contrastive-training random negatives (bucket-probe, deterministic)
+    "q139_random_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), (col("doc_id") + 1).as("positive_id"))
+      graft.sim.Negatives.randomNegatives(docs, queries, k = 5)
+    }),
+    // hard negatives: cosine neighbors minus labeled positives
+    "q140_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val positives = queries.select(col("query_id"),
+        (col("query_id") + 1).as("positive_id"))
+      graft.sim.Negatives.hardNegatives(emb, queries, positives, k = 10)
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -1953,6 +1969,36 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM b GROUP BY 1"""
     },
+    "q139_random_negatives" -> {
+      def leh(x: String) =
+        s"((($x) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647"
+      s"""WITH c AS (SELECT doc_id AS neg_id, ${leh("doc_id")} % 64 AS bucket FROM documents),
+         q0 AS (SELECT doc_id AS query_id, doc_id + 1 AS positive_id
+                FROM documents WHERE doc_id < 20),
+         q AS (SELECT DISTINCT query_id, positive_id,
+                      ${leh("query_id + i*1000003")} % 64 AS bucket
+               FROM q0, range(0, 8) t(i)),
+         cand AS (SELECT DISTINCT query_id, neg_id
+                  FROM q JOIN c USING (bucket)
+                  WHERE neg_id <> query_id AND neg_id <> positive_id),
+         rk AS (SELECT query_id, neg_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ${leh("neg_id*1000003 + query_id")} ASC, neg_id ASC) AS rank
+                FROM cand)
+         SELECT query_id, neg_id, rank FROM rk WHERE rank <= 5"""
+    },
+    "q140_hard_negatives" ->
+      """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings
+                    WHERE vec_id < 5),
+              c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
+              s AS (SELECT query_id, vec_id neg_id,
+                      (round(list_dot_product(cv, qv)
+                        /(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv)))
+                        *1e4)/1e4 + 0.0e0) cos_sim
+                    FROM c, q WHERE vec_id <> query_id AND vec_id <> query_id + 1),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neg_id ASC) rank FROM s)
+         SELECT query_id, neg_id, cos_sim, rank FROM rk WHERE rank <= 10""",
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                        sum(l_quantity) q FROM lineitem GROUP BY 1,2),
