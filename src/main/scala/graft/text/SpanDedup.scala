@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Span-level (exact-substring-style) corpus deduplication: split every
@@ -20,12 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): exploding to spans multiplies row COUNT but not
   * corpus bytes (each word lands in exactly one span). The keep decision
-  * is one hash shuffle partitioned by span text — span frequency is
-  * naturally capped (a span duplicated a million times still lands on
-  * one partition but collapses to one winner in the window's single
-  * pass), and reassembly is a second shuffle back on the document id
-  * with a per-document (bounded) collect_list. No all-pairs step exists
-  * anywhere; memory per task is O(longest document), not O(corpus).
+  * is a PARTIAL-AGGREGATED min-struct per span — deliberately not a
+  * row_number window: dedup corpora guarantee hot spans (boilerplate
+  * repeated across millions of documents), and a window would route
+  * every copy of a hot span to one task, while map-side combine
+  * collapses them to one row per input partition before the shuffle.
+  * The winner table joins back co-partitioned on the span, and
+  * reassembly is one document-id shuffle with a per-document (bounded)
+  * collect_list. No all-pairs step exists anywhere; memory per task is
+  * O(longest document), not O(hottest span).
   */
 object SpanDedup {
 
@@ -53,14 +55,21 @@ object SpanDedup {
     */
   def dedupSpans(df: DataFrame, id: String, text: String, w: Int = 10): DataFrame = {
     val sp = spans(df, id, text, w)
-    val keepW = Window.partitionBy(col("span")).orderBy(col(id), col("span_no"))
-    val flagged = sp.withColumn("__rn", row_number().over(keepW))
-    flagged.groupBy(col(id))
+    // skew-safe keep decision: min (id, span_no) per span via partial
+    // aggregation (hot spans collapse map-side), joined back
+    // co-partitioned on the span
+    val winners = sp.groupBy(col("span"))
+      .agg(min(struct(col(id), col("span_no"))).as("__w"))
+      .select(col("span"), col("__w").getField(id).as("__wid"),
+        col("__w").getField("span_no").as("__wno"))
+    sp.join(winners, Seq("span"))
+      .withColumn("__keep", col(id) === col("__wid") && col("span_no") === col("__wno"))
+      .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__keep"),
             struct(col("span_no"), col("span"))))),
           s => s.getField("span"))).as("text_dedup"))
   }

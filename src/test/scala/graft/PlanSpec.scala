@@ -142,11 +142,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("span dedup: exactly the keep-decision and reassembly exchanges") {
+  test("span dedup: keep decision is a partial-agg, not a hot-key window") {
     val plan = SparkEntry.queries("q124_span_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
+    // skew posture: winners come from partial-aggregated min-struct
+    // (map-side combine collapses hot spans) + a co-partitioned join —
+    // 3 exchanges (winner agg, join side, doc reassembly), NO window
+    // over the span partitioning
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("row_number"), plan)
   }
 
   test("graft_poly_fingerprint / graft_minhash_sig register on the SQL surface") {

@@ -33,6 +33,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 2L, 1L, "m n o p"))) // self-repeat collapses
   }
 
+  test("dedupSpans: hot span (shared boilerplate) collapses to one global winner") {
+    val boiler = "subscribe to our newsletter now"
+    val hot = (1L to 500L).map(i => (i, s"$boiler unique tail $i")).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(hot, "doc_id", "text", 5)
+    // span 1 = the 5 boilerplate words for every doc → only doc 1 keeps it
+    val keepers = out.filter(col("text_dedup").startsWith(boiler))
+    assert(keepers.count() == 1L)
+    assert(keepers.select("doc_id").as[Long].head() == 1L)
+    // every doc keeps its unique tail span
+    assert(out.filter(col("n_kept") >= 1).count() == 500L)
+  }
+
   test("ngrams: bigram explosion with 1-based overlap") {
     val g = Repetition.ngrams(docs.filter(col("doc_id") === 3L), "doc_id", "text", 2)
       .select("gram").as[String].collect().toSeq
