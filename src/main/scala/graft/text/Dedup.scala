@@ -25,15 +25,19 @@ object Dedup {
     if (level == StorageLevel.NONE) df else df.persist(level)
 
   /** Exact dedup on a content column, deterministic keep-first by
-    * tiebreaker (usually the id). Shuffles on a 64-bit content hash
-    * rather than the full text — at scale the exchange carries 8 bytes
-    * per row instead of the document body. Hash collisions are resolved
-    * by partitioning on the hash but ranking within the true content. */
+    * tiebreaker (usually the id). Skew-safe by construction: the winner
+    * row per content group comes from a PARTIAL-AGGREGATED `min_by`
+    * (map-side combine collapses a text duplicated a million times —
+    * the exact situation dedup exists for — to one candidate per input
+    * partition before the shuffle), not a window that would route every
+    * copy to one task. Groups key on (64-bit hash, content) so the
+    * exchange hashes 8 bytes while collisions still split on the true
+    * content. */
   def exactDedup(df: DataFrame, content: String, tiebreak: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(content)), col(content)).orderBy(tiebreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val winner = min_by(struct(df.columns.map(col): _*), struct(tiebreak: _*))
+    df.groupBy(xxhash64(col(content)), col(content))
+      .agg(winner.as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle) long
