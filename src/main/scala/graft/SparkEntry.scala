@@ -945,6 +945,51 @@ object SparkEntry {
       val positives = queries.select(col("query_id"),
         (col("query_id") + 1).as("positive_id"))
       graft.sim.Negatives.hardNegatives(emb, queries, positives, k = 10)
+    }),
+    // bloom-pruned semi-join: lineitems of high-value orders — the bloom
+    // prefilter drops non-members scan-side, before the join shuffle
+    "q141_bloom_semi" -> ((s, d) => {
+      val keys = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      graft.operators.BloomPrune.semiJoin(li(s, d), keys, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    }),
+    // bloom-pruned anti-join (block-list flavor): bloom-rejected rows pass
+    // with no shuffle at all; only the maybe-set reaches the exact anti
+    "q142_bloom_anti" -> ((s, d) => {
+      val keys = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      graft.operators.BloomPrune.antiJoin(li(s, d), keys, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    // z-order (Morton) clustering key: bit-interleave of (partkey, suppkey)
+    "q143_zorder" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.Layout.zValue(Seq(col("l_partkey"), col("l_suppkey")), 8).as("z"))),
+    // bigram LM corpus-quality scoring (add-k smoothed, self-trained)
+    "q144_bigram_lm" -> ((s, d) =>
+      graft.text.NgramLm.score(Tables.documents(s, d), "doc_id", "text")),
+    // SCD2 validity intervals from the events change log
+    "q145_scd2" -> ((s, d) =>
+      graft.operators.Scd.scd2(Tables.events(s, d), Seq("user_id"), "ts", "event_id",
+        Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("version"), col("is_current"))),
+    // SemDeDup: KMeans-cluster-scoped embedding dedup (cells are
+    // engine-specific -> rows-only gate; SemDedupSpec verifies recall)
+    "q146_semdedup" -> ((s, d) =>
+      graft.sim.SemDedup.semDedup(Tables.embeddings(s, d))),
+    // distributed BPE: learn merges on the corpus vocabulary, encode docs
+    // (merge argmax sequence is iterative -> rows-only gate; BpeSpec
+    // verifies against an independent local reference implementation)
+    "q147_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 24)
+      graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
     })
   )
 
@@ -1999,6 +2044,64 @@ object SparkEntry {
               rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, neg_id ASC) rank FROM s)
          SELECT query_id, neg_id, cos_sim, rank FROM rk WHERE rank <= 10""",
+    // bloom stage is prune-only: the result is exactly the semi-join
+    "q141_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""",
+    "q142_bloom_anti" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         GROUP BY 1""",
+    // bit j of partkey -> position 2j+1, of suppkey -> position 2j (8 bits each)
+    "q143_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                CAST(list_sum([ ((l_partkey % 256) // (1 << i)) % 2 * (1 << (2*i + 1))
+                              + ((l_suppkey % 256) // (1 << i)) % 2 * (1 << (2*i))
+                              FOR i IN range(0, 8) ]) AS BIGINT) AS z
+         FROM lineitem""",
+    // per-bigram logprob rounded to 6 decimals BEFORE the per-doc mean
+    // (ratio-of-sums convention); multiple unnest zip positionally
+    "q144_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+         bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM d WHERE len(t) >= 2),
+         bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         uc AS (SELECT w, count(*) AS c1
+                FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM uc),
+         lp AS (SELECT doc_id,
+                  (round(ln((bc.cnt + 0.5e0) / (uc.c1 + 0.5e0 * v.v))*1e6)/1e6 + 0.0e0) AS lp
+                FROM bg JOIN bc USING (w1, w2) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+         ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  (round((sum(lp)/count(*))*1e4)/1e4 + 0.0e0) AS avg_logprob
+                FROM lp GROUP BY 1)
+         SELECT doc_id, n_bigrams, avg_logprob,
+                (round(exp(-avg_logprob)*1e4)/1e4 + 0.0e0) AS perplexity
+         FROM ag""",
+    "q145_scd2" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+                  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+           FROM events),
+         s AS (SELECT user_id, event_type, us,
+                  CAST(sum(CASE WHEN prev_id IS NULL
+                             OR prev_t IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+               FROM g),
+         runs AS (SELECT user_id, seg, min(event_type) AS event_type, min(us) AS from_us
+                  FROM s GROUP BY 1, 2),
+         fin AS (SELECT user_id, event_type, from_us,
+                        lead(from_us) OVER (PARTITION BY user_id ORDER BY seg) AS to_us,
+                        seg AS version
+                 FROM runs)
+         SELECT user_id, event_type, from_us, to_us, version,
+                (to_us IS NULL) AS is_current
+         FROM fin""",
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                        sum(l_quantity) q FROM lineitem GROUP BY 1,2),

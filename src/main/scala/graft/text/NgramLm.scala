@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
+
+/** Bigram language-model scoring — the classic corpus-quality signal
+  * (KenLM-style perplexity filtering, as used by CCNet/Gopher-class
+  * pipelines): documents whose token transitions are improbable under a
+  * model trained on the corpus itself (boilerplate, gibberish, wrong
+  * language) score low and can be culled by threshold.
+  *
+  * Model: add-k smoothed bigram MLE,
+  *   P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+  * scored as the per-document mean natural-log probability over its
+  * bigrams (higher = more typical text). exp(−mean) is the perplexity.
+  *
+  * Scale shape (100 TB): bigram extraction is NARROW (tokens array →
+  * zip with its own tail — no posexplode self-join); both count tables
+  * are vocabulary-bounded, not corpus-bounded, after one map-side-combined
+  * groupBy each, so the scoring joins broadcast under AQE. The only
+  * corpus-sized shuffle is the final per-doc aggregation.
+  *
+  * Oracle parity: each bigram log-prob is rounded to 6 decimals BEFORE
+  * the per-doc mean (both engines then average bit-identical inputs —
+  * the repo's ratio-of-sums convention), and the mean is rounded to 4.
+  */
+object NgramLm {
+
+  private def toks(text: String) = split(trim(lower(col(text))), "\\s+")
+
+  /** (w1, w2, cnt) bigram counts over the corpus — vocabulary²-bounded. */
+  def bigramCounts(df: DataFrame, text: String): DataFrame =
+    df.select(toks(text).as("__t"))
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+
+  /** (w, cnt) unigram counts (all positions). */
+  def unigramCounts(df: DataFrame, text: String): DataFrame =
+    df.select(explode(toks(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document mean bigram log-probability + perplexity under the
+    * corpus-trained add-k model. Documents with < 2 tokens drop (no
+    * bigrams to score). */
+  def score(df: DataFrame, idCol: String, text: String,
+            k: Double = 0.5): DataFrame = {
+    val bi = bigramCounts(df, text)
+    val uni = unigramCounts(df, text)
+    val v = uni.agg(count(lit(1)).as("__v"))
+
+    val docBigrams = df
+      .select(col(idCol), toks(text).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    // Scoring the training corpus ⇒ every (w1,w2) and w1 exists in the
+    // count tables; joins stay inner. Both right sides are vocab-bounded
+    // (AQE broadcasts them); the hint makes the intent explicit.
+    val lp = docBigrams
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("cnt", "c1").withColumnRenamed("w", "w1")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("__lp", Funcs.r(
+        log((col("cnt") + lit(k)) / (col("c1") + lit(k) * col("__v"))), 6))
+
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        Funcs.r(sum(col("__lp")) / count(lit(1))).as("avg_logprob"))
+      .withColumn("perplexity", Funcs.r(exp(-col("avg_logprob"))))
+  }
+}
