@@ -990,6 +990,43 @@ object SparkEntry {
       val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 24)
       graft.text.Bpe.encode(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"), col("n_pieces"))
+    }),
+    // CDC apply: orders as a change feed over the customer dimension
+    // (latest order per customer wins; F=update, O=insert-style upsert,
+    // P=delete) — one max_by winner agg + one full-outer merge
+    "q148_cdc" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val changes = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"),
+        lit("updated").as("c_name"),
+        pmod(col("o_custkey"), lit(25L)).as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"))
+      graft.operators.Cdc.applyChanges(cust, changes, Seq("c_custkey"), "seq", "op")
+    }),
+    // funnel: view -> click -> purchase conversion over the event stream
+    "q149_funnel" -> ((s, d) =>
+      graft.operators.Funnel.funnel(Tables.events(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+    // weekly cohort retention triangle
+    "q150_retention" -> ((s, d) =>
+      graft.operators.Cohorts.retention(Tables.events(s, d), "user_id", "ts", 8)),
+    // weighted sampling without replacement (A-ES, portable): 20 docs per
+    // source, probability proportional to document length
+    "q151_weighted_sample" -> ((s, d) =>
+      graft.functions.PortableHash.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 20, groupCols = Seq(col("source")))
+        .select(col("source"), col("doc_id"), col("sample_key"), col("rank"))),
+    // fixed-point PageRank over the symmetrized part<->supplier graph —
+    // bit-exact integer arithmetic, fully oracle-checked (5 iterations)
+    "q152_pagerank" -> ((s, d) => {
+      val liv = li(s, d)
+      val fwd = liv.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = liv.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+      graft.graph.PageRankOp.pageRank(fwd.union(rev), "src", "dst", iters = 5)
     })
   )
 
@@ -998,6 +1035,40 @@ object SparkEntry {
     * over-asked (weight·budget > its size) to exercise the cap. */
   private val MixWeights: Map[String, Double] = Map(
     "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.05, "src4" -> 0.05)
+
+  /** Fixed-point PageRank oracle: the iteration count is static, so the
+    * loop unrolls into chained CTEs (r0..r5). All arithmetic is BIGINT
+    * truncating division — bit-identical to the Spark side by
+    * construction (graph/PageRankOp.scala). */
+  private lazy val pageRankSql: String = {
+    val scale = 1000000000L
+    val head =
+      s"""WITH e AS (
+            SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+            UNION
+            SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          r0 AS (SELECT node, $scale // nn.n AS rank_i FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to 5).map { i =>
+      s""",
+          c$i AS (SELECT e.dst AS node, sum(r.rank_i // d.deg) AS s
+                  FROM e JOIN r${i - 1} r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+                  GROUP BY 1),
+          r$i AS (SELECT nodes.node,
+                         ${3L * scale} // (20*nn.n)
+                           + (17 * coalesce(c$i.s, 0)) // 20 AS rank_i
+                  FROM nodes CROSS JOIN nn
+                       LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString
+    head + iters +
+      s"""
+         SELECT node, rank_i,
+                (round((rank_i / $scale.0e0)*1e4)/1e4 + 0.0e0) AS rank
+         FROM r5"""
+  }
 
   /** Portable MinHash-LSH candidate SQL, shared by q122 (the candidate
     * set itself) and q128 (candidates → Levenshtein verify). */
@@ -2102,6 +2173,76 @@ object SparkEntry {
          SELECT user_id, event_type, from_us, to_us, version,
                 (to_us IS NULL) AS is_current
          FROM fin""",
+    "q148_cdc" ->
+      """WITH w0 AS (SELECT o_custkey AS c_custkey,
+                   'updated' AS c_name,
+                   o_custkey % 25 AS c_nationkey,
+                   o_totalprice AS c_acctbal,
+                   o_orderpriority AS c_mktsegment,
+                   CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders),
+         w AS (SELECT * FROM w0 WHERE rn = 1)
+         SELECT coalesce(w.c_custkey, c.c_custkey) AS c_custkey,
+                CASE WHEN w.op IS NOT NULL THEN w.c_name ELSE c.c_name END AS c_name,
+                CASE WHEN w.op IS NOT NULL THEN w.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+                CASE WHEN w.op IS NOT NULL THEN w.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+                CASE WHEN w.op IS NOT NULL THEN w.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN w ON c.c_custkey = w.c_custkey
+         WHERE w.op IS NULL OR w.op <> 'D'""",
+    "q149_funnel" ->
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT t0.user_id, t0.t0,
+                       min(CASE WHEN epoch_us(e.ts) >= t0.t0
+                                THEN epoch_us(e.ts) END) AS t1
+                FROM t0 LEFT JOIN events e
+                  ON e.user_id = t0.user_id AND e.event_type = 'click'
+                GROUP BY 1, 2),
+         t2 AS (SELECT t1.user_id, t1.t0, t1.t1,
+                       min(CASE WHEN epoch_us(e.ts) >= t1.t1
+                                THEN epoch_us(e.ts) END) AS t2
+                FROM t1 LEFT JOIN events e
+                  ON e.user_id = t1.user_id AND e.event_type = 'purchase'
+                GROUP BY 1, 2, 3)
+         SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+                count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_sec_from_prev
+         FROM t2
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'click', count(*),
+                (round((avg((t1 - t0) / 1000000.0e0))*1e4)/1e4 + 0.0e0)
+         FROM t2 WHERE t1 IS NOT NULL
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'purchase', count(*),
+                (round((avg((t2 - t1) / 1000000.0e0))*1e4)/1e4 + 0.0e0)
+         FROM t2 WHERE t2 IS NOT NULL""",
+    "q150_retention" ->
+      """WITH fw AS (SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+                     FROM events GROUP BY 1),
+         aw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+                FROM events),
+         j AS (SELECT aw.user_id, fw.cohort_week,
+                      CAST(datediff('day', fw.cohort_week, aw.active_week) // 7 AS BIGINT) AS week_k
+               FROM aw JOIN fw USING (user_id)
+               WHERE datediff('day', fw.cohort_week, aw.active_week) // 7 BETWEEN 0 AND 8),
+         s AS (SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY 1)
+         SELECT j.cohort_week, j.week_k, s.cohort_size, count(*) AS n_active,
+                (round((count(*) / CAST(s.cohort_size AS DOUBLE))*1e4)/1e4 + 0.0e0) AS retention
+         FROM j JOIN s USING (cohort_week)
+         GROUP BY 1, 2, 3""",
+    "q151_weighted_sample" -> {
+      def leh(x: String) =
+        s"((($x) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647"
+      s"""WITH s AS (SELECT doc_id, source,
+                (round(pow((${leh("doc_id")} + 0.5e0) / 2147483647.0e0,
+                           1.0e0 / n_chars)*1e6)/1e6 + 0.0e0) AS sample_key
+              FROM documents),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY sample_key DESC, doc_id ASC) AS rank FROM s)
+         SELECT source, doc_id, sample_key, rank FROM rk WHERE rank <= 20"""
+    },
+    "q152_pagerank" -> pageRankSql,
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                        sum(l_quantity) q FROM lineitem GROUP BY 1,2),

@@ -107,4 +107,35 @@ object PortableHash {
     array_min(transform(sequence(lit(1), greatest(n, lit(1))),
       i => polyHash(text.substr(i, lit(shingle)))))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a deterministic uniform u ∈ (0,1) from `lehmer(key)`
+    * and ranks by u^(1/w) — the top-k by that sort key are a weighted
+    * sample (heavier rows win proportionally more often). The mixture-
+    * sampling primitive of training-data pipelines ("sample documents
+    * proportional to quality score"), with the repo's portability rules:
+    * the sort key is rounded to 6 decimals and ties break on `key`, so
+    * every engine picks the identical sample. Weights must be > 0. */
+  def weightedSampleKey(key: Column, weight: Column): Column = {
+    val u = (lehmer(key).cast("double") + lit(0.5)) / lit(M31.toDouble)
+    Funcs.r(pow(u, lit(1.0) / weight), 6)
+  }
+
+  /** Per-group weighted top-k sample. With `groupCols` empty this is a
+    * global TakeOrdered (scale-safe); otherwise one window per group
+    * partition. Output keeps input columns + `sample_key` + `rank`. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     groupCols: Seq[Column] = Seq.empty): DataFrame = {
+    val keyed = df.withColumn("sample_key", weightedSampleKey(key, weight))
+    if (groupCols.isEmpty)
+      keyed.orderBy(col("sample_key").desc, key.asc).limit(k)
+        .withColumn("rank", lit(null).cast("long"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols: _*)
+        .orderBy(col("sample_key").desc, key.asc)
+      keyed.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+  }
 }
