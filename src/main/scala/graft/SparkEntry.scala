@@ -1027,6 +1027,70 @@ object SparkEntry {
       val fwd = liv.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       val rev = liv.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
       graft.graph.PageRankOp.pageRank(fwd.union(rev), "src", "dst", iters = 5)
+    }),
+    // ---- model-evaluation metrics family (Eval) ----
+    // label for the whole family: l_returnflag = 'R'; score: l_discount
+    // (11 distinct values -> exercises the tie-aware formulations)
+    "q153_auc" -> ((s, d) =>
+      graft.metrics.Eval.auc(li(s, d), col("l_discount"),
+        col("l_returnflag") === "R", Seq("l_linestatus"))),
+    "q154_ks" -> ((s, d) =>
+      graft.metrics.Eval.ks(li(s, d), col("l_discount"),
+        col("l_returnflag") === "R", Seq("l_linestatus"))),
+    "q155_gains" -> ((s, d) =>
+      graft.metrics.Eval.gains(li(s, d), col("l_discount"),
+        col("l_returnflag") === "R")),
+    "q156_threshold_sweep" -> ((s, d) =>
+      graft.metrics.Eval.thresholdSweep(li(s, d), col("l_discount"),
+        col("l_returnflag") === "R", steps = 10, denom = 100.0)),
+    // pseudo-probability: l_discount*10 in [0,1]
+    "q157_calibration" -> ((s, d) =>
+      graft.metrics.Eval.calibration(li(s, d), col("l_discount") * 10,
+        col("l_returnflag") === "R", bins = 10)),
+    // ---- categorical association family (Assoc) ----
+    "q158_chi2" -> ((s, d) =>
+      graft.operators.Assoc.chi2(li(s, d), "l_returnflag", "l_linestatus")),
+    "q159_mutual_info" -> ((s, d) =>
+      graft.operators.Assoc.mutualInfo(li(s, d), "l_returnflag", "l_linestatus")),
+    "q160_target_encode" -> ((s, d) =>
+      graft.operators.Assoc.targetEncode(li(s, d), "l_partkey",
+        col("l_returnflag") === "R", m = 10.0)),
+    // ---- event analytics ----
+    // purchases credited to view/click touches in a 7-day lookback
+    "q161_attribution" -> ((s, d) =>
+      graft.operators.Attribution.touchAttribution(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id",
+        convType = "purchase", touchTypes = Seq("view", "click"), lookbackDays = 7)),
+    "q162_ohlc" -> ((s, d) =>
+      graft.operators.Bars.ohlc(Tables.events(s, d), "event_type", "ts",
+        "event_id", "value", bucket = "hour")),
+    // ---- graph ops (full oracles: integer-exact) ----
+    // triangle census of the co-purchase graph (parts sharing an order)
+    "q163_triangles" -> ((s, d) =>
+      graft.graph.Triangles.triangleCount(
+        graft.graph.Triangles.coOccurrenceEdges(li(s, d), "l_orderkey", "l_partkey"))),
+    // 5-round min-label propagation over the part<->supplier bipartite graph
+    "q164_cc_labelprop" -> ((s, d) => {
+      val liv = li(s, d)
+      val e = liv.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.graph.LabelProp.ccFixed(e, "src", "dst", iters = 5)
+    }),
+    // ---- CUSUM change detection (recursive-CTE oracle) ----
+    // weekly per-series quantities centered on the series mean (rounded
+    // on both sides so the recursion starts from identical doubles)
+    "q165_cusum" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val mean = weekly.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(r(avg(col("qty_sum"))).as("__mu"))
+      val centered = weekly.join(mean, Seq("l_partkey", "l_suppkey"))
+        .withColumn("__delta", col("qty_sum") - col("__mu"))
+      graft.seq.SequentialKernels.withCusum(centered,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")),
+        "__delta", slack = 2.0, h = 10.0)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("cusum_pos")).as("cusum_pos"), r(col("cusum_neg")).as("cusum_neg"),
+          col("cusum_alarm"))
     })
   )
 
@@ -2815,6 +2879,223 @@ object SparkEntry {
          FROM lineitem
          WINDOW w AS (PARTITION BY l_partkey, l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber),
-                g AS (PARTITION BY l_partkey, l_suppkey)"""
+                g AS (PARTITION BY l_partkey, l_suppkey)""",
+    // ---- model-evaluation metrics (q153-q157) ----
+    "q153_auc" ->
+      """WITH s AS (SELECT l_linestatus, l_discount AS score,
+                      sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) np,
+                      sum(CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END) nn
+                    FROM lineitem GROUP BY 1,2),
+              c AS (SELECT *, coalesce(sum(nn) OVER (PARTITION BY l_linestatus
+                      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) cum_nn FROM s)
+         SELECT l_linestatus, CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                (round(sum(np*(cum_nn + nn/2.0e0))/(sum(np)*sum(nn))*1e4)/1e4 + 0.0e0) AS auc
+         FROM c GROUP BY 1""",
+    "q154_ks" ->
+      """WITH s AS (SELECT l_linestatus, l_discount AS score,
+                      sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) np,
+                      sum(CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END) nn
+                    FROM lineitem GROUP BY 1,2),
+              d AS (SELECT *, sum(np) OVER c AS cp, sum(nn) OVER c AS cn,
+                      sum(np) OVER a AS tp, sum(nn) OVER a AS tn
+                    FROM s
+                    WINDOW c AS (PARTITION BY l_linestatus ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           a AS (PARTITION BY l_linestatus
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+              d2 AS (SELECT *, abs(cp/tp - cn/tn) AS diff FROM d),
+              d3 AS (SELECT *, max(diff) OVER (PARTITION BY l_linestatus) AS mx FROM d2)
+         SELECT l_linestatus, min(score) AS ks_score,
+                (round(max(diff)*1e4)/1e4 + 0.0e0) AS ks
+         FROM d3 WHERE diff = mx GROUP BY 1""",
+    "q155_gains" ->
+      """WITH s AS (SELECT l_discount AS score,
+                      sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) np,
+                      sum(CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END) nn
+                    FROM lineitem GROUP BY 1),
+              c AS (SELECT score, sum(np+nn) OVER wd AS cum_n, sum(np) OVER wd AS cum_pos,
+                      sum(np) OVER () AS tp, sum(np+nn) OVER () AS tn
+                    FROM s
+                    WINDOW wd AS (ORDER BY score DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT score, CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+                (round(cum_pos/tp*1e4)/1e4 + 0.0e0) AS capture,
+                (round((cum_pos/cum_n)/(tp/tn)*1e4)/1e4 + 0.0e0) AS lift
+         FROM c""",
+    "q156_threshold_sweep" ->
+      """WITH s AS (SELECT l_discount AS score,
+                      sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) np,
+                      sum(CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END) nn
+                    FROM lineitem GROUP BY 1),
+              th AS (SELECT i/100.0e0 AS threshold FROM range(0, 11) t(i)),
+              x AS (SELECT threshold,
+                      sum(CASE WHEN score >= threshold THEN np ELSE 0 END) tp,
+                      sum(CASE WHEN score >= threshold THEN nn ELSE 0 END) fp,
+                      sum(CASE WHEN score < threshold THEN np ELSE 0 END) fn,
+                      sum(CASE WHEN score < threshold THEN nn ELSE 0 END) tn
+                    FROM s CROSS JOIN th GROUP BY 1)
+         SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                (round(tp/nullif(tp+fp, 0)*1e4)/1e4 + 0.0e0) AS precision,
+                (round(tp/nullif(tp+fn, 0)*1e4)/1e4 + 0.0e0) AS recall,
+                (round(2*tp/nullif(2*tp+fp+fn, 0)*1e4)/1e4 + 0.0e0) AS f1
+         FROM x""",
+    "q157_calibration" ->
+      """WITH b AS (SELECT least(CAST(floor((l_discount*10)*10) AS BIGINT), 9) AS bin,
+                      l_discount*10 AS s,
+                      CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END AS y
+                    FROM lineitem)
+         SELECT bin, count(*) AS n,
+                (round(avg(s)*1e4)/1e4 + 0.0e0) AS avg_score,
+                (round(avg(y)*1e4)/1e4 + 0.0e0) AS pos_rate
+         FROM b GROUP BY 1""",
+    // ---- categorical association (q158-q160) ----
+    "q158_chi2" ->
+      """WITH cells AS (SELECT l_returnflag, l_linestatus, count(*) AS observed
+                        FROM lineitem GROUP BY 1,2),
+              rt AS (SELECT l_returnflag, sum(observed) AS rt FROM cells GROUP BY 1),
+              ct AS (SELECT l_linestatus, sum(observed) AS ct FROM cells GROUP BY 1),
+              tot AS (SELECT sum(observed) AS n,
+                        count(DISTINCT l_returnflag) AS rx,
+                        count(DISTINCT l_linestatus) AS ry FROM cells),
+              w AS (SELECT rt.l_returnflag, ct.l_linestatus,
+                      coalesce(c.observed, 0) AS observed,
+                      rt.rt*ct.ct/tot.n AS expected, tot.n AS n, tot.rx AS rx, tot.ry AS ry
+                    FROM rt CROSS JOIN ct
+                      LEFT JOIN cells c ON c.l_returnflag = rt.l_returnflag
+                        AND c.l_linestatus = ct.l_linestatus
+                      CROSS JOIN tot),
+              w2 AS (SELECT *, (observed-expected)*(observed-expected)/expected AS contrib FROM w),
+              t AS (SELECT sum(contrib) AS chi2, any_value(n) AS n,
+                      any_value(rx) AS rx, any_value(ry) AS ry FROM w2)
+         SELECT w2.l_returnflag, w2.l_linestatus, w2.observed,
+                (round(w2.expected*1e4)/1e4 + 0.0e0) AS expected,
+                (round(w2.contrib*1e4)/1e4 + 0.0e0) AS contrib,
+                (round(t.chi2*1e4)/1e4 + 0.0e0) AS chi2,
+                (round(sqrt(t.chi2/(t.n*least(t.rx-1, t.ry-1)))*1e4)/1e4 + 0.0e0) AS cramers_v
+         FROM w2, t""",
+    "q159_mutual_info" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS o
+                        FROM lineitem GROUP BY 1,2),
+              rt AS (SELECT x, sum(o) AS mr FROM cells GROUP BY 1),
+              ct AS (SELECT y, sum(o) AS mc FROM cells GROUP BY 1),
+              tot AS (SELECT sum(o) AS n FROM cells),
+              mi AS (SELECT sum(o/n * ln(o*n/(mr*mc))) AS mi
+                     FROM cells c JOIN rt USING(x) JOIN ct USING(y) CROSS JOIN tot),
+              hx AS (SELECT -sum(mr/n * ln(mr/n)) AS h_x FROM rt CROSS JOIN tot),
+              hy AS (SELECT -sum(mc/n * ln(mc/n)) AS h_y FROM ct CROSS JOIN tot)
+         SELECT (round(mi*1e4)/1e4 + 0.0e0) AS mi_nats,
+                (round(h_x*1e4)/1e4 + 0.0e0) AS h_x,
+                (round(h_y*1e4)/1e4 + 0.0e0) AS h_y,
+                (round(mi/sqrt(h_x*h_y)*1e4)/1e4 + 0.0e0) AS nmi
+         FROM mi, hx, hy""",
+    "q160_target_encode" ->
+      """WITH p AS (SELECT l_partkey, count(*) AS n,
+                      sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS pos
+                    FROM lineitem GROUP BY 1),
+              g AS (SELECT sum(pos)/sum(n) AS prior FROM p)
+         SELECT l_partkey, n,
+                (round((pos + 10.0e0*prior)/(n + 10.0e0)*1e4)/1e4 + 0.0e0) AS enc
+         FROM p, g""",
+    // ---- event analytics (q161-q162) ----
+    "q161_attribution" ->
+      """WITH c AS (SELECT event_id AS conversion_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'purchase'),
+              t AS (SELECT user_id, event_id AS tid, event_type AS ttype, ts AS tts
+                    FROM events WHERE event_type IN ('view','click')),
+              j AS (SELECT c.conversion_id, c.user_id, c.cts, t.tid, t.ttype, t.tts
+                    FROM c LEFT JOIN t ON c.user_id = t.user_id
+                      AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+              w AS (SELECT *,
+                      row_number() OVER (PARTITION BY conversion_id
+                        ORDER BY tts ASC, tid ASC) AS ra,
+                      row_number() OVER (PARTITION BY conversion_id
+                        ORDER BY tts DESC, tid DESC) AS rd
+                    FROM j)
+         SELECT conversion_id, user_id, epoch_us(cts) AS conv_us,
+                count(tid) AS n_touches,
+                max(CASE WHEN ra=1 THEN tid END) AS first_touch_id,
+                max(CASE WHEN ra=1 THEN ttype END) AS first_touch_type,
+                max(CASE WHEN rd=1 THEN tid END) AS last_touch_id,
+                max(CASE WHEN rd=1 THEN ttype END) AS last_touch_type
+         FROM w GROUP BY 1,2,3""",
+    "q162_ohlc" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bar, value AS v, ts, event_id,
+                      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                        ORDER BY ts ASC, event_id ASC) AS ra,
+                      row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                        ORDER BY ts DESC, event_id DESC) AS rd
+                    FROM events)
+         SELECT event_type, epoch_us(bar) AS bar_us, count(*) AS n,
+                max(CASE WHEN ra=1 THEN v END) AS open,
+                max(CASE WHEN rd=1 THEN v END) AS close,
+                max(v) AS high, min(v) AS low,
+                (round(sum(v)*1e4)/1e4 + 0.0e0) AS volume
+         FROM b GROUP BY 1,2""",
+    // ---- graph ops (q163-q164; integer-exact, plain orientation —
+    // the Spark side's degree orientation counts identically) ----
+    "q163_triangles" ->
+      """WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                    FROM li2 a JOIN li2 b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+              nodes AS (SELECT u AS nd FROM e UNION SELECT v FROM e),
+              tri AS (SELECT count(*) AS n_triangles
+                      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                tri.n_triangles
+         FROM tri""",
+    "q164_cc_labelprop" -> labelPropSql,
+    // ---- CUSUM change detection (q165; recursive-CTE oracle) ----
+    "q165_cusum" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           m AS (SELECT l_partkey, l_suppkey, (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                 FROM w GROUP BY 1,2),
+           t AS (SELECT w.ws, w.l_partkey, w.l_suppkey, w.q - m.mu AS d,
+                   row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey
+                     ORDER BY w.ws) AS rn
+                 FROM w JOIN m ON w.l_partkey = m.l_partkey AND w.l_suppkey = m.l_suppkey),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn,
+                   greatest(0.0e0, d - 2.0e0) AS pos,
+                   greatest(0.0e0, -d - 2.0e0) AS neg
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
+                   greatest(0.0e0, e.pos + t.d - 2.0e0),
+                   greatest(0.0e0, e.neg - t.d - 2.0e0)
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                (round(pos*1e4)/1e4 + 0.0e0) AS cusum_pos,
+                (round(neg*1e4)/1e4 + 0.0e0) AS cusum_neg,
+                CAST(pos > 10.0e0 OR neg > 10.0e0 AS BIGINT) AS cusum_alarm
+         FROM e"""
   )
+
+  /** q164 oracle: 5 unrolled min-label-propagation rounds over the
+    * symmetrized part<->supplier bipartite graph — pure BIGINT min/join
+    * arithmetic, bit-identical to graph/LabelProp.ccFixed by
+    * construction. */
+  private lazy val labelPropSql: String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem),
+           e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           nodes AS (SELECT DISTINCT src AS node FROM e),
+           l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    val iters = (1 to 5).map { i =>
+      s""",
+           c$i AS (SELECT e.dst AS node, min(l.lbl) AS m
+                   FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1),
+           l$i AS (SELECT l.node, least(l.lbl, coalesce(c.m, l.lbl)) AS lbl
+                   FROM l${i - 1} l LEFT JOIN c$i c ON l.node = c.node)"""
+    }.mkString
+    s"$head$iters\n         SELECT node, lbl AS label FROM l5"
+  }
 }

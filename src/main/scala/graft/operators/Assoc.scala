@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
+
+/** Categorical-association statistics and target encoding — the
+  * feature-selection companions to the reference's correlation scan
+  * (reference: src/features/feature_pipeline.py feature selection is
+  * numeric-only `corr`; these cover the categorical side: χ²
+  * independence, Cramér's V, mutual information, and smoothed
+  * target-mean encoding as the model-ready projection).
+  *
+  * Scale shape: everything reduces the fact to the contingency grain
+  * (|X|·|Y| cells) with one hash-aggregate, then joins tiny marginal
+  * frames back broadcast. No windows over fact rows, no collect.
+  */
+object Assoc {
+
+  /** Per-cell χ² table: observed vs expected counts with each cell's
+    * contribution, plus the totals (χ², Cramér's V) replicated on every
+    * row via a broadcast 1-row join. The grid is the full |X|×|Y| cross
+    * of the observed marginals — a category pair that never co-occurs
+    * still contributes (0−e)²/e (dropping empty cells understates χ²,
+    * exactly on the most-dependent data). */
+  def chi2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col(xCol)).agg(sum(col("__o")).as("__rt"))
+    val colT = cells.groupBy(col(yCol)).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col(xCol)).as("__rx"), countDistinct(col(yCol)).as("__ry"))
+    val withE = rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq(xCol, yCol), "left")
+      .withColumn("observed", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", col("__rt") * col("__ct") / col("__n"))
+      .withColumn("contrib",
+        (col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected"))
+    val totals = withE.agg(sum(col("contrib")).as("__chi2"),
+        first(col("__n")).as("__nn"), first(col("__rx")).as("__rx2"),
+        first(col("__ry")).as("__ry2"))
+      .select(col("__chi2"),
+        sqrt(col("__chi2") / (col("__nn")
+          * least(col("__rx2") - 1, col("__ry2") - 1))).as("__v"))
+    withE.crossJoin(broadcast(totals))
+      .select(col(xCol), col(yCol), col("observed"),
+        Funcs.r(col("expected")).as("expected"),
+        Funcs.r(col("contrib")).as("contrib"),
+        Funcs.r(col("__chi2")).as("chi2"),
+        Funcs.r(col("__v")).as("cramers_v"))
+  }
+
+  /** Mutual information between two categoricals (nats), with the
+    * marginal entropies and the sqrt-normalized NMI. Single output row. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col(xCol)).agg(sum(col("o")).as("__rt"))
+    val colT = cells.groupBy(col(yCol)).agg(sum(col("o")).as("__ct"))
+    val tot = cells.agg(sum(col("o")).as("__n"))
+    val joint = cells.join(broadcast(rowT), xCol).join(broadcast(colT), yCol)
+      .crossJoin(broadcast(tot))
+      .select((col("o") / col("__n")
+        * log(col("o") * col("__n") / (col("__rt") * col("__ct")))).as("term"))
+      .agg(sum(col("term")).as("mi"))
+    def entropy(marg: DataFrame, t: String): DataFrame = marg
+      .crossJoin(broadcast(tot))
+      .select((col(t) / col("__n") * log(col(t) / col("__n"))).as("term"))
+      .agg((-sum(col("term"))).as("h"))
+    val hx = entropy(rowT, "__rt").withColumnRenamed("h", "h_x")
+    val hy = entropy(colT, "__ct").withColumnRenamed("h", "h_y")
+    joint.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(Funcs.r(col("mi")).as("mi_nats"),
+        Funcs.r(col("h_x")).as("h_x"), Funcs.r(col("h_y")).as("h_y"),
+        Funcs.r(col("mi") / sqrt(col("h_x") * col("h_y"))).as("nmi"))
+  }
+
+  /** m-estimate smoothed target-mean encoding: per category,
+    *   enc = (Σy + m·prior) / (n + m),  prior = global mean(y)
+    * — shrinks rare categories toward the global rate (the standard
+    * leakage-safe variant when fit on train and joined onto score).
+    * Returns the per-category encoding table (join it back broadcast). */
+  def targetEncode(df: DataFrame, catCol: String, label: Column,
+                   m: Double): DataFrame = {
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(label.cast("long")).as("__pos"))
+    val prior = perCat.agg((sum(col("__pos")) / sum(col("n"))).as("__prior"))
+    perCat.crossJoin(broadcast(prior))
+      .select(col(catCol), col("n"),
+        Funcs.r((col("__pos") + lit(m) * col("__prior")) / (col("n") + lit(m)))
+          .as("enc"))
+  }
+}

@@ -178,4 +178,30 @@ object SequentialKernels {
           .when(col("adi") < 1.32, "erratic")
           .otherwise("lumpy"))
   }
+
+  /** Two-sided CUSUM change detection over a pre-centered deviation
+    * column (value − target):
+    *   pos_t = max(0, pos_{t−1} + d_t − slack)
+    *   neg_t = max(0, neg_{t−1} − d_t − slack)
+    * with an alarm when either side exceeds `h`. The caller centers the
+    * series first (e.g. subtract the per-series mean rounded to 4
+    * decimals so both engines recurse from identical doubles); keeping
+    * the kernel on a single delta column lets it ride the same
+    * `keyedFold` streaming shape as EWMA/Holt — one series exchange,
+    * no per-group materialization. */
+  def withCusum(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                deltaCol: String, slack: Double, h: Double,
+                posCol: String = "cusum_pos", negCol: String = "cusum_neg",
+                alarmCol: String = "cusum_alarm",
+                assumePartitioned: Boolean = false): DataFrame =
+    keyedFold[(Double, Double)](df, keyCols, ordCols, deltaCol,
+      Seq(posCol, negCol), assumePartitioned) {
+      case (None, st) => (Seq(st.map(_._1), st.map(_._2)), st)
+      case (Some(d), st) =>
+        val (pp, pn) = st.getOrElse((0.0, 0.0))
+        val np = math.max(0.0, pp + d - slack)
+        val nn = math.max(0.0, pn - d - slack)
+        (Seq(Some(np), Some(nn)), Some((np, nn)))
+    }.withColumn(alarmCol,
+      (col(posCol) > h || col(negCol) > h).cast("long"))
 }

@@ -180,4 +180,38 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("AUC/KS: windows run on the distinct-score grain, after a partial agg") {
+    // the fact is first collapsed by one hash-aggregate (with partial
+    // map-side combine); the window sort sees O(distinct scores) rows
+    val plan = SparkEntry.queries("q153_auc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+    // exactly: fact -> agg exchange -> window; no window before the agg
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < plan.lastIndexOf("HashAggregate"), plan)
+  }
+
+  test("chi2/MI/target-encode: marginals and totals join broadcast") {
+    for (q <- Seq("q158_chi2", "q159_mutual_info", "q160_target_encode")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("attribution: conversions ⋈ touches is an equi-join on user, not a nested loop") {
+    val plan = SparkEntry.queries("q161_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ohlc: bar windows and the final aggregate share ONE exchange") {
+    val plan = SparkEntry.queries("q162_ohlc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
 }
