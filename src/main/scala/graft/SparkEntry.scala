@@ -1091,7 +1091,42 @@ object SparkEntry {
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           r(col("cusum_pos")).as("cusum_pos"), r(col("cusum_neg")).as("cusum_neg"),
           col("cusum_alarm"))
-    })
+    }),
+    // 2-D Pareto frontier of per-part (total qty, total revenue) —
+    // revenue rounded on BOTH sides before the dominance comparison so
+    // the frontier decision never hinges on summation-order ulps
+    "q166_pareto" -> ((s, d) => {
+      val perPart = li(s, d).groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("x"), r(sum(col("l_extendedprice"))).as("y"))
+      graft.operators.Pareto.frontier2d(perPart, col("x"), col("y"))
+    }),
+    // per-part two-feature OLS: qty ~ time index + discount-% — all
+    // regressors integer-valued, so the normal-equation sums are exact
+    // and coefficients bit-identical across engines
+    "q167_ols2" -> ((s, d) => {
+      val withRn = li(s, d).withColumn("__rn",
+        row_number().over(Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .cast("double"))
+      graft.operators.Ols.fit2(withRn, Seq("l_partkey"), col("__rn"),
+        round(col("l_discount") * 100, 0), col("l_quantity"))
+    }),
+    // Welch two-sample test: open vs finished order lines on revenue
+    "q168_abtest" -> ((s, d) =>
+      graft.metrics.Eval.abTest(li(s, d), col("l_linestatus"),
+        col("l_extendedprice"), "O", "F")),
+    // Zipf log-log OLS over the top-500 vocabulary
+    "q169_zipf_fit" -> ((s, d) =>
+      graft.text.Vocab.zipfFit(Tables.documents(s, d), "text", 500)),
+    // inverted index: token -> df + bounded sorted posting list
+    "q170_inverted_index" -> ((s, d) =>
+      graft.text.InvertedIndex.build(Tables.documents(s, d), "doc_id", "text", 20)),
+    // rolling qty/price correlation (8-row trailing frame); price
+    // rounded to whole units on both sides -> exact integer window sums
+    "q171_rolling_corr" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        r(graft.operators.WindowFeatures.rollingCorr(col("l_quantity"),
+          round(col("l_extendedprice"), 0), 8, sw)).as("roll_corr")))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3076,7 +3111,100 @@ object SparkEntry {
                 (round(pos*1e4)/1e4 + 0.0e0) AS cusum_pos,
                 (round(neg*1e4)/1e4 + 0.0e0) AS cusum_neg,
                 CAST(pos > 10.0e0 OR neg > 10.0e0 AS BIGINT) AS cusum_alarm
-         FROM e"""
+         FROM e""",
+    "q166_pareto" ->
+      """WITH p AS (SELECT l_partkey, sum(l_quantity) AS x,
+                      (round(sum(l_extendedprice)*1e4)/1e4 + 0.0e0) AS y
+                    FROM lineitem GROUP BY 1),
+              b AS (SELECT x, max(y) AS y FROM p GROUP BY 1),
+              f AS (SELECT *, max(y) OVER (ORDER BY x DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                    FROM b)
+         SELECT x, y FROM f WHERE pm IS NULL OR y > pm""",
+    "q167_ols2" ->
+      """WITH t AS (SELECT l_partkey,
+                      CAST(row_number() OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS x1,
+                      round(l_discount*100) AS x2, l_quantity AS y
+                    FROM lineitem),
+              a AS (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n,
+                      sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                      sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+                      sum(x1*y) AS s1y, sum(x2*y) AS s2y
+                    FROM t GROUP BY 1),
+              c AS (SELECT l_partkey, n,
+                      n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                      sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+                      n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+                      n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+                    FROM a)
+         SELECT l_partkey, CAST(n AS BIGINT) AS n,
+                (round((det0/nullif(det, 0.0e0))*1e4)/1e4 + 0.0e0) AS b0,
+                (round((det1/nullif(det, 0.0e0))*1e4)/1e4 + 0.0e0) AS b1,
+                (round((det2/nullif(det, 0.0e0))*1e4)/1e4 + 0.0e0) AS b2
+         FROM c""",
+    "q168_abtest" ->
+      """WITH g AS (SELECT l_linestatus AS v, count(*) AS n, sum(l_extendedprice) AS s,
+                      sum(l_extendedprice*l_extendedprice) AS ss
+                    FROM lineitem WHERE l_linestatus IN ('O','F') GROUP BY 1),
+              g2 AS (SELECT v, n, s/n AS mean, (ss - s*s/n)/(n - 1) AS vr FROM g),
+              a AS (SELECT n AS n_a, mean AS ma, vr AS va FROM g2 WHERE v = 'O'),
+              b AS (SELECT n AS n_b, mean AS mb, vr AS vb FROM g2 WHERE v = 'F')
+         SELECT n_a, n_b,
+                (round(ma*1e4)/1e4 + 0.0e0) AS mean_a,
+                (round(mb*1e4)/1e4 + 0.0e0) AS mean_b,
+                (round((ma - mb)*1e4)/1e4 + 0.0e0) AS diff,
+                (round((ma - mb)/sqrt(va/n_a + vb/n_b)*1e4)/1e4 + 0.0e0) AS t_stat,
+                (round((va/n_a + vb/n_b)*(va/n_a + vb/n_b) /
+                  ((va/n_a)*(va/n_a)/(n_a - 1) + (vb/n_b)*(vb/n_b)/(n_b - 1))*1e4)/1e4
+                  + 0.0e0) AS df_welch
+         FROM a, b""",
+    "q169_zipf_fit" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                    FROM documents),
+              c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+              rk AS (SELECT token, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+                     FROM c),
+              xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+                     FROM rk WHERE rank <= 500),
+              a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                    FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+                (round((n*sxy - sx*sy)/(n*sxx - sx*sx)*1e4)/1e4 + 0.0e0) AS slope,
+                (round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n*1e4)/1e4 + 0.0e0) AS intercept,
+                (round(((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+                  ((n*sxx - sx*sx)*(n*syy - sy*sy))*1e4)/1e4 + 0.0e0) AS r2
+         FROM a""",
+    "q170_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                    FROM documents),
+              r AS (SELECT *, row_number() OVER (PARTITION BY token
+                      ORDER BY doc_id ASC) AS rn FROM p)
+         SELECT token, count(*) AS df,
+                coalesce(string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id ASC), '') AS postings
+         FROM r GROUP BY 1""",
+    "q171_rolling_corr" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+                      l_quantity AS x, round(l_extendedprice) AS y FROM lineitem),
+              f AS (SELECT l_orderkey, l_linenumber,
+                      CAST(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+                        OVER w AS DOUBLE) AS cnt,
+                      sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                      sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+                      sum(y*y) OVER w AS syy
+                    FROM t
+                    WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber,
+                (round(CASE WHEN cnt*sxx - sx*sx > 0 AND cnt*syy - sy*sy > 0
+                  THEN (cnt*sxy - sx*sy)/sqrt((cnt*sxx - sx*sx)*(cnt*syy - sy*sy))
+                  END*1e4)/1e4 + 0.0e0) AS roll_corr
+         FROM f"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -106,6 +106,23 @@ object WindowFeatures {
         corr(col(valueCol), col("__lag1")).over(sw.rows(-(n - 1), 0))))
       .drop("__lag1")
 
+  /** Rolling Pearson correlation of two columns over a trailing frame,
+    * from explicit windowed sums (the sufficient-statistic form is
+    * engine-portable, unlike Welford-pass `corr`; both factors under the
+    * sqrt are guarded so a constant window yields NULL, not NaN). */
+  def rollingCorr(x: Column, y: Column, n: Int, sw: SeriesWindow): Column = {
+    val f = sw.rows(-(n - 1), 0)
+    val cnt = count(when(x.isNotNull && y.isNotNull, lit(1))).over(f).cast("double")
+    val sx = sum(x).over(f)
+    val sy = sum(y).over(f)
+    val sxy = sum(x * y).over(f)
+    val sxx = sum(x * x).over(f)
+    val syy = sum(y * y).over(f)
+    val vx = cnt * sxx - sx * sx
+    val vy = cnt * syy - sy * sy
+    when(vx > 0 && vy > 0, (cnt * sxy - sx * sy) / sqrt(vx * vy))
+  }
+
   /** W15 — trend acceleration: first difference of the rolling slope
     * (reference: temporal_features_engine.py:344-347). */
   def withTrendAccel(df: DataFrame, valueCol: String, n: Int, sw: SeriesWindow,

@@ -41,4 +41,30 @@ object Vocab {
           col("__total")))
       .select(col("token"), col("cnt"), col("rank"), col("cum_share"))
   }
+
+  /** Zipf's-law fit over the top-k vocabulary: OLS of ln(freq) on
+    * ln(rank) — slope ≈ −s (the Zipf exponent), plus R². Single-row
+    * output from one aggregate over the k-row top-token frame; the
+    * sufficient-statistic formulation keeps it engine-portable. */
+  def zipfFit(df: DataFrame, text: String, k: Int): DataFrame = {
+    val t = topTokens(df, text, k)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    t.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_terms"),
+        Funcs.r((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        Funcs.r((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          .as("intercept"),
+        Funcs.r(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
 }
