@@ -20,7 +20,8 @@ object Bench {
     "q68_ann_brute", "q69_ann_lsh", "q73_ewma", "q77_intermittency", "q79_postprocess_chain",
     "q110_feature_store", "q111_residual_diag", "q116_sessionize", "q117_tfidf",
     "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix",
-    "q136_decompose", "q138_curate")
+    "q136_decompose", "q138_curate",
+    "q153_auc", "q161_attribution", "q162_ohlc", "q167_ols2", "q171_rolling_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
