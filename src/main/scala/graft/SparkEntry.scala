@@ -1126,7 +1126,41 @@ object SparkEntry {
     "q171_rolling_corr" -> ((s, d) =>
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         r(graft.operators.WindowFeatures.rollingCorr(col("l_quantity"),
-          round(col("l_extendedprice"), 0), 8, sw)).as("roll_corr")))
+          round(col("l_extendedprice"), 0), 8, sw)).as("roll_corr"))),
+    // proportional top-down reconciliation: supplier totals x 1.1
+    // disaggregated to parts by historical share
+    "q172_reconcile" -> ((s, d) =>
+      graft.operators.Reconcile.topDownFromActuals(li(s, d),
+        "l_suppkey", "l_partkey", col("l_quantity"), growth = 1.1)),
+    // split-conformal intervals on the weekly naive forecast,
+    // calibrated per supplier at alpha=0.9 (exact percentile: oracle)
+    "q173_conformal" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("week_start")).rowsBetween(-4, -1)
+      val withPred = weekly.withColumn("pred", avg(col("qty_sum")).over(w))
+      graft.operators.Conformal.splitConformal(withPred, Seq("l_suppkey"),
+        col("qty_sum"), col("pred"), alpha = 0.9, exact = Some(true))
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("pred")).as("pred"), r(col("conf_width")).as("conf_width"),
+          r(col("lo")).as("lo"), r(col("hi")).as("hi"))
+    }),
+    // ABC (cumulative revenue Pareto) x XYZ (weekly-demand CV) classes
+    "q174_abc_xyz" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey")), col("l_quantity"),
+        extraAggs = Seq(sum(col("l_extendedprice")).as("rev_sum")))
+      graft.operators.Abc.abcXyz(weekly, "l_partkey", col("qty_sum"), col("rev_sum"))
+    }),
+    // diff-in-differences: discounted vs full-price lines, pre/post 1996
+    "q175_did" -> ((s, d) =>
+      graft.operators.Uplift.diffInDiff(li(s, d),
+        col("l_discount") > 0, col("l_shipdate") >= lit("1996-01-01"),
+        col("l_quantity"))),
+    // END-TO-END forecast evaluation report: naive forecast ->
+    // conformal bands -> WMAPE/bias/coverage, one composed plan
+    "q176_eval_report" -> ((s, d) => graft.app.Jobs.evaluateForecast(s, d))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3204,7 +3238,100 @@ object SparkEntry {
                 (round(CASE WHEN cnt*sxx - sx*sx > 0 AND cnt*syy - sy*sy > 0
                   THEN (cnt*sxy - sx*sy)/sqrt((cnt*sxx - sx*sx)*(cnt*syy - sy*sy))
                   END*1e4)/1e4 + 0.0e0) AS roll_corr
-         FROM f"""
+         FROM f""",
+    "q172_reconcile" ->
+      """WITH c AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS cs
+                    FROM lineitem GROUP BY 1,2),
+              p AS (SELECT l_suppkey, sum(cs) AS ps FROM c GROUP BY 1),
+              pf AS (SELECT l_suppkey, sum(l_quantity)*1.1e0 AS fcp
+                     FROM lineitem GROUP BY 1)
+         SELECT c.l_suppkey, c.l_partkey,
+                (round((c.cs/p.ps)*1e4)/1e4 + 0.0e0) AS share,
+                (round(pf.fcp*(c.cs/p.ps)*1e4)/1e4 + 0.0e0) AS fc_child
+         FROM c JOIN p USING (l_suppkey) JOIN pf USING (l_suppkey)""",
+    "q173_conformal" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2,3),
+              t AS (SELECT *, avg(q) OVER (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY ws ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS pred
+                    FROM w),
+              s AS (SELECT * FROM t WHERE pred IS NOT NULL),
+              cal AS (SELECT l_suppkey, quantile_cont(abs(q - pred), 0.9) AS cw
+                      FROM s GROUP BY 1)
+         SELECT s.ws AS week_start, s.l_partkey, s.l_suppkey,
+                (round(s.pred*1e4)/1e4 + 0.0e0) AS pred,
+                (round(cal.cw*1e4)/1e4 + 0.0e0) AS conf_width,
+                (round((s.pred - cal.cw)*1e4)/1e4 + 0.0e0) AS lo,
+                (round((s.pred + cal.cw)*1e4)/1e4 + 0.0e0) AS hi
+         FROM s JOIN cal USING (l_suppkey)""",
+    "q174_abc_xyz" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      sum(l_quantity) AS q, sum(l_extendedprice) AS rev
+                    FROM lineitem GROUP BY 1,2),
+              k AS (SELECT l_partkey, sum(rev) AS rev,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      sum(q) AS sq, sum(q*q) AS sqq
+                    FROM w GROUP BY 1),
+              c AS (SELECT *,
+                      (round(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / sum(rev) OVER ()*1e4)/1e4 + 0.0e0) AS cum_share,
+                      (round(CASE WHEN n > 1 AND sq > 0
+                         THEN sqrt((n*sqq - sq*sq)/(n*(n - 1)))/(sq/n) END*1e4)/1e4
+                       + 0.0e0) AS cv
+                    FROM k)
+         SELECT l_partkey, (round(rev*1e4)/1e4 + 0.0e0) AS rev, cum_share,
+                CASE WHEN cum_share <= 0.8e0 THEN 'A'
+                     WHEN cum_share <= 0.95e0 THEN 'B' ELSE 'C' END AS abc_class,
+                cv,
+                CASE WHEN cv IS NULL THEN 'Z' WHEN cv < 0.5e0 THEN 'X'
+                     WHEN cv < 1.0e0 THEN 'Y' ELSE 'Z' END AS xyz_class
+         FROM c""",
+    "q175_did" ->
+      """SELECT
+           (round(sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END)*1e4)/1e4 + 0.0e0) AS mean_t_pre,
+           (round(sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)*1e4)/1e4 + 0.0e0) AS mean_t_post,
+           (round(sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END)*1e4)/1e4 + 0.0e0) AS mean_c_pre,
+           (round(sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)*1e4)/1e4 + 0.0e0) AS mean_c_post,
+           (round((sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)
+             - sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END))*1e4)/1e4 + 0.0e0) AS delta_t,
+           (round((sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)
+             - sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END))*1e4)/1e4 + 0.0e0) AS delta_c,
+           (round((sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)
+             - sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+             / sum(CASE WHEN l_discount > 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END)
+             - (sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN l_quantity END)
+               / sum(CASE WHEN l_discount <= 0 AND l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 END)
+               - sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN l_quantity END)
+               / sum(CASE WHEN l_discount <= 0 AND l_shipdate < TIMESTAMP '1996-01-01' THEN 1 END)))*1e4)/1e4 + 0.0e0) AS did
+         FROM lineitem""",
+    "q176_eval_report" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2,3),
+              t AS (SELECT *, avg(q) OVER (PARTITION BY l_partkey, l_suppkey
+                      ORDER BY ws ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS pred
+                    FROM w),
+              s AS (SELECT * FROM t WHERE pred IS NOT NULL),
+              cal AS (SELECT l_suppkey, quantile_cont(abs(q - pred), 0.9) AS cw
+                      FROM s GROUP BY 1),
+              j AS (SELECT s.q, s.pred, cal.cw FROM s JOIN cal USING (l_suppkey))
+         SELECT count(*) AS n_rows,
+                (round(sum(abs(q - pred))/sum(q)*100*1e4)/1e4 + 0.0e0) AS wmape_pct,
+                (round(sum(pred - q)/sum(q)*100*1e4)/1e4 + 0.0e0) AS bias_pct,
+                (round(avg(CAST(q >= pred - cw AND q <= pred + cw AS BIGINT))*1e4)/1e4
+                  + 0.0e0) AS coverage
+         FROM j"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -61,6 +61,32 @@ object Jobs {
       Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
   }
 
+  /** END-TO-END forecast evaluation report: weekly grain → naive
+    * trailing-4-week forecast → split-conformal bands (per-supplier
+    * calibration) → one-row report of WMAPE, bias, and empirical band
+    * coverage. The whole report is ONE plan: a series window for the
+    * forecast, one per-supplier quantile aggregate joined back
+    * broadcast, one final global aggregate — and it hash-matches a
+    * composed DuckDB oracle end-to-end (q176). */
+  def evaluateForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Funcs.r
+    val weekly = Enrichment.weeklyAggregate(Tables.lineitem(spark, sfDir),
+      col("l_shipdate"), Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("week_start")).rowsBetween(-4, -1)
+    val withPred = weekly.withColumn("pred", avg(col("qty_sum")).over(w))
+    graft.operators.Conformal
+      .splitConformal(withPred, Seq("l_suppkey"), col("qty_sum"), col("pred"),
+        alpha = 0.9)
+      .agg(count(lit(1)).as("n_rows"),
+        r(sum(abs(col("qty_sum") - col("pred"))) / sum(col("qty_sum")) * 100)
+          .as("wmape_pct"),
+        r(sum(col("pred") - col("qty_sum")) / sum(col("qty_sum")) * 100)
+          .as("bias_pct"),
+        r(avg((col("qty_sum") >= col("lo") && col("qty_sum") <= col("hi"))
+          .cast("long"))).as("coverage"))
+  }
+
   /** §3.2 feature store: the weekly grain plus temporal/agg features,
     * all on ONE series shuffle. */
   def featureStore(spark: SparkSession, sfDir: String): DataFrame = {

@@ -176,4 +176,58 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
+
+  final case class CusumPoint(user_id: Long, ts_us: Long, pos: Double,
+                              neg: Double, alarm: Boolean)
+
+  /** Streaming two-sided CUSUM change detection — the streaming
+    * analogue of `seq.SequentialKernels.withCusum`, with per-key
+    * (pos, neg) recursion state in `flatMapGroupsWithState`. Emits one
+    * point per event; state is two doubles per key forever (no growth).
+    *
+    * Ordering: events are sorted by (event time, id) WITHIN each
+    * micro-batch; the recursion is order-sensitive, so cross-batch
+    * correctness assumes per-key event-time order across batches (true
+    * for per-key FIFO sources like a keyed log). StreamingSpec pins
+    * single-batch parity with the batch kernel. */
+  def cusumStream(events: Dataset[Event], target: Double, slack: Double,
+                  h: Double): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double), CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Double, Double)]) =>
+          var (p, n) = state.getOption.getOrElse((0.0, 0.0))
+          val out = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            val d = e.value - target
+            p = math.max(0.0, p + d - slack)
+            n = math.max(0.0, n - d - slack)
+            CusumPoint(userId, us(e.ts), p, n, p > h || n > h)
+          }
+          state.update((p, n))
+          out.iterator
+      }
+  }
+
+  /** Streaming OHLC bars — the streaming analogue of
+    * `operators.Bars.ohlc`. Batch uses row_number windows for
+    * open/close (not available under streaming aggregation); here
+    * min_by/max_by over the unique (ts, event_id) struct pick the same
+    * rows, so closed bars are value-identical to the batch operator
+    * (StreamingSpec asserts parity). Watermark-driven state eviction
+    * bounds memory by open bars, not history. */
+  def ohlcBars(events: DataFrame, bucket: String = "1 hour",
+               watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        sum(col("value")).as("volume"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("bar_us"),
+        col("n"), col("open"), col("close"), col("high"), col("low"),
+        col("volume"))
 }

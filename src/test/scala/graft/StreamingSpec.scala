@@ -39,6 +39,66 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
   }
 
+  test("streaming OHLC bars match the batch Bars.ohlc on closed bars") {
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "m", 5.0),
+      (2L, ts("2024-01-01 10:15:00"), "m", 9.0),
+      (3L, ts("2024-01-01 10:25:00"), "m", 1.0),
+      (4L, ts("2024-01-01 10:35:00"), "m", 7.0))
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = EventsStream.ohlcBars(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    // advance the watermark so the 10:00 bar closes and emits
+    input.addData((9L, ts("2024-01-01 15:00:00"), "m", 0.5))
+    query.processAllAvailable()
+    val streamed = spark.table("ohlc_bars")
+      .select("event_type", "bar_us", "n", "open", "close", "high", "low")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSet
+    query.stop()
+
+    val batch = graft.operators.Bars
+      .ohlc(rows.toDF("event_id", "ts", "event_type", "value"),
+        "event_type", "ts", "event_id", "value", "hour")
+      .select("event_type", "bar_us", "n", "open", "close", "high", "low")
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    assert(streamed.contains(batch))
+    assert(batch._4 == 5.0 && batch._5 == 7.0 && batch._6 == 9.0 && batch._7 == 1.0)
+  }
+
+  test("streaming CUSUM matches the batch kernel and carries state across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.cusumStream(input.toDS(), target = 10.0,
+      slack = 1.0, h = 8.0)
+      .writeStream.format("memory").queryName("cusum_pts")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, m: Int, v: Double) =
+      EventsStream.Event(id, ts(f"2024-01-01 00:$m%02d:00"), 1L, "x", v)
+    // deltas vs target 10: +3, +3 | -10, +1 (split across micro-batches)
+    input.addData(ev(1, 1, 13.0), ev(2, 2, 13.0))
+    query.processAllAvailable()
+    input.addData(ev(3, 3, 0.0), ev(4, 4, 11.0))
+    query.processAllAvailable()
+    val streamed = spark.table("cusum_pts")
+      .orderBy("ts_us").select("pos", "neg", "alarm")
+      .as[(Double, Double, Boolean)].collect().toSeq
+    query.stop()
+    // batch kernel on the same centered deltas
+    val batch = graft.seq.SequentialKernels.withCusum(
+      Seq((1L, 1, 3.0), (1L, 2, 3.0), (1L, 3, -10.0), (1L, 4, 1.0))
+        .toDF("k", "t", "d"),
+      Seq("k"), Seq(col("t")), "d", slack = 1.0, h = 8.0)
+      .orderBy("t").select("cusum_pos", "cusum_neg", "cusum_alarm")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(streamed == batch.map { case (p, n, a) => (p, n, a == 1L) })
+    assert(streamed(2)._3) // the -10 drop trips the alarm mid-stream
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
