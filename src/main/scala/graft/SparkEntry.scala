@@ -1160,7 +1160,26 @@ object SparkEntry {
         col("l_quantity"))),
     // END-TO-END forecast evaluation report: naive forecast ->
     // conformal bands -> WMAPE/bias/coverage, one composed plan
-    "q176_eval_report" -> ((s, d) => graft.app.Jobs.evaluateForecast(s, d))
+    "q176_eval_report" -> ((s, d) => graft.app.Jobs.evaluateForecast(s, d)),
+    // wide->long melt of the per-part (qty, revenue) aggregate
+    "q177_melt" -> ((s, d) => {
+      val wide = li(s, d).groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"),
+          r(sum(col("l_extendedprice"))).as("revenue"))
+      graft.operators.Reshape.melt(wide, Seq("l_partkey"), Seq("qty", "revenue"))
+    }),
+    // first-order Markov transition matrix over the event stream
+    "q178_transitions" -> ((s, d) =>
+      graft.operators.EventSeq.transitionMatrix(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")),
+    // top 3-step opening event paths across users
+    "q179_paths" -> ((s, d) =>
+      graft.operators.EventSeq.topPaths(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", k = 3)),
+    // one-pass multi-column profile (describe)
+    "q180_profile" -> ((s, d) =>
+      graft.operators.Reshape.profile(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3331,7 +3350,65 @@ object SparkEntry {
                 (round(sum(pred - q)/sum(q)*100*1e4)/1e4 + 0.0e0) AS bias_pct,
                 (round(avg(CAST(q >= pred - cw AND q <= pred + cw AS BIGINT))*1e4)/1e4
                   + 0.0e0) AS coverage
-         FROM j"""
+         FROM j""",
+    "q177_melt" ->
+      """WITH p AS (SELECT l_partkey, sum(l_quantity) AS qty,
+                      (round(sum(l_extendedprice)*1e4)/1e4 + 0.0e0) AS revenue
+                    FROM lineitem GROUP BY 1)
+         SELECT l_partkey, 'qty' AS metric, qty AS value FROM p
+         UNION ALL
+         SELECT l_partkey, 'revenue' AS metric, revenue AS value FROM p""",
+    "q178_transitions" ->
+      """WITH n AS (SELECT user_id, event_type,
+                      lead(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS nxt
+                    FROM events),
+              pr AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+                     FROM n WHERE nxt IS NOT NULL GROUP BY 1,2),
+              ft AS (SELECT from_type, sum(n) AS tot FROM pr GROUP BY 1)
+         SELECT pr.from_type, pr.to_type, pr.n,
+                (round(pr.n/ft.tot*1e4)/1e4 + 0.0e0) AS p
+         FROM pr JOIN ft USING (from_type)""",
+    "q179_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS rn,
+                      ts, event_id
+                    FROM events),
+              up AS (SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+                     FROM r WHERE rn <= 3 GROUP BY 1)
+         SELECT path, count(*) AS n_users FROM up GROUP BY 1""",
+    "q180_profile" ->
+      """WITH a AS (SELECT
+                      count(l_quantity) AS n1, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS z1,
+                      count(DISTINCT l_quantity) AS d1, min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+                      sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS ss1,
+                      count(l_extendedprice) AS n2, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS z2,
+                      count(DISTINCT l_extendedprice) AS d2, min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+                      sum(l_extendedprice) AS s2, sum(l_extendedprice*l_extendedprice) AS ss2,
+                      count(l_discount) AS n3, sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS z3,
+                      count(DISTINCT l_discount) AS d3, min(l_discount) AS mn3, max(l_discount) AS mx3,
+                      sum(l_discount) AS s3, sum(l_discount*l_discount) AS ss3
+                    FROM lineitem)
+         SELECT 'l_quantity' AS col_name, n1 AS n, CAST(z1 AS BIGINT) AS n_nulls,
+                d1 AS n_distinct, mn1 AS min_v, mx1 AS max_v,
+                (round(s1/n1*1e4)/1e4 + 0.0e0) AS mean,
+                (round(CASE WHEN n1 > 1 THEN sqrt((ss1 - s1*s1/n1)/(n1 - 1)) END*1e4)/1e4
+                  + 0.0e0) AS std
+         FROM a
+         UNION ALL
+         SELECT 'l_extendedprice', n2, CAST(z2 AS BIGINT), d2, mn2, mx2,
+                (round(s2/n2*1e4)/1e4 + 0.0e0),
+                (round(CASE WHEN n2 > 1 THEN sqrt((ss2 - s2*s2/n2)/(n2 - 1)) END*1e4)/1e4
+                  + 0.0e0)
+         FROM a
+         UNION ALL
+         SELECT 'l_discount', n3, CAST(z3 AS BIGINT), d3, mn3, mx3,
+                (round(s3/n3*1e4)/1e4 + 0.0e0),
+                (round(CASE WHEN n3 > 1 THEN sqrt((ss3 - s3*s3/n3)/(n3 - 1)) END*1e4)/1e4
+                  + 0.0e0)
+         FROM a"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -214,4 +214,27 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
   }
+
+  test("reconciliation / conformal: parent totals and widths join broadcast") {
+    for (q <- Seq("q172_reconcile", "q173_conformal")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("abc/xyz: cumulative window runs on the key grain, after a partial agg") {
+    val plan = SparkEntry.queries("q174_abc_xyz")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // fact collapses through hash aggregates before any Window touches it
+    assert(plan.indexOf("Window") < plan.lastIndexOf("HashAggregate"), plan)
+  }
+
+  test("profile: ONE pass over the fact — a single scan feeds every statistic") {
+    val plan = SparkEntry.queries("q180_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"$scans scans:\n$plan")
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventSeq, Reshape}
+
+/** Round-5 batch-6 operators: melt/profile reshaping and
+  * event-sequence analytics (transitions, paths). */
+class R5OpsBatch6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("melt: one row per (id, value column), values unified to double") {
+    val wide = Seq((1L, 10.0, 3L), (2L, 20.0, 4L)).toDF("k", "a", "b")
+    val long = Reshape.melt(wide, Seq("k"), Seq("a", "b"))
+      .orderBy("k", "metric").as[(Long, String, Double)].collect().toSeq
+    assert(long == Seq((1L, "a", 10.0), (1L, "b", 3.0),
+      (2L, "a", 20.0), (2L, "b", 4.0)))
+  }
+
+  test("profile: nulls counted, distincts exact, mean/std from portable sums") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None)
+      .toDF("v").withColumn("c", lit(7L))
+    val out = Reshape.profile(df, Seq("v", "c"))
+      .orderBy("col_name")
+      .select("col_name", "n", "n_nulls", "n_distinct", "min_v", "max_v", "mean", "std")
+      .as[(String, Long, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    // v: mean 2, sample std 1; c: constant 7 -> std 0
+    assert(out == Seq(("c", 4L, 0L, 1L, 7.0, 7.0, 7.0, Some(0.0)),
+      ("v", 3L, 1L, 3L, 1.0, 3.0, 2.0, Some(1.0))))
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "a", ts(3)),
+      (2L, 4L, "a", ts(1)), (2L, 5L, "b", ts(2)),
+      (3L, 6L, "a", ts(1)), (3L, 7L, "c", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventSeq.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: ->b twice, ->c once (p .6667/.3333); from b: ->a once (p 1)
+    assert(out == Seq(("a", "b", 2L, 0.6667), ("a", "c", 1L, 0.3333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("topPaths: k-prefix only, time order kept, simultaneity broken by id") {
+    val ev = Seq(
+      // u1: a>b>c then a 4th event that must NOT appear in the path
+      (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "c", ts(3)),
+      (1L, 4L, "d", ts(4)),
+      // u2: same opening path, with simultaneous first two (id order)
+      (2L, 5L, "a", ts(1)), (2L, 6L, "b", ts(1)), (2L, 7L, "c", ts(2)),
+      // u3: short history -> 2-step path
+      (3L, 8L, "b", ts(1)), (3L, 9L, "a", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventSeq.topPaths(ev, "user_id", "event_type", "ts", "event_id", 3)
+      .orderBy(col("n_users").desc, col("path"))
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b>c", 2L), ("b>a", 1L)))
+  }
+}
