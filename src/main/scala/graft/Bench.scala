@@ -21,7 +21,8 @@ object Bench {
     "q110_feature_store", "q111_residual_diag", "q116_sessionize", "q117_tfidf",
     "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix",
     "q136_decompose", "q138_curate",
-    "q153_auc", "q161_attribution", "q162_ohlc", "q167_ols2", "q171_rolling_corr")
+    "q153_auc", "q161_attribution", "q162_ohlc", "q167_ols2", "q171_rolling_corr",
+    "q181_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1179,7 +1179,74 @@ object SparkEntry {
     // one-pass multi-column profile (describe)
     "q180_profile" -> ((s, d) =>
       graft.operators.Reshape.profile(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount")))
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // native typed-imperative top-k aggregate (bounded heap, no window
+    // sort): top-3 order values per supplier
+    "q181_topk" -> ((s, d) =>
+      li(s, d).groupBy(col("l_suppkey"))
+        .agg(graft.expr.TopKExpr.column(col("l_extendedprice"), 3).as("__tv"))
+        .select(col("l_suppkey"), posexplode(col("__tv")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("value"))),
+    // windowed funnel: view -> click -> purchase within 2h of the view
+    "q182_window_funnel" -> ((s, d) =>
+      graft.operators.Funnel.windowFunnel(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"), windowSec = 7200L)),
+    // Fellegi-Sunter record linkage: customers blocked by nation,
+    // scored on segment/balance-bucket/name-length agreement
+    "q183_linkage" -> ((s, d) => {
+      import graft.operators.RecordLinkage.FieldCmp
+      graft.operators.RecordLinkage.linkPairs(Tables.customer(s, d),
+        "c_custkey", Seq("c_nationkey"),
+        Seq(
+          FieldCmp(col("c_mktsegment") === col("b_c_mktsegment"), 0.9, 0.2),
+          FieldCmp(floor(col("c_acctbal") / 1000) === floor(col("b_c_acctbal") / 1000), 0.8, 0.1),
+          FieldCmp(length(col("c_name")) === length(col("b_c_name")), 0.7, 0.3)),
+        threshold = 2.0)
+    }),
+    // Kaplan-Meier: seconds from first view to first purchase per user,
+    // right-censored at the end of the observation window
+    "q184_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v0 = ev.filter(col("event_type") === "view").groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("v0"))
+      val p0 = ev.filter(col("event_type") === "purchase").groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("p0"))
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("__mx"))
+      val converted = col("p0").isNotNull && col("p0") >= col("v0")
+      val dur = v0.join(p0, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(converted, expr("(p0 - v0) div 1000000"))
+            .otherwise(expr("(__mx - v0) div 1000000")).as("t"),
+          when(converted, lit(1)).otherwise(lit(0)).as("e"))
+      graft.operators.Survival.kaplanMeier(dur, col("t"), col("e"))
+    }),
+    // Gini concentration of revenue over the part assortment
+    "q185_gini" -> ((s, d) => {
+      val perPart = li(s, d).groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      graft.operators.Survival.gini(perPart, "l_partkey", col("rev"))
+    }),
+    // anomaly flags: STL-lite residual z-score > 2.5 per supplier series
+    // (z rounded on BOTH sides before the threshold, so flags cannot
+    // flip on summation-order ulps)
+    "q186_anomaly" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val dec = graft.operators.Decompose.additive(weekly, Seq("l_suppkey"),
+        col("week_start"), col("qty_sum"), weekofyear(col("week_start")))
+      val stats = dec.groupBy(col("l_suppkey")).agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("residual")).as("__s"),
+        sum(col("residual") * col("residual")).as("__ss"))
+      dec.join(broadcast(stats), "l_suppkey")
+        .withColumn("__std", sqrt((col("__ss") - col("__s") * col("__s") / col("__n"))
+          / (col("__n") - 1)))
+        .withColumn("z", r((col("residual") - col("__s") / col("__n")) / col("__std")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("l_suppkey"), col("week_start"),
+          r(col("residual")).as("residual"), col("z"))
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3408,7 +3475,109 @@ object SparkEntry {
                 (round(s3/n3*1e4)/1e4 + 0.0e0),
                 (round(CASE WHEN n3 > 1 THEN sqrt((ss3 - s3*s3/n3)/(n3 - 1)) END*1e4)/1e4
                   + 0.0e0)
-         FROM a"""
+         FROM a""",
+    "q181_topk" ->
+      """WITH r AS (SELECT l_suppkey, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_suppkey
+                        ORDER BY l_extendedprice DESC) AS rn
+                    FROM lineitem)
+         SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, l_extendedprice AS value
+         FROM r WHERE rn <= 3""",
+    "q182_window_funnel" ->
+      """WITH u0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+              u1 AS (SELECT u0.user_id, u0.t0,
+                       min(CASE WHEN epoch_us(e.ts) >= u0.t0
+                             AND epoch_us(e.ts) <= u0.t0 + 7200000000 THEN epoch_us(e.ts) END) AS t1
+                     FROM u0 LEFT JOIN events e
+                       ON e.user_id = u0.user_id AND e.event_type = 'click'
+                     GROUP BY 1,2),
+              u2 AS (SELECT u1.user_id, u1.t0, u1.t1,
+                       min(CASE WHEN epoch_us(e.ts) >= u1.t1
+                             AND epoch_us(e.ts) <= u1.t0 + 7200000000 THEN epoch_us(e.ts) END) AS t2
+                     FROM u1 LEFT JOIN events e
+                       ON e.user_id = u1.user_id AND e.event_type = 'purchase'
+                     GROUP BY 1,2,3)
+         SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+                count(*) AS n_users FROM u0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'click', count(*) FROM u1 WHERE t1 IS NOT NULL
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM u2 WHERE t2 IS NOT NULL""",
+    "q183_linkage" ->
+      """WITH p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                      (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                         THEN ln(0.9e0/0.2e0)/ln(2.0e0) ELSE ln(0.1e0/0.8e0)/ln(2.0e0) END
+                       + CASE WHEN floor(a.c_acctbal/1000) = floor(b.c_acctbal/1000)
+                         THEN ln(0.8e0/0.1e0)/ln(2.0e0) ELSE ln(0.2e0/0.9e0)/ln(2.0e0) END
+                       + CASE WHEN length(a.c_name) = length(b.c_name)
+                         THEN ln(0.7e0/0.3e0)/ln(2.0e0) ELSE ln(0.3e0/0.7e0)/ln(2.0e0) END) AS sc
+                    FROM customer a JOIN customer b
+                      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b, (round(sc*1e4)/1e4 + 0.0e0) AS match_score
+         FROM p WHERE (round(sc*1e4)/1e4 + 0.0e0) >= 2.0e0""",
+    "q184_km" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+              v AS (SELECT user_id, min(epoch_us(ts)) AS v0
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              p AS (SELECT user_id, min(epoch_us(ts)) AS p0
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              d AS (SELECT v.user_id,
+                      CASE WHEN p.p0 IS NOT NULL AND p.p0 >= v.v0
+                        THEN (p.p0 - v.v0) // 1000000
+                        ELSE (mx.m - v.v0) // 1000000 END AS t,
+                      CASE WHEN p.p0 IS NOT NULL AND p.p0 >= v.v0 THEN 1 ELSE 0 END AS e
+                    FROM v LEFT JOIN p USING (user_id) CROSS JOIN mx),
+              g AS (SELECT t, CAST(sum(e) AS BIGINT) AS n_events, count(*) AS total
+                    FROM d GROUP BY 1),
+              r AS (SELECT *, sum(total) OVER ()
+                      - coalesce(sum(total) OVER (ORDER BY t ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                    FROM g),
+              f AS (SELECT *, 1.0e0 - n_events/n_risk AS fac FROM r),
+              s AS (SELECT *, CASE WHEN min(fac) OVER cum <= 0.0e0 THEN 0.0e0
+                      ELSE exp(sum(ln(fac)) OVER cum) END AS surv
+                    FROM f
+                    WINDOW cum AS (ORDER BY t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                (round(surv*1e4)/1e4 + 0.0e0) AS survival
+         FROM s WHERE n_events > 0""",
+    "q185_gini" ->
+      """WITH p AS (SELECT l_partkey, sum(l_extendedprice) AS rev
+                    FROM lineitem GROUP BY 1),
+              c AS (SELECT l_partkey, rev,
+                      sum(rev) OVER (ORDER BY rev ASC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        / sum(rev) OVER () AS L
+                    FROM p),
+              c2 AS (SELECT L, coalesce(lag(L, 1) OVER (ORDER BY rev ASC, l_partkey ASC),
+                       0.0e0) AS Lp
+                     FROM c)
+         SELECT count(*) AS n_keys,
+                (round((1.0e0 - sum(L + Lp)/count(*))*1e4)/1e4 + 0.0e0) AS gini
+         FROM c2""",
+    "q186_anomaly" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                       sum(l_quantity) q FROM lineitem GROUP BY 1,2),
+              t AS (SELECT l_suppkey, ws, q,
+                      avg(q) OVER (PARTITION BY l_suppkey ORDER BY ws
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+                      weekofyear(ws) AS woy
+                    FROM wk),
+              sa AS (SELECT *, avg(q - trend) OVER (PARTITION BY l_suppkey, woy) AS seasonal
+                     FROM t),
+              res AS (SELECT l_suppkey, ws, q - trend - seasonal AS residual FROM sa),
+              st AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) AS n,
+                       sum(residual) AS s, sum(residual*residual) AS ss
+                     FROM res GROUP BY 1),
+              z AS (SELECT res.l_suppkey, res.ws, res.residual,
+                      (round((res.residual - st.s/st.n)
+                        / sqrt((st.ss - st.s*st.s/st.n)/(st.n - 1))*1e4)/1e4 + 0.0e0) AS z
+                    FROM res JOIN st USING (l_suppkey))
+         SELECT l_suppkey, ws AS week_start,
+                (round(residual*1e4)/1e4 + 0.0e0) AS residual, z
+         FROM z WHERE abs(z) > 2.5e0"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

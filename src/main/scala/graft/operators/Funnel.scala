@@ -41,6 +41,41 @@ object Funnel {
     cur
   }
 
+  /** Windowed funnel (ClickHouse `windowFunnel` semantics): step k
+    * converts at the earliest step-k event at-or-after step k−1 AND
+    * within `windowSec` of the user's step-0 time — late completions
+    * fall out of the funnel. Same k-round aggregate/join shape as
+    * [[userFunnel]], one extra broadcast-free predicate per round. */
+  def userWindowFunnel(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty)
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("t0"))
+    steps.zipWithIndex.drop(1).foreach { case (st, k) =>
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol), unix_micros(col(tsCol)).as("__ts"))
+      cur = cur.join(nxt, Seq(userCol), "left")
+        .groupBy((col(userCol) +: (0 until k).map(i => col(s"t$i"))): _*)
+        .agg(min(when(col("__ts") >= col(s"t${k - 1}") &&
+          col("__ts") <= col("t0") + lit(windowSec * 1000000L), col("__ts")))
+          .as(s"t$k"))
+    }
+    cur
+  }
+
+  /** Windowed-funnel summary: per step, users completing it in-window. */
+  def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    val uf = userWindowFunnel(events, userCol, typeCol, tsCol, steps, windowSec)
+    val rows = steps.zipWithIndex.map { case (st, k) =>
+      uf.filter(col(s"t$k").isNotNull)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(k.toLong).as("step"), lit(st).as("step_name"), col("n_users"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Funnel summary: per step, users reaching it, conversion rate from
     * the previous step, and mean seconds from the previous step. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,

@@ -177,6 +177,39 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  final case class Attribution(conversion_id: Long, user_id: Long,
+                               conv_us: Long, last_touch_id: Option[Long],
+                               last_touch_type: Option[String])
+
+  /** Streaming last-touch attribution: per-user state holds the most
+    * recent touch event (by event time, id tie-break); every conversion
+    * emits immediately with the credited touch. State is ONE touch per
+    * user forever — the streaming-natural subset of the batch
+    * `operators.Attribution` (which also computes first-touch and
+    * lookback windows over history); StreamingSpec pins last-touch
+    * parity on a single batch. */
+  def lastTouchStream(events: Dataset[Event], convType: String,
+                      touchTypes: Set[String]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[(Long, Long, String)], Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[Option[(Long, Long, String)]]) =>
+          var last = state.getOption.flatten // (ts_us, id, type)
+          val out = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).flatMap { e =>
+            if (touchTypes(e.event_type)) { last = Some((us(e.ts), e.event_id, e.event_type)); None }
+            else if (e.event_type == convType)
+              Some(Attribution(e.event_id, userId, us(e.ts),
+                last.map(_._2), last.map(_._3)))
+            else None
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   final case class CusumPoint(user_id: Long, ts_us: Long, pos: Double,
                               neg: Double, alarm: Boolean)
 

@@ -99,6 +99,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(2)._3) // the -10 drop trips the alarm mid-stream
   }
 
+  test("streaming last-touch attribution matches the batch operator's last-touch") {
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, u: Long, t: String, m: Int) =
+      EventsStream.Event(id, ts(f"2024-01-01 00:$m%02d:00"), u, t, 0.0)
+    val rows = Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3),
+      ev(4, 2, "purchase", 1),                       // no touch -> null credit
+      ev(5, 3, "click", 1), ev(6, 3, "purchase", 2),
+      ev(7, 3, "view", 4), ev(8, 3, "purchase", 5))  // second conversion, new touch
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.lastTouchStream(input.toDS(), "purchase",
+      Set("view", "click"))
+      .writeStream.format("memory").queryName("lt_attr")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("lt_attr")
+      .select("conversion_id", "last_touch_id", "last_touch_type")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    query.stop()
+
+    val batchDf = rows.map(e => (e.event_id, e.ts, e.user_id, e.event_type))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.Attribution.touchAttribution(batchDf,
+      "user_id", "event_type", "ts", "event_id", "purchase",
+      Seq("view", "click"), lookbackDays = 10000)
+      .select("conversion_id", "last_touch_id", "last_touch_type")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains((8L, Some(7L), Some("view"))))
+    assert(streamed.contains((4L, None, None)))
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
