@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.metrics.Eval
+import graft.operators.{Pareto, Survival, Uplift}
+
+/** Property-based invariants of the round-5 analytics operators over
+  * scalacheck-generated data (explicit seeds — deterministic runs). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val scored: Gen[List[(Double, Boolean)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.chooseNum(0.0, 1.0).map(x => math.rint(x * 20) / 20.0), Gen.oneOf(true, false)))
+
+  test("AUC complement symmetry: auc(label) + auc(!label) = 1") {
+    (0 until 8).foreach { i =>
+      val xs = gen(scored, i.toLong)
+      // need at least one positive and one negative
+      val data = ((0.3, true) :: (0.7, false) :: xs).toDF("s", "y")
+      val a = Eval.auc(data, col("s"), col("y")).select("auc").as[Double].head()
+      val b = Eval.auc(data, col("s"), !col("y")).select("auc").as[Double].head()
+      assert(math.abs(a + b - 1.0) <= 1e-3, s"seed $i: $a + $b") // 1e-4 rounding on each side
+    }
+  }
+
+  test("AUC invariant under strictly monotone score transforms") {
+    (0 until 8).foreach { i =>
+      val xs = gen(scored, 100L + i)
+      val data = ((0.1, true) :: (0.9, false) :: xs).toDF("s", "y")
+      val a = Eval.auc(data, col("s"), col("y")).select("auc").as[Double].head()
+      val t = Eval.auc(data, col("s") * 7 + 3, col("y")).select("auc").as[Double].head()
+      assert(a == t, s"seed $i")
+    }
+  }
+
+  test("graft_topk equals sort-desc-take-k of the value multiset") {
+    val lists = Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+    (0 until 8).foreach { i =>
+      val xs = gen(lists, 200L + i)
+      val out = xs.map((1L, _)).toDF("g", "v").repartition(3)
+        .groupBy("g").agg(graft.expr.TopKExpr.column(col("v"), 4).as("t"))
+        .as[(Long, Seq[Double])].head()._2
+      assert(out == xs.sorted.reverse.take(4), s"seed $i")
+    }
+  }
+
+  test("Gini: in [0,1), invariant to positive scaling") {
+    val lists = Gen.listOfN(12, Gen.chooseNum(0.0, 100.0))
+    (0 until 6).foreach { i =>
+      val xs = gen(lists, 300L + i)
+      def g(scale: Double) = Survival.gini(
+        xs.zipWithIndex.map { case (v, k) => (k.toLong, v * scale) }.toDF("k", "v"),
+        "k", col("v")).select("gini").as[Double].head()
+      val g1 = g(1.0)
+      assert(g1 >= 0.0 && g1 < 1.0, s"seed $i: $g1")
+      assert(math.abs(g1 - g(13.0)) <= 2e-4, s"seed $i") // rounding each side
+    }
+  }
+
+  test("Kaplan-Meier: survival is non-increasing and within [0,1]") {
+    val durs = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 20L), Gen.oneOf(0, 1)))
+    (0 until 6).foreach { i =>
+      val xs = (1L, 1) :: gen(durs, 400L + i)
+      val s = Survival.kaplanMeier(xs.toDF("t", "e"), col("t"), col("e"))
+        .orderBy("t").select("survival").as[Double].collect().toSeq
+      assert(s.forall(v => v >= 0.0 && v <= 1.0), s"seed $i")
+      assert(s.zip(s.drop(1)).forall { case (a, b) => b <= a + 1e-9 }, s"seed $i")
+    }
+  }
+
+  test("Pareto frontier: no frontier point is dominated by any input point") {
+    val pts = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0.0, 10.0)))
+    (0 until 6).foreach { i =>
+      val xs = gen(pts, 500L + i)
+      val f = Pareto.frontier2d(xs.toDF("a", "b"), col("a"), col("b"))
+        .as[(Double, Double)].collect().toSeq
+      val dominated = f.exists { case (fx, fy) =>
+        xs.exists { case (x, y) =>
+          x >= fx && y >= fy && (x > fx || y > fy) }
+      }
+      assert(!dominated, s"seed $i")
+    }
+  }
+
+  test("diff-in-diff nets out additive time effects") {
+    val cells = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false), Gen.chooseNum(0.0, 50.0)))
+    (0 until 6).foreach { i =>
+      val base = (true, true, 1.0) :: (true, false, 1.0) ::
+        (false, true, 1.0) :: (false, false, 1.0) :: gen(cells, 600L + i)
+      def did(shift: Double) = Uplift.diffInDiff(
+        base.map { case (t, p, v) => (t, p, if (p) v + shift else v) }.toDF("t", "p", "v"),
+        col("t"), col("p"), col("v")).select("did").as[Double].head()
+      // a uniform post-period shift hits both groups -> DiD unchanged
+      assert(math.abs(did(0.0) - did(25.0)) <= 2e-4, s"seed $i")
+    }
+  }
+}
