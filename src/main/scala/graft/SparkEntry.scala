@@ -1246,6 +1246,31 @@ object SparkEntry {
         .filter(abs(col("z")) > 2.5)
         .select(col("l_suppkey"), col("week_start"),
           r(col("residual")).as("residual"), col("z"))
+    }),
+    // implicit-ALS co-purchase recommendations (seeded; factor values
+    // are engine-internal float math -> rows-only gate, RecommendSpec
+    // verifies preference structure)
+    "q187_als" -> ((s, d) => {
+      val ratings = li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("cnt"))
+      val model = graft.model.Recommend.fitAls(ratings, "user", "item", "cnt",
+        rank = 4, maxIter = 5)
+      graft.model.Recommend.recommendTopK(model, 5, "user", "item")
+    }),
+    // PrefixSpan sequential patterns over per-user event-type sequences
+    // (iterative projected-database mining -> rows-only gate,
+    // RecommendSpec verifies against a hand-computed corpus)
+    "q188_prefixspan" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val seqs = ev.groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("o1"), col("event_id").as("o2"),
+          col("event_type").as("t")))), _.getField("t")).as("seq"))
+      graft.model.Recommend.sequentialPatterns(seqs, "seq",
+        minSupport = 0.2, maxLength = 3)
     })
   )
 

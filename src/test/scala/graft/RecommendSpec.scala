@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Recommend
+
+/** ALS co-purchase recommendations and PrefixSpan sequence mining. */
+class RecommendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ALS: block preference structure is recovered in top-1 recommendations") {
+    // users 1,2 buy item 10 heavily; users 3,4 buy item 20
+    val ratings = Seq(
+      (1, 10, 9f), (1, 20, 1f), (2, 10, 8f),
+      (3, 20, 9f), (4, 20, 8f), (4, 10, 1f))
+      .toDF("user", "item", "cnt")
+    val model = Recommend.fitAls(ratings, "user", "item", "cnt",
+      rank = 2, maxIter = 10)
+    val top1 = Recommend.recommendTopK(model, 1, "user", "item")
+      .select("user", "item").as[(Int, Int)].collect().toMap
+    assert(top1(1) == 10 && top1(2) == 10)
+    assert(top1(3) == 20)
+  }
+
+  test("PrefixSpan: hand-computed frequent subsequences at min support 0.6") {
+    val seqs = Seq(Seq("a", "b", "c"), Seq("a", "b"), Seq("b", "c"))
+      .toDF("seq")
+    val out = Recommend.sequentialPatterns(seqs, "seq", minSupport = 0.6)
+      .as[(String, Long)].collect().toMap
+    // support>=2 of 3: a(2) b(3) c(2) a>b(2) b>c(2); NOT a>b>c(1), a>c(1)
+    assert(out == Map("a" -> 2L, "b" -> 3L, "c" -> 2L, "a>b" -> 2L, "b>c" -> 2L))
+  }
+
+  test("PrefixSpan: subsequences need order, not adjacency") {
+    val seqs = Seq(Seq("a", "x", "b"), Seq("a", "y", "b")).toDF("seq")
+    val out = Recommend.sequentialPatterns(seqs, "seq", minSupport = 0.9)
+      .as[(String, Long)].collect().toMap
+    // a>b is frequent even though never adjacent
+    assert(out("a>b") == 2L)
+    assert(!out.contains("x") && !out.contains("y"))
+  }
+}
