@@ -1271,7 +1271,14 @@ object SparkEntry {
           col("event_type").as("t")))), _.getField("t")).as("seq"))
       graft.model.Recommend.sequentialPatterns(seqs, "seq",
         minSupport = 0.2, maxLength = 3)
-    })
+    }),
+    // RAG chunking: 200-char windows, 50-char overlap (stride 150)
+    "q189_chunk" -> ((s, d) =>
+      graft.text.Chunker.chunk(Tables.documents(s, d), "doc_id", "text",
+        size = 200, overlap = 50)),
+    // element-wise mean pooling of embeddings per class label
+    "q190_mean_pool" -> ((s, d) =>
+      graft.text.Chunker.meanPool(Tables.embeddings(s, d), "label", "embedding"))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3602,7 +3609,17 @@ object SparkEntry {
                     FROM res JOIN st USING (l_suppkey))
          SELECT l_suppkey, ws AS week_start,
                 (round(residual*1e4)/1e4 + 0.0e0) AS residual, z
-         FROM z WHERE abs(z) > 2.5e0"""
+         FROM z WHERE abs(z) > 2.5e0""",
+    "q189_chunk" ->
+      """SELECT doc_id, i AS chunk_id, substr(text, CAST(1 + i*150 AS INT), 200) AS chunk,
+                CAST(length(substr(text, CAST(1 + i*150 AS INT), 200)) AS BIGINT) AS chunk_chars
+         FROM documents,
+              unnest(range(0, ((greatest(length(text), 1) - 1) // 150) + 1)) t(i)""",
+    "q190_mean_pool" ->
+      """SELECT label, i AS dim,
+                (round(avg(CAST(embedding[i+1] AS DOUBLE))*1e4)/1e4 + 0.0e0) AS mean_v
+         FROM embeddings, unnest(range(0, len(embedding))) t(i)
+         GROUP BY 1,2"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -31,6 +31,27 @@ class R5OpsBatch6Spec extends SparkSpec {
       ("v", 3L, 1L, 3L, 1.0, 3.0, 2.0, Some(1.0))))
   }
 
+  test("chunk: stride/overlap boundaries, short and empty docs") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.Chunker.chunk(docs, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk")
+      .as[(Long, Long, String)].collect().toSeq
+    // stride 3: starts 1,4,7,10 -> abcd, defg, ghij, j; short doc one
+    // chunk; empty doc one empty chunk (not zero rows)
+    assert(out == Seq((1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"),
+      (1L, 3L, "j"), (2L, 0L, "abc"), (3L, 0L, "")))
+  }
+
+  test("meanPool: element-wise per-group means as (group, dim) rows") {
+    val df = Seq((1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)), (2, Seq(10.0f, 0.0f)))
+      .toDF("g", "v")
+    val out = graft.text.Chunker.meanPool(df, "g", "v")
+      .orderBy("g", "dim").as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((1, 0L, 2.0), (1, 1L, 4.0), (2, 0L, 10.0), (2, 1L, 0.0)))
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities") {
     val ev = Seq(
       (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "a", ts(3)),
