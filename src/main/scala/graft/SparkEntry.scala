@@ -1278,7 +1278,39 @@ object SparkEntry {
         size = 200, overlap = 50)),
     // element-wise mean pooling of embeddings per class label
     "q190_mean_pool" -> ((s, d) =>
-      graft.text.Chunker.meanPool(Tables.embeddings(s, d), "label", "embedding"))
+      graft.text.Chunker.meanPool(Tables.embeddings(s, d), "label", "embedding")),
+    // additive Holt-Winters (m=4 cycle) — seasonal-ring recursion has
+    // no practical SQL mirror -> rows-only; SequentialKernelsSpec pins
+    // a hand recursion
+    "q191_holt_winters" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.withHoltWinters(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, m = 4)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("hw_level")).as("hw_level"), r(col("hw_trend")).as("hw_trend"),
+          r(col("hw_seasonal")).as("hw_seasonal"))
+    }),
+    // expectation-suite rule report over the fact table
+    "q192_rule_report" -> ((s, d) =>
+      Cleaning.ruleReport(li(s, d), Seq(
+        "qty_positive" -> (col("l_quantity") > 0),
+        "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "shipdate_present" -> col("l_shipdate").isNotNull,
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))),
+    // incremental aggregate maintenance: merge(agg(pre-1996), agg(1996+))
+    // hash-proved equivalent to the full recompute oracle
+    "q193_incremental" -> ((s, d) => {
+      val split = lit("1996-01-01")
+      def weekly(part: DataFrame) = Enrichment.weeklyAggregate(part,
+        col("l_shipdate"), Seq(col("l_suppkey")), col("l_quantity"))
+      val base = weekly(li(s, d).filter(col("l_shipdate") < split))
+      val delta = weekly(li(s, d).filter(col("l_shipdate") >= split))
+      graft.operators.Incremental.mergeAdditive(base, delta,
+        Seq("week_start", "l_suppkey"), Seq("qty_sum", "n_rows"))
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3619,7 +3651,25 @@ object SparkEntry {
       """SELECT label, i AS dim,
                 (round(avg(CAST(embedding[i+1] AS DOUBLE))*1e4)/1e4 + 0.0e0) AS mean_v
          FROM embeddings, unnest(range(0, len(embedding))) t(i)
-         GROUP BY 1,2"""
+         GROUP BY 1,2""",
+    "q192_rule_report" ->
+      """WITH a AS (SELECT count(*) AS n,
+                      CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                      CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1e0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                      CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+                      CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+                      CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v5
+                    FROM lineitem)
+         SELECT 'qty_positive' AS rule, n AS n_rows, v1 AS n_violations,
+                (round(v1/n*1e4)/1e4 + 0.0e0) AS violation_rate FROM a
+         UNION ALL SELECT 'discount_in_range', n, v2, (round(v2/n*1e4)/1e4 + 0.0e0) FROM a
+         UNION ALL SELECT 'price_positive', n, v3, (round(v3/n*1e4)/1e4 + 0.0e0) FROM a
+         UNION ALL SELECT 'shipdate_present', n, v4, (round(v4/n*1e4)/1e4 + 0.0e0) FROM a
+         UNION ALL SELECT 'returnflag_domain', n, v5, (round(v5/n*1e4)/1e4 + 0.0e0) FROM a""",
+    "q193_incremental" ->
+      """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start, l_suppkey,
+                sum(l_quantity) AS qty_sum, count(*) AS n_rows
+         FROM lineitem GROUP BY 1,2"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

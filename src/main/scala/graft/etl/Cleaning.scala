@@ -155,4 +155,26 @@ object Cleaning {
     val iqr = Funcs.pct(value, 0.75).over(w) - Funcs.pct(value, 0.25).over(w)
     df.withColumn(out, Funcs.safeDiv(value - med, iqr))
   }
+
+  /** Expectation-suite style rule report: each rule is a named boolean
+    * expectation; a row violates the rule when the predicate is not
+    * TRUE (NULL counts as a violation — an unknown is not a pass). All
+    * rules evaluate in ONE aggregate pass over one scan, exploded to a
+    * (rule, n_rows, n_violations, violation_rate) row per rule —
+    * the generalized form of the F14/F15 fixed reports. */
+  def ruleReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    import graft.functions.Funcs
+    require(rules.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"__v_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$i").as("n_violations"),
+        Funcs.r(col(s"__v_$i") / col("__n")).as("violation_rate"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
 }

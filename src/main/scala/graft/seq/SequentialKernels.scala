@@ -179,6 +179,43 @@ object SequentialKernels {
           .otherwise("lumpy"))
   }
 
+  /** W10+ — additive Holt-Winters (triple exponential smoothing):
+    * level/trend as in [[withHolt]] plus an m-season additive seasonal
+    * state updated once per cycle position:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * Seasonal state initializes to 0 (first cycle is level-only — the
+    * common streaming initialization). Per-series state is m+2 doubles,
+    * carried through the same single-exchange streaming fold as the
+    * other kernels. The recursion's seasonal array makes a SQL mirror
+    * impractical — rows-only contract; the spec pins a hand recursion. */
+  def withHoltWinters(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                      valueCol: String, alpha: Double, beta: Double,
+                      gamma: Double, m: Int,
+                      levelCol: String = "hw_level", trendCol: String = "hw_trend",
+                      seasonalCol: String = "hw_seasonal"): DataFrame = {
+    require(m > 0)
+    // state = (level, trend, season ring, position)
+    keyedFold[(Double, Double, Vector[Double], Int)](df, keyCols, ordCols, valueCol,
+      Seq(levelCol, trendCol, seasonalCol)) {
+      case (None, st) =>
+        (Seq(st.map(_._1), st.map(_._2),
+          st.map { case (_, _, s, p) => s(p % m) }), st)
+      case (Some(x), None) =>
+        val s0 = Vector.fill(m)(0.0)
+        (Seq(Some(x), Some(0.0), Some(0.0)),
+          Some((x, 0.0, s0.updated(0, gamma * (x - x)), 1)))
+      case (Some(x), Some((l0, b0, s, p))) =>
+        val sPrev = s(p % m)
+        val l = alpha * (x - sPrev) + (1 - alpha) * (l0 + b0)
+        val b = beta * (l - l0) + (1 - beta) * b0
+        val sNew = gamma * (x - l) + (1 - gamma) * sPrev
+        (Seq(Some(l), Some(b), Some(sNew)),
+          Some((l, b, s.updated(p % m, sNew), p + 1)))
+    }
+  }
+
   /** Two-sided CUSUM change detection over a pre-centered deviation
     * column (value − target):
     *   pos_t = max(0, pos_{t−1} + d_t − slack)

@@ -31,4 +31,41 @@ class R5OpsBatch8Spec extends SparkSpec {
     val conc = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 10.0)).toDF("k", "v")
     assert(Survival.gini(conc, "k", col("v")).select("gini").as[Double].head() == 0.75)
   }
+
+  test("holt-winters: hand recursion with an m=2 seasonal ring") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0), (1L, 4, 40.0))
+      .toDF("k", "t", "x")
+    val out = graft.seq.SequentialKernels.withHoltWinters(df, Seq("k"),
+      Seq(col("t")), "x", alpha = 0.5, beta = 0.5, gamma = 0.5, m = 2)
+      .orderBy("t").select("hw_level", "hw_trend", "hw_seasonal")
+      .as[(Double, Double, Double)].collect().toSeq
+    // dyadic-rational recursion — exact doubles, no tolerance needed
+    assert(out == Seq((10.0, 0.0, 0.0), (15.0, 2.5, 2.5),
+      (23.75, 5.625, 3.125), (33.4375, 7.65625, 4.53125)))
+  }
+
+  test("ruleReport: NULL predicate counts as a violation; one row per rule") {
+    val df = Seq(Some(5.0), Some(-1.0), None).toDF("v")
+    val out = graft.etl.Cleaning.ruleReport(df, Seq(
+      "positive" -> (col("v") > 0), "present" -> col("v").isNotNull))
+      .orderBy("rule")
+      .select("rule", "n_rows", "n_violations", "violation_rate")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // positive: -1 fails, NULL is unknown -> violation too
+    assert(out == Seq(("positive", 3L, 2L, 0.6667), ("present", 3L, 1L, 0.3333)))
+  }
+
+  test("mergeAdditive: split-aggregate-merge equals direct aggregation") {
+    val rows = (1 to 40).map(i => (i % 5L, (i % 7).toDouble, i))
+    val full = rows.toDF("k", "v", "i").groupBy("k")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val a = rows.filter(_._3 <= 20).map(r => (r._1, r._2)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val b = rows.filter(_._3 > 20).map(r => (r._1, r._2)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val merged = graft.operators.Incremental.mergeAdditive(a, b, Seq("k"), Seq("sv", "n"))
+    val d1 = full.orderBy("k").as[(Long, Double, Long)].collect().toSeq
+    val d2 = merged.orderBy("k").as[(Long, Double, Long)].collect().toSeq
+    assert(d1 == d2)
+  }
 }
