@@ -1310,7 +1310,14 @@ object SparkEntry {
       val delta = weekly(li(s, d).filter(col("l_shipdate") >= split))
       graft.operators.Incremental.mergeAdditive(base, delta,
         Seq("week_start", "l_suppkey"), Seq("qty_sum", "n_rows"))
-    })
+    }),
+    // quantile normalization: each supplier's price distribution mapped
+    // onto the global price distribution
+    "q194_quantile_norm" -> ((s, d) =>
+      graft.operators.QuantileNorm.normalize(li(s, d), li(s, d),
+        col("l_extendedprice"), Seq("l_suppkey"), col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("normalized")))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3669,7 +3676,25 @@ object SparkEntry {
     "q193_incremental" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start, l_suppkey,
                 sum(l_quantity) AS qty_sum, count(*) AS n_rows
-         FROM lineitem GROUP BY 1,2"""
+         FROM lineitem GROUP BY 1,2""",
+    "q194_quantile_norm" ->
+      """WITH ref AS (SELECT l_extendedprice AS rv,
+                       row_number() OVER (ORDER BY l_extendedprice) - 1 AS ri
+                     FROM lineitem),
+              nr AS (SELECT count(*) AS n FROM lineitem),
+              t AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+                      row_number() OVER (PARTITION BY l_suppkey
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rt,
+                      count(*) OVER (PARTITION BY l_suppkey) AS ng
+                    FROM lineitem),
+              p AS (SELECT t.*, CASE WHEN ng = 1 THEN 0.0e0
+                      ELSE rt*CAST(nr.n - 1 AS DOUBLE)/(ng - 1) END AS pos
+                    FROM t CROSS JOIN nr),
+              q AS (SELECT *, CAST(floor(pos) AS BIGINT) AS lo,
+                      CAST(ceil(pos) AS BIGINT) AS hi FROM p)
+         SELECT q.l_orderkey, q.l_linenumber,
+                (round((rl.rv + (q.pos - q.lo)*(rh.rv - rl.rv))*1e4)/1e4 + 0.0e0) AS normalized
+         FROM q JOIN ref rl ON q.lo = rl.ri JOIN ref rh ON q.hi = rh.ri"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -210,6 +210,42 @@ object EventsStream {
       }
   }
 
+  final case class FunnelHit(user_id: Long, step: Int, step_name: String,
+                             ts_us: Long)
+
+  /** Streaming windowed funnel — the streaming analogue of
+    * `operators.Funnel.windowFunnel`: per-user state tracks the next
+    * expected step, the step-0 anchor time, and the previous step's
+    * time; a step-k event at/after step k−1 and within `windowSec` of
+    * the anchor emits a hit and advances. Greedy first-match equals the
+    * batch min-time semantics under in-order processing (events sorted
+    * within each micro-batch; per-key event-time order assumed across
+    * batches, as for cusumStream). State: three numbers per user. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   windowSec: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val windowUs = windowSec * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long, Long), FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Int, Long, Long)]) =>
+          var (next, t0, tPrev) = state.getOption.getOrElse((0, 0L, 0L))
+          val out = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).flatMap { e =>
+            val t = us(e.ts)
+            if (next < steps.length && e.event_type == steps(next) &&
+              (next == 0 || (t >= tPrev && t <= t0 + windowUs))) {
+              if (next == 0) t0 = t
+              tPrev = t
+              next += 1
+              Some(FunnelHit(userId, next - 1, steps(next - 1), t))
+            } else None
+          }
+          state.update((next, t0, tPrev))
+          out.iterator
+      }
+  }
+
   final case class CusumPoint(user_id: Long, ts_us: Long, pos: Double,
                               neg: Double, alarm: Boolean)
 

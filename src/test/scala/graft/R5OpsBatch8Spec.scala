@@ -55,6 +55,20 @@ class R5OpsBatch8Spec extends SparkSpec {
     assert(out == Seq(("positive", 3L, 2L, 0.6667), ("present", 3L, 1L, 0.3333)))
   }
 
+  test("quantileNormalize: interpolated mapping onto the reference; identity on self") {
+    val target = Seq((1L, 1.0, 1L), (1L, 2.0, 2L), (1L, 3.0, 3L)).toDF("g", "v", "id")
+    val ref = Seq(10.0, 20.0, 30.0, 40.0).toDF("rv")
+    val out = graft.operators.QuantileNorm.normalize(target, ref, col("rv"),
+      Seq("g"), col("v"), Seq(col("id")))
+      .orderBy("v").select("normalized").as[Double].collect().toSeq
+    // group positions 0, 1.5, 3 over a 4-point reference -> 10, 25, 40
+    assert(out == Seq(10.0, 25.0, 40.0))
+    val self = graft.operators.QuantileNorm.normalize(target, target, col("v"),
+      Seq("g"), col("v"), Seq(col("id")))
+      .orderBy("v").select("normalized").as[Double].collect().toSeq
+    assert(self == Seq(1.0, 2.0, 3.0))
+  }
+
   test("mergeAdditive: split-aggregate-merge equals direct aggregation") {
     val rows = (1 to 40).map(i => (i % 5L, (i % 7).toDouble, i))
     val full = rows.toDF("k", "v", "i").groupBy("k")

@@ -132,6 +132,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((4L, None, None)))
   }
 
+  test("streaming windowed funnel matches batch windowFunnel, state across batches") {
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, u: Long, t: String, m: Int) =
+      EventsStream.Event(id, ts(f"2024-01-01 00:$m%02d:00"), u, t, 0.0)
+    val batch1 = Seq(ev(1, 1, "view", 1), ev(2, 1, "click", 3),
+      ev(3, 2, "view", 1), ev(4, 3, "click", 1)) // u3 clicks w/o view
+    val batch2 = Seq(ev(5, 1, "purchase", 8),    // u1 completes in window
+      ev(6, 2, "click", 30))                     // u2 clicks after window
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), windowSec = 600L)
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(batch1: _*); query.processAllAvailable()
+    input.addData(batch2: _*); query.processAllAvailable()
+    val streamed = spark.table("funnel_hits")
+      .groupBy("step").agg(count(lit(1)).as("n_users"))
+      .orderBy("step").as[(Int, Long)].collect().toSeq
+    query.stop()
+    val batchCounts = graft.operators.Funnel.windowFunnel(
+      (batch1 ++ batch2).map(e => (e.user_id, e.event_type, e.ts))
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"), 600L)
+      .orderBy("step").select("step", "n_users").as[(Long, Long)].collect().toSeq
+    assert(streamed.map { case (s, n) => (s.toLong, n) } == batchCounts)
+    assert(batchCounts == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
