@@ -1317,7 +1317,27 @@ object SparkEntry {
       graft.operators.QuantileNorm.normalize(li(s, d), li(s, d),
         col("l_extendedprice"), Seq("l_suppkey"), col("l_extendedprice"),
         Seq(col("l_orderkey"), col("l_linenumber")))
-        .select(col("l_orderkey"), col("l_linenumber"), col("normalized")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("normalized"))),
+    // weekly assortment churn: active/new/last-seen part counts per week
+    // — three key-grain aggregates joined on the week spine (the weekly
+    // aggregate view of the q49 per-key lifecycle)
+    "q195_assortment_churn" -> ((s, d) => {
+      val wk = li(s, d).select(
+        to_date(date_trunc("week", col("l_shipdate"))).as("week_start"),
+        col("l_partkey")).distinct()
+      val spans = wk.groupBy(col("l_partkey"))
+        .agg(min(col("week_start")).as("__fw"), max(col("week_start")).as("__lw"))
+      val active = wk.groupBy(col("week_start")).agg(count(lit(1)).as("n_active"))
+      val fresh = spans.groupBy(col("__fw").as("week_start"))
+        .agg(count(lit(1)).as("n_new"))
+      val lastSeen = spans.groupBy(col("__lw").as("week_start"))
+        .agg(count(lit(1)).as("n_last_seen"))
+      active.join(fresh, Seq("week_start"), "left")
+        .join(lastSeen, Seq("week_start"), "left")
+        .select(col("week_start"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_last_seen"), lit(0L)).as("n_last_seen"))
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3694,7 +3714,18 @@ object SparkEntry {
                       CAST(ceil(pos) AS BIGINT) AS hi FROM p)
          SELECT q.l_orderkey, q.l_linenumber,
                 (round((rl.rv + (q.pos - q.lo)*(rh.rv - rl.rv))*1e4)/1e4 + 0.0e0) AS normalized
-         FROM q JOIN ref rl ON q.lo = rl.ri JOIN ref rh ON q.hi = rh.ri"""
+         FROM q JOIN ref rl ON q.lo = rl.ri JOIN ref rh ON q.hi = rh.ri""",
+    "q195_assortment_churn" ->
+      """WITH wk AS (SELECT DISTINCT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
+                      l_partkey FROM lineitem),
+              spans AS (SELECT l_partkey, min(ws) AS fw, max(ws) AS lw FROM wk GROUP BY 1),
+              active AS (SELECT ws, count(*) AS n_active FROM wk GROUP BY 1),
+              fresh AS (SELECT fw AS ws, count(*) AS n_new FROM spans GROUP BY 1),
+              lastseen AS (SELECT lw AS ws, count(*) AS n_last_seen FROM spans GROUP BY 1)
+         SELECT a.ws AS week_start, a.n_active,
+                coalesce(f.n_new, 0) AS n_new,
+                coalesce(l.n_last_seen, 0) AS n_last_seen
+         FROM active a LEFT JOIN fresh f USING (ws) LEFT JOIN lastseen l USING (ws)"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the
