@@ -1337,6 +1337,22 @@ object SparkEntry {
         .select(col("week_start"), col("n_active"),
           coalesce(col("n_new"), lit(0L)).as("n_new"),
           coalesce(col("n_last_seen"), lit(0L)).as("n_last_seen"))
+    }),
+    // forward as-of with tolerance: next click within 1h of a purchase
+    "q196_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), inclusive = true, forward = true,
+        tolerance = Some(lit(3600.0)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_t")).as("next_click_us"),
+          col("asof_click_id").as("click_id"))
     })
   )
 
@@ -3725,7 +3741,21 @@ object SparkEntry {
          SELECT a.ws AS week_start, a.n_active,
                 coalesce(f.n_new, 0) AS n_new,
                 coalesce(l.n_last_seen, 0) AS n_last_seen
-         FROM active a LEFT JOIN fresh f USING (ws) LEFT JOIN lastseen l USING (ws)"""
+         FROM active a LEFT JOIN fresh f USING (ws) LEFT JOIN lastseen l USING (ws)""",
+    "q196_asof_forward" ->
+      """WITH j AS (SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts,
+                      c.event_id AS cid
+                    FROM (SELECT * FROM events WHERE event_type='purchase') p
+                    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+                      ON p.user_id = c.user_id AND p.ts <= c.ts)
+         SELECT event_id, user_id, epoch_us(pts) AS purchase_us,
+                CASE WHEN cts IS NOT NULL
+                  AND epoch_us(cts) - epoch_us(pts) <= 3600000000
+                  THEN epoch_us(cts) END AS next_click_us,
+                CASE WHEN cts IS NOT NULL
+                  AND epoch_us(cts) - epoch_us(pts) <= 3600000000
+                  THEN cid END AS click_id
+         FROM j"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -26,10 +26,19 @@ object AsOfJoin {
   /** @param payload right-side columns to attach (become `asof_<name>`;
     *                the matched right time is `asof_t`)
     * @param inclusive `true`: right rows at exactly the left time match
-    *                  (DuckDB `>=`); `false`: strictly earlier only */
+    *                  (DuckDB `>=`); `false`: strictly earlier only
+    * @param forward  `false` (default): nearest earlier right row
+    *                 (pandas direction='backward'); `true`: nearest
+    *                 LATER right row (direction='forward') — the same
+    *                 single carry pass with the merge order reversed
+    * @param tolerance max allowed |leftTime − matchedTime| as a Column
+    *                 in the time columns' cast-to-double units (seconds
+    *                 for timestamps); matches farther away are nulled
+    *                 out (pandas `tolerance`) */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, payload: Seq[String],
-           inclusive: Boolean = true): DataFrame = {
+           inclusive: Boolean = true, forward: Boolean = false,
+           tolerance: Option[Column] = None): DataFrame = {
     val rStruct = struct(
       col(rightTime).as("asof_t") +: payload.map(c => col(c).as(s"asof_$c")): _*)
     val rTag = right.select(keys.map(col) :+ col(rightTime).as("__t")
@@ -39,12 +48,19 @@ object AsOfJoin {
     // at equal __t: inclusive puts the right row BEFORE the left row in
     // the running order (so `last` sees it); strict puts it after
     val rOrder = if (inclusive) col("__r").desc else col("__r").asc
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, rOrder)
+      .orderBy(tOrder, rOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
-      .select(left.columns.map(col) :+ col("__match.*"): _*)
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) => matched.withColumn("__match",
+        when(abs(col("__t").cast("double")
+          - col("__match.asof_t").cast("double")) <= tol, col("__match")))
+    }
+    bounded.select(left.columns.map(col) :+ col("__match.*"): _*)
   }
 }

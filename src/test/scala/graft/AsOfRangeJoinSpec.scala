@@ -57,6 +57,28 @@ class AsOfRangeJoinSpec extends SparkSpec {
     assert(row == (None, "b"))
   }
 
+  test("asOf forward picks the earliest quote at-or-after each trade") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("px"), forward = true)
+      .select(col("trade_id"), col("asof_px"))
+      .as[(Int, Option[Double])].collect().toMap
+    // trade 1 @10:03 -> next quote 10:05 (101); trade 2 @10:05 -> itself
+    // (inclusive); trade 3 @10:20 -> nothing later; trade 4 @10:00 ->
+    // key-2 quote at 10:07
+    assert(out(1) == Some(101.0) && out(2) == Some(101.0))
+    assert(out(3).isEmpty && out(4) == Some(55.0) && out(5).isEmpty)
+  }
+
+  test("asOf tolerance nulls out matches farther than the bound") {
+    // backward, 120s tolerance: trade @10:03 is 180s past the 10:00
+    // quote -> nulled; trade @10:05 matches its equal-time quote
+    val out = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("px"), tolerance = Some(lit(120.0)))
+      .select(col("trade_id"), col("asof_px"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(out(1).isEmpty && out(2) == Some(101.0))
+  }
+
   test("bandedRange matches broadcastRange exactly, including boundary values") {
     val intervals = Seq((0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0))
       .toDF("tier", "lo", "hi")
