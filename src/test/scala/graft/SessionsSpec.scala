@@ -42,4 +42,20 @@ class SessionsSpec extends SparkSpec {
     val n = Sessions.stats(e, 30, col("value")).count()
     assert(n == 1L)
   }
+
+  test("parity with Spark's native session_window up to its boundary semantics") {
+    // session_window merges events whose [t, t+gap) windows overlap —
+    // i.e. it SPLITS on gap >= duration, where Sessions splits on
+    // gap > duration. Away from the exact-boundary case the two agree;
+    // this pins the engine operator against the built-in.
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+      .select("user_id", "n_events", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    val custom = Sessions.stats(events, 30, col("value"))
+      .select(col("user_id"), col("n_events"), col("value_sum"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(native == custom)
+  }
 }
