@@ -1353,6 +1353,14 @@ object SparkEntry {
           unix_micros(col("ts")).as("purchase_us"),
           unix_micros(col("asof_t")).as("next_click_us"),
           col("asof_click_id").as("click_id"))
+    }),
+    // Hyndman trend/seasonality strength per supplier series
+    "q197_season_strength" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val dec = graft.operators.Decompose.additive(weekly, Seq("l_suppkey"),
+        col("week_start"), col("qty_sum"), weekofyear(col("week_start")))
+      graft.operators.Decompose.strength(dec, Seq("l_suppkey"), col("qty_sum"))
     })
   )
 
@@ -3755,7 +3763,33 @@ object SparkEntry {
                 CASE WHEN cts IS NOT NULL
                   AND epoch_us(cts) - epoch_us(pts) <= 3600000000
                   THEN cid END AS click_id
-         FROM j"""
+         FROM j""",
+    "q197_season_strength" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                       sum(l_quantity) q FROM lineitem GROUP BY 1,2),
+              t AS (SELECT l_suppkey, ws, q,
+                      avg(q) OVER (PARTITION BY l_suppkey ORDER BY ws
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+                      weekofyear(ws) AS woy
+                    FROM wk),
+              sa AS (SELECT *, avg(q - trend) OVER (PARTITION BY l_suppkey, woy) AS seasonal
+                     FROM t),
+              d AS (SELECT l_suppkey, q - trend - seasonal AS r,
+                      q - seasonal AS tr, seasonal + (q - trend - seasonal) AS sr
+                    FROM sa),
+              a AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) AS n,
+                      sum(r) AS s_r, sum(r*r) AS s_rr,
+                      sum(tr) AS s_t, sum(tr*tr) AS s_tt,
+                      sum(sr) AS s_s, sum(sr*sr) AS s_ss
+                    FROM d GROUP BY 1)
+         SELECT l_suppkey,
+                (round(CASE WHEN n > 1 AND (s_tt - s_t*s_t/n)/(n - 1) > 0
+                  THEN greatest(0.0e0, 1.0e0 - ((s_rr - s_r*s_r/n)/(n - 1))
+                    / ((s_tt - s_t*s_t/n)/(n - 1))) END*1e4)/1e4 + 0.0e0) AS trend_strength,
+                (round(CASE WHEN n > 1 AND (s_ss - s_s*s_s/n)/(n - 1) > 0
+                  THEN greatest(0.0e0, 1.0e0 - ((s_rr - s_r*s_r/n)/(n - 1))
+                    / ((s_ss - s_s*s_s/n)/(n - 1))) END*1e4)/1e4 + 0.0e0) AS seasonal_strength
+         FROM a"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -41,6 +41,36 @@ object Decompose {
       .drop("__detr")
   }
 
+  /** Trend/seasonality strength (Hyndman's feature-based measures):
+    *   F_T = max(0, 1 − Var(R)/Var(T+R)),  F_S = max(0, 1 − Var(R)/Var(S+R))
+    * over a decomposed frame (the [[additive]] output) — near 1 when
+    * the component explains most of the de-other-component variance,
+    * near 0 for noise. One hash aggregate per series carrying six
+    * portable sufficient sums; NULL when a variance denominator is
+    * degenerate (constant series). */
+  def strength(decomposed: DataFrame, keys: Seq[String], y: Column): DataFrame = {
+    import graft.functions.Funcs
+    val r = col("residual")
+    val tr = y - col("seasonal")   // T + R
+    val sr = col("seasonal") + r   // S + R
+    def varOf(s: Column, ss: Column, n: Column): Column =
+      (ss - s * s / n) / (n - 1)
+    val agg = decomposed.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(r).as("__sr"), sum(r * r).as("__srr"),
+      sum(tr).as("__st"), sum(tr * tr).as("__stt"),
+      sum(sr).as("__ss"), sum(sr * sr).as("__sss"))
+    val n = col("__n")
+    val varR = varOf(col("__sr"), col("__srr"), n)
+    val varTR = varOf(col("__st"), col("__stt"), n)
+    val varSR = varOf(col("__ss"), col("__sss"), n)
+    agg.select(keys.map(col) :+
+      Funcs.r(when(n > 1 && varTR > 0, greatest(lit(0.0), lit(1.0) - varR / varTR)))
+        .as("trend_strength") :+
+      Funcs.r(when(n > 1 && varSR > 0, greatest(lit(0.0), lit(1.0) - varR / varSR)))
+        .as("seasonal_strength"): _*)
+  }
+
   /** Population Stability Index between a reference and a current
     * population of `value`, binned by the REFERENCE deciles (the
     * standard drift-monitoring setup: fixed bins from the baseline

@@ -50,4 +50,18 @@ class DecomposeSpec extends SparkSpec {
       .agg(sum(col("ref_n")), sum(col("cur_n"))).as[(Long, Long)].head()
     assert(out._1 + out._2 == 500L)
   }
+
+  test("strength: pure seasonal signal scores high F_S, noise scores ~0") {
+    // 4-period square wave repeated 8 times: after decomposition the
+    // residual is tiny relative to the seasonal component
+    val wave = (0 until 32).map(i => (1L, i, Seq(10.0, 20.0, 10.0, 20.0)(i % 4) +
+      Seq(0.0, 0.1, -0.1, 0.05)(i % 4)))
+    val df = wave.toDF("k", "t", "y")
+    val dec = Decompose.additive(df, Seq("k"), col("t"), col("y"),
+      pmod(col("t"), lit(4)))
+    val s = Decompose.strength(dec, Seq("k"), col("y"))
+      .select("trend_strength", "seasonal_strength")
+      .as[(Option[Double], Option[Double])].head()
+    assert(s._2.exists(_ > 0.9), s"seasonal_strength=$s")
+  }
 }
