@@ -1392,8 +1392,8 @@ object SparkEntry {
                          JOIN deg d ON e.src = d.src
                   GROUP BY 1),
           r$i AS (SELECT nodes.node,
-                         ${3L * scale} // (20*nn.n)
-                           + (17 * coalesce(c$i.s, 0)) // 20 AS rank_i
+                         CAST(${3L * scale} // (20*nn.n)
+                           + (17 * coalesce(c$i.s, 0)) // 20 AS BIGINT) AS rank_i
                   FROM nodes CROSS JOIN nn
                        LEFT JOIN c$i ON nodes.node = c$i.node)"""
     }.mkString
@@ -2354,7 +2354,7 @@ object SparkEntry {
                         (CASE d.source $cases ELSE 0.0 END) * total / cnt))
                         AS BIGINT) AS thr
                FROM documents d JOIN c ON d.source = c.source, tot)
-         SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM k
          WHERE ((doc_id % 2147483647) * 48271 % 2147483647)
                 * 48271 % 2147483647 * 48271 % 2147483647 < thr
@@ -2626,7 +2626,7 @@ object SparkEntry {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                            / 256) AS BIGINT) AS bin
                FROM d)
-         SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM a GROUP BY 1,2""",
     "q135_robust_scale" ->
       """SELECT l_orderkey, l_linenumber,

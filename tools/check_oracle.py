@@ -53,6 +53,12 @@ def dtype_kind_problems(stypes, otypes):
             problems.append(f"col {c}: dtype kind mismatch spark={st} oracle={ot}")
         elif st in FLOATING and ot in FLOATING and st != ot:
             problems.append(f"col {c}: float width mismatch spark={st} oracle={ot}")
+        elif st in INTEGRAL and ot in INTEGRAL and st != ot:
+            # The driver's gate hashes raw arrow bytes, so HUGEINT (from an
+            # uncast DuckDB sum()) vs Spark BIGINT fails there even though
+            # pandas int64 coercion makes the values compare equal here.
+            problems.append(f"col {c}: int width mismatch spark={st} oracle={ot}"
+                            " (add CAST(... AS BIGINT) to the oracle)")
     return problems
 
 
