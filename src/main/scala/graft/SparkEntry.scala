@@ -3703,6 +3703,42 @@ object SparkEntry {
                 (round(avg(CAST(embedding[i+1] AS DOUBLE))*1e4)/1e4 + 0.0e0) AS mean_v
          FROM embeddings, unnest(range(0, len(embedding))) t(i)
          GROUP BY 1,2""",
+    // Additive Holt-Winters: the m=4 seasonal ring rides the recursive CTE
+    // as four state columns (s0..s3) + level/trend, slot = (rn-1)%4 —
+    // the same recipe as q73/q74 with the ring unrolled. Expression
+    // shapes mirror the Scala kernel exactly ((1e0-0.3e0), not 0.7e0,
+    // so both engines round the same doubles).
+    "q191_holt_winters" -> {
+      val sPrev = "(CASE (t.rn-1)%4 WHEN 0 THEN e.s0 WHEN 1 THEN e.s1 WHEN 2 THEN e.s2 ELSE e.s3 END)"
+      val lv = s"(0.3e0*(t.q - $sPrev) + (1e0-0.3e0)*(e.lvl + e.tr))"
+      val tr = s"(0.1e0*($lv - e.lvl) + (1e0-0.1e0)*e.tr)"
+      val sn = s"(0.2e0*(t.q - $lv) + (1e0-0.2e0)*$sPrev)"
+      s"""WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn,
+               q AS lvl, 0.0e0 AS tr, 0.0e0 AS sea,
+               0.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2, 0.0e0 AS s3
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
+               $lv, $tr, $sn,
+               CASE WHEN (t.rn-1)%4 = 0 THEN $sn ELSE e.s0 END,
+               CASE WHEN (t.rn-1)%4 = 1 THEN $sn ELSE e.s1 END,
+               CASE WHEN (t.rn-1)%4 = 2 THEN $sn ELSE e.s2 END,
+               CASE WHEN (t.rn-1)%4 = 3 THEN $sn ELSE e.s3 END
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                (round(lvl*1e4)/1e4 + 0.0e0) AS hw_level,
+                (round(tr*1e4)/1e4 + 0.0e0) AS hw_trend,
+                (round(sea*1e4)/1e4 + 0.0e0) AS hw_seasonal
+         FROM e"""
+    },
     "q192_rule_report" ->
       """WITH a AS (SELECT count(*) AS n,
                       CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,

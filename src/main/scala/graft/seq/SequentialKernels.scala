@@ -186,10 +186,15 @@ object SequentialKernels {
     *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
     *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
     * Seasonal state initializes to 0 (first cycle is level-only — the
-    * common streaming initialization). Per-series state is m+2 doubles,
-    * carried through the same single-exchange streaming fold as the
-    * other kernels. The recursion's seasonal array makes a SQL mirror
-    * impractical — rows-only contract; the spec pins a hand recursion. */
+    * common streaming initialization). Slot-0 asymmetry, stated
+    * explicitly: the first observation writes ring slot 0 with
+    * γ(x−l) = 0 (l initializes to x, so the write is trivially zero,
+    * not data-dependent); slots 1..m−1 first receive data-driven values
+    * at observations 2..m, and slot 0 only at observation m+1. Every
+    * first-cycle read therefore sees 0. Per-series state is m+2
+    * doubles, carried through the same single-exchange streaming fold
+    * as the other kernels. Oracle-backed (q191): the ring unrolls into
+    * m recursive-CTE state columns, the q73/q74 recipe. */
   def withHoltWinters(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                       valueCol: String, alpha: Double, beta: Double,
                       gamma: Double, m: Int,
