@@ -1361,6 +1361,30 @@ object SparkEntry {
       val dec = graft.operators.Decompose.additive(weekly, Seq("l_suppkey"),
         col("week_start"), col("qty_sum"), weekofyear(col("week_start")))
       graft.operators.Decompose.strength(dec, Seq("l_suppkey"), col("qty_sum"))
+    }),
+    // M15 completion — error decomposition by time bucket AND ABC volume
+    // tier in one composed report (reference error_analysis.py:89-610):
+    // pred = per-part mean (as q97), tiers from cumulative qty share on
+    // the part grain, then Metrics.errorSlices melts both dimensions out
+    // of a single GROUPING SETS pass.
+    "q198_error_slices" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      val perPart = li(s, d).groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("pq"))
+      val byQ = Window.orderBy(col("pq").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val tiers = perPart
+        .withColumn("cum_share", r(sum(col("pq")).over(byQ) / sum(col("pq")).over(tot)))
+        .withColumn("volume_tier", when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .select(col("l_partkey"), col("volume_tier"))
+      val scored = t.join(tiers, "l_partkey")
+      Metrics.errorSlices(scored, col("l_quantity"), col("pred"), Seq(
+        "month" -> month(col("l_shipdate")),
+        "volume_tier" -> col("volume_tier")))
     })
   )
 
@@ -3825,7 +3849,35 @@ object SparkEntry {
                 (round(CASE WHEN n > 1 AND (s_ss - s_s*s_s/n)/(n - 1) > 0
                   THEN greatest(0.0e0, 1.0e0 - ((s_rr - s_r*s_r/n)/(n - 1))
                     / ((s_ss - s_s*s_s/n)/(n - 1))) END*1e4)/1e4 + 0.0e0) AS seasonal_strength
-         FROM a"""
+         FROM a""",
+    "q198_error_slices" ->
+      """WITH t AS (SELECT l_partkey, l_shipdate, l_quantity a,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem),
+           pp AS (SELECT l_partkey, sum(l_quantity) pq FROM lineitem GROUP BY 1),
+           tier AS (SELECT l_partkey,
+                      CASE WHEN cs <= 0.8e0 THEN 'A'
+                           WHEN cs <= 0.95e0 THEN 'B' ELSE 'C' END AS volume_tier
+                    FROM (SELECT l_partkey,
+                            (round(sum(pq) OVER (ORDER BY pq DESC, l_partkey ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             / sum(pq) OVER ()*1e4)/1e4 + 0.0e0) AS cs
+                          FROM pp)),
+           s AS (SELECT t.a, t.p, tier.volume_tier,
+                   CAST(month(t.l_shipdate) AS VARCHAR) AS mon
+                 FROM t JOIN tier ON t.l_partkey = tier.l_partkey)
+         SELECT 'month' AS slice_type, mon AS slice_value, count(*) AS n_rows,
+                (round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100*1e4)/1e4 + 0.0e0) AS wmape,
+                (round(avg(p-a)*1e4)/1e4 + 0.0e0) AS bias,
+                (round(avg(abs(a-p))*1e4)/1e4 + 0.0e0) AS mae,
+                (round(sqrt(avg((a-p)*(a-p)))*1e4)/1e4 + 0.0e0) AS rmse
+         FROM s GROUP BY 2
+         UNION ALL
+         SELECT 'volume_tier', volume_tier, count(*),
+                (round(sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100*1e4)/1e4 + 0.0e0),
+                (round(avg(p-a)*1e4)/1e4 + 0.0e0),
+                (round(avg(abs(a-p))*1e4)/1e4 + 0.0e0),
+                (round(sqrt(avg((a-p)*(a-p)))*1e4)/1e4 + 0.0e0)
+         FROM s GROUP BY 2"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

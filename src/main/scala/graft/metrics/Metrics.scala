@@ -44,6 +44,44 @@ object Metrics {
     df.groupBy(groupCols.map(col): _*)
       .agg(wmape(actual, pred).as("wmape"), count(lit(1)).as("n_rows"))
 
+  /** M15 — multi-dimensional error decomposition in ONE pass: the
+    * reference runs a separate pandas groupby per dimension
+    * (src/evaluation/error_analysis.py:89-610, analyze_temporal_patterns
+    * :238-313); here every slice dimension becomes one GROUPING SETS
+    * entry so the scored fact is scanned and shuffled once, then the
+    * grouped rows melt to a tall (slice_type, slice_value) report.
+    * `grouping()` (not null-ness) identifies each row's dimension, so
+    * genuinely-null slice values stay unambiguous. Slice values are
+    * stringified so heterogeneous dimensions (month number, volume
+    * tier letter) stack in one frame.
+    */
+  def errorSlices(df: DataFrame, actual: Column, pred: Column,
+                  slices: Seq[(String, Column)]): DataFrame = {
+    import graft.functions.Funcs.r
+    val names = slices.map(_._1)
+    val pre = df.select(
+      slices.map { case (n, c) => c.cast("string").as(n) } ++
+        Seq(actual.as("__a"), pred.as("__p")): _*)
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      r(wmape(col("__a"), col("__p"))).as("wmape"),
+      r(bias(col("__a"), col("__p"))).as("bias"),
+      r(mae(col("__a"), col("__p"))).as("mae"),
+      r(rmse(col("__a"), col("__p"))).as("rmse")) ++
+      names.map(n => grouping(col(n)).as("__g_" + n))
+    val grouped = pre
+      .groupingSets(names.map(n => Seq(col(n))), names.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val sliceType = names.foldLeft(lit(null).cast("string")) { (acc, n) =>
+      when(col("__g_" + n) === 0, lit(n)).otherwise(acc)
+    }
+    val sliceValue = names.foldLeft(lit(null).cast("string")) { (acc, n) =>
+      when(col("__g_" + n) === 0, col(n)).otherwise(acc)
+    }
+    grouped.select(sliceType.as("slice_type"), sliceValue.as("slice_value"),
+      col("n_rows"), col("wmape"), col("bias"), col("mae"), col("rmse"))
+  }
+
   /** All headline metrics in one pass. */
   def scorecard(df: DataFrame, actual: Column, pred: Column): DataFrame =
     df.agg(

@@ -72,4 +72,38 @@ class MetricsSpec extends SparkSpec {
     assert(row.getAs[Double]("bias") == 0.0)
     assert(row.getAs[Long]("n_rows") == 2L)
   }
+
+  test("errorSlices: one pass per-dimension slices match separate groupBys") {
+    val df = Seq(
+      ("jan", "A", 10.0, 12.0), ("jan", "B", 20.0, 15.0),
+      ("feb", "A", 5.0, 9.0), ("feb", "C", 50.0, 45.0), ("feb", "C", 8.0, 8.0))
+      .toDF("m", "tier", "a", "p")
+    val out = Metrics.errorSlices(df, col("a"), col("p"),
+      Seq("m" -> col("m"), "tier" -> col("tier")))
+    assert(out.columns.toSeq ==
+      Seq("slice_type", "slice_value", "n_rows", "wmape", "bias", "mae", "rmse"))
+    // one row per distinct value per dimension — no grand-total row
+    assert(out.count() == 5)
+    val byM = out.filter(col("slice_type") === "m")
+      .select("slice_value", "wmape", "n_rows")
+      .as[(String, Double, Long)].collect()
+      .map { case (k, w, n) => k -> ((w, n)) }.toMap
+    val expected = Metrics.wmapeByGroup(df, Seq("m"), col("a"), col("p"))
+      .select(col("m"), col("wmape"), col("n_rows"))
+      .as[(String, Double, Long)].collect()
+    expected.foreach { case (m, w, n) =>
+      val (gotW, gotN) = byM(m)
+      assert(gotN == n, s"n_rows for $m")
+      assert(math.abs(gotW - w) < 1e-4, s"wmape for $m: $gotW vs $w")
+    }
+  }
+
+  test("errorSlices keeps null slice values attributed to their own dimension") {
+    val df = Seq((Option("jan"), "A", 10.0, 12.0), (None, "B", 20.0, 15.0))
+      .toDF("m", "tier", "a", "p")
+    val out = Metrics.errorSlices(df, col("a"), col("p"),
+      Seq("m" -> col("m"), "tier" -> col("tier")))
+    val mRows = out.filter(col("slice_type") === "m").count()
+    assert(mRows == 2) // "jan" and the genuine null bucket
+  }
 }
