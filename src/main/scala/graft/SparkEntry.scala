@@ -774,7 +774,8 @@ object SparkEntry {
       val scored = li(s, d).withColumn("__pred", avg(col("l_quantity")).over(byPart))
       graft.metrics.ResidualDiagnostics.diagnose(
         scored, Seq("l_returnflag"), col("l_quantity"), col("__pred"),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        exactMedian = Some(true))
     }),
     // Portable-hash family: unlike q103/q104 (seeded sample / murmur3 —
     // engine-private, rows-only checks), these compute bit-identical
@@ -1385,6 +1386,21 @@ object SparkEntry {
       Metrics.errorSlices(scored, col("l_quantity"), col("pred"), Seq(
         "month" -> month(col("l_shipdate")),
         "volume_tier" -> col("volume_tier")))
+    }),
+    // q111's scale twin: the diagnostics exchange keys on l_partkey
+    // (assortment-sized cardinality — SF·200k slices at TPC-H scale),
+    // so ACF/runs parallelism grows with the data instead of being
+    // pinned at #status codes. pred varies WITHIN the slice (per
+    // (part,supp) mean) so the BP heteroskedasticity leg stays
+    // non-degenerate.
+    "q199_resid_diag_parts" -> ((s, d) => {
+      val byPS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"), col("l_suppkey"))
+      val scored = li(s, d).withColumn("__pred", avg(col("l_quantity")).over(byPS))
+      graft.metrics.ResidualDiagnostics.diagnose(
+        scored, Seq("l_partkey"), col("l_quantity"), col("__pred"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        exactMedian = Some(true), broadcastStats = false)
     })
   )
 
@@ -3877,7 +3893,69 @@ object SparkEntry {
                 (round(avg(p-a)*1e4)/1e4 + 0.0e0),
                 (round(avg(abs(a-p))*1e4)/1e4 + 0.0e0),
                 (round(sqrt(avg((a-p)*(a-p)))*1e4)/1e4 + 0.0e0)
-         FROM s GROUP BY 2"""
+         FROM s GROUP BY 2""",
+    "q199_resid_diag_parts" ->
+      """WITH scored AS (
+           SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                  (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS fitted,
+                  (round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS resid
+           FROM lineitem),
+         stats AS (
+           SELECT l_partkey,
+                  (round((avg(resid))*1e4)/1e4 + 0.0e0) AS rmean,
+                  median(resid) AS rmedian
+           FROM scored GROUP BY 1),
+         lagged AS (
+           SELECT s.l_partkey, t.rmean, s.fitted, s.resid,
+                  s.resid - t.rmean AS c,
+                  lag(s.resid - t.rmean, 1) OVER w AS c1,
+                  lag(s.resid - t.rmean, 2) OVER w AS c2,
+                  lag(s.resid - t.rmean, 3) OVER w AS c3,
+                  CASE WHEN s.resid > t.rmedian THEN 1 ELSE 0 END AS bin,
+                  lag(CASE WHEN s.resid > t.rmedian THEN 1 ELSE 0 END, 1) OVER w AS binprev
+           FROM scored s JOIN stats t USING (l_partkey)
+           WINDOW w AS (PARTITION BY s.l_partkey
+                        ORDER BY s.l_shipdate, s.l_orderkey, s.l_linenumber, s.l_quantity)),
+         agg AS (
+           SELECT l_partkey,
+                  count(*) AS n,
+                  min(rmean) AS resid_mean,
+                  sum(c*c) AS ss,
+                  sum(CASE WHEN c1 IS NOT NULL THEN c*c1 ELSE 0.0e0 END) AS s1,
+                  sum(CASE WHEN c2 IS NOT NULL THEN c*c2 ELSE 0.0e0 END) AS s2,
+                  sum(CASE WHEN c3 IS NOT NULL THEN c*c3 ELSE 0.0e0 END) AS s3,
+                  CAST(sum(CASE WHEN binprev IS NOT NULL AND bin <> binprev THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+                  CAST(sum(bin) AS BIGINT) AS n_above,
+                  corr(fitted, resid*resid) AS bp
+           FROM lagged GROUP BY 1),
+         derived AS (
+           SELECT l_partkey, n, resid_mean,
+                  CASE WHEN (round(ss*1e4)/1e4 + 0.0e0) <> 0.0e0
+                    THEN (round(((round(s1*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) END AS acf1,
+                  CASE WHEN (round(ss*1e4)/1e4 + 0.0e0) <> 0.0e0
+                    THEN (round(((round(s2*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) END AS acf2,
+                  CASE WHEN (round(ss*1e4)/1e4 + 0.0e0) <> 0.0e0
+                    THEN (round(((round(s3*1e4)/1e4 + 0.0e0)/(round(ss*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) END AS acf3,
+                  changes + 1 AS runs, n_above,
+                  CAST(n AS DOUBLE) AS nd,
+                  CAST(n_above AS DOUBLE) AS n1d,
+                  CAST(n - n_above AS DOUBLE) AS n2d,
+                  (round(bp*1e4)/1e4 + 0.0e0) AS bp_corr
+           FROM agg)
+         SELECT l_partkey, n, resid_mean, acf1, acf2, acf3,
+                CASE WHEN n > 3
+                  THEN (round((n*(n+2)*(pow(acf1,2)/(n-1) + pow(acf2,2)/(n-2) + pow(acf3,2)/(n-3)))*1e4)/1e4 + 0.0e0)
+                END AS lb_q,
+                runs, n_above,
+                (round((CASE WHEN (2.0e0*n1d*n2d*(2.0e0*n1d*n2d - nd))/(nd*nd*(nd-1.0e0)) > 0
+                   THEN (runs - (2.0e0*n1d*n2d/nd + 1.0e0))
+                        / sqrt((2.0e0*n1d*n2d*(2.0e0*n1d*n2d - nd))/(nd*nd*(nd-1.0e0)))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS runs_z,
+                bp_corr,
+                CASE WHEN abs(bp_corr) < 1
+                  THEN (round((bp_corr * sqrt((n-2)/(1.0e0 - pow(bp_corr,2))))*1e4)/1e4 + 0.0e0)
+                END AS bp_t
+         FROM derived"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -33,8 +33,14 @@ object ResidualDiagnostics {
     * maxLag lags), runs / n_above / runs_z (median-cutoff runs test),
     * bp_corr / bp_t (corr(fitted, resid²) and its t-statistic).
     */
+  /** @param broadcastStats broadcast the per-slice centering stats back
+    *   to the fact (right for dimension-sized slices like status codes);
+    *   set false for fact-like slice cardinality (per-SKU diagnostics) —
+    *   the stats join then shuffles on the slice key, the SAME key the
+    *   ACF window needs, so the fact still moves only once. */
   def diagnose(df: DataFrame, sliceCols: Seq[String], actual: Column, pred: Column,
-               ord: Seq[Column], maxLag: Int = 3, exactMedian: Option[Boolean] = None): DataFrame = {
+               ord: Seq[Column], maxLag: Int = 3, exactMedian: Option[Boolean] = None,
+               broadcastStats: Boolean = true): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val slice = sliceCols.map(col)
     val base = df
@@ -45,7 +51,7 @@ object ResidualDiagnostics {
       r(avg(col("__resid"))).as("__rmean"),
       pct(col("__resid"), 0.5, exactMedian).as("__rmedian"))
     val w = Window.partitionBy(slice: _*).orderBy(ord: _*)
-    var lagged = base.join(broadcast(stats), sliceCols)
+    var lagged = base.join(if (broadcastStats) broadcast(stats) else stats, sliceCols)
       .withColumn("__c", col("__resid") - col("__rmean"))
       .withColumn("__bin", (col("__resid") > col("__rmedian")).cast("int"))
       .withColumn("__binprev", lag(col("__bin"), 1).over(w))
@@ -66,14 +72,20 @@ object ResidualDiagnostics {
     var out = lagged.groupBy(slice: _*).agg(aggCols.head, aggCols.tail: _*)
     // ACF_k = centered lag-k cross sum / centered total sum of squares;
     // both sums rounded BEFORE dividing (cross-engine sum-order ulps).
+    // Degenerate slices (constant residuals, e.g. single-row series at
+    // high slice cardinality) have ss = 0 → acf is null, not 0/0 NaN.
     (1 to maxLag).foreach { k =>
-      out = out.withColumn(s"acf$k", r(r(col(s"__s$k")) / r(col("__ss"))))
+      out = out.withColumn(s"acf$k",
+        r(when(r(col("__ss")) =!= 0.0, r(col(s"__s$k")) / r(col("__ss")))))
     }
-    // Ljung-Box Q = n(n+2) Σ acf_k²/(n−k), from the already-rounded acf.
+    // Ljung-Box Q = n(n+2) Σ acf_k²/(n−k), from the already-rounded acf;
+    // null when n ≤ maxLag (no degrees of freedom — avoids a 0/0 whose
+    // NaN-vs-NULL convention differs across engines).
     val lbSum = (1 to maxLag).map(k => pow(col(s"acf$k"), 2) / (col("n") - lit(k)))
       .reduce(_ + _)
     out = out
-      .withColumn("lb_q", r(col("n") * (col("n") + lit(2)) * lbSum))
+      .withColumn("lb_q",
+        r(when(col("n") > lit(maxLag), col("n") * (col("n") + lit(2)) * lbSum)))
       // Runs test (reference error_analysis.py:38-67): binary = resid >
       // median; runs = 1 + sign changes; expected/variance in DOUBLE
       // arithmetic (2·n1·n2 overflows BIGINT beyond ~100k rows/slice).

@@ -237,4 +237,26 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"$scans scans:\n$plan")
   }
+
+  test("residual diagnostics scale path: analysis exchange keys on the high-cardinality slice") {
+    val plan = SparkEntry.queries("q199_resid_diag_parts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The ACF/runs window and the final reduction ride hashpartitioning
+    // on l_partkey (assortment-sized), NOT on a #status-code dimension —
+    // parallelism grows with the data.
+    assert("hashpartitioning\\(l_partkey".r.findAllIn(plan).nonEmpty, plan)
+    // With broadcastStats=false there is no FORCED broadcast hint: when
+    // the part-grain stats frame outgrows the auto threshold (as it
+    // does at 100 TB), the optimizer is free to shuffle it on the same
+    // slice key the window needs. Proven by disabling the size-based
+    // auto-broadcast and observing no broadcast join survives.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val noAuto = SparkEntry.queries("q199_resid_diag_parts")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!noAuto.contains("BroadcastHashJoin"), noAuto)
+    } finally spark.conf.set(thresholdKey, prev)
+  }
 }
