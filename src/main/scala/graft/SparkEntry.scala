@@ -923,7 +923,7 @@ object SparkEntry {
     "q137_psi" -> ((s, d) =>
       graft.operators.Decompose.psi(li(s, d),
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
-        col("l_extendedprice"))
+        col("l_extendedprice"), exact = Some(true))
         .select(col("bin"), col("ref_n"), col("cur_n"),
           r(col("ref_share")).as("ref_share"), r(col("cur_share")).as("cur_share"),
           r(col("psi_contrib")).as("psi_contrib"))),
@@ -1401,7 +1401,10 @@ object SparkEntry {
         scored, Seq("l_partkey"), col("l_quantity"), col("__pred"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
         exactMedian = Some(true), broadcastStats = false)
-    })
+    }),
+    // the composed monitoring run: monthly KPI + PSI drift + rule
+    // report in one alert frame (Jobs.monitorRun; q96/q137/q192 legs)
+    "q200_monitor" -> ((s, d) => graft.app.Jobs.monitorRun(s, d))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -3955,7 +3958,64 @@ object SparkEntry {
                 CASE WHEN abs(bp_corr) < 1
                   THEN (round((bp_corr * sqrt((n-2)/(1.0e0 - pow(bp_corr,2))))*1e4)/1e4 + 0.0e0)
                 END AS bp_t
-         FROM derived"""
+         FROM derived""",
+    "q200_monitor" -> {
+      val edges = (1 until 10).map { i =>
+        s"quantile_cont(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN l_extendedprice END, 0.${i}) AS e${i - 1}"
+      }.mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"(CASE WHEN l_extendedprice > e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT month(l_shipdate) AS mon, l_quantity a,
+                       avg(l_quantity) OVER (PARTITION BY l_partkey) p FROM lineitem),
+           kpi AS (SELECT CAST(mon AS VARCHAR) AS k,
+                     sum(abs(a-p))/(sum(abs(a)) + 1e-8)*100 wm
+                   FROM t GROUP BY 1),
+           e AS (SELECT $edges FROM lineitem),
+           b AS (SELECT CAST($binExpr AS BIGINT) AS bin,
+                        CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS is_ref
+                 FROM lineitem, e),
+           c AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_n,
+                        CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+                 FROM b GROUP BY 1),
+           tt AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt, CAST(sum(cur_n) AS DOUBLE) AS ct
+                  FROM c),
+           psiv AS (SELECT (round(sum((cur_n/ct - ref_n/rt)
+                            * ln((cur_n/ct + 1e-6)/(ref_n/rt + 1e-6)))*1e4)/1e4 + 0.0e0) AS v
+                    FROM c, tt),
+           ra AS (SELECT count(*) AS n,
+                    CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                    CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1e0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3
+                  FROM lineitem)
+         SELECT 'kpi_wmape' AS check_name, k AS check_key,
+                (round(wm*1e4)/1e4 + 0.0e0) AS metric_value,
+                CASE WHEN wm >= 30 THEN 'CRIT' WHEN wm >= 20 THEN 'WARN'
+                     ELSE 'OK' END AS status
+         FROM kpi
+         UNION ALL
+         SELECT 'psi_drift', 'l_extendedprice', v,
+                CASE WHEN v >= 0.25e0 THEN 'CRIT' WHEN v >= 0.1e0 THEN 'WARN'
+                     ELSE 'OK' END
+         FROM psiv
+         UNION ALL
+         SELECT 'rule_violation', 'qty_positive',
+                (round(v1/n*1e4)/1e4 + 0.0e0),
+                CASE WHEN (round(v1/n*1e4)/1e4 + 0.0e0) >= 0.05e0 THEN 'CRIT'
+                     WHEN (round(v1/n*1e4)/1e4 + 0.0e0) >= 0.01e0 THEN 'WARN' ELSE 'OK' END
+         FROM ra
+         UNION ALL
+         SELECT 'rule_violation', 'discount_in_range',
+                (round(v2/n*1e4)/1e4 + 0.0e0),
+                CASE WHEN (round(v2/n*1e4)/1e4 + 0.0e0) >= 0.05e0 THEN 'CRIT'
+                     WHEN (round(v2/n*1e4)/1e4 + 0.0e0) >= 0.01e0 THEN 'WARN' ELSE 'OK' END
+         FROM ra
+         UNION ALL
+         SELECT 'rule_violation', 'price_positive',
+                (round(v3/n*1e4)/1e4 + 0.0e0),
+                CASE WHEN (round(v3/n*1e4)/1e4 + 0.0e0) >= 0.05e0 THEN 'CRIT'
+                     WHEN (round(v3/n*1e4)/1e4 + 0.0e0) >= 0.01e0 THEN 'WARN' ELSE 'OK' END
+         FROM ra"""
+    }
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -77,7 +77,7 @@ object Jobs {
     val withPred = weekly.withColumn("pred", avg(col("qty_sum")).over(w))
     graft.operators.Conformal
       .splitConformal(withPred, Seq("l_suppkey"), col("qty_sum"), col("pred"),
-        alpha = 0.9)
+        alpha = 0.9, exact = Some(true))
       .agg(count(lit(1)).as("n_rows"),
         r(sum(abs(col("qty_sum") - col("pred"))) / sum(col("qty_sum")) * 100)
           .as("wmape_pct"),
@@ -85,6 +85,55 @@ object Jobs {
           .as("bias_pct"),
         r(avg((col("qty_sum") >= col("lo") && col("qty_sum") <= col("hi"))
           .cast("long"))).as("coverage"))
+  }
+
+  /** Monitoring run (reference src/monitoring dashboards +
+    * model_diagnostics.py:958-961 thresholds): the three run-health
+    * checks — forecast KPI by calendar month (the report-over-time
+    * leg), input drift (price PSI vs the reference period), and
+    * data-quality rules — composed into ONE tall alert frame
+    * (check_name, check_key, metric_value, status). Each leg is the
+    * oracle-proven operator behind q96/q137/q192; the composition is
+    * itself oracle-backed end-to-end (q200). PSI and rule statuses
+    * ladder on the ROUNDED metric so the class cannot flip on
+    * summation-order ulps; the KPI ladder compares the unrounded WMAPE
+    * exactly as q96 does.
+    */
+  def monitorRun(spark: SparkSession, sfDir: String,
+                 refCut: String = "1996-01-01"): DataFrame = {
+    import graft.functions.Funcs.r
+    val li = Tables.lineitem(spark, sfDir)
+    val scored = li
+      .withColumn("__pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      .withColumn("__mon", month(col("l_shipdate")))
+    val kpi = Metrics
+      .wmapeByGroup(scored, Seq("__mon"), col("l_quantity"), col("__pred"))
+      .select(lit("kpi_wmape").as("check_name"),
+        col("__mon").cast("string").as("check_key"),
+        r(col("wmape")).as("metric_value"),
+        graft.model.Models.kpiStatus(col("wmape")).as("status"))
+    val psi = graft.operators.Decompose
+      .psi(li, col("l_shipdate") < lit(java.sql.Timestamp.valueOf(s"$refCut 00:00:00")),
+        col("l_extendedprice"), exact = Some(true))
+      .agg(r(sum(col("psi_contrib"))).as("metric_value"))
+      .select(lit("psi_drift").as("check_name"),
+        lit("l_extendedprice").as("check_key"),
+        col("metric_value"),
+        when(col("metric_value") >= 0.25, "CRIT")
+          .when(col("metric_value") >= 0.1, "WARN")
+          .otherwise("OK").as("status"))
+    val rules = Cleaning.ruleReport(li, Seq(
+      "qty_positive" -> (col("l_quantity") > 0),
+      "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+      "price_positive" -> (col("l_extendedprice") > 0)))
+      .select(lit("rule_violation").as("check_name"),
+        col("rule").as("check_key"),
+        col("violation_rate").as("metric_value"),
+        when(col("violation_rate") >= 0.05, "CRIT")
+          .when(col("violation_rate") >= 0.01, "WARN")
+          .otherwise("OK").as("status"))
+    kpi.unionByName(psi).unionByName(rules)
   }
 
   /** §3.2 feature store: the weekly grain plus temporal/agg features,

@@ -86,10 +86,10 @@ object Decompose {
     * when-ladder; shares are one groupBy over (population, bin).
     */
   def psi(df: DataFrame, isReference: Column, value: Column,
-          nBins: Int = 10): DataFrame = {
+          nBins: Int = 10, exact: Option[Boolean] = None): DataFrame = {
     val qs = (1 until nBins).map(_.toDouble / nBins)
     val edgeCols = qs.zipWithIndex.map { case (q, i) =>
-      Funcs.pct(when(isReference, value), q).as(s"__e$i") }
+      Funcs.pct(when(isReference, value), q, exact).as(s"__e$i") }
     val edges = df.agg(edgeCols.head, edgeCols.tail: _*)
     // bin = number of edges strictly below the value (0..nBins-1)
     val bin = (0 until nBins - 1)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Composed-job invariants for the application layer (the per-leg math
+  * is oracle-proven via q96/q137/q192/q200 — here we pin the report's
+  * structure and the status-ladder consistency). */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("monitorRun: one tall alert frame with all three check legs") {
+    val out = graft.app.Jobs.monitorRun(spark, dir).cache()
+    try {
+      assert(out.columns.toSeq ==
+        Seq("check_name", "check_key", "metric_value", "status"))
+      val byCheck = out.groupBy("check_name").count()
+        .as[(String, Long)].collect().toMap
+      assert(byCheck.keySet == Set("kpi_wmape", "psi_drift", "rule_violation"))
+      assert(byCheck("psi_drift") == 1L)
+      assert(byCheck("rule_violation") == 3L)
+      assert(byCheck("kpi_wmape") >= 1L) // one row per observed month
+      assert(out.filter(col("metric_value").isNull).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("monitorRun: statuses are consistent with their metric ladders") {
+    val rows = graft.app.Jobs.monitorRun(spark, dir)
+      .select("check_name", "metric_value", "status")
+      .as[(String, Double, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (check, v, status) =>
+      assert(Set("OK", "WARN", "CRIT")(status), s"$check status=$status")
+      check match {
+        case "kpi_wmape" =>
+          // ladder 20/30 on the (rounded-at-output) WMAPE
+          if (v >= 30.0001) assert(status == "CRIT", s"wmape=$v")
+          else if (v < 19.9999) assert(status != "CRIT", s"wmape=$v")
+        case "psi_drift" =>
+          if (v >= 0.25) assert(status == "CRIT", s"psi=$v")
+          else if (v < 0.1) assert(status == "OK", s"psi=$v")
+        case "rule_violation" =>
+          if (v >= 0.05) assert(status == "CRIT", s"rate=$v")
+          else if (v < 0.01) assert(status == "OK", s"rate=$v")
+      }
+    }
+  }
+}
