@@ -259,4 +259,23 @@ class PlanSpec extends SparkSpec {
       assert(!noAuto.contains("BroadcastHashJoin"), noAuto)
     } finally spark.conf.set(thresholdKey, prev)
   }
+
+  test("key stats: exactPercentiles=false swaps the per-group median to t-digest") {
+    import graft.operators.AggFeatures
+    val li = Tables.lineitem(spark, dir)
+    // Local/oracle default: exact percentile — per-group value buffers
+    // (the one documented non-scale-safe default; oracle equality needs it).
+    val exact = AggFeatures.keyStats(li, Seq(col("l_returnflag")), col("l_quantity"),
+      exactMedian = Some(true)).queryExecution.executedPlan.toString
+    assert(exact.contains("percentile("), exact)
+    // 100 TB posture (configureForScale / exactMedian=false): the median
+    // becomes percentile_approx — the aggregate node is still an
+    // ObjectHashAggregate (any TypedImperativeAggregate plans as one),
+    // but its per-group state is a bounded t-digest sketch instead of an
+    // unbounded value buffer, which is the property that matters at scale.
+    val approx = AggFeatures.keyStats(li, Seq(col("l_returnflag")), col("l_quantity"),
+      exactMedian = Some(false)).queryExecution.executedPlan.toString
+    assert(approx.contains("percentile_approx("), approx)
+    assert(!approx.contains(" percentile("), approx)
+  }
 }
