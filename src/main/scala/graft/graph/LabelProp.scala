@@ -39,6 +39,13 @@ object LabelProp {
         .select(col("node"), least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
       if (i % 4 == 0) lbl = lbl.localCheckpoint(true)
     }
-    lbl
+    // Eager-checkpoint the result BEFORE releasing the iteration caches
+    // (lazy unpersist would recompute e/nodes on first use); without the
+    // release, repeated invocations across a long-lived driver accumulate
+    // cached blocks for its lifetime.
+    val out = lbl.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 }

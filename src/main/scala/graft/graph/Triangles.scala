@@ -42,7 +42,14 @@ object Triangles {
       .agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-    stats.crossJoin(tri).select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    // Materialize the 1-row result eagerly, then release the edge cache
+    // so repeated invocations don't accumulate blocks for the driver's
+    // lifetime.
+    val out = stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    out
   }
 
   /** Co-occurrence edge list: distinct item pairs sharing a basket. */

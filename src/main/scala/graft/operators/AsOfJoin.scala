@@ -55,11 +55,17 @@ object AsOfJoin {
     val matched = unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
+    // Tolerance bound on integer microseconds: events carry micros-grain
+    // timestamps, and |t − asof_t| in cast-to-double SECONDS is ~1 ulp
+    // (~2e-7 s) inexact — a match exactly at the bound could flip vs an
+    // integer-exact epoch_us comparison. `tol` stays in (possibly
+    // fractional) seconds at the API; the arithmetic is exact longs.
     val bounded = tolerance match {
       case None => matched
       case Some(tol) => matched.withColumn("__match",
-        when(abs(col("__t").cast("double")
-          - col("__match.asof_t").cast("double")) <= tol, col("__match")))
+        when(abs(unix_micros(col("__t").cast("timestamp"))
+          - unix_micros(col("__match.asof_t").cast("timestamp")))
+          <= (tol * lit(1000000L)).cast("long"), col("__match")))
     }
     bounded.select(left.columns.map(col) :+ col("__match.*"): _*)
   }

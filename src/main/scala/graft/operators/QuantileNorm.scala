@@ -13,14 +13,30 @@ import graft.functions.Funcs
   * model fitting).
   *
   * Scale shape: group ranks come from a window partitioned by the
-  * group key; the reference is indexed once by a global sort (the
-  * reference should be a bounded sample / distinct-value table — at
-  * 100 TB feed a fixed-size quantile sketch of the population as
-  * `reference`, not the raw fact) and joined twice on INTEGER rank
-  * keys (floor/ceil of the interpolated position) — equi-joins,
-  * broadcast when the reference is small.
+  * group key; the reference is indexed once by a global sort and
+  * joined twice on INTEGER rank keys (floor/ceil of the interpolated
+  * position). The reference joins carry NO broadcast hint — the
+  * optimizer broadcasts a small reference on its own size estimate and
+  * falls back to a shuffle join when it doesn't fit, instead of an
+  * executor-OOM forced broadcast. At 100 TB do not pass the raw fact:
+  * [[sketchReference]] collapses any population to a bounded
+  * equi-quantile grid, making the global reference sort O(nPoints).
   */
 object QuantileNorm {
+
+  /** Bounded reference for [[normalize]] at scale: the population's
+    * t-digest quantile grid (nPoints values, one distributed agg) —
+    * feed this, not the raw fact, as `reference` when the population
+    * is fact-sized. */
+  def sketchReference(population: DataFrame, value: Column,
+                      nPoints: Int = 1001): DataFrame = {
+    require(nPoints >= 2, "need at least 2 grid points")
+    val qs = array((0 until nPoints).map(i =>
+      lit(i.toDouble / (nPoints - 1))): _*)
+    population
+      .agg(percentile_approx(value.cast("double"), qs, lit(10000)).as("__qs"))
+      .select(explode(col("__qs")).as("ref_value"))
+  }
 
   /** @param target    rows to normalize; all columns pass through.
     * @param reference one value per row — the target distribution.
@@ -44,8 +60,8 @@ object QuantileNorm {
       .withColumn("__lo", floor(col("__pos")).cast("long"))
       .withColumn("__hi", ceil(col("__pos")).cast("long"))
     withPos
-      .join(broadcast(refIdx.select(col("__ri").as("__lo"), col("__rv").as("__vlo"))), "__lo")
-      .join(broadcast(refIdx.select(col("__ri").as("__hi"), col("__rv").as("__vhi"))), "__hi")
+      .join(refIdx.select(col("__ri").as("__lo"), col("__rv").as("__vlo")), "__lo")
+      .join(refIdx.select(col("__ri").as("__hi"), col("__rv").as("__vhi")), "__hi")
       .withColumn(outCol, Funcs.r(col("__vlo")
         + (col("__pos") - col("__lo")) * (col("__vhi") - col("__vlo"))))
       .drop("__rt", "__ng", "__pos", "__lo", "__hi", "__vlo", "__vhi")

@@ -69,6 +69,24 @@ class R5OpsBatch8Spec extends SparkSpec {
     assert(self == Seq(1.0, 2.0, 3.0))
   }
 
+  test("quantileNormalize: sketchReference bounds the reference and preserves the mapping") {
+    val pop = (0 until 5000).map(i => i.toDouble).toDF("rv")
+    val grid = graft.operators.QuantileNorm.sketchReference(pop, col("rv"), nPoints = 101)
+    val vals = grid.select(col("ref_value")).as[Double].collect().toSeq
+    assert(vals.size == 101)
+    assert(vals == vals.sorted)
+    assert(vals.head == 0.0 && vals.last == 4999.0) // grid spans the population
+    // normalizing onto the bounded grid ≈ normalizing onto the raw
+    // population (uniform population → near-identity mapping)
+    val target = Seq((1L, 100.0, 1L), (1L, 2500.0, 2L), (1L, 4900.0, 3L)).toDF("g", "v", "id")
+    val out = graft.operators.QuantileNorm.normalize(target, grid, col("ref_value"),
+      Seq("g"), col("v"), Seq(col("id")))
+      .orderBy("v").select("normalized").as[Double].collect().toSeq
+    out.zip(Seq(0.0, 2499.5, 4999.0)).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 60.0, s"$got vs $want") // within ~1 grid cell
+    }
+  }
+
   test("mergeAdditive: split-aggregate-merge equals direct aggregation") {
     val rows = (1 to 40).map(i => (i % 5L, (i % 7).toDouble, i))
     val full = rows.toDF("k", "v", "i").groupBy("k")
