@@ -45,11 +45,14 @@ object Bench {
     try run(SparkEntry.queries("q22_weekly_aggregate")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => () }
 
-    // best-of-2: the first pass pays JIT/codegen compilation; the
-    // second measures the query. Keep the minimum.
+    // best-of-3: the first pass pays JIT/codegen compilation; later
+    // passes measure the query. Keep the minimum — on a shared
+    // container single runs vary ±30%+ (r5 flagged 4 phantom 1.6-2×
+    // regressions with no code change), and a 3rd sample cuts the
+    // odds both measured passes land slow.
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
