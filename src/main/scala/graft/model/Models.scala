@@ -29,6 +29,29 @@ object Models {
       .fit(assembled)
   }
 
+  /** M9 (WMAPE-objective leg) — the reference trains LightGBM with a
+    * custom WMAPE objective whose gradient is sign(resid)/Σ|y| and a
+    * constant hessian (src/models/lightgbm_master.py:43-97). Σ|y| is a
+    * constant over the training set, so that gradient is exactly the
+    * L1 (absolute-loss) gradient uniformly scaled — the same
+    * minimizer and the same tree-split ordering. MLlib's GBTRegressor
+    * exposes that objective as lossType="absolute", which closes the
+    * previously-documented divergence without custom loss plumbing:
+    * WMAPE-optimal boosting fits conditional medians, not means.
+    */
+  def fitGbtWmape(train: DataFrame, features: Seq[String], target: String,
+                  maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): GBTRegressionModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("__features")
+      .setHandleInvalid("keep")
+      .transform(train)
+    new GBTRegressor()
+      .setFeaturesCol("__features").setLabelCol(target)
+      .setLossType("absolute")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(assembled)
+  }
+
   def predictGbt(model: GBTRegressionModel, df: DataFrame, features: Seq[String],
                  outCol: String = "prediction"): DataFrame = {
     val assembled = new VectorAssembler()

@@ -17,6 +17,23 @@ class ModelsSpec extends SparkSpec {
     assert(wmape < 10.0, s"wmape $wmape")
   }
 
+  test("WMAPE-objective GBT fits conditional medians and beats squared loss on WMAPE") {
+    // Per x-bucket: labels {1,1,1,12} — the WMAPE/L1 optimum is the
+    // median (1), the L2 optimum is the mean (3.75). Σ|resid|: median
+    // predictor 11 vs mean predictor 16.5 per bucket, so the absolute-
+    // loss model must come out ahead on WMAPE.
+    val train = (0 until 50).flatMap { b =>
+      Seq.fill(3)((b.toDouble, 1.0)) :+ ((b.toDouble, 12.0))
+    }.toDF("x", "y")
+    def wmapeOf(m: org.apache.spark.ml.regression.GBTRegressionModel): Double =
+      Models.predictGbt(m, train, Seq("x"))
+        .agg(graft.metrics.Metrics.wmape(col("y"), col("prediction")))
+        .as[Double].head()
+    val wAbs = wmapeOf(Models.fitGbtWmape(train, Seq("x"), "y", maxIter = 10, maxDepth = 3))
+    val wSq = wmapeOf(Models.fitGbt(train, Seq("x"), "y", maxIter = 10, maxDepth = 3))
+    assert(wAbs < wSq, s"absolute-loss wmape $wAbs should beat squared $wSq")
+  }
+
   test("hurdle forecast = P(nonzero) x mean(nonzero)") {
     val df = Seq(("a", 0.0), ("a", 0.0), ("a", 6.0), ("a", 10.0)).toDF("k", "v")
     val r = Models.hurdleForecast(df, Seq(col("k")), col("v"), Seq("k")).head()
