@@ -2041,6 +2041,35 @@ object SparkEntry {
               rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_sim DESC, neighbor_id ASC) rank FROM s)
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10""",
+    // LSH ANN: the hyperplanes are deterministic driver-side literals
+    // (Similarity.hyperplane), so the oracle embeds the IDENTICAL plane
+    // constants and reproduces signatures, bands, candidates, and the
+    // final top-k exactly. Sign bits compare the ROUNDED dot on both
+    // sides, so summation-order ulps cannot flip a bit.
+    "q69_ann_lsh" -> {
+      val sigTerms = (0 until 16).map { p =>
+        val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
+        s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n                + ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 4)}) % 16 AS bucket FROM sg")
+        .mkString("\n                UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
+           bd AS ($bandSelects),
+           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                    FROM bd q JOIN bd c USING (band, bucket)
+                    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           s AS (SELECT cand.query_id, cand.neighbor_id,
+                   (round(list_dot_product(ec.v, eq.v)
+                     /(sqrt(list_dot_product(ec.v, ec.v))*sqrt(list_dot_product(eq.v, eq.v)))
+                     *1e4)/1e4 + 0.0e0) AS cos_sim
+                 FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
+                           JOIN e eq ON cand.query_id = eq.vec_id),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
+    },
     "q70_embed_norms" ->
       """SELECT label, count(*) AS n_vecs,
                 (round((avg(sqrt(list_dot_product(embedding::DOUBLE[],

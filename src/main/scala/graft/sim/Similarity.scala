@@ -53,8 +53,9 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: plane p, dimension d ↦
     * a value in [−0.5, 0.5) derived from a 64-bit mix of (seed, p, d).
-    * Generated driver-side as literals — tiny (planes × dim doubles). */
-  private def hyperplane(p: Int, dim: Int, seed: Long): Array[Double] =
+    * Generated driver-side as literals — tiny (planes × dim doubles).
+    * Public so an oracle can embed the IDENTICAL plane constants. */
+  def hyperplane(p: Int, dim: Int, seed: Long): Array[Double] =
     Array.tabulate(dim) { d =>
       var h = seed + p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
       h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL
@@ -64,13 +65,17 @@ object Similarity {
     }
 
   /** Random-hyperplane signature: bit p = sign(v · h_p). Returned as an
-    * int (numPlanes ≤ 31 bits). */
+    * int (numPlanes ≤ 31 bits). The dot is ROUNDED (Funcs.r) before the
+    * sign test, per the project's determinism convention: a dot within
+    * 5e-5 of zero quantizes to exactly 0.0 in every engine, so a
+    * sub-ulp summation-order difference can never flip a signature bit
+    * (which would silently change the candidate set cross-engine). */
   def rhpSignature(vec: Column, dim: Int, numPlanes: Int = 16,
                    seed: Long = 42L): Column = {
     val vd = vec.cast("array<double>")
     (0 until numPlanes).map { p =>
       val plane = array(hyperplane(p, dim, seed).map(lit): _*)
-      when(dot(vd, plane) > 0, lit(1 << p)).otherwise(lit(0))
+      when(graft.functions.Funcs.r(dot(vd, plane)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 
