@@ -1404,7 +1404,19 @@ object SparkEntry {
     }),
     // the composed monitoring run: monthly KPI + PSI drift + rule
     // report in one alert frame (Jobs.monitorRun; q96/q137/q192 legs)
-    "q200_monitor" -> ((s, d) => graft.app.Jobs.monitorRun(s, d))
+    "q200_monitor" -> ((s, d) => graft.app.Jobs.monitorRun(s, d)),
+    // int8 embedding quantization at (vec, dim) grain — pure
+    // per-element arithmetic, no shuffle
+    "q201_quantize_int8" -> ((s, d) =>
+      graft.sim.Quantize.int8(Tables.embeddings(s, d))),
+    // k-core peeling over the part<->supplier bipartite graph (same
+    // node encoding as q152/q164); k=28 peels ~2/3 of the graph in 3
+    // rounds on the test corpus
+    "q202_kcore" -> ((s, d) => {
+      val e = li(s, d).select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      graft.graph.KCore.kCore(e, "src", "dst", k = 28, iters = 3)
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -2069,6 +2081,31 @@ object SparkEntry {
            rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
+    },
+    // same embedded-plane recipe as q69, 8 bands of width 2 and a
+    // rounded-cosine >= threshold verify (an empty result set is still
+    // a byte-exact contract: no false positives in either engine)
+    "q107_embed_near_dupes" -> {
+      val sigTerms = (0 until 16).map { p =>
+        val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
+        s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n                + ")
+      val bandSelects = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 2)}) % 4 AS bucket FROM sg")
+        .mkString("\n                UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
+           bd AS ($bandSelects),
+           cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM bd a JOIN bd b USING (band, bucket)
+                    WHERE a.vec_id < b.vec_id),
+           s AS (SELECT cand.id_a, cand.id_b,
+                   (round(list_dot_product(ea.v, eb.v)
+                     /(sqrt(list_dot_product(ea.v, ea.v))*sqrt(list_dot_product(eb.v, eb.v)))
+                     *1e4)/1e4 + 0.0e0) AS cos_sim
+                 FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+                           JOIN e eb ON cand.id_b = eb.vec_id)
+         SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.9e0"""
     },
     "q70_embed_norms" ->
       """SELECT label, count(*) AS n_vecs,
@@ -4044,6 +4081,36 @@ object SparkEntry {
                 CASE WHEN (round(v3/n*1e4)/1e4 + 0.0e0) >= 0.05e0 THEN 'CRIT'
                      WHEN (round(v3/n*1e4)/1e4 + 0.0e0) >= 0.01e0 THEN 'WARN' ELSE 'OK' END
          FROM ra"""
+    },
+    "q201_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           m AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+           x AS (SELECT vec_id, i AS dim, v[i + 1] AS xv, maxabs
+                 FROM m, unnest(range(0, len(v))) t(i))
+         SELECT vec_id, dim,
+                CASE WHEN maxabs = 0 THEN 0
+                     ELSE CAST(round(xv * 127 / maxabs) AS INT) END AS q,
+                maxabs/127 AS scale
+         FROM x""",
+    "q202_kcore" -> {
+      val k = 28
+      val head =
+        """WITH e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem),
+           e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "e" else s"e${i - 1}"
+        s""",
+           d$i AS (SELECT src, count(*) AS deg FROM $prev GROUP BY 1),
+           k$i AS (SELECT src FROM d$i WHERE deg >= $k),
+           e$i AS (SELECT $prev.src, $prev.dst FROM $prev
+                   JOIN k$i a ON $prev.src = a.src
+                   JOIN k$i b ON $prev.dst = b.src)"""
+      }.mkString
+      head + iters +
+        """
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM e3 GROUP BY 1"""
     }
   )
 
