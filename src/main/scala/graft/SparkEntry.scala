@@ -1416,7 +1416,11 @@ object SparkEntry {
       val e = li(s, d).select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       graft.graph.KCore.kCore(e, "src", "dst", k = 28, iters = 3)
-    })
+    }),
+    // embedding covariance matrix: dim²-bounded output from one
+    // explode→self-join→agg pass (the distributed leg of PCA)
+    "q203_covariance" -> ((s, d) =>
+      graft.sim.Pca.covarianceMatrix(Tables.embeddings(s, d)))
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -4111,7 +4115,22 @@ object SparkEntry {
         """
          SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
          FROM e3 GROUP BY 1"""
-    }
+    },
+    "q203_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           x AS (SELECT vec_id, i, v[i + 1] AS xi
+                 FROM e, unnest(range(0, len(v))) t(i)),
+           p AS (SELECT a.i AS i, b.i AS j, a.xi AS xi, b.xi AS xj
+                 FROM x a JOIN x b ON a.vec_id = b.vec_id
+                 WHERE a.i <= b.i),
+           g AS (SELECT i, j, count(*) AS n,
+                   (round(sum(xi*xj)*1e4)/1e4 + 0.0e0) AS sxy,
+                   (round(sum(xi)*1e4)/1e4 + 0.0e0) AS sx,
+                   (round(sum(xj)*1e4)/1e4 + 0.0e0) AS sy
+                 FROM p GROUP BY 1,2)
+         SELECT i, j, n,
+                (round((sxy - sx*sy/n)/(n - 1)*1e4)/1e4 + 0.0e0) AS cov
+         FROM g"""
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

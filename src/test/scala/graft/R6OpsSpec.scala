@@ -51,4 +51,34 @@ class R6OpsSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(core == Seq((1L, 1L), (2L, 2L), (3L, 1L)), core.toString)
   }
+
+  test("covariance matrix matches the closed form on a tiny frame") {
+    // vectors (1,2), (3,6), (5,10): x2 = 2·x1 exactly
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = graft.sim.Pca.covarianceMatrix(df)
+      .orderBy("i", "j").select("i", "j", "cov").as[(Long, Long, Double)].collect().toSeq
+    // var(x1)=4, cov(x1,x2)=8, var(x2)=16
+    assert(cells == Seq((0L, 0L, 4.0), (0L, 1L, 8.0), (1L, 1L, 16.0)), cells.toString)
+  }
+
+  test("PCA recovers a planted 1-D signal direction and its variance share") {
+    // x = t·(3,4)/5 + tiny noise in 2-D: first axis ≈ (0.6, 0.8)
+    val rows = (0 until 200).map { i =>
+      val t = (i % 21 - 10).toDouble // deterministic spread, mean 0
+      val eps = ((i * 37) % 7 - 3) * 0.001
+      (i.toLong, Array((0.6 * t + eps).toFloat, (0.8 * t - eps).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val axes = graft.sim.Pca.principalAxes(df, dim = 2, k = 2)
+    val (ev1, a1) = axes.head
+    assert(math.abs(math.abs(a1(0)) - 0.6) < 0.01 &&
+      math.abs(math.abs(a1(1)) - 0.8) < 0.01, a1.toSeq.toString)
+    assert(ev1 / (axes.map(_._1).sum) > 0.999, s"top axis carries the variance: $axes")
+    // projection adds pc columns; pc_1 spread tracks t's spread
+    val proj = graft.sim.Pca.project(df, dim = 2, k = 1)
+    assert(proj.columns.contains("pc_1"))
+    val std = proj.agg(stddev(col("pc_1"))).as[Double].head()
+    assert(std > 5.0 && std < 7.0, s"pc_1 std $std") // t std ≈ 6.06
+  }
 }
