@@ -1420,7 +1420,17 @@ object SparkEntry {
     // embedding covariance matrix: dim²-bounded output from one
     // explode→self-join→agg pass (the distributed leg of PCA)
     "q203_covariance" -> ((s, d) =>
-      graft.sim.Pca.covarianceMatrix(Tables.embeddings(s, d)))
+      graft.sim.Pca.covarianceMatrix(Tables.embeddings(s, d))),
+    // fully-oracled IVF: portable fixed-iteration Lloyd cells (rounded
+    // state, deterministic seeds) — the oracle-comparable twin of the
+    // MLlib-KMeans IVF (q106)
+    "q204_ivf_portable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.ivfPortableTopK(emb, queries, k = 10, dim = 64,
+        nlist = 8, nprobe = 2, iters = 2)
+    })
   )
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -4130,7 +4140,43 @@ object SparkEntry {
                  FROM p GROUP BY 1,2)
          SELECT i, j, n,
                 (round((sxy - sx*sy/n)/(n - 1)*1e4)/1e4 + 0.0e0) AS cov
-         FROM g"""
+         FROM g""",
+    "q204_ivf_portable" -> {
+      def distCte(n: Int, ccPrev: String) =
+        s"""
+           d$n AS (SELECT x.vec_id, $ccPrev.cell,
+                     (round(sum((x.xi - $ccPrev.cv)*(x.xi - $ccPrev.cv))*1e4)/1e4 + 0.0e0) AS dist
+                   FROM x JOIN $ccPrev ON x.i = $ccPrev.i GROUP BY 1,2),
+           a$n AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) rn
+                     FROM d$n) WHERE rn = 1)"""
+      def centCte(n: Int) =
+        s""",
+           cc$n AS (SELECT a$n.cell, x.i, (round(avg(x.xi)*1e4)/1e4 + 0.0e0) AS cv
+                    FROM a$n JOIN x USING (vec_id) GROUP BY 1,2)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           x AS (SELECT vec_id, i, v[i + 1] AS xi
+                 FROM e, unnest(range(0, len(v))) t(i)),
+           seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                    FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+           cc0 AS (SELECT seed.cell, x.i, (round(x.xi*1e4)/1e4 + 0.0e0) AS cv
+                   FROM seed JOIN x USING (vec_id)),${distCte(1, "cc0")}${centCte(1)},${distCte(2, "cc1")}${centCte(2)},${distCte(3, "cc2")},
+           probe AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) rn
+                       FROM d3 WHERE vec_id < 5) WHERE rn <= 2),
+           cand AS (SELECT DISTINCT probe.query_id, a3.vec_id AS neighbor_id
+                    FROM probe JOIN a3 USING (cell)
+                    WHERE a3.vec_id <> probe.query_id),
+           s AS (SELECT cand.query_id, cand.neighbor_id,
+                   (round(list_dot_product(ec.v, eq.v)
+                     /(sqrt(list_dot_product(ec.v, ec.v))*sqrt(list_dot_product(eq.v, eq.v)))
+                     *1e4)/1e4 + 0.0e0) AS cos_sim
+                 FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
+                           JOIN e eq ON cand.query_id = eq.vec_id),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
+    }
   )
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the

@@ -149,6 +149,86 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Portable fixed-iteration Lloyd centroids — the deterministic twin
+    * of the MLlib-KMeans coarse quantizer (ivfTopK): seeds are the
+    * `nlist` lowest-id vectors (TakeOrdered — bounded at any scale),
+    * each round assigns by ROUNDED squared distance with a cell-id
+    * tie-break and recomputes per-dim means ROUNDED to 4 decimals, so
+    * every comparison input is bit-identical cross-engine and the whole
+    * recursion admits an unrolled-CTE oracle (q204). Production IVF at
+    * 100 TB seeds from a bounded sample the same way; iteration cost
+    * per round is one broadcast of nlist×dim doubles + one fact pass.
+    */
+  def lloydCentroids(corpus: DataFrame, dim: Int, nlist: Int, iters: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Funcs.r
+    val base = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seeds = base.orderBy(col("__id").asc).limit(nlist)
+    var cent = seeds
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("__id").asc)).cast("long") - 1)
+      .select(col("cell"), transform(col("__v"), x => r(x)).as("__c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cent = assignCells(base, cent)
+        .groupBy(col("cell"))
+        .agg(array((0 until dim).map(d => r(avg(col("__v").getItem(d)))): _*).as("__c"))
+        .localCheckpoint(true)
+    }
+    cent.select(col("cell"), col("__c").as("centroid"))
+  }
+
+  /** Nearest-cell assignment by rounded squared distance, cell-id
+    * tie-break. One broadcast of the centroid table per call. */
+  private def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.Funcs.r
+    val dist = r(dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c"))
+      + dot(col("__c"), col("__c")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cell").asc)
+    base.crossJoin(broadcast(cent))
+      .withColumn("__dist", dist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__v"), col("cell"))
+  }
+
+  /** IVF top-k over the portable Lloyd cells: corpus assigned once,
+    * queries probe their `nprobe` nearest cells, exact rounded cosine
+    * + top-k on candidates only. Fully oracle-comparable, unlike the
+    * MLlib-KMeans `ivfTopK` (engine-specific centers). */
+  def ivfPortableTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                      nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
+                      corpusId: String = "vec_id", corpusVec: String = "embedding",
+                      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import graft.functions.Funcs.r
+    val cent = lloydCentroids(corpus, dim, nlist, iters, corpusId, corpusVec)
+      .select(col("cell"), col("centroid").as("__c"))
+    val assigned = assignCells(
+      corpus.select(col(corpusId).as("__id"),
+        col(corpusVec).cast("array<double>").as("__v")), cent)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cvec"), col("cell"))
+    val qdist = r(dot(col("__qv"), col("__qv")) - lit(2.0) * dot(col("__qv"), col("__c"))
+      + dot(col("__c"), col("__c")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__dist").asc, col("cell").asc)
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryVec).cast("array<double>").as("__qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__dist", qdist)
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val cand = assigned.join(probed, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__cvec"), col("__qv")).distinct()
+      .withColumn("cos_sim", r(cosine(col("__cvec"), col("__qv"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are signed with
     * `numPlanes` hyperplane bits grouped into `bands`; vectors sharing
     * any band bucket become candidates (equi-join on (band, bucket)),

@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("portable Lloyd IVF: recall vs brute force on clustered data, deterministic cells") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfPortableTopK(corpus, queries, 5, dim = 8,
+      nlist = 6, nprobe = 2, iters = 2)
+    val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // fixed seeds + rounded state: a second run is bit-identical
+    val again = Similarity.ivfPortableTopK(corpus, queries, 5, dim = 8,
+      nlist = 6, nprobe = 2, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == ivfSet)
+  }
+
   test("cosine near-dup pairs: high recall vs exact all-pairs, no false positives") {
     // planted near-dups: pairs (i, i+100) share a base vector with tiny noise
     val rnd = new scala.util.Random(11)
