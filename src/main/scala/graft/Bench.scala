@@ -22,7 +22,9 @@ object Bench {
     "q124_span_dedup", "q126_harmonic_fit", "q130_quality_filter", "q131_source_mix",
     "q136_decompose", "q138_curate",
     "q153_auc", "q161_attribution", "q162_ohlc", "q167_ols2", "q171_rolling_corr",
-    "q181_topk")
+    "q181_topk",
+    "q198_error_slices", "q199_resid_diag_parts", "q200_monitor",
+    "q201_quantize_int8", "q203_covariance", "q204_ivf_portable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,6 +69,19 @@ object SmokeProbe {
     graft.streaming.EventsStream.windowedCountsBatch(ev, "7 days")
       .orderBy("window_start", "event_type").show(5, truncate = false)
 
+    println("== round-6 ops: monitor run, int8 quantize, k-core, PCA, portable IVF ==")
+    graft.app.Jobs.monitorRun(spark, dir).show(20, truncate = false)
+    val emb = Tables.embeddings(spark, dir)
+    graft.sim.Quantize.int8(emb).show(5, truncate = false)
+    val bip = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    graft.graph.KCore.kCore(bip, "src", "dst", k = 5, iters = 2).show(5, truncate = false)
+    graft.sim.Pca.covarianceMatrix(emb).orderBy("i", "j").show(5, truncate = false)
+    val probeQs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    graft.sim.Similarity.ivfPortableTopK(emb, probeQs, k = 3, dim = 64,
+      nlist = 4, nprobe = 2, iters = 1).show(6, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
