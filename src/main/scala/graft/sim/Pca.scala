@@ -25,13 +25,21 @@ import graft.functions.Funcs
   */
 object Pca {
 
-  /** Upper-triangle covariance cells (i ≤ j): (i, j, n, cov). */
+  /** Upper-triangle covariance cells (i ≤ j): (i, j, n, cov).
+    *
+    * Pair generation is WITHIN-ROW (explode the vector twice against
+    * itself) — no id join, so nothing fact-sized ever shuffles: the
+    * d(d+1)/2-per-row pair stream flows straight into map-side partial
+    * aggregation and the single exchange carries ~2k cells per
+    * partition, not rows. (A join-on-id formulation would shuffle
+    * d×N rows — the difference between kilobytes and the corpus.) */
   def covarianceMatrix(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
-    val x = df.select(col(idCol).as("__id"), posexplode(vd).as(Seq("i", "xi")))
-    val y = x.select(col("__id"), col("i").as("j"), col("xi").as("xj"))
-    x.join(y, Seq("__id")).filter(col("i") <= col("j"))
+    df.select(vd.as("__v"))
+      .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .agg(count(lit(1)).as("n"),
         Funcs.r(sum(col("xi") * col("xj"))).as("__sxy"),

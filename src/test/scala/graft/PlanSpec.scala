@@ -260,6 +260,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("covariance matrix: within-row pair generation — one scan, no join, one exchange") {
+    val plan = SparkEntry.queries("q203_covariance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    // only the 2k-cell aggregate exchanges; nothing fact-sized shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("key stats: exactPercentiles=false swaps the per-group median to t-digest") {
     import graft.operators.AggFeatures
     val li = Tables.lineitem(spark, dir)
