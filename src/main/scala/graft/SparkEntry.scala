@@ -1421,6 +1421,15 @@ object SparkEntry {
     // explode→self-join→agg pass (the distributed leg of PCA)
     "q203_covariance" -> ((s, d) =>
       graft.sim.Pca.covarianceMatrix(Tables.embeddings(s, d))),
+    // quality-aware dedup resolution: keep the LONGEST member of each
+    // near-dup cluster (q109's clusters + a keep-best rank), not min-id
+    "q205_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val clusters = graft.text.Dedup.dedupClusters(pairs)
+      graft.text.Dedup.keepBest(docs, "doc_id", clusters, col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // fully-oracled IVF: portable fixed-iteration Lloyd cells (rounded
     // state, deterministic seeds) — the oracle-comparable twin of the
     // MLlib-KMeans IVF (q106)
@@ -2257,6 +2266,33 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc
          WHERE comp.doc IS NULL OR comp.cid = d.doc_id
          GROUP BY 1""",
+    "q205_dedup_keep_best" ->
+      """WITH RECURSIVE
+           ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]
+                      ELSE [array_to_string(w, ' ')] END)) sh FROM ws),
+           sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) nc
+                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1,2),
+           pairs AS (SELECT id_a, id_b FROM inter
+                     JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+                     WHERE nc/(sa.sz + sb.sz - nc) >= 0.8),
+           bid AS (SELECT id_a a, id_b b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+           reach AS (SELECT a, b FROM bid
+                     UNION
+                     SELECT r.a, p.b FROM reach r JOIN bid p ON r.b = p.a
+                     WHERE p.b <> r.a),
+           comp AS (SELECT a doc, least(a, min(b)) cid FROM reach GROUP BY a),
+           cl AS (SELECT d.doc_id, d.lang, d.n_chars,
+                    coalesce(comp.cid, d.doc_id) AS cid
+                  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY cid
+                    ORDER BY n_chars DESC, doc_id ASC) rn FROM cl)
+         SELECT doc_id, lang, n_chars FROM rk WHERE rn = 1""",
     "q112_cooccurrence_fp" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
               nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) n FROM items),

@@ -263,6 +263,25 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === df(id))
       .drop("doc_id", "cluster_id")
 
+  /** Quality-aware cluster resolution: keep the BEST member of each
+    * near-dup cluster by `quality` (descending, id ascending tie-break)
+    * instead of dropNearDupes' arbitrary min-id rule — production
+    * curation keeps the longest/cleanest copy, not the lowest id. One
+    * row_number window on the cluster grain; singleton docs form their
+    * own cluster and always survive. */
+  def keepBest(df: DataFrame, id: String, clusters: DataFrame,
+               quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters.select(col("doc_id").as("__cl_id"),
+      col("cluster_id").as("__cl_cluster"))
+    val joined = df.join(cl, df(id) === col("__cl_id"), "left")
+      .withColumn("__cid", coalesce(col("__cl_cluster"), df(id)))
+    val w = Window.partitionBy(col("__cid")).orderBy(quality.desc, df(id).asc)
+    joined.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cl_id", "__cl_cluster", "__cid", "__rk")
+  }
+
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming.
     * Blocking: the 64-bit fingerprint is cut into `chunks` pieces; by
     * pigeonhole, pairs within distance (chunks−1) share ≥1 exact chunk —

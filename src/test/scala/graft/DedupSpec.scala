@@ -80,6 +80,17 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L)) // min per cluster + untouched doc
   }
 
+  test("keepBest keeps the highest-quality cluster member, not the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dedupClusters(pairs)
+    val docs2 = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 1.0), (11L, 1.0), (99L, 0.5))
+      .toDF("doc_id2", "quality")
+    val kept = Dedup.keepBest(docs2, "doc_id2", clusters, col("quality"))
+      .select("doc_id2").as[Long].collect().sorted
+    // cluster {1,2,3}: 2 has top quality; cluster {10,11}: quality tie → lower id
+    assert(kept.toSeq == Seq(2L, 10L, 99L), kept.toSeq.toString)
+  }
+
   test("language ID identifies marker-heavy texts and CJK") {
     val samples = Seq(
       (1L, "the cat and the dog in a house"),
