@@ -1417,6 +1417,16 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       graft.graph.KCore.kCore(e, "src", "dst", k = 28, iters = 3)
     }),
+    // personalized PageRank: teleport restricted to part nodes with
+    // partkey < 50 (even-encoded node < 100); same fixed-point recipe
+    // as q152 so the unrolled-CTE oracle carries over
+    "q206_ppr" -> ((s, d) => {
+      val liv = li(s, d)
+      val fwd = liv.select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = liv.select((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+      graft.graph.PageRankOp.personalizedPageRank(fwd.union(rev), "src", "dst",
+        seedPred = col("node") % 2 === 0 && col("node") < 100, iters = 5)
+    }),
     // embedding covariance matrix: dim²-bounded output from one
     // explode→self-join→agg pass (the distributed leg of PCA)
     "q203_covariance" -> ((s, d) =>
@@ -1473,6 +1483,44 @@ object SparkEntry {
                          CAST(${3L * scale} // (20*nn.n)
                            + (17 * coalesce(c$i.s, 0)) // 20 AS BIGINT) AS rank_i
                   FROM nodes CROSS JOIN nn
+                       LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString
+    head + iters +
+      s"""
+         SELECT node, rank_i,
+                (round((rank_i / $scale.0e0)*1e4)/1e4 + 0.0e0) AS rank
+         FROM r5"""
+  }
+
+  /** Personalized PageRank oracle: the q152 recipe with teleport mass
+    * split equally over the seed set only (even-encoded part nodes
+    * < 100). */
+  private lazy val pprSql: String = {
+    val scale = 1000000000L
+    val seed = "(node % 2 = 0 AND node < 100)"
+    def seedAs(prefix: String) = s"(${prefix}node % 2 = 0 AND ${prefix}node < 100)"
+    val head =
+      s"""WITH e AS (
+            SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+            UNION
+            SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          ns AS (SELECT count(*) AS n FROM nodes WHERE $seed),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          r0 AS (SELECT node,
+                   CASE WHEN $seed THEN $scale // ns.n ELSE 0 END AS rank_i
+                 FROM nodes CROSS JOIN ns)"""
+    val iters = (1 to 5).map { i =>
+      s""",
+          c$i AS (SELECT e.dst AS node, sum(r.rank_i // d.deg) AS s
+                  FROM e JOIN r${i - 1} r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+                  GROUP BY 1),
+          r$i AS (SELECT nodes.node,
+                         CAST(CASE WHEN ${seedAs("nodes.")}
+                                THEN ${3L * scale} // (20*ns.n) ELSE 0 END
+                           + (17 * coalesce(c$i.s, 0)) // 20 AS BIGINT) AS rank_i
+                  FROM nodes CROSS JOIN ns
                        LEFT JOIN c$i ON nodes.node = c$i.node)"""
     }.mkString
     head + iters +
@@ -2736,6 +2784,7 @@ object SparkEntry {
          SELECT source, doc_id, sample_key, rank FROM rk WHERE rank <= 20"""
     },
     "q152_pagerank" -> pageRankSql,
+    "q206_ppr" -> pprSql,
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                        sum(l_quantity) q FROM lineitem GROUP BY 1,2),

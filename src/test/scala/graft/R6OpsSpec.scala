@@ -52,6 +52,21 @@ class R6OpsSpec extends SparkSpec {
     assert(core == Seq((1L, 1L), (2L, 2L), (3L, 1L)), core.toString)
   }
 
+  test("personalized PageRank concentrates mass near the seed set") {
+    // path graph 1-2-3-4-5-6 (symmetrized); seed = node 1 only
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = graft.graph.PageRankOp.personalizedPageRank(edges, "src", "dst",
+      seedPred = col("node") === 1L, iters = 5)
+      .select("node", "rank_i").as[(Long, Long)].collect().toMap
+    // rank decays with distance from the seed; the far end gets the least
+    assert(ranks(1L) > ranks(3L), ranks.toString)
+    assert(ranks(2L) > ranks(4L), ranks.toString)
+    assert(ranks(6L) < ranks(2L), ranks.toString)
+    // only the seed receives teleport mass: global sum stays below scale
+    assert(ranks.values.sum <= 1000000000L, ranks.values.sum.toString)
+  }
+
   test("covariance matrix matches the closed form on a tiny frame") {
     // vectors (1,2), (3,6), (5,10): x2 = 2·x1 exactly
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
