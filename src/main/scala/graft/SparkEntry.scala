@@ -1417,6 +1417,18 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       graft.graph.KCore.kCore(e, "src", "dst", k = 28, iters = 3)
     }),
+    // SCD2 history compression: per-series daily discount collapsed
+    // into validity ranges (half-open [from, to), null to = current)
+    "q207_scd2" -> ((s, d) => {
+      val daily = li(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("l_shipdate"))
+        .agg(min(col("l_discount")).as("discount"))
+      graft.etl.Scd.compressHistory(daily, Seq("l_partkey", "l_suppkey"),
+        col("l_shipdate"), Seq("discount"))
+        .select(col("l_partkey"), col("l_suppkey"), col("discount"),
+          unix_micros(col("valid_from").cast("timestamp")).as("valid_from"),
+          unix_micros(col("valid_to").cast("timestamp")).as("valid_to"), col("n_obs"))
+    }),
     // personalized PageRank: teleport restricted to part nodes with
     // partkey < 50 (even-encoded node < 100); same fixed-point recipe
     // as q152 so the unrolled-CTE oracle carries over
@@ -2785,6 +2797,27 @@ object SparkEntry {
     },
     "q152_pagerank" -> pageRankSql,
     "q206_ppr" -> pprSql,
+    "q207_scd2" ->
+      """WITH daily AS (SELECT l_partkey, l_suppkey, l_shipdate,
+                          min(l_discount) AS discount
+                        FROM lineitem GROUP BY 1,2,3),
+           c AS (SELECT *, CASE WHEN discount IS DISTINCT FROM lag(discount) OVER w
+                             THEN 1 ELSE 0 END AS chg
+                 FROM daily
+                 WINDOW w AS (PARTITION BY l_partkey, l_suppkey ORDER BY l_shipdate)),
+           g AS (SELECT *, sum(chg) OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY l_shipdate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                 FROM c),
+           r AS (SELECT l_partkey, l_suppkey, min(discount) AS discount,
+                   min(l_shipdate) AS vf, count(*) AS n_obs
+                 FROM g GROUP BY l_partkey, l_suppkey, grp)
+         SELECT l_partkey, l_suppkey, discount,
+                epoch_us(vf) AS valid_from,
+                epoch_us(lead(vf) OVER (PARTITION BY l_partkey, l_suppkey
+                  ORDER BY vf)) AS valid_to,
+                n_obs
+         FROM r""",
     "q136_decompose" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                        sum(l_quantity) q FROM lineitem GROUP BY 1,2),

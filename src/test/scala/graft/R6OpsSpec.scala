@@ -67,6 +67,31 @@ class R6OpsSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000L, ranks.values.sum.toString)
   }
 
+  test("SCD2 compressHistory collapses runs into half-open validity ranges") {
+    val snap = Seq(
+      ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "y"), ("a", 5, "x"),
+      ("b", 1, "z"))
+      .toDF("k", "t", "v")
+    val out = graft.etl.Scd.compressHistory(snap, Seq("k"), col("t"), Seq("v"))
+      .orderBy("k", "valid_from")
+      .select("k", "v", "valid_from", "valid_to", "n_obs")
+      .as[(String, String, Int, Option[Int], Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "x", 1, Some(3), 2L),
+      ("a", "y", 3, Some(5), 2L),
+      ("a", "x", 5, None, 1L), // value returning re-opens a NEW range
+      ("b", "z", 1, None, 1L)), out.toString)
+  }
+
+  test("SCD2 compressHistory treats null attribute values as a distinct state") {
+    val snap = Seq(("a", 1, Some("x")), ("a", 2, None), ("a", 3, None), ("a", 4, Some("x")))
+      .toDF("k", "t", "v")
+    val out = graft.etl.Scd.compressHistory(snap, Seq("k"), col("t"), Seq("v"))
+      .orderBy("valid_from").select("valid_from", "n_obs")
+      .as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 1L), (2, 2L), (4, 1L)), out.toString) // null run is ONE range
+  }
+
   test("covariance matrix matches the closed form on a tiny frame") {
     // vectors (1,2), (3,6), (5,10): x2 = 2·x1 exactly
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
