@@ -279,6 +279,41 @@ object EventsStream {
       }
   }
 
+  final case class ScdRange(user_id: Long, value: Double, from_us: Long,
+                            to_us: Long, n_obs: Long)
+
+  /** Streaming SCD2 — the streaming twin of `etl.Scd.compressHistory`:
+    * per-key state holds the OPEN validity range (value, from, n_obs);
+    * a value change emits the closed range and re-opens. Append mode
+    * therefore emits exactly the batch operator's rows with
+    * `valid_to IS NOT NULL` (half-open [from, to) — `to` is the next
+    * range's start), value-identical across micro-batch splits; the
+    * open range lives only in state, bounded by active keys. */
+  def scdStream(events: Dataset[Event]): Dataset[ScdRange] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long, Long), ScdRange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Double, Long, Long)]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdRange]
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            st match {
+              case Some((v, f, n)) if v == e.value =>
+                st = Some((v, f, n + 1))
+              case Some((v, f, n)) =>
+                out += ScdRange(userId, v, f, us(e.ts), n)
+                st = Some((e.value, us(e.ts), 1L))
+              case None =>
+                st = Some((e.value, us(e.ts), 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming OHLC bars — the streaming analogue of
     * `operators.Bars.ohlc`. Batch uses row_number windows for
     * open/close (not available under streaming aggregation); here

@@ -70,6 +70,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch._4 == 5.0 && batch._5 == 7.0 && batch._6 == 9.0 && batch._7 == 1.0)
   }
 
+  test("streaming SCD2 emits the batch operator's closed ranges across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.scdStream(input.toDS())
+      .writeStream.format("memory").queryName("scd_ranges")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, m: Int, v: Double) =
+      EventsStream.Event(id, ts(f"2024-01-01 00:$m%02d:00"), 7L, "x", v)
+    // runs: 1.0 ×2 | 2.0 ×1 | 1.0 ×2 (last range stays open) —
+    // split so a run STRADDLES a micro-batch boundary
+    input.addData(ev(1, 1, 1.0), ev(2, 2, 1.0), ev(3, 3, 2.0))
+    query.processAllAvailable()
+    input.addData(ev(4, 4, 1.0), ev(5, 5, 1.0))
+    query.processAllAvailable()
+    val streamed = spark.table("scd_ranges")
+      .orderBy("from_us").select("value", "from_us", "to_us", "n_obs")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    query.stop()
+
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1.0), (2L, ts("2024-01-01 00:02:00"), 1.0),
+      (3L, ts("2024-01-01 00:03:00"), 2.0), (4L, ts("2024-01-01 00:04:00"), 1.0),
+      (5L, ts("2024-01-01 00:05:00"), 1.0)).toDF("event_id", "t", "value")
+      .withColumn("k", lit(7L))
+    val batch = graft.etl.Scd.compressHistory(rows, Seq("k"), col("t"), Seq("value"))
+      .filter(col("valid_to").isNotNull)
+      .orderBy("valid_from")
+      .select(col("value"), unix_micros(col("valid_from").cast("timestamp")),
+        unix_micros(col("valid_to").cast("timestamp")), col("n_obs"))
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(_._4) == Seq(2L, 1L)) // closed runs: 1.0×2, 2.0×1
+  }
+
   test("streaming CUSUM matches the batch kernel and carries state across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
