@@ -1277,6 +1277,10 @@ object SparkEntry {
     "q189_chunk" -> ((s, d) =>
       graft.text.Chunker.chunk(Tables.documents(s, d), "doc_id", "text",
         size = 200, overlap = 50)),
+    // token-budgeted chunk windows (64 tokens, 16 overlap)
+    "q208_chunk_tokens" -> ((s, d) =>
+      graft.text.Chunker.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        size = 64, overlap = 16)),
     // element-wise mean pooling of embeddings per class label
     "q190_mean_pool" -> ((s, d) =>
       graft.text.Chunker.meanPool(Tables.embeddings(s, d), "label", "embedding")),
@@ -3939,6 +3943,16 @@ object SparkEntry {
                 CAST(length(substr(text, CAST(1 + i*150 AS INT), 200)) AS BIGINT) AS chunk_chars
          FROM documents,
               unnest(range(0, ((greatest(length(text), 1) - 1) // 150) + 1)) t(i)""",
+    "q208_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+           x AS (SELECT doc_id, toks, i AS chunk_id
+                 FROM t, unnest(range(0, ((greatest(len(toks), 1) - 1) // 48) + 1)) u(i)),
+           c AS (SELECT doc_id, chunk_id,
+                   toks[chunk_id*48 + 1 : chunk_id*48 + 64] AS ct FROM x)
+         SELECT doc_id, chunk_id, array_to_string(ct, ' ') AS chunk,
+                CAST(len(ct) AS BIGINT) AS n_tokens
+         FROM c""",
     "q190_mean_pool" ->
       """SELECT label, i AS dim,
                 (round(avg(CAST(embedding[i+1] AS DOUBLE))*1e4)/1e4 + 0.0e0) AS mean_v

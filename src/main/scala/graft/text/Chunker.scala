@@ -30,6 +30,28 @@ object Chunker {
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
   }
 
+  /** Token-aware chunking: windows of `size` whitespace tokens with
+    * `overlap` tokens shared between consecutive chunks — the variant a
+    * token-budgeted RAG context needs (character windows split words
+    * and mis-count budget). Same per-row explode shape as [[chunk]]:
+    * one split, slices of the token array, no shuffle. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size")
+    val stride = size - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nMinus1 = floor((greatest(size_(toks), lit(1)) - 1) / lit(stride)).cast("long")
+    df.select(col(idCol), toks.as("__toks"),
+      posexplode(sequence(lit(0L), nMinus1)))
+      .select(col(idCol), col("col").as("chunk_id"),
+        slice(col("__toks"), (col("col") * stride + 1).cast("int"), lit(size)).as("__ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__ctoks"), " ").as("chunk"),
+        org.apache.spark.sql.functions.size(col("__ctoks")).cast("long").as("n_tokens"))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Element-wise mean pooling of an embedding column per group, as
     * (group, dim, mean) rows: one explode + one (group, dim)
     * hash-aggregate — dims are data-parallel, no vector assembly. */

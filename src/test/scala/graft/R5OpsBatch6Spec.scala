@@ -44,6 +44,20 @@ class R5OpsBatch6Spec extends SparkSpec {
       (1L, 3L, "j"), (2L, 0L, "abc"), (3L, 0L, "")))
   }
 
+  test("chunkByTokens: token windows with overlap, short docs whole") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.Chunker.chunkByTokens(docs, "doc_id", "text",
+      size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // stride 3 over 7 tokens: [a b c d], [d e f g], [g]
+    assert(out == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "d e f g", 4L), (1L, 2L, "g", 1L),
+      (2L, 0L, "a b", 2L), (3L, 0L, "", 1L)), out.toString)
+  }
+
   test("meanPool: element-wise per-group means as (group, dim) rows") {
     val df = Seq((1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)), (2, Seq(10.0f, 0.0f)))
       .toDF("g", "v")
