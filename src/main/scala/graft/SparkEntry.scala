@@ -468,6 +468,14 @@ object SparkEntry {
     // Holt/TSB recursions stay rows-only (parity unit-tested against
     // hand-computed recursions); EWMA and Croston carry full
     // recursive-CTE oracles
+    "q209_ewm_var" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.withEwmVar(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", 0.3)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("ewm_mean")).as("ewm_mean"), r(col("ewm_var")).as("ewm_var"))
+    }),
     "q74_holt" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -2252,6 +2260,25 @@ object SparkEntry {
                AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 (round(f*1e4)/1e4 + 0.0e0) AS croston_forecast
+         FROM e""",
+    "q209_ewm_var" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, q AS m, 0.0e0 AS v
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
+                   (1e0-0.3e0)*e.m + 0.3e0*t.q,
+                   (1e0-0.3e0)*(e.v + 0.3e0*(t.q - e.m)*(t.q - e.m))
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                (round(m*1e4)/1e4 + 0.0e0) AS ewm_mean,
+                (round(v*1e4)/1e4 + 0.0e0) AS ewm_var
          FROM e""",
     "q74_holt" ->
       """WITH RECURSIVE

@@ -87,6 +87,28 @@ object SequentialKernels {
         (Seq(Some(y)), Some(y))
     }
 
+  /** W9+ — exponentially-weighted mean AND variance (West's online
+    * recursion, the `adjust=False` form):
+    *   m_t = (1−α)·m_{t−1} + α·x_t
+    *   v_t = (1−α)·(v_{t−1} + α·(x_t − m_{t−1})²)
+    * — the streaming volatility tracker (risk bands, anomaly
+    * thresholds) that a rolling-window std approximates with a cliff.
+    * Same two-double state / single-exchange fold as the other
+    * kernels; oracle-backed by a recursive CTE (q209). */
+  def withEwmVar(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                 valueCol: String, alpha: Double,
+                 meanCol: String = "ewm_mean", varCol: String = "ewm_var",
+                 assumePartitioned: Boolean = false): DataFrame =
+    keyedFold[(Double, Double)](df, keyCols, ordCols, valueCol,
+      Seq(meanCol, varCol), assumePartitioned) {
+      case (None, st) => (Seq(st.map(_._1), st.map(_._2)), st)
+      case (Some(x), None) => (Seq(Some(x), Some(0.0)), Some((x, 0.0)))
+      case (Some(x), Some((m0, v0))) =>
+        val m = (1 - alpha) * m0 + alpha * x
+        val v = (1 - alpha) * (v0 + alpha * (x - m0) * (x - m0))
+        (Seq(Some(m), Some(v)), Some((m, v)))
+    }
+
   /** W10 — Holt level/trend as the reference computes them: level =
     * EWMA(α) of the value, trend = EWMA(β) of the first differences
     * (temporal_features_engine.py:262-276). */

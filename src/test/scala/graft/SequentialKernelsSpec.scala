@@ -17,6 +17,22 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(out.toSeq == Seq(10.0, 15.0, 7.5, 23.75))
   }
 
+  test("EWM variance follows West's online recursion, hand-computed") {
+    val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 10.0))
+    val out = SequentialKernels.withEwmVar(df, Seq("k"), Seq(col("t")), "v", 0.5)
+      .orderBy("t").select("ewm_mean", "ewm_var").as[(Double, Double)].collect()
+    // m0=10,v0=0; m1=.5*10+.5*20=15, v1=.5*(0+.5*(20-10)^2)=25;
+    // m2=.5*15+.5*10=12.5, v2=.5*(25+.5*(10-15)^2)=18.75
+    assert(out.toSeq == Seq((10.0, 0.0), (15.0, 25.0), (12.5, 18.75)))
+  }
+
+  test("EWM variance of a constant series is zero") {
+    val df = series(("a", 1, 7.0), ("a", 2, 7.0), ("a", 3, 7.0))
+    val vs = SequentialKernels.withEwmVar(df, Seq("k"), Seq(col("t")), "v", 0.3)
+      .select("ewm_var").as[Double].collect()
+    assert(vs.forall(_ == 0.0))
+  }
+
   test("EWMA state resets at series boundaries and skips nulls") {
     val df = series(("a", 1, 10.0), ("a", 2, null), ("a", 3, 20.0),
       ("b", 1, 100.0), ("b", 2, 200.0))
