@@ -468,6 +468,12 @@ object SparkEntry {
     // Holt/TSB recursions stay rows-only (parity unit-tested against
     // hand-computed recursions); EWMA and Croston carry full
     // recursive-CTE oracles
+    "q210_mase" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      Metrics.maseByGroup(t, Seq("l_returnflag"), col("l_quantity"), col("pred"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -2261,6 +2267,21 @@ object SparkEntry {
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 (round(f*1e4)/1e4 + 0.0e0) AS croston_forecast
          FROM e""",
+    "q210_mase" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity a,
+                      avg(l_quantity) OVER (PARTITION BY l_partkey) p,
+                      abs(l_quantity - lag(l_quantity, 1) OVER w) AS ne
+                    FROM lineitem
+                    WINDOW w AS (PARTITION BY l_returnflag
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)),
+           g AS (SELECT l_returnflag, avg(abs(a-p)) AS mae, avg(ne) AS nm,
+                   count(*) AS n_rows
+                 FROM t GROUP BY 1)
+         SELECT l_returnflag, (round(mae*1e4)/1e4 + 0.0e0) AS mae,
+                (round(nm*1e4)/1e4 + 0.0e0) AS naive_mae,
+                (round(mae/(nm + 1e-8)*1e4)/1e4 + 0.0e0) AS mase,
+                n_rows
+         FROM g""",
     "q209_ewm_var" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,

@@ -44,6 +44,29 @@ object Metrics {
     df.groupBy(groupCols.map(col): _*)
       .agg(wmape(actual, pred).as("wmape"), count(lit(1)).as("n_rows"))
 
+  /** MASE — mean absolute scaled error (the M-competition standard):
+    * MAE of the forecast scaled by the in-sample one-step naive MAE, so
+    * errors are comparable across series of different magnitude and a
+    * value > 1 reads as "worse than the naive carry-forward". One
+    * series-ordered window for the naive differences + one group
+    * aggregate — both on the same key exchange.
+    */
+  def maseByGroup(df: DataFrame, groupCols: Seq[String], actual: Column,
+                  pred: Column, ord: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Funcs.r
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__naive_err", abs(actual - lag(actual, 1).over(w)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(avg(abs(actual - pred)).as("__mae"),
+        avg(col("__naive_err")).as("__naive_mae"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("mase", r(col("__mae") / (col("__naive_mae") + lit(Eps))))
+      .select(groupCols.map(col) ++
+        Seq(r(col("__mae")).as("mae"), r(col("__naive_mae")).as("naive_mae"),
+          col("mase"), col("n_rows")): _*)
+  }
+
   /** M15 — multi-dimensional error decomposition in ONE pass: the
     * reference runs a separate pandas groupby per dimension
     * (src/evaluation/error_analysis.py:89-610, analyze_temporal_patterns

@@ -98,6 +98,26 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("MASE: naive forecast scores exactly 1, perfect forecast 0") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 14.0), ("g", 3, 12.0), ("g", 4, 18.0))
+      .toDF("g", "t", "a")
+    // pred = previous value (the naive forecast itself) → mase ≈ 1.
+    // First row has no naive error on either numerator path, so feed
+    // pred = lag explicitly and drop the first row for the numerator by
+    // letting avg skip its null.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("t")
+    val withPred = df.withColumn("p", lag(col("a"), 1).over(w))
+      .filter(col("p").isNotNull)
+    val row = Metrics.maseByGroup(withPred, Seq("g"), col("a"), col("p"),
+      Seq(col("t"))).head()
+    // numerator MAE over rows 2-4 = (4+2+6)/3 = 4; naive MAE within the
+    // filtered frame = (2+6)/2 = 4 → mase 1
+    assert(math.abs(row.getAs[Double]("mase") - 1.0) < 1e-3, row.toString)
+    val perfect = Metrics.maseByGroup(df.withColumn("p", col("a")), Seq("g"),
+      col("a"), col("p"), Seq(col("t"))).head()
+    assert(perfect.getAs[Double]("mase") == 0.0)
+  }
+
   test("errorSlices keeps null slice values attributed to their own dimension") {
     val df = Seq((Option("jan"), "A", 10.0, 12.0), (None, "B", 20.0, 15.0))
       .toDF("m", "tier", "a", "p")
