@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{DotProduct, MinHashSigExpr, PolyFingerprintExpr, TopKExpr}
+import graft.expr.{DotProduct, MinHashSigExpr, NfcNormalizeExpr, PolyFingerprintExpr, TopKExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions as
@@ -43,6 +43,13 @@ object GraftFunctions {
             "graft_minhash_sig(text, gram, numHashes) takes 3 arguments")
           MinHashSigExpr(children.head,
             intLit(children(1), "gram"), intLit(children(2), "numHashes"))
+        }),
+      (
+        FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "graft_nfc(text) takes 1 argument")
+          NfcNormalizeExpr(children.head)
         }),
       (
         FunctionIdentifier("graft_topk"),

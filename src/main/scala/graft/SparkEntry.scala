@@ -468,6 +468,12 @@ object SparkEntry {
     // Holt/TSB recursions stay rows-only (parity unit-tested against
     // hand-computed recursions); EWMA and Croston carry full
     // recursive-CTE oracles
+    // corpus text cleaner: NFC + control-strip + whitespace collapse
+    "q211_clean_text" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.cleanText(col("text")).as("clean"),
+        length(graft.text.TextAnalysis.cleanText(col("text"))).cast("long")
+          .as("clean_chars"))),
     "q210_mase" -> ((s, d) => {
       val t = li(s, d).withColumn("pred",
         avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
@@ -2267,6 +2273,15 @@ object SparkEntry {
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 (round(f*1e4)/1e4 + 0.0e0) AS croston_forecast
          FROM e""",
+    "q211_clean_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+                  '\s+', ' ', 'g')) AS clean,
+                CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+                  '\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+         FROM documents""",
     "q210_mase" ->
       """WITH t AS (SELECT l_returnflag, l_quantity a,
                       avg(l_quantity) OVER (PARTITION BY l_partkey) p,

@@ -16,6 +16,23 @@ object TextAnalysis {
     * the \s+ pattern when input is trimmed first. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Unicode NFC normalization via the native codegen'd expression
+    * (`expr/NfcNormalizeExpr`; SQL surface `graft_nfc`). */
+  def nfc(text: Column): Column = org.apache.spark.sql.GraftBridge.column(
+    graft.expr.NfcNormalizeExpr(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Corpus text cleaner (the ftfy-lite every ingest runs before dedup
+    * and fingerprinting): NFC-normalize → strip C0/C1 control
+    * characters (newline/tab become plain spaces via the collapse) →
+    * collapse whitespace runs to single spaces → trim. Pure per-row
+    * projection, no shuffle; byte-parity with a SQL engine's
+    * nfc_normalize + regexp chain (q211). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", ""),
+      "\\s+", " "))
+
   /** BPE-ish token-count proxy: words plus punctuation runs counted as
     * separate tokens (a cheap stand-in for a subword tokenizer's token
     * count; exact BPE requires the merges table). */

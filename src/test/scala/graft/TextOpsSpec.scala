@@ -5,6 +5,30 @@ import graft.text.{FuzzyVerify, QualityFilter, Vocab}
 import graft.operators.AggFeatures
 
 class TextOpsSpec extends SparkSpec {
+
+  test("cleanText: NFC-composes, strips controls, collapses whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "e\u0301clair"),              // decomposed e+combining acute -> composed
+      (2L, "a\u0001\u009Fbc"),            // C0/C1 controls stripped
+      (3L, "  a \t b\n\nc  "),           // whitespace runs -> single spaces
+      (4L, "plain ascii")).toDF("id", "t")
+    val out = docs.select(col("id"),
+      graft.text.TextAnalysis.cleanText(col("t")).as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out(0)._2 == "\u00E9clair", out(0)._2.codePoints().toArray.toSeq.toString)
+    assert(out(1)._2 == "abc")
+    assert(out(2)._2 == "a b c")
+    assert(out(3)._2 == "plain ascii")
+  }
+
+  test("graft_nfc registers on the SQL surface and matches java.text.Normalizer") {
+    graft.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_nfc('é') AS s").head().getString(0)
+    assert(got == java.text.Normalizer.normalize("é",
+      java.text.Normalizer.Form.NFC))
+    assert(got == "é")
+  }
   import spark.implicits._
 
   private val docs = Seq(
