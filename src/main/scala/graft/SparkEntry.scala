@@ -468,6 +468,9 @@ object SparkEntry {
     // Holt/TSB recursions stay rows-only (parity unit-tested against
     // hand-computed recursions); EWMA and Croston carry full
     // recursive-CTE oracles
+    // robust location: trimmed + winsorized means per return flag
+    "q212_robust_mean" -> ((s, d) =>
+      AggFeatures.robustMean(li(s, d), Seq(col("l_returnflag")), col("l_quantity"))),
     // corpus text cleaner: NFC + control-strip + whitespace collapse
     "q211_clean_text" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -2273,6 +2276,23 @@ object SparkEntry {
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 (round(f*1e4)/1e4 + 0.0e0) AS croston_forecast
          FROM e""",
+    "q212_robust_mean" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity v,
+                      percent_rank() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity) AS pr
+                    FROM lineitem),
+           g AS (SELECT l_returnflag, count(*) AS n_rows,
+                   avg(CASE WHEN pr >= 0.05e0 AND pr <= 0.95e0 THEN v END) AS tm,
+                   min(CASE WHEN pr >= 0.05e0 THEN v END) AS plo,
+                   max(CASE WHEN pr <= 0.95e0 THEN v END) AS phi,
+                   sum(CASE WHEN pr >= 0.05e0 AND pr <= 0.95e0 THEN v ELSE 0.0e0 END) AS smid,
+                   CAST(sum(CASE WHEN pr < 0.05e0 THEN 1 ELSE 0 END) AS BIGINT) AS nlo,
+                   CAST(sum(CASE WHEN pr > 0.95e0 THEN 1 ELSE 0 END) AS BIGINT) AS nhi
+                 FROM t GROUP BY 1)
+         SELECT l_returnflag, n_rows,
+                (round(tm*1e4)/1e4 + 0.0e0) AS trimmed_mean,
+                (round((smid + plo*nlo + phi*nhi)/n_rows*1e4)/1e4 + 0.0e0) AS winsorized_mean
+         FROM g""",
     "q211_clean_text" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(nfc_normalize(text),

@@ -460,4 +460,38 @@ object AggFeatures {
         approx_count_distinct(value, rsd).as("approx_distinct"),
         percentile_approx(value, lit(0.5), lit(accuracy)).as("approx_median"),
         avg(value).as("mean"))
+
+  /** Robust per-key location: TRIMMED mean (values outside the
+    * [lo, hi] within-key percent-rank band are dropped) and WINSORIZED
+    * mean (they are clamped to the band-edge values) — the robust
+    * family next to the z-score/quantile caps (F4/F5), resistant to
+    * the fat tails those caps merely bound. One percent_rank window +
+    * one aggregate on the same key exchange; the winsorized sum is
+    * reassembled from aggregates (mid-band sum + edge value × tail
+    * count), so no second pass over the data. percent_rank is exact
+    * rational arithmetic — deterministic across engines; at extreme
+    * per-key cardinality swap the window for sketch quantile edges.
+    */
+  def robustMean(df: DataFrame, key: Seq[Column], value: Column,
+                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi)
+    import graft.functions.Funcs.r
+    val w = Window.partitionBy(key: _*).orderBy(value.asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .groupBy(key: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        avg(when(col("__pr") >= lo && col("__pr") <= hi, value)).as("__tm"),
+        min(when(col("__pr") >= lo, value)).as("__plo"),
+        max(when(col("__pr") <= hi, value)).as("__phi"),
+        sum(when(col("__pr") >= lo && col("__pr") <= hi, value)
+          .otherwise(lit(0.0))).as("__smid"),
+        sum(when(col("__pr") < lo, 1L).otherwise(0L)).as("__nlo"),
+        sum(when(col("__pr") > hi, 1L).otherwise(0L)).as("__nhi"))
+      .withColumn("trimmed_mean", r(col("__tm")))
+      .withColumn("winsorized_mean",
+        r((col("__smid") + col("__plo") * col("__nlo") + col("__phi") * col("__nhi"))
+          / col("n_rows")))
+      .select(key ++ Seq(col("n_rows"), col("trimmed_mean"), col("winsorized_mean")): _*)
+  }
 }

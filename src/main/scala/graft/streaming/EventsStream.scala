@@ -279,6 +279,37 @@ object EventsStream {
       }
   }
 
+  final case class EwmPoint(user_id: Long, ts_us: Long, ewm_mean: Double,
+                            ewm_var: Double)
+
+  /** Streaming EWM mean+variance — the streaming twin of
+    * `seq/SequentialKernels.withEwmVar` (West's online recursion);
+    * two-double state per key, value-identical to the batch kernel
+    * across micro-batch splits (StreamingSpec parity). The live
+    * volatility band behind streaming anomaly thresholds. */
+  def ewmVarStream(events: Dataset[Event], alpha: Double): Dataset[EwmPoint] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double), EwmPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Double, Double)]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            st = st match {
+              case None => Some((e.value, 0.0))
+              case Some((m0, v0)) =>
+                val m = (1 - alpha) * m0 + alpha * e.value
+                val v = (1 - alpha) * (v0 + alpha * (e.value - m0) * (e.value - m0))
+                Some((m, v))
+            }
+            EwmPoint(userId, us(e.ts), st.get._1, st.get._2)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class ScdRange(user_id: Long, value: Double, from_us: Long,
                             to_us: Long, n_obs: Long)
 

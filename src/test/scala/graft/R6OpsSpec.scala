@@ -67,6 +67,20 @@ class R6OpsSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000L, ranks.values.sum.toString)
   }
 
+  test("robustMean: trimmed drops the outlier, winsorized clamps it") {
+    // 10 ones and one huge outlier: plain mean 10, trimmed mean 1,
+    // winsorized mean pulls the outlier down to the band edge (1)
+    val df = (Seq.fill(10)(1.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("k", i, v) }.toDF("k", "i", "v")
+    val row = graft.operators.AggFeatures.robustMean(df, Seq(col("k")), col("v"),
+      lo = 0.0, hi = 0.9).head()
+    assert(row.getAs[Long]("n_rows") == 11L)
+    assert(row.getAs[Double]("trimmed_mean") == 1.0)
+    assert(row.getAs[Double]("winsorized_mean") == 1.0) // outlier clamped to 1
+    val plain = df.agg(avg(col("v"))).head().getDouble(0)
+    assert(plain > 9.0) // vs the plain mean the outlier dominates
+  }
+
   test("SCD2 compressHistory collapses runs into half-open validity ranges") {
     val snap = Seq(
       ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "y"), ("a", 5, "x"),

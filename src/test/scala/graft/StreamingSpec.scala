@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch._4 == 5.0 && batch._5 == 7.0 && batch._6 == 9.0 && batch._7 == 1.0)
   }
 
+  test("streaming EWM variance matches the batch kernel across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.ewmVarStream(input.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewm_pts")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, m: Int, v: Double) =
+      EventsStream.Event(id, ts(f"2024-01-01 00:$m%02d:00"), 3L, "x", v)
+    input.addData(ev(1, 1, 10.0), ev(2, 2, 20.0))
+    query.processAllAvailable()
+    input.addData(ev(3, 3, 10.0))
+    query.processAllAvailable()
+    val streamed = spark.table("ewm_pts")
+      .orderBy("ts_us").select("ewm_mean", "ewm_var")
+      .as[(Double, Double)].collect().toSeq
+    query.stop()
+    val batch = graft.seq.SequentialKernels.withEwmVar(
+      Seq((3L, 1, 10.0), (3L, 2, 20.0), (3L, 3, 10.0)).toDF("k", "t", "v"),
+      Seq("k"), Seq(col("t")), "v", 0.5)
+      .orderBy("t").select("ewm_mean", "ewm_var")
+      .as[(Double, Double)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed == Seq((10.0, 0.0), (15.0, 25.0), (12.5, 18.75)))
+  }
+
   test("streaming SCD2 emits the batch operator's closed ranges across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
