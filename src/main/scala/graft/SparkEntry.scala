@@ -483,6 +483,14 @@ object SparkEntry {
       Metrics.maseByGroup(t, Seq("l_returnflag"), col("l_quantity"), col("pred"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
     }),
+    "q213_theta" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Theta.fitted(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", alpha = 0.3)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          col("theta_a"), col("theta_b"), col("theta_fitted"))
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -2317,6 +2325,44 @@ object SparkEntry {
                 (round(mae/(nm + 1e-8)*1e4)/1e4 + 0.0e0) AS mase,
                 n_rows
          FROM g""",
+    "q213_theta" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t0 AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY ws) rn FROM w),
+           s AS (SELECT l_partkey, l_suppkey,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(rn AS DOUBLE)) AS st,
+                   sum(q) AS sx,
+                   sum(CAST(rn AS DOUBLE)*CAST(rn AS DOUBLE)) AS stt,
+                   sum(CAST(rn AS DOUBLE)*q) AS stx
+                 FROM t0 GROUP BY 1,2),
+           c AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n > 1
+                      THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sx
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey, b,
+                    (round(((sx - b*st)/n)*1e4)/1e4 + 0.0e0) AS a
+                  FROM c),
+           t AS (SELECT t0.l_partkey, t0.l_suppkey, t0.ws, t0.rn, t0.q,
+                   c2.a, c2.b,
+                   (round((2e0*t0.q - (c2.a + c2.b*CAST(t0.rn AS DOUBLE)))*1e4)/1e4 + 0.0e0) AS z
+                 FROM t0 JOIN c2 USING (l_partkey, l_suppkey)),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, a, b, z AS y
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.a, t.b,
+                   0.3e0*t.z + (1e0-0.3e0)*e.y
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                a AS theta_a, b AS theta_b,
+                (round((0.5e0*(a + b*CAST(rn AS DOUBLE)) + 0.5e0*y)*1e4)/1e4 + 0.0e0)
+                  AS theta_fitted
+         FROM e""",
     "q209_ewm_var" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,

@@ -1,0 +1,56 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r
+
+/** The Theta method (Assimakopoulos & Nikolopoulos; the M3-competition
+  * winner), classic θ = (0, 2) form, per series:
+  *
+  *   trend line   l_t = a + b·t           (closed-form per-series OLS)
+  *   theta2 line  z_t = 2·x_t − l_t      (curvature doubled)
+  *   SES          s_t = α·z_t + (1−α)·s_{t−1}
+  *   fitted       ŷ_t = ½·l_t + ½·s_t
+  *
+  * Execution shape: one aggregate collapses each series to five exact
+  * sufficient sums (n, Σt, Σx, Σt², Σtx) — map-side combinable, one
+  * shuffle on the key; a and b derive in closed form (Cramer), are
+  * ROUNDED (the determinism convention: every recursion input is
+  * bit-identical cross-engine), joined back on the key, and the SES
+  * rides the same sort-within-partitions streaming fold as the other
+  * kernels. Oracle: OLS sums + the q73 recursive-CTE recipe over the
+  * rounded theta2 values (q213).
+  */
+object Theta {
+
+  /** Adds `theta_fitted` (plus the a/b trend coefficients) to the
+    * series frame. `ord` must be unique per key. */
+  def fitted(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+             valueCol: String, alpha: Double): DataFrame = {
+    val key = keyCols.map(col)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val indexed = df.withColumn("__t", row_number().over(w).cast("double"))
+    val x = col(valueCol)
+    val sums = indexed.groupBy(key: _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__t")).as("__st"),
+      sum(x).as("__sx"),
+      sum(col("__t") * col("__t")).as("__stt"),
+      sum(col("__t") * x).as("__stx"))
+    val bRaw = (col("__n") * col("__stx") - col("__st") * col("__sx")) /
+      (col("__n") * col("__stt") - col("__st") * col("__st"))
+    // single-observation series have a degenerate denominator: flat trend
+    val coefs = sums
+      .withColumn("theta_b", r(when(col("__n") > 1, bRaw).otherwise(lit(0.0))))
+      .withColumn("theta_a",
+        r((col("__sx") - col("theta_b") * col("__st")) / col("__n")))
+      .select(key ++ Seq(col("theta_a"), col("theta_b")): _*)
+    val withLine = indexed.join(coefs, keyCols)
+      .withColumn("__l", col("theta_a") + col("theta_b") * col("__t"))
+      .withColumn("__z", r(lit(2.0) * x - col("__l")))
+    SequentialKernels.withEwma(withLine, keyCols, ord, "__z", alpha, "__ses")
+      .withColumn("theta_fitted", r(lit(0.5) * col("__l") + lit(0.5) * col("__ses")))
+      .drop("__t", "__l", "__z", "__ses")
+  }
+}

@@ -33,6 +33,21 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(vs.forall(_ == 0.0))
   }
 
+  test("Theta: recovers the trend line, constant series fits exactly") {
+    val lin = series(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 6.0), ("a", 4, 8.0))
+    val out = graft.seq.Theta.fitted(lin, Seq("k"), Seq(col("t")), "v", 0.5)
+      .orderBy("t").select("theta_a", "theta_b", "theta_fitted")
+      .as[(Double, Double, Double)].collect()
+    assert(out.head._1 == 0.0 && out.head._2 == 2.0, out.head.toString) // x = 2t
+    // on an exact linear series the theta2 line equals the series, so
+    // fitted = 0.5 trend + 0.5 SES(series) — converging toward the line
+    assert(math.abs(out.last._3 - 8.0) < 1.5, out.last.toString)
+    val const = series(("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0))
+    val cf = graft.seq.Theta.fitted(const, Seq("k"), Seq(col("t")), "v", 0.3)
+      .select("theta_fitted").as[Double].collect()
+    assert(cf.forall(_ == 5.0), cf.toSeq.toString)
+  }
+
   test("EWMA state resets at series boundaries and skips nulls") {
     val df = series(("a", 1, 10.0), ("a", 2, null), ("a", 3, 20.0),
       ("b", 1, 100.0), ("b", 2, 200.0))
