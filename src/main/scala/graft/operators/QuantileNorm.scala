@@ -13,21 +13,25 @@ import graft.functions.Funcs
   * model fitting).
   *
   * Scale shape: group ranks come from a window partitioned by the
-  * group key; the reference is indexed once by a global sort and
-  * joined twice on INTEGER rank keys (floor/ceil of the interpolated
-  * position). The reference joins carry NO broadcast hint — the
-  * optimizer broadcasts a small reference on its own size estimate and
-  * falls back to a shuffle join when it doesn't fit, instead of an
-  * executor-OOM forced broadcast. At 100 TB do not pass the raw fact:
-  * [[sketchReference]] collapses any population to a bounded
-  * equi-quantile grid, making the global reference sort O(nPoints).
+  * group key; the reference is ranked WITHOUT a single-partition sort —
+  * range-partition on the value, rank within each range partition, and
+  * add the cumulative row count of the preceding partitions (a window
+  * over the ≤-numShufflePartitions-row partition-count aggregate). The
+  * reference row count feeds in as a 1-row aggregate cross join, so
+  * building the plan triggers no driver-side action. The rank-lookup
+  * joins carry NO broadcast hint — the optimizer broadcasts a small
+  * reference on its own size estimate and falls back to a shuffle join
+  * when it doesn't fit. A fact-sized reference therefore degrades to
+  * two shuffle joins on integer rank keys, never an executor-OOM
+  * broadcast or a one-partition global sort. [[sketchReference]]
+  * remains the cheaper option when an approximate grid is acceptable.
   */
 object QuantileNorm {
 
   /** Bounded reference for [[normalize]] at scale: the population's
     * t-digest quantile grid (nPoints values, one distributed agg) —
-    * feed this, not the raw fact, as `reference` when the population
-    * is fact-sized. */
+    * feed this, not the raw fact, as `reference` when an approximate
+    * grid is acceptable. */
   def sketchReference(population: DataFrame, value: Column,
                       nPoints: Int = 1001): DataFrame = {
     require(nPoints >= 2, "need at least 2 grid points")
@@ -38,25 +42,50 @@ object QuantileNorm {
       .select(explode(col("__qs")).as("ref_value"))
   }
 
+  /** Distributed dense 0-based rank of `__rv`: range-partition, rank
+    * per partition, offset by preceding partitions' row counts. Ties
+    * rank arbitrarily but map to equal values, so the rank→value lookup
+    * is deterministic. Also returns the total count as a 1-row frame.
+    * No single-partition sort, no driver action. */
+  private def rankedByValue(ref: DataFrame): (DataFrame, DataFrame) = {
+    val nPart = math.max(1,
+      ref.sparkSession.sessionState.conf.numShufflePartitions)
+    val parts = ref.repartitionByRange(nPart, col("__rv"))
+      .withColumn("__pid", spark_partition_id())
+    // partition-count grain is ≤ nPart rows — the un-partitioned window
+    // below is bounded by the shuffle-partition setting, not the data
+    val offs = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offs.agg(coalesce(sum(col("__pc")), lit(0L)).as("__nref"))
+    val ranked = parts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__rv"))).cast("long"))
+      .join(offs.select(col("__pid"), col("__off")), "__pid")
+      .select((col("__off") + col("__rn") - 1).as("__ri"), col("__rv"))
+    (ranked, total)
+  }
+
   /** @param target    rows to normalize; all columns pass through.
-    * @param reference one value per row — the target distribution.
+    * @param reference one value per row — the target distribution
+    *                 (must be non-empty; an empty reference yields an
+    *                 empty result via the inner rank-lookup joins).
     * @return target + `outCol` (reference-distribution value at the
     *         row's within-group quantile). */
   def normalize(target: DataFrame, reference: DataFrame, refValue: Column,
                 groupCols: Seq[String], value: Column, tieBreak: Seq[Column],
                 outCol: String = "normalized"): DataFrame = {
     val ref = reference.select(refValue.cast("double").as("__rv"))
-    val nRef = ref.count()
-    require(nRef > 0, "empty reference")
-    val refIdx = ref
-      .withColumn("__ri", row_number().over(Window.orderBy(col("__rv"))).cast("long") - 1)
+    val (refIdx, total) = rankedByValue(ref)
     val gw = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(value.asc +: tieBreak.map(_.asc): _*)
     val withPos = target
+      .crossJoin(broadcast(total))
       .withColumn("__rt", row_number().over(gw).cast("long") - 1)
       .withColumn("__ng", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
       .withColumn("__pos", when(col("__ng") === 1, lit(0.0))
-        .otherwise(col("__rt") * lit((nRef - 1).toDouble) / (col("__ng") - 1)))
+        .otherwise(col("__rt") * (col("__nref") - 1).cast("double") / (col("__ng") - 1)))
       .withColumn("__lo", floor(col("__pos")).cast("long"))
       .withColumn("__hi", ceil(col("__pos")).cast("long"))
     withPos
@@ -64,6 +93,6 @@ object QuantileNorm {
       .join(refIdx.select(col("__ri").as("__hi"), col("__rv").as("__vhi")), "__hi")
       .withColumn(outCol, Funcs.r(col("__vlo")
         + (col("__pos") - col("__lo")) * (col("__vhi") - col("__vlo"))))
-      .drop("__rt", "__ng", "__pos", "__lo", "__hi", "__vlo", "__vhi")
+      .drop("__rt", "__ng", "__pos", "__lo", "__hi", "__vlo", "__vhi", "__nref")
   }
 }

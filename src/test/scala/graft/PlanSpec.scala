@@ -287,4 +287,15 @@ class PlanSpec extends SparkSpec {
     assert(approx.contains("percentile_approx("), approx)
     assert(!approx.contains(" percentile("), approx)
   }
+
+  test("quantile norm: fact-sized reference ranks via range partitions, no global sort or forced broadcast") {
+    val plan = SparkEntry.queries("q194_quantile_norm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // distributed rank path: the reference shuffles on value RANGES and
+    // ranks within each range partition...
+    assert(plan.contains("rangepartitioning(__rv"), plan)
+    // ...so no window is keyed on the reference value without a
+    // partition spec (the old one-partition global row_number)
+    assert(!plan.contains("windowspecdefinition(__rv"), plan)
+  }
 }
