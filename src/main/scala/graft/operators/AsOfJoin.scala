@@ -59,13 +59,16 @@ object AsOfJoin {
     // timestamps, and |t − asof_t| in cast-to-double SECONDS is ~1 ulp
     // (~2e-7 s) inexact — a match exactly at the bound could flip vs an
     // integer-exact epoch_us comparison. `tol` stays in (possibly
-    // fractional) seconds at the API; the arithmetic is exact longs.
+    // fractional) seconds at the API; the arithmetic is exact longs, and
+    // the seconds→micros conversion ROUNDS to the nearest microsecond —
+    // a bare long cast would truncate, silently tightening e.g.
+    // 1.5e-6 s to 1 µs.
     val bounded = tolerance match {
       case None => matched
       case Some(tol) => matched.withColumn("__match",
         when(abs(unix_micros(col("__t").cast("timestamp"))
           - unix_micros(col("__match.asof_t").cast("timestamp")))
-          <= (tol * lit(1000000L)).cast("long"), col("__match")))
+          <= round(tol * lit(1000000L)).cast("long"), col("__match")))
     }
     bounded.select(left.columns.map(col) :+ col("__match.*"): _*)
   }

@@ -79,6 +79,27 @@ class AsOfRangeJoinSpec extends SparkSpec {
     assert(out(1).isEmpty && out(2) == Some(101.0))
   }
 
+  test("asOf tolerance is inclusive exactly at the bound and rounds fractional seconds to micros") {
+    // trade @10:03 is EXACTLY 180s past the 10:00 quote: the bound is
+    // inclusive, so tolerance=180.0 keeps the match
+    val atBound = AsOfJoin.asOf(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("px"), tolerance = Some(lit(180.0)))
+      .select(col("trade_id"), col("asof_px"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(atBound(1) == Some(100.0))
+    // sub-second grain: right row 2 µs earlier than the left row.
+    // Tolerance 1.5e-6 s must ROUND to 2 µs (keep) — a truncating cast
+    // would tighten it to 1 µs and drop the match
+    val r = Seq((1L, Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00.000001Z")), 9.0))
+      .toDF("key", "qts", "px")
+    val l = Seq((1L, Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00.000003Z")), 1))
+      .toDF("key", "tts", "trade_id")
+    val frac = AsOfJoin.asOf(l, r, Seq("key"), "tts", "qts", Seq("px"),
+      tolerance = Some(lit(0.0000015)))
+      .select(col("asof_px")).as[Option[Double]].head()
+    assert(frac == Some(9.0))
+  }
+
   test("bandedRange matches broadcastRange exactly, including boundary values") {
     val intervals = Seq((0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0))
       .toDF("tier", "lo", "hi")
