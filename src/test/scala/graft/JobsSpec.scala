@@ -46,4 +46,17 @@ class JobsSpec extends SparkSpec {
       }
     }
   }
+
+  test("evaluateForecast pins exact quantiles regardless of the session scale conf") {
+    val key = graft.functions.Funcs.ExactPercentilesConf
+    val exact = graft.app.Jobs.evaluateForecast(spark, dir).collect().toSeq
+    // flip the engine-wide scale posture to t-digest: the composed job
+    // passes exact=Some(true) to splitConformal (as its q176 oracle
+    // hardcodes quantile_cont), so the report must not move
+    spark.conf.set(key, "false")
+    try {
+      val underApprox = graft.app.Jobs.evaluateForecast(spark, dir).collect().toSeq
+      assert(underApprox == exact)
+    } finally spark.conf.unset(key)
+  }
 }

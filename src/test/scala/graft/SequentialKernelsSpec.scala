@@ -109,4 +109,24 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(cls("i") == "intermittent")
     assert(cls("d") == "dead")
   }
+
+  test("Holt-Winters slot-0 contract: first data-driven write at observation m+1") {
+    // m=2, dyadic parameters — every state value is an exact double.
+    // The documented asymmetry: observation 1 writes ring slot 0 a
+    // trivial 0 (γ(x−l)=0 since l initializes to x), so observation
+    // m+1=3 still READS 0 from slot 0 but performs its first
+    // data-driven WRITE; observation 2m+1=5 is the first read of a
+    // data-driven slot-0 value.
+    val df = Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0),
+      ("a", 4, 16.0), ("a", 5, 18.0)).toDF("k", "t", "v")
+    val out = SequentialKernels.withHoltWinters(df, Seq("k"), Seq(col("t")),
+      "v", alpha = 0.5, beta = 0.5, gamma = 0.5, m = 2)
+      .orderBy("t").select("hw_level", "hw_trend", "hw_seasonal")
+      .as[(Double, Double, Double)].collect().toSeq
+    // obs3: sPrev = slot0 = 0 (trivial write), level .5·14 + .5·11.5
+    assert(out(2) == ((12.75, 1.125, 0.625)))
+    // obs5: sPrev = 0.625 — obs3's data-driven slot-0 write
+    assert(out(4) == ((16.796875, 1.8203125, 0.9140625)))
+    assert(out.map(_._3) == Seq(0.0, 0.5, 0.625, 0.90625, 0.9140625))
+  }
 }
