@@ -491,6 +491,24 @@ object SparkEntry {
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           col("theta_a"), col("theta_b"), col("theta_fitted"))
     }),
+    // per-series AR(2): closed-form OLS over lag columns, in-sample
+    // one-step predictions (the autoregressive member of the family)
+    "q214_ar2" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Ar.fitted(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum")
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          col("ar_c"), col("ar_phi1"), col("ar_phi2"), col("ar_fitted"))
+    }),
+    // AR(2) h-step forecast: rounded forecasts feed back as lags — the
+    // recursion is what the recursive-CTE oracle reproduces
+    "q217_ar2_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Ar.forecast(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4)
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -2325,6 +2343,103 @@ object SparkEntry {
                 (round(mae/(nm + 1e-8)*1e4)/1e4 + 0.0e0) AS mase,
                 n_rows
          FROM g""",
+    "q214_ar2" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2,3),
+              t AS (SELECT *,
+                      lag(q, 1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l1,
+                      lag(q, 2) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l2
+                    FROM w),
+              s AS (SELECT l_partkey, l_suppkey,
+                      CAST(count(*) AS DOUBLE) n,
+                      (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
+                      (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
+                      (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
+                      (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
+                      (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
+                      (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
+                      (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
+                      (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                    FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
+              dets AS (SELECT l_partkey, l_suppkey, n, sy,
+                      n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                      sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2*(sy1*s12 - s11*sy2) AS detc,
+                      n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2) + s2*(s1*sy2 - sy1*s2) AS detp1,
+                      n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - s11*s2) AS detp2
+                    FROM s),
+              c2 AS (SELECT l_partkey, l_suppkey,
+                      (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                         THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS ar_c,
+                      (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                         THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS ar_phi1,
+                      (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                         THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS ar_phi2
+                    FROM dets)
+         SELECT t.ws AS week_start, t.l_partkey, t.l_suppkey,
+                c2.ar_c, c2.ar_phi1, c2.ar_phi2,
+                CASE WHEN t.l2 IS NOT NULL THEN
+                  (round((c2.ar_c + c2.ar_phi1*t.l1 + c2.ar_phi2*t.l2)*1e4)/1e4 + 0.0e0)
+                END AS ar_fitted
+         FROM t LEFT JOIN c2 ON t.l_partkey = c2.l_partkey
+           AND t.l_suppkey = c2.l_suppkey""",
+    "q217_ar2_forecast" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *,
+                   lag(q, 1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l1,
+                   lag(q, 2) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l2
+                 FROM w),
+           s AS (SELECT l_partkey, l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
+                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
+                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
+                   (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
+                   (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
+                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
+                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
+                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                 FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
+           dets AS (SELECT l_partkey, l_suppkey, n, sy,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2*(sy1*s12 - s11*sy2) AS detc,
+                   n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2) + s2*(s1*sy2 - sy1*s2) AS detp1,
+                   n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - s11*s2) AS detp2
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS c,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p1,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
+                 FROM dets),
+           lv AS (SELECT l_partkey, l_suppkey,
+                    max(CASE WHEN rd = 1 THEN q END) xn,
+                    max(CASE WHEN rd = 2 THEN q END) xn1
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                          l_suppkey ORDER BY ws DESC) rd FROM w)
+                  GROUP BY 1,2
+                  HAVING max(CASE WHEN rd = 2 THEN q END) IS NOT NULL),
+           base AS (SELECT lv.l_partkey, lv.l_suppkey, lv.xn, lv.xn1,
+                      c2.c, c2.p1, c2.p2
+                    FROM lv JOIN c2 ON lv.l_partkey = c2.l_partkey
+                      AND lv.l_suppkey = c2.l_suppkey),
+           e AS (SELECT l_partkey, l_suppkey, 1 AS step,
+                   (round((c + p1*xn + p2*xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   xn AS fprev, c, p1, p2
+                 FROM base
+                 UNION ALL
+                 SELECT l_partkey, l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0),
+                   f, c, p1, p2
+                 FROM e WHERE step < 4)
+         SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
+                f AS ar_forecast
+         FROM e""",
     "q213_theta" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,

@@ -1,0 +1,125 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r
+
+/** Per-series AR(2) with intercept — the autoregressive member of the
+  * sequential family (the AR core of the reference's ARIMA engine,
+  * src/models/arima_temporal.py; full auto-ARIMA order search is
+  * ML-layer, the closed-form AR fit is engine-expressible):
+  *
+  *   x_t = c + φ1·x_{t−1} + φ2·x_{t−2} + ε_t
+  *
+  * fit by ordinary least squares over the rows where both lags exist,
+  * solved in closed form from nine sufficient sums via Cramer's rule
+  * on the 3×3 normal equations. Execution shape: one series window for
+  * the lags, one map-side-combinable aggregate for the sums, the
+  * key-grain coefficient table joined back — no iteration, no driver
+  * loop, no per-group materialization.
+  *
+  * Determinism convention (the q213 Theta recipe): the sufficient sums
+  * are ROUNDED before the solve and the coefficients before use, so
+  * every downstream arithmetic chain starts from bit-identical doubles
+  * cross-engine; the h-step forecast recursion rounds each step before
+  * feeding it forward, which is what lets a recursive-CTE oracle
+  * reproduce the chain exactly.
+  *
+  * Degenerate series (fewer than 3 regression rows, or |det| < 1e-8 —
+  * e.g. perfectly collinear lags from a linear series) fall back to
+  * the sample-mean forecast: c = mean, φ1 = φ2 = 0. Series too short
+  * to regress at all get null coefficients.
+  */
+object Ar {
+
+  private val DetEps = 1e-8
+
+  /** Key-grain coefficient table: (keys..., ar_c, ar_phi1, ar_phi2).
+    * Series with no regression rows are absent. */
+  private def coefs(indexed: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val x = col("__y")
+    val sample = indexed.filter(col("__l2").isNotNull)
+    val sums = sample.groupBy(key: _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      r(sum(x)).as("__sy"),
+      r(sum(col("__l1"))).as("__s1"),
+      r(sum(col("__l2"))).as("__s2"),
+      r(sum(x * col("__l1"))).as("__sy1"),
+      r(sum(x * col("__l2"))).as("__sy2"),
+      r(sum(col("__l1") * col("__l1"))).as("__s11"),
+      r(sum(col("__l2") * col("__l2"))).as("__s22"),
+      r(sum(col("__l1") * col("__l2"))).as("__s12"))
+    val (n, sy, s1, s2) = (col("__n"), col("__sy"), col("__s1"), col("__s2"))
+    val (sy1, sy2, s11, s22, s12) =
+      (col("__sy1"), col("__sy2"), col("__s11"), col("__s22"), col("__s12"))
+    // Cramer on the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val detC = sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+      s2 * (sy1 * s12 - s11 * sy2)
+    val detP1 = n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)
+    val detP2 = n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val ok = (n >= 3) && abs(det) >= DetEps
+    sums.select(key ++ Seq(
+      r(when(ok, detC / det).otherwise(sy / n)).as("ar_c"),
+      r(when(ok, detP1 / det).otherwise(lit(0.0))).as("ar_phi1"),
+      r(when(ok, detP2 / det).otherwise(lit(0.0))).as("ar_phi2")): _*)
+  }
+
+  private def indexedLags(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+                          valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__y", col(valueCol).cast("double"))
+      .withColumn("__l1", lag(col("__y"), 1).over(w))
+      .withColumn("__l2", lag(col("__y"), 2).over(w))
+  }
+
+  /** Adds `ar_c`/`ar_phi1`/`ar_phi2` plus `ar_fitted` (the one-step
+    * in-sample prediction c + φ1·x_{t−1} + φ2·x_{t−2}; null where a
+    * lag is missing or the series was too short to fit). `ord` must be
+    * unique per key; `valueCol` non-null. */
+  def fitted(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+             valueCol: String): DataFrame = {
+    val indexed = indexedLags(df, keyCols, ord, valueCol)
+    indexed.join(coefs(indexed, keyCols), keyCols, "left")
+      .withColumn("ar_fitted", when(col("__l2").isNotNull,
+        r(col("ar_c") + col("ar_phi1") * col("__l1") + col("ar_phi2") * col("__l2"))))
+      .drop("__y", "__l1", "__l2")
+  }
+
+  /** h-step-ahead forecast recursion, one output row per (series, step):
+    *   f_1 = c + φ1·x_n + φ2·x_{n−1}
+    *   f_s = c + φ1·f_{s−1} + φ2·f_{s−2}   (forecasts feed back as lags)
+    * each step rounded before feeding forward. Series too short to fit
+    * (no coefficient row) or shorter than 2 observations are dropped.
+    * The unrolled chain is pure column arithmetic at the key grain —
+    * h small (forecast horizons), so no exchange beyond the fit's. */
+  def forecast(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+               valueCol: String, h: Int): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val key = keyCols.map(col)
+    val indexed = indexedLags(df, keyCols, ord, valueCol)
+    val w = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
+    val lastVals = indexed.withColumn("__rd", row_number().over(w))
+      .groupBy(key: _*)
+      .agg(max(when(col("__rd") === 1, col("__y"))).as("__xn"),
+        max(when(col("__rd") === 2, col("__y"))).as("__xn1"))
+      .filter(col("__xn1").isNotNull)
+    val base = lastVals.join(coefs(indexed, keyCols), keyCols)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val (p1, p2) = s match {
+        case 1 => (col("__xn"), col("__xn1"))
+        case 2 => (acc(0), col("__xn"))
+        case _ => (acc(s - 2), acc(s - 3))
+      }
+      acc :+ r(col("ar_c") + col("ar_phi1") * p1 + col("ar_phi2") * p2)
+    }
+    base.select(key :+ posexplode(array(steps: _*)).as(Seq("__p", "ar_forecast")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(key ++ Seq(col("step"), col("ar_forecast")): _*)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.seq.Ar
+
+/** Round-7 operator contracts: the AR(2) sequential kernel. */
+class R7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // noise-free AR(2): x_t = 1 + 0.5·x_{t−1} + 0.25·x_{t−2}
+  private val arSeries = Seq(4.0, 8.0, 6.0, 6.0, 5.5, 5.25)
+  private def arDf = arSeries.zipWithIndex
+    .map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+
+  test("AR(2): exact coefficient recovery on a noise-free autoregressive series") {
+    val out = Ar.fitted(arDf, Seq("k"), Seq(col("t")), "v")
+      .orderBy("t").select("ar_c", "ar_phi1", "ar_phi2", "ar_fitted")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    out.foreach { case (c, p1, p2, _) =>
+      assert((c, p1, p2) == ((1.0, 0.5, 0.25))) }
+    // zero-residual fit: in-sample predictions reproduce the series
+    assert(out.map(_._4) ==
+      Seq(None, None, Some(6.0), Some(6.0), Some(5.5), Some(5.25)))
+  }
+
+  test("AR(2) forecast feeds rounded forecasts back as lags") {
+    val out = Ar.forecast(arDf, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("step", "ar_forecast")
+      .as[(Long, Double)].collect().toSeq
+    // hand recursion from (x_n, x_{n−1}) = (5.25, 5.5), each step
+    // rounded half-up at 4 decimals before feeding forward:
+    // f3 = 1 + .5·4.8125 + .25·5 = 4.65625 → 4.6563 (not trunc 4.6562)
+    assert(out == Seq((1L, 5.0), (2L, 4.8125), (3L, 4.6563), (4L, 4.5313)))
+  }
+
+  test("AR(2) degenerate: collinear lags fall back to the sample-mean forecast") {
+    // linear series → l1 = l2 + 1 exactly, singular normal matrix
+    val lin = (1 to 6).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = Ar.fitted(lin, Seq("k"), Seq(col("t")), "v")
+      .orderBy("t").select("ar_c", "ar_phi1", "ar_phi2", "ar_fitted")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    out.foreach { case (c, p1, p2, _) =>
+      assert((c, p1, p2) == ((4.5, 0.0, 0.0))) } // mean of regression rows 3..6
+    assert(out.map(_._4) ==
+      Seq(None, None, Some(4.5), Some(4.5), Some(4.5), Some(4.5)))
+    val fc = Ar.forecast(lin, Seq("k"), Seq(col("t")), "v", h = 3)
+      .select("ar_forecast").as[Double].collect().toSeq
+    assert(fc == Seq(4.5, 4.5, 4.5))
+  }
+
+  test("AR(2): series too short to regress gets null coefficients and no forecast rows") {
+    val short = Seq(("a", 1, 3.0), ("a", 2, 7.0)).toDF("k", "t", "v")
+    val out = Ar.fitted(short, Seq("k"), Seq(col("t")), "v")
+      .select("ar_c", "ar_fitted")
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq((None, None), (None, None)))
+    assert(Ar.forecast(short, Seq("k"), Seq(col("t")), "v", h = 2).count() == 0)
+  }
+}
