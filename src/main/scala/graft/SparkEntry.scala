@@ -501,6 +501,16 @@ object SparkEntry {
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           col("ar_c"), col("ar_phi1"), col("ar_phi2"), col("ar_fitted"))
     }),
+    // isotonic calibration map: per-return-flag monotone fit of actual
+    // vs the (rounded) per-series mean prediction, 10 quantile bins
+    "q215_isotonic" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred", r(avg(col("l_quantity"))
+        .over(Window.partitionBy(col("l_partkey"), col("l_suppkey")))))
+      graft.operators.Isotonic.calibrationMap(t, Seq("l_returnflag"),
+        col("pred"), col("l_quantity"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")), nBins = 10)
+    }),
     // AR(2) h-step forecast: rounded forecasts feed back as lags — the
     // recursion is what the recursive-CTE oracle reproduces
     "q217_ar2_forecast" -> ((s, d) => {
@@ -2383,6 +2393,40 @@ object SparkEntry {
                 END AS ar_fitted
          FROM t LEFT JOIN c2 ON t.l_partkey = c2.l_partkey
            AND t.l_suppkey = c2.l_suppkey""",
+    "q215_isotonic" ->
+      """WITH scored AS (
+           SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                  (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS pred
+           FROM lineitem),
+         b AS (SELECT l_returnflag,
+                 CAST(ntile(10) OVER (PARTITION BY l_returnflag ORDER BY pred,
+                   l_shipdate, l_orderkey, l_linenumber, l_quantity) AS BIGINT) AS bin,
+                 pred, l_quantity
+               FROM scored),
+         ba AS (SELECT l_returnflag, bin,
+                 CAST(count(*) AS DOUBLE) n,
+                 (round(sum(l_quantity)*1e4)/1e4 + 0.0e0) sy,
+                 min(pred) pred_lo, max(pred) pred_hi,
+                 (round(avg(l_quantity)*1e4)/1e4 + 0.0e0) bin_mean
+               FROM b GROUP BY 1,2),
+         pre AS (SELECT *, sum(n) OVER w cn, sum(sy) OVER w cy
+                 FROM ba WINDOW w AS (PARTITION BY l_returnflag ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pairs AS (SELECT j.l_returnflag, j.bin jb, k.bin kb,
+                     (k.cy - (j.cy - j.sy)) / (k.cn - (j.cn - j.n)) AS m
+                   FROM pre j JOIN pre k ON j.l_returnflag = k.l_returnflag
+                     AND j.bin <= k.bin),
+         rm AS (SELECT *, min(m) OVER (PARTITION BY l_returnflag, jb
+                  ORDER BY kb DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+                FROM pairs),
+         fit AS (SELECT l_returnflag, kb AS bin,
+                   (round(max(rmin)*1e4)/1e4 + 0.0e0) AS iso_fit
+                 FROM rm GROUP BY 1,2)
+         SELECT ba.l_returnflag, ba.bin, ba.pred_lo, ba.pred_hi,
+                CAST(ba.n AS BIGINT) AS n_rows, ba.bin_mean, fit.iso_fit
+         FROM ba JOIN fit ON ba.l_returnflag = fit.l_returnflag
+           AND ba.bin = fit.bin""",
     "q217_ar2_forecast" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,

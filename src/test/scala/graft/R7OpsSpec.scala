@@ -56,4 +56,41 @@ class R7OpsSpec extends SparkSpec {
     assert(out == Seq((None, None), (None, None)))
     assert(Ar.forecast(short, Seq("k"), Seq(col("t")), "v", h = 2).count() == 0)
   }
+
+  test("isotonic: minimax fit reproduces the textbook PAV pooling") {
+    // y = 1, 3, 2, 4 over increasing predictions: PAV pools the 3,2
+    // violation into 2.5 — fit (1, 2.5, 2.5, 4)
+    val df = Seq(("a", 1.0, 1.0, 1), ("a", 2.0, 3.0, 2),
+      ("a", 3.0, 2.0, 3), ("a", 4.0, 4.0, 4)).toDF("seg", "pred", "y", "id")
+    val out = graft.operators.Isotonic.calibrationMap(df, Seq("seg"),
+      col("pred"), col("y"), Seq(col("id")), nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n_rows", "bin_mean", "iso_fit")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1.0, 1.0), (2L, 1L, 3.0, 2.5),
+      (3L, 1L, 2.0, 2.5), (4L, 1L, 4.0, 4.0)))
+  }
+
+  test("isotonic: fit is monotone per segment and preserves the weighted mean") {
+    // deterministic pseudo-noise around an increasing signal, 2 segments
+    val rows = for (s <- Seq("a", "b"); i <- 1 to 200) yield {
+      val noise = ((i * 2654435761L) % 97).toDouble / 10.0 - 4.8
+      (s, i.toDouble, i / 10.0 + noise, i)
+    }
+    val df = rows.toDF("seg", "pred", "y", "id")
+    val m = graft.operators.Isotonic.calibrationMap(df, Seq("seg"),
+      col("pred"), col("y"), Seq(col("id")), nBins = 10)
+    val bySeg = m.select("seg", "bin", "n_rows", "iso_fit")
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (s, a) => s -> a.sortBy(_._2) }
+    bySeg.values.foreach { bins =>
+      assert(bins.length == 10)
+      bins.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._4 <= hi._4, s"fit not monotone: $lo -> $hi") }
+      // PAV preserves the weighted mean of y within each segment
+      val fitTotal = bins.map(b => b._3 * b._4).sum
+      val yTotal = rows.filter(_._1 == bins.head._1).map(_._3).sum
+      assert(math.abs(fitTotal - yTotal) < 0.05, s"$fitTotal vs $yTotal")
+    }
+  }
 }
