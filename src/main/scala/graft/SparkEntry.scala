@@ -501,6 +501,28 @@ object SparkEntry {
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           col("ar_c"), col("ar_phi1"), col("ar_phi2"), col("ar_fitted"))
     }),
+    // submission plausibility: the q78 naive grid risk-scored against
+    // the last-5-weeks validation actuals and the full history
+    "q216_plausibility" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      val mean = weekly.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(avg(col("qty_sum")).as("p"))
+      val grid = mean
+        .withColumn("semana", explode(sequence(lit(1), lit(5))))
+        .select(col("semana"), col("l_suppkey").as("pdv"),
+          col("l_partkey").as("produto"),
+          Calendar.businessRound(col("p")).as("quantidade"))
+      val maxW = weekly.agg(max(col("week_start")).as("__mw"))
+      val actuals = weekly.crossJoin(broadcast(maxW))
+        .withColumn("semana",
+          (lit(5) - datediff(col("__mw"), col("week_start")) / 7).cast("int"))
+        .filter(col("semana") >= 1)
+        .select(col("semana"), col("l_suppkey").as("pdv"),
+          col("l_partkey").as("produto"), col("qty_sum").as("actual"))
+      graft.io.SubmissionValidator.plausibilityReport(grid, actuals,
+        col("actual"), weekly, col("qty_sum"))
+    }),
     // isotonic calibration map: per-return-flag monotone fit of actual
     // vs the (rounded) per-series mean prediction, 10 quantile bins
     "q215_isotonic" -> ((s, d) => {
@@ -2393,6 +2415,41 @@ object SparkEntry {
                 END AS ar_fitted
          FROM t LEFT JOIN c2 ON t.l_partkey = c2.l_partkey
            AND t.l_suppkey = c2.l_suppkey""",
+    "q216_plausibility" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                      l_suppkey, sum(l_quantity) q FROM lineitem GROUP BY 1,2,3),
+              m AS (SELECT l_partkey, l_suppkey, avg(q) p FROM w GROUP BY 1,2),
+              g AS (SELECT r.semana, l_suppkey pdv, l_partkey produto,
+                      CAST(greatest((round((p)*1e0)/1e0 + 0.0e0), 0.0) AS BIGINT) quantidade
+                    FROM m, range(1, 6) r(semana)),
+              mw AS (SELECT max(ws) mws FROM w),
+              a AS (SELECT CAST(5 - date_diff('day', ws, mws)/7 AS INT) semana,
+                      l_suppkey pdv, l_partkey produto, q actual
+                    FROM w, mw
+                    WHERE 5 - date_diff('day', ws, mws)/7 >= 1),
+              wm AS (SELECT count(*) n_matched,
+                       (round(sum(abs(a.actual - g.quantidade))/sum(abs(a.actual))*100*1e4)/1e4 + 0.0e0) wmape_pct
+                     FROM g JOIN a ON g.semana = a.semana AND g.pdv = a.pdv
+                       AND g.produto = a.produto),
+              ss AS (SELECT count(*) n_rows,
+                       count(DISTINCT quantidade) n_distinct_qty,
+                       (round(avg(quantidade)*1e4)/1e4 + 0.0e0) sub_mean FROM g),
+              hs AS (SELECT (round(avg(q)*1e4)/1e4 + 0.0e0) hist_mean FROM w),
+              base AS (SELECT ss.n_rows, ss.n_distinct_qty, ss.sub_mean,
+                         wm.n_matched, wm.wmape_pct, hs.hist_mean,
+                         CASE WHEN wm.wmape_pct < 5.0e0 THEN 1.0e0
+                              WHEN wm.wmape_pct < 10.0e0 THEN 0.7e0
+                              ELSE 0.0e0 END AS leak_risk,
+                         (round(abs(ss.sub_mean - hs.hist_mean)/hs.hist_mean*100*1e4)/1e4 + 0.0e0) AS shift_pct
+                       FROM ss, wm, hs),
+              flags AS (SELECT *,
+                          CAST(CASE WHEN shift_pct > 50.0e0 THEN 1 ELSE 0 END AS BIGINT) AS shift_flag,
+                          CAST(CASE WHEN n_distinct_qty = 1 THEN 1 ELSE 0 END AS BIGINT) AS constant_flag
+                        FROM base)
+         SELECT *,
+                (round(least(leak_risk*0.6e0 + shift_flag*0.3e0 + constant_flag*0.1e0,
+                  1.0e0)*1e4)/1e4 + 0.0e0) AS risk_score
+         FROM flags""",
     "q215_isotonic" ->
       """WITH scored AS (
            SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,

@@ -42,4 +42,57 @@ object SubmissionValidator {
       "non_integer_rows", "dup_rows").head()
     (0 until r.length).forall(i => r.getLong(i) == 0L)
   }
+
+  /** Plausibility report (reference: src/submissions/risk_manager.py
+    * LeakageRiskAssessor:272-296 — format validity is necessary but
+    * not sufficient; a submission can be well-formed and still scream
+    * leak). One row of risk signals:
+    *
+    *  - `leak_risk`: the reference's suspicious-score ladder on the
+    *    validation WMAPE — < 5% → 1.0, < 10% → 0.7, else 0.0
+    *    (computed on the ROUNDED wmape so the class can't flip on
+    *    summation-order ulps, the monitorRun convention);
+    *  - `shift_pct`/`shift_flag`: relative mean shift of submitted
+    *    quantities vs the history distribution (the temporal-
+    *    consistency analog — a forecast whose level walked away from
+    *    everything ever observed);
+    *  - `constant_flag`: a single distinct predicted value (the
+    *    degenerate model the format gate can't see);
+    *  - `risk_score`: reference weighting — 0.6·leak + 0.3·shift +
+    *    0.1·constant, capped at 1.
+    *
+    * `actuals` must carry the RequiredColumns keys plus the actual
+    * value; WMAPE pools over the inner key match. All legs are 1-row
+    * aggregates cross-joined — one pass over each frame, no
+    * fact-sized shuffle. */
+  def plausibilityReport(sub: DataFrame, actuals: DataFrame, actual: Column,
+                         history: DataFrame, histValue: Column,
+                         wmapeSuspicious: Double = 5.0, wmapeWarn: Double = 10.0,
+                         shiftWarnPct: Double = 50.0): DataFrame = {
+    import graft.functions.Funcs.r
+    val keys = RequiredColumns.filterNot(_ == "quantidade")
+    val joined = sub.join(actuals, keys)
+    val wm = joined.agg(
+      count(lit(1)).as("n_matched"),
+      r(sum(abs(actual - col("quantidade"))) / sum(abs(actual)) * 100)
+        .as("wmape_pct"))
+    val subStats = sub.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("quantidade")).as("n_distinct_qty"),
+      r(avg(col("quantidade"))).as("sub_mean"))
+    val histStats = history.agg(r(avg(histValue)).as("hist_mean"))
+    subStats.crossJoin(broadcast(wm)).crossJoin(broadcast(histStats))
+      .withColumn("leak_risk",
+        when(col("wmape_pct") < wmapeSuspicious, 1.0)
+          .when(col("wmape_pct") < wmapeWarn, 0.7).otherwise(0.0))
+      .withColumn("shift_pct",
+        r(abs(col("sub_mean") - col("hist_mean")) / col("hist_mean") * 100))
+      .withColumn("shift_flag",
+        when(col("shift_pct") > shiftWarnPct, 1L).otherwise(0L))
+      .withColumn("constant_flag",
+        when(col("n_distinct_qty") === 1, 1L).otherwise(0L))
+      .withColumn("risk_score", r(least(
+        col("leak_risk") * 0.6 + col("shift_flag") * 0.3
+          + col("constant_flag") * 0.1, lit(1.0))))
+  }
 }

@@ -93,4 +93,33 @@ class R7OpsSpec extends SparkSpec {
       assert(math.abs(fitTotal - yTotal) < 0.05, s"$fitTotal vs $yTotal")
     }
   }
+
+  test("plausibility: leaky + constant + shifted submission scores risk 1.0, healthy scores 0") {
+    import graft.io.SubmissionValidator
+    def frames(qty: Seq[Long], actual: Seq[Double], hist: Seq[Double]) = {
+      val sub = qty.zipWithIndex.map { case (q, i) => (1, i.toLong, i.toLong, q) }
+        .toDF("semana", "pdv", "produto", "quantidade")
+      val act = actual.zipWithIndex.map { case (a, i) => (1, i.toLong, i.toLong, a) }
+        .toDF("semana", "pdv", "produto", "actual")
+      val h = hist.toDF("q")
+      SubmissionValidator.plausibilityReport(sub, act, col("actual"), h, col("q"))
+        .select("wmape_pct", "leak_risk", "shift_flag", "constant_flag", "risk_score")
+        .as[(Double, Double, Long, Long, Double)].head()
+    }
+    // constant 100s matching actuals ≈ perfectly (wmape 0) with history
+    // centered at 10: all three flags fire → 0.6 + 0.3 + 0.1 = 1.0
+    val leaky = frames(Seq(100L, 100L, 100L),
+      Seq(100.0, 100.0, 100.0), Seq(10.0, 10.0))
+    assert(leaky == ((0.0, 1.0, 1L, 1L, 1.0)))
+    // varied predictions, honest ~30% wmape, level near history → all clear
+    val healthy = frames(Seq(70L, 130L, 160L),
+      Seq(100.0, 100.0, 200.0), Seq(115.0, 125.0))
+    assert(healthy._2 == 0.0 && healthy._3 == 0L && healthy._4 == 0L
+      && healthy._5 == 0.0)
+    // near-suspicious band: wmape = 21/300 = 7% ∈ [5,10) → 0.7 leak leg only
+    val warm = frames(Seq(100L, 121L, 100L),
+      Seq(100.0, 100.0, 100.0), Seq(100.0, 104.0))
+    assert(warm._1 == 7.0 && warm._2 == 0.7)
+    assert(warm._3 == 0L && warm._4 == 0L && warm._5 == 0.42)
+  }
 }
