@@ -803,6 +803,13 @@ object SparkEntry {
     "q107_embed_near_dupes" -> ((s, d) =>
       graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d), dim = 64,
         threshold = 0.9)),
+    // near-dup variant at a threshold the fixture actually crosses: the
+    // q107 gate at 0.9 is vacuously empty on this corpus (max pairwise
+    // cosine ≈ 0.51), so it only proves the no-false-positive side;
+    // 0.4 exercises banding + cosine verify on non-empty results
+    "q218_near_dupes_low" -> ((s, d) =>
+      graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d), dim = 64,
+        threshold = 0.4)),
     "q108_weighted_wmape" -> ((s, d) => {
       val t = li(s, d).withColumn("pred",
         avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
@@ -1458,6 +1465,12 @@ object SparkEntry {
         avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
       val perPart = li(s, d).groupBy(col("l_partkey"))
         .agg(sum(col("l_quantity")).as("pq"))
+      // un-partitioned cumulative window, but at PART grain after the
+      // partial agg — bounded by assortment cardinality (SF·200k at
+      // TPC-H shape), not the fact; the q174 ABC operator documents the
+      // same bound. If part cardinality grew with the fact, swap to the
+      // two-pass range-partitioned prefix sum (QuantileNorm's rank
+      // shape).
       val byQ = Window.orderBy(col("pq").desc, col("l_partkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = Window.partitionBy(lit(0))
@@ -1652,6 +1665,33 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          FROM bands a JOIN bands b2
            ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id"""
+  }
+
+  /** Shared oracle for the cosine near-dup family (q107/q218): the
+    * deterministic hyperplane literals embed into the SQL, sign bits
+    * come from the ROUNDED dot product, and only the verify threshold
+    * varies. */
+  private def embedNearDupesSql(threshold: String): String = {
+    val sigTerms = (0 until 16).map { p =>
+      val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
+      s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n                + ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 2)}) % 4 AS bucket FROM sg")
+      .mkString("\n                UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
+           bd AS ($bandSelects),
+           cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM bd a JOIN bd b USING (band, bucket)
+                    WHERE a.vec_id < b.vec_id),
+           s AS (SELECT cand.id_a, cand.id_b,
+                   (round(list_dot_product(ea.v, eb.v)
+                     /(sqrt(list_dot_product(ea.v, ea.v))*sqrt(list_dot_product(eb.v, eb.v)))
+                     *1e4)/1e4 + 0.0e0) AS cos_sim
+                 FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+                           JOIN e eb ON cand.id_b = eb.vec_id)
+         SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $threshold"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2253,28 +2293,8 @@ object SparkEntry {
     // same embedded-plane recipe as q69, 8 bands of width 2 and a
     // rounded-cosine >= threshold verify (an empty result set is still
     // a byte-exact contract: no false positives in either engine)
-    "q107_embed_near_dupes" -> {
-      val sigTerms = (0 until 16).map { p =>
-        val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
-        s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString("\n                + ")
-      val bandSelects = (0 until 8).map(b =>
-        s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 2)}) % 4 AS bucket FROM sg")
-        .mkString("\n                UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
-           bd AS ($bandSelects),
-           cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                    FROM bd a JOIN bd b USING (band, bucket)
-                    WHERE a.vec_id < b.vec_id),
-           s AS (SELECT cand.id_a, cand.id_b,
-                   (round(list_dot_product(ea.v, eb.v)
-                     /(sqrt(list_dot_product(ea.v, ea.v))*sqrt(list_dot_product(eb.v, eb.v)))
-                     *1e4)/1e4 + 0.0e0) AS cos_sim
-                 FROM cand JOIN e ea ON cand.id_a = ea.vec_id
-                           JOIN e eb ON cand.id_b = eb.vec_id)
-         SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.9e0"""
-    },
+    "q107_embed_near_dupes" -> embedNearDupesSql("0.9e0"),
+    "q218_near_dupes_low" -> embedNearDupesSql("0.4e0"),
     "q70_embed_norms" ->
       """SELECT label, count(*) AS n_vecs,
                 (round((avg(sqrt(list_dot_product(embedding::DOUBLE[],
@@ -4619,11 +4639,19 @@ object SparkEntry {
                 (round((sxy - sx*sy/n)/(n - 1)*1e4)/1e4 + 0.0e0) AS cov
          FROM g""",
     "q204_ivf_portable" -> {
+      // distance in the SAME expanded shape as Similarity.assignCells
+      // (v·v − 2·v·c + c·c over in-order list_dot_product) — the
+      // algebraically-equal Σ(x−c)² form diverges beyond summation
+      // ulps under cancellation near dist≈0, which could straddle the
+      // rounding boundary and flip a cell assignment
       def distCte(n: Int, ccPrev: String) =
         s"""
-           d$n AS (SELECT x.vec_id, $ccPrev.cell,
-                     (round(sum((x.xi - $ccPrev.cv)*(x.xi - $ccPrev.cv))*1e4)/1e4 + 0.0e0) AS dist
-                   FROM x JOIN $ccPrev ON x.i = $ccPrev.i GROUP BY 1,2),
+           d$n AS (SELECT e.vec_id, c.cell,
+                     (round((list_dot_product(e.v, e.v)
+                        - 2.0*list_dot_product(e.v, c.cv)
+                        + list_dot_product(c.cv, c.cv))*1e4)/1e4 + 0.0e0) AS dist
+                   FROM e, (SELECT cell, list(cv ORDER BY i) AS cv
+                            FROM $ccPrev GROUP BY cell) c),
            a$n AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
                      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) rn
                      FROM d$n) WHERE rn = 1)"""
