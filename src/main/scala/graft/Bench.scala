@@ -24,7 +24,8 @@ object Bench {
     "q153_auc", "q161_attribution", "q162_ohlc", "q167_ols2", "q171_rolling_corr",
     "q181_topk",
     "q198_error_slices", "q199_resid_diag_parts", "q200_monitor",
-    "q201_quantize_int8", "q203_covariance", "q204_ivf_portable")
+    "q201_quantize_int8", "q203_covariance", "q204_ivf_portable",
+    "q194_quantile_norm", "q214_ar2", "q215_isotonic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
