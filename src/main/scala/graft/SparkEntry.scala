@@ -523,6 +523,17 @@ object SparkEntry {
       graft.io.SubmissionValidator.plausibilityReport(grid, actuals,
         col("actual"), weekly, col("qty_sum"))
     }),
+    // seasonal Theta: deseasonalize by (key, month) mean deviation,
+    // Theta on the adjusted series, re-seasonalize the fitted value
+    "q219_theta_seasonal" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Theta.fittedSeasonal(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", month(col("week_start")), alpha = 0.3)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          col("seasonal"), col("theta_a"), col("theta_b"),
+          col("theta_fitted"), col("theta_sfitted"))
+    }),
     // isotonic calibration map: per-return-flag monotone fit of actual
     // vs the (rounded) per-series mean prediction, 10 quantile bins
     "q215_isotonic" -> ((s, d) => {
@@ -2470,6 +2481,53 @@ object SparkEntry {
                 (round(least(leak_risk*0.6e0 + shift_flag*0.3e0 + constant_flag*0.1e0,
                   1.0e0)*1e4)/1e4 + 0.0e0) AS risk_score
          FROM flags""",
+    "q219_theta_seasonal" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q0
+                 FROM lineitem GROUP BY 1,2,3),
+           w2 AS (SELECT l_partkey, l_suppkey, ws,
+                    (round((avg(q0) OVER (PARTITION BY l_partkey, l_suppkey, month(ws))
+                       - avg(q0) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS seas,
+                    q0 FROM w),
+           w3 AS (SELECT l_partkey, l_suppkey, ws, seas,
+                    (round((q0 - seas)*1e4)/1e4 + 0.0e0) AS q FROM w2),
+           t0 AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY ws) rn FROM w3),
+           s AS (SELECT l_partkey, l_suppkey,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(rn AS DOUBLE)) AS st,
+                   sum(q) AS sx,
+                   sum(CAST(rn AS DOUBLE)*CAST(rn AS DOUBLE)) AS stt,
+                   sum(CAST(rn AS DOUBLE)*q) AS stx
+                 FROM t0 GROUP BY 1,2),
+           c AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n > 1
+                      THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sx
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey, b,
+                    (round(((sx - b*st)/n)*1e4)/1e4 + 0.0e0) AS a
+                  FROM c),
+           t AS (SELECT t0.l_partkey, t0.l_suppkey, t0.ws, t0.rn, t0.q, t0.seas,
+                   c2.a, c2.b,
+                   (round((2e0*t0.q - (c2.a + c2.b*CAST(t0.rn AS DOUBLE)))*1e4)/1e4 + 0.0e0) AS z
+                 FROM t0 JOIN c2 USING (l_partkey, l_suppkey)),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, seas, a, b, z AS y
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.seas, t.a, t.b,
+                   0.3e0*t.z + (1e0-0.3e0)*e.y
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           f AS (SELECT ws, l_partkey, l_suppkey, seas, a, b,
+                   (round((0.5e0*(a + b*CAST(rn AS DOUBLE)) + 0.5e0*y)*1e4)/1e4 + 0.0e0)
+                     AS theta_fitted
+                 FROM e)
+         SELECT ws AS week_start, l_partkey, l_suppkey, seas AS seasonal,
+                a AS theta_a, b AS theta_b, theta_fitted,
+                (round((theta_fitted + seas)*1e4)/1e4 + 0.0e0) AS theta_sfitted
+         FROM f""",
     "q215_isotonic" ->
       """WITH scored AS (
            SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,

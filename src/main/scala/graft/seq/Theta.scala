@@ -24,6 +24,30 @@ import graft.functions.Funcs.r
   */
 object Theta {
 
+  /** Seasonal Theta: the classic method over the additively-
+    * deseasonalized series. The seasonal component is the per-(key,
+    * period) mean deviation from the per-key mean (the q50 seasonal-
+    * group-mean machinery), ROUNDED so both engines deseasonalize from
+    * identical doubles; Theta runs on x − s and the fitted value
+    * re-adds s. Adds `seasonal` and `theta_sfitted` alongside the
+    * trend coefficients. Two extra key-prefixed window passes on top
+    * of [[fitted]] — no new exchange grain. */
+  def fittedSeasonal(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+                     valueCol: String, period: Column,
+                     alpha: Double): DataFrame = {
+    val key = keyCols.map(col)
+    val byKey = Window.partitionBy(key: _*)
+    val byKeyPeriod = Window.partitionBy(key :+ period: _*)
+    val x = col(valueCol)
+    val t = df
+      .withColumn("seasonal",
+        r(avg(x).over(byKeyPeriod) - avg(x).over(byKey)))
+      .withColumn("__adj", r(x - col("seasonal")))
+    fitted(t, keyCols, ord, "__adj", alpha)
+      .withColumn("theta_sfitted", r(col("theta_fitted") + col("seasonal")))
+      .drop("__adj")
+  }
+
   /** Adds `theta_fitted` (plus the a/b trend coefficients) to the
     * series frame. `ord` must be unique per key. */
   def fitted(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],

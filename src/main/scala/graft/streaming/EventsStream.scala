@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -365,4 +365,44 @@ object EventsStream {
       .select(col("event_type"), unix_micros(col("window.start")).as("bar_us"),
         col("n"), col("open"), col("close"), col("high"), col("low"),
         col("volume"))
+
+  /** Streaming PSI drift monitor — the Decompose.psi leg of
+    * Jobs.monitorRun over micro-batches. The reference distribution is
+    * FIXED (bin edges + shares computed offline from the reference
+    * period, the deployment pattern: monitors never re-estimate their
+    * baseline on the fly), so each event bins against literal edges
+    * and the per-window bin histogram pivots into a fixed-width column
+    * set — ONE watermarked streaming aggregation, state bounded at
+    * (open windows × nBins) longs, and the PSI ladder folds over the
+    * bin columns in the same projection. Emits one row per closed
+    * window: (window_start, n_events, psi).
+    *
+    * Same contribution formula as the batch operator:
+    * (cur − ref)·ln((cur + ε)/(ref + ε)), ε = 1e-6. */
+  def psiStream(events: DataFrame, value: Column, edges: Seq[Double],
+                refShares: Seq[Double], windowDur: String = "7 days",
+                watermark: String = "1 day"): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    require(refShares.length == edges.length + 1,
+      "refShares must have one entry per bin (edges + 1)")
+    val nB = refShares.length
+    val bin = edges.map(e => when(value > lit(e), 1).otherwise(0)).reduce(_ + _)
+    val counts = (0 until nB).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val total = (0 until nB).map(b => col(s"__c$b")).reduce(_ + _)
+    val eps = lit(1e-6)
+    val psi = (0 until nB).map { b =>
+      val cur = col(s"__c$b").cast("double") / col("__total")
+      val ref = lit(refShares(b))
+      (cur - ref) * log((cur + eps) / (ref + eps))
+    }.reduce(_ + _)
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__bin", bin)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("__total", total.cast("double"))
+      .select(col("window.start").as("window_start"),
+        col("__total").cast("long").as("n_events"), psi.as("psi"))
+  }
 }

@@ -100,4 +100,29 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(did(0.0) - did(25.0)) <= 2e-4, s"seed $i")
     }
   }
+
+  test("int8 quantization: codes in [-127,127], round-trip error ≤ scale/2") {
+    val vecs = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))
+    (0 until 8).foreach { i =>
+      val xs = gen(vecs, 700L + i).take(64).toArray
+      val out = graft.sim.Quantize.int8(
+        Seq((1L, xs)).toDF("vec_id", "embedding"))
+        .select("dim", "q", "scale").as[(Long, Int, Double)].collect()
+      assert(out.length == xs.length, s"seed $i")
+      out.foreach { case (d, q, s) =>
+        assert(q >= -127 && q <= 127, s"seed $i dim $d code $q")
+        // symmetric max-abs scheme: |dequantized − original| ≤ scale/2
+        // (half-step rounding bound; exact at the boundary)
+        assert(math.abs(q * s - xs(d.toInt)) <= s / 2 + 1e-12, s"seed $i dim $d")
+      }
+      // the max-abs element always quantizes to a full-scale ±127 code
+      assert(out.exists { case (_, q, _) => math.abs(q) == 127 }
+        || xs.forall(_ == 0.0), s"seed $i")
+    }
+    // zero vector: all-zero codes, scale 0, exact round-trip
+    val z = graft.sim.Quantize.int8(
+      Seq((1L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"))
+      .select("q", "scale").as[(Int, Double)].collect()
+    assert(z.forall(_ == ((0, 0.0))))
+  }
 }

@@ -57,6 +57,23 @@ class R7OpsSpec extends SparkSpec {
     assert(Ar.forecast(short, Seq("k"), Seq(col("t")), "v", h = 2).count() == 0)
   }
 
+  test("seasonal Theta reconstructs a pure-seasonal series exactly") {
+    // alternating 10/20 with period = parity: deseasonalizing leaves a
+    // constant 15, Theta fits it exactly, re-seasonalizing reproduces
+    // the input — the q197-style pure-seasonal invariant
+    val df = (1 to 6).map(t => ("a", t, t % 2, if (t % 2 == 1) 10.0 else 20.0))
+      .toDF("k", "t", "par", "v")
+    val out = graft.seq.Theta.fittedSeasonal(df, Seq("k"), Seq(col("t")), "v",
+      col("par"), alpha = 0.3)
+      .orderBy("t").select("seasonal", "theta_a", "theta_b", "theta_sfitted")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    out.zipWithIndex.foreach { case ((s, a, b, f), i) =>
+      assert(a == 15.0 && b == 0.0, s"row $i")
+      assert(s == (if (i % 2 == 0) -5.0 else 5.0), s"row $i")
+      assert(f == (if (i % 2 == 0) 10.0 else 20.0), s"row $i")
+    }
+  }
+
   test("isotonic: minimax fit reproduces the textbook PAV pooling") {
     // y = 1, 3, 2, 4 over increasing predictions: PAV pools the 3,2
     // violation into 2.5 — fit (1, 2.5, 2.5, 4)

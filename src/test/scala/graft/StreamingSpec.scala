@@ -344,4 +344,42 @@ class StreamingSpec extends SparkSpec {
     assert(out(7L) == (2L, 5.0))
     assert(out(8L) == (1L, 1.0))
   }
+
+  test("streaming PSI drift monitor matches the batch computation on closed windows") {
+    implicit val sq = spark.sqlContext
+    val edges = Seq(2.0, 4.0, 6.0)
+    val refShares = Seq(0.25, 0.25, 0.25, 0.25)
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val query = EventsStream.psiStream(events, col("value"), edges, refShares,
+      "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append()).start()
+    // drifted window: values pile into the top bin across TWO
+    // micro-batches (the histogram state must merge)
+    val w1 = Seq(1.0, 7.0, 8.0).map(v => (ts("2024-01-01 10:05:00"), v))
+    val w2 = Seq(9.0, 7.5, 3.0).map(v => (ts("2024-01-01 10:40:00"), v))
+    input.addData(w1: _*)
+    query.processAllAvailable()
+    input.addData(w2: _*)
+    query.processAllAvailable()
+    // advance the watermark so the 10:00 window closes
+    input.addData((ts("2024-01-01 15:00:00"), 1.0))
+    query.processAllAvailable()
+    val got = spark.table("psi_out")
+      .select(col("window_start").cast("string"), col("n_events"), col("psi"))
+      .as[(String, Long, Double)].collect().toSet
+    query.stop()
+    // batch twin: psiStream on a batch frame is the same plan with the
+    // watermark a no-op — bit-identical single-node arithmetic
+    val want = EventsStream.psiStream(
+      (w1 ++ w2).toDF("ts", "value"), col("value"), edges, refShares,
+      "1 hour", "10 minutes")
+      .select(col("window_start").cast("string"), col("n_events"), col("psi"))
+      .as[(String, Long, Double)].head()
+    assert(got.contains(want), s"$got vs $want")
+    assert(want._2 == 6L)
+    // 4/6 of the mass in the top quartile bin vs 1/4 reference → drifted
+    assert(want._3 > 0.25, s"psi=${want._3}")
+  }
 }
