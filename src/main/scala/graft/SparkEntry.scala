@@ -523,6 +523,14 @@ object SparkEntry {
       graft.io.SubmissionValidator.plausibilityReport(grid, actuals,
         col("actual"), weekly, col("qty_sum"))
     }),
+    // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
+    // over the distinct (score, label) grain
+    "q220_platt" -> ((s, d) => {
+      val t = li(s, d).withColumn("pred", r(avg(col("l_quantity"))
+        .over(Window.partitionBy(col("l_partkey"), col("l_suppkey")))))
+      graft.operators.Platt.fit(t, col("pred"),
+        col("l_returnflag") === "R", iters = 3)
+    }),
     // seasonal Theta: deseasonalize by (key, month) mean deviation,
     // Theta on the adjusted series, re-seasonalize the fitted value
     "q219_theta_seasonal" -> ((s, d) => {
@@ -1705,7 +1713,54 @@ object SparkEntry {
          SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $threshold"""
   }
 
+  /** q220 oracle: Platt-scaling Newton recursion unrolled into one CTE
+    * pair per step, every sum and state update rounded exactly as the
+    * engine rounds (the q204 fixed-iteration recipe). */
+  private lazy val plattSql: String = {
+    def step(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s""",
+           m$k AS (SELECT np, nn, tp, tn, a, b,
+                     (round(sum(n*f*(p - t))*1e4)/1e4 + 0.0e0) ga,
+                     (round(sum(n*(p - t))*1e4)/1e4 + 0.0e0) gb,
+                     (round(sum(n*f*f*p*(1.0e0 - p))*1e4)/1e4 + 0.0e0) haa,
+                     (round(sum(n*f*p*(1.0e0 - p))*1e4)/1e4 + 0.0e0) hab,
+                     (round(sum(n*p*(1.0e0 - p))*1e4)/1e4 + 0.0e0) hbb
+                   FROM (SELECT g.n, g.f, s.np, s.nn, s.tp, s.tn, s.a, s.b,
+                           1.0e0/(1.0e0 + exp(-(s.a*g.f + s.b))) AS p,
+                           CASE WHEN g.y THEN s.tp ELSE s.tn END AS t
+                         FROM grain g, $prev s)
+                   GROUP BY 1,2,3,4,5,6),
+           s$k AS (SELECT np, nn, tp, tn,
+                     (round((CASE WHEN abs(haa*hbb - hab*hab) >= 1e-12
+                        THEN a - (hbb*ga - hab*gb)/(haa*hbb - hab*hab)
+                        ELSE a END)*1e4)/1e4 + 0.0e0) AS a,
+                     (round((CASE WHEN abs(haa*hbb - hab*hab) >= 1e-12
+                        THEN b - (haa*gb - hab*ga)/(haa*hbb - hab*hab)
+                        ELSE b END)*1e4)/1e4 + 0.0e0) AS b
+                   FROM m$k)"""
+    }
+    s"""WITH scored AS (SELECT
+             (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS f,
+             (l_returnflag = 'R') AS y
+           FROM lineitem),
+           grain AS (SELECT f, y, CAST(count(*) AS DOUBLE) n
+                     FROM scored GROUP BY 1,2),
+           cls AS (SELECT sum(CASE WHEN y THEN n ELSE 0.0e0 END) np,
+                          sum(CASE WHEN NOT y THEN n ELSE 0.0e0 END) nn
+                   FROM grain),
+           s0 AS (SELECT np, nn, (np + 1.0e0)/(np + 2.0e0) tp,
+                    1.0e0/(nn + 2.0e0) tn, 0.0e0 a, 0.0e0 b
+                  FROM cls)${(1 to 3).map(step).mkString}
+         SELECT a AS platt_a, b AS platt_b,
+                CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+                (round(tp*1e4)/1e4 + 0.0e0) AS t_pos,
+                (round(tn*1e4)/1e4 + 0.0e0) AS t_neg
+         FROM s3"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q220_platt" -> plattSql,
     "q01_clean_filter" ->
       """SELECT l_returnflag, count(*) AS n_rows, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem WHERE l_quantity > 0

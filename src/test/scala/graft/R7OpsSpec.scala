@@ -111,6 +111,28 @@ class R7OpsSpec extends SparkSpec {
     }
   }
 
+  test("Platt: fit orients with the labels, smooths targets, calibrates monotonically") {
+    import graft.operators.Platt
+    val rows = Seq((1.0, false), (2.0, false), (2.5, false),
+      (3.0, true), (3.5, true), (4.0, true))
+    val out = Platt.fit(rows.toDF("f", "y"), col("f"), col("y"), iters = 3)
+      .select("platt_a", "platt_b", "n_pos", "n_neg", "t_pos", "t_neg")
+      .as[(Double, Double, Long, Long, Double, Double)].head()
+    assert(out._3 == 3L && out._4 == 3L)
+    // Platt smoothing: t+ = (3+1)/(3+2), t− = 1/(3+2)
+    assert(out._5 == 0.8 && out._6 == 0.2)
+    // positives concentrate at high scores → positive slope
+    assert(out._1 > 0.0, s"a=${out._1}")
+    // calibrated probabilities: in (0,1), monotone in the score, and
+    // separating the classes on this data
+    val probs = Seq(1.0, 2.5, 4.0).toDF("f")
+      .select(Platt.calibrate(col("f"), lit(out._1), lit(out._2)).as("p"))
+      .as[Double].collect().toSeq
+    assert(probs.forall(p => p > 0.0 && p < 1.0))
+    assert(probs == probs.sorted)
+    assert(probs.head < 0.5 && probs.last > 0.5, probs.toString)
+  }
+
   test("plausibility: leaky + constant + shifted submission scores risk 1.0, healthy scores 0") {
     import graft.io.SubmissionValidator
     def frames(qty: Seq[Long], actual: Seq[Double], hist: Seq[Double]) = {
