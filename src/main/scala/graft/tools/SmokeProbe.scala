@@ -82,6 +82,29 @@ object SmokeProbe {
     graft.sim.Similarity.ivfPortableTopK(emb, probeQs, k = 3, dim = 64,
       nlist = 4, nprobe = 2, iters = 1).show(6, truncate = false)
 
+    println("== round-7 ops: AR(2), isotonic, Platt, seasonal Theta, plausibility ==")
+    val weekly = graft.etl.Enrichment.weeklyAggregate(li, col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+    graft.seq.Ar.fitted(weekly, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum")
+      .orderBy("l_partkey", "l_suppkey", "week_start").show(5, truncate = false)
+    graft.seq.Ar.forecast(weekly, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = 3)
+      .orderBy("l_partkey", "l_suppkey", "step").show(6, truncate = false)
+    val scored = li.withColumn("pred", graft.functions.Funcs.r(
+      avg(col("l_quantity")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"), col("l_suppkey")))))
+    graft.operators.Isotonic.calibrationMap(scored, Seq("l_returnflag"),
+      col("pred"), col("l_quantity"),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity")), nBins = 5)
+      .orderBy("l_returnflag", "bin").show(6, truncate = false)
+    graft.operators.Platt.fit(scored, col("pred"),
+      col("l_returnflag") === "R").show(truncate = false)
+    graft.seq.Theta.fittedSeasonal(weekly, Seq("l_partkey", "l_suppkey"),
+      Seq(col("week_start")), "qty_sum", month(col("week_start")), alpha = 0.3)
+      .orderBy("l_partkey", "l_suppkey", "week_start").show(5, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
