@@ -35,10 +35,15 @@ object Platt {
   def fit(df: DataFrame, score: Column, label: Column,
           iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one Newton step")
+    // Eager-checkpoint the collapsed grain (the lloydCentroids recipe):
+    // every Newton step and the class-count aggregate reuse it, so the
+    // fact is scanned ONCE instead of iters+1 times. The grain itself
+    // is bounded by score resolution (pre-rounded scores), not rows.
     val grain = df
       .select(score.cast("double").as("__f"), label.cast("boolean").as("__y"))
       .groupBy(col("__f"), col("__y"))
       .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint(true)
     val classes = grain.agg(
       sum(when(col("__y"), col("__n")).otherwise(0.0)).as("__np"),
       sum(when(!col("__y"), col("__n")).otherwise(0.0)).as("__nn"))
