@@ -288,6 +288,25 @@ class PlanSpec extends SparkSpec {
     assert(!approx.contains(" percentile("), approx)
   }
 
+  test("AR(2) fit: lag window, sums aggregate and coefficient join-back stay on the series grain") {
+    val plan = SparkEntry.queries("q214_ar2")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // weekly grain + series window + 9-sum aggregate + join-back: no
+    // single-partition stage, no sort-merge join (coefs broadcast)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 4, plan)
+  }
+
+  test("Platt fit: the fact is collapsed once; Newton steps reuse the checkpointed grain") {
+    val plan = SparkEntry.queries("q220_platt")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the grain is an eager local checkpoint — the executed plan holds
+    // NO parquet scan and only the grain-sized aggregates
+    assert(!plan.contains("Scan parquet"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan)
+  }
+
   test("quantile norm: fact-sized reference ranks via range partitions, no global sort or forced broadcast") {
     val plan = SparkEntry.queries("q194_quantile_norm")(spark, dir)
       .queryExecution.executedPlan.toString
