@@ -523,6 +523,26 @@ object SparkEntry {
       graft.io.SubmissionValidator.plausibilityReport(grid, actuals,
         col("actual"), weekly, col("qty_sum"))
     }),
+    // temperature scaling: 1-param logit rescale, 3 fixed Newton steps
+    // on the mean-centered score
+    "q221_temperature" -> ((s, d) => {
+      val base = li(s, d).withColumn("pred", r(avg(col("l_quantity"))
+        .over(Window.partitionBy(col("l_partkey"), col("l_suppkey")))))
+      val mean = base.agg(avg(col("pred")).as("__mp"))
+      val t = base.crossJoin(broadcast(mean))
+        .withColumn("z", r(col("pred") - col("__mp")))
+      graft.operators.Platt.fitTemperature(t, col("z"),
+        col("l_returnflag") === "R", iters = 3)
+    }),
+    // damped-trend Holt forecast: last (level, trend) per series
+    // extrapolated with literal damping sums
+    "q222_damped_holt" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.dampedHoltForecast(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
+        alpha = 0.3, beta = 0.1, phi = 0.9, h = 4)
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -1759,8 +1779,81 @@ object SparkEntry {
          FROM s3"""
   }
 
+  /** q221 oracle: the 1-parameter temperature-scaling Newton recursion,
+    * unrolled like [[plattSql]]. */
+  private lazy val temperatureSql: String = {
+    def step(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s""",
+           m$k AS (SELECT np, nn, b,
+                     (round(sum(n*z*(p - t))*1e4)/1e4 + 0.0e0) g,
+                     (round(sum(n*z*z*p*(1.0e0 - p))*1e4)/1e4 + 0.0e0) h
+                   FROM (SELECT g.n, g.z, s.np, s.nn, s.b,
+                           1.0e0/(1.0e0 + exp(-(s.b*g.z))) AS p,
+                           CASE WHEN g.y THEN 1.0e0 ELSE 0.0e0 END AS t
+                         FROM grain g, $prev s)
+                   GROUP BY 1,2,3),
+           s$k AS (SELECT np, nn,
+                     (round((CASE WHEN h >= 1e-12 THEN b - g/h ELSE b END)*1e4)/1e4 + 0.0e0) AS b
+                   FROM m$k)"""
+    }
+    s"""WITH scored AS (SELECT
+             (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS pred,
+             (l_returnflag = 'R') AS y
+           FROM lineitem),
+           mp AS (SELECT avg(pred) m FROM scored),
+           zt AS (SELECT (round((pred - m)*1e4)/1e4 + 0.0e0) AS z, y
+                  FROM scored, mp),
+           grain AS (SELECT z, y, CAST(count(*) AS DOUBLE) n FROM zt GROUP BY 1,2),
+           cls AS (SELECT sum(CASE WHEN y THEN n ELSE 0.0e0 END) np,
+                          sum(CASE WHEN NOT y THEN n ELSE 0.0e0 END) nn
+                   FROM grain),
+           s0 AS (SELECT np, nn, 1.0e0 b FROM cls)${(1 to 3).map(step).mkString}
+         SELECT b AS temp_beta,
+                (round((1.0e0/b)*1e4)/1e4 + 0.0e0) AS temp_t,
+                CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         FROM s3"""
+  }
+
+  /** q222 oracle: the q74 Holt recursion picks each series' last
+    * state; the damping sums embed as the SAME driver-computed
+    * literals the engine multiplies (no cross-engine pow()). */
+  private lazy val dampedHoltSql: String = {
+    val damps = graft.seq.SequentialKernels.dampSums(0.9, 4).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST($d AS DOUBLE))" }.mkString(", ")
+    s"""WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn, q,
+               q AS lvl, CAST(NULL AS DOUBLE) AS tr, q AS lastx
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.q,
+               0.3e0*t.q + (1e0-0.3e0)*e.lvl,
+               CASE WHEN e.tr IS NULL THEN t.q - e.lastx
+                    ELSE 0.1e0*(t.q - e.lastx) + (1e0-0.1e0)*e.tr END,
+               t.q
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT l_partkey, l_suppkey,
+                      (round(lvl*1e4)/1e4 + 0.0e0) l,
+                      (round(tr*1e4)/1e4 + 0.0e0) b
+                    FROM (SELECT e.*, row_number() OVER (PARTITION BY
+                            l_partkey, l_suppkey ORDER BY rn DESC) rd FROM e)
+                    WHERE rd = 1 AND tr IS NOT NULL)
+         SELECT l_partkey, l_suppkey, CAST(d.step AS BIGINT) AS step,
+                (round((l + b*d.damp)*1e4)/1e4 + 0.0e0) AS holt_forecast
+         FROM last, (VALUES $damps) d(step, damp)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q220_platt" -> plattSql,
+    "q221_temperature" -> temperatureSql,
+    "q222_damped_holt" -> dampedHoltSql,
     "q01_clean_filter" ->
       """SELECT l_returnflag, count(*) AS n_rows, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem WHERE l_quantity > 0

@@ -90,4 +90,44 @@ object Platt {
   /** Apply a fit: calibrated probability σ(a·f + b). */
   def calibrate(score: Column, a: Column, b: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-(a * score + b)))
+
+  /** Temperature scaling — the 1-parameter sibling (reference:
+    * model_calibration.py TemperatureScaling): p = σ(β·z) with
+    * β = 1/T, fit by the same fixed-Newton recipe on hard 0/1 targets
+    * (temperature scaling does not smooth — it only rescales an
+    * existing logit). g = Σn·z·(p−t), h = Σn·z²·p·(1−p), β ← β − g/h,
+    * β₀ = 1 (T = 1, the identity). Same single-fact-scan grain
+    * checkpoint and rounded-state determinism as [[fit]] (oracle
+    * q221). */
+  def fitTemperature(df: DataFrame, logit: Column, label: Column,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one Newton step")
+    val grain = df
+      .select(logit.cast("double").as("__z"), label.cast("boolean").as("__y"))
+      .groupBy(col("__z"), col("__y"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint(true)
+    val state0 = grain.agg(
+      sum(when(col("__y"), col("__n")).otherwise(0.0)).as("__np"),
+      sum(when(!col("__y"), col("__n")).otherwise(0.0)).as("__nn"))
+      .withColumn("temp_beta", lit(1.0))
+    val fitted = (1 to iters).foldLeft(state0) { (state, _) =>
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("temp_beta") * col("__z"))))
+      val t = when(col("__y"), lit(1.0)).otherwise(lit(0.0))
+      grain.crossJoin(broadcast(state))
+        .select(col("__n"), col("__z"), col("__np"), col("__nn"),
+          col("temp_beta"), p.as("__p"), t.as("__t"))
+        .groupBy(col("__np"), col("__nn"), col("temp_beta"))
+        .agg(
+          r(sum(col("__n") * col("__z") * (col("__p") - col("__t")))).as("__g"),
+          r(sum(col("__n") * col("__z") * col("__z") * col("__p") * (lit(1.0) - col("__p")))).as("__h"))
+        .select(col("__np"), col("__nn"),
+          r(when(col("__h") >= 1e-12,
+            col("temp_beta") - col("__g") / col("__h"))
+            .otherwise(col("temp_beta"))).as("temp_beta"))
+    }
+    fitted.select(col("temp_beta"),
+      r(lit(1.0) / col("temp_beta")).as("temp_t"),
+      col("__np").cast("long").as("n_pos"), col("__nn").cast("long").as("n_neg"))
+  }
 }

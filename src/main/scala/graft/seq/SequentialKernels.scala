@@ -243,6 +243,49 @@ object SequentialKernels {
     }
   }
 
+  /** W10+ — damped-trend Holt forecast: from each series' LAST
+    * (level, trend) state, the h-step-ahead point forecast
+    *   f_{n+s} = l_n + b_n · Σ_{i=1..s} φⁱ
+    * (Gardner–McKenzie damping; φ = 1 is plain Holt, φ < 1 flattens
+    * the trend toward l + b·φ/(1−φ)). The damping sums are DRIVER-SIDE
+    * constants embedded as literals — both engines multiply the same
+    * doubles, so there is no cross-engine pow() to reconcile — and the
+    * last state is rounded before extrapolation (oracle q222: the q74
+    * recursive CTE picks the last row, then pure literal arithmetic).
+    * One output row per (series, step); series of length 1 (no trend
+    * yet) are dropped. */
+  def dampedHoltForecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                         valueCol: String, alpha: Double, beta: Double,
+                         phi: Double, h: Int): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1, "horizon must be at least 1")
+    require(phi > 0 && phi <= 1, "damping must be in (0, 1]")
+    val key = keyCols.map(col)
+    val holt = withHolt(df, keyCols, ordCols, valueCol, alpha, beta)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key: _*).orderBy(ordCols.map(_.desc): _*)
+    val last = holt
+      .withColumn("__rd", row_number().over(w)).filter(col("__rd") === 1)
+      .filter(col("holt_trend").isNotNull)
+      .select(key ++ Seq(r(col("holt_level")).as("__l"),
+        r(col("holt_trend")).as("__b")): _*)
+    val steps = dampSums(phi, h).zipWithIndex.map { case (d, i) =>
+      struct(lit(i + 1L).as("step"),
+        r(col("__l") + col("__b") * lit(d)).as("holt_forecast"))
+    }
+    last.select(key :+ explode(array(steps: _*)).as("__s"): _*)
+      .select(key ++ Seq(col("__s.step"), col("__s.holt_forecast")): _*)
+  }
+
+  /** Cumulative damping factors Σ_{i=1..s} φⁱ for s = 1..h, computed by
+    * exact iterative multiplication (shared with the oracle builder so
+    * both engines embed bit-identical literals). */
+  def dampSums(phi: Double, h: Int): Seq[Double] = {
+    var p = 1.0
+    var acc = 0.0
+    (1 to h).map { _ => p *= phi; acc += p; acc }
+  }
+
   /** Two-sided CUSUM change detection over a pre-centered deviation
     * column (value − target):
     *   pos_t = max(0, pos_{t−1} + d_t − slack)

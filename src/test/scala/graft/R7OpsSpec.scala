@@ -133,6 +133,38 @@ class R7OpsSpec extends SparkSpec {
     assert(probs.head < 0.5 && probs.last > 0.5, probs.toString)
   }
 
+  test("temperature scaling sharpens separable logits; T = 1/beta") {
+    import graft.operators.Platt
+    val rows = Seq((-1.0, false), (-1.0, false), (1.0, true), (1.0, true))
+    val out = Platt.fitTemperature(rows.toDF("z", "y"), col("z"), col("y"))
+      .select("temp_beta", "temp_t", "n_pos", "n_neg")
+      .as[(Double, Double, Long, Long)].head()
+    assert(out._3 == 2L && out._4 == 2L)
+    // perfectly separable, hard targets → each Newton step sharpens
+    assert(out._1 > 1.0, s"beta=${out._1}")
+    assert(out._2 > 0.0 && out._2 < 1.0, s"T=${out._2}")
+  }
+
+  test("damped Holt forecast extrapolates the last state with damped trend sums") {
+    import graft.seq.SequentialKernels
+    val df = Seq(("a", 1, 10.0), ("a", 2, 12.0)).toDF("k", "t", "v")
+    // state after obs 2: level 10.6, trend 2 (first difference)
+    val out = SequentialKernels.dampedHoltForecast(df, Seq("k"), Seq(col("t")),
+      "v", alpha = 0.3, beta = 0.1, phi = 0.9, h = 4)
+      .orderBy("step").select("step", "holt_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 12.4), (2L, 14.02), (3L, 15.478), (4L, 16.7902)))
+    // φ = 1 degenerates to plain Holt's linear extrapolation
+    val undamped = SequentialKernels.dampedHoltForecast(df, Seq("k"),
+      Seq(col("t")), "v", alpha = 0.3, beta = 0.1, phi = 1.0, h = 3)
+      .orderBy("step").select("holt_forecast").as[Double].collect().toSeq
+    assert(undamped == Seq(12.6, 14.6, 16.6))
+    // single-observation series carries no trend → no forecast rows
+    val single = Seq(("b", 1, 5.0)).toDF("k", "t", "v")
+    assert(SequentialKernels.dampedHoltForecast(single, Seq("k"),
+      Seq(col("t")), "v", 0.3, 0.1, 0.9, 2).count() == 0)
+  }
+
   test("plausibility: leaky + constant + shifted submission scores risk 1.0, healthy scores 0") {
     import graft.io.SubmissionValidator
     def frames(qty: Seq[Long], actual: Seq[Double], hist: Seq[Double]) = {
