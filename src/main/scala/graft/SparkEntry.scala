@@ -523,6 +523,33 @@ object SparkEntry {
       graft.io.SubmissionValidator.plausibilityReport(grid, actuals,
         col("actual"), weekly, col("qty_sum"))
     }),
+    // geo distance join on the derived coordinate view (F12 family —
+    // testdata carries no lat/lon, so coordinates derive from keys by
+    // integer-modulo arithmetic both engines reproduce exactly)
+    "q223_geo_distance" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") * 37 % 17000) / 100.0 - 85.0).as("s_lat"),
+        ((col("s_suppkey") * 91 % 36000) / 100.0 - 180.0).as("s_lon"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        ((col("c_custkey") * 53 % 17000) / 100.0 - 85.0).as("c_lat"),
+        ((col("c_custkey") * 29 % 36000) / 100.0 - 180.0).as("c_lon"))
+      graft.operators.Geo.withinDistance(cust, sup,
+        col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon"), maxKm = 500.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+    }),
+    // F12 exercised end-to-end: coordinate validation over a derived
+    // view that includes out-of-range points, then grid-cell density
+    "q224_geo_grid" -> ((s, d) => {
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        ((col("c_custkey") * 41 % 19000) / 100.0 - 95.0).as("lat"),
+        ((col("c_custkey") * 23 % 38000) / 100.0 - 190.0).as("lon"))
+      val valid = graft.etl.Cleaning.validCoordinates("lat", "lon")(pts)
+      val (row, colc) = graft.operators.Geo.gridCell(col("lat"), col("lon"), 10.0)
+      valid.withColumn("cell_row", row).withColumn("cell_col", colc)
+        .groupBy("cell_row", "cell_col")
+        .agg(count(lit(1)).as("n_points"),
+          r(avg(col("lat"))).as("lat_mean"), r(avg(col("lon"))).as("lon_mean"))
+    }),
     // temperature scaling: 1-param logit rescale, 3 fixed Newton steps
     // on the mean-centered score
     "q221_temperature" -> ((s, d) => {
@@ -1854,6 +1881,38 @@ object SparkEntry {
     "q220_platt" -> plattSql,
     "q221_temperature" -> temperatureSql,
     "q222_damped_holt" -> dampedHoltSql,
+    "q223_geo_distance" ->
+      """WITH s AS (SELECT s_suppkey,
+                      (s_suppkey * 37 % 17000)/100.0e0 - 85.0e0 s_lat,
+                      (s_suppkey * 91 % 36000)/100.0e0 - 180.0e0 s_lon
+                    FROM supplier),
+              c AS (SELECT c_custkey,
+                      (c_custkey * 53 % 17000)/100.0e0 - 85.0e0 c_lat,
+                      (c_custkey * 29 % 36000)/100.0e0 - 180.0e0 c_lon
+                    FROM customer),
+              d AS (SELECT c_custkey, s_suppkey,
+                      (round((2*6371.0e0*asin(sqrt(
+                         sin(radians(s_lat - c_lat)/2)*sin(radians(s_lat - c_lat)/2)
+                         + cos(radians(c_lat))*cos(radians(s_lat))
+                           *sin(radians(s_lon - c_lon)/2)*sin(radians(s_lon - c_lon)/2))))*1e4)/1e4
+                       + 0.0e0) AS dist_km
+                    FROM c, s)
+         SELECT c_custkey, s_suppkey, dist_km FROM d
+         WHERE dist_km <= 500.0e0""",
+    "q224_geo_grid" ->
+      """WITH p AS (SELECT c_custkey,
+                      (c_custkey * 41 % 19000)/100.0e0 - 95.0e0 lat,
+                      (c_custkey * 23 % 38000)/100.0e0 - 190.0e0 lon
+                    FROM customer),
+              v AS (SELECT * FROM p
+                    WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+                      AND NOT (lat = 0 AND lon = 0))
+         SELECT CAST(floor((lat + 90.0e0)/10.0e0) AS BIGINT) cell_row,
+                CAST(floor((lon + 180.0e0)/10.0e0) AS BIGINT) cell_col,
+                count(*) n_points,
+                (round(avg(lat)*1e4)/1e4 + 0.0e0) lat_mean,
+                (round(avg(lon)*1e4)/1e4 + 0.0e0) lon_mean
+         FROM v GROUP BY 1,2""",
     "q01_clean_filter" ->
       """SELECT l_returnflag, count(*) AS n_rows, (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem WHERE l_quantity > 0

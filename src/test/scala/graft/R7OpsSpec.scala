@@ -165,6 +165,37 @@ class R7OpsSpec extends SparkSpec {
       Seq(col("t")), "v", 0.3, 0.1, 0.9, 2).count() == 0)
   }
 
+  test("geo: haversine matches known distances; band-blocked join equals brute force") {
+    import graft.operators.Geo
+    // 1° of longitude at the equator ≈ 111.19 km; pole-to-pole via the
+    // meridian: 180° ≈ π·R
+    val known = Seq((0.0, 0.0, 0.0, 1.0), (90.0, 0.0, -90.0, 0.0))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(graft.functions.Funcs.r(
+        Geo.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2"))).as("d"))
+      .as[Double].collect().toSeq
+    assert(math.abs(known.head - 111.1949) < 0.01, known.toString)
+    assert(math.abs(known(1) - math.Pi * Geo.EarthRadiusKm) < 0.01)
+    // completeness: blocked join = brute-force filter on pseudo-random
+    // points, including pairs that straddle band boundaries
+    val left = (1 to 60).map { i =>
+      (i.toLong, (i * 37 % 170).toDouble - 85.0, (i * 91 % 360).toDouble - 180.0)
+    }.toDF("lid", "llat", "llon")
+    val right = (1 to 60).map { i =>
+      (i.toLong, (i * 53 % 170).toDouble - 84.7, (i * 29 % 360).toDouble - 179.5)
+    }.toDF("rid", "rlat", "rlon")
+    val blocked = Geo.withinDistance(left, right, col("llat"), col("llon"),
+      col("rlat"), col("rlon"), maxKm = 800.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .withColumn("d", graft.functions.Funcs.r(
+        Geo.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon"))))
+      .filter(col("d") <= 800.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(blocked == brute, s"${blocked.size} vs ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("plausibility: leaky + constant + shifted submission scores risk 1.0, healthy scores 0") {
     import graft.io.SubmissionValidator
     def frames(qty: Seq[Long], actual: Seq[Double], hist: Seq[Double]) = {
