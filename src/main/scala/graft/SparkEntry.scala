@@ -570,6 +570,43 @@ object SparkEntry {
         Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
         alpha = 0.3, beta = 0.1, phi = 0.9, h = 4)
     }),
+    // best single changepoint per weekly series: binary-segmentation
+    // SSE split from prefix sums, rounded-cost argmin
+    "q225_changepoint" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.operators.Changepoint.bestSplit(weekly,
+        Seq("l_partkey", "l_suppkey"), col("week_start"), "qty_sum")
+    }),
+    // leakage-safe K-fold out-of-fold target encoding (portable
+    // Lehmer fold assignment)
+    "q226_target_oof" -> ((s, d) =>
+      graft.operators.Assoc.targetEncodeOof(li(s, d), "l_returnflag",
+        col("l_orderkey") * 8 + col("l_linenumber"),
+        col("l_quantity") > 25, folds = 5, m = 10.0)),
+    // Newman modularity decomposition of the part–supplier co-purchase
+    // graph under a size/nation partition
+    "q227_modularity" -> ((s, d) => {
+      val e = li(s, d).select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val partC = Tables.part(s, d).select((col("p_partkey") * 2).as("node"),
+        (col("p_size") % 5).as("community"))
+      val supC = Tables.supplier(s, d).select(
+        (col("s_suppkey") * 2 + 1).as("node"),
+        (col("s_nationkey") % 5).as("community"))
+      graft.graph.Modularity.perCommunity(e, "src", "dst",
+        partC.unionByName(supC), "node", "community")
+    }),
+    // DBSCAN core/border/noise classification over derived coordinates
+    // (band-blocked neighbor pairs, rounded-distance gate)
+    "q228_dbscan" -> ((s, d) => {
+      val pts = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("pid"),
+          ((col("c_custkey") * 53 % 17000) / 100.0 - 85.0).as("lat"),
+          ((col("c_custkey") * 29 % 36000) / 100.0 - 180.0).as("lon"))
+      graft.operators.GeoCluster.dbscanClassify(pts, col("pid"),
+        col("lat"), col("lon"), epsKm = 300.0, minPts = 4)
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -1881,6 +1918,102 @@ object SparkEntry {
     "q220_platt" -> plattSql,
     "q221_temperature" -> temperatureSql,
     "q222_damped_holt" -> dampedHoltSql,
+    "q225_changepoint" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                           l_partkey, l_suppkey, sum(l_quantity) AS qty_sum
+                    FROM lineitem GROUP BY 1,2,3),
+              c AS (SELECT l_partkey, l_suppkey, week_start,
+                           row_number() OVER ord AS i,
+                           sum(qty_sum) OVER cum AS cs,
+                           sum(qty_sum*qty_sum) OVER cum AS css,
+                           count(*) OVER al AS n,
+                           sum(qty_sum) OVER al AS s,
+                           sum(qty_sum*qty_sum) OVER al AS ss
+                    FROM w
+                    WINDOW ord AS (PARTITION BY l_partkey, l_suppkey ORDER BY week_start),
+                           cum AS (PARTITION BY l_partkey, l_suppkey ORDER BY week_start
+                                   ROWS UNBOUNDED PRECEDING),
+                           al AS (PARTITION BY l_partkey, l_suppkey)),
+              k AS (SELECT *,
+                           (round(((css - cs*cs/i) + ((ss - css) - (s - cs)*(s - cs)/(n - i)))*1e4)/1e4
+                            + 0.0e0) AS cost
+                    FROM c WHERE i < n),
+              p AS (SELECT *, row_number() OVER
+                      (PARTITION BY l_partkey, l_suppkey ORDER BY cost, i) AS rn
+                    FROM k)
+         SELECT l_partkey, l_suppkey, week_start AS cp_at, i AS n_left, n AS n_points,
+                (round((cs/i)*1e4)/1e4 + 0.0e0) AS mean_left,
+                (round(((s - cs)/(n - i))*1e4)/1e4 + 0.0e0) AS mean_right,
+                (round((ss - s*s/n)*1e4)/1e4 + 0.0e0) AS sse_total,
+                cost AS sse_split,
+                (round(((ss - s*s/n) - cost)*1e4)/1e4 + 0.0e0) AS gain
+         FROM p WHERE rn = 1""",
+    "q226_target_oof" ->
+      """WITH f AS (SELECT l_returnflag,
+                           ((l_orderkey*8 + l_linenumber) % 2147483647) * 48271 % 2147483647
+                             * 48271 % 2147483647 * 48271 % 2147483647 % 5 AS fold,
+                           CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS pos
+                    FROM lineitem),
+              cell AS (SELECT l_returnflag, fold, count(*) AS n_fold,
+                              CAST(sum(pos) AS BIGINT) AS pos_f
+                       FROM f GROUP BY 1,2),
+              t AS (SELECT *,
+                           CAST(sum(n_fold) OVER cat AS BIGINT) AS n,
+                           CAST(sum(pos_f) OVER cat AS BIGINT) AS pos
+                    FROM cell WINDOW cat AS (PARTITION BY l_returnflag)),
+              pr AS (SELECT CAST(sum(pos_f) AS BIGINT) / CAST(sum(n_fold) AS BIGINT) AS prior
+                     FROM cell)
+         SELECT l_returnflag, fold, n_fold,
+                (round(((pos - pos_f + 10.0e0*prior) / (n - n_fold + 10.0e0))*1e4)/1e4
+                 + 0.0e0) AS enc_oof
+         FROM t, pr""",
+    "q227_modularity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2 + 1 AS dst
+                    FROM lineitem),
+              c AS (SELECT p_partkey*2 AS node, p_size % 5 AS community FROM part
+                    UNION ALL
+                    SELECT s_suppkey*2 + 1 AS node, s_nationkey % 5 AS community
+                    FROM supplier),
+              t AS (SELECT cs.community AS comm_s, cd.community AS comm_d
+                    FROM e JOIN c cs ON e.src = cs.node
+                           JOIN c cd ON e.dst = cd.node),
+              m AS (SELECT count(*) AS m FROM e),
+              deg AS (SELECT community, count(*) AS deg_sum FROM (
+                        SELECT comm_s AS community FROM t
+                        UNION ALL SELECT comm_d FROM t) u GROUP BY 1),
+              intra AS (SELECT comm_s AS community, count(*) AS intra_edges
+                        FROM t WHERE comm_s = comm_d GROUP BY 1)
+         SELECT d.community, coalesce(i.intra_edges, 0) AS intra_edges, d.deg_sum,
+                (round((coalesce(i.intra_edges, 0)/m.m
+                        - (d.deg_sum/(2.0e0*m.m))*(d.deg_sum/(2.0e0*m.m)))*1e4)/1e4
+                 + 0.0e0) AS contribution
+         FROM deg d LEFT JOIN intra i USING (community), m""",
+    "q228_dbscan" ->
+      """WITH p AS (SELECT c_custkey AS pid,
+                           (c_custkey * 53 % 17000)/100.0e0 - 85.0e0 AS p_lat,
+                           (c_custkey * 29 % 36000)/100.0e0 - 180.0e0 AS p_lon
+                    FROM customer WHERE c_custkey % 3 = 0),
+              pr AS (SELECT a.pid, b.pid AS qid,
+                            (round((2*6371.0e0*asin(sqrt(
+                               sin(radians(b.p_lat - a.p_lat)/2)*sin(radians(b.p_lat - a.p_lat)/2)
+                               + cos(radians(a.p_lat))*cos(radians(b.p_lat))
+                                 *sin(radians(b.p_lon - a.p_lon)/2)*sin(radians(b.p_lon - a.p_lon)/2))))*1e4)/1e4
+                             + 0.0e0) AS dist_km
+                     FROM p a, p b WHERE a.pid <> b.pid),
+              nb AS (SELECT pid, count(*) + 1 AS n_within_eps FROM pr
+                     WHERE dist_km <= 300.0e0 GROUP BY 1),
+              cl AS (SELECT p.pid, p.p_lat, p.p_lon,
+                            coalesce(nb.n_within_eps, 1) AS n_within_eps,
+                            coalesce(nb.n_within_eps, 1) >= 4 AS is_core
+                     FROM p LEFT JOIN nb USING (pid)),
+              nc AS (SELECT DISTINCT pr.pid FROM pr
+                     JOIN cl c2 ON pr.qid = c2.pid
+                     WHERE pr.dist_km <= 300.0e0 AND c2.is_core)
+         SELECT cl.pid, cl.p_lat, cl.p_lon, cl.n_within_eps,
+                CASE WHEN cl.is_core THEN 'core'
+                     WHEN nc.pid IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS cls
+         FROM cl LEFT JOIN nc USING (pid)""",
     "q223_geo_distance" ->
       """WITH s AS (SELECT s_suppkey,
                       (s_suppkey * 37 % 17000)/100.0e0 - 85.0e0 s_lat,

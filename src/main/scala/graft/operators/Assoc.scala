@@ -90,4 +90,40 @@ object Assoc {
         Funcs.r((col("__pos") + lit(m) * col("__prior")) / (col("n") + lit(m)))
           .as("enc"))
   }
+
+  /** Out-of-fold target encoding — the leakage-safe variant used when
+    * the encoding is consumed by the SAME training rows it was fit on
+    * (fit-on-train [[targetEncode]] covers the train/score split;
+    * this covers in-train features, the K-fold scheme of the
+    * reference's CV stack, src/models/lightgbm_master.py CV loop).
+    * A row in fold f gets the category mean computed from the OTHER
+    * folds only: `(pos − pos_f + m·prior) / (n − n_f + m)`, smoothed
+    * toward the global prior like the plain encoder.
+    *
+    * Folds are assigned by the portable Lehmer hash of `rowKey`
+    * (deterministic, engine-portable, cluster-stable) so the same row
+    * lands in the same fold in every engine and every run.
+    *
+    * Scale shape: ONE hash-aggregate to the (category, fold) grain —
+    * bounded by |cats|·K, never fact-sized — then per-category totals
+    * via a window over that tiny grain and the global prior via a
+    * broadcast 1-row join. Join the result back to the fact on
+    * (category, fold), broadcast. Returns (catCol, fold, n_fold, enc_oof). */
+  def targetEncodeOof(df: DataFrame, catCol: String, rowKey: Column,
+                      label: Column, folds: Int, m: Double): DataFrame = {
+    require(folds >= 2, "out-of-fold encoding needs at least 2 folds")
+    val perCell = df
+      .withColumn("__fold", graft.functions.PortableHash.lehmer(rowKey) % folds)
+      .groupBy(col(catCol), col("__fold"))
+      .agg(count(lit(1)).as("n_fold"), sum(label.cast("long")).as("__pos_f"))
+    val wCat = org.apache.spark.sql.expressions.Window.partitionBy(col(catCol))
+    val prior = perCell.agg((sum(col("__pos_f")) / sum(col("n_fold"))).as("__prior"))
+    perCell
+      .withColumn("__n", sum(col("n_fold")).over(wCat))
+      .withColumn("__pos", sum(col("__pos_f")).over(wCat))
+      .crossJoin(broadcast(prior))
+      .select(col(catCol), col("__fold").as("fold"), col("n_fold"),
+        Funcs.r((col("__pos") - col("__pos_f") + lit(m) * col("__prior"))
+          / (col("__n") - col("n_fold") + lit(m))).as("enc_oof"))
+  }
 }

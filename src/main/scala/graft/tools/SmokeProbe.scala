@@ -105,6 +105,28 @@ object SmokeProbe {
       Seq(col("week_start")), "qty_sum", month(col("week_start")), alpha = 0.3)
       .orderBy("l_partkey", "l_suppkey", "week_start").show(5, truncate = false)
 
+    println("== round-7 batch-2: changepoint, OOF encoding, modularity, dbscan ==")
+    graft.operators.Changepoint.bestSplit(weekly,
+      Seq("l_partkey", "l_suppkey"), col("week_start"), "qty_sum")
+      .orderBy(desc("gain")).show(5, truncate = false)
+    graft.operators.Assoc.targetEncodeOof(li, "l_returnflag",
+      col("l_orderkey") * 8 + col("l_linenumber"), col("l_quantity") > 25,
+      folds = 5, m = 10.0).orderBy("l_returnflag", "fold").show(6, truncate = false)
+    val commMap = graft.core.Tables.part(spark, dir)
+      .select((col("p_partkey") * 2).as("node"), (col("p_size") % 5).as("community"))
+      .unionByName(graft.core.Tables.supplier(spark, dir).select(
+        (col("s_suppkey") * 2 + 1).as("node"), (col("s_nationkey") % 5).as("community")))
+    graft.graph.Modularity.perCommunity(bip, "src", "dst",
+      commMap, "node", "community").orderBy("community").show(truncate = false)
+    val geoPts = graft.core.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("pid"),
+        ((col("c_custkey") * 53 % 17000) / 100.0 - 85.0).as("lat"),
+        ((col("c_custkey") * 29 % 36000) / 100.0 - 180.0).as("lon"))
+    graft.operators.GeoCluster.dbscanClassify(geoPts, col("pid"),
+      col("lat"), col("lon"), epsKm = 300.0, minPts = 4)
+      .groupBy("cls").agg(count(lit(1)).as("n")).show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Changepoint, GeoCluster}
+import graft.graph.Modularity
+
+/** Round-7 batch-2 operator contracts: changepoint, out-of-fold target
+  * encoding, modularity, DBSCAN classification. */
+class R7OpsBatch2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("changepoint: clean step series splits at the step with full gain") {
+    val df = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val out = Changepoint.bestSplit(df, Seq("k"), col("t"), "v")
+      .select("cp_at", "n_left", "mean_left", "mean_right",
+        "sse_total", "sse_split", "gain")
+      .as[(Int, Long, Double, Double, Double, Double, Double)].head()
+    // split after t=3; SSE with no split = Σv² − (Σv)²/n = 246 − 900/6 = 96
+    assert(out == ((3, 3L, 1.0, 9.0, 96.0, 0.0, 96.0)))
+  }
+
+  test("changepoint: constant series ties break to the earliest position") {
+    val df = Seq.fill(5)(4.0).zipWithIndex
+      .map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val out = Changepoint.bestSplit(df, Seq("k"), col("t"), "v")
+      .select("cp_at", "gain").as[(Int, Double)].head()
+    assert(out == ((1, 0.0)))
+  }
+
+  test("out-of-fold encoding excludes the row's own fold from its mean") {
+    // category "a": rows keyed 1..40, label = 1 for even keys
+    val rows = (1L to 40L).map(k => ("a", k, k % 2 == 0))
+    val df = rows.toDF("cat", "k", "y")
+    val out = graft.operators.Assoc
+      .targetEncodeOof(df, "cat", col("k"), col("y"), folds = 4, m = 2.0)
+      .select("fold", "n_fold", "enc_oof")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // driver-side twin: same folds, same closed form
+    val folds = rows.groupBy { case (_, k, _) =>
+      graft.functions.PortableHash.lehmerLong(k) % 4 }
+    val n = 40.0
+    val pos = rows.count(_._3).toDouble
+    val prior = pos / n
+    val expected = out.map { case (f, _, _) =>
+      val in = folds(f)
+      val nf = in.size
+      val pf = in.count(_._3)
+      (f, nf.toLong,
+        math.round((pos - pf + 2.0 * prior) / (n - nf + 2.0) * 1e4) / 1e4)
+    }
+    assert(out == expected)
+    assert(out.map(_._2).sum == 40L)
+  }
+
+  // two triangles (1,2,3) and (4,5,6) bridged by edge 3–4
+  private def bridgedTriangles = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+
+  test("modularity: bridged triangles under the natural partition") {
+    val e = bridgedTriangles.toDF("src", "dst")
+    val comm = (1L to 6L).map(nd => (nd, if (nd <= 3) "t1" else "t2"))
+      .toDF("node", "community")
+    val out = Modularity.perCommunity(e, "src", "dst", comm, "node", "community")
+      .select("community", "intra_edges", "deg_sum", "contribution")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // m=7; each triangle: intra 3, degree mass 7 → 3/7 − (7/14)² ≈ 0.1786
+    assert(out == Seq(("t1", 3L, 7L, 0.1786), ("t2", 3L, 7L, 0.1786)))
+  }
+
+  test("modularity: the all-in-one partition scores exactly zero") {
+    val e = bridgedTriangles.toDF("src", "dst")
+    val comm = (1L to 6L).map((_, "all")).toDF("node", "community")
+    val out = Modularity.perCommunity(e, "src", "dst", comm, "node", "community")
+      .select("intra_edges", "deg_sum", "contribution")
+      .as[(Long, Long, Double)].head()
+    assert(out == ((7L, 14L, 0.0)))
+  }
+
+  test("dbscan classification: hand-built core / border / noise geometry") {
+    // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
+    // within eps of exactly one core point, and a far-away point
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 0.1), (3L, 0.1, 0.0), (4L, 0.1, 0.1),
+      (5L, 0.0, 0.27), (6L, 50.0, 50.0)).toDF("id", "lat", "lon")
+    val out = GeoCluster.dbscanClassify(pts, col("id"), col("lat"), col("lon"),
+        epsKm = 20.0, minPts = 4)
+      .select("pid", "n_within_eps", "cls")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(x => x._1 -> x._3) == Seq(1L -> "core", 2L -> "core",
+      3L -> "core", 4L -> "core", 5L -> "border", 6L -> "noise"))
+    // the satellite sees itself + one clique member; the far point only itself
+    assert(out(4)._2 == 2L)
+    assert(out(5)._2 == 1L)
+  }
+}
