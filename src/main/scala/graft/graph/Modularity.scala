@@ -42,17 +42,24 @@ object Modularity {
         col(src) === col("__node"), "inner").drop("__node")
       .join(comm.withColumnRenamed("__comm", "__cd"),
         col(dst) === col("__node"), "inner").drop("__node")
-    val m = edges.agg(count(lit(1)).as("__m"))
-    // each undirected edge contributes 1 to the degree of BOTH endpoints
-    val degByComm = tagged
-      .select(explode(array(col("__cs"), col("__cd"))).as("community"))
-      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
-    val intraByComm = tagged.filter(col("__cs") === col("__cd"))
-      .groupBy(col("__cs").as("community"))
-      .agg(count(lit(1)).as("intra_edges"))
-    degByComm
-      .join(intraByComm, Seq("community"), "left")
-      .na.fill(0L, Seq("intra_edges"))
+    // ONE pass over the tagged edges: each edge explodes to its two
+    // endpoint communities (degree mass), carrying the intra increment
+    // on the src half only so an intra edge still counts once. The
+    // edge mass m falls out of the community grain (Σdeg/2) via a
+    // broadcast 1-row join — the edge list is scanned exactly once.
+    val perComm = tagged
+      .select(explode(array(
+        struct(col("__cs").as("community"),
+          when(col("__cs") === col("__cd"), lit(1L)).otherwise(lit(0L))
+            .as("__intra")),
+        struct(col("__cd").as("community"), lit(0L).as("__intra"))))
+        .as("__e"))
+      .select(col("__e.community").as("community"), col("__e.__intra").as("__intra"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("deg_sum"), sum(col("__intra")).as("intra_edges"))
+      .localCheckpoint(true) // community grain — pins the single edge pass
+    val m = perComm.agg((sum(col("deg_sum")) / lit(2)).cast("long").as("__m"))
+    perComm
       .crossJoin(broadcast(m))
       .select(col("community"), col("intra_edges"), col("deg_sum"),
         r(col("intra_edges") / col("__m") -

@@ -112,10 +112,13 @@ object Assoc {
   def targetEncodeOof(df: DataFrame, catCol: String, rowKey: Column,
                       label: Column, folds: Int, m: Double): DataFrame = {
     require(folds >= 2, "out-of-fold encoding needs at least 2 folds")
+    // |cats|·K rows; checkpointing pins the grain so the prior and the
+    // per-category window both read it — ONE scan of the fact, not two
     val perCell = df
       .withColumn("__fold", graft.functions.PortableHash.lehmer(rowKey) % folds)
       .groupBy(col(catCol), col("__fold"))
       .agg(count(lit(1)).as("n_fold"), sum(label.cast("long")).as("__pos_f"))
+      .localCheckpoint(true)
     val wCat = org.apache.spark.sql.expressions.Window.partitionBy(col(catCol))
     val prior = perCell.agg((sum(col("__pos_f")) / sum(col("n_fold"))).as("__prior"))
     perCell

@@ -32,11 +32,16 @@ object GeoCluster {
     val left = pts.select(id.as("pid"), lat.as("p_lat"), lon.as("p_lon"))
     val right = pts.select(id.as("qid"), lat.as("q_lat"), lon.as("q_lon"))
     // neighbor pairs excluding self; the rounded haversine gate makes
-    // the ≤ eps decision identical in every engine
+    // the ≤ eps decision identical in every engine. The pair list
+    // feeds BOTH the count and the near-core semi-join, and at scale
+    // it dwarfs the point set — persist spill-to-disk for the reuse
+    // (the [[graft.text.Dedup]] signature-table rationale), release
+    // after the bounded point-grain result is pinned.
     val pairs = Geo.withinDistance(left, right,
         col("p_lat"), col("p_lon"), col("q_lat"), col("q_lon"), epsKm)
       .filter(col("pid") =!= col("qid"))
       .select(col("pid"), col("qid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = pairs.groupBy(col("pid"))
       .agg((count(lit(1)) + lit(1L)).as("n_within_eps"))
     val classified = left
@@ -46,11 +51,14 @@ object GeoCluster {
     val coreIds = classified.filter(col("is_core")).select(col("pid").as("qid"))
     val nearCore = pairs.join(coreIds, Seq("qid"), "left_semi")
       .select(col("pid")).distinct().withColumn("__near_core", lit(true))
-    classified
+    val out = classified
       .join(nearCore, Seq("pid"), "left")
       .select(col("pid"), col("p_lat"), col("p_lon"), col("n_within_eps"),
         when(col("is_core"), lit("core"))
           .when(coalesce(col("__near_core"), lit(false)), lit("border"))
           .otherwise(lit("noise")).as("cls"))
+      .localCheckpoint(true) // point grain — lets the pair cache go
+    pairs.unpersist(blocking = false)
+    out
   }
 }

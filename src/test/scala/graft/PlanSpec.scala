@@ -317,4 +317,34 @@ class PlanSpec extends SparkSpec {
     // partition spec (the old one-partition global row_number)
     assert(!plan.contains("windowspecdefinition(__rv"), plan)
   }
+
+  test("changepoint: one scan; prefix, totals and the argmin pick share the series-key exchange") {
+    val plan = SparkEntry.queries("q225_changepoint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("OOF encoding: the fact collapses once — prior and category window read the checkpointed grain") {
+    val plan = SparkEntry.queries("q226_target_oof")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("modularity: one edge pass — community grain checkpointed, the edge mass broadcasts back") {
+    val plan = SparkEntry.queries("q227_modularity")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("dbscan classification: the point-grain result is pinned — the pair join never re-runs") {
+    val plan = SparkEntry.queries("q228_dbscan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
