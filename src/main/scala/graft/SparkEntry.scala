@@ -607,6 +607,33 @@ object SparkEntry {
       graft.operators.GeoCluster.dbscanClassify(pts, col("pid"),
         col("lat"), col("lon"), epsKm = 300.0, minPts = 4)
     }),
+    // per-node triangles + local clustering coefficient over the
+    // co-supplier graph (suppliers sharing a part, thinned 100x)
+    "q229_clustering_coeff" -> ((s, d) => {
+      val e = graft.graph.Triangles.coOccurrenceEdges(
+        li(s, d).filter(col("l_partkey") % 100 === 0), "l_partkey", "l_suppkey")
+      graft.graph.Triangles.clusteringCoefficient(e)
+    }),
+    // nearest supplier within 1000km per customer (derived coords,
+    // deterministic (dist, suppkey) tie-break)
+    "q230_geo_nearest" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        ((col("s_suppkey") * 37 % 17000) / 100.0 - 85.0).as("s_lat"),
+        ((col("s_suppkey") * 91 % 36000) / 100.0 - 180.0).as("s_lon"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        ((col("c_custkey") * 53 % 17000) / 100.0 - 85.0).as("c_lat"),
+        ((col("c_custkey") * 29 % 36000) / 100.0 - 180.0).as("c_lon"))
+      graft.operators.Geo.nearestWithin(cust, sup, col("c_custkey"),
+        col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon"),
+        maxKm = 1000.0, rightTie = col("s_suppkey"))
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+    }),
+    // degree assortativity of the part-supplier bipartite graph
+    "q231_assortativity" -> ((s, d) => {
+      val e = li(s, d).select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      graft.graph.Assortativity.degreeAssortativity(e, "src", "dst")
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2014,6 +2041,69 @@ object SparkEntry {
                      WHEN nc.pid IS NOT NULL THEN 'border'
                      ELSE 'noise' END AS cls
          FROM cl LEFT JOIN nc USING (pid)""",
+    "q229_clustering_coeff" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                     WHERE l_partkey % 100 = 0),
+              e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                    FROM ps a JOIN ps b
+                    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+              deg AS (SELECT node, count(*) AS deg FROM (
+                        SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+                      GROUP BY 1),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+              tn AS (SELECT node, count(*) AS n_triangles FROM (
+                       SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri) u GROUP BY 1)
+         SELECT d.node, d.deg, coalesce(tn.n_triangles, 0) AS n_triangles,
+                (round((CASE WHEN d.deg >= 2
+                             THEN 2.0e0 * coalesce(tn.n_triangles, 0)
+                                  / (d.deg * (d.deg - 1))
+                             ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS clustering_coeff
+         FROM deg d LEFT JOIN tn USING (node)""",
+    "q230_geo_nearest" ->
+      """WITH s AS (SELECT s_suppkey,
+                      (s_suppkey * 37 % 17000)/100.0e0 - 85.0e0 s_lat,
+                      (s_suppkey * 91 % 36000)/100.0e0 - 180.0e0 s_lon
+                    FROM supplier),
+              c AS (SELECT c_custkey,
+                      (c_custkey * 53 % 17000)/100.0e0 - 85.0e0 c_lat,
+                      (c_custkey * 29 % 36000)/100.0e0 - 180.0e0 c_lon
+                    FROM customer),
+              d AS (SELECT c_custkey, s_suppkey,
+                      (round((2*6371.0e0*asin(sqrt(
+                         sin(radians(s_lat - c_lat)/2)*sin(radians(s_lat - c_lat)/2)
+                         + cos(radians(c_lat))*cos(radians(s_lat))
+                           *sin(radians(s_lon - c_lon)/2)*sin(radians(s_lon - c_lon)/2))))*1e4)/1e4
+                       + 0.0e0) AS dist_km
+                    FROM c, s),
+              k AS (SELECT *, row_number() OVER
+                      (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rn
+                    FROM d WHERE dist_km <= 1000.0e0)
+         SELECT c_custkey, s_suppkey, dist_km FROM k WHERE rn = 1""",
+    "q231_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2 + 1 AS dst
+                    FROM lineitem),
+              sym AS (SELECT src AS a, dst AS b FROM e
+                      UNION ALL SELECT dst AS a, src AS b FROM e),
+              deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+              xy AS (SELECT da.deg AS dx, db.deg AS dy
+                     FROM sym JOIN deg da ON sym.a = da.node
+                              JOIN deg db ON sym.b = db.node),
+              st AS (SELECT count(*) AS n,
+                            CAST(sum(dx) AS BIGINT) AS sx,
+                            CAST(sum(dy) AS BIGINT) AS sy,
+                            CAST(sum(dx*dy) AS BIGINT) AS sxy,
+                            CAST(sum(dx*dx) AS BIGINT) AS sxx,
+                            CAST(sum(dy*dy) AS BIGINT) AS syy
+                     FROM xy)
+         SELECT n AS n_directed_edges,
+                (round(((n*sxy - sx*sy) /
+                        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*1e4)/1e4
+                 + 0.0e0) AS assortativity
+         FROM st""",
     "q223_geo_distance" ->
       """WITH s AS (SELECT s_suppkey,
                       (s_suppkey * 37 % 17000)/100.0e0 - 85.0e0 s_lat,

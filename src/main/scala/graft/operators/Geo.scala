@@ -50,6 +50,25 @@ object Geo {
     (floor((lat + 90.0) / resDeg).cast("long"),
       floor((lon + 180.0) / resDeg).cast("long"))
 
+  /** Nearest right-side row within `maxKm` of each left row — the
+    * nearest-store assignment over the same provably-complete
+    * latitude-band candidates as [[withinDistance]]. The argmin is a
+    * `row_number` over (rounded distance, `rightTie`) partitioned by
+    * `leftKey`, so equidistant candidates resolve deterministically in
+    * every engine. Left rows with nothing in range drop (inner
+    * semantics — compose with a left anti-join for the unmatched set). */
+  def nearestWithin(left: DataFrame, right: DataFrame, leftKey: Column,
+                    leftLat: Column, leftLon: Column,
+                    rightLat: Column, rightLon: Column,
+                    maxKm: Double, rightTie: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(leftKey).orderBy(col("dist_km"), rightTie)
+    withinDistance(left, right, leftLat, leftLon, rightLat, rightLon, maxKm)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** All (left, right) pairs within `maxKm` great-circle km.
     * Candidates come from a latitude-band equi-join (band width
     * maxKm/100 degrees; right side fans out to its ±1 neighborhood),

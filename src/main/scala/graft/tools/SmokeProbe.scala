@@ -127,6 +127,20 @@ object SmokeProbe {
       col("lat"), col("lon"), epsKm = 300.0, minPts = 4)
       .groupBy("cls").agg(count(lit(1)).as("n")).show(truncate = false)
 
+    println("== round-7 batch-3: clustering coeff, nearest-geo, assortativity ==")
+    graft.graph.Triangles.clusteringCoefficient(
+      graft.graph.Triangles.coOccurrenceEdges(
+        li.filter(col("l_partkey") % 100 === 0), "l_partkey", "l_suppkey"))
+      .orderBy("node").show(5, truncate = false)
+    graft.operators.Geo.nearestWithin(
+      geoPts.select(col("pid").as("ck"), col("lat").as("c_la"), col("lon").as("c_lo")),
+      geoPts.select(col("pid").as("sk"), col("lat").as("s_la"), col("lon").as("s_lo"))
+        .filter(col("sk") % 2 === 0),
+      col("ck"), col("c_la"), col("c_lo"), col("s_la"), col("s_lo"),
+      maxKm = 2000.0, rightTie = col("sk")).orderBy("ck").show(5, truncate = false)
+    graft.graph.Assortativity.degreeAssortativity(bip, "src", "dst")
+      .show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -77,6 +77,58 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(out == ((7L, 14L, 0.0)))
   }
 
+  test("clustering coefficient: bridge endpoints dilute, pure triangle corners saturate") {
+    val e = bridgedTriangles.toDF("u", "v")
+    val out = graft.graph.Triangles.clusteringCoefficient(e)
+      .select("node", "deg", "n_triangles", "clustering_coeff")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // bridge endpoints 3 and 4: deg 3, one triangle → 2/(3·2) = 0.3333
+    // the other corners: deg 2, one triangle → closed neighborhood, 1.0
+    assert(out == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.3333), (4L, 3L, 1L, 0.3333),
+      (5L, 2L, 1L, 1.0), (6L, 2L, 1L, 1.0)))
+  }
+
+  test("clustering coefficient: a star has no triangles anywhere") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val out = graft.graph.Triangles.clusteringCoefficient(e)
+      .select("n_triangles", "clustering_coeff")
+      .as[(Long, Double)].collect().toSeq
+    assert(out.forall(_ == ((0L, 0.0))))
+  }
+
+  test("nearest-within: picks the closest in range, breaks exact ties on the id") {
+    val cust = Seq((1L, 0.0, 0.0), (2L, 40.0, 40.0)).toDF("ck", "c_la", "c_lo")
+    // for customer 1: s10 at ~111km, s20/s21 equidistant at ~222km;
+    // customer 2 has nothing within 500km
+    val sup = Seq((10L, 1.0, 0.0), (20L, -2.0, 0.0), (21L, 2.0, 0.0))
+      .toDF("sk", "s_la", "s_lo")
+    val out = graft.operators.Geo.nearestWithin(cust, sup, col("ck"),
+        col("c_la"), col("c_lo"), col("s_la"), col("s_lo"),
+        maxKm = 500.0, rightTie = col("sk"))
+      .select("ck", "sk").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L)))
+    val tied = graft.operators.Geo.nearestWithin(
+        cust.filter(col("ck") === 1), sup.filter(col("sk") >= 20), col("ck"),
+        col("c_la"), col("c_lo"), col("s_la"), col("s_lo"),
+        maxKm = 500.0, rightTie = col("sk"))
+      .select("ck", "sk").as[(Long, Long)].collect().toSeq
+    assert(tied == Seq((1L, 20L)))
+  }
+
+  test("assortativity: a star is perfectly disassortative, uniform components correlate fully") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = graft.graph.Assortativity.degreeAssortativity(star, "src", "dst")
+      .as[(Long, Double)].head()
+    assert(s == ((6L, -1.0)))
+    // triangle (all deg 2) + detached edge (both deg 1): degree match
+    // on every edge → +1
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L)).toDF("src", "dst")
+    val m = graft.graph.Assortativity.degreeAssortativity(mixed, "src", "dst")
+      .as[(Long, Double)].head()
+    assert(m == ((8L, 1.0)))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
