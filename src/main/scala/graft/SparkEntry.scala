@@ -634,6 +634,21 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst")).distinct()
       graft.graph.Assortativity.degreeAssortativity(e, "src", "dst")
     }),
+    // bigram PMI collocations over the document corpus (count-gated)
+    "q232_pmi" -> ((s, d) =>
+      graft.text.Collocations.pmi(Tables.documents(s, d), "text", minCount = 5)),
+    // dominant seasonal period per weekly SUPPLIER series (long series;
+    // adjusted phase-ANOVA R2 argmax over candidate periods)
+    "q233_dominant_period" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.operators.Decompose.dominantPeriod(weekly,
+        Seq("l_suppkey"), col("week_start"), "qty_sum", Seq(4, 13, 26))
+    }),
+    // RFM quintile segmentation of customers from the orders fact
+    "q234_rfm" -> ((s, d) =>
+      graft.operators.Cohorts.rfm(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice", asOf = "1998-12-31")),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2041,6 +2056,73 @@ object SparkEntry {
                      WHEN nc.pid IS NOT NULL THEN 'border'
                      ELSE 'noise' END AS cls
          FROM cl LEFT JOIN nc USING (pid)""",
+    "q232_pmi" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+              bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                     FROM d WHERE len(t) >= 2),
+              bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+              t2 AS (SELECT *,
+                            CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                            CAST(sum(cnt) OVER (PARTITION BY w2) AS BIGINT) AS c2
+                     FROM bc),
+              nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bc)
+         SELECT w1, w2, cnt,
+                (round(ln((cnt * nn.n) / (1.0e0 * c1 * c2))*1e4)/1e4 + 0.0e0) AS pmi
+         FROM t2, nn WHERE cnt >= 5""",
+    "q233_dominant_period" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                           l_suppkey, sum(l_quantity) AS qty_sum
+                    FROM lineitem GROUP BY 1,2),
+              ix AS (SELECT l_suppkey, qty_sum,
+                            row_number() OVER (PARTITION BY l_suppkey
+                                               ORDER BY week_start) AS rn
+                     FROM w),
+              cand AS (SELECT ix.*, pp.p, (rn - 1) % pp.p AS phase
+                       FROM ix CROSS JOIN (SELECT unnest([4,13,26]) AS p) pp),
+              ph AS (SELECT l_suppkey, p, phase, count(*) AS np,
+                            sum(qty_sum) AS sp, sum(qty_sum*qty_sum) AS ssp
+                     FROM cand GROUP BY 1,2,3),
+              per AS (SELECT l_suppkey, p,
+                             CAST(sum(np) AS BIGINT) AS n,
+                             CAST(count(*) AS BIGINT) AS k,
+                             sum(sp) AS s, sum(ssp) AS ss,
+                             sum(ssp - sp*sp/np) AS sse_within
+                      FROM ph GROUP BY 1,2),
+              sc AS (SELECT *,
+                            CASE WHEN n > k AND n > 1 THEN
+                              (round((1.0e0 - (sse_within/(n - k)) /
+                                      ((ss - s*s/n)/(n - 1) + 1e-8))*1e4)/1e4 + 0.0e0)
+                            ELSE -1.0e0 END AS r2
+                     FROM per),
+              pk AS (SELECT *, row_number() OVER
+                       (PARTITION BY l_suppkey ORDER BY r2 DESC, p) AS rn2
+                     FROM sc)
+         SELECT l_suppkey, p AS best_period, n AS n_points, r2
+         FROM pk WHERE rn2 = 1""",
+    "q234_rfm" ->
+      """WITH pc AS (SELECT o_custkey,
+                            CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                           DATE '1998-12-31') AS BIGINT) AS recency_days,
+                            count(*) AS frequency,
+                            (round((sum(o_totalprice))*1e4)/1e4 + 0.0e0) AS monetary
+                     FROM orders GROUP BY 1),
+              sc AS (SELECT *,
+                            CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                                 AS BIGINT) AS r_score,
+                            CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                                 AS BIGINT) AS f_score,
+                            CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                                 AS BIGINT) AS m_score
+                     FROM pc)
+         SELECT o_custkey, recency_days, frequency, monetary,
+                r_score, f_score, m_score,
+                CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                     WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                     WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                     ELSE 'hibernating' END AS segment
+         FROM sc""",
     "q229_clustering_coeff" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                      WHERE l_partkey % 100 = 0),

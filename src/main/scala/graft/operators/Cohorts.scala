@@ -40,4 +40,44 @@ object Cohorts {
         col("n_active"),
         Funcs.r(col("n_active") / col("cohort_size")).as("retention"))
   }
+
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer plus the classic marketing segment ladder, the
+    * customer-value side of the reference's segmentation models
+    * (src/models/customer_segmentation.py behavioral features).
+    * Score 5 is best on every axis (most recent, most orders, most
+    * spend).
+    *
+    * Determinism: monetary is [[Funcs.r]]-rounded BEFORE the ntile
+    * ordering (float sums are partial-agg-order dependent; rounded
+    * they are not) and every ntile ORDER BY ends on the customer key —
+    * a total order, which is exactly when Spark and DuckDB ntile
+    * agree.
+    *
+    * Scale note: the three ntile windows are UN-partitioned — bounded
+    * by customer cardinality (dimension grain, same posture as the ABC
+    * cumulative share), not by the fact. The fact collapses first in
+    * one partial-aggregated pass. */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+          amountCol: String, asOf: String, nTiles: Int = 5): DataFrame = {
+    val perCust = orders.groupBy(col(custCol))
+      .agg(datediff(lit(asOf).cast("date"), max(col(dateCol).cast("date")))
+        .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Funcs.r(sum(col(amountCol))).as("monetary"))
+    def tile(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(nTiles).over(org.apache.spark.sql.expressions.Window
+        .orderBy(order: _*)).cast("long")
+    perCust
+      .withColumn("r_score",
+        tile(Seq(col("recency_days").desc, col(custCol))))
+      .withColumn("f_score", tile(Seq(col("frequency"), col(custCol))))
+      .withColumn("m_score", tile(Seq(col("monetary"), col(custCol))))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .otherwise("hibernating"))
+  }
 }

@@ -114,4 +114,61 @@ object Decompose {
       .select(col("bin"), col("ref_n"), col("cur_n"),
         col("ref_share"), col("cur_share"), col("psi_contrib"))
   }
+
+  /** Dominant-period detection: for each series, score every candidate
+    * period p by the ADJUSTED R² of the one-way phase ANOVA (variance
+    * explained by the period-p seasonal means, penalized by the number
+    * of occupied phase bins k: `1 − (SSE_w/(n−k)) / (SSE_t/(n−1))`) —
+    * the discrete analogue of a periodogram peak, and the
+    * model-selection step in front of [[additive]] / Holt-Winters,
+    * whose period the reference hardcodes per dataset. Plain R² is
+    * mechanically monotone in k (more bins always fit better; on short
+    * series the smallest period degenerately wins everywhere); the
+    * adjustment makes periods with different bin counts comparable. A
+    * saturated fit (n ≤ k: every phase holds ≤1 point) scores the −1
+    * sentinel.
+    *
+    * Fully relational: ONE ordered window indexes each series, the
+    * candidate list explodes map-side (|periods| ≪ ∞), one aggregate
+    * to the (series, p, phase) grain, one rollup to (series, p) —
+    * within-phase SSE, total SSE and k all fall out of the same exact
+    * phase sums — and a `row_number` argmax. The score is [[r]]-rounded
+    * BEFORE the argmax ordering; ties break to the SHORTEST period.
+    *
+    * Scale: two shuffles on the series key (index window + phase agg;
+    * the rollup and the pick reuse the hash partitioning), fan-out
+    * bounded by |periods|. No joins, no collect. */
+  def dominantPeriod(df: DataFrame, keys: Seq[String], ord: Column,
+                     value: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), "periods must be >= 2")
+    val keyCols = keys.map(col)
+    val v = col(value)
+    val idx = df
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(ord)))
+      .withColumn("__p", explode(array(periods.map(lit(_)): _*)))
+      .withColumn("__phase", (col("__rn") - 1) % col("__p"))
+    val phase = idx.groupBy(keyCols ++ Seq(col("__p"), col("__phase")): _*)
+      .agg(count(lit(1)).as("__np"), sum(v).as("__sp"),
+        sum(v * v).as("__ssp"))
+    val per = phase.groupBy(keyCols :+ col("__p"): _*)
+      .agg(sum(col("__np")).as("__n"), count(lit(1)).as("__k"),
+        sum(col("__sp")).as("__s"), sum(col("__ssp")).as("__ss"),
+        sum(col("__ssp") - col("__sp") * col("__sp") / col("__np"))
+          .as("__sse_within"))
+      .withColumn("__sse_total",
+        col("__ss") - col("__s") * col("__s") / col("__n"))
+      .withColumn("r2",
+        when(col("__n") > col("__k") && col("__n") > 1,
+          Funcs.r(lit(1.0) - (col("__sse_within") / (col("__n") - col("__k"))) /
+            (col("__sse_total") / (col("__n") - lit(1)) + lit(Funcs.Eps))))
+          .otherwise(lit(-1.0)))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("r2").desc, col("__p"))
+    per.withColumn("__pk", row_number().over(pick))
+      .filter(col("__pk") === 1)
+      .select(keyCols ++ Seq(col("__p").as("best_period"),
+        col("__n").as("n_points"), col("r2")): _*)
+  }
 }

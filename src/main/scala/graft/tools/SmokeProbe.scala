@@ -141,6 +141,18 @@ object SmokeProbe {
     graft.graph.Assortativity.degreeAssortativity(bip, "src", "dst")
       .show(truncate = false)
 
+    println("== round-7 batch-4: PMI, dominant period, RFM ==")
+    graft.text.Collocations.pmi(graft.core.Tables.documents(spark, dir),
+      "text", minCount = 3).orderBy(desc("pmi")).show(5, truncate = false)
+    val weeklySup = graft.etl.Enrichment.weeklyAggregate(li, col("l_shipdate"),
+      Seq(col("l_suppkey")), col("l_quantity"))
+    graft.operators.Decompose.dominantPeriod(weeklySup, Seq("l_suppkey"),
+      col("week_start"), "qty_sum", Seq(4, 13, 26))
+      .orderBy("l_suppkey").show(5, truncate = false)
+    graft.operators.Cohorts.rfm(graft.core.Tables.orders(spark, dir),
+      "o_custkey", "o_orderdate", "o_totalprice", asOf = "1998-12-31")
+      .groupBy("segment").agg(count(lit(1)).as("n")).show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

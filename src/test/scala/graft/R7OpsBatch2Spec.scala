@@ -129,6 +129,51 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(m == ((8L, 1.0)))
   }
 
+  test("pmi: collocation strength from hand-counted bigram marginals") {
+    val docs = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val out = graft.text.Collocations.pmi(docs, "text", minCount = 1)
+      .select("w1", "w2", "cnt", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq.sortBy(_._1)
+    // bigrams: (x,y)·2, (y,x)·1; N=3; left(x)=2, left(y)=1, right(y)=2,
+    // right(x)=1 → pmi(x,y)=ln(2·3/(2·2))=0.4055, pmi(y,x)=ln(3)=1.0986
+    assert(out == Seq(("x", "y", 2L, 0.4055), ("y", "x", 1L, 1.0986)))
+  }
+
+  test("dominant period: an exact period-3 cycle wins with adjusted R2 = 1") {
+    val df = (1 to 12).map(i => ("a", i, Seq(1.0, 2.0, 5.0)((i - 1) % 3)))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Decompose
+      .dominantPeriod(df, Seq("k"), col("t"), "v", Seq(2, 3, 4))
+      .select("best_period", "n_points", "r2")
+      .as[(Int, Long, Double)].head()
+    assert(out == ((3, 12L, 1.0)))
+  }
+
+  test("dominant period: a saturated fit (every phase a singleton) scores the -1 sentinel") {
+    val df = (1 to 3).map(i => ("a", i, i * 2.0)).toDF("k", "t", "v")
+    val out = graft.operators.Decompose
+      .dominantPeriod(df, Seq("k"), col("t"), "v", Seq(4))
+      .select("best_period", "r2").as[(Int, Double)].head()
+    assert(out == ((4, -1.0)))
+  }
+
+  test("rfm: quintile scores and the segment ladder on a designed ledger") {
+    // customer i places i orders of 10·i each; larger i also more recent
+    val rows = for { c <- 1 to 10; j <- 1 to c }
+      yield (c.toLong, java.sql.Timestamp.valueOf(
+        f"1998-0${(c + 1) / 2}%s-15 00:00:00"), 10.0 * c)
+    val df = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.Cohorts.rfm(df, "o_custkey", "o_orderdate",
+        "o_totalprice", asOf = "1998-12-31")
+      .select("o_custkey", "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // 10 customers into 5 tiles → 2 per tile on every axis
+    assert(out.map(_._2) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L))
+    assert(out.map(_._3) == out.map(_._2) && out.map(_._4) == out.map(_._2))
+    assert(out(9)._5 == "champion" && out(0)._5 == "hibernating")
+    assert(out(5)._5 == "loyal")
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
