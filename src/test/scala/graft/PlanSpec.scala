@@ -341,6 +341,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
   }
 
+  test("geo nearest: broadcast band candidates, a single argmin exchange, no cartesian") {
+    val plan = SparkEntry.queries("q230_geo_nearest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan)
+  }
+
+  test("dominant period: one scan; the rollup and argmax reuse the two series-key exchanges") {
+    val plan = SparkEntry.queries("q233_dominant_period")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+  }
+
   test("dbscan classification: the point-grain result is pinned — the pair join never re-runs") {
     val plan = SparkEntry.queries("q228_dbscan")(spark, dir)
       .queryExecution.executedPlan.toString
