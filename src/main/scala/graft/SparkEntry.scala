@@ -649,6 +649,29 @@ object SparkEntry {
     "q234_rfm" -> ((s, d) =>
       graft.operators.Cohorts.rfm(Tables.orders(s, d), "o_custkey",
         "o_orderdate", "o_totalprice", asOf = "1998-12-31")),
+    // Gini concentration of customer spend per market segment
+    "q235_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(r(sum(col("o_totalprice"))).as("spend"))
+      val seg = spend.join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      graft.operators.Pareto.gini(seg, Seq("c_mktsegment"), col("spend"),
+        Seq(col("o_custkey")))
+    }),
+    // Benford first-digit screen over extended prices (string-of-cents
+    // digit extraction, engine-stable)
+    "q236_benford" -> ((s, d) =>
+      graft.operators.Benford.firstDigitProfile(li(s, d),
+        col("l_extendedprice"), scale = 2)),
+    // M-competition baseline forecasts (naive / seasonal-naive / drift
+    // / mean) per weekly supplier series
+    "q237_baselines" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.Baselines.forecasts(weekly, Seq("l_suppkey"),
+        col("week_start"), "qty_sum", h = 4, period = 13)
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2123,6 +2146,66 @@ object SparkEntry {
                      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
                      ELSE 'hibernating' END AS segment
          FROM sc""",
+    "q235_gini" ->
+      """WITH sp AS (SELECT o_custkey,
+                            (round((sum(o_totalprice))*1e4)/1e4 + 0.0e0) AS spend
+                     FROM orders GROUP BY 1),
+              sg AS (SELECT sp.*, c_mktsegment
+                     FROM sp JOIN customer ON o_custkey = c_custkey),
+              rk AS (SELECT *, CAST(row_number() OVER
+                       (PARTITION BY c_mktsegment ORDER BY spend, o_custkey)
+                       AS BIGINT) AS i
+                     FROM sg),
+              ag AS (SELECT c_mktsegment, count(*) AS n,
+                            (round((sum(spend))*1e4)/1e4 + 0.0e0) AS total,
+                            sum(i*spend) AS ix
+                     FROM rk GROUP BY 1)
+         SELECT c_mktsegment, n, total,
+                (round(((2.0e0*ix - (n + 1)*total) / (n*total))*1e4)/1e4
+                 + 0.0e0) AS gini
+         FROM ag""",
+    "q236_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100.0e0) AS BIGINT) AS c
+                    FROM lineitem),
+              d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                           count(*) AS n
+                    FROM c WHERE c > 0 GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM d),
+              p AS (SELECT digit, n, n / t.t AS share,
+                           ln(1.0e0 + 1.0e0/digit)/ln(10.0e0) AS expected,
+                           t.t AS t
+                    FROM d, t)
+         SELECT digit, n,
+                (round(share*1e4)/1e4 + 0.0e0) AS share,
+                (round(expected*1e4)/1e4 + 0.0e0) AS expected,
+                (round((t * (share - expected) * (share - expected) / expected)*1e4)/1e4
+                 + 0.0e0) AS chi2_contrib
+         FROM p""",
+    "q237_baselines" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
+                           l_suppkey, sum(l_quantity) AS q
+                    FROM lineitem GROUP BY 1,2),
+              ix AS (SELECT l_suppkey, q,
+                            CAST(row_number() OVER (PARTITION BY l_suppkey
+                                                    ORDER BY ws) AS BIGINT) AS rn,
+                            count(*) OVER (PARTITION BY l_suppkey) AS n
+                     FROM w),
+              per AS (SELECT l_suppkey, max(n) AS n,
+                             max(CASE WHEN rn = 1 THEN q END) AS fv,
+                             max(CASE WHEN rn = n THEN q END) AS lv,
+                             (round((avg(q))*1e4)/1e4 + 0.0e0) AS mean_fc
+                      FROM ix GROUP BY 1),
+              st AS (SELECT per.*, s.step, n - 13 + (step - 1) % 13 + 1 AS target
+                     FROM per CROSS JOIN (SELECT unnest([1,2,3,4]) AS step) s),
+              j AS (SELECT st.*, ix2.q AS sv FROM st LEFT JOIN ix ix2
+                    ON st.l_suppkey = ix2.l_suppkey AND st.target = ix2.rn)
+         SELECT l_suppkey, step, lv AS naive_fc,
+                coalesce(sv, lv) AS snaive_fc,
+                CASE WHEN n > 1 THEN
+                  (round((lv + step * (lv - fv) / (n - 1))*1e4)/1e4 + 0.0e0)
+                ELSE lv END AS drift_fc,
+                mean_fc
+         FROM j""",
     "q229_clustering_coeff" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                      WHERE l_partkey % 100 = 0),

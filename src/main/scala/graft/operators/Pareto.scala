@@ -31,4 +31,33 @@ object Pareto {
       .filter(col("__pm").isNull || col("y") > col("__pm"))
       .select(col("x"), col("y"))
   }
+
+  /** Gini concentration coefficient per group over a non-negative
+    * distribution (customer spend, item volume) — the inequality
+    * summary next to HHI/top-N-share in the reference's concentration
+    * features. Rank formulation over ascending values:
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` (0 = equal, →1 = one unit
+    * holds everything).
+    *
+    * Determinism: pass a PRE-ROUNDED value (float sums are
+    * partial-agg-order dependent) and a tiebreaker completing a total
+    * order, so both engines assign identical ranks.
+    *
+    * Scale shape: one ordered window + one aggregate, both on the
+    * group key — two group-keyed exchanges at the distribution grain
+    * (usually an upstream per-entity rollup, dimension-sized). */
+  def gini(df: DataFrame, groupCols: Seq[String], value: Column,
+           tie: Seq[Column]): DataFrame = {
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
+    df.withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Funcs.r(sum(value)).as("total"),
+        sum(col("__i") * value).as("__ix"))
+      .select(keys ++ Seq(col("n"), col("total"),
+        graft.functions.Funcs.r(
+          (lit(2.0) * col("__ix") - (col("n") + lit(1)) * col("total")) /
+            (col("n") * col("total"))).as("gini")): _*)
+  }
 }

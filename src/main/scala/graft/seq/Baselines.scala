@@ -1,0 +1,59 @@
+package graft.seq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r
+
+/** The M-competition baseline forecast suite — naive (last value),
+  * seasonal naive (same phase one period back), drift (last value plus
+  * the average historical increment), and the in-sample mean — h steps
+  * ahead per series, side by side. Every serious forecast evaluation
+  * anchors on these (a model that cannot beat snaive/drift is noise;
+  * the reference hardcodes the same baselines in its model-selection
+  * harness, src/models/model_selector.py), and MASE (q210) scales by
+  * exactly the naive error this suite produces.
+  *
+  * Fully relational: one ordered window indexes each series, one
+  * aggregate collapses it to (first, last, mean, n), the h steps
+  * explode map-side, and the seasonal lookup is ONE keyed join back to
+  * the indexed frame (left — series shorter than the period fall back
+  * to naive). Two series-key shuffles plus a dimension-sized join; no
+  * recursion, no state.
+  */
+object Baselines {
+
+  /** @return one row per (series, step 1..h):
+    *         naive_fc, snaive_fc, drift_fc, mean_fc. */
+  def forecasts(df: DataFrame, keys: Seq[String], ord: Column, value: String,
+                h: Int, period: Int): DataFrame = {
+    require(h >= 1 && period >= 1, "h and period must be positive")
+    val keyCols = keys.map(col)
+    val v = col(value)
+    val idx = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(ord)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+    val per = idx.groupBy(keyCols: _*)
+      .agg(max(col("__n")).as("__n"),
+        max(when(col("__rn") === 1, v)).as("__first"),
+        max(when(col("__rn") === col("__n"), v)).as("__last"),
+        r(avg(v)).as("mean_fc"))
+    val steps = per
+      .withColumn("step", explode(array((1 to h).map(lit(_)): _*)))
+      .withColumn("__target",
+        col("__n") - period + (col("step") - 1) % period + 1)
+    val hist = idx.select(keyCols ++
+      Seq(col("__rn").as("__target"), v.as("__sv")): _*)
+    steps
+      .join(hist, keys :+ "__target", "left")
+      .select(keyCols ++ Seq(col("step"),
+        col("__last").as("naive_fc"),
+        coalesce(col("__sv"), col("__last")).as("snaive_fc"),
+        when(col("__n") > 1,
+          r(col("__last") + col("step") * (col("__last") - col("__first"))
+            / (col("__n") - lit(1))))
+          .otherwise(col("__last")).as("drift_fc"),
+        col("mean_fc")): _*)
+  }
+}

@@ -153,6 +153,22 @@ object SmokeProbe {
       "o_custkey", "o_orderdate", "o_totalprice", asOf = "1998-12-31")
       .groupBy("segment").agg(count(lit(1)).as("n")).show(truncate = false)
 
+    println("== round-7 batch-5: gini, benford, baseline forecasts ==")
+    val custSpend = graft.core.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.Funcs.r(sum(col("o_totalprice"))).as("spend"))
+      .join(broadcast(graft.core.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    graft.operators.Pareto.gini(custSpend, Seq("c_mktsegment"),
+      col("spend"), Seq(col("o_custkey"))).orderBy("c_mktsegment")
+      .show(truncate = false)
+    graft.operators.Benford.firstDigitProfile(li, col("l_extendedprice"))
+      .orderBy("digit").show(9, truncate = false)
+    graft.seq.Baselines.forecasts(weeklySup, Seq("l_suppkey"),
+      col("week_start"), "qty_sum", h = 4, period = 13)
+      .orderBy("l_suppkey", "step").show(8, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -174,6 +174,46 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(out(5)._5 == "loyal")
   }
 
+  test("gini: zero for equal shares, (n-1)/n when one unit holds everything") {
+    val eq = Seq.tabulate(4)(i => ("g", i.toLong, 5.0)).toDF("g", "id", "v")
+    val g1 = graft.operators.Pareto.gini(eq, Seq("g"), col("v"), Seq(col("id")))
+      .select("n", "gini").as[(Long, Double)].head()
+    assert(g1 == ((4L, 0.0)))
+    val onehot = (Seq.tabulate(3)(i => ("g", i.toLong, 0.0)) :+ (("g", 9L, 10.0)))
+      .toDF("g", "id", "v")
+    val g2 = graft.operators.Pareto.gini(onehot, Seq("g"), col("v"), Seq(col("id")))
+      .select("gini").as[Double].head()
+    assert(g2 == 0.75) // (n−1)/n with n = 4
+  }
+
+  test("benford: digit extraction from cents strings, non-positives excluded") {
+    val df = Seq(1.00, 1.50, 2.00, 9.99, 0.0, -3.0).toDF("amt")
+    val out = graft.operators.Benford.firstDigitProfile(df, col("amt"))
+      .select("digit", "n", "share", "expected")
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(x => (x._1, x._2, x._3)) ==
+      Seq((1L, 2L, 0.5), (2L, 1L, 0.25), (9L, 1L, 0.25)))
+    assert(out.head._4 == 0.301) // log10(2)
+  }
+
+  test("baseline forecasts: naive, seasonal-naive, drift and mean from a linear ramp") {
+    val df = (1 to 10).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = graft.seq.Baselines.forecasts(df, Seq("k"), col("t"), "v",
+        h = 4, period = 3)
+      .select("step", "naive_fc", "snaive_fc", "drift_fc", "mean_fc")
+      .as[(Int, Double, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    // drift on a perfect ramp extends the line; snaive wraps phase 8,9,10,8
+    assert(out == Seq(
+      (1, 10.0, 8.0, 11.0, 5.5), (2, 10.0, 9.0, 12.0, 5.5),
+      (3, 10.0, 10.0, 13.0, 5.5), (4, 10.0, 8.0, 14.0, 5.5)))
+    // a 2-point series falls back to naive for the missing phase
+    val short = Seq(("b", 1, 4.0), ("b", 2, 6.0)).toDF("k", "t", "v")
+    val s = graft.seq.Baselines.forecasts(short, Seq("k"), col("t"), "v",
+        h = 1, period = 3)
+      .select("snaive_fc", "drift_fc").as[(Double, Double)].head()
+    assert(s == ((6.0, 8.0)))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
