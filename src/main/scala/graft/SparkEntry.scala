@@ -672,6 +672,16 @@ object SparkEntry {
       graft.seq.Baselines.forecasts(weekly, Seq("l_suppkey"),
         col("week_start"), "qty_sum", h = 4, period = 13)
     }),
+    // composition: each series wraps at its own detected period
+    // (dominantPeriod -> seasonal naive)
+    "q238_adaptive_snaive" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val periods = graft.operators.Decompose.dominantPeriod(weekly,
+        Seq("l_suppkey"), col("week_start"), "qty_sum", Seq(4, 13, 26))
+      graft.seq.Baselines.seasonalNaiveAdaptive(weekly, Seq("l_suppkey"),
+        col("week_start"), "qty_sum", periods, "best_period", h = 4)
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2206,6 +2216,48 @@ object SparkEntry {
                 ELSE lv END AS drift_fc,
                 mean_fc
          FROM j""",
+    "q238_adaptive_snaive" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
+                           l_suppkey, sum(l_quantity) AS q
+                    FROM lineitem GROUP BY 1,2),
+              ix AS (SELECT l_suppkey, q,
+                            CAST(row_number() OVER (PARTITION BY l_suppkey
+                                                    ORDER BY ws) AS BIGINT) AS rn,
+                            count(*) OVER (PARTITION BY l_suppkey) AS n
+                     FROM w),
+              cand AS (SELECT ix.l_suppkey, ix.q, ix.rn, pp.p,
+                              (rn - 1) % pp.p AS phase
+                       FROM ix CROSS JOIN (SELECT unnest([4,13,26]) AS p) pp),
+              ph AS (SELECT l_suppkey, p, phase, count(*) AS np,
+                            sum(q) AS sp, sum(q*q) AS ssp
+                     FROM cand GROUP BY 1,2,3),
+              per AS (SELECT l_suppkey, p,
+                             CAST(sum(np) AS BIGINT) AS n,
+                             CAST(count(*) AS BIGINT) AS k,
+                             sum(sp) AS s, sum(ssp) AS ss,
+                             sum(ssp - sp*sp/np) AS sse_within
+                      FROM ph GROUP BY 1,2),
+              sc AS (SELECT *,
+                            CASE WHEN n > k AND n > 1 THEN
+                              (round((1.0e0 - (sse_within/(n - k)) /
+                                      ((ss - s*s/n)/(n - 1) + 1e-8))*1e4)/1e4 + 0.0e0)
+                            ELSE -1.0e0 END AS r2
+                     FROM per),
+              pk AS (SELECT *, row_number() OVER
+                       (PARTITION BY l_suppkey ORDER BY r2 DESC, p) AS rn2
+                     FROM sc),
+              bp AS (SELECT l_suppkey, p AS period FROM pk WHERE rn2 = 1),
+              fin AS (SELECT l_suppkey, max(n) AS n,
+                             max(CASE WHEN rn = n THEN q END) AS lv
+                      FROM ix GROUP BY 1),
+              st AS (SELECT fin.l_suppkey, fin.n, fin.lv, bp.period, s.step,
+                            fin.n - bp.period + (s.step - 1) % bp.period + 1 AS target
+                     FROM fin JOIN bp USING (l_suppkey)
+                          CROSS JOIN (SELECT unnest([1,2,3,4]) AS step) s)
+         SELECT st.l_suppkey, st.step, st.period,
+                coalesce(ix2.q, st.lv) AS snaive_fc
+         FROM st LEFT JOIN ix ix2
+           ON st.l_suppkey = ix2.l_suppkey AND st.target = ix2.rn""",
     "q229_clustering_coeff" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                      WHERE l_partkey % 100 = 0),

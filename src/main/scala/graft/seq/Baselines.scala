@@ -56,4 +56,41 @@ object Baselines {
           .otherwise(col("__last")).as("drift_fc"),
         col("mean_fc")): _*)
   }
+
+  /** Seasonal naive with a PER-SERIES period — the composition of
+    * [[graft.operators.Decompose.dominantPeriod]] with the snaive
+    * baseline: each series wraps at its own detected period instead of
+    * one hardcoded seasonality. `periods` carries one row per series
+    * (`keys` + `periodCol`); series missing from it drop (inner join —
+    * detection ran on the same spine). Same two-shuffle shape as
+    * [[forecasts]] plus one keyed join against the (dimension-sized)
+    * period table.
+    *
+    * @return (keys, step 1..h, period, snaive_fc) */
+  def seasonalNaiveAdaptive(df: DataFrame, keys: Seq[String], ord: Column,
+                            value: String, periods: DataFrame,
+                            periodCol: String, h: Int): DataFrame = {
+    require(h >= 1, "h must be positive")
+    val keyCols = keys.map(col)
+    val v = col(value)
+    val idx = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(ord)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+    val per = idx.groupBy(keyCols: _*)
+      .agg(max(col("__n")).as("__n"),
+        max(when(col("__rn") === col("__n"), v)).as("__last"))
+    val steps = per
+      .join(periods.select(keyCols :+ col(periodCol).as("period"): _*),
+        keys)
+      .withColumn("step", explode(array((1 to h).map(lit(_)): _*)))
+      .withColumn("__target",
+        col("__n") - col("period") + (col("step") - 1) % col("period") + 1)
+    val hist = idx.select(keyCols ++
+      Seq(col("__rn").as("__target"), v.as("__sv")): _*)
+    steps
+      .join(hist, keys :+ "__target", "left")
+      .select(keyCols ++ Seq(col("step"), col("period"),
+        coalesce(col("__sv"), col("__last")).as("snaive_fc")): _*)
+  }
 }

@@ -169,6 +169,12 @@ object SmokeProbe {
       col("week_start"), "qty_sum", h = 4, period = 13)
       .orderBy("l_suppkey", "step").show(8, truncate = false)
 
+    graft.seq.Baselines.seasonalNaiveAdaptive(weeklySup, Seq("l_suppkey"),
+      col("week_start"), "qty_sum",
+      graft.operators.Decompose.dominantPeriod(weeklySup, Seq("l_suppkey"),
+        col("week_start"), "qty_sum", Seq(4, 13, 26)),
+      "best_period", h = 4).orderBy("l_suppkey", "step").show(4, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

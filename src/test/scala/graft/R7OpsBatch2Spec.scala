@@ -214,6 +214,23 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(s == ((6.0, 8.0)))
   }
 
+  test("adaptive seasonal naive: each series wraps at its own period") {
+    val df = ((1 to 10).map(i => ("a", i, i.toDouble)) ++
+      (1 to 6).map(i => ("b", i, i * 10.0))).toDF("k", "t", "v")
+    val periods = Seq(("a", 2), ("b", 3)).toDF("k", "best_period")
+    val out = graft.seq.Baselines.seasonalNaiveAdaptive(df, Seq("k"),
+        col("t"), "v", periods, "best_period", h = 2)
+      .select("k", "step", "period", "snaive_fc")
+      .as[(String, Int, Int, Double)].collect().toSeq.sorted
+    assert(out == Seq(("a", 1, 2, 9.0), ("a", 2, 2, 10.0),
+      ("b", 1, 3, 40.0), ("b", 2, 3, 50.0)))
+    // a series absent from the period table drops (inner semantics)
+    val partial = graft.seq.Baselines.seasonalNaiveAdaptive(df, Seq("k"),
+        col("t"), "v", periods.filter(col("k") === "a"), "best_period", h = 1)
+      .select("k").as[String].collect().toSeq
+    assert(partial == Seq("a"))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
