@@ -7,8 +7,8 @@ import graft.functions.Funcs.r
 /** Degree assortativity (Newman 2002): the Pearson correlation of
   * endpoint degrees over the symmetrized edge list — do high-degree
   * nodes attach to other hubs (positive) or to leaves (negative)? The
-  * structural summary behind the reference's segmentation diagnostics
-  * (src/models/customer_segmentation.py cluster-shape stats), applied
+  * structural summary to pair with the reference's product-cluster
+  * diagnostics (src/models/cold_start_solutions.py:120-121), applied
   * to the co-purchase graphs the graph family already builds.
   *
   * Fully relational and integer-exact: degrees are counts, the five

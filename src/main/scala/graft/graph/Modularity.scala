@@ -7,8 +7,9 @@ import graft.functions.Funcs.r
 /** Partition-quality scoring for community structure — Newman
   * modularity `Q = Σ_c [ intra_c/m − (deg_c/(2m))² ]` over an
   * undirected edge list and a node→community assignment. The reference
-  * clusters stores/products and reports cluster quality
-  * (src/models/customer_segmentation.py silhouette-style diagnostics);
+  * clusters products for cold-start transfer
+  * (src/models/cold_start_solutions.py:71,120-121 — KMeans product
+  * clusters) and needs a quality score for any such partition;
   * modularity is the graph-side analogue, and the objective that
   * Louvain-style refinement would maximize — scoring a FIXED partition
   * is exact relational algebra even though the refinement loop itself

@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs.r
 
-/** Offline changepoint detection — the binary-segmentation primitive of
-  * the reference's temporal-regime analysis (`src/models/
-  * arima_temporal.py` stationarity handling and the anomaly window of
-  * `src/monitoring/quality_monitor.py`): for each series, the single
+/** Offline changepoint detection — the binary-segmentation primitive
+  * behind the reference's automatic trend-changepoint handling
+  * (src/models/prophet_seasonal.py:383-385 lets Prophet place up to 25
+  * changepoints; src/models/arima_temporal.py differences for
+  * stationarity around the same breaks): for each series, the single
   * split minimizing total within-segment squared error. One pass of
   * binary segmentation is the exact building block PELT/BinSeg iterate;
   * emitting the best split plus its gain lets a caller recurse on the

@@ -43,8 +43,9 @@ object Cohorts {
 
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer plus the classic marketing segment ladder, the
-    * customer-value side of the reference's segmentation models
-    * (src/models/customer_segmentation.py behavioral features).
+    * customer-value summary built from the reference's recency /
+    * purchase-frequency behavioral features
+    * (src/features/behavioral_features_engine.py:134-148).
     * Score 5 is best on every axis (most recent, most orders, most
     * spend).
     *

@@ -10,9 +10,10 @@ import graft.functions.Funcs.r
   * the average historical increment), and the in-sample mean — h steps
   * ahead per series, side by side. Every serious forecast evaluation
   * anchors on these (a model that cannot beat snaive/drift is noise;
-  * the reference hardcodes the same baselines in its model-selection
-  * harness, src/models/model_selector.py), and MASE (q210) scales by
-  * exactly the naive error this suite produces.
+  * the reference falls back to exactly these — category/regional/global
+  * mean predictions in src/models/cold_start_solutions.py:473-484, a
+  * fixed-parameter model in src/models/arima_temporal.py:333-336), and
+  * MASE (q210) scales by exactly the naive error this suite produces.
   *
   * Fully relational: one ordered window indexes each series, one
   * aggregate collapses it to (first, last, mean, n), the h steps
