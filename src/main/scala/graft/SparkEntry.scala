@@ -682,6 +682,16 @@ object SparkEntry {
       graft.seq.Baselines.seasonalNaiveAdaptive(weekly, Seq("l_suppkey"),
         col("week_start"), "qty_sum", periods, "best_period", h = 4)
     }),
+    // DSIR-style importance scoring: unigram log-ratio of the English
+    // slice vs the whole corpus, per document
+    "q239_dsir_score" -> ((s, d) =>
+      graft.text.Dsir.unigramLogRatioScore(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en")),
+    // weighted (lower) median: price at which half the quantity trades
+    "q240_weighted_median" -> ((s, d) =>
+      graft.operators.WeightedStats.weightedMedian(li(s, d),
+        Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        Seq(col("l_orderkey"), col("l_linenumber")))),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2258,6 +2268,42 @@ object SparkEntry {
                 coalesce(ix2.q, st.lv) AS snaive_fc
          FROM st LEFT JOIN ix ix2
            ON st.l_suppkey = ix2.l_suppkey AND st.target = ix2.rn""",
+    "q239_dsir_score" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                    FROM documents),
+              tf AS (SELECT * FROM t WHERE length(w) > 0),
+              c AS (SELECT w, count(*) AS cc,
+                           CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                    FROM tf GROUP BY 1),
+              tot AS (SELECT CAST(sum(cc) AS BIGINT) AS tc,
+                             CAST(sum(ct) AS BIGINT) AS tt,
+                             count(*) AS v
+                      FROM c),
+              lr AS (SELECT w,
+                            CAST(round(ln(((ct + 0.5e0)/(tt + 0.5e0*v)) /
+                                          ((cc + 0.5e0)/(tc + 0.5e0*v)))*1e6)
+                                 AS BIGINT) AS lr
+                     FROM c, tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                (round((CAST(sum(lr) AS BIGINT)/1e6/count(*))*1e4)/1e4
+                 + 0.0e0) AS dsir_score
+         FROM tf JOIN lr USING (w) GROUP BY 1""",
+    "q240_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice,
+                           sum(l_quantity) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw,
+                           count(*) OVER (PARTITION BY l_returnflag) AS n,
+                           l_orderkey, l_linenumber
+                    FROM lineitem),
+              p AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+                    FROM c WHERE cw * 2 >= tw)
+         SELECT l_returnflag, l_extendedprice AS weighted_median,
+                (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
+         FROM p WHERE rn = 1""",
     "q229_clustering_coeff" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                      WHERE l_partkey % 100 = 0),

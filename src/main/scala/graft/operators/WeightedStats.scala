@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
+
+/** Weighted order statistics — the weighted median (lower weighted
+  * median: the smallest value whose cumulative weight reaches half the
+  * total), the volume-weighted companion to the exact/t-digest
+  * percentile family: "the price at which half the QUANTITY trades"
+  * rather than "the median row". The reference aggregates the same
+  * weighted views of price (src/features/behavioral_features_engine.py
+  * weighted price aggregations).
+  *
+  * Determinism: weights must be integer-valued or pre-rounded (the
+  * cumulative sum is order-dependent otherwise) and `tie` must
+  * complete a total order within the group; both engines then walk an
+  * identical prefix and pick the identical row.
+  *
+  * Scale shape: one ordered window for the running weight + one
+  * group-key pick window reusing the same partitioning — two
+  * group-keyed exchanges, no collect, no global sort.
+  */
+object WeightedStats {
+
+  /** @return one row per group: weighted_median, total_weight, n_rows. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], value: Column,
+                     weight: Column, tie: Seq[Column]): DataFrame = {
+    val keys = groupCols.map(col)
+    val ord = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
+    val cum = df
+      .withColumn("__w", weight)
+      .withColumn("__cw", sum(col("__w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(keys: _*)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val pick = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
+    cum.filter(col("__cw") * 2 >= col("__tw"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(value.as("weighted_median"),
+        Funcs.r(col("__tw")).as("total_weight"), col("__n").as("n_rows")): _*)
+  }
+}

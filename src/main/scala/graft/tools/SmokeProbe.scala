@@ -175,6 +175,13 @@ object SmokeProbe {
         col("week_start"), "qty_sum", Seq(4, 13, 26)),
       "best_period", h = 4).orderBy("l_suppkey", "step").show(4, truncate = false)
 
+    graft.text.Dsir.unigramLogRatioScore(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text",
+      col("lang") === "en").orderBy(desc("dsir_score")).show(5, truncate = false)
+    graft.operators.WeightedStats.weightedMedian(li, Seq("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"),
+      Seq(col("l_orderkey"), col("l_linenumber"))).show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -231,6 +231,37 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(partial == Seq("a"))
   }
 
+  test("dsir: target-exclusive tokens score positive, off-target negative") {
+    val docs = Seq((1L, "en", "alpha common"), (2L, "en", "alpha common"),
+      (3L, "xx", "beta common"), (4L, "xx", "beta common"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.text.Dsir.unigramLogRatioScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      .select("doc_id", "n_tokens", "dsir_score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2) == Seq(2L, 2L, 2L, 2L))
+    // driver-side mirror of the smoothed log-ratio (k=0.5, V=3, T=8, Tt=4)
+    def lr(ct: Int, cc: Int) = math.round(math.log(
+      ((ct + 0.5) / (4 + 0.5 * 3)) / ((cc + 0.5) / (8 + 0.5 * 3))) * 1e6)
+    def score(l1: Long, l2: Long) =
+      math.round((l1 + l2) / 1e6 / 2 * 1e4) / 1e4
+    val expTgt = score(lr(2, 2), lr(2, 4))  // alpha + common
+    val expOff = score(lr(0, 2), lr(2, 4))  // beta + common
+    assert(out.map(_._3) == Seq(expTgt, expTgt, expOff, expOff))
+    assert(expTgt > 0 && expOff < 0)
+  }
+
+  test("weighted median: weight mass pulls the pick; equal weights give the lower median") {
+    val df = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 1.0), ("g", 3L, 3.0, 10.0),
+      ("h", 1L, 1.0, 1.0), ("h", 2L, 2.0, 1.0), ("h", 3L, 3.0, 1.0),
+      ("h", 4L, 4.0, 1.0)).toDF("g", "id", "v", "w")
+    val out = graft.operators.WeightedStats.weightedMedian(df, Seq("g"),
+        col("v"), col("w"), Seq(col("id")))
+      .select("g", "weighted_median", "total_weight", "n_rows")
+      .as[(String, Double, Double, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(("g", 3.0, 12.0, 3L), ("h", 2.0, 4.0, 4L)))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
