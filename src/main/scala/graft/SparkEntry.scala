@@ -692,6 +692,23 @@ object SparkEntry {
       graft.operators.WeightedStats.weightedMedian(li(s, d),
         Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
         Seq(col("l_orderkey"), col("l_linenumber")))),
+    // safety stock + order-up-to per weekly series (z=1.645, L=2)
+    "q241_safety_stock" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.operators.Inventory.safetyStock(weekly,
+        Seq("l_partkey", "l_suppkey"), "qty_sum", z = 1.645, leadPeriods = 2)
+    }),
+    // constant-elasticity price optimization per part (Lerner markup
+    // over a 60%-of-retail cost proxy)
+    "q242_price_opt" -> ((s, d) => {
+      val withCost = li(s, d).join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), r(col("p_retailprice") * 0.6).as("cost"))),
+        col("l_partkey") === col("p_partkey"))
+      graft.operators.PriceOpt.optimalPrice(withCost, Seq("l_partkey"),
+        r(col("l_extendedprice") / col("l_quantity")), col("l_quantity"),
+        col("cost"))
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2304,6 +2321,51 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q241_safety_stock" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
+                           l_partkey, l_suppkey, sum(l_quantity) AS qty_sum
+                    FROM lineitem GROUP BY 1,2,3),
+              a AS (SELECT l_partkey, l_suppkey, count(*) AS n,
+                           sum(qty_sum) AS s, sum(qty_sum*qty_sum) AS ss
+                    FROM w GROUP BY 1,2),
+              b AS (SELECT l_partkey, l_suppkey, n,
+                           (round((s/n)*1e4)/1e4 + 0.0e0) AS mu,
+                           CASE WHEN n > 1 THEN
+                             (round(sqrt((ss - s*s/n)/(n - 1))*1e4)/1e4 + 0.0e0)
+                           ELSE 0.0e0 END AS sigma
+                    FROM a)
+         SELECT l_partkey, l_suppkey, n, mu, sigma,
+                (round((1.645e0 * sigma * 1.4142135623730951e0)*1e4)/1e4
+                 + 0.0e0) AS safety_stock,
+                (round((mu * 2.0e0 + 1.645e0 * sigma * 1.4142135623730951e0)*1e4)/1e4
+                 + 0.0e0) AS order_up_to
+         FROM b""",
+    "q242_price_opt" ->
+      """WITH pc AS (SELECT p_partkey,
+                            (round((p_retailprice * 0.6e0)*1e4)/1e4 + 0.0e0) AS cost
+                     FROM part),
+              rx AS (SELECT l_partkey,
+                            CAST(round(ln((round((l_extendedprice / l_quantity)*1e4)/1e4
+                                           + 0.0e0))*1e6) AS BIGINT) AS x,
+                            CAST(round(ln(l_quantity)*1e6) AS BIGINT) AS y,
+                            cost
+                     FROM lineitem JOIN pc ON l_partkey = p_partkey
+                     WHERE (round((l_extendedprice / l_quantity)*1e4)/1e4 + 0.0e0) > 0
+                       AND l_quantity > 0),
+              s AS (SELECT l_partkey, count(*) AS n, max(cost) AS cost,
+                           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x*y) AS BIGINT) AS sxy,
+                           CAST(sum(x*x) AS BIGINT) AS sxx
+                    FROM rx GROUP BY 1),
+              e AS (SELECT *, CASE WHEN n*sxx - sx*sx > 0 THEN
+                      (round(((n*sxy - sx*sy) / (1.0e0 * (n*sxx - sx*sx)))*1e4)/1e4
+                       + 0.0e0)
+                    END AS elasticity FROM s)
+         SELECT l_partkey, n, elasticity, cost,
+                CASE WHEN elasticity < -1 THEN
+                  (round((cost * elasticity / (1.0e0 + elasticity))*1e4)/1e4 + 0.0e0)
+                END AS p_star
+         FROM e""",
     "q229_clustering_coeff" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
                      WHERE l_partkey % 100 = 0),

@@ -182,6 +182,19 @@ object SmokeProbe {
       col("l_extendedprice"), col("l_quantity"),
       Seq(col("l_orderkey"), col("l_linenumber"))).show(truncate = false)
 
+    graft.operators.Inventory.safetyStock(weekly,
+      Seq("l_partkey", "l_suppkey"), "qty_sum", z = 1.645, leadPeriods = 2)
+      .orderBy(desc("order_up_to")).show(5, truncate = false)
+    graft.operators.PriceOpt.optimalPrice(
+      li.join(broadcast(graft.core.Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          graft.functions.Funcs.r(col("p_retailprice") * 0.6).as("cost"))),
+        col("l_partkey") === col("p_partkey")),
+      Seq("l_partkey"),
+      graft.functions.Funcs.r(col("l_extendedprice") / col("l_quantity")),
+      col("l_quantity"), col("cost"))
+      .orderBy("l_partkey").show(5, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -262,6 +262,44 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(out == Seq(("g", 3.0, 12.0, 3L), ("h", 2.0, 4.0, 4L)))
   }
 
+  test("safety stock: hand sums, and a single-point series holds zero buffer") {
+    val df = (Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0), ("b", 1, 7.0)))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Inventory.safetyStock(df, Seq("k"), "v",
+        z = 1.645, leadPeriods = 2)
+      .select("k", "n", "mu", "sigma", "safety_stock", "order_up_to")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    // σ([10,12,14]) = 2 → ss = 1.645·2·√2 = 4.6528; OUT = 12·2 + ss
+    assert(out == Seq(("a", 3L, 12.0, 2.0, 4.6528, 28.6528),
+      ("b", 1L, 7.0, 0.0, 0.0, 14.0)))
+  }
+
+  test("price optimization: exact recovery of a planted elasticity and the Lerner price") {
+    // q = 16·p^−2 exactly: elasticity −2, cost 3 → p* = 3·(−2)/(1−2) = 6
+    val df = Seq(("p", 1.0, 16.0, 3.0), ("p", 2.0, 4.0, 3.0),
+      ("p", 4.0, 1.0, 3.0)).toDF("k", "price", "qty", "cost")
+    val out = graft.operators.PriceOpt.optimalPrice(df, Seq("k"),
+        col("price"), col("qty"), col("cost"))
+      .select("n", "elasticity", "p_star")
+      .as[(Long, Double, Double)].head()
+    assert(out == ((3L, -2.0, 6.0)))
+    // constant demand → slope 0 (inelastic) → no recommendation
+    val flat = Seq(("f", 1.0, 5.0, 3.0), ("f", 2.0, 5.0, 3.0))
+      .toDF("k", "price", "qty", "cost")
+    val f = graft.operators.PriceOpt.optimalPrice(flat, Seq("k"),
+        col("price"), col("qty"), col("cost"))
+      .select("elasticity", "p_star")
+      .as[(Option[Double], Option[Double])].head()
+    assert(f == ((Some(0.0), None)))
+    // a single price point is degenerate → NULL elasticity
+    val one = Seq(("o", 2.0, 5.0, 3.0), ("o", 2.0, 7.0, 3.0))
+      .toDF("k", "price", "qty", "cost")
+    val o = graft.operators.PriceOpt.optimalPrice(one, Seq("k"),
+        col("price"), col("qty"), col("cost"))
+      .select("elasticity").as[Option[Double]].head()
+    assert(o.isEmpty)
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
