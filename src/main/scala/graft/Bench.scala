@@ -26,7 +26,8 @@ object Bench {
     "q198_error_slices", "q199_resid_diag_parts", "q200_monitor",
     "q201_quantize_int8", "q203_covariance", "q204_ivf_portable",
     "q194_quantile_norm", "q214_ar2", "q215_isotonic",
-    "q225_changepoint", "q228_dbscan", "q229_clustering_coeff")
+    "q225_changepoint", "q228_dbscan", "q229_clustering_coeff",
+    "q233_dominant_period", "q239_dsir_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
