@@ -709,6 +709,12 @@ object SparkEntry {
         r(col("l_extendedprice") / col("l_quantity")), col("l_quantity"),
         col("cost"))
     }),
+    // two-sample KS drift: price distribution of the pre-1996 reference
+    // period vs the rest, per return flag (Eval.ks with a period label)
+    "q243_ks_drift" -> ((s, d) =>
+      graft.metrics.Eval.ks(li(s, d), col("l_extendedprice"),
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
+        groupCols = Seq("l_returnflag"))),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2321,6 +2327,25 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q243_ks_drift" ->
+      """WITH s AS (SELECT l_returnflag, l_extendedprice AS score,
+                      sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                               THEN 1 ELSE 0 END) np,
+                      sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                               THEN 0 ELSE 1 END) nn
+                    FROM lineitem GROUP BY 1,2),
+              d AS (SELECT *, sum(np) OVER c AS cp, sum(nn) OVER c AS cn,
+                      sum(np) OVER a AS tp, sum(nn) OVER a AS tn
+                    FROM s
+                    WINDOW c AS (PARTITION BY l_returnflag ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           a AS (PARTITION BY l_returnflag
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+              d2 AS (SELECT *, abs(cp/tp - cn/tn) AS diff FROM d),
+              d3 AS (SELECT *, max(diff) OVER (PARTITION BY l_returnflag) AS mx FROM d2)
+         SELECT l_returnflag, min(score) AS ks_score,
+                (round(max(diff)*1e4)/1e4 + 0.0e0) AS ks
+         FROM d3 WHERE diff = mx GROUP BY 1""",
     "q241_safety_stock" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
                            l_partkey, l_suppkey, sum(l_quantity) AS qty_sum

@@ -300,6 +300,20 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(o.isEmpty)
   }
 
+  test("ks as a two-sample drift test: disjoint supports hit D=1, identical ones 0") {
+    // reference holds {1,2}, current holds {3,4} → ECDFs split fully at 2
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "ref")
+    val d = graft.metrics.Eval.ks(df, col("v"), col("ref"))
+      .select("ks_score", "ks").as[(Double, Double)].head()
+    assert(d == ((2.0, 1.0)))
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "ref")
+    val s = graft.metrics.Eval.ks(same, col("v"), col("ref"))
+      .select("ks").as[Double].head()
+    assert(s == 0.0)
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
