@@ -715,6 +715,21 @@ object SparkEntry {
       graft.metrics.Eval.ks(li(s, d), col("l_extendedprice"),
         col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
         groupCols = Seq("l_returnflag"))),
+    // depth-2 binary segmentation: label each point with its side of
+    // the first split, then find the best split WITHIN each segment
+    "q244_changepoint_seg2" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val first = graft.operators.Changepoint.bestSplit(weekly,
+        Seq("l_suppkey"), col("week_start"), "qty_sum")
+      val labeled = weekly
+        .join(first.select(col("l_suppkey"), col("cp_at")), Seq("l_suppkey"))
+        .withColumn("segment",
+          when(col("week_start") <= col("cp_at"), lit("L")).otherwise(lit("R")))
+        .drop("cp_at")
+      graft.operators.Changepoint.bestSplit(labeled,
+        Seq("l_suppkey", "segment"), col("week_start"), "qty_sum")
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2327,6 +2342,60 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q244_changepoint_seg2" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                           l_suppkey, sum(l_quantity) AS qty_sum
+                    FROM lineitem GROUP BY 1,2),
+              c1 AS (SELECT l_suppkey, week_start, qty_sum,
+                            row_number() OVER ord AS i,
+                            sum(qty_sum) OVER cum AS cs,
+                            sum(qty_sum*qty_sum) OVER cum AS css,
+                            count(*) OVER al AS n,
+                            sum(qty_sum) OVER al AS s,
+                            sum(qty_sum*qty_sum) OVER al AS ss
+                     FROM w
+                     WINDOW ord AS (PARTITION BY l_suppkey ORDER BY week_start),
+                            cum AS (PARTITION BY l_suppkey ORDER BY week_start
+                                    ROWS UNBOUNDED PRECEDING),
+                            al AS (PARTITION BY l_suppkey)),
+              k1 AS (SELECT *,
+                            (round(((css - cs*cs/i) + ((ss - css) - (s - cs)*(s - cs)/(n - i)))*1e4)/1e4
+                             + 0.0e0) AS cost
+                     FROM c1 WHERE i < n),
+              p1 AS (SELECT *, row_number() OVER
+                       (PARTITION BY l_suppkey ORDER BY cost, i) AS rn
+                     FROM k1),
+              cp1 AS (SELECT l_suppkey, week_start AS cp_at FROM p1 WHERE rn = 1),
+              lab AS (SELECT w.l_suppkey, w.week_start, w.qty_sum,
+                             CASE WHEN w.week_start <= cp1.cp_at
+                                  THEN 'L' ELSE 'R' END AS segment
+                      FROM w JOIN cp1 USING (l_suppkey)),
+              c2 AS (SELECT l_suppkey, segment, week_start, qty_sum,
+                            row_number() OVER ord2 AS i,
+                            sum(qty_sum) OVER cum2 AS cs,
+                            sum(qty_sum*qty_sum) OVER cum2 AS css,
+                            count(*) OVER al2 AS n,
+                            sum(qty_sum) OVER al2 AS s,
+                            sum(qty_sum*qty_sum) OVER al2 AS ss
+                     FROM lab
+                     WINDOW ord2 AS (PARTITION BY l_suppkey, segment ORDER BY week_start),
+                            cum2 AS (PARTITION BY l_suppkey, segment ORDER BY week_start
+                                     ROWS UNBOUNDED PRECEDING),
+                            al2 AS (PARTITION BY l_suppkey, segment)),
+              k2 AS (SELECT *,
+                            (round(((css - cs*cs/i) + ((ss - css) - (s - cs)*(s - cs)/(n - i)))*1e4)/1e4
+                             + 0.0e0) AS cost
+                     FROM c2 WHERE i < n),
+              p2 AS (SELECT *, row_number() OVER
+                       (PARTITION BY l_suppkey, segment ORDER BY cost, i) AS rn
+                     FROM k2)
+         SELECT l_suppkey, segment, week_start AS cp_at, i AS n_left, n AS n_points,
+                (round((cs/i)*1e4)/1e4 + 0.0e0) AS mean_left,
+                (round(((s - cs)/(n - i))*1e4)/1e4 + 0.0e0) AS mean_right,
+                (round((ss - s*s/n)*1e4)/1e4 + 0.0e0) AS sse_total,
+                cost AS sse_split,
+                (round(((ss - s*s/n) - cost)*1e4)/1e4 + 0.0e0) AS gain
+         FROM p2 WHERE rn = 1""",
     "q243_ks_drift" ->
       """WITH s AS (SELECT l_returnflag, l_extendedprice AS score,
                       sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'

@@ -195,6 +195,15 @@ object SmokeProbe {
       col("l_quantity"), col("cost"))
       .orderBy("l_partkey").show(5, truncate = false)
 
+    val firstSplit = graft.operators.Changepoint.bestSplit(weeklySup,
+      Seq("l_suppkey"), col("week_start"), "qty_sum")
+    graft.operators.Changepoint.bestSplit(
+      weeklySup.join(firstSplit.select(col("l_suppkey"), col("cp_at")), Seq("l_suppkey"))
+        .withColumn("segment", when(col("week_start") <= col("cp_at"), lit("L"))
+          .otherwise(lit("R"))).drop("cp_at"),
+      Seq("l_suppkey", "segment"), col("week_start"), "qty_sum")
+      .orderBy(desc("gain")).show(4, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

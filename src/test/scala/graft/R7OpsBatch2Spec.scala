@@ -314,6 +314,26 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(s == 0.0)
   }
 
+  test("depth-2 segmentation: three-level staircase resolves both inner splits") {
+    // [1,1,1,5,5,5,9,9,9]: the first split ties at cost 24 and breaks
+    // to the EARLIEST position (after t=3); the R segment [5,5,5,9,9,9]
+    // then splits cleanly at its own step
+    val df = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 9.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val first = graft.operators.Changepoint.bestSplit(df, Seq("k"),
+      col("t"), "v")
+    assert(first.select("cp_at").as[Int].head() == 3)
+    val labeled = df.join(first.select(col("k"), col("cp_at")), Seq("k"))
+      .withColumn("segment",
+        when(col("t") <= col("cp_at"), lit("L")).otherwise(lit("R")))
+      .drop("cp_at")
+    val out = graft.operators.Changepoint.bestSplit(labeled,
+        Seq("k", "segment"), col("t"), "v")
+      .select("segment", "cp_at", "mean_left", "mean_right", "gain")
+      .as[(String, Int, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(("L", 1, 1.0, 1.0, 0.0), ("R", 6, 5.0, 9.0, 24.0)))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
