@@ -730,6 +730,15 @@ object SparkEntry {
       graft.operators.Changepoint.bestSplit(labeled,
         Seq("l_suppkey", "segment"), col("week_start"), "qty_sum")
     }),
+    // rolling Tukey fences: per-point outlier flag vs the trailing
+    // window's own quartiles (k=0.5 — classic 1.5 is vacuous on the
+    // bounded-uniform synthetic quantities)
+    "q245_rolling_iqr" -> ((s, d) => {
+      val (p25, p75, flag) =
+        WindowFeatures.rollingIqrFences(col("l_quantity"), 8, 0.5, sw)
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        p25.as("p25"), p75.as("p75"), flag.as("is_outlier"))
+    }),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2342,6 +2351,20 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q245_rolling_iqr" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                           (round((quantile_cont(l_quantity, 0.25) OVER w)*1e4)/1e4
+                            + 0.0e0) AS p25,
+                           (round((quantile_cont(l_quantity, 0.75) OVER w)*1e4)/1e4
+                            + 0.0e0) AS p75
+                    FROM lineitem
+                    WINDOW w AS (PARTITION BY l_partkey, l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         SELECT l_orderkey, l_linenumber, p25, p75,
+                (l_quantity < p25 - 0.5e0*(p75 - p25)
+                 OR l_quantity > p75 + 0.5e0*(p75 - p25)) AS is_outlier
+         FROM t""",
     "q244_changepoint_seg2" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
                            l_suppkey, sum(l_quantity) AS qty_sum

@@ -63,6 +63,28 @@ object WindowFeatures {
   def rollingMedian(c: Column, n: Int, sw: SeriesWindow): Column =
     percentile(c, lit(0.5)).over(sw.rows(-(n - 1), 0))
 
+  /** W4+ — rolling exact quantile over the trailing n rows (the
+    * [[rollingMedian]] generalization; `percentile` interpolates
+    * linearly, matching quantile_cont semantics). */
+  def rollingQuantile(c: Column, q: Double, n: Int, sw: SeriesWindow): Column =
+    percentile(c, lit(q)).over(sw.rows(-(n - 1), 0))
+
+  /** Rolling Tukey-fence outlier flag: the point sits outside
+    * [p25 − k·IQR, p75 + k·IQR] of its OWN trailing window — the
+    * rolling-quartile anomaly screen (the windowed twin of the global
+    * quantile-range filter F4). Fences round through
+    * [[graft.functions.Funcs.r]] before the comparison so an
+    * interpolated boundary cannot flip the flag across engines.
+    * Returns (p25, p75, flag) columns to select as needed. */
+  def rollingIqrFences(c: Column, n: Int, k: Double,
+                       sw: SeriesWindow): (Column, Column, Column) = {
+    val p25 = graft.functions.Funcs.r(rollingQuantile(c, 0.25, n, sw))
+    val p75 = graft.functions.Funcs.r(rollingQuantile(c, 0.75, n, sw))
+    val iqr = p75 - p25
+    val flag = c < p25 - lit(k) * iqr || c > p75 + lit(k) * iqr
+    (p25, p75, flag)
+  }
+
   /** W6 — rolling skewness over the trailing n rows (reference: :197-201). */
   def rollingSkew(c: Column, n: Int, sw: SeriesWindow): Column =
     graft.functions.Funcs.nanToNull(skewness(c).over(sw.rows(-(n - 1), 0)))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Changepoint, GeoCluster}
+import graft.operators.{Changepoint, GeoCluster, SeriesWindow}
 import graft.graph.Modularity
 
 /** Round-7 batch-2 operator contracts: changepoint, out-of-fold target
@@ -332,6 +332,22 @@ class R7OpsBatch2Spec extends SparkSpec {
       .select("segment", "cp_at", "mean_left", "mean_right", "gain")
       .as[(String, Int, Double, Double, Double)].collect().toSeq.sortBy(_._1)
     assert(out == Seq(("L", 1, 1.0, 1.0, 0.0), ("R", 6, 5.0, 9.0, 24.0)))
+  }
+
+  test("rolling IQR fences: a spike breaches its trailing window, steady points don't") {
+    // steady 10s establish tight quartiles (p25=p75=10 → fences collapse
+    // to the point), then 100 lands far outside
+    val df = (Seq.fill(7)(10.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val swT = SeriesWindow(Seq(col("k")), Seq(col("t")))
+    val (p25, p75, flag) = graft.operators.WindowFeatures
+      .rollingIqrFences(col("v"), 8, 1.5, swT)
+    val out = df.select(col("t"), p25.as("p25"), p75.as("p75"),
+        flag.as("o")).orderBy("t")
+      .as[(Int, Double, Double, Boolean)].collect().toSeq
+    assert(out.take(7).forall(r => !r._4))
+    val last = out.last
+    assert(last._4 && last._2 == 10.0)
   }
 
   test("dbscan classification: hand-built core / border / noise geometry") {
