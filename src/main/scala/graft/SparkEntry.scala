@@ -739,6 +739,10 @@ object SparkEntry {
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         p25.as("p25"), p75.as("p75"), flag.as("is_outlier"))
     }),
+    // composed forecast-to-policy job: snaive lead demand + z-buffer
+    // per supplier (Jobs.planInventory)
+    "q246_plan_inventory" -> ((s, d) =>
+      graft.app.Jobs.planInventory(s, d)),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2351,6 +2355,42 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q246_plan_inventory" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
+                           l_suppkey, sum(l_quantity) AS q
+                    FROM lineitem GROUP BY 1,2),
+              ix AS (SELECT l_suppkey, q,
+                            CAST(row_number() OVER (PARTITION BY l_suppkey
+                                                    ORDER BY ws) AS BIGINT) AS rn,
+                            count(*) OVER (PARTITION BY l_suppkey) AS n
+                     FROM w),
+              per AS (SELECT l_suppkey, max(n) AS n,
+                             max(CASE WHEN rn = n THEN q END) AS lv
+                      FROM ix GROUP BY 1),
+              st AS (SELECT per.*, s.step, n - 13 + (s.step - 1) % 13 + 1 AS target
+                     FROM per CROSS JOIN (SELECT unnest([1,2]) AS step) s),
+              j AS (SELECT st.l_suppkey, coalesce(ix2.q, st.lv) AS fc
+                    FROM st LEFT JOIN ix ix2
+                    ON st.l_suppkey = ix2.l_suppkey AND st.target = ix2.rn),
+              ld AS (SELECT l_suppkey,
+                            (round((sum(fc))*1e4)/1e4 + 0.0e0) AS lead_demand
+                     FROM j GROUP BY 1),
+              a AS (SELECT l_suppkey, count(*) AS n, sum(q) AS s,
+                           sum(q*q) AS ss
+                    FROM w GROUP BY 1),
+              b AS (SELECT l_suppkey, n, (round((s/n)*1e4)/1e4 + 0.0e0) AS mu,
+                           CASE WHEN n > 1 THEN
+                             (round(sqrt((ss - s*s/n)/(n - 1))*1e4)/1e4 + 0.0e0)
+                           ELSE 0.0e0 END AS sigma
+                    FROM a),
+              c AS (SELECT l_suppkey, n, mu, sigma,
+                           (round((1.645e0 * sigma * 1.4142135623730951e0)*1e4)/1e4
+                            + 0.0e0) AS safety_stock
+                    FROM b)
+         SELECT c.l_suppkey, c.n, c.mu, c.sigma, ld.lead_demand, c.safety_stock,
+                (round((ld.lead_demand + c.safety_stock)*1e4)/1e4
+                 + 0.0e0) AS order_target
+         FROM ld JOIN c USING (l_suppkey)""",
     "q245_rolling_iqr" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
                            (round((quantile_cont(l_quantity, 0.25) OVER w)*1e4)/1e4

