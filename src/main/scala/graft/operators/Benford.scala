@@ -26,9 +26,12 @@ object Benford {
     *              defined on positive magnitudes). */
   def firstDigitProfile(df: DataFrame, value: Column, scale: Int = 2): DataFrame = {
     val cents = round(value * math.pow(10, scale), 0).cast("long")
+    // ≤9-row grain; checkpointing pins it so the total and the output
+    // both read it — ONE scan of the fact
     val digits = df.select(cents.as("__c")).filter(col("__c") > 0)
       .select(substring(col("__c").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val total = digits.agg(sum(col("n")).as("__t"))
     digits.crossJoin(broadcast(total))
       .withColumn("share", col("n") / col("__t"))

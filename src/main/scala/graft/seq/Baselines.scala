@@ -31,10 +31,14 @@ object Baselines {
     require(h >= 1 && period >= 1, "h and period must be positive")
     val keyCols = keys.map(col)
     val v = col(value)
+    // the indexed series feeds BOTH the per-series collapse and the
+    // seasonal-lookup join — persist spill-to-disk for the reuse (one
+    // upstream scan), release once the (series × h) result is pinned
     val idx = df
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols: _*).orderBy(ord)).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val per = idx.groupBy(keyCols: _*)
       .agg(max(col("__n")).as("__n"),
         max(when(col("__rn") === 1, v)).as("__first"),
@@ -46,7 +50,7 @@ object Baselines {
         col("__n") - period + (col("step") - 1) % period + 1)
     val hist = idx.select(keyCols ++
       Seq(col("__rn").as("__target"), v.as("__sv")): _*)
-    steps
+    val out = steps
       .join(hist, keys :+ "__target", "left")
       .select(keyCols ++ Seq(col("step"),
         col("__last").as("naive_fc"),
@@ -56,6 +60,9 @@ object Baselines {
             / (col("__n") - lit(1))))
           .otherwise(col("__last")).as("drift_fc"),
         col("mean_fc")): _*)
+      .localCheckpoint(true)
+    idx.unpersist(blocking = false)
+    out
   }
 
   /** Seasonal naive with a PER-SERIES period — the composition of
@@ -78,6 +85,7 @@ object Baselines {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols: _*).orderBy(ord)).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val per = idx.groupBy(keyCols: _*)
       .agg(max(col("__n")).as("__n"),
         max(when(col("__rn") === col("__n"), v)).as("__last"))
@@ -89,9 +97,12 @@ object Baselines {
         col("__n") - col("period") + (col("step") - 1) % col("period") + 1)
     val hist = idx.select(keyCols ++
       Seq(col("__rn").as("__target"), v.as("__sv")): _*)
-    steps
+    val out = steps
       .join(hist, keys :+ "__target", "left")
       .select(keyCols ++ Seq(col("step"), col("period"),
         coalesce(col("__sv"), col("__last")).as("snaive_fc")): _*)
+      .localCheckpoint(true)
+    idx.unpersist(blocking = false)
+    out
   }
 }
