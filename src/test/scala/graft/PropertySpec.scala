@@ -125,4 +125,22 @@ class PropertySpec extends SparkSpec {
       .select("q", "scale").as[(Int, Double)].collect()
     assert(z.forall(_ == ((0, 0.0))))
   }
+
+  test("gini: bounded in [0, 1) and invariant under scaling the distribution") {
+    val amounts: Gen[List[Double]] = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 400).map(_ / 4.0))
+    (0 until 8).foreach { i =>
+      val xs = gen(amounts, 300L + i)
+      val df = xs.zipWithIndex.map { case (v, id) => ("g", id.toLong, v) }
+        .toDF("g", "id", "v")
+      val g1 = Pareto.gini(df, Seq("g"), col("v"), Seq(col("id")))
+        .select("gini").as[Double].head()
+      assert(g1 >= 0.0 && g1 < 1.0, s"seed $i: $g1")
+      // Gini is a share-based measure: scaling every amount by a
+      // positive constant leaves it unchanged (to output rounding)
+      val g2 = Pareto.gini(df, Seq("g"), col("v") * 8, Seq(col("id")))
+        .select("gini").as[Double].head()
+      assert(math.abs(g1 - g2) <= 2e-4, s"seed $i: $g1 vs $g2")
+    }
+  }
 }
