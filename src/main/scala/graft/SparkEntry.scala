@@ -743,6 +743,11 @@ object SparkEntry {
     // per supplier (Jobs.planInventory)
     "q246_plan_inventory" -> ((s, d) =>
       graft.app.Jobs.planInventory(s, d)),
+    // Spearman rank correlation (fractional ranks, scipy treatment)
+    // of quantity vs extended price per return flag
+    "q247_spearman" -> ((s, d) =>
+      graft.operators.Assoc.spearman(li(s, d), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2355,6 +2360,22 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q247_spearman" ->
+      """WITH rk AS (SELECT l_returnflag,
+                       rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                         + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)/2.0e0 AS rx,
+                       rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                         + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0e0 AS ry
+                     FROM lineitem),
+              s AS (SELECT l_returnflag, count(*) AS n,
+                           sum(rx) AS sx, sum(ry) AS sy, sum(rx*ry) AS sxy,
+                           sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+                    FROM rk GROUP BY 1)
+         SELECT l_returnflag, n,
+                (round(((n*sxy - sx*sy) /
+                        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*1e4)/1e4
+                 + 0.0e0) AS spearman
+         FROM s""",
     "q246_plan_inventory" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS ws,
                            l_suppkey, sum(l_quantity) AS q

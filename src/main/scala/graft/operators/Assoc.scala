@@ -91,6 +91,41 @@ object Assoc {
           .as("enc"))
   }
 
+  /** Spearman rank correlation per group — the monotone-association
+    * screen (robust to outliers and nonlinearity) next to the Pearson
+    * scan in [[FeatureQuality.highCorrPairs]]: Pearson over FRACTIONAL
+    * ranks, ties receiving the average rank `rank + (ties−1)/2` (the
+    * textbook treatment, matching scipy.stats.spearmanr).
+    *
+    * Determinism: fractional ranks are exact half-integers (rank and
+    * tie counts are integers), so the five sufficient sums are exact
+    * in any partial-aggregation order; the correlation assembles once
+    * and rounds. Two rank windows + one tie-count window per axis, all
+    * partitioned on the group key, then one aggregate — group-keyed
+    * exchanges only, no collect. */
+  def spearman(df: DataFrame, groupCols: Seq[String], x: Column,
+               y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    def avgRank(c: Column, tag: String) = {
+      val rk = rank().over(Window.partitionBy(keys: _*).orderBy(c))
+      val ties = count(lit(1)).over(Window.partitionBy(keys :+ c: _*))
+      (rk.cast("double") + (ties - lit(1)) / lit(2.0)).as(s"__r$tag")
+    }
+    val ranked = df.select(keys ++ Seq(avgRank(x, "x"), avgRank(y, "y")): _*)
+    val s = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+    s.select(keys ++ Seq(col("n"),
+      Funcs.r((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+        (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+          sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
+        .as("spearman")): _*)
+  }
+
   /** Out-of-fold target encoding — the leakage-safe variant used when
     * the encoding is consumed by the SAME training rows it was fit on
     * (fit-on-train [[targetEncode]] covers the train/score split;

@@ -207,6 +207,9 @@ object SmokeProbe {
     graft.app.Jobs.planInventory(spark, dir)
       .orderBy(desc("order_target")).show(5, truncate = false)
 
+    graft.operators.Assoc.spearman(li, Seq("l_returnflag"),
+      col("l_quantity"), col("l_extendedprice")).show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

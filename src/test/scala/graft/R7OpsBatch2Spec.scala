@@ -371,6 +371,24 @@ class R7OpsBatch2Spec extends SparkSpec {
     // the composed job target is exactly their sum
   }
 
+  test("spearman: monotone ±1, and tied values take the scipy fractional ranks") {
+    val mono = (1 to 6).map(i => ("g", i.toDouble, math.exp(i.toDouble)))
+      .toDF("g", "x", "y")
+    val up = graft.operators.Assoc.spearman(mono, Seq("g"), col("x"), col("y"))
+      .select("spearman").as[Double].head()
+    assert(up == 1.0)
+    val down = graft.operators.Assoc.spearman(mono, Seq("g"), col("x"), -col("y"))
+      .select("spearman").as[Double].head()
+    assert(down == -1.0)
+    // x = [1,2,2,3] → fractional ranks [1, 2.5, 2.5, 4]; scipy gives
+    // spearmanr = 0.9486832... against y = [1,3,2,4]
+    val tied = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 2.0, 2.0),
+      ("g", 3.0, 4.0)).toDF("g", "x", "y")
+    val t = graft.operators.Assoc.spearman(tied, Seq("g"), col("x"), col("y"))
+      .select("spearman").as[Double].head()
+    assert(t == 0.9487)
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
