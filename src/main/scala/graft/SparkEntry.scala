@@ -748,6 +748,11 @@ object SparkEntry {
     "q247_spearman" -> ((s, d) =>
       graft.operators.Assoc.spearman(li(s, d), Seq("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))),
+    // join/agg key-skew diagnostics: hot-key factor, p99, CV of the
+    // per-key counts (sizes the salted-join mitigation)
+    "q248_key_skew" -> ((s, d) =>
+      graft.etl.Skew.keySkewReport(li(s, d), Seq("l_partkey"),
+        exact = Some(true))),
     // Platt scaling: sigmoid calibration fit by 3 fixed Newton steps
     // over the distinct (score, label) grain
     "q220_platt" -> ((s, d) => {
@@ -2360,6 +2365,15 @@ object SparkEntry {
          SELECT l_returnflag, l_extendedprice AS weighted_median,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
+    "q248_key_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+                max(c) AS max_cnt,
+                (round((avg(c))*1e4)/1e4 + 0.0e0) AS mean_cnt,
+                (round((quantile_cont(c, 0.99))*1e4)/1e4 + 0.0e0) AS p99_cnt,
+                (round((max(c)/avg(c))*1e4)/1e4 + 0.0e0) AS skew_factor,
+                (round((stddev(c)/avg(c))*1e4)/1e4 + 0.0e0) AS cv
+         FROM c""",
     "q247_spearman" ->
       """WITH rk AS (SELECT l_returnflag,
                        rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)

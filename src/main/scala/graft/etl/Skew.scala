@@ -37,4 +37,25 @@ object Skew {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Key-skew diagnostics — the measurement side of the mitigation
+    * toolkit above: one row summarizing how lopsided a prospective
+    * join/aggregation key is (hot-key factor `max/mean` directly sizes
+    * the [[saltedJoin]] salt count; the p99/CV locate whether skew is
+    * one hot key or a heavy tail). Two aggregates: fact → key counts
+    * (map-side combined), counts → 1-row summary. No windows, no sort.
+    */
+  def keySkewReport(df: DataFrame, keys: Seq[String],
+                    exact: Option[Boolean] = None): DataFrame = {
+    import graft.functions.Funcs
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__c")).as("total_rows"),
+      max(col("__c")).as("max_cnt"),
+      Funcs.r(avg(col("__c"))).as("mean_cnt"),
+      Funcs.r(Funcs.pct(col("__c"), 0.99, exact)).as("p99_cnt"),
+      Funcs.r(max(col("__c")) / avg(col("__c"))).as("skew_factor"),
+      Funcs.r(stddev_samp(col("__c")) / avg(col("__c"))).as("cv"))
+  }
 }

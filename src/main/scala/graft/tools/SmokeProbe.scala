@@ -210,6 +210,8 @@ object SmokeProbe {
     graft.operators.Assoc.spearman(li, Seq("l_returnflag"),
       col("l_quantity"), col("l_extendedprice")).show(truncate = false)
 
+    graft.etl.Skew.keySkewReport(li, Seq("l_partkey")).show(truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 

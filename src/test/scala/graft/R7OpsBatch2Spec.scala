@@ -389,6 +389,18 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(t == 0.9487)
   }
 
+  test("key-skew report: a planted hot key drives the factor, p99 and CV") {
+    // keys a,b,c get 1 row each, key h gets 97 → counts [1,1,1,97]
+    val df = (Seq("a", "b", "c").map((_, 1)) ++ Seq.fill(97)(("h", 1)))
+      .toDF("k", "x")
+    val out = graft.etl.Skew.keySkewReport(df, Seq("k"), exact = Some(true))
+      .select("n_keys", "total_rows", "max_cnt", "mean_cnt", "p99_cnt",
+        "skew_factor", "cv")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    // mean 25; p99 interpolates 1 + 0.97·96 = 94.12; σ([1,1,1,97]) = 48
+    assert(out == ((4L, 100L, 97L, 25.0, 94.12, 3.88, 1.92)))
+  }
+
   test("dbscan classification: hand-built core / border / noise geometry") {
     // tight 4-clique near the origin (pairwise ≤ ~15.7 km), a satellite
     // within eps of exactly one core point, and a far-away point
