@@ -22,18 +22,48 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long (session flag) and convert to a
-    * microsecond TimestampType column. Integer `div` (not `/`): the
-    * nanos values exceed 2^53, so a double division rounds the
-    * microsecond off by ±1 on ~6% of rows, while DuckDB (and parquet
-    * readers generally) truncate — `div` matches them exactly. */
+  /** Type-adaptive events loader. The driver has shipped events.parquet
+    * in two layouts over time: `ts` as TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects without the legacy nanosAsLong flag) and as
+    * plain timestamp[us] (which Spark reads as TIMESTAMP_NTZ when the
+    * file is not adjusted-to-UTC). Probe the schema and branch:
+    *
+    *  - TimestampType: pass through.
+    *  - TimestampNTZType: cast to TimestampType. The cast is
+    *    session-timezone-dependent, so the loader pins
+    *    spark.sql.session.timeZone=UTC first — under UTC the cast is a
+    *    bit-identical reinterpretation of the stored microseconds, which
+    *    is exactly how DuckDB (the oracle) reads the same file.
+    *  - LongType (nanosAsLong already on in this session): integer
+    *    `div 1000` to microseconds. `div`, not `/`: nanos exceed 2^53,
+    *    so double division rounds the microsecond off by ±1 on ~6% of
+    *    rows while parquet readers truncate.
+    *  - Schema probe throws (raw NANOS, flag off): set the flag and take
+    *    the long path.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val probed =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None } // TIMESTAMP(NANOS) with the flag off
+    probed match {
+      case Some(df) =>
+        df.schema("ts").dataType match {
+          case TimestampType => df
+          case TimestampNTZType =>
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df
+        }
+      case None =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

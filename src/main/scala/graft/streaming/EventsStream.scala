@@ -23,20 +23,36 @@ object EventsStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over an events-shaped path (directory or file
-    * glob). The driver's events.parquet carries TIMESTAMP(NANOS), which
-    * the schema declares as long (with the nanosAsLong session flag)
-    * and converts to a microsecond timestamp — same handling as the
-    * batch reader (core.Tables.events). */
+    * glob). Streaming sources require an explicit schema, so probe the
+    * `ts` physical type with a batch read of the same path and declare
+    * the stream schema to match — then normalize to TimestampType the
+    * same way as the batch reader (core.Tables.events): pass-through /
+    * NTZ cast under pinned UTC / legacy nanos-as-long `div 1000`. */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    // integer `div`, not `/`: nanos exceed 2^53, a double division is
-    // off by ±1 us on ~6% of rows (same fix as core.Tables.events)
-    spark.readStream.schema(nanosSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: Exception => LongType } // raw TIMESTAMP(NANOS) → long path
+    def withTs(t: org.apache.spark.sql.types.DataType) =
+      StructType(eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = t)
+        case f => f
+      })
+    tsType match {
+      case TimestampType =>
+        spark.readStream.schema(eventSchema).parquet(path)
+      case TimestampNTZType =>
+        // TZ-sensitive cast: pin UTC so the stored micros pass through
+        // bit-identically (matches the batch loader and the oracle)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.readStream.schema(withTs(TimestampNTZType)).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // integer `div`, not `/`: nanos exceed 2^53, a double division
+        // is off by ±1 us on ~6% of rows (same fix as core.Tables.events)
+        spark.readStream.schema(withTs(LongType)).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** Watermarked tumbling-window aggregate: per (window, event_type)
