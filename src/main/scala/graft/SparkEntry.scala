@@ -4060,8 +4060,9 @@ object SparkEntry {
                               + ((l_suppkey % 256) // (1 << i)) % 2 * (1 << (2*i))
                               FOR i IN range(0, 8) ]) AS BIGINT) AS z
          FROM lineitem""",
-    // per-bigram logprob rounded to 6 decimals BEFORE the per-doc mean
-    // (ratio-of-sums convention); multiple unnest zip positionally
+    // per-bigram logprob carried as round(lp*1e6) INTEGER micro-logs so
+    // the per-doc sum is exact in any partial-agg order (Dsir pattern);
+    // divided back once at the end. Multiple unnest zip positionally.
     "q144_bigram_lm" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
                     FROM documents),
@@ -4072,10 +4073,10 @@ object SparkEntry {
                 FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
          v AS (SELECT count(*) AS v FROM uc),
          lp AS (SELECT doc_id,
-                  (round(ln((bc.cnt + 0.5e0) / (uc.c1 + 0.5e0 * v.v))*1e6)/1e6 + 0.0e0) AS lp
+                  CAST(round(ln((bc.cnt + 0.5e0) / (uc.c1 + 0.5e0 * v.v))*1e6) AS BIGINT) AS lpm
                 FROM bg JOIN bc USING (w1, w2) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
          ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                  (round((sum(lp)/count(*))*1e4)/1e4 + 0.0e0) AS avg_logprob
+                  (round((sum(lpm)/1e6/count(*))*1e4)/1e4 + 0.0e0) AS avg_logprob
                 FROM lp GROUP BY 1)
          SELECT doc_id, n_bigrams, avg_logprob,
                 (round(exp(-avg_logprob)*1e4)/1e4 + 0.0e0) AS perplexity

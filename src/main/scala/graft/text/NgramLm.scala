@@ -21,9 +21,12 @@ import graft.functions.Funcs
   * groupBy each, so the scoring joins broadcast under AQE. The only
   * corpus-sized shuffle is the final per-doc aggregation.
   *
-  * Oracle parity: each bigram log-prob is rounded to 6 decimals BEFORE
-  * the per-doc mean (both engines then average bit-identical inputs —
-  * the repo's ratio-of-sums convention), and the mean is rounded to 4.
+  * Oracle parity: each bigram log-prob is rounded to 6 decimals and
+  * carried as an INTEGER micro-log (round(lp·1e6) as long, the
+  * Dsir.scala pattern) so the per-doc sum is exact in any
+  * partial-aggregation order — summing the rounded DOUBLES instead
+  * would be partition-order dependent. The long sum is divided back
+  * once at the end; the mean is rounded to 4.
   */
 object NgramLm {
 
@@ -66,12 +69,13 @@ object NgramLm {
       .join(broadcast(bi), Seq("w1", "w2"))
       .join(broadcast(uni.withColumnRenamed("cnt", "c1").withColumnRenamed("w", "w1")), Seq("w1"))
       .crossJoin(broadcast(v))
-      .withColumn("__lp", Funcs.r(
-        log((col("cnt") + lit(k)) / (col("c1") + lit(k) * col("__v"))), 6))
+      .withColumn("__lpm", round(
+        log((col("cnt") + lit(k)) / (col("c1") + lit(k) * col("__v"))) * 1e6,
+        0).cast("long"))
 
     lp.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        Funcs.r(sum(col("__lp")) / count(lit(1))).as("avg_logprob"))
+        Funcs.r(sum(col("__lpm")) / lit(1e6) / count(lit(1))).as("avg_logprob"))
       .withColumn("perplexity", Funcs.r(exp(-col("avg_logprob"))))
   }
 }

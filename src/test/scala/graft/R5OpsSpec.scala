@@ -113,6 +113,23 @@ class R5OpsSpec extends SparkSpec {
     assert(gib < typ - 1.0, s"scrambled $gib should score well below typical $typ")
   }
 
+  test("bigram LM: avg_logprob is exact under order-hostile partitioning") {
+    // One long doc with many distinct bigrams (log-probs of varying
+    // magnitude) — the micro-long sum must make the per-doc mean
+    // identical no matter how rows are partitioned or ordered.
+    val words = (0 until 400).map(i => s"w${i % 37}").mkString(" ")
+    val docs = (0L until 20L).map(i => (i, words + s" tail$i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      NgramLm.score(df, "doc_id", "text")
+        .orderBy("doc_id")
+        .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toSeq
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13, col("text")))
+    val c = run(docs.orderBy(col("doc_id").desc).repartition(7))
+    assert(a == b, "1-partition vs 13-partition results differ")
+    assert(a == c, "reordered input changed the scores")
+  }
+
   // ---------------- Scd ----------------
 
   test("scd2: runs collapse, intervals chain, current flag set") {
