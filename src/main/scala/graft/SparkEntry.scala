@@ -555,7 +555,11 @@ object SparkEntry {
     "q221_temperature" -> ((s, d) => {
       val base = li(s, d).withColumn("pred", r(avg(col("l_quantity"))
         .over(Window.partitionBy(col("l_partkey"), col("l_suppkey")))))
-      val mean = base.agg(avg(col("pred")).as("__mp"))
+      // preds are 4dp-rounded, so their mean computes exactly from an
+      // integer micro-sum — avg() of doubles would be partial-agg-order
+      // dependent and could flip r(pred − __mp) at a 1e-4 boundary
+      val mean = base.agg((sum(round(col("pred") * 1e4, 0).cast("long"))
+        / lit(1e4) / count(lit(1))).as("__mp"))
       val t = base.crossJoin(broadcast(mean))
         .withColumn("z", r(col("pred") - col("__mp")))
       graft.operators.Platt.fitTemperature(t, col("z"),
@@ -2011,7 +2015,8 @@ object SparkEntry {
              (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4 + 0.0e0) AS pred,
              (l_returnflag = 'R') AS y
            FROM lineitem),
-           mp AS (SELECT avg(pred) m FROM scored),
+           mp AS (SELECT sum(CAST(round(pred*1e4) AS BIGINT))/1e4/count(*) m
+                  FROM scored),
            zt AS (SELECT (round((pred - m)*1e4)/1e4 + 0.0e0) AS z, y
                   FROM scored, mp),
            grain AS (SELECT z, y, CAST(count(*) AS DOUBLE) n FROM zt GROUP BY 1,2),
@@ -2374,20 +2379,24 @@ object SparkEntry {
                 (round((max(c)/avg(c))*1e4)/1e4 + 0.0e0) AS skew_factor,
                 (round((stddev(c)/avg(c))*1e4)/1e4 + 0.0e0) AS cv
          FROM c""",
+    // DOUBLED ranks (2·rank + ties − 1) are exact integers, so the
+    // sufficient sums are exact (HUGEINT here, decimal(38,0) in the
+    // engine); the 2× scale cancels in the correlation
     "q247_spearman" ->
       """WITH rk AS (SELECT l_returnflag,
-                       rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-                         + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)/2.0e0 AS rx,
-                       rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-                         + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0e0 AS ry
+                       CAST(2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                         + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS BIGINT) AS rx,
+                       CAST(2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                         + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS BIGINT) AS ry
                      FROM lineitem),
               s AS (SELECT l_returnflag, count(*) AS n,
                            sum(rx) AS sx, sum(ry) AS sy, sum(rx*ry) AS sxy,
                            sum(rx*rx) AS sxx, sum(ry*ry) AS syy
                     FROM rk GROUP BY 1)
          SELECT l_returnflag, n,
-                (round(((n*sxy - sx*sy) /
-                        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*1e4)/1e4
+                (round((CAST(n*sxy - sx*sy AS DOUBLE) /
+                        (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                         sqrt(CAST(n*syy - sy*sy AS DOUBLE))))*1e4)/1e4
                  + 0.0e0) AS spearman
          FROM s""",
     "q246_plan_inventory" ->

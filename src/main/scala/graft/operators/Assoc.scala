@@ -97,33 +97,40 @@ object Assoc {
     * ranks, ties receiving the average rank `rank + (ties−1)/2` (the
     * textbook treatment, matching scipy.stats.spearmanr).
     *
-    * Determinism: fractional ranks are exact half-integers (rank and
-    * tie counts are integers), so the five sufficient sums are exact
-    * in any partial-aggregation order; the correlation assembles once
-    * and rounds. Two rank windows + one tie-count window per axis, all
-    * partitioned on the group key, then one aggregate — group-keyed
-    * exchanges only, no collect. */
+    * Determinism and overflow: the average fractional rank is a
+    * half-integer, so DOUBLED ranks `2·rank + ties − 1` are exact
+    * integers — the Pearson correlation is scale-invariant, so using
+    * 2× ranks leaves the result unchanged while making every sufficient
+    * sum an integer. The sums accumulate as decimal(38,0) (exact in any
+    * partial-aggregation order; sum(rx·ry) ~ n³ would wrap BIGINT past
+    * ~1.3e6 rows/group, decimal holds to n ≈ 1e9 where n·Sxx ~ 4n⁴
+    * meets the 38-digit ceiling). Two rank windows + one tie-count
+    * window per axis, all partitioned on the group key, then one
+    * aggregate — group-keyed exchanges only, no collect. */
   def spearman(df: DataFrame, groupCols: Seq[String], x: Column,
                y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
-    def avgRank(c: Column, tag: String) = {
+    val dec = "decimal(38,0)"
+    def avgRank2(c: Column, tag: String) = {
       val rk = rank().over(Window.partitionBy(keys: _*).orderBy(c))
       val ties = count(lit(1)).over(Window.partitionBy(keys :+ c: _*))
-      (rk.cast("double") + (ties - lit(1)) / lit(2.0)).as(s"__r$tag")
+      // 2·(fractional average rank) — an exact integer even with ties
+      (lit(2L) * rk + ties - lit(1L)).cast("long").as(s"__r$tag")
     }
-    val ranked = df.select(keys ++ Seq(avgRank(x, "x"), avgRank(y, "y")): _*)
+    val ranked = df.select(keys ++ Seq(avgRank2(x, "x"), avgRank2(y, "y")): _*)
     val s = ranked.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
-        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
-        sum(col("__rx") * col("__ry")).as("__sxy"),
-        sum(col("__rx") * col("__rx")).as("__sxx"),
-        sum(col("__ry") * col("__ry")).as("__syy"))
+        sum(col("__rx").cast(dec)).as("__sx"), sum(col("__ry").cast(dec)).as("__sy"),
+        sum(col("__rx").cast(dec) * col("__ry")).as("__sxy"),
+        sum(col("__rx").cast(dec) * col("__rx")).as("__sxx"),
+        sum(col("__ry").cast(dec) * col("__ry")).as("__syy"))
+    val nD = col("n").cast(dec)
+    val num = (nD * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (nD * col("__syy") - col("__sy") * col("__sy")).cast("double")
     s.select(keys ++ Seq(col("n"),
-      Funcs.r((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-        (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-          sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
-        .as("spearman")): _*)
+      Funcs.r(num / (sqrt(dx) * sqrt(dy))).as("spearman")): _*)
   }
 
   /** Out-of-fold target encoding — the leakage-safe variant used when

@@ -20,6 +20,15 @@ import graft.functions.Funcs.r
   * aggregate per product plus a broadcast-friendly cost join upstream.
   * Products without price variation return a NULL elasticity and keep
   * their cost-based floor untouched.
+  *
+  * Overflow posture (100 TB): per-row products x·y of micro-lns reach
+  * ~1e15 — safe in a long — but their per-key SUM grows ~1e15·rows and
+  * would silently wrap BIGINT past ~1e4 rows/key, so the four sufficient
+  * sums accumulate as decimal(38,0): exact, order-independent, and good
+  * to ~1e22 rows/key before the 38-digit ceiling. The determinant
+  * n·Sxx − Sx² stays inside decimal(38,0) up to ~1e9 rows/key at
+  * micro-ln magnitudes (|x| ≤ ~3e7); past that Spark yields NULL rather
+  * than a wrong sign. The oracle's HUGEINT sums match exactly.
   */
 object PriceOpt {
 
@@ -35,16 +44,17 @@ object PriceOpt {
     val pre = df.filter(price > 0 && qty > 0)
       .select(keys.map(col) ++ Seq(lnMicro(price).as("__x"),
         lnMicro(qty).as("__y"), cost.as("__c")): _*)
+    val dec = "decimal(38,0)"
     val sums = pre.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), max(col("__c")).as("cost"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"))
+        sum(col("__x").cast(dec)).as("__sx"), sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec) * col("__y"))).as("__sxy"),
+        sum((col("__x").cast(dec) * col("__x"))).as("__sxx"))
+    val det = col("n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")
+    val num = col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")
     sums
       .withColumn("elasticity",
-        when(col("n") * col("__sxx") - col("__sx") * col("__sx") > 0,
-          r((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-            (lit(1.0) * (col("n") * col("__sxx") - col("__sx") * col("__sx"))))))
+        when(det > 0, r(num.cast("double") / det.cast("double"))))
       .select(keys.map(col) ++ Seq(col("n"), col("elasticity"), col("cost"),
         when(col("elasticity") < -1,
           r(col("cost") * col("elasticity") / (lit(1.0) + col("elasticity"))))

@@ -389,6 +389,36 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(t == 0.9487)
   }
 
+  test("spearman: exact past the long-sum overflow point (1.4M rows/group)") {
+    // sum(rx·ry) ~ 4n³ wraps a BIGINT accumulator past n ≈ 1.3e6; the
+    // decimal(38,0) sums must still return exactly +1 for a monotone map
+    val n = 1400000
+    val big = spark.range(1, n + 1)
+      .select(lit("g").as("g"), col("id").cast("double").as("x"),
+        (col("id") * 2).cast("double").as("y"))
+    val s = graft.operators.Assoc.spearman(big, Seq("g"), col("x"), col("y"))
+      .select("spearman").as[Double].head()
+    assert(s == 1.0, s"monotone spearman at n=$n must be exactly 1.0, got $s")
+  }
+
+  test("price optimization: elasticity survives product-sum magnitudes past BIGINT") {
+    // ln(1e12-scale prices) → |x| ~ 2.8e7 micro-units; x·y ~ 7.7e14/row,
+    // so 12k rows push Σx·y ~ 9.3e18 past Long.MaxValue — the old long
+    // accumulator wrapped silently; decimal sums must recover e = −2
+    val rows = 12000
+    val df = spark.range(rows)
+      .select(lit("k").as("k"),
+        (lit(1.0e12) * (lit(1.0) + col("id") / rows)).as("price"),
+        lit(3.0).as("cost"))
+      .withColumn("qty", lit(1.0e12) * pow(col("price") / 1.0e12, -2.0))
+    val out = graft.operators.PriceOpt.optimalPrice(df, Seq("k"),
+        col("price"), col("qty"), col("cost"))
+      .select("n", "elasticity", "p_star").as[(Long, Double, Double)].head()
+    assert(out._1 == rows)
+    assert(math.abs(out._2 - -2.0) < 0.01, s"elasticity ${out._2} should be ≈ −2")
+    assert(math.abs(out._3 - 6.0) < 0.05, s"Lerner price ${out._3} should be ≈ 6")
+  }
+
   test("key-skew report: a planted hot key drives the factor, p99 and CV") {
     // keys a,b,c get 1 row each, key h gets 97 → counts [1,1,1,97]
     val df = (Seq("a", "b", "c").map((_, 1)) ++ Seq.fill(97)(("h", 1)))
