@@ -794,6 +794,26 @@ object SparkEntry {
       graft.seq.Ar.forecast(weekly, Seq("l_partkey", "l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
     }),
+    // ARI(2,1): AR(2) fit on first differences, h-step diff forecasts
+    // integrated back from the last observed level
+    "q249_ari_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Ar.forecastIntegrated(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4)
+    }),
+    // MA(1) innovation recursion: per-series centered residual filter
+    // e_t = (x_t − μ) − θ·e_{t−1} with literal θ
+    "q250_ma1" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.withMa1(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
+        theta = 0.4)
+        .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
+          r(col("ma1_resid")).as("ma1_resid"),
+          r(col("ma1_fitted")).as("ma1_fitted"))
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -3574,6 +3594,107 @@ object SparkEntry {
                  FROM e WHERE step < 4)
          SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
                 f AS ar_forecast
+         FROM e""",
+    // the q217 recipe applied to FIRST DIFFERENCES, then integrated
+    // back: cum carries the left-fold of the rounded diff forecasts so
+    // both engines run the identical IEEE chain
+    "q249_ari_forecast" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           d0 AS (SELECT *, q - lag(q, 1) OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY ws) AS dq
+                  FROM w),
+           d AS (SELECT l_partkey, l_suppkey, ws, dq FROM d0 WHERE dq IS NOT NULL),
+           t AS (SELECT *,
+                   lag(dq, 1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l1,
+                   lag(dq, 2) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l2
+                 FROM d),
+           s AS (SELECT l_partkey, l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   (round(sum(dq)*1e4)/1e4 + 0.0e0) sy,
+                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
+                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
+                   (round(sum(dq*l1)*1e4)/1e4 + 0.0e0) sy1,
+                   (round(sum(dq*l2)*1e4)/1e4 + 0.0e0) sy2,
+                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
+                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
+                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                 FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
+           dets AS (SELECT l_partkey, l_suppkey, n, sy,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2*(sy1*s12 - s11*sy2) AS detc,
+                   n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2) + s2*(s1*sy2 - sy1*s2) AS detp1,
+                   n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - s11*s2) AS detp2
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS c,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p1,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
+                 FROM dets),
+           lv AS (SELECT l_partkey, l_suppkey,
+                    max(CASE WHEN rd = 1 THEN dq END) xn,
+                    max(CASE WHEN rd = 2 THEN dq END) xn1
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                          l_suppkey ORDER BY ws DESC) rd FROM d)
+                  GROUP BY 1,2
+                  HAVING max(CASE WHEN rd = 2 THEN dq END) IS NOT NULL),
+           yl AS (SELECT l_partkey, l_suppkey,
+                    max(CASE WHEN rd = 1 THEN q END) yn
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                          l_suppkey ORDER BY ws DESC) rd FROM w)
+                  GROUP BY 1,2),
+           base AS (SELECT lv.l_partkey, lv.l_suppkey, lv.xn, lv.xn1,
+                      c2.c, c2.p1, c2.p2, yl.yn
+                    FROM lv JOIN c2 ON lv.l_partkey = c2.l_partkey
+                      AND lv.l_suppkey = c2.l_suppkey
+                      JOIN yl ON lv.l_partkey = yl.l_partkey
+                      AND lv.l_suppkey = yl.l_suppkey),
+           e AS (SELECT l_partkey, l_suppkey, 1 AS step,
+                   (round((c + p1*xn + p2*xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   xn AS fprev, c, p1, p2, yn,
+                   (round((c + p1*xn + p2*xn1)*1e4)/1e4 + 0.0e0) AS cum
+                 FROM base
+                 UNION ALL
+                 SELECT l_partkey, l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0),
+                   f, c, p1, p2, yn,
+                   cum + (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0)
+                 FROM e WHERE step < 4)
+         SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
+                (round((yn + cum)*1e4)/1e4 + 0.0e0) AS ari_forecast
+         FROM e""",
+    // MA(1) innovation filter: e_t = (x_t − μ) − θ·e_{t−1}, μ the
+    // rounded per-series mean; fitted = x_t − e_t (same op order as
+    // the engine's streaming fold)
+    "q250_ma1" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           m AS (SELECT l_partkey, l_suppkey,
+                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                 FROM w GROUP BY 1,2),
+           t AS (SELECT w.l_partkey, w.l_suppkey, w.ws, w.q,
+                   w.q - m.mu AS xc,
+                   row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey
+                     ORDER BY w.ws) rn
+                 FROM w JOIN m ON w.l_partkey = m.l_partkey
+                   AND w.l_suppkey = m.l_suppkey),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, q, xc AS e
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.q,
+                   t.xc - 0.4e0*e.e
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+         SELECT ws AS week_start, l_partkey, l_suppkey,
+                (round(e*1e4)/1e4 + 0.0e0) AS ma1_resid,
+                (round((q - e)*1e4)/1e4 + 0.0e0) AS ma1_fitted
          FROM e""",
     "q213_theta" ->
       """WITH RECURSIVE

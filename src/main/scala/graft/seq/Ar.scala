@@ -122,4 +122,41 @@ object Ar {
       .withColumn("step", (col("__p") + 1).cast("long"))
       .select(key ++ Seq(col("step"), col("ar_forecast")): _*)
   }
+
+  /** ARI(2,1): the d=1 member of the family (reference fits
+    * ARIMA(2,1,2), src/models/arima_temporal.py:339-345) — fit the
+    * AR(2) on the FIRST DIFFERENCES, forecast h diff steps with the
+    * same rounded recursion, then integrate back from the last
+    * observed level:
+    *
+    *   ŷ_{n+s} = r( y_n + Σ_{j≤s} d̂_{n+j} )
+    *
+    * The cumulative sum runs in step order inside one key partition
+    * (both engines left-fold the same rounded diff forecasts, so the
+    * IEEE chain is identical). Series with fewer than 2 differences
+    * (3 observations) are dropped, matching the AR fit's own support
+    * rule on the differenced series. Pure composition: one extra lag
+    * window for the differencing, everything else rides the AR fit's
+    * exchanges. */
+  def forecastIntegrated(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+                         valueCol: String, h: Int): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val key = keyCols.map(col)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val wd = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
+    val dy = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
+    val lastLevel = dy.withColumn("__rd", row_number().over(wd))
+      .filter(col("__rd") === 1)
+      .select(key :+ col("__yraw").as("__yn"): _*)
+    val diffed = dy.filter(col("__dy").isNotNull)
+      .drop("__yraw")
+    val wcum = Window.partitionBy(key: _*).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    forecast(diffed, keyCols, ord, "__dy", h)
+      .join(lastLevel, keyCols)
+      .withColumn("ari_forecast",
+        r(col("__yn") + sum(col("ar_forecast")).over(wcum)))
+      .select(key ++ Seq(col("step"), col("ari_forecast")): _*)
+  }
 }

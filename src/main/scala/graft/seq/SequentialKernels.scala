@@ -131,6 +131,44 @@ object SequentialKernels {
         (Seq(Some(nl), Some(nt)), Some((nl, Some(nt), x)))
     }
 
+  /** MA(1) innovation recursion — the moving-average member of the
+    * sequential family (the MA side of the reference's ARIMA engine,
+    * src/models/arima_temporal.py:339-345 fits (2,1,2); the innovation
+    * filter is the engine-expressible core):
+    *
+    *   x_t = μ + ε_t + θ·ε_{t−1}  ⇒  ε_t = (x_t − μ) − θ·ε_{t−1}, ε_0 = 0
+    *
+    * with μ the per-series mean (rounded through the repo's 4dp
+    * convention so both engines center on bit-identical values).
+    * Emits the innovation ε_t as `residCol` and the one-step-ahead
+    * prediction x_t − ε_t (= μ + θ·ε_{t−1} up to IEEE association,
+    * computed identically cross-engine) as `fittedCol`, both unrounded
+    * — callers round at the output grain.
+    *
+    * Same single-exchange streaming fold as the other kernels; a
+    * recursive-CTE oracle replays the identical scalar chain (q250).
+    */
+  def withMa1(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+              valueCol: String, theta: Double,
+              residCol: String = "ma1_resid",
+              fittedCol: String = "ma1_fitted"): DataFrame = {
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+    // key-grain mean table: joins back on the series key (AQE broadcasts
+    // it when small; at scale it co-partitions with the fold's exchange)
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    keyedFold[Double](centered, keyCols, ordCols, "__xc", Seq(residCol)) {
+      case (None, st) => (Seq(None), st)
+      case (Some(xc), st) =>
+        val e = xc - theta * st.getOrElse(0.0)
+        (Seq(Some(e)), Some(e))
+    }
+      .withColumn(fittedCol, col(valueCol) - col(residCol))
+      .drop("__mu", "__xc")
+  }
+
   /** M5 — Croston's method (and the SBA bias-corrected variant):
     * exponential smoothing of the nonzero-demand sizes (z) and the
     * inter-demand intervals (p); per-row forecast = z/p

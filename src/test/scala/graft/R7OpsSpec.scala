@@ -48,6 +48,22 @@ class R7OpsSpec extends SparkSpec {
     assert(fc == Seq(4.5, 4.5, 4.5))
   }
 
+  test("ARI(2,1): constant-increment series integrates to a continued ramp") {
+    // y = 5,7,9,...,15: diffs all 2 → collinear diff lags → mean
+    // fallback c = 2, φ = 0 → every diff forecast 2 → ŷ = 15 + 2s
+    val ramp = (0 to 5).map(i => ("a", i + 1, 5.0 + 2 * i)).toDF("k", "t", "v")
+    val out = Ar.forecastIntegrated(ramp, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("step", "ari_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 17.0), (2L, 19.0), (3L, 21.0), (4L, 23.0)))
+  }
+
+  test("ARI(2,1): too few differences yields no forecast rows") {
+    // 3 observations → 2 diffs → no l2-complete regression row → no coefs
+    val short = Seq(("a", 1, 3.0), ("a", 2, 7.0), ("a", 3, 8.0)).toDF("k", "t", "v")
+    assert(Ar.forecastIntegrated(short, Seq("k"), Seq(col("t")), "v", h = 2).count() == 0)
+  }
+
   test("AR(2): series too short to regress gets null coefficients and no forecast rows") {
     val short = Seq(("a", 1, 3.0), ("a", 2, 7.0)).toDF("k", "t", "v")
     val out = Ar.fitted(short, Seq("k"), Seq(col("t")), "v")

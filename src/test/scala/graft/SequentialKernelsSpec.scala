@@ -9,6 +9,25 @@ class SequentialKernelsSpec extends SparkSpec {
   private def series(rows: (String, Int, java.lang.Double)*) =
     rows.toSeq.toDF("k", "t", "v")
 
+  test("MA(1) innovation recursion matches the hand-computed filter") {
+    // series 10,14,8,12 → μ = 11; centered 	−1,3,−3,1; θ = 0.5:
+    // e1 = −1; e2 = 3 − 0.5·(−1) = 3.5; e3 = −3 − 0.5·3.5 = −4.75;
+    // e4 = 1 − 0.5·(−4.75) = 3.375; fitted = x − e
+    val df = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 8.0), ("a", 4, 12.0))
+    val out = SequentialKernels.withMa1(df, Seq("k"), Seq(col("t")), "v", theta = 0.5)
+      .orderBy("t").select("ma1_resid", "ma1_fitted")
+      .as[(Double, Double)].collect().toSeq
+    assert(out == Seq((-1.0, 11.0), (3.5, 10.5), (-4.75, 12.75), (3.375, 8.625)))
+  }
+
+  test("MA(1): independent series keep independent innovation state") {
+    val df = series(("a", 1, 10.0), ("b", 1, 100.0), ("a", 2, 14.0), ("b", 2, 90.0))
+    val out = SequentialKernels.withMa1(df, Seq("k"), Seq(col("t")), "v", theta = 0.5)
+      .orderBy("k", "t").select("ma1_resid").as[Double].collect().toSeq
+    // a: μ=12 → e = −2, 2 − 0.5·(−2) = 3; b: μ=95 → e = 5, −5 − 0.5·5 = −7.5
+    assert(out == Seq(-2.0, 3.0, 5.0, -7.5))
+  }
+
   test("EWMA matches the pandas adjust=False recursion, hand-computed") {
     val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("a", 4, 40.0))
     val out = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", 0.5, "e")
