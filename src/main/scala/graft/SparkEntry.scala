@@ -802,6 +802,14 @@ object SparkEntry {
       graft.seq.Ar.forecastIntegrated(weekly, Seq("l_partkey", "l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
     }),
+    // AR(2) forecasts with 95% z-bands from the closed-form h-step
+    // variance (σ² from in-sample residuals, ψ-weight recursion)
+    "q251_ar_intervals" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Ar.forecastIntervals(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4)
+    }),
     // MA(1) innovation recursion: per-series centered residual filter
     // e_t = (x_t − μ) − θ·e_{t−1} with literal θ
     "q250_ma1" -> ((s, d) => {
@@ -3594,6 +3602,84 @@ object SparkEntry {
                  FROM e WHERE step < 4)
          SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
                 f AS ar_forecast
+         FROM e""",
+    // the q217 recipe + in-sample residual variance + the ψ-weight
+    // recursion carried through the CTE: Var(h) = s2·Σψ², z literal
+    "q251_ar_intervals" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *,
+                   lag(q, 1) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l1,
+                   lag(q, 2) OVER (PARTITION BY l_partkey, l_suppkey ORDER BY ws) l2
+                 FROM w),
+           s AS (SELECT l_partkey, l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
+                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
+                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2m,
+                   (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
+                   (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
+                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
+                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
+                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                 FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
+           dets AS (SELECT l_partkey, l_suppkey, n, sy,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2m) + s2m*(s1*s12 - s11*s2m) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2m*(sy1*s12 - s11*sy2) AS detc,
+                   n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2m) + s2m*(s1*sy2 - sy1*s2m) AS detp1,
+                   n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2m) + sy*(s1*s12 - s11*s2m) AS detp2
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS c,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p1,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
+                 FROM dets),
+           fit AS (SELECT t.l_partkey, t.l_suppkey, t.q,
+                     (round((c2.c + c2.p1*t.l1 + c2.p2*t.l2)*1e4)/1e4 + 0.0e0) AS f
+                   FROM t JOIN c2 ON t.l_partkey = c2.l_partkey
+                     AND t.l_suppkey = c2.l_suppkey
+                   WHERE t.l2 IS NOT NULL),
+           sig AS (SELECT l_partkey, l_suppkey,
+                     (round(avg((q - f)*(q - f))*1e4)/1e4 + 0.0e0) AS sg2
+                   FROM fit GROUP BY 1,2),
+           lv AS (SELECT l_partkey, l_suppkey,
+                    max(CASE WHEN rd = 1 THEN q END) xn,
+                    max(CASE WHEN rd = 2 THEN q END) xn1
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                          l_suppkey ORDER BY ws DESC) rd FROM w)
+                  GROUP BY 1,2
+                  HAVING max(CASE WHEN rd = 2 THEN q END) IS NOT NULL),
+           base AS (SELECT lv.l_partkey, lv.l_suppkey, lv.xn, lv.xn1,
+                      c2.c, c2.p1, c2.p2, sig.sg2
+                    FROM lv JOIN c2 ON lv.l_partkey = c2.l_partkey
+                      AND lv.l_suppkey = c2.l_suppkey
+                      JOIN sig ON lv.l_partkey = sig.l_partkey
+                      AND lv.l_suppkey = sig.l_suppkey),
+           e AS (SELECT l_partkey, l_suppkey, 1 AS step,
+                   (round((c + p1*xn + p2*xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   xn AS fprev,
+                   1.0e0 AS psi, 0.0e0 AS psiprev, 1.0e0 AS cum2,
+                   c, p1, p2, sg2
+                 FROM base
+                 UNION ALL
+                 SELECT l_partkey, l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0),
+                   f,
+                   (round((p1*psi + p2*psiprev)*1e4)/1e4 + 0.0e0),
+                   psi,
+                   cum2 + (round((p1*psi + p2*psiprev)*1e4)/1e4 + 0.0e0)
+                        * (round((p1*psi + p2*psiprev)*1e4)/1e4 + 0.0e0),
+                   c, p1, p2, sg2
+                 FROM e WHERE step < 4)
+         SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
+                f AS ar_forecast,
+                (round((f - 1.959964e0*sqrt(sg2*cum2))*1e4)/1e4 + 0.0e0) AS ar_lo,
+                (round((f + 1.959964e0*sqrt(sg2*cum2))*1e4)/1e4 + 0.0e0) AS ar_hi
          FROM e""",
     // the q217 recipe applied to FIRST DIFFERENCES, then integrated
     // back: cum carries the left-fold of the rounded diff forecasts so

@@ -123,6 +123,70 @@ object Ar {
       .select(key ++ Seq(col("step"), col("ar_forecast")): _*)
   }
 
+  /** h-step forecasts WITH prediction intervals — the engine-side
+    * equivalent of the reference's `predict_with_intervals`
+    * (src/models/arima_temporal.py:404-461): a z-band around each
+    * forecast from the closed-form h-step forecast variance
+    *
+    *   Var(h) = σ² · Σ_{j=0}^{h−1} ψ_j²,   ψ_0 = 1,
+    *   ψ_j = φ1·ψ_{j−1} + φ2·ψ_{j−2}       (AR(2) MA(∞) weights)
+    *
+    * with σ² the in-sample one-step residual variance (mean of squared
+    * rounded-fit residuals, rounded — the house determinism
+    * convention) and z a literal constant (default the 95% normal
+    * quantile). ψ and the cumulative ψ² sum unroll as rounded column
+    * arithmetic next to the forecast fold, so the recursive-CTE oracle
+    * replays the identical chain. Output grain: (keys, step,
+    * ar_forecast, ar_lo, ar_hi). */
+  def forecastIntervals(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+                        valueCol: String, h: Int,
+                        z: Double = 1.959964): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val key = keyCols.map(col)
+    val indexed = indexedLags(df, keyCols, ord, valueCol)
+    val cf = coefs(indexed, keyCols)
+    val resid = indexed.join(cf, keyCols)
+      .withColumn("__fit", when(col("__l2").isNotNull,
+        r(col("ar_c") + col("ar_phi1") * col("__l1") + col("ar_phi2") * col("__l2"))))
+      .filter(col("__fit").isNotNull)
+    val sig = resid.groupBy(key: _*)
+      .agg(r(avg((col("__y") - col("__fit")) * (col("__y") - col("__fit"))))
+        .as("__s2"))
+    val w = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
+    val lastVals = indexed.withColumn("__rd", row_number().over(w))
+      .groupBy(key: _*)
+      .agg(max(when(col("__rd") === 1, col("__y"))).as("__xn"),
+        max(when(col("__rd") === 2, col("__y"))).as("__xn1"))
+      .filter(col("__xn1").isNotNull)
+    val base = lastVals.join(cf, keyCols).join(sig, keyCols)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val (p1, p2) = s match {
+        case 1 => (col("__xn"), col("__xn1"))
+        case 2 => (acc(0), col("__xn"))
+        case _ => (acc(s - 2), acc(s - 3))
+      }
+      acc :+ r(col("ar_c") + col("ar_phi1") * p1 + col("ar_phi2") * p2)
+    }
+    // ψ weights and the left-folded cumulative ψ² sums, both rounded
+    // per step exactly as the oracle's recursive CTE carries them
+    val psis = (1 until h).foldLeft(Vector[Column](lit(1.0))) { (acc, j) =>
+      val prev2 = if (j >= 2) acc(j - 2) else lit(0.0)
+      acc :+ r(col("ar_phi1") * acc(j - 1) + col("ar_phi2") * prev2)
+    }
+    val cums = (1 until h).foldLeft(Vector[Column](lit(1.0))) { (acc, s) =>
+      acc :+ (acc(s - 1) + psis(s) * psis(s))
+    }
+    val rows = (1 to h).map { s =>
+      val f = steps(s - 1)
+      val half = lit(z) * sqrt(col("__s2") * cums(s - 1))
+      struct(f.as("f"), r(f - half).as("lo"), r(f + half).as("hi"))
+    }
+    base.select(key :+ posexplode(array(rows: _*)).as(Seq("__p", "__r")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(key ++ Seq(col("step"), col("__r.f").as("ar_forecast"),
+        col("__r.lo").as("ar_lo"), col("__r.hi").as("ar_hi")): _*)
+  }
+
   /** ARI(2,1): the d=1 member of the family (reference fits
     * ARIMA(2,1,2), src/models/arima_temporal.py:339-345) — fit the
     * AR(2) on the FIRST DIFFERENCES, forecast h diff steps with the

@@ -48,6 +48,40 @@ class R7OpsSpec extends SparkSpec {
     assert(fc == Seq(4.5, 4.5, 4.5))
   }
 
+  test("AR intervals: zero in-sample residuals collapse the band onto the forecast") {
+    // noise-free AR(2) → fitted ≡ actual → σ² = 0 → lo = f = hi
+    val out = Ar.forecastIntervals(arDf, Seq("k"), Seq(col("t")), "v", h = 3)
+      .orderBy("step").select("ar_forecast", "ar_lo", "ar_hi")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (f, lo, hi) => assert(lo == f && hi == f) }
+  }
+
+  test("AR intervals: mean-fallback band is the hand-computed constant z-band") {
+    // linear 1..6 → fallback c = 4.5, φ = 0 → ψ_j = 0 for j ≥ 1, so the
+    // band width is constant: residuals over t=3..6 are ±1.5, ±0.5 →
+    // σ² = 1.25, half = 1.959964·√1.25 = 2.1913 (4dp)
+    val lin = (1 to 6).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = Ar.forecastIntervals(lin, Seq("k"), Seq(col("t")), "v", h = 3)
+      .orderBy("step").select("ar_forecast", "ar_lo", "ar_hi")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(out == Seq((4.5, 2.3087, 6.6913), (4.5, 2.3087, 6.6913),
+      (4.5, 2.3087, 6.6913)))
+  }
+
+  test("AR intervals: a persistent series widens its band with the horizon") {
+    // any ψ_1 ≠ 0 gives Var(2) = σ²(1+ψ_1²) > Var(1): the band must widen
+    val noisy = Seq(10.0, 12.0, 11.0, 13.0, 12.0, 14.0, 12.5, 14.5, 13.0, 15.0)
+      .zipWithIndex.map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val out = Ar.forecastIntervals(noisy, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("step", "ar_lo", "ar_hi")
+      .as[(Long, Double, Double)].collect().toSeq
+    val widths = out.map { case (_, lo, hi) => hi - lo }
+    assert(widths.zip(widths.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"band widths should be non-decreasing, got $widths")
+    assert(widths.last > widths.head, s"band should widen over the horizon: $widths")
+  }
+
   test("ARI(2,1): constant-increment series integrates to a continued ramp") {
     // y = 5,7,9,...,15: diffs all 2 → collinear diff lags → mean
     // fallback c = 2, φ = 0 → every diff forecast 2 → ŷ = 15 + 2s
