@@ -77,9 +77,16 @@ object Bench {
     val spineSec = (System.nanoTime() - spineT0) / 1e9
     val rowsPerSec = factRows / spineSec
 
+    // host congestion marker: a shared container's load average is the
+    // discriminator between code regressions and noisy-neighbor rounds
+    // (BENCH_NOTES.md) — carry it inside the metrics line itself
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.filter(_._2 > 0).map(_._2).sum
-    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f}""")
+    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }
