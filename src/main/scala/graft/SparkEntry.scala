@@ -696,6 +696,13 @@ object SparkEntry {
       graft.operators.WeightedStats.weightedMedian(li(s, d),
         Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
         Seq(col("l_orderkey"), col("l_linenumber")))),
+    // generalized weighted quantiles: one cumulative-weight walk shared
+    // across the whole q-list (q=0.5 row ≡ the q240 weighted median)
+    "q252_weighted_quantiles" -> ((s, d) =>
+      graft.operators.WeightedStats.weightedQuantiles(li(s, d),
+        Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9))),
     // safety stock + order-up-to per weekly series (z=1.645, L=2)
     "q241_safety_stock" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
@@ -1081,13 +1088,25 @@ object SparkEntry {
     }),
     // LSH-blocked (recall < 1 by design) — rows-only; recall vs exact
     // all-pairs asserted in SimilaritySpec
-    "q107_embed_near_dupes" -> ((s, d) =>
-      graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d), dim = 64,
-        threshold = 0.9)),
-    // near-dup variant at a threshold the fixture actually crosses: the
-    // q107 gate at 0.9 is vacuously empty on this corpus (max pairwise
-    // cosine ≈ 0.51), so it only proves the no-false-positive side;
-    // 0.4 exercises banding + cosine verify on non-empty results
+    // threshold PROFILE of the banded near-dup detector: verified-pair
+    // counts per cosine threshold 0.3..0.9. Always 7 rows, so the
+    // oracle compares real counts — the old single-threshold 0.9 form
+    // was a vacuous 0-row-vs-0-row match on this corpus (max pairwise
+    // cosine ≈ 0.51); here the 0.9 band contributes an honest 0 COUNT
+    // next to the non-zero low bands
+    "q107_embed_near_dupes" -> ((s, d) => {
+      import s.implicits._
+      val pairs = graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d),
+        dim = 64, threshold = 0.3)
+      val ths = (3 to 9).map(_ / 10.0).toDF("threshold")
+      ths.join(pairs, lit(true), "left")
+        .groupBy("threshold")
+        .agg(sum(when(col("cos_sim") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pairs"))
+    }),
+    // near-dup variant at one threshold the fixture actually crosses:
+    // exercises banding + cosine verify on a non-empty PAIR listing
+    // (q107 profiles the counts; this one checks the pair identities)
     "q218_near_dupes_low" -> ((s, d) =>
       graft.sim.Similarity.cosineNearDupes(Tables.embeddings(s, d), dim = 64,
         threshold = 0.4)),
@@ -1975,6 +1994,21 @@ object SparkEntry {
          SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= $threshold"""
   }
 
+  /** q107 oracle: the banded near-dup pipeline, profiled as verified
+    * pair counts per threshold — a LEFT join from the literal
+    * threshold list guarantees 7 rows even on a corpus with no
+    * candidate pairs, so the comparison can never be vacuous. */
+  private lazy val embedNearDupesProfileSql: String = {
+    val inner = embedNearDupesSql("0.3e0")
+    s"""WITH sel AS ($inner)
+         SELECT th.threshold,
+                CAST(coalesce(sum(CASE WHEN sel.cos_sim >= th.threshold
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         FROM (SELECT unnest([0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS threshold) th
+         LEFT JOIN sel ON true
+         GROUP BY 1"""
+  }
+
   /** q220 oracle: Platt-scaling Newton recursion unrolled into one CTE
     * pair per step, every sum and state update rounded exactly as the
     * engine rounds (the q204 fixed-iteration recipe). */
@@ -2396,6 +2430,26 @@ object SparkEntry {
                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
                     FROM c WHERE cw * 2 >= tw)
          SELECT l_returnflag, l_extendedprice AS weighted_median,
+                (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
+         FROM p WHERE rn = 1""",
+    // the q240 walk shared across a literal q-list: same lower-pick
+    // convention, cw >= q*tw mirrored as the identical IEEE multiply
+    "q252_weighted_quantiles" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice,
+                           sum(l_quantity) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw,
+                           count(*) OVER (PARTITION BY l_returnflag) AS n,
+                           l_orderkey, l_linenumber
+                    FROM lineitem),
+              x AS (SELECT c.*, q.q FROM c
+                    CROSS JOIN (SELECT unnest([0.1e0,0.25e0,0.5e0,0.75e0,0.9e0]) AS q) q
+                    WHERE cw >= q.q * tw),
+              p AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, q
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+                    FROM x)
+         SELECT l_returnflag, q, l_extendedprice AS weighted_quantile,
                 (round(tw*1e4)/1e4 + 0.0e0) AS total_weight, n AS n_rows
          FROM p WHERE rn = 1""",
     "q248_key_skew" ->
@@ -3288,7 +3342,7 @@ object SparkEntry {
     // same embedded-plane recipe as q69, 8 bands of width 2 and a
     // rounded-cosine >= threshold verify (an empty result set is still
     // a byte-exact contract: no false positives in either engine)
-    "q107_embed_near_dupes" -> embedNearDupesSql("0.9e0"),
+    "q107_embed_near_dupes" -> embedNearDupesProfileSql,
     "q218_near_dupes_low" -> embedNearDupesSql("0.4e0"),
     "q70_embed_norms" ->
       """SELECT label, count(*) AS n_vecs,

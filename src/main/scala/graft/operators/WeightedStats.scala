@@ -42,4 +42,36 @@ object WeightedStats {
       .select(keys ++ Seq(value.as("weighted_median"),
         Funcs.r(col("__tw")).as("total_weight"), col("__n").as("n_rows")): _*)
   }
+
+  /** Generalized weighted quantiles: for each q in `qs` (0 < q < 1),
+    * the smallest value whose cumulative weight reaches q·total — the
+    * same lower-pick convention as [[weightedMedian]], which this
+    * reproduces exactly at q = 0.5 (0.5·tw is an exact IEEE scaling,
+    * so `cw ≥ 0.5·tw` ⟺ `2·cw ≥ tw`; property-tested).
+    *
+    * One row per (group, q). The cumulative-weight walk is computed
+    * ONCE and shared across all requested quantiles via a literal-array
+    * explode — adding quantiles costs no extra exchange; the only
+    * windows are the same two group-keyed ones the median uses. */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                        weight: Column, tie: Seq[Column],
+                        qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "quantiles must lie strictly inside (0, 1)")
+    val keys = groupCols.map(col)
+    val ord = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
+    val cum = df
+      .withColumn("__w", weight)
+      .withColumn("__cw", sum(col("__w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(keys: _*)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val pick = Window.partitionBy(keys :+ col("q"): _*).orderBy(value +: tie: _*)
+    cum.withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__cw") >= col("q") * col("__tw"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("q"), value.as("weighted_quantile"),
+        Funcs.r(col("__tw")).as("total_weight"), col("__n").as("n_rows")): _*)
+  }
 }

@@ -2,12 +2,25 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints formatted physical plans for the headline queries so the
-  * shuffle/broadcast/pushdown shape can be audited by eye (and greps). */
+/** Plan-shape audit CLI — the quick feedback loop behind the PlanSpec
+  * pins, in two modes:
+  *
+  *  - default: prints the FORMATTED physical plan for each named query
+  *    so shuffle/broadcast/pushdown shape can be audited by eye.
+  *  - `--counts`: prints one summary line per query with
+  *    exchange/broadcast/scan/sort/single-partition counts of the
+  *    executed plan (all queries when none are named).
+  *
+  * Usage: `runMain graft.tools.PlanAudit [--counts] [sfDir] [query...]`
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val counts = args.contains("--counts")
+    val rest = args.filterNot(_ == "--counts")
+    val dir = rest.headOption.getOrElse(
+      if (counts) "/root/testdata/sf0.001" else "/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
+      else if (counts) graft.SparkEntry.queries.keys.toSeq.sorted
       else Seq("q22_weekly_aggregate", "q23_enrich_join", "q40_rolling_stats",
         "q41_rolling_slope", "q21_cooccurrence", "q68_ann_brute", "q69_ann_lsh")
     val spark = SparkSession.builder().master("local[4]")
@@ -17,8 +30,20 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      println(s"\n===== $n =====")
-      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      if (counts) {
+        val plan = df.queryExecution.executedPlan.toString
+        val nBc = "BroadcastExchange".r.findAllIn(plan).length
+        val nEx = "Exchange".r.findAllIn(plan).length - nBc
+        val nScan = "Scan parquet".r.findAllIn(plan).length
+        val nSort = "Sort \\[".r.findAllIn(plan).length
+        val n1p = "Exchange SinglePartition".r.findAllIn(plan).length
+        println(s"AUDIT $n exchanges=$nEx broadcast=$nBc scans=$nScan " +
+          s"sorts=$nSort single_partition=$n1p")
+      } else {
+        println(s"\n===== $n =====")
+        df.explain("formatted")
+      }
     }
     spark.stop()
   }

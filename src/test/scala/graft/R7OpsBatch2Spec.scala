@@ -262,6 +262,30 @@ class R7OpsBatch2Spec extends SparkSpec {
     assert(out == Seq(("g", 3.0, 12.0, 3L), ("h", 2.0, 4.0, 4L)))
   }
 
+  test("weighted quantiles: hand-computed walk, and q=0.5 equals the weighted median") {
+    // group g: values 1,2,3,4 with weights 4,2,2,2 (total 10). Lower
+    // pick: q=0.25 → cw 4 ≥ 2.5 at v=1; q=0.5 → cw 6 ≥ 5 at v=2;
+    // q=0.9 → cw 10 ≥ 9 at v=4
+    val df = Seq(("g", 1L, 1.0, 4.0), ("g", 2L, 2.0, 2.0), ("g", 3L, 3.0, 2.0),
+      ("g", 4L, 4.0, 2.0)).toDF("g", "id", "v", "w")
+    val out = graft.operators.WeightedStats.weightedQuantiles(df, Seq("g"),
+        col("v"), col("w"), Seq(col("id")), qs = Seq(0.25, 0.5, 0.9))
+      .select("q", "weighted_quantile").as[(Double, Double)].collect().toSeq.sorted
+    assert(out == Seq((0.25, 1.0), (0.5, 2.0), (0.9, 4.0)))
+    // property: the q=0.5 row reproduces weightedMedian on varied weights
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 500).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, rnd.nextInt(50).toDouble,
+        (1 + rnd.nextInt(9)).toDouble)).toDF("g", "id", "v", "w")
+    val med = graft.operators.WeightedStats.weightedMedian(big, Seq("g"),
+        col("v"), col("w"), Seq(col("id")))
+      .select("g", "weighted_median").as[(String, Double)].collect().toSeq.sorted
+    val q50 = graft.operators.WeightedStats.weightedQuantiles(big, Seq("g"),
+        col("v"), col("w"), Seq(col("id")), qs = Seq(0.5))
+      .select("g", "weighted_quantile").as[(String, Double)].collect().toSeq.sorted
+    assert(q50 == med)
+  }
+
   test("safety stock: hand sums, and a single-point series holds zero buffer") {
     val df = (Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0), ("b", 1, 7.0)))
       .toDF("k", "t", "v")

@@ -27,6 +27,38 @@ class SkewSpec extends SparkSpec {
     assert(buckets >= 6, s"only $buckets salt buckets used")
   }
 
+  test("salted join spreads the hot key's reducer load; salt sized from keySkewReport") {
+    // 95% of probe rows on one key: the end-to-end mitigation demo the
+    // q248 diagnostics point at. Plain join → the hot key's output
+    // lives in exactly ONE reducer partition; salted join keyed on
+    // (k, salt) → it spreads over several.
+    val probe = ((1 to 19000).map(i => (1L, i)) ++
+      (2 to 20).flatMap(k => (1 to 52).map(i => (k.toLong, i)))).toDF("k", "payload")
+    val build = (1 to 20).map(k => (k.toLong, s"attr$k")).toDF("bk", "attr")
+    // size the salt count from the measured hot-key factor (max/mean),
+    // the scaladoc's "n ≈ skew factor" rule
+    val skewFactor = Skew.keySkewReport(probe, Seq("k"))
+      .select("skew_factor").as[Double].head()
+    val buckets = math.min(32, math.ceil(skewFactor).toInt)
+    assert(buckets >= 8, s"planted skew should size a real salt count, got $buckets")
+    val conf = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      def hotPartitions(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter(col("k") === 1L)
+        .select(spark_partition_id().as("pid")).distinct().count()
+      val plain = probe.join(build, probe("k") === build("bk"))
+      val salted = Skew.saltedJoin(probe, build, "k", "bk", buckets,
+        probeSaltSource = Seq(col("payload")))
+      assert(salted.count() == plain.count())
+      assert(hotPartitions(plain) == 1L, "plain join should funnel the hot key to one reducer")
+      val spread = hotPartitions(salted)
+      assert(spread >= 2L, s"salted join should spread the hot key, got $spread partition(s)")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("co-bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
