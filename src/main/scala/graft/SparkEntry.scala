@@ -3533,19 +3533,22 @@ object SparkEntry {
            t0 AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
                     ORDER BY ws) rn FROM w3),
            s AS (SELECT l_partkey, l_suppkey,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   sum(CAST(rn AS DOUBLE)) AS st,
-                   sum(q) AS sx,
-                   sum(CAST(rn AS DOUBLE)*CAST(rn AS DOUBLE)) AS stt,
-                   sum(CAST(rn AS DOUBLE)*q) AS stx
+                   count(*) AS n,
+                   sum(rn) AS st,
+                   sum(CAST(round(q*1e4) AS BIGINT)) AS sxm,
+                   sum(rn*rn) AS stt,
+                   sum(rn*CAST(round(q*1e4) AS BIGINT)) AS stxm
                  FROM t0 GROUP BY 1,2),
            c AS (SELECT l_partkey, l_suppkey,
                    (round((CASE WHEN n > 1
-                      THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
-                   n, st, sx
+                      THEN CAST(n*stxm - st*sxm AS DOUBLE)/1e4
+                           /CAST(n*stt - st*st AS DOUBLE)
+                      ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sxm
                  FROM s),
            c2 AS (SELECT l_partkey, l_suppkey, b,
-                    (round(((sx - b*st)/n)*1e4)/1e4 + 0.0e0) AS a
+                    (round(((CAST(sxm AS DOUBLE)/1e4 - b*CAST(st AS DOUBLE))
+                            /CAST(n AS DOUBLE))*1e4)/1e4 + 0.0e0) AS a
                   FROM c),
            t AS (SELECT t0.l_partkey, t0.l_suppkey, t0.ws, t0.rn, t0.q, t0.seas,
                    c2.a, c2.b,
@@ -3844,19 +3847,22 @@ object SparkEntry {
            t0 AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
                     ORDER BY ws) rn FROM w),
            s AS (SELECT l_partkey, l_suppkey,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   sum(CAST(rn AS DOUBLE)) AS st,
-                   sum(q) AS sx,
-                   sum(CAST(rn AS DOUBLE)*CAST(rn AS DOUBLE)) AS stt,
-                   sum(CAST(rn AS DOUBLE)*q) AS stx
+                   count(*) AS n,
+                   sum(rn) AS st,
+                   sum(CAST(round(q*1e4) AS BIGINT)) AS sxm,
+                   sum(rn*rn) AS stt,
+                   sum(rn*CAST(round(q*1e4) AS BIGINT)) AS stxm
                  FROM t0 GROUP BY 1,2),
            c AS (SELECT l_partkey, l_suppkey,
                    (round((CASE WHEN n > 1
-                      THEN (n*stx - st*sx)/(n*stt - st*st) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
-                   n, st, sx
+                      THEN CAST(n*stxm - st*sxm AS DOUBLE)/1e4
+                           /CAST(n*stt - st*st AS DOUBLE)
+                      ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sxm
                  FROM s),
            c2 AS (SELECT l_partkey, l_suppkey, b,
-                    (round(((sx - b*st)/n)*1e4)/1e4 + 0.0e0) AS a
+                    (round(((CAST(sxm AS DOUBLE)/1e4 - b*CAST(st AS DOUBLE))
+                            /CAST(n AS DOUBLE))*1e4)/1e4 + 0.0e0) AS a
                   FROM c),
            t AS (SELECT t0.l_partkey, t0.l_suppkey, t0.ws, t0.rn, t0.q,
                    c2.a, c2.b,

@@ -21,6 +21,14 @@ import graft.functions.Funcs.r
   * rides the same sort-within-partitions streaming fold as the other
   * kernels. Oracle: OLS sums + the q73 recursive-CTE recipe over the
   * rounded theta2 values (q213).
+  *
+  * Determinism of the sums: the value micro-rounds to the 1e-4 grid
+  * per row (round(x·1e4) as a long) and every sufficient sum
+  * accumulates as decimal(38,0) — exact in any partial-aggregation
+  * order and immune to the Σt² > 2^53 precision cliff on very long
+  * series. Summing the raw doubles instead left theta_a one 4th-decimal
+  * ulp apart between engines on knife-edge series (observed at
+  * sf0.001 before the r9 fix).
   */
 object Theta {
 
@@ -56,19 +64,25 @@ object Theta {
     val w = Window.partitionBy(key: _*).orderBy(ord: _*)
     val indexed = df.withColumn("__t", row_number().over(w).cast("double"))
     val x = col(valueCol)
+    val dec = "decimal(38,0)"
+    val tL = col("__t").cast(dec)
+    val xm = round(x * 1e4, 0).cast(dec)
     val sums = indexed.groupBy(key: _*).agg(
-      count(lit(1)).cast("double").as("__n"),
-      sum(col("__t")).as("__st"),
-      sum(x).as("__sx"),
-      sum(col("__t") * col("__t")).as("__stt"),
-      sum(col("__t") * x).as("__stx"))
-    val bRaw = (col("__n") * col("__stx") - col("__st") * col("__sx")) /
-      (col("__n") * col("__stt") - col("__st") * col("__st"))
+      count(lit(1)).as("__n"),
+      sum(tL).as("__st"),
+      sum(xm).as("__sxm"),
+      sum(tL * col("__t").cast("long")).as("__stt"),
+      sum(tL * round(x * 1e4, 0).cast("long")).as("__stxm"))
+    val nD = col("__n").cast(dec)
+    val bRaw = (nD * col("__stxm") - col("__st") * col("__sxm")).cast("double") /
+      lit(1e4) /
+      (nD * col("__stt") - col("__st") * col("__st")).cast("double")
     // single-observation series have a degenerate denominator: flat trend
     val coefs = sums
       .withColumn("theta_b", r(when(col("__n") > 1, bRaw).otherwise(lit(0.0))))
       .withColumn("theta_a",
-        r((col("__sx") - col("theta_b") * col("__st")) / col("__n")))
+        r((col("__sxm").cast("double") / lit(1e4) -
+          col("theta_b") * col("__st").cast("double")) / col("__n").cast("double")))
       .select(key ++ Seq(col("theta_a"), col("theta_b")): _*)
     val withLine = indexed.join(coefs, keyCols)
       .withColumn("__l", col("theta_a") + col("theta_b") * col("__t"))
