@@ -817,6 +817,14 @@ object SparkEntry {
       graft.seq.Ar.forecastIntervals(weekly, Seq("l_partkey", "l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
     }),
+    // MA(1) θ fit: conditional-least-squares SSE over a literal grid,
+    // vectorized innovation state, (sse, θ)-smallest pick
+    "q253_ma1_fit" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.fitMa1(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum")
+    }),
     // MA(1) innovation recursion: per-series centered residual filter
     // e_t = (x_t − μ) − θ·e_{t−1} with literal θ
     "q250_ma1" -> ((s, d) => {
@@ -3811,6 +3819,44 @@ object SparkEntry {
          SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
                 (round((yn + cum)*1e4)/1e4 + 0.0e0) AS ari_forecast
          FROM e""",
+    // the q250 recursion carried PER GRID θ in one recursive CTE (theta
+    // rides the recursion as a column); last row per (series, θ), then
+    // the (sse, θ)-smallest pick — raw-double ordering is safe because
+    // both engines fold the identical IEEE chain
+    "q253_ma1_fit" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           m AS (SELECT l_partkey, l_suppkey,
+                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                 FROM w GROUP BY 1,2),
+           t AS (SELECT w.l_partkey, w.l_suppkey, w.ws,
+                   w.q - m.mu AS xc,
+                   row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey
+                     ORDER BY w.ws) rn
+                 FROM w JOIN m ON w.l_partkey = m.l_partkey
+                   AND w.l_suppkey = m.l_suppkey),
+           g AS (SELECT unnest([-0.8e0,-0.4e0,0.0e0,0.4e0,0.8e0]) AS theta),
+           e AS (SELECT t.l_partkey, t.l_suppkey, g.theta, t.rn,
+                   t.xc - g.theta*0.0e0 AS e,
+                   0.0e0 + (t.xc - g.theta*0.0e0)*(t.xc - g.theta*0.0e0) AS sse
+                 FROM t CROSS JOIN g WHERE t.rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, e.theta, t.rn,
+                   t.xc - e.theta*e.e,
+                   e.sse + (t.xc - e.theta*e.e)*(t.xc - e.theta*e.e)
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey, theta ORDER BY rn DESC) rd FROM e),
+           fin AS (SELECT l_partkey, l_suppkey, theta, sse
+                   FROM last WHERE rd = 1),
+           pick AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey ORDER BY sse, theta) rn2 FROM fin)
+         SELECT l_partkey, l_suppkey, theta AS ma1_theta,
+                (round(sse*1e4)/1e4 + 0.0e0) AS ma1_sse
+         FROM pick WHERE rn2 = 1""",
     // MA(1) innovation filter: e_t = (x_t − μ) − θ·e_{t−1}, μ the
     // rounded per-series mean; fitted = x_t − e_t (same op order as
     // the engine's streaming fold)

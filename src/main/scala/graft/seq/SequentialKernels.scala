@@ -169,6 +169,55 @@ object SequentialKernels {
       .drop("__mu", "__xc")
   }
 
+  /** MA(1) θ fit by conditional least squares over a LITERAL grid —
+    * the engine-expressible analog of the reference's ARIMA order/
+    * parameter search (statsmodels fits MA by nonlinear optimization;
+    * a fixed candidate grid keeps the whole fit one deterministic
+    * pass): run the [[withMa1]] innovation recursion for every θ in
+    * `grid` simultaneously (one vectorized state per series, same
+    * single exchange), keep each θ's running SSE, and pick the
+    * (sse, θ)-smallest at the series end — ties (e.g. single-row
+    * series where every θ scores 0) break to the smallest θ in both
+    * engines. Returns one row per series: ma1_theta, ma1_sse.
+    */
+  def fitMa1(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+             valueCol: String,
+             grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
+    require(grid.nonEmpty, "theta grid must be non-empty")
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val sseCols = grid.indices.map(i => s"__sse$i")
+    val folded = keyedFold[Array[(Double, Double)]](
+      centered, keyCols, ordCols, "__xc", sseCols) {
+      case (None, st) => (grid.indices.map(i => st.map(_(i)._2)), st)
+      case (Some(xc), stOpt) =>
+        val st = stOpt.getOrElse(Array.fill(grid.size)((0.0, 0.0)))
+        val ns = st.zip(grid).map { case ((e, sse), th) =>
+          val ne = xc - th * e
+          (ne, sse + ne * ne)
+        }
+        (ns.map(p => Some(p._2)), Some(ns))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val last = folded.withColumn("__rd", row_number().over(wLast))
+      .filter(col("__rd") === 1)
+    val pairs = last.select(keys :+ explode(array(grid.zipWithIndex.map {
+      case (th, i) => struct(lit(th).as("theta"), col(s"__sse$i").as("sse"))
+    }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__p.theta").as("theta"), col("__p.sse").as("sse")): _*)
+    // both engines fold the identical IEEE chain per θ, so ordering by
+    // the RAW sse (rounding only the reported value) picks the same θ
+    val wPick = Window.partitionBy(keys: _*).orderBy(col("sse"), col("theta"))
+    pairs.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("theta").as("ma1_theta"),
+        graft.functions.Funcs.r(col("sse")).as("ma1_sse")): _*)
+  }
+
   /** M5 — Croston's method (and the SBA bias-corrected variant):
     * exponential smoothing of the nonzero-demand sizes (z) and the
     * inter-demand intervals (p); per-row forecast = z/p

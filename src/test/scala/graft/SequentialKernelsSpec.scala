@@ -28,6 +28,40 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(out == Seq(-2.0, 3.0, 5.0, -7.5))
   }
 
+  test("MA(1) grid fit matches a hand fold and recovers the planted theta") {
+    // series from a planted MA(1): x_t = 10 + e_t + 0.4·e_{t−1}, e_0 = 0,
+    // with an (approximately) white innovation draw — an autocorrelated
+    // draw would legitimately pull the conditional-LS winner off 0.4
+    val innov = Seq(0.09, 1.25, -0.93, 0.99, -0.26, -0.26, 1.9, 0.16, -0.04,
+      0.73, 1.13, -0.03, 0.59, -0.97, -0.37, -0.44, -1.33, -1.51, -1.63,
+      -0.24, -0.17, -0.32, 0.07, -1.34)
+    var ep = 0.0
+    val xs = innov.map { e => val x = 10.0 + e + 0.4 * ep; ep = e; x }
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }
+      .toDF("k", "t", "v")
+    // hand fold replicating the kernel exactly (μ = 4dp-rounded mean)
+    val mu = math.round(xs.sum / xs.size * 1e4) / 1e4
+    val grid = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)
+    val sses = grid.map { th =>
+      var e = 0.0; var sse = 0.0
+      xs.foreach { x => val ne = (x - mu) - th * e; e = ne; sse += ne * ne }
+      th -> sse
+    }
+    val (expTh, expSse) = sses.minBy { case (th, s) => (s, th) }
+    val out = SequentialKernels.fitMa1(df, Seq("k"), Seq(col("t")), "v")
+      .select("ma1_theta", "ma1_sse").as[(Double, Double)].head()
+    assert(out._1 == expTh)
+    assert(math.abs(out._2 - expSse) < 1e-4)
+    assert(expTh == 0.4, s"planted theta should win the grid, SSEs: $sses")
+  }
+
+  test("MA(1) grid fit: an all-tied single-row series breaks to the smallest theta") {
+    val df = series(("a", 1, 5.0))
+    val out = SequentialKernels.fitMa1(df, Seq("k"), Seq(col("t")), "v")
+      .select("ma1_theta", "ma1_sse").as[(Double, Double)].head()
+    assert(out == ((-0.8, 0.0)))
+  }
+
   test("EWMA matches the pandas adjust=False recursion, hand-computed") {
     val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("a", 4, 40.0))
     val out = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", 0.5, "e")
