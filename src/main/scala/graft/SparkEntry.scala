@@ -817,6 +817,17 @@ object SparkEntry {
       graft.seq.Ar.forecastIntervals(weekly, Seq("l_partkey", "l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
     }),
+    // seasonal ARI: AR(2) on lag-13 seasonal differences, each step
+    // integrated against its own observed seasonal base (h ≤ m).
+    // SUPPLIER grain: the (part, supplier) series are ~1 week long, so
+    // lag-13 differencing needs the longer per-supplier history
+    "q254_sari_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.Ar.forecastSeasonalIntegrated(weekly,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum",
+        m = 13, h = 4)
+    }),
     // MA(1) θ fit: conditional-least-squares SSE over a literal grid,
     // vectorized innovation state, (sse, θ)-smallest pick
     "q253_ma1_fit" -> ((s, d) => {
@@ -3746,6 +3757,72 @@ object SparkEntry {
                 (round((f - 1.959964e0*sqrt(sg2*cum2))*1e4)/1e4 + 0.0e0) AS ar_lo,
                 (round((f + 1.959964e0*sqrt(sg2*cum2))*1e4)/1e4 + 0.0e0) AS ar_hi
          FROM e""",
+    // the q249 recipe with LAG-13 SEASONAL differences; each step
+    // integrates against its own observed base y_{n+s-13} (h ≤ m), so
+    // there is no cumulative carry at all
+    "q254_sari_forecast" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2),
+           d0 AS (SELECT *, q - lag(q, 13) OVER (PARTITION BY l_suppkey
+                    ORDER BY ws) AS dq
+                  FROM w),
+           d AS (SELECT l_suppkey, ws, dq FROM d0 WHERE dq IS NOT NULL),
+           t AS (SELECT *,
+                   lag(dq, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) l1,
+                   lag(dq, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) l2
+                 FROM d),
+           s AS (SELECT l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   (round(sum(dq)*1e4)/1e4 + 0.0e0) sy,
+                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
+                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
+                   (round(sum(dq*l1)*1e4)/1e4 + 0.0e0) sy1,
+                   (round(sum(dq*l2)*1e4)/1e4 + 0.0e0) sy2,
+                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
+                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
+                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                 FROM t WHERE l2 IS NOT NULL GROUP BY 1),
+           dets AS (SELECT l_suppkey, n, sy,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2*(sy1*s12 - s11*sy2) AS detc,
+                   n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2) + s2*(s1*sy2 - sy1*s2) AS detp1,
+                   n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - s11*s2) AS detp2
+                 FROM s),
+           c2 AS (SELECT l_suppkey,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS c,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p1,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
+                 FROM dets),
+           lv AS (SELECT l_suppkey,
+                    max(CASE WHEN rd = 1 THEN dq END) xn,
+                    max(CASE WHEN rd = 2 THEN dq END) xn1
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY ws DESC) rd FROM d)
+                  GROUP BY 1
+                  HAVING max(CASE WHEN rd = 2 THEN dq END) IS NOT NULL),
+           bv AS (SELECT l_suppkey,
+                    CAST(13 - rd + 1 AS BIGINT) AS step, q AS base
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY ws DESC) rd FROM w)
+                  WHERE rd <= 13 AND rd > 9),
+           base AS (SELECT lv.l_suppkey, lv.xn, lv.xn1,
+                      c2.c, c2.p1, c2.p2
+                    FROM lv JOIN c2 ON lv.l_suppkey = c2.l_suppkey),
+           e AS (SELECT l_suppkey, 1 AS step,
+                   (round((c + p1*xn + p2*xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   xn AS fprev, c, p1, p2
+                 FROM base
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0),
+                   f, c, p1, p2
+                 FROM e WHERE step < 4)
+         SELECT e.l_suppkey, CAST(e.step AS BIGINT) AS step,
+                (round((bv.base + e.f)*1e4)/1e4 + 0.0e0) AS sari_forecast
+         FROM e JOIN bv ON e.l_suppkey = bv.l_suppkey AND e.step = bv.step""",
     // the q217 recipe applied to FIRST DIFFERENCES, then integrated
     // back: cum carries the left-fold of the rounded diff forecasts so
     // both engines run the identical IEEE chain

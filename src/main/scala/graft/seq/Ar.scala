@@ -187,6 +187,40 @@ object Ar {
         col("__r.lo").as("ar_lo"), col("__r.hi").as("ar_hi")): _*)
   }
 
+  /** Seasonal ARI: the seasonal-differencing member (the reference's
+    * seasonal ARIMA order (1,1,1,m), src/models/arima_temporal.py:224)
+    * — AR(2) fit on the lag-m SEASONAL differences y_t − y_{t−m},
+    * h diff forecasts, each integrated against its own observed
+    * seasonal base:
+    *
+    *   ŷ_{n+s} = r( y_{n+s−m} + d̂_{n+s} )      (requires h ≤ m, so
+    *                                             every base is observed)
+    *
+    * No cumulative chain: unlike d=1 integration each step anchors on
+    * an observed value, which also stops error compounding across the
+    * horizon. Series too short to difference-and-fit drop, matching
+    * [[forecastIntegrated]]'s support rule. */
+  def forecastSeasonalIntegrated(df: DataFrame, keyCols: Seq[String],
+                                 ord: Seq[Column], valueCol: String,
+                                 m: Int, h: Int): DataFrame = {
+    require(m >= 1, "seasonal period must be at least 1")
+    require(h >= 1 && h <= m, "horizon must lie in [1, m] so bases are observed")
+    val key = keyCols.map(col)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val wd = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
+    val dy = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), m).over(w))
+    val bases = dy.withColumn("__rd", row_number().over(wd))
+      .filter(col("__rd") <= m && col("__rd") > m - h)
+      .select(key ++ Seq((lit(m) - col("__rd") + 1).cast("long").as("step"),
+        col("__yraw").as("__base")): _*)
+    val diffed = dy.filter(col("__dy").isNotNull).drop("__yraw")
+    forecast(diffed, keyCols, ord, "__dy", h)
+      .join(bases, keyCols :+ "step")
+      .withColumn("sari_forecast", r(col("__base") + col("ar_forecast")))
+      .select(key ++ Seq(col("step"), col("sari_forecast")): _*)
+  }
+
   /** ARI(2,1): the d=1 member of the family (reference fits
     * ARIMA(2,1,2), src/models/arima_temporal.py:339-345) — fit the
     * AR(2) on the FIRST DIFFERENCES, forecast h diff steps with the

@@ -92,6 +92,20 @@ class R7OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 17.0), (2L, 19.0), (3L, 21.0), (4L, 23.0)))
   }
 
+  test("seasonal ARI: periodic pattern plus constant seasonal growth continues exactly") {
+    // m=3: y_t = pattern(t mod 3) + 2·(season index) → lag-3 diffs all 2
+    // → collinear fallback c = 2, φ = 0 → ŷ_s = y_{n+s−3} + 2
+    val pattern = Seq(5.0, 8.0, 11.0)
+    val xs = (0 until 12).map(t => pattern(t % 3) + 2.0 * (t / 3))
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }.toDF("k", "t", "v")
+    val out = Ar.forecastSeasonalIntegrated(df, Seq("k"), Seq(col("t")), "v",
+        m = 3, h = 3)
+      .orderBy("step").select("step", "sari_forecast")
+      .as[(Long, Double)].collect().toSeq
+    // last observed season is 11, 14, 17 → each continues +2
+    assert(out == Seq((1L, 13.0), (2L, 16.0), (3L, 19.0)))
+  }
+
   test("ARI(2,1): too few differences yields no forecast rows") {
     // 3 observations → 2 diffs → no l2-complete regression row → no coefs
     val short = Seq(("a", 1, 3.0), ("a", 2, 7.0), ("a", 3, 8.0)).toDF("k", "t", "v")
