@@ -143,7 +143,10 @@ object Ar {
                         z: Double = 1.959964): DataFrame = {
     require(h >= 1, "horizon must be at least 1")
     val key = keyCols.map(col)
-    val indexed = indexedLags(df, keyCols, ord, valueCol)
+    // three consumers (coefs, residual variance, last values) would
+    // each re-scan the source; checkpoint the lagged series once — the
+    // house pattern for multi-consumer grains (Dsir/OOF-encode)
+    val indexed = indexedLags(df, keyCols, ord, valueCol).localCheckpoint(true)
     val cf = coefs(indexed, keyCols)
     val resid = indexed.join(cf, keyCols)
       .withColumn("__fit", when(col("__l2").isNotNull,

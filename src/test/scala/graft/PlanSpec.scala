@@ -363,4 +363,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("forecast family (ARI/MA1/SARI/intervals): group-keyed exchanges only") {
+    Seq("q249_ari_forecast", "q250_ma1", "q251_ar_intervals",
+      "q253_ma1_fit", "q254_sari_forecast").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("AR intervals: the lagged series checkpoints once for its three consumers") {
+    val plan = SparkEntry.queries("q251_ar_intervals")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("weighted quantiles: the q-list shares ONE cumulative-weight exchange") {
+    val plan = SparkEntry.queries("q252_weighted_quantiles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+  }
 }
