@@ -27,7 +27,9 @@ object Bench {
     "q201_quantize_int8", "q203_covariance", "q204_ivf_portable",
     "q194_quantile_norm", "q214_ar2", "q215_isotonic",
     "q225_changepoint", "q228_dbscan", "q229_clustering_coeff",
-    "q233_dominant_period", "q239_dsir_score")
+    "q233_dominant_period", "q239_dsir_score",
+    "q249_ari_forecast", "q251_ar_intervals", "q252_weighted_quantiles",
+    "q253_ma1_fit", "q254_sari_forecast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

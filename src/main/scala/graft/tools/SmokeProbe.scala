@@ -212,6 +212,29 @@ object SmokeProbe {
 
     graft.etl.Skew.keySkewReport(li, Seq("l_partkey")).show(truncate = false)
 
+    println("== round-9: ARI / MA(1) / intervals / SARI / weighted quantiles ==")
+    graft.seq.Ar.forecastIntegrated(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = 3)
+      .orderBy("l_suppkey", "step").show(6, truncate = false)
+    graft.seq.Ar.forecastIntervals(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = 3)
+      .orderBy("l_suppkey", "step").show(6, truncate = false)
+    graft.seq.Ar.forecastSeasonalIntegrated(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", m = 13, h = 4)
+      .orderBy("l_suppkey", "step").show(4, truncate = false)
+    graft.seq.SequentialKernels.withMa1(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", theta = 0.4)
+      .orderBy("l_suppkey", "week_start")
+      .select("l_suppkey", "week_start", "ma1_resid", "ma1_fitted")
+      .show(5, truncate = false)
+    graft.seq.SequentialKernels.fitMa1(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum")
+      .orderBy("l_suppkey").show(5, truncate = false)
+    graft.operators.WeightedStats.weightedQuantiles(li, Seq("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"),
+      Seq(col("l_orderkey"), col("l_linenumber")), qs = Seq(0.25, 0.5, 0.75))
+      .orderBy("l_returnflag", "q").show(9, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
