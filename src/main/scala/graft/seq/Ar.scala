@@ -26,6 +26,16 @@ import graft.functions.Funcs.r
   * feeding it forward, which is what lets a recursive-CTE oracle
   * reproduce the chain exactly.
   *
+  * Bound on the rounded-double sums: they are EXACT (order-independent)
+  * when the series values are integer-valued — true for every consumer
+  * in this repo (weekly quantity sums of integer quantities, and their
+  * first/seasonal differences). A series of genuinely fractional values
+  * can land a sum one 4th-decimal ulp apart across partial-aggregation
+  * orders at a rounding knife-edge; for that case apply the
+  * micro-int + decimal(38,0) treatment used by seq/Theta.scala (fixed
+  * there in r9 after an observed sf0.001 knife-edge on its
+  * deseasonalized — fractional — series).
+  *
   * Degenerate series (fewer than 3 regression rows, or |det| < 1e-8 —
   * e.g. perfectly collinear lags from a linear series) fall back to
   * the sample-mean forecast: c = mean, φ1 = φ2 = 0. Series too short
