@@ -828,6 +828,14 @@ object SparkEntry {
         Seq("l_suppkey"), Seq(col("week_start")), "qty_sum",
         m = 13, h = 4)
     }),
+    // joint ARMA(1,1) fit: conditional LS over the (φ, θ) grid, the
+    // previous centered value riding the vectorized innovation state
+    "q255_arma_fit" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.fitArma11(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum")
+    }),
     // MA(1) θ fit: conditional-least-squares SSE over a literal grid,
     // vectorized innovation state, (sse, θ)-smallest pick
     "q253_ma1_fit" -> ((s, d) => {
@@ -3896,6 +3904,45 @@ object SparkEntry {
          SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
                 (round((yn + cum)*1e4)/1e4 + 0.0e0) AS ari_forecast
          FROM e""",
+    // the q253 recipe over the (φ, θ) PAIR grid: the previous centered
+    // value rides the recursion next to the innovation, ε_1 conditioned
+    // to 0; (sse, φ, θ)-smallest pick on the identical IEEE chains
+    "q255_arma_fit" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           m AS (SELECT l_partkey, l_suppkey,
+                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                 FROM w GROUP BY 1,2),
+           t AS (SELECT w.l_partkey, w.l_suppkey, w.ws,
+                   w.q - m.mu AS xc,
+                   row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey
+                     ORDER BY w.ws) rn
+                 FROM w JOIN m ON w.l_partkey = m.l_partkey
+                   AND w.l_suppkey = m.l_suppkey),
+           g AS (SELECT p.phi, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi) p
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           e AS (SELECT t.l_partkey, t.l_suppkey, g.phi, g.theta, t.rn,
+                   t.xc AS xcprev, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM t CROSS JOIN g WHERE t.rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, e.phi, e.theta, t.rn, t.xc,
+                   t.xc - e.phi*e.xcprev - e.theta*e.e,
+                   e.sse + (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                         * (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey, phi, theta ORDER BY rn DESC) rd FROM e),
+           fin AS (SELECT l_partkey, l_suppkey, phi, theta, sse
+                   FROM last WHERE rd = 1),
+           pick AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey ORDER BY sse, phi, theta) rn2 FROM fin)
+         SELECT l_partkey, l_suppkey, phi AS arma_phi, theta AS arma_theta,
+                (round(sse*1e4)/1e4 + 0.0e0) AS arma_sse
+         FROM pick WHERE rn2 = 1""",
     // the q250 recursion carried PER GRID θ in one recursive CTE (theta
     // rides the recursion as a column); last row per (series, θ), then
     // the (sse, θ)-smallest pick — raw-double ordering is safe because

@@ -218,6 +218,66 @@ object SequentialKernels {
         graft.functions.Funcs.r(col("sse")).as("ma1_sse")): _*)
   }
 
+  /** Joint ARMA(1,1) fit by conditional least squares over a LITERAL
+    * (φ, θ) grid — the combined autoregressive + moving-average core
+    * (the reference's ARIMA(2,1,2) engine fits both sides jointly;
+    * the grid keeps the search one deterministic pass):
+    *
+    *   ε_t = (x_t − μ) − φ·(x_{t−1} − μ) − θ·ε_{t−1},  conditioned on
+    *   the first observation (ε_1 = 0, SSE over t ≥ 2)
+    *
+    * Every (φ, θ) pair's innovation state advances in ONE vectorized
+    * fold per series (the previous centered value rides the state, so
+    * no lag column or extra window is needed); the series end yields
+    * each pair's SSE and the (sse, φ, θ)-smallest wins — ties (e.g.
+    * single-row series) break to the smallest pair in both engines.
+    * Returns one row per series: arma_phi, arma_theta, arma_sse. */
+  def fitArma11(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                valueCol: String,
+                phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    require(phiGrid.nonEmpty && thetaGrid.nonEmpty, "grids must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = for (p <- phiGrid; t <- thetaGrid) yield (p, t)
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val sseCols = pairs.indices.map(i => s"__sse$i")
+    // state = (previous centered value, per-pair (eps_prev, sse))
+    val folded = keyedFold[(Double, Array[(Double, Double)])](
+      centered, keyCols, ordCols, "__xc", sseCols) {
+      case (None, st) => (pairs.indices.map(i => st.map(_._2(i)._2)), st)
+      case (Some(xc), None) =>
+        // first observation is conditioned on: ε_1 = 0, SSE starts at 0
+        val zeros = Array.fill(pairs.size)((0.0, 0.0))
+        (pairs.indices.map(_ => Some(0.0)), Some((xc, zeros)))
+      case (Some(xc), Some((xp, st))) =>
+        val ns = st.zip(pairs).map { case ((ep, sse), (ph, th)) =>
+          val e = xc - ph * xp - th * ep
+          (e, sse + e * e)
+        }
+        (ns.map(p => Some(p._2)), Some((xc, ns)))
+    }
+    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val last = folded.withColumn("__rd", row_number().over(wLast))
+      .filter(col("__rd") === 1)
+    val longForm = last.select(keys :+ explode(array(pairs.zipWithIndex.map {
+      case ((ph, th), i) => struct(lit(ph).as("phi"), lit(th).as("theta"),
+        col(s"__sse$i").as("sse"))
+    }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__p.phi").as("phi"),
+        col("__p.theta").as("theta"), col("__p.sse").as("sse")): _*)
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("sse"), col("phi"), col("theta"))
+    longForm.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("phi").as("arma_phi"),
+        col("theta").as("arma_theta"),
+        graft.functions.Funcs.r(col("sse")).as("arma_sse")): _*)
+  }
+
   /** M5 — Croston's method (and the SBA bias-corrected variant):
     * exponential smoothing of the nonzero-demand sizes (z) and the
     * inter-demand intervals (p); per-row forecast = z/p

@@ -62,6 +62,52 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(out == ((-0.8, 0.0)))
   }
 
+  test("ARMA(1,1) grid fit matches a hand fold and recovers the planted pair") {
+    // x_t = 10 + z_t with z_t = 0.5·z_{t−1} + e_t + 0.4·e_{t−1} on an
+    // approximately white innovation draw
+    val innov = Seq(1.29, 1.45, 0.07, -0.76, -1.09, 0.03, -1.02, -1.44, 0.2,
+      0.13, 0.55, -0.91, 0.01, -0.06, -1.51, 0.54, 0.32, 2.39, 0.2, -0.14,
+      1.23, 0.2, 0.91, -0.37, 0.22, 1.02, 0.7, 0.13, -1.08, 0.45)
+    var zp = 0.0; var ep = 0.0
+    val xs = innov.map { e => val z = 0.5 * zp + e + 0.4 * ep; zp = z; ep = e
+      math.round((10.0 + z) * 1e6) / 1e6 }
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }
+      .toDF("k", "t", "v")
+    // hand fold replicating the kernel (μ = 4dp-rounded mean, ε_1 = 0)
+    val mu = math.round(xs.sum / xs.size * 1e4) / 1e4
+    val pairs = for (p <- Seq(-0.5, 0.0, 0.5, 0.9); t <- Seq(-0.4, 0.0, 0.4))
+      yield (p, t)
+    val sses = pairs.map { case (ph, th) =>
+      var xp = Option.empty[Double]; var e = 0.0; var sse = 0.0
+      xs.foreach { x =>
+        val xc = x - mu
+        xp match {
+          case None => xp = Some(xc)
+          case Some(p) =>
+            val ne = xc - ph * p - th * e
+            sse += ne * ne; e = ne; xp = Some(xc)
+        }
+      }
+      (ph, th) -> sse
+    }
+    val ((expPh, expTh), expSse) = sses.minBy { case ((p, t), s) => (s, p, t) }
+    val out = SequentialKernels.fitArma11(df, Seq("k"), Seq(col("t")), "v")
+      .select("arma_phi", "arma_theta", "arma_sse")
+      .as[(Double, Double, Double)].head()
+    assert((out._1, out._2) == ((expPh, expTh)))
+    assert(math.abs(out._3 - expSse) < 1e-4)
+    assert((expPh, expTh) == ((0.5, 0.4)),
+      s"planted pair should win the grid, SSEs: $sses")
+  }
+
+  test("ARMA(1,1) grid fit: a single-row series ties to the smallest pair") {
+    val df = series(("a", 1, 5.0))
+    val out = SequentialKernels.fitArma11(df, Seq("k"), Seq(col("t")), "v")
+      .select("arma_phi", "arma_theta", "arma_sse")
+      .as[(Double, Double, Double)].head()
+    assert(out == ((-0.5, -0.4, 0.0)))
+  }
+
   test("EWMA matches the pandas adjust=False recursion, hand-computed") {
     val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("a", 4, 40.0))
     val out = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", 0.5, "e")
