@@ -83,7 +83,8 @@ object Bench {
     // discriminator between code regressions and noisy-neighbor rounds
     // (BENCH_NOTES.md) — carry it inside the metrics line itself
     val loadavg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

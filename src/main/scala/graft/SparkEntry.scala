@@ -3729,7 +3729,8 @@ object SparkEntry {
                      AND t.l_suppkey = c2.l_suppkey
                    WHERE t.l2 IS NOT NULL),
            sig AS (SELECT l_partkey, l_suppkey,
-                     (round(avg((q - f)*(q - f))*1e4)/1e4 + 0.0e0) AS sg2
+                     (round((CAST(sum(CAST(round((q - f)*(q - f)*1e8) AS BIGINT))
+                               AS DOUBLE)/1e8/count(*))*1e4)/1e4 + 0.0e0) AS sg2
                    FROM fit GROUP BY 1,2),
            lv AS (SELECT l_partkey, l_suppkey,
                     max(CASE WHEN rd = 1 THEN q END) xn,

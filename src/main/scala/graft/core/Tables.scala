@@ -45,24 +45,38 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
-    val probed =
-      try Some(spark.read.parquet(path))
-      catch { case _: Exception => None } // TIMESTAMP(NANOS) with the flag off
-    probed match {
-      case Some(df) =>
-        df.schema("ts").dataType match {
-          case TimestampType => df
-          case TimestampNTZType =>
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df.withColumn("ts", col("ts").cast(TimestampType))
-          case LongType =>
-            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => df
-        }
-      case None =>
+    probeEventsTsType(spark, path) match {
+      case TimestampNTZType =>
+        // TZ-sensitive cast: pin UTC (the repo-wide session convention,
+        // enforced here rather than silently depended on — NOTE this is
+        // a deliberate session-level side effect) so the stored micros
+        // pass through bit-identically, matching the DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => spark.read.parquet(path) // TimestampType (or unexpected): pass through
+    }
+  }
+
+  /** Probed `ts` physical type for an events-shaped path, shared by the
+    * batch and streaming readers. Distinguishes the legacy
+    * TIMESTAMP(NANOS) rejection (→ LongType, to be read under the
+    * nanosAsLong flag and divided to micros) from every OTHER probe
+    * failure — a missing or not-yet-populated path (the normal
+    * file-stream-source pattern) defaults to the CURRENT timestamp[us]
+    * layout instead of silently corrupting micros with the div-1000
+    * legacy path. */
+  def probeEventsTsType(spark: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    try spark.read.parquet(path).schema("ts").dataType
+    catch {
+      case e: Throwable =>
+        val m = String.valueOf(e.getMessage)
+        if (m.contains("NANOS") || m.contains("Illegal Parquet type")) LongType
+        else TimestampType
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -24,24 +24,15 @@ import graft.functions.Funcs
   */
 object WeightedStats {
 
-  /** @return one row per group: weighted_median, total_weight, n_rows. */
+  /** @return one row per group: weighted_median, total_weight, n_rows.
+    * Delegates to [[weightedQuantiles]] at q = 0.5: `cw ≥ 0.5·tw` is an
+    * exact IEEE power-of-two scaling, so it is bit-identical to the
+    * classic `2·cw ≥ tw` form (property-tested in R7OpsBatch2Spec). */
   def weightedMedian(df: DataFrame, groupCols: Seq[String], value: Column,
-                     weight: Column, tie: Seq[Column]): DataFrame = {
-    val keys = groupCols.map(col)
-    val ord = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
-    val cum = df
-      .withColumn("__w", weight)
-      .withColumn("__cw", sum(col("__w")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(keys: _*)))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
-    val pick = Window.partitionBy(keys: _*).orderBy(value +: tie: _*)
-    cum.filter(col("__cw") * 2 >= col("__tw"))
-      .withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .select(keys ++ Seq(value.as("weighted_median"),
-        Funcs.r(col("__tw")).as("total_weight"), col("__n").as("n_rows")): _*)
-  }
+                     weight: Column, tie: Seq[Column]): DataFrame =
+    weightedQuantiles(df, groupCols, value, weight, tie, qs = Seq(0.5))
+      .withColumnRenamed("weighted_quantile", "weighted_median")
+      .drop("q")
 
   /** Generalized weighted quantiles: for each q in `qs` (0 < q < 1),
     * the smallest value whose cumulative weight reaches q·total — the
@@ -66,12 +57,14 @@ object WeightedStats {
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(keys: _*)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys: _*)))
-    val pick = Window.partitionBy(keys :+ col("q"): _*).orderBy(value +: tie: _*)
-    cum.withColumn("q", explode(array(qs.map(lit): _*)))
-      .filter(col("__cw") >= col("q") * col("__tw"))
+    // "__q" while working (an unprefixed "q" would shadow a same-named
+    // input column referenced by value/weight/tie), aliased at output
+    val pick = Window.partitionBy(keys :+ col("__q"): _*).orderBy(value +: tie: _*)
+    cum.withColumn("__q", explode(array(qs.map(lit): _*)))
+      .filter(col("__cw") >= col("__q") * col("__tw"))
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1)
-      .select(keys ++ Seq(col("q"), value.as("weighted_quantile"),
+      .select(keys ++ Seq(col("__q").as("q"), value.as("weighted_quantile"),
         Funcs.r(col("__tw")).as("total_weight"), col("__n").as("n_rows")): _*)
   }
 }

@@ -162,9 +162,14 @@ object Ar {
       .withColumn("__fit", when(col("__l2").isNotNull,
         r(col("ar_c") + col("ar_phi1") * col("__l1") + col("ar_phi2") * col("__l2"))))
       .filter(col("__fit").isNotNull)
+    // residuals are 4dp-grid (fit is rounded), so their squares live on
+    // the 1e-8 grid: sum exact micro²-longs in decimal and divide back
+    // once — a raw double avg would be partial-agg-order dependent (the
+    // Theta knife-edge class)
+    val sq = (col("__y") - col("__fit")) * (col("__y") - col("__fit"))
     val sig = resid.groupBy(key: _*)
-      .agg(r(avg((col("__y") - col("__fit")) * (col("__y") - col("__fit"))))
-        .as("__s2"))
+      .agg(r(sum(round(sq * 1e8, 0).cast("decimal(38,0)")).cast("double")
+        / lit(1e8) / count(lit(1))).as("__s2"))
     val w = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
     val lastVals = indexed.withColumn("__rd", row_number().over(w))
       .groupBy(key: _*)

@@ -29,9 +29,9 @@ object EventsStream {
     * same way as the batch reader (core.Tables.events): pass-through /
     * NTZ cast under pinned UTC / legacy nanos-as-long `div 1000`. */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    val tsType =
-      try spark.read.parquet(path).schema("ts").dataType
-      catch { case _: Exception => LongType } // raw TIMESTAMP(NANOS) → long path
+    // shared probe (graft.core.Tables): NANOS rejection → legacy long
+    // path; a missing/not-yet-populated stream dir → current layout
+    val tsType = graft.core.Tables.probeEventsTsType(spark, path)
     def withTs(t: org.apache.spark.sql.types.DataType) =
       StructType(eventSchema.map {
         case f if f.name == "ts" => f.copy(dataType = t)

@@ -16,10 +16,17 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val counts = args.contains("--counts")
-    val rest = args.filterNot(_ == "--counts")
-    val dir = rest.headOption.getOrElse(
+    val rest = args.filterNot(_ == "--counts").toSeq
+    // a leading registered-query name means the sfDir was omitted — use
+    // the default dir instead of treating the query name as a path
+    val (dirArg, nameArgs) = rest match {
+      case head +: _ if graft.SparkEntry.queries.contains(head) => (None, rest)
+      case head +: tail => (Some(head), tail)
+      case _ => (None, Seq.empty)
+    }
+    val dir = dirArg.getOrElse(
       if (counts) "/root/testdata/sf0.001" else "/root/testdata/sf0.01")
-    val names = if (rest.length > 1) rest.drop(1).toSeq
+    val names = if (nameArgs.nonEmpty) nameArgs
       else if (counts) graft.SparkEntry.queries.keys.toSeq.sorted
       else Seq("q22_weekly_aggregate", "q23_enrich_join", "q40_rolling_stats",
         "q41_rolling_slope", "q21_cooccurrence", "q68_ann_brute", "q69_ann_lsh")
