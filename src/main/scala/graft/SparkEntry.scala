@@ -828,6 +828,14 @@ object SparkEntry {
         Seq("l_suppkey"), Seq(col("week_start")), "qty_sum",
         m = 13, h = 4)
     }),
+    // Theta h-step forecast: trend line extends, the theta2 SES carries
+    // flat beyond the sample
+    "q256_theta_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.Theta.forecast(weekly, Seq("l_partkey", "l_suppkey"),
+        Seq(col("week_start")), "qty_sum", alpha = 0.3, h = 4)
+    }),
     // joint ARMA(1,1) fit: conditional LS over the (φ, θ) grid, the
     // previous centered value riding the vectorized innovation state
     "q255_arma_fit" -> ((s, d) => {
@@ -4010,6 +4018,50 @@ object SparkEntry {
                 (round(e*1e4)/1e4 + 0.0e0) AS ma1_resid,
                 (round((q - e)*1e4)/1e4 + 0.0e0) AS ma1_fitted
          FROM e""",
+    "q256_theta_forecast" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t0 AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY ws) rn FROM w),
+           s AS (SELECT l_partkey, l_suppkey,
+                   count(*) AS n,
+                   sum(rn) AS st,
+                   sum(CAST(round(q*1e4) AS BIGINT)) AS sxm,
+                   sum(rn*rn) AS stt,
+                   sum(rn*CAST(round(q*1e4) AS BIGINT)) AS stxm
+                 FROM t0 GROUP BY 1,2),
+           c AS (SELECT l_partkey, l_suppkey,
+                   (round((CASE WHEN n > 1
+                      THEN CAST(n*stxm - st*sxm AS DOUBLE)/1e4
+                           /CAST(n*stt - st*st AS DOUBLE)
+                      ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sxm
+                 FROM s),
+           c2 AS (SELECT l_partkey, l_suppkey, b,
+                    (round(((CAST(sxm AS DOUBLE)/1e4 - b*CAST(st AS DOUBLE))
+                            /CAST(n AS DOUBLE))*1e4)/1e4 + 0.0e0) AS a
+                  FROM c),
+           t AS (SELECT t0.l_partkey, t0.l_suppkey, t0.ws, t0.rn, t0.q,
+                   c2.a, c2.b,
+                   (round((2e0*t0.q - (c2.a + c2.b*CAST(t0.rn AS DOUBLE)))*1e4)/1e4 + 0.0e0) AS z
+                 FROM t0 JOIN c2 USING (l_partkey, l_suppkey)),
+           e AS (SELECT l_partkey, l_suppkey, ws, rn, a, b, z AS y
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn, t.a, t.b,
+                   0.3e0*t.z + (1e0-0.3e0)*e.y
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT l_partkey, l_suppkey, a, b, y, rn
+                    FROM (SELECT e.*, row_number() OVER (PARTITION BY l_partkey,
+                            l_suppkey ORDER BY rn DESC) rd FROM e)
+                    WHERE rd = 1)
+         SELECT l_partkey, l_suppkey, CAST(s.step AS BIGINT) AS step,
+                (round((0.5e0*(a + b*CAST(rn + s.step AS DOUBLE)) + 0.5e0*y)*1e4)/1e4 + 0.0e0)
+                  AS theta_forecast
+         FROM last CROSS JOIN (SELECT unnest([1,2,3,4]) AS step) s""",
     "q213_theta" ->
       """WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,

@@ -56,10 +56,45 @@ object Theta {
       .drop("__adj")
   }
 
+  /** h-step Theta forecast — the method's reason to exist (its M3
+    * entry): the trend line extends to t = n+s while the SES of the
+    * theta2 line carries FLAT beyond the sample (SES's h-step forecast
+    * is its last level), so
+    *
+    *   ŷ_{n+s} = r( ½·(a + b·(n+s)) + ½·ses_n )
+    *
+    * One row per (series, step); everything derives from the fit's own
+    * frames, no new exchange grain. */
+  def forecast(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+               valueCol: String, alpha: Double, h: Int): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val key = keyCols.map(col)
+    val full = fittedFull(df, keyCols, ord, valueCol, alpha)
+    val wd = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
+    val last = full.withColumn("__rd", row_number().over(wd))
+      .filter(col("__rd") === 1)
+    val steps = (1 to h).map { s =>
+      struct(lit(s.toLong).as("step"),
+        r(lit(0.5) * (col("theta_a") + col("theta_b") * (col("__t") + lit(s.toDouble))) +
+          lit(0.5) * col("__ses")).as("theta_forecast"))
+    }
+    last.select(key :+ explode(array(steps: _*)).as("__p"): _*)
+      .select(key ++ Seq(col("__p.step").as("step"),
+        col("__p.theta_forecast").as("theta_forecast")): _*)
+  }
+
   /** Adds `theta_fitted` (plus the a/b trend coefficients) to the
     * series frame. `ord` must be unique per key. */
   def fitted(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
-             valueCol: String, alpha: Double): DataFrame = {
+             valueCol: String, alpha: Double): DataFrame =
+    fittedFull(df, keyCols, ord, valueCol, alpha)
+      .drop("__t", "__l", "__z", "__ses")
+
+  /** The fit with its working columns (__t index, __l trend line, __z
+    * theta2 value, __ses smoothed state) still attached — the forecast
+    * reads the last-row state from here. */
+  private def fittedFull(df: DataFrame, keyCols: Seq[String], ord: Seq[Column],
+                         valueCol: String, alpha: Double): DataFrame = {
     val key = keyCols.map(col)
     val w = Window.partitionBy(key: _*).orderBy(ord: _*)
     val indexed = df.withColumn("__t", row_number().over(w).cast("double"))
@@ -89,6 +124,5 @@ object Theta {
       .withColumn("__z", r(lit(2.0) * x - col("__l")))
     SequentialKernels.withEwma(withLine, keyCols, ord, "__z", alpha, "__ses")
       .withColumn("theta_fitted", r(lit(0.5) * col("__l") + lit(0.5) * col("__ses")))
-      .drop("__t", "__l", "__z", "__ses")
   }
 }

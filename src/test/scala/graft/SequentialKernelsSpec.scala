@@ -9,6 +9,23 @@ class SequentialKernelsSpec extends SparkSpec {
   private def series(rows: (String, Int, java.lang.Double)*) =
     rows.toSeq.toDF("k", "t", "v")
 
+  test("Theta forecast: trend extends, SES carries flat — hand-computed") {
+    // series 2,4 (α=0.3): OLS a=0, b=2; z = 2x−l = [2,4]; ses = [2, 2.6]
+    // → ŷ_s = ½·(2·(2+s)) + ½·2.6 = (2+s) + 1.3 = s + 3.3
+    val df = series(("a", 1, 2.0), ("a", 2, 4.0))
+    val out = graft.seq.Theta.forecast(df, Seq("k"), Seq(col("t")), "v",
+        alpha = 0.3, h = 3)
+      .orderBy("step").select("step", "theta_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4.3), (2L, 5.3), (3L, 6.3)))
+    // constant series: a = c, b = 0, ses = c → forecast ≡ c at every step
+    val const = series(("a", 1, 7.0), ("a", 2, 7.0), ("a", 3, 7.0))
+    val cf = graft.seq.Theta.forecast(const, Seq("k"), Seq(col("t")), "v",
+        alpha = 0.3, h = 2)
+      .select("theta_forecast").as[Double].collect().toSeq
+    assert(cf == Seq(7.0, 7.0))
+  }
+
   test("MA(1) innovation recursion matches the hand-computed filter") {
     // series 10,14,8,12 → μ = 11; centered 	−1,3,−3,1; θ = 0.5:
     // e1 = −1; e2 = 3 − 0.5·(−1) = 3.5; e3 = −3 − 0.5·3.5 = −4.75;
