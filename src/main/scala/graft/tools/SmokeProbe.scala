@@ -230,6 +230,12 @@ object SmokeProbe {
     graft.seq.SequentialKernels.fitMa1(weeklySup, Seq("l_suppkey"),
       Seq(col("week_start")), "qty_sum")
       .orderBy("l_suppkey").show(5, truncate = false)
+    graft.seq.SequentialKernels.fitArma11(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum")
+      .orderBy("l_suppkey").show(5, truncate = false)
+    graft.seq.Theta.forecast(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", alpha = 0.3, h = 3)
+      .orderBy("l_suppkey", "step").show(6, truncate = false)
     graft.operators.WeightedStats.weightedQuantiles(li, Seq("l_returnflag"),
       col("l_extendedprice"), col("l_quantity"),
       Seq(col("l_orderkey"), col("l_linenumber")), qs = Seq(0.25, 0.5, 0.75))
