@@ -29,36 +29,49 @@ object Tables {
     * file is not adjusted-to-UTC). Probe the schema and branch:
     *
     *  - TimestampType: pass through.
-    *  - TimestampNTZType: cast to TimestampType. The cast is
-    *    session-timezone-dependent, so the loader pins
-    *    spark.sql.session.timeZone=UTC first — under UTC the cast is a
-    *    bit-identical reinterpretation of the stored microseconds, which
-    *    is exactly how DuckDB (the oracle) reads the same file.
+    *  - TimestampNTZType: recover the stored micros with
+    *    [[ntzToUtcInstant]] — pure integer arithmetic, identical under
+    *    any session timezone, exactly how DuckDB (the oracle) reads the
+    *    same file. (An NTZ→Timestamp CAST would be session-TZ-dependent;
+    *    an earlier revision pinned spark.sql.session.timeZone=UTC here
+    *    as a read side effect, silently re-timezoning callers' unrelated
+    *    TZ-sensitive casts — the r9 verdict finding. No session conf is
+    *    written on this path anymore.)
     *  - LongType (nanosAsLong already on in this session): integer
     *    `div 1000` to microseconds. `div`, not `/`: nanos exceed 2^53,
     *    so double division rounds the microsecond off by ±1 on ~6% of
     *    rows while parquet readers truncate.
     *  - Schema probe throws (raw NANOS, flag off): set the flag and take
-    *    the long path.
+    *    the long path. This is the one remaining session-conf write, and
+    *    it is deliberately asymmetric with the TZ treatment: the flag
+    *    only unlocks a layout that is otherwise UNREADABLE (every read
+    *    throws), and it changes nothing for non-NANOS data, whereas a TZ
+    *    write changes answer semantics of unrelated queries.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val path = s"$dir/events.parquet"
     probeEventsTsType(spark, path) match {
       case TimestampNTZType =>
-        // TZ-sensitive cast: pin UTC (the repo-wide session convention,
-        // enforced here rather than silently depended on — NOTE this is
-        // a deliberate session-level side effect) so the stored micros
-        // pass through bit-identically, matching the DuckDB oracle
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+        spark.read.parquet(path).withColumn("ts", ntzToUtcInstant("ts"))
       case LongType =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => spark.read.parquet(path) // TimestampType (or unexpected): pass through
     }
+  }
+
+  /** TIMESTAMP_NTZ column → TimestampType carrying the identical stored
+    * microseconds, independent of the session timezone: epoch micros by
+    * integer `timestampdiff` from the NTZ epoch, rebuilt as an instant
+    * with `timestamp_micros`. No cast, no session conf — safe inside a
+    * caller session pinned to any TZ. */
+  def ntzToUtcInstant(colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    timestamp_micros(expr(
+      s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $colName)"))
   }
 
   /** Probed `ts` physical type for an events-shaped path, shared by the
@@ -68,12 +81,17 @@ object Tables {
     * failure — a missing or not-yet-populated path (the normal
     * file-stream-source pattern) defaults to the CURRENT timestamp[us]
     * layout instead of silently corrupting micros with the div-1000
-    * legacy path. */
+    * legacy path. The catch is scoped to Spark's analysis/schema
+    * exception types (r9 advice: a blanket Throwable swallowed genuine
+    * faults — OOM, interrupt — into the default layout); anything
+    * outside that family propagates. */
   def probeEventsTsType(spark: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     try spark.read.parquet(path).schema("ts").dataType
     catch {
-      case e: Throwable =>
+      case e @ (_: org.apache.spark.sql.AnalysisException |
+                _: org.apache.spark.SparkException |
+                _: UnsupportedOperationException) =>
         val m = String.valueOf(e.getMessage)
         if (m.contains("NANOS") || m.contains("Illegal Parquet type")) LongType
         else TimestampType

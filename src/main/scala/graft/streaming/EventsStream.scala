@@ -41,11 +41,10 @@ object EventsStream {
       case TimestampType =>
         spark.readStream.schema(eventSchema).parquet(path)
       case TimestampNTZType =>
-        // TZ-sensitive cast: pin UTC so the stored micros pass through
-        // bit-identically (matches the batch loader and the oracle)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        // TZ-independent micros recovery (graft.core.Tables.ntzToUtcInstant)
+        // — no session-conf write; matches the batch loader and the oracle
         spark.readStream.schema(withTs(TimestampNTZType)).parquet(path)
-          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts", graft.core.Tables.ntzToUtcInstant("ts"))
       case _ =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // integer `div`, not `/`: nanos exceed 2^53, a double division

@@ -21,7 +21,7 @@ class EventsLoaderSpec extends SparkSpec {
     assert(ev.filter(col("ts").isNull).count() == 0)
   }
 
-  test("ts micros are session-TZ-independent (loader pins UTC for the NTZ cast)") {
+  test("ts micros are session-TZ-independent (NTZ micros recovered arithmetically, no conf write)") {
     val tzKey = "spark.sql.session.timeZone"
     val utcMicros = Tables.events(spark, dir)
       .orderBy("event_id").limit(50)
@@ -33,6 +33,9 @@ class EventsLoaderSpec extends SparkSpec {
         .orderBy("event_id").limit(50)
         .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
       assert(offMicros == utcMicros)
+      // the r9 verdict finding: the loader must not have silently
+      // re-timezoned the caller's session as a read side effect
+      assert(spark.conf.get(tzKey) == "America/New_York")
     } finally spark.conf.set(tzKey, saved)
   }
 }
