@@ -1506,7 +1506,7 @@ object SparkEntry {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
       val mean = weekly.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(r(avg(col("qty_sum"))).as("__mu"))
+        .agg(graft.functions.Funcs.microMean(col("qty_sum")).as("__mu"))
       val centered = weekly.join(mean, Seq("l_partkey", "l_suppkey"))
         .withColumn("__delta", col("qty_sum") - col("__mu"))
       graft.seq.SequentialKernels.withCusum(centered,
@@ -3489,14 +3489,14 @@ object SparkEntry {
                     FROM w),
               s AS (SELECT l_partkey, l_suppkey,
                       CAST(count(*) AS DOUBLE) n,
-                      (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
-                      (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
-                      (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
-                      (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
-                      (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
-                      (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
-                      (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
-                      (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                      (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                      (CAST(sum(CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                      (CAST(sum(CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2,
+                      (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                      (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                      (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                      (CAST(sum(CAST(round(l2*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                      (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
                     FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
               dets AS (SELECT l_partkey, l_suppkey, n, sy,
                       n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
@@ -3649,14 +3649,14 @@ object SparkEntry {
                  FROM w),
            s AS (SELECT l_partkey, l_suppkey,
                    CAST(count(*) AS DOUBLE) n,
-                   (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
-                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
-                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
-                   (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
-                   (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
-                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
-                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
-                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
                  FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
            dets AS (SELECT l_partkey, l_suppkey, n, sy,
                    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
@@ -3708,14 +3708,14 @@ object SparkEntry {
                  FROM w),
            s AS (SELECT l_partkey, l_suppkey,
                    CAST(count(*) AS DOUBLE) n,
-                   (round(sum(q)*1e4)/1e4 + 0.0e0) sy,
-                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
-                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2m,
-                   (round(sum(q*l1)*1e4)/1e4 + 0.0e0) sy1,
-                   (round(sum(q*l2)*1e4)/1e4 + 0.0e0) sy2,
-                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
-                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
-                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2m,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
                  FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
            dets AS (SELECT l_partkey, l_suppkey, n, sy,
                    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2m) + s2m*(s1*s12 - s11*s2m) AS det,
@@ -3792,14 +3792,14 @@ object SparkEntry {
                  FROM d),
            s AS (SELECT l_suppkey,
                    CAST(count(*) AS DOUBLE) n,
-                   (round(sum(dq)*1e4)/1e4 + 0.0e0) sy,
-                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
-                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
-                   (round(sum(dq*l1)*1e4)/1e4 + 0.0e0) sy1,
-                   (round(sum(dq*l2)*1e4)/1e4 + 0.0e0) sy2,
-                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
-                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
-                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
                  FROM t WHERE l2 IS NOT NULL GROUP BY 1),
            dets AS (SELECT l_suppkey, n, sy,
                    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
@@ -3858,14 +3858,14 @@ object SparkEntry {
                  FROM d),
            s AS (SELECT l_partkey, l_suppkey,
                    CAST(count(*) AS DOUBLE) n,
-                   (round(sum(dq)*1e4)/1e4 + 0.0e0) sy,
-                   (round(sum(l1)*1e4)/1e4 + 0.0e0) s1,
-                   (round(sum(l2)*1e4)/1e4 + 0.0e0) s2,
-                   (round(sum(dq*l1)*1e4)/1e4 + 0.0e0) sy1,
-                   (round(sum(dq*l2)*1e4)/1e4 + 0.0e0) sy2,
-                   (round(sum(l1*l1)*1e4)/1e4 + 0.0e0) s11,
-                   (round(sum(l2*l2)*1e4)/1e4 + 0.0e0) s22,
-                   (round(sum(l1*l2)*1e4)/1e4 + 0.0e0) s12
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                   (CAST(sum(CAST(round(l2*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                   (CAST(sum(CAST(round(l1*1e4) AS BIGINT)*CAST(round(l2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
                  FROM t WHERE l2 IS NOT NULL GROUP BY 1,2),
            dets AS (SELECT l_partkey, l_suppkey, n, sy,
                    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
@@ -3922,7 +3922,7 @@ object SparkEntry {
                    l_suppkey, sum(l_quantity) q
                  FROM lineitem GROUP BY 1,2,3),
            m AS (SELECT l_partkey, l_suppkey,
-                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
                  FROM w GROUP BY 1,2),
            t AS (SELECT w.l_partkey, w.l_suppkey, w.ws,
                    w.q - m.mu AS xc,
@@ -3962,7 +3962,7 @@ object SparkEntry {
                    l_suppkey, sum(l_quantity) q
                  FROM lineitem GROUP BY 1,2,3),
            m AS (SELECT l_partkey, l_suppkey,
-                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
                  FROM w GROUP BY 1,2),
            t AS (SELECT w.l_partkey, w.l_suppkey, w.ws,
                    w.q - m.mu AS xc,
@@ -3999,7 +3999,7 @@ object SparkEntry {
                    l_suppkey, sum(l_quantity) q
                  FROM lineitem GROUP BY 1,2,3),
            m AS (SELECT l_partkey, l_suppkey,
-                   (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
                  FROM w GROUP BY 1,2),
            t AS (SELECT w.l_partkey, w.l_suppkey, w.ws, w.q,
                    w.q - m.mu AS xc,
@@ -5441,7 +5441,7 @@ object SparkEntry {
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
                    l_suppkey, sum(l_quantity) q
                  FROM lineitem GROUP BY 1,2,3),
-           m AS (SELECT l_partkey, l_suppkey, (round(avg(q)*1e4)/1e4 + 0.0e0) AS mu
+           m AS (SELECT l_partkey, l_suppkey, (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
                  FROM w GROUP BY 1,2),
            t AS (SELECT w.ws, w.l_partkey, w.l_suppkey, w.q - m.mu AS d,
                    row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey

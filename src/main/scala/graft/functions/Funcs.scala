@@ -57,6 +57,19 @@ object Funcs {
     round(c * lit(p), 0) / lit(p) + lit(0.0)
   }
 
+  /** Exact mean of a 4dp-grid column: quantize each value to the 1e-4
+    * grid once (round(x·1e4) as a micro-int), accumulate exactly in
+    * decimal(38,0), divide back once. Partial-aggregation-order
+    * independent where a raw `avg()` of doubles can land one
+    * 4th-decimal ulp apart across partial orders at a rounding
+    * knife-edge (the Theta/q221 class). For off-grid inputs this is
+    * the exact mean of the quantized series — the repo-wide
+    * determinism convention. Oracle twin:
+    * `CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0`. */
+  def microMean(c: Column): Column =
+    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") /
+      lit(1e4) / count(lit(1)) + lit(0.0)
+
   /** Normalize NaN → NULL. Spark's corr/stddev return NaN on zero
     * variance where most SQL engines (and the reference's pandas ops)
     * return NULL; normalizing keeps downstream `when` ladders and oracle

@@ -19,22 +19,25 @@ import graft.functions.Funcs.r
   * key-grain coefficient table joined back — no iteration, no driver
   * loop, no per-group materialization.
   *
-  * Determinism convention (the q213 Theta recipe): the sufficient sums
-  * are ROUNDED before the solve and the coefficients before use, so
-  * every downstream arithmetic chain starts from bit-identical doubles
-  * cross-engine; the h-step forecast recursion rounds each step before
+  * Determinism convention (the q213 Theta recipe, unified here in r10):
+  * every value quantizes to the 1e-4 grid once (round(x·1e4) as a
+  * micro-int) and every sufficient sum accumulates EXACTLY in
+  * decimal(38,0) — linear sums in 1e-4 units, lag-product sums in 1e-8
+  * units — then converts to double once before the Cramer solve. The
+  * sums are therefore identical in any partial-aggregation order and
+  * for fractional-valued series, not just integer-valued ones (the r9
+  * verdict carried the integer-only bound of the earlier rounded-double
+  * sums as a knife-edge risk; this closes it). Coefficients are rounded
+  * before use and the h-step forecast recursion rounds each step before
   * feeding it forward, which is what lets a recursive-CTE oracle
-  * reproduce the chain exactly.
+  * reproduce the chain exactly. Off-grid (finer than 4dp) series fit
+  * against their 1e-4-quantized values — the same documented
+  * quantization Theta applies.
   *
-  * Bound on the rounded-double sums: they are EXACT (order-independent)
-  * when the series values are integer-valued — true for every consumer
-  * in this repo (weekly quantity sums of integer quantities, and their
-  * first/seasonal differences). A series of genuinely fractional values
-  * can land a sum one 4th-decimal ulp apart across partial-aggregation
-  * orders at a rounding knife-edge; for that case apply the
-  * micro-int + decimal(38,0) treatment used by seq/Theta.scala (fixed
-  * there in r9 after an observed sf0.001 knife-edge on its
-  * deseasonalized — fractional — series).
+  * Decimal bound: a product sum accumulates Σ round(x·1e4)² — with
+  * |x| ≤ 10^10 and 10^9 rows per series that is < 10^38 with headroom;
+  * beyond it Spark's decimal overflows to null (ANSI off) rather than
+  * silently wrapping.
   *
   * Degenerate series (fewer than 3 regression rows, or |det| < 1e-8 —
   * e.g. perfectly collinear lags from a linear series) fall back to
@@ -49,18 +52,26 @@ object Ar {
     * Series with no regression rows are absent. */
   private def coefs(indexed: DataFrame, keyCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)
-    val x = col("__y")
     val sample = indexed.filter(col("__l2").isNotNull)
+    // exact micro-int accumulation (see object scaladoc): m() quantizes
+    // to decimal micro-units for the exact sum, mL() is the long twin
+    // used as the second product factor (decimal × long stays decimal)
+    val dec = "decimal(38,0)"
+    def m(c: Column) = round(c * lit(1e4), 0).cast(dec)
+    def mL(c: Column) = round(c * lit(1e4), 0).cast("long")
+    def d4(c: Column) = c.cast("double") / lit(1e4) + lit(0.0)
+    def d8(c: Column) = c.cast("double") / lit(1e8) + lit(0.0)
+    val (y, l1, l2) = (col("__y"), col("__l1"), col("__l2"))
     val sums = sample.groupBy(key: _*).agg(
       count(lit(1)).cast("double").as("__n"),
-      r(sum(x)).as("__sy"),
-      r(sum(col("__l1"))).as("__s1"),
-      r(sum(col("__l2"))).as("__s2"),
-      r(sum(x * col("__l1"))).as("__sy1"),
-      r(sum(x * col("__l2"))).as("__sy2"),
-      r(sum(col("__l1") * col("__l1"))).as("__s11"),
-      r(sum(col("__l2") * col("__l2"))).as("__s22"),
-      r(sum(col("__l1") * col("__l2"))).as("__s12"))
+      d4(sum(m(y))).as("__sy"),
+      d4(sum(m(l1))).as("__s1"),
+      d4(sum(m(l2))).as("__s2"),
+      d8(sum(m(y) * mL(l1))).as("__sy1"),
+      d8(sum(m(y) * mL(l2))).as("__sy2"),
+      d8(sum(m(l1) * mL(l1))).as("__s11"),
+      d8(sum(m(l2) * mL(l2))).as("__s22"),
+      d8(sum(m(l1) * mL(l2))).as("__s12"))
     val (n, sy, s1, s2) = (col("__n"), col("__sy"), col("__s1"), col("__s2"))
     val (sy1, sy2, s11, s22, s12) =
       (col("__sy1"), col("__sy2"), col("__s11"), col("__s22"), col("__s12"))

@@ -138,8 +138,11 @@ object SequentialKernels {
     *
     *   x_t = μ + ε_t + θ·ε_{t−1}  ⇒  ε_t = (x_t − μ) − θ·ε_{t−1}, ε_0 = 0
     *
-    * with μ the per-series mean (rounded through the repo's 4dp
-    * convention so both engines center on bit-identical values).
+    * with μ the per-series EXACT micro-int mean (Funcs.microMean — the
+    * Theta/q221 determinism treatment, so both engines center on
+    * bit-identical values for fractional series too; a rounded
+    * avg(double) was partial-aggregation-order dependent at a 1e-4
+    * knife-edge, the r9 advice finding).
     * Emits the innovation ε_t as `residCol` and the one-step-ahead
     * prediction x_t − ε_t (= μ + θ·ε_{t−1} up to IEEE association,
     * computed identically cross-engine) as `fittedCol`, both unrounded
@@ -154,7 +157,7 @@ object SequentialKernels {
               fittedCol: String = "ma1_fitted"): DataFrame = {
     val keys = keyCols.map(col)
     val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
     // key-grain mean table: joins back on the series key (AQE broadcasts
     // it when small; at scale it co-partitions with the fold's exchange)
     val centered = df.join(mu, keyCols)
@@ -186,7 +189,7 @@ object SequentialKernels {
     require(grid.nonEmpty, "theta grid must be non-empty")
     val keys = keyCols.map(col)
     val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = grid.indices.map(i => s"__sse$i")
@@ -241,7 +244,7 @@ object SequentialKernels {
     val pairs = for (p <- phiGrid; t <- thetaGrid) yield (p, t)
     val keys = keyCols.map(col)
     val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.r(avg(col(valueCol))).as("__mu"))
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = pairs.indices.map(i => s"__sse$i")
