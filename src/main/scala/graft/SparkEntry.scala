@@ -864,6 +864,22 @@ object SparkEntry {
           r(col("ma1_resid")).as("ma1_resid"),
           r(col("ma1_fitted")).as("ma1_fitted"))
     }),
+    // ARMA(1,1) h-step forecast: winner-pair recursion from the last
+    // centered observation and final innovation, rounded per step
+    "q257_arma_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.arma11Forecast(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4)
+    }),
+    // ARIMA(1,1,1) by composition: ARMA(1,1) CLS grid fit on the first
+    // differences, forecasts integrated back from the last level
+    "q258_arima111" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.arima111Forecast(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4)
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -3952,6 +3968,125 @@ object SparkEntry {
          SELECT l_partkey, l_suppkey, phi AS arma_phi, theta AS arma_theta,
                 (round(sse*1e4)/1e4 + 0.0e0) AS arma_sse
          FROM pick WHERE rn2 = 1""",
+    // the q255 recipe + the winner's forecast state (final innovation,
+    // final centered value, mu) driven through the h-step recursion
+    // f_1 = mu + phi*xc_n + theta*eps_n; f_s = mu + phi*(f_{s-1} - mu)
+    "q257_arma_forecast" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           m AS (SELECT l_partkey, l_suppkey,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
+                 FROM w GROUP BY 1,2),
+           t AS (SELECT w.l_partkey, w.l_suppkey, w.ws,
+                   w.q - m.mu AS xc,
+                   row_number() OVER (PARTITION BY w.l_partkey, w.l_suppkey
+                     ORDER BY w.ws) rn
+                 FROM w JOIN m ON w.l_partkey = m.l_partkey
+                   AND w.l_suppkey = m.l_suppkey),
+           g AS (SELECT p.phi, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi) p
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           e AS (SELECT t.l_partkey, t.l_suppkey, g.phi, g.theta, t.rn,
+                   t.xc AS xcprev, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM t CROSS JOIN g WHERE t.rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, e.phi, e.theta, t.rn, t.xc,
+                   t.xc - e.phi*e.xcprev - e.theta*e.e,
+                   e.sse + (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                         * (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey, phi, theta ORDER BY rn DESC) rd FROM e),
+           fin AS (SELECT l_partkey, l_suppkey, phi, theta, sse,
+                     e AS eps, xcprev AS xcl
+                   FROM last WHERE rd = 1),
+           pick AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey ORDER BY sse, phi, theta) rn2 FROM fin),
+           win AS (SELECT p.l_partkey, p.l_suppkey, p.phi, p.theta,
+                     p.eps, p.xcl, m.mu
+                   FROM pick p JOIN m ON p.l_partkey = m.l_partkey
+                     AND p.l_suppkey = m.l_suppkey
+                   WHERE p.rn2 = 1),
+           f AS (SELECT l_partkey, l_suppkey, 1 AS step,
+                   (round((mu + phi*xcl + theta*eps)*1e4)/1e4 + 0.0e0) AS fc,
+                   mu, phi
+                 FROM win
+                 UNION ALL
+                 SELECT l_partkey, l_suppkey, step + 1,
+                   (round((mu + phi*(fc - mu))*1e4)/1e4 + 0.0e0), mu, phi
+                 FROM f WHERE step < 4)
+         SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
+                fc AS arma_forecast
+         FROM f""",
+    // q257's fit+forecast applied to FIRST DIFFERENCES, each step's
+    // cumulative rounded diff carried through the recursion and
+    // integrated from the last observed level (the q249 machinery)
+    "q258_arima111" ->
+      """WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           d0 AS (SELECT *, q - lag(q, 1) OVER (PARTITION BY l_partkey, l_suppkey
+                    ORDER BY ws) AS dq
+                  FROM w),
+           d AS (SELECT l_partkey, l_suppkey, ws, dq FROM d0 WHERE dq IS NOT NULL),
+           m AS (SELECT l_partkey, l_suppkey,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
+                 FROM d GROUP BY 1,2),
+           t AS (SELECT d.l_partkey, d.l_suppkey, d.ws,
+                   d.dq - m.mu AS xc,
+                   row_number() OVER (PARTITION BY d.l_partkey, d.l_suppkey
+                     ORDER BY d.ws) rn
+                 FROM d JOIN m ON d.l_partkey = m.l_partkey
+                   AND d.l_suppkey = m.l_suppkey),
+           g AS (SELECT p.phi, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi) p
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           e AS (SELECT t.l_partkey, t.l_suppkey, g.phi, g.theta, t.rn,
+                   t.xc AS xcprev, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM t CROSS JOIN g WHERE t.rn = 1
+                 UNION ALL
+                 SELECT t.l_partkey, t.l_suppkey, e.phi, e.theta, t.rn, t.xc,
+                   t.xc - e.phi*e.xcprev - e.theta*e.e,
+                   e.sse + (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                         * (t.xc - e.phi*e.xcprev - e.theta*e.e)
+                 FROM t JOIN e ON t.l_partkey = e.l_partkey
+                   AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1),
+           last AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey, phi, theta ORDER BY rn DESC) rd FROM e),
+           fin AS (SELECT l_partkey, l_suppkey, phi, theta, sse,
+                     e AS eps, xcprev AS xcl
+                   FROM last WHERE rd = 1),
+           pick AS (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                      l_suppkey ORDER BY sse, phi, theta) rn2 FROM fin),
+           yl AS (SELECT l_partkey, l_suppkey,
+                    max(CASE WHEN rd = 1 THEN q END) yn
+                  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey,
+                          l_suppkey ORDER BY ws DESC) rd FROM w)
+                  GROUP BY 1,2),
+           win AS (SELECT p.l_partkey, p.l_suppkey, p.phi, p.theta,
+                     p.eps, p.xcl, m.mu, yl.yn
+                   FROM pick p JOIN m ON p.l_partkey = m.l_partkey
+                     AND p.l_suppkey = m.l_suppkey
+                   JOIN yl ON p.l_partkey = yl.l_partkey
+                     AND p.l_suppkey = yl.l_suppkey
+                   WHERE p.rn2 = 1),
+           f AS (SELECT l_partkey, l_suppkey, 1 AS step,
+                   (round((mu + phi*xcl + theta*eps)*1e4)/1e4 + 0.0e0) AS fc,
+                   mu, phi, yn,
+                   (round((mu + phi*xcl + theta*eps)*1e4)/1e4 + 0.0e0) AS cum
+                 FROM win
+                 UNION ALL
+                 SELECT l_partkey, l_suppkey, step + 1,
+                   (round((mu + phi*(fc - mu))*1e4)/1e4 + 0.0e0), mu, phi, yn,
+                   cum + (round((mu + phi*(fc - mu))*1e4)/1e4 + 0.0e0)
+                 FROM f WHERE step < 4)
+         SELECT l_partkey, l_suppkey, CAST(step AS BIGINT) AS step,
+                (round((yn + cum)*1e4)/1e4 + 0.0e0) AS arima_forecast
+         FROM f""",
     // the q250 recursion carried PER GRID θ in one recursive CTE (theta
     // rides the recursion as a column); last row per (series, θ), then
     // the (sse, θ)-smallest pick — raw-double ordering is safe because

@@ -185,7 +185,18 @@ object SequentialKernels {
     */
   def fitMa1(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
              valueCol: String,
-             grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
+             grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame =
+    fitMa1Full(df, keyCols, ordCols, valueCol, grid)
+      .select(keyCols.map(col) ++ Seq(col("ma1_theta"), col("ma1_sse")): _*)
+
+  /** [[fitMa1]] with the winner's forecast-relevant state attached:
+    * `ma1_mu` (the exact micro-int series mean) and `ma1_eps_last` (the
+    * winning θ's final innovation) — what the MA(1) h-step forecast
+    * consumes (f_1 = μ + θ·ε_n, f_{s≥2} = μ). Same single vectorized
+    * fold, one extra emitted double per grid point. */
+  def fitMa1Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                 valueCol: String,
+                 grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
     require(grid.nonEmpty, "theta grid must be non-empty")
     val keys = keyCols.map(col)
     val mu = df.groupBy(keys: _*)
@@ -193,32 +204,39 @@ object SequentialKernels {
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = grid.indices.map(i => s"__sse$i")
+    val epsCols = grid.indices.map(i => s"__e$i")
     val folded = keyedFold[Array[(Double, Double)]](
-      centered, keyCols, ordCols, "__xc", sseCols) {
-      case (None, st) => (grid.indices.map(i => st.map(_(i)._2)), st)
+      centered, keyCols, ordCols, "__xc", sseCols ++ epsCols) {
+      case (None, st) => (grid.indices.map(i => st.map(_(i)._2)) ++
+        grid.indices.map(i => st.map(_(i)._1)), st)
       case (Some(xc), stOpt) =>
         val st = stOpt.getOrElse(Array.fill(grid.size)((0.0, 0.0)))
         val ns = st.zip(grid).map { case ((e, sse), th) =>
           val ne = xc - th * e
           (ne, sse + ne * ne)
         }
-        (ns.map(p => Some(p._2)), Some(ns))
+        (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)), Some(ns))
     }
     import org.apache.spark.sql.expressions.Window
     val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
     val last = folded.withColumn("__rd", row_number().over(wLast))
       .filter(col("__rd") === 1)
-    val pairs = last.select(keys :+ explode(array(grid.zipWithIndex.map {
-      case (th, i) => struct(lit(th).as("theta"), col(s"__sse$i").as("sse"))
-    }: _*)).as("__p"): _*)
-      .select(keys ++ Seq(col("__p.theta").as("theta"), col("__p.sse").as("sse")): _*)
+    val pairs = last.select(keys ++ Seq(col("__mu")) :+
+      explode(array(grid.zipWithIndex.map {
+        case (th, i) => struct(lit(th).as("theta"), col(s"__sse$i").as("sse"),
+          col(s"__e$i").as("eps"))
+      }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__mu"), col("__p.theta").as("theta"),
+        col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
     // both engines fold the identical IEEE chain per θ, so ordering by
     // the RAW sse (rounding only the reported value) picks the same θ
     val wPick = Window.partitionBy(keys: _*).orderBy(col("sse"), col("theta"))
     pairs.withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") === 1)
       .select(keys ++ Seq(col("theta").as("ma1_theta"),
-        graft.functions.Funcs.r(col("sse")).as("ma1_sse")): _*)
+        graft.functions.Funcs.r(col("sse")).as("ma1_sse"),
+        col("__mu").as("ma1_mu"),
+        col("eps").as("ma1_eps_last")): _*)
   }
 
   /** Joint ARMA(1,1) fit by conditional least squares over a LITERAL
@@ -238,7 +256,22 @@ object SequentialKernels {
   def fitArma11(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                 valueCol: String,
                 phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
-                thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+                thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame =
+    fitArma11Full(df, keyCols, ordCols, valueCol, phiGrid, thetaGrid)
+      .select(keyCols.map(col) ++ Seq(col("arma_phi"), col("arma_theta"),
+        col("arma_sse")): _*)
+
+  /** [[fitArma11]] with the winner's forecast-relevant state attached:
+    * `arma_mu` (the exact micro-int series mean), `arma_eps_last` (the
+    * winning pair's final innovation) and `arma_xc_last` (the final
+    * centered observation) — everything the h-step forecast recursion
+    * consumes. Same single vectorized fold: each pair's innovation
+    * rides the emitted columns next to its SSE, so the state costs one
+    * extra double column per grid pair and no new exchange. */
+  def fitArma11Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                    valueCol: String,
+                    phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                    thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
     require(phiGrid.nonEmpty && thetaGrid.nonEmpty, "grids must be non-empty")
     import org.apache.spark.sql.expressions.Window
     val pairs = for (p <- phiGrid; t <- thetaGrid) yield (p, t)
@@ -248,37 +281,114 @@ object SequentialKernels {
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = pairs.indices.map(i => s"__sse$i")
+    val epsCols = pairs.indices.map(i => s"__e$i")
     // state = (previous centered value, per-pair (eps_prev, sse))
     val folded = keyedFold[(Double, Array[(Double, Double)])](
-      centered, keyCols, ordCols, "__xc", sseCols) {
-      case (None, st) => (pairs.indices.map(i => st.map(_._2(i)._2)), st)
+      centered, keyCols, ordCols, "__xc", sseCols ++ epsCols) {
+      case (None, st) => (pairs.indices.map(i => st.map(_._2(i)._2)) ++
+        pairs.indices.map(i => st.map(_._2(i)._1)), st)
       case (Some(xc), None) =>
         // first observation is conditioned on: ε_1 = 0, SSE starts at 0
         val zeros = Array.fill(pairs.size)((0.0, 0.0))
-        (pairs.indices.map(_ => Some(0.0)), Some((xc, zeros)))
+        (pairs.indices.map(_ => Some(0.0)) ++ pairs.indices.map(_ => Some(0.0)),
+          Some((xc, zeros)))
       case (Some(xc), Some((xp, st))) =>
         val ns = st.zip(pairs).map { case ((ep, sse), (ph, th)) =>
           val e = xc - ph * xp - th * ep
           (e, sse + e * e)
         }
-        (ns.map(p => Some(p._2)), Some((xc, ns)))
+        (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)), Some((xc, ns)))
     }
     val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
     val last = folded.withColumn("__rd", row_number().over(wLast))
       .filter(col("__rd") === 1)
-    val longForm = last.select(keys :+ explode(array(pairs.zipWithIndex.map {
-      case ((ph, th), i) => struct(lit(ph).as("phi"), lit(th).as("theta"),
-        col(s"__sse$i").as("sse"))
-    }: _*)).as("__p"): _*)
-      .select(keys ++ Seq(col("__p.phi").as("phi"),
-        col("__p.theta").as("theta"), col("__p.sse").as("sse")): _*)
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc")) :+
+      explode(array(pairs.zipWithIndex.map {
+        case ((ph, th), i) => struct(lit(ph).as("phi"), lit(th).as("theta"),
+          col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"))
+      }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__mu"), col("__xc"),
+        col("__p.phi").as("phi"), col("__p.theta").as("theta"),
+        col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
     val wPick = Window.partitionBy(keys: _*)
       .orderBy(col("sse"), col("phi"), col("theta"))
     longForm.withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") === 1)
       .select(keys ++ Seq(col("phi").as("arma_phi"),
         col("theta").as("arma_theta"),
-        graft.functions.Funcs.r(col("sse")).as("arma_sse")): _*)
+        graft.functions.Funcs.r(col("sse")).as("arma_sse"),
+        col("__mu").as("arma_mu"),
+        col("eps").as("arma_eps_last"),
+        col("__xc").as("arma_xc_last")): _*)
+  }
+
+  /** h-step ARMA(1,1) forecast from the CLS grid fit — the forecasting
+    * side of the reference's ARIMA engine
+    * (src/models/arima_temporal.py:363-402), closed-form-expressible
+    * core: with (φ, θ) the winning pair, μ the series mean, x_n the
+    * last observation and ε_n the final fitted innovation,
+    *
+    *   f_1 = r( μ + φ·(x_n − μ) + θ·ε_n )
+    *   f_s = r( μ + φ·(f_{s−1} − μ) )      s ≥ 2 (future innovations = 0)
+    *
+    * each step rounded before feeding forward, so the recursive-CTE
+    * oracle replays the identical chain. One output row per (series,
+    * step); every series with ≥ 1 observation forecasts (single-row
+    * series tie the grid to its smallest pair with ε_n = 0). */
+  def arma11Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                     valueCol: String, h: Int,
+                     phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val base = fitArma11Full(df, keyCols, ordCols, valueCol, phiGrid, thetaGrid)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val f =
+        if (s == 1) r(col("arma_mu") + col("arma_phi") * col("arma_xc_last") +
+          col("arma_theta") * col("arma_eps_last"))
+        else r(col("arma_mu") + col("arma_phi") * (acc(s - 2) - col("arma_mu")))
+      acc :+ f
+    }
+    base.select(keys :+ posexplode(array(steps: _*)).as(Seq("__p", "arma_forecast")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(keys ++ Seq(col("step"), col("arma_forecast")): _*)
+  }
+
+  /** ARIMA(1,1,1) by composition (the d = 1 ARMA member — the
+    * reference's default orders are exactly this differenced class,
+    * src/models/arima_temporal.py:339-345): the ARMA(1,1) CLS grid fit
+    * runs on the FIRST DIFFERENCES, and the h diff forecasts integrate
+    * back from the last observed level,
+    *
+    *   ŷ_{n+s} = r( y_n + Σ_{j≤s} d̂_{n+j} )
+    *
+    * (the q249 ARI integration machinery: the cumulative sum runs in
+    * step order inside one key partition, both engines left-folding the
+    * same rounded diff forecasts). Series with < 2 observations (no
+    * differences) drop. */
+  def arima111Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                       valueCol: String, h: Int,
+                       phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                       thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val dy = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
+    val lastLevel = dy.withColumn("__rdL", row_number().over(wd))
+      .filter(col("__rdL") === 1)
+      .select(keys :+ col("__yraw").as("__yn"): _*)
+    val diffed = dy.filter(col("__dy").isNotNull).drop("__yraw")
+    val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arma11Forecast(diffed, keyCols, ordCols, "__dy", h, phiGrid, thetaGrid)
+      .join(lastLevel, keyCols)
+      .withColumn("arima_forecast",
+        graft.functions.Funcs.r(col("__yn") + sum(col("arma_forecast")).over(wcum)))
+      .select(keys ++ Seq(col("step"), col("arima_forecast")): _*)
   }
 
   /** M5 — Croston's method (and the SBA bias-corrected variant):

@@ -58,6 +58,81 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  private def r4(x: Double): Double =
+    BigDecimal(x * 1e4).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e4 + 0.0
+
+  test("ARMA(1,1) forecast on a constant series is the constant") {
+    val df = (1 to 5).map(i => ("a", i, 5.0)).toDF("k", "t", "v")
+    val out = SequentialKernels.arma11Forecast(df, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("step", "arma_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)))
+  }
+
+  test("ARMA(1,1) forecast replays the hand recursion from the fitted state") {
+    // planted ARMA(1,1): the grid fit recovers (0.5, 0.4); the forecast
+    // must then follow f_1 = r(mu + phi*xc_n + theta*eps_n),
+    // f_s = r(mu + phi*(f_{s-1} - mu)) with state from the hand fold
+    val innov = Seq(1.29, 1.45, 0.07, -0.76, -1.09, 0.03, -1.02, -1.44, 0.2,
+      0.13, 0.55, -0.91, 0.01, -0.06, -1.51, 0.54, 0.32, 2.39, 0.2, -0.14,
+      1.23, 0.2, 0.91, -0.37, 0.22, 1.02, 0.7, 0.13, -1.08, 0.45)
+    var zp = 0.0; var ep0 = 0.0
+    val xs = innov.map { e => val z = 0.5 * zp + e + 0.4 * ep0; zp = z; ep0 = e
+      math.round((10.0 + z) * 1e6) / 1e6 }
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }
+      .toDF("k", "t", "v")
+    val mu = xs.map(x => math.round(x * 1e4)).sum.toDouble / 1e4 / xs.size + 0.0
+    val pairs = for (p <- Seq(-0.5, 0.0, 0.5, 0.9); t <- Seq(-0.4, 0.0, 0.4))
+      yield (p, t)
+    val folds = pairs.map { case (ph, th) =>
+      var xp = Option.empty[Double]; var e = 0.0; var sse = 0.0
+      xs.foreach { x =>
+        val xc = x - mu
+        xp match {
+          case None => xp = Some(xc)
+          case Some(p) =>
+            val ne = xc - ph * p - th * e
+            sse += ne * ne; e = ne; xp = Some(xc)
+        }
+      }
+      ((ph, th), sse, e)
+    }
+    val ((ph, th), _, epsN) = folds.minBy { case ((p, t), s, _) => (s, p, t) }
+    val xcN = xs.last - mu
+    val f1 = r4(mu + ph * xcN + th * epsN)
+    val expected = (2 to 4).scanLeft(f1) { (f, _) => r4(mu + ph * (f - mu)) }
+    val got = SequentialKernels.arma11Forecast(df, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("arma_forecast").as[Double].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("ARIMA(1,1,1) on a ramp continues the ramp") {
+    // linear series → constant first differences → centered diffs all 0,
+    // every grid pair fits exactly (ties to the smallest) and each diff
+    // forecast is the slope; integration extends the line
+    val ramp = (1 to 6).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = SequentialKernels.arima111Forecast(ramp, Seq("k"), Seq(col("t")), "v", h = 4)
+      .orderBy("step").select("step", "arima_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 7.0), (2L, 8.0), (3L, 9.0), (4L, 10.0)))
+    // a series too short to difference-and-fit drops
+    val short = Seq(("b", 1, 3.0)).toDF("k", "t", "v")
+    assert(SequentialKernels.arima111Forecast(short, Seq("k"), Seq(col("t")), "v", h = 2)
+      .count() == 0)
+  }
+
+  test("fitMa1Full / fitArma11Full expose the winner's forecast state") {
+    val df = (1 to 4).map(i => ("a", i, 7.0)).toDF("k", "t", "v")
+    val ma = SequentialKernels.fitMa1Full(df, Seq("k"), Seq(col("t")), "v")
+      .select("ma1_theta", "ma1_mu", "ma1_eps_last")
+      .as[(Double, Double, Double)].head()
+    assert(ma == ((-0.8, 7.0, 0.0)))
+    val arma = SequentialKernels.fitArma11Full(df, Seq("k"), Seq(col("t")), "v")
+      .select("arma_phi", "arma_theta", "arma_mu", "arma_eps_last", "arma_xc_last")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(arma == ((-0.5, -0.4, 7.0, 0.0, 0.0)))
+  }
+
   test("MA(1) centers on the exact micro-int mean for fractional series") {
     val vals = Seq(0.1, 0.3, 0.2, 0.7, 0.45)
     val df = vals.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }

@@ -56,8 +56,8 @@ class SequentialKernelsSpec extends SparkSpec {
     val xs = innov.map { e => val x = 10.0 + e + 0.4 * ep; ep = e; x }
     val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }
       .toDF("k", "t", "v")
-    // hand fold replicating the kernel exactly (μ = 4dp-rounded mean)
-    val mu = math.round(xs.sum / xs.size * 1e4) / 1e4
+    // hand fold replicating the kernel exactly (μ = exact micro-int mean)
+    val mu = xs.map(x => math.round(x * 1e4)).sum.toDouble / 1e4 / xs.size + 0.0
     val grid = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)
     val sses = grid.map { th =>
       var e = 0.0; var sse = 0.0
@@ -90,8 +90,8 @@ class SequentialKernelsSpec extends SparkSpec {
       math.round((10.0 + z) * 1e6) / 1e6 }
     val df = xs.zipWithIndex.map { case (v, i) => ("a", i + 1, v) }
       .toDF("k", "t", "v")
-    // hand fold replicating the kernel (μ = 4dp-rounded mean, ε_1 = 0)
-    val mu = math.round(xs.sum / xs.size * 1e4) / 1e4
+    // hand fold replicating the kernel (μ = exact micro-int mean, ε_1 = 0)
+    val mu = xs.map(x => math.round(x * 1e4)).sum.toDouble / 1e4 / xs.size + 0.0
     val pairs = for (p <- Seq(-0.5, 0.0, 0.5, 0.9); t <- Seq(-0.4, 0.0, 0.4))
       yield (p, t)
     val sses = pairs.map { case (ph, th) =>
