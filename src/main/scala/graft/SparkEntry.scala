@@ -880,6 +880,45 @@ object SparkEntry {
       graft.seq.SequentialKernels.arima111Forecast(weekly,
         Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4)
     }),
+    // per-series champion pick: AIC over the eight closed-form family
+    // members, deterministic argmin, winner's h-step forecast — the
+    // reference's auto-ARIMA model-selection loop. SUPPLIER grain for
+    // series long enough that every member is identified somewhere
+    "q259_champion" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.Champion.championForecast(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+    }),
+    // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
+    // qty stddev (explicit sufficient sums), prediction = the group
+    // mean, calibrated per return flag
+    "q260_wmape_calibration" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val q = col("l_quantity")
+      val t = li(s, d)
+        .withColumn("pred", r(avg(q).over(wg)))
+        .withColumn("__n", count(lit(1)).over(wg).cast("double"))
+        .withColumn("__sq", sum(q).over(wg))
+        .withColumn("__sqq", sum(q * q).over(wg))
+        .withColumn("unc", r(when(col("__n") > 1,
+          sqrt((col("__n") * col("__sqq") - col("__sq") * col("__sq")) /
+            (col("__n") * (col("__n") - 1))))))
+        .filter(col("unc").isNotNull)
+      graft.metrics.Eval.wmapeCalibration(t, Seq("l_returnflag"), col("pred"),
+        q, col("unc"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+    }),
+    // bootstrap uncertainty: 20 deterministic keyed replicates of the
+    // supplier weekly series, per-replicate mean fit, spread + band
+    "q261_bootstrap" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.operators.Bootstrap.meanBand(weekly, Seq("l_suppkey"),
+        col("l_suppkey") * lit(100000L) +
+          datediff(col("week_start"), lit("1970-01-01")),
+        col("qty_sum"), b = 20, frac = 0.8, alpha = 0.9)
+    }),
     "q209_ewm_var" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
@@ -2178,10 +2217,373 @@ object SparkEntry {
          FROM last, (VALUES $damps) d(step, damp)"""
   }
 
+  /** q259 oracle: every family member's fit/SSE/forecast replayed at
+    * the supplier-week grain, the rounded-AIC scoreboard, the
+    * (aic, member-rank) argmin, and the winner's forecast rows. The
+    * member fragments are the already-green q214/q217/q249/q253/q255/
+    * q257/q213/q256/q74/q222 recipes re-keyed to l_suppkey; the damped
+    * sums embed the engine's own iteratively-computed doubles (the
+    * q222 convention). */
+  private lazy val championSql: String = {
+    val damps = graft.seq.SequentialKernels.dampSums(0.9, 4).zipWithIndex
+      .map { case (dv, i) => s"(${i + 1}, CAST($dv AS DOUBLE))" }.mkString(", ")
+    def sq(e: String): String =
+      s"(round((CAST(sum(CAST(round(($e)*($e)*1e8) AS HUGEINT)) AS DOUBLE)/1e8)*1e4)/1e4 + 0.0e0)"
+    // the q214 nine-sums → Cramer → rounded-coefs block, parameterized
+    // on the source CTE (value column y, lag columns b1/b2)
+    def arBlock(src: String, y: String, p: String): String =
+      s"""${p}s AS (SELECT l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   (CAST(sum(CAST(round($y*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
+                   (CAST(sum(CAST(round(b1*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s1,
+                   (CAST(sum(CAST(round(b2*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) s2,
+                   (CAST(sum(CAST(round($y*1e4) AS BIGINT)*CAST(round(b1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy1,
+                   (CAST(sum(CAST(round($y*1e4) AS BIGINT)*CAST(round(b2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) sy2,
+                   (CAST(sum(CAST(round(b1*1e4) AS BIGINT)*CAST(round(b1*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s11,
+                   (CAST(sum(CAST(round(b2*1e4) AS BIGINT)*CAST(round(b2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s22,
+                   (CAST(sum(CAST(round(b1*1e4) AS BIGINT)*CAST(round(b2*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) s12
+                 FROM $src WHERE b2 IS NOT NULL GROUP BY 1),
+           ${p}d AS (SELECT l_suppkey, n, sy,
+                   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+                   sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2) + s2*(sy1*s12 - s11*sy2) AS detc,
+                   n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2) + s2*(s1*sy2 - sy1*s2) AS detp1,
+                   n*(s11*sy2 - s12*sy1) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - s11*s2) AS detp2
+                 FROM ${p}s),
+           ${p}c AS (SELECT l_suppkey,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detc/det ELSE sy/n END)*1e4)/1e4 + 0.0e0) AS c,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp1/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p1,
+                   (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
+                      THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
+                 FROM ${p}d)"""
+    s"""WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                   sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2),
+           cnt AS (SELECT l_suppkey, count(*) AS n FROM w GROUP BY 1),
+           t AS (SELECT *,
+                   row_number() OVER (PARTITION BY l_suppkey ORDER BY ws) rn,
+                   lag(q, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) b1,
+                   lag(q, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) b2,
+                   lag(q, 13) OVER (PARTITION BY l_suppkey ORDER BY ws) lm
+                 FROM w),
+           muq AS (SELECT l_suppkey,
+                   (CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu
+                 FROM w GROUP BY 1),
+           mur AS (SELECT l_suppkey, (round(mu*1e4)/1e4 + 0.0e0) AS mu FROM muq),
+           steps AS (SELECT unnest([1,2,3,4]) AS step),
+           mean_sc AS (SELECT w.l_suppkey, 'mean_naive' AS model, 0 AS mrank, 1.0e0 AS k,
+                   ${sq("w.q - mur.mu")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM w JOIN mur USING (l_suppkey) GROUP BY 1),
+           mean_fc AS (SELECT l_suppkey, 'mean_naive' AS model,
+                   CAST(step AS BIGINT) AS step, mu AS forecast
+                 FROM mur CROSS JOIN steps),
+           sn_sc AS (SELECT l_suppkey, 'snaive' AS model, 1 AS mrank, 0.0e0 AS k,
+                   ${sq("q - lm")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM t WHERE lm IS NOT NULL GROUP BY 1),
+           sn_fc AS (SELECT t.l_suppkey, 'snaive' AS model,
+                   CAST(t.rn - (cnt.n - 13) AS BIGINT) AS step,
+                   (round(t.q*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM t JOIN cnt USING (l_suppkey)
+                 WHERE t.rn > cnt.n - 13 AND t.rn <= cnt.n - 13 + 4),
+           ${arBlock("t", "q", "ar")},
+           arfit AS (SELECT t.l_suppkey, t.q,
+                   (round((arc.c + arc.p1*t.b1 + arc.p2*t.b2)*1e4)/1e4 + 0.0e0) AS f
+                 FROM t JOIN arc USING (l_suppkey) WHERE t.b2 IS NOT NULL),
+           ar_sc AS (SELECT l_suppkey, 'ar2' AS model, 2 AS mrank, 3.0e0 AS k,
+                   ${sq("q - f")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM arfit GROUP BY 1 HAVING count(*) >= 3),
+           arlv AS (SELECT l_suppkey,
+                   max(CASE WHEN rd = 1 THEN q END) xn,
+                   max(CASE WHEN rd = 2 THEN q END) xn1
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM w)
+                 GROUP BY 1
+                 HAVING max(CASE WHEN rd = 2 THEN q END) IS NOT NULL),
+           are AS (SELECT a.l_suppkey, 1 AS step,
+                   (round((c.c + c.p1*a.xn + c.p2*a.xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   a.xn AS fprev, c.c, c.p1, c.p2
+                 FROM arlv a JOIN arc c USING (l_suppkey)
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0), f, c, p1, p2
+                 FROM are WHERE step < 4),
+           ar_fc AS (SELECT l_suppkey, 'ar2' AS model, CAST(step AS BIGINT) AS step,
+                   f AS forecast FROM are),
+           d0 AS (SELECT *, q - lag(q, 1) OVER (PARTITION BY l_suppkey
+                     ORDER BY ws) AS dq FROM w),
+           dd AS (SELECT l_suppkey, ws, dq FROM d0 WHERE dq IS NOT NULL),
+           ddt AS (SELECT *,
+                   lag(dq, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) b1,
+                   lag(dq, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) b2
+                 FROM dd),
+           ${arBlock("ddt", "dq", "ari")},
+           difit AS (SELECT ddt.l_suppkey, ddt.dq,
+                   (round((aric.c + aric.p1*ddt.b1 + aric.p2*ddt.b2)*1e4)/1e4 + 0.0e0) AS f
+                 FROM ddt JOIN aric USING (l_suppkey) WHERE ddt.b2 IS NOT NULL),
+           ari_sc AS (SELECT l_suppkey, 'ari' AS model, 3 AS mrank, 3.0e0 AS k,
+                   ${sq("dq - f")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM difit GROUP BY 1 HAVING count(*) >= 3),
+           dilv AS (SELECT l_suppkey,
+                   max(CASE WHEN rd = 1 THEN dq END) xn,
+                   max(CASE WHEN rd = 2 THEN dq END) xn1
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM dd)
+                 GROUP BY 1
+                 HAVING max(CASE WHEN rd = 2 THEN dq END) IS NOT NULL),
+           yl AS (SELECT l_suppkey, max(CASE WHEN rd = 1 THEN q END) yn
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM w)
+                 GROUP BY 1),
+           arie AS (SELECT v.l_suppkey, 1 AS step,
+                   (round((c.c + c.p1*v.xn + c.p2*v.xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   v.xn AS fprev, c.c, c.p1, c.p2, y.yn,
+                   (round((c.c + c.p1*v.xn + c.p2*v.xn1)*1e4)/1e4 + 0.0e0) AS cum
+                 FROM dilv v JOIN aric c USING (l_suppkey)
+                   JOIN yl y USING (l_suppkey)
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0), f, c, p1, p2, yn,
+                   cum + (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0)
+                 FROM arie WHERE step < 4),
+           ari_fc AS (SELECT l_suppkey, 'ari' AS model, CAST(step AS BIGINT) AS step,
+                   (round((yn + cum)*1e4)/1e4 + 0.0e0) AS forecast FROM arie),
+           mat AS (SELECT w.l_suppkey, w.ws, w.q - muq.mu AS xc,
+                   row_number() OVER (PARTITION BY w.l_suppkey ORDER BY w.ws) rn
+                 FROM w JOIN muq USING (l_suppkey)),
+           mag AS (SELECT unnest([-0.8e0,-0.4e0,0.0e0,0.4e0,0.8e0]) AS theta),
+           mae AS (SELECT mt.l_suppkey, g.theta, mt.rn,
+                   mt.xc - g.theta*0.0e0 AS e,
+                   0.0e0 + (mt.xc - g.theta*0.0e0)*(mt.xc - g.theta*0.0e0) AS sse
+                 FROM mat mt CROSS JOIN mag g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.theta, mt.rn,
+                   mt.xc - e.theta*e.e,
+                   e.sse + (mt.xc - e.theta*e.e)*(mt.xc - e.theta*e.e)
+                 FROM mat mt JOIN mae e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           mafin AS (SELECT l_suppkey, theta, sse, e AS eps
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, theta
+                         ORDER BY rn DESC) rd FROM mae)
+                 WHERE rd = 1),
+           mapick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, theta) rn2 FROM mafin),
+           ma_sc AS (SELECT p.l_suppkey, 'ma1' AS model, 4 AS mrank, 2.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(cnt.n AS DOUBLE) AS neff
+                 FROM mapick p JOIN cnt USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND cnt.n >= 2),
+           ma_fc AS (SELECT p.l_suppkey, 'ma1' AS model, CAST(s.step AS BIGINT) AS step,
+                   CASE WHEN s.step = 1
+                     THEN (round((muq.mu + p.theta*p.eps)*1e4)/1e4 + 0.0e0)
+                     ELSE (round(muq.mu*1e4)/1e4 + 0.0e0) END AS forecast
+                 FROM mapick p JOIN muq USING (l_suppkey) CROSS JOIN steps s
+                 WHERE p.rn2 = 1),
+           armg AS (SELECT p.phi, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi) p
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           arme AS (SELECT mt.l_suppkey, g.phi, g.theta, mt.rn,
+                   mt.xc AS xcprev, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM mat mt CROSS JOIN armg g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.phi, e.theta, mt.rn, mt.xc,
+                   mt.xc - e.phi*e.xcprev - e.theta*e.e,
+                   e.sse + (mt.xc - e.phi*e.xcprev - e.theta*e.e)
+                         * (mt.xc - e.phi*e.xcprev - e.theta*e.e)
+                 FROM mat mt JOIN arme e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           armfin AS (SELECT l_suppkey, phi, theta, sse, e AS eps, xcprev AS xcl
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, phi,
+                         theta ORDER BY rn DESC) rd FROM arme)
+                 WHERE rd = 1),
+           armpick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, phi, theta) rn2 FROM armfin),
+           arm_sc AS (SELECT p.l_suppkey, 'arma11' AS model, 5 AS mrank, 3.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(cnt.n - 1 AS DOUBLE) AS neff
+                 FROM armpick p JOIN cnt USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND cnt.n >= 3),
+           armf AS (SELECT p.l_suppkey, 1 AS step,
+                   (round((muq.mu + p.phi*p.xcl + p.theta*p.eps)*1e4)/1e4 + 0.0e0) AS fc,
+                   muq.mu, p.phi
+                 FROM armpick p JOIN muq USING (l_suppkey) WHERE p.rn2 = 1
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   (round((mu + phi*(fc - mu))*1e4)/1e4 + 0.0e0), mu, phi
+                 FROM armf WHERE step < 4),
+           arm_fc AS (SELECT l_suppkey, 'arma11' AS model, CAST(step AS BIGINT) AS step,
+                   fc AS forecast FROM armf),
+           ths AS (SELECT l_suppkey, count(*) AS n, sum(rn) AS st,
+                   sum(CAST(round(q*1e4) AS BIGINT)) AS sxm,
+                   sum(rn*rn) AS stt,
+                   sum(rn*CAST(round(q*1e4) AS BIGINT)) AS stxm
+                 FROM t GROUP BY 1),
+           thc AS (SELECT l_suppkey,
+                   (round((CASE WHEN n > 1
+                      THEN CAST(n*stxm - st*sxm AS DOUBLE)/1e4
+                           /CAST(n*stt - st*st AS DOUBLE)
+                      ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b,
+                   n, st, sxm
+                 FROM ths),
+           thc2 AS (SELECT l_suppkey, b,
+                   (round(((CAST(sxm AS DOUBLE)/1e4 - b*CAST(st AS DOUBLE))
+                           /CAST(n AS DOUBLE))*1e4)/1e4 + 0.0e0) AS a
+                 FROM thc),
+           tht AS (SELECT t.l_suppkey, t.rn, t.q, c2.a, c2.b,
+                   (round((2e0*t.q - (c2.a + c2.b*CAST(t.rn AS DOUBLE)))*1e4)/1e4 + 0.0e0) AS z
+                 FROM t JOIN thc2 c2 USING (l_suppkey)),
+           thse AS (SELECT l_suppkey, rn, q, a, b, z AS y FROM tht WHERE rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, mt.rn, mt.q, mt.a, mt.b,
+                   0.3e0*mt.z + (1e0-0.3e0)*e.y
+                 FROM tht mt JOIN thse e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           thfit AS (SELECT l_suppkey, rn, q, b,
+                   (round((0.5e0*(a + b*CAST(rn AS DOUBLE)) + 0.5e0*y)*1e4)/1e4 + 0.0e0) AS f
+                 FROM thse),
+           thpred AS (SELECT l_suppkey, rn, q, b,
+                   lag(f) OVER (PARTITION BY l_suppkey ORDER BY rn) pf
+                 FROM thfit),
+           th_sc AS (SELECT l_suppkey, 'theta' AS model, 6 AS mrank, 2.0e0 AS k,
+                   ${sq("q - (round((pf + b/2)*1e4)/1e4 + 0.0e0)")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM thpred WHERE pf IS NOT NULL GROUP BY 1),
+           thlast AS (SELECT l_suppkey, a, b, y, rn
+                 FROM (SELECT thse.*, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY rn DESC) rd FROM thse)
+                 WHERE rd = 1),
+           th_fc AS (SELECT l_suppkey, 'theta' AS model, CAST(s.step AS BIGINT) AS step,
+                   (round((0.5e0*(a + b*CAST(rn + s.step AS DOUBLE)) + 0.5e0*y)*1e4)/1e4 + 0.0e0)
+                     AS forecast
+                 FROM thlast CROSS JOIN steps s),
+           he AS (SELECT l_suppkey, rn, q, q AS lvl,
+                   CAST(NULL AS DOUBLE) AS tr, q AS lastx
+                 FROM t WHERE rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, mt.rn, mt.q,
+                   0.3e0*mt.q + (1e0-0.3e0)*e.lvl,
+                   CASE WHEN e.tr IS NULL THEN mt.q - e.lastx
+                        ELSE 0.1e0*(mt.q - e.lastx) + (1e0-0.1e0)*e.tr END,
+                   mt.q
+                 FROM t mt JOIN he e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           hlag AS (SELECT l_suppkey, rn, q,
+                   lag(lvl) OVER (PARTITION BY l_suppkey ORDER BY rn) pl,
+                   lag(tr) OVER (PARTITION BY l_suppkey ORDER BY rn) pt
+                 FROM he),
+           h_sc AS (SELECT l_suppkey, 'holt_damped' AS model, 7 AS mrank, 2.0e0 AS k,
+                   ${sq("q - (round((pl + 0.9e0*pt)*1e4)/1e4 + 0.0e0)")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM hlag WHERE pt IS NOT NULL GROUP BY 1),
+           hlast AS (SELECT l_suppkey, (round(lvl*1e4)/1e4 + 0.0e0) l,
+                   (round(tr*1e4)/1e4 + 0.0e0) b
+                 FROM (SELECT he.*, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY rn DESC) rd FROM he)
+                 WHERE rd = 1 AND tr IS NOT NULL),
+           h_fc AS (SELECT l_suppkey, 'holt_damped' AS model,
+                   CAST(d.step AS BIGINT) AS step,
+                   (round((l + b*d.damp)*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM hlast, (VALUES $damps) d(step, damp)),
+           scb AS (SELECT * FROM mean_sc UNION ALL SELECT * FROM sn_sc
+                 UNION ALL SELECT * FROM ar_sc UNION ALL SELECT * FROM ari_sc
+                 UNION ALL SELECT * FROM ma_sc UNION ALL SELECT * FROM arm_sc
+                 UNION ALL SELECT * FROM th_sc UNION ALL SELECT * FROM h_sc),
+           aics AS (SELECT l_suppkey, model, mrank,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scb WHERE sse IS NOT NULL AND neff >= 1),
+           champ AS (SELECT l_suppkey, model, aic
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY aic, mrank) rk FROM aics)
+                 WHERE rk = 1),
+           fcs AS (SELECT * FROM mean_fc UNION ALL SELECT * FROM sn_fc
+                 UNION ALL SELECT * FROM ar_fc UNION ALL SELECT * FROM ari_fc
+                 UNION ALL SELECT * FROM ma_fc UNION ALL SELECT * FROM arm_fc
+                 UNION ALL SELECT * FROM th_fc UNION ALL SELECT * FROM h_fc)
+         SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
+         FROM champ c JOIN fcs f ON c.l_suppkey = f.l_suppkey
+           AND c.model = f.model"""
+  }
+
+  /** q261 oracle: the keyed-replicate bootstrap with the engine's own
+    * threshold literal (M31·frac truncated) and the q114 Lehmer twin. */
+  private lazy val bootstrapSql: String = {
+    val thr = (graft.functions.PortableHash.M31 * 0.8).toLong
+    val bs = (1 to 20).mkString(",")
+    s"""WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                   sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2),
+           rk AS (SELECT l_suppkey, q,
+                   l_suppkey*100000 + date_diff('day', DATE '1970-01-01', ws) AS rk
+                 FROM w),
+           rep AS (SELECT l_suppkey, b.b, q
+                 FROM rk CROSS JOIN (SELECT unnest([$bs]) AS b) b
+                 WHERE (((rk*20 + b.b) % 2147483647) * 48271 % 2147483647)
+                       * 48271 % 2147483647 * 48271 % 2147483647 < $thr),
+           m AS (SELECT l_suppkey, b,
+                   (round((CAST(sum(CAST(round(q*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS m
+                 FROM rep GROUP BY 1,2),
+           agg AS (SELECT l_suppkey, count(*) AS n_reps,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   (CAST(sum(CAST(round(m*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) AS s,
+                   (CAST(sum(CAST(round(m*1e4) AS BIGINT)*CAST(round(m*1e4) AS BIGINT)) AS DOUBLE)/1e8 + 0.0e0) AS ss,
+                   (round((CAST(sum(CAST(round(m*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS boot_mean,
+                   list_sort(list(m)) AS arr
+                 FROM m GROUP BY 1),
+           -- Spark's exact percentile interpolates lower + d*(higher-lower)
+           -- (quantile_cont associates (1-d)*lower + d*upper — one ulp
+           -- apart at a rounding knife edge), so replay Spark's formula
+           fin AS (SELECT *, 0.05e0*(n - 1e0) AS plo, 0.95e0*(n - 1e0) AS phi
+                 FROM agg)
+         SELECT l_suppkey, n_reps, boot_mean,
+                (round((CASE WHEN n > 1
+                   THEN sqrt(greatest((n*ss - s*s)/(n*(n - 1)), 0.0e0)) END)*1e4)/1e4 + 0.0e0) AS boot_sd,
+                (round((CASE WHEN floor(plo) = plo THEN arr[CAST(plo AS INT) + 1]
+                   ELSE arr[CAST(floor(plo) AS INT) + 1]
+                        + (plo - floor(plo))*(arr[CAST(floor(plo) AS INT) + 2]
+                                              - arr[CAST(floor(plo) AS INT) + 1])
+                   END)*1e4)/1e4 + 0.0e0) AS boot_lo,
+                (round((CASE WHEN floor(phi) = phi THEN arr[CAST(phi AS INT) + 1]
+                   ELSE arr[CAST(floor(phi) AS INT) + 1]
+                        + (phi - floor(phi))*(arr[CAST(floor(phi) AS INT) + 2]
+                                              - arr[CAST(floor(phi) AS INT) + 1])
+                   END)*1e4)/1e4 + 0.0e0) AS boot_hi
+         FROM fin"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q220_platt" -> plattSql,
     "q221_temperature" -> temperatureSql,
     "q222_damped_holt" -> dampedHoltSql,
+    "q259_champion" -> championSql,
+    "q261_bootstrap" -> bootstrapSql,
+    // ntile bins of the per-(part,supp) qty stddev (sufficient-sum
+    // form), per-bin mean uncertainty vs mean WMAPE contribution
+    "q260_wmape_calibration" ->
+      """WITH g AS (SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+                      l_quantity,
+                      (round((avg(l_quantity) OVER pw)*1e4)/1e4 + 0.0e0) AS pred,
+                      CAST(count(*) OVER pw AS DOUBLE) AS n,
+                      sum(l_quantity) OVER pw AS sq,
+                      sum(l_quantity*l_quantity) OVER pw AS sqq
+                    FROM lineitem
+                    WINDOW pw AS (PARTITION BY l_partkey, l_suppkey)),
+              u AS (SELECT *,
+                      (round((CASE WHEN n > 1
+                         THEN sqrt((n*sqq - sq*sq)/(n*(n - 1))) END)*1e4)/1e4 + 0.0e0) AS unc
+                    FROM g),
+              bb AS (SELECT l_returnflag, pred, l_quantity, unc,
+                      CAST(ntile(10) OVER (PARTITION BY l_returnflag
+                        ORDER BY unc, l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS bin
+                    FROM u WHERE unc IS NOT NULL)
+         SELECT l_returnflag, bin, count(*) AS n_rows,
+                (round(avg(unc)*1e4)/1e4 + 0.0e0) AS bin_uncertainty,
+                (round(avg(abs(l_quantity - pred)/(abs(l_quantity) + 1e-8))*1e4)/1e4 + 0.0e0) AS bin_wmape
+         FROM bb GROUP BY 1,2""",
     "q225_changepoint" ->
       """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
                            l_partkey, l_suppkey, sum(l_quantity) AS qty_sum

@@ -126,6 +126,34 @@ object Eval {
       .agg(count(lit(1)).as("n"), Funcs.r(avg(col("__s"))).as("avg_score"),
         Funcs.r(avg(col("__y"))).as("pos_rate"))
 
+  /** WMAPE-calibrated uncertainty map (reference
+    * model_calibration.py:499-570): per-sample WMAPE contributions
+    * |a−p|/(|a|+1e-8) bucketed by the uncertainty's ntile; each bin's
+    * (mean raw uncertainty → mean WMAPE contribution) pair is one knot
+    * of the reference's interpolated calibration curve — emitting the
+    * knots IS the fitted calibrator. The reference bins by
+    * np.percentile edges of the uncertainty; ntile is the equal-count
+    * equivalent and needs `tieBreak` to extend the uncertainty order to
+    * a total one so both engines assign identical bins on ties.
+    *
+    * Scale shape: ONE sort-window partitioned by the group (never a
+    * global single-partition sort — calibrate per segment) and one
+    * hash-aggregate on (group, bin). */
+  def wmapeCalibration(df: DataFrame, groupCols: Seq[String], pred: Column,
+                       actual: Column, rawUnc: Column, tieBreak: Seq[Column],
+                       bins: Int = 10): DataFrame = {
+    val groups = groupCols.map(col)
+    val w = Window.partitionBy(groups: _*).orderBy(rawUnc +: tieBreak: _*)
+    df.select(groups ++ Seq(pred.cast("double").as("__p"),
+        actual.cast("double").as("__a"), rawUnc.cast("double").as("__u"),
+        ntile(bins).over(w).cast("long").as("bin")): _*)
+      .groupBy(groups :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        Funcs.r(avg(col("__u"))).as("bin_uncertainty"),
+        Funcs.r(avg(abs(col("__a") - col("__p")) /
+          (abs(col("__a")) + lit(1e-8)))).as("bin_wmape"))
+  }
+
   /** Welch two-sample test between variants A and B of a metric:
     * per-variant mean/variance from explicit sufficient statistics
     * (n, Σv, Σv² — portable across engines, unlike Welford-based
