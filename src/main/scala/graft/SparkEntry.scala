@@ -909,6 +909,11 @@ object SparkEntry {
         q, col("unc"),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
     }),
+    // quantile regression: 90th/50th/25th-percentile quantity vs
+    // discount per return flag, fixed-8-round IRLS pinball device
+    "q262_quantile_reg" -> ((s, d) =>
+      graft.operators.QuantileReg.fit(li(s, d), Seq("l_returnflag"),
+        col("l_discount"), col("l_quantity"))),
     // bootstrap uncertainty: 20 deterministic keyed replicates of the
     // supplier weekly series, per-replicate mean fit, spread + band
     "q261_bootstrap" -> ((s, d) => {
@@ -2510,10 +2515,16 @@ object SparkEntry {
   }
 
   /** q261 oracle: the keyed-replicate bootstrap with the engine's own
-    * threshold literal (M31·frac truncated) and the q114 Lehmer twin. */
+    * threshold literal (M31·frac truncated) and the q114 Lehmer twin.
+    * The band percentiles embed the ENGINE'S computed (1±alpha)/2
+    * doubles ((1-0.9)/2 = 0.049999999999999996, not 0.05 — a literal
+    * 0.05 shifts the interpolation position one ulp and flips 4dp
+    * rounding on knife-edge replicate means). */
   private lazy val bootstrapSql: String = {
     val thr = (graft.functions.PortableHash.M31 * 0.8).toLong
     val bs = (1 to 20).mkString(",")
+    val pLo = (1 - 0.9) / 2
+    val pHi = 1 - pLo
     s"""WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                    sum(l_quantity) q
                  FROM lineitem GROUP BY 1,2),
@@ -2534,25 +2545,71 @@ object SparkEntry {
                    (round((CAST(sum(CAST(round(m*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS boot_mean,
                    list_sort(list(m)) AS arr
                  FROM m GROUP BY 1),
-           -- Spark's exact percentile interpolates lower + d*(higher-lower)
-           -- (quantile_cont associates (1-d)*lower + d*upper — one ulp
-           -- apart at a rounding knife edge), so replay Spark's formula
-           fin AS (SELECT *, 0.05e0*(n - 1e0) AS plo, 0.95e0*(n - 1e0) AS phi
+           -- Spark's exact percentile computes position = p*(n-1) and
+           -- interpolates (ceil(pos) - pos)*lower + (pos - floor(pos))*upper
+           -- (quantile_cont's (1-d)*lower + d*upper is one ulp apart at a
+           -- rounding knife edge), so replay Spark's exact formula
+           fin AS (SELECT *, CAST($pLo AS DOUBLE)*(n - 1e0) AS plo,
+                   CAST($pHi AS DOUBLE)*(n - 1e0) AS phi
                  FROM agg)
          SELECT l_suppkey, n_reps, boot_mean,
                 (round((CASE WHEN n > 1
                    THEN sqrt(greatest((n*ss - s*s)/(n*(n - 1)), 0.0e0)) END)*1e4)/1e4 + 0.0e0) AS boot_sd,
-                (round((CASE WHEN floor(plo) = plo THEN arr[CAST(plo AS INT) + 1]
-                   ELSE arr[CAST(floor(plo) AS INT) + 1]
-                        + (plo - floor(plo))*(arr[CAST(floor(plo) AS INT) + 2]
-                                              - arr[CAST(floor(plo) AS INT) + 1])
+                (round((CASE WHEN ceil(plo) = floor(plo) THEN arr[CAST(plo AS INT) + 1]
+                   ELSE (ceil(plo) - plo)*arr[CAST(floor(plo) AS INT) + 1]
+                        + (plo - floor(plo))*arr[CAST(floor(plo) AS INT) + 2]
                    END)*1e4)/1e4 + 0.0e0) AS boot_lo,
-                (round((CASE WHEN floor(phi) = phi THEN arr[CAST(phi AS INT) + 1]
-                   ELSE arr[CAST(floor(phi) AS INT) + 1]
-                        + (phi - floor(phi))*(arr[CAST(floor(phi) AS INT) + 2]
-                                              - arr[CAST(floor(phi) AS INT) + 1])
+                (round((CASE WHEN ceil(phi) = floor(phi) THEN arr[CAST(phi AS INT) + 1]
+                   ELSE (ceil(phi) - phi)*arr[CAST(floor(phi) AS INT) + 1]
+                        + (phi - floor(phi))*arr[CAST(floor(phi) AS INT) + 2]
                    END)*1e4)/1e4 + 0.0e0) AS boot_hi
          FROM fin"""
+  }
+
+  /** q262 oracle: the fixed-8-round IRLS pinball fit replayed as a
+    * chain of generated sum/coefficient CTE pairs — identical micro-int
+    * weighted sums, identical rounded (a, b) hand-off per round. */
+  private lazy val quantileRegSql: String = {
+    val iters = 8
+    def sums(name: String, w: String, join: String): String =
+      s"""$name AS (SELECT bt.g, bt.tau,
+                   CAST(sum(CAST(round(($w)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sw,
+                   CAST(sum(CAST(round(($w)*1e4) AS HUGEINT)*CAST(round(bt.x*1e4) AS BIGINT)) AS DOUBLE)/1e8 AS swx,
+                   CAST(sum(CAST(round(($w)*1e4) AS HUGEINT)*CAST(round(bt.x*1e4) AS BIGINT)*CAST(round(bt.x*1e4) AS BIGINT)) AS DOUBLE)/1e12 AS swxx,
+                   CAST(sum(CAST(round(($w)*1e4) AS HUGEINT)*CAST(round(bt.y*1e4) AS BIGINT)) AS DOUBLE)/1e8 AS swy,
+                   CAST(sum(CAST(round(($w)*1e4) AS HUGEINT)*CAST(round(bt.x*1e4) AS BIGINT)*CAST(round(bt.y*1e4) AS BIGINT)) AS DOUBLE)/1e12 AS swxy
+                 FROM bt$join GROUP BY 1,2)"""
+    def coefs(name: String, src: String): String =
+      s"""$name AS (SELECT g, tau, b,
+                   (round(((swy - b*swx)/sw)*1e4)/1e4 + 0.0e0) AS a
+                 FROM (SELECT g, tau, sw, swx, swy,
+                         (round((CASE WHEN abs(sw*swxx - swx*swx) >= 1e-8
+                            THEN (sw*swxy - swx*swy)/(sw*swxx - swx*swx)
+                            ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS b
+                       FROM $src) t)"""
+    def wexpr(p: String): String = {
+      val res = s"bt.y - $p.a - $p.b*bt.x"
+      s"(round((CASE WHEN $res > 0 THEN bt.tau/greatest(abs($res), 0.01e0) " +
+        s"ELSE (1e0 - bt.tau)/greatest(abs($res), 0.01e0) END)*1e4)/1e4 + 0.0e0)"
+    }
+    val chain = (1 to iters).map { k =>
+      sums(s"s$k", wexpr("p"),
+        s" JOIN i${k - 1} p ON bt.g = p.g AND bt.tau = p.tau") + ",\n           " +
+        coefs(s"i$k", s"s$k")
+    }.mkString(",\n           ")
+    s"""WITH base AS (SELECT l_returnflag AS g, l_discount AS x, l_quantity AS y
+                 FROM lineitem),
+           bt AS (SELECT base.*, t.tau
+                 FROM base CROSS JOIN (SELECT unnest([0.25e0,0.5e0,0.75e0]) AS tau) t),
+           ${sums("s0", "1.0e0", "")},
+           ${coefs("i0", "s0")},
+           $chain
+         SELECT bt.g AS l_returnflag, bt.tau, max(p.a) AS qr_a, max(p.b) AS qr_b,
+                (round((CAST(sum(CAST(round((round((greatest(bt.tau*(bt.y - p.a - p.b*bt.x),
+                    (bt.tau - 1)*(bt.y - p.a - p.b*bt.x)))*1e4)/1e4 + 0.0e0)*1e4) AS HUGEINT)) AS DOUBLE)
+                  /1e4/count(*))*1e4)/1e4 + 0.0e0) AS pinball
+         FROM bt JOIN i$iters p ON bt.g = p.g AND bt.tau = p.tau
+         GROUP BY 1,2"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2561,6 +2618,7 @@ object SparkEntry {
     "q222_damped_holt" -> dampedHoltSql,
     "q259_champion" -> championSql,
     "q261_bootstrap" -> bootstrapSql,
+    "q262_quantile_reg" -> quantileRegSql,
     // ntile bins of the per-(part,supp) qty stddev (sufficient-sum
     // form), per-bin mean uncertainty vs mean WMAPE contribution
     "q260_wmape_calibration" ->

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r
+
+/** Linear quantile regression by fixed-iteration IRLS — the
+  * engine-side equivalent of the reference's `QuantileRegressor`
+  * (model_calibration.py:296-375: one sklearn pinball fit per
+  * quantile, with a weighted-least-squares fallback at :341-346 when
+  * the exact solver is unavailable; this operator IS that fallback's
+  * iterated form, which converges to the same pinball minimizer).
+  *
+  * Model: per (group, τ), y ≈ a + b·x minimizing the smoothed pinball
+  * loss. Each IRLS round recomputes asymmetric weights from the
+  * current residuals,
+  *
+  *   w_i = τ / max(|r_i|, ε)        if r_i > 0
+  *       = (1−τ) / max(|r_i|, ε)    otherwise
+  *
+  * and solves the 2×2 weighted normal equations in closed form. The
+  * iteration count is a LITERAL (default 8), not a convergence test,
+  * so the computation is a fixed dataflow both engines replay exactly:
+  * weights round to the 1e-4 grid, every weighted sum accumulates as
+  * micro-int products in decimal(38,0) (the Ar/Theta exact-sum
+  * convention — partial-aggregation-order independent), and each
+  * round's (a, b) round before feeding the next round.
+  *
+  * Execution shape: ONE narrow projected base frame, checkpointed once
+  * (iters+1 consumers); each round is one hash-aggregate at the
+  * (group, τ) grain plus a broadcast join of the tiny coefficient
+  * table back onto the base. K fixed rounds = K+1 scans of the cached
+  * base — bounded, no driver loop over groups, no window. τ rides the
+  * aggregation key (one `explode` of the literal τ list), so any
+  * number of quantiles costs zero extra passes.
+  *
+  * Degenerate groups (no x variance → |den| < 1e-8) fall back to
+  * b = 0 with a the weighted mean — the reference's Ridge fallback
+  * shape. Output: group..., tau, qr_a, qr_b, pinball (the final mean
+  * pinball loss, 4dp-rounded per row then exactly summed).
+  */
+object QuantileReg {
+
+  def fit(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+          taus: Seq[Double] = Seq(0.25, 0.5, 0.75), iters: Int = 8,
+          eps: Double = 0.01): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0 && t < 1),
+      "quantiles must lie in (0, 1)")
+    require(iters >= 1, "need at least one reweighted round")
+    val groups = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val base = df.select(groups ++ Seq(x.cast("double").as("__x"),
+        y.cast("double").as("__y")): _*)
+      .localCheckpoint(true)
+      .withColumn("tau", explode(array(taus.map(lit): _*)))
+    val keys = groupCols :+ "tau"
+
+    def mxL = round(col("__x") * lit(1e4), 0).cast("long")
+    def myL = round(col("__y") * lit(1e4), 0).cast("long")
+
+    def solve(weighted: DataFrame, w: Column): DataFrame = {
+      val mw = round(w * lit(1e4), 0).cast(dec)
+      val sums = weighted.groupBy(keys.map(col): _*).agg(
+        (sum(mw).cast("double") / lit(1e4)).as("__sw"),
+        (sum(mw * mxL).cast("double") / lit(1e8)).as("__swx"),
+        (sum(mw * mxL * mxL).cast("double") / lit(1e12)).as("__swxx"),
+        (sum(mw * myL).cast("double") / lit(1e8)).as("__swy"),
+        (sum(mw * mxL * myL).cast("double") / lit(1e12)).as("__swxy"))
+      val den = col("__sw") * col("__swxx") - col("__swx") * col("__swx")
+      sums
+        .withColumn("__b", r(when(abs(den) >= 1e-8,
+          (col("__sw") * col("__swxy") - col("__swx") * col("__swy")) / den)
+          .otherwise(lit(0.0))))
+        .withColumn("__a", r((col("__swy") - col("__b") * col("__swx")) / col("__sw")))
+        .select(keys.map(col) ++ Seq(col("__a"), col("__b")): _*)
+    }
+
+    def weight(tau: Column, resid: Column): Column = {
+      val scale = greatest(abs(resid), lit(eps))
+      r(when(resid > 0, tau / scale).otherwise((lit(1.0) - tau) / scale))
+    }
+
+    // round 0: unit weights = the plain OLS start
+    val init = solve(base, lit(1.0))
+    val fitted = (1 to iters).foldLeft(init) { (state, _) =>
+      val joined = base.join(broadcast(state), keys)
+      val resid = col("__y") - col("__a") - col("__b") * col("__x")
+      solve(joined, weight(col("tau"), resid))
+    }
+    val scored = base.join(broadcast(fitted), keys)
+      .withColumn("__r", col("__y") - col("__a") - col("__b") * col("__x"))
+      .withColumn("__rho", r(greatest(col("tau") * col("__r"),
+        (col("tau") - 1) * col("__r"))))
+    scored.groupBy(keys.map(col): _*)
+      .agg(max(col("__a")).as("qr_a"), max(col("__b")).as("qr_b"),
+        r(sum(round(col("__rho") * lit(1e4), 0).cast(dec)).cast("double") /
+          lit(1e4) / count(lit(1))).as("pinball"))
+  }
+}
