@@ -26,6 +26,21 @@ object PlanAudit {
     }
     val dir = dirArg.getOrElse(
       if (counts) "/root/testdata/sf0.001" else "/root/testdata/sf0.01")
+    // a typo'd query name would otherwise be inferred as the sfDir and
+    // surface later as a confusing scan error — name the bad token now
+    dirArg.foreach { d =>
+      if (!new java.io.File(d).isDirectory) {
+        System.err.println(s"PlanAudit: '$d' is neither a registered query " +
+          "name nor an existing sfDir. Usage: PlanAudit [--counts] [sfDir] [query...]")
+        sys.exit(2)
+      }
+    }
+    val unknown = nameArgs.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"PlanAudit: unknown quer${if (unknown.size == 1) "y" else "ies"} " +
+        unknown.mkString(", "))
+      sys.exit(2)
+    }
     val names = if (nameArgs.nonEmpty) nameArgs
       else if (counts) graft.SparkEntry.queries.keys.toSeq.sorted
       else Seq("q22_weekly_aggregate", "q23_enrich_join", "q40_rolling_stats",
