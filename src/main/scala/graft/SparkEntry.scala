@@ -1954,6 +1954,26 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.sim.Similarity.ivfPortableTopK(emb, queries, k = 10, dim = 64,
         nlist = 8, nprobe = 2, iters = 2)
+    }),
+    // product quantization: per-subspace portable-Lloyd codebooks
+    // (m=4 × 16 dims, ksub=4, 2 rounds), corpus encoded to (sub, code)
+    // with the rounded quantization error the pick minimized
+    "q263_pq_codes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.sim.Pq.trainCodebooks(emb, dim = 64, m = 4, ksub = 4, iters = 2)
+      graft.sim.Pq.encode(emb, cb, dim = 64, m = 4)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code"), col("quant_err"))
+    }),
+    // asymmetric-distance top-k over the PQ codes: per-query LUT of
+    // m·ksub rounded subspace dots, score = LUT sum over the code row
+    "q264_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cb = graft.sim.Pq.trainCodebooks(emb, dim = 64, m = 4, ksub = 4, iters = 2)
+      val codes = graft.sim.Pq.encode(emb, cb, dim = 64, m = 4)
+      graft.sim.Pq.adcTopK(codes, cb, queries, k = 10, dim = 64, m = 4)
     })
   )
 
@@ -2619,6 +2639,8 @@ object SparkEntry {
     "q259_champion" -> championSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
+    "q263_pq_codes" -> pqCodesSql,
+    "q264_pq_adc" -> pqAdcSql,
     // ntile bins of the per-(part,supp) qty stddev (sufficient-sum
     // form), per-bin mean uncertainty vs mean WMAPE contribution
     "q260_wmape_calibration" ->
@@ -6783,6 +6805,60 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
     }
   )
+
+  /** Shared PQ oracle pyramid (q263/q264): per-subspace portable Lloyd
+    * exactly as Pq.trainCodebooks runs it — m=4 subspaces of 16 dims,
+    * ksub=4 lowest-id seeds, 2 rounded rounds; pa3 is the encode
+    * assignment carrying the rounded expanded distance (quant_err).
+    * Same expanded-distance/rounding rationale as the q204 oracle. */
+  private def pqDistCte(n: Int, prev: String): String =
+    s"""
+       pd$n AS (SELECT s.vec_id, s.sub, c.cell,
+                 (round((list_dot_product(s.sv, s.sv)
+                    - 2.0*list_dot_product(s.sv, c.cv)
+                    + list_dot_product(c.cv, c.cv))*1e4)/1e4 + 0.0e0) AS dist
+               FROM s JOIN (SELECT sub, cell, list(cv ORDER BY j) AS cv
+                            FROM $prev GROUP BY 1,2) c ON s.sub = c.sub),
+       pa$n AS (SELECT vec_id, sub, cell, dist FROM (SELECT vec_id, sub, cell, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) rn
+                 FROM pd$n) WHERE rn = 1)"""
+
+  private def pqCentCte(n: Int): String =
+    s""",
+       pcc$n AS (SELECT a.sub, a.cell, x.j, (round(avg(x.xj)*1e4)/1e4 + 0.0e0) AS cv
+                FROM pa$n a JOIN x ON a.vec_id = x.vec_id AND a.sub = x.sub
+                GROUP BY 1,2,3)"""
+
+  private lazy val pqPyramidSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       s AS (SELECT vec_id, t.sub, list_slice(v, t.sub*16 + 1, t.sub*16 + 16) AS sv
+             FROM e, unnest(range(0, 4)) t(sub)),
+       x AS (SELECT vec_id, sub, j, sv[j + 1] AS xj
+             FROM s, unnest(range(0, len(sv))) t(j)),
+       seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+                FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+       pcc0 AS (SELECT seed.cell, x.sub, x.j, (round(x.xj*1e4)/1e4 + 0.0e0) AS cv
+               FROM seed JOIN x ON seed.vec_id = x.vec_id),${pqDistCte(1, "pcc0")}${pqCentCte(1)},${pqDistCte(2, "pcc1")}${pqCentCte(2)},${pqDistCte(3, "pcc2")}"""
+
+  private lazy val pqCodesSql: String =
+    s"""$pqPyramidSql
+       SELECT vec_id, sub, cell AS code, dist AS quant_err FROM pa3"""
+
+  private lazy val pqAdcSql: String =
+    s"""$pqPyramidSql,
+       qs AS (SELECT vec_id AS query_id, sub, sv FROM s WHERE vec_id < 5),
+       lut AS (SELECT q.query_id, q.sub, c.cell AS code,
+                 (round(list_dot_product(q.sv, c.cv)*1e4)/1e4 + 0.0e0) AS sim
+               FROM qs q JOIN (SELECT sub, cell, list(cv ORDER BY j) AS cv
+                               FROM pcc2 GROUP BY 1,2) c ON q.sub = c.sub),
+       sc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+                (round(sum(l.sim)*1e4)/1e4 + 0.0e0) AS adc_score
+              FROM pa3 a JOIN lut l ON a.sub = l.sub AND a.cell = l.code
+                AND a.vec_id <> l.query_id
+              GROUP BY 1,2),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_score DESC, neighbor_id ASC) AS rank FROM sc)
+       SELECT query_id, neighbor_id, adc_score, rank FROM rk WHERE rank <= 10"""
 
   /** q164 oracle: 5 unrolled min-label-propagation rounds over the
     * symmetrized part<->supplier bipartite graph — pure BIGINT min/join
