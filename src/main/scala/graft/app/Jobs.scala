@@ -190,6 +190,33 @@ object Jobs {
     back
   }
 
+  /** §3.3 champion path: per-series model SELECTION drives the
+    * submission — [[graft.seq.Champion.championForecast]] (the
+    * auto-ARIMA AIC pick over the eight-member closed-form family,
+    * reference arima_temporal.py:277-361) replaces the fixed
+    * hurdle×EWMA blend, then the SAME post-process + validation +
+    * sink discipline as [[forecastSubmission]]. This is the
+    * reference's actual per-series loop wired end to end: every
+    * series forecasts with whichever family member its own history
+    * scores best (length-1 series degrade to the mean member). */
+  def championSubmission(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val weekly = etl(spark, sfDir)
+    val fc = graft.seq.Champion.championForecast(weekly,
+      Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
+      h = 5, m = 13)
+    val grid = fc.select(col("step").cast("int").as("semana"),
+      col("l_suppkey").as("pdv"), col("l_partkey").as("produto"),
+      col("forecast").as("quantidade"))
+    val processed = PostProcess.chain(Seq(
+      PostProcess.nonNegative("quantidade"),
+      PostProcess.sigmaCap("quantidade", 5.0),
+      PostProcess.integerize("quantidade")))(grid)
+      .withColumn("quantidade", col("quantidade").cast("long"))
+    val back = Sinks.csvSubmission(spark, processed, s"$outDir/submission_champion")
+    require(SubmissionValidator.isValid(back), "champion submission failed validation")
+    back
+  }
+
   /** §3.3 model path: GBT trained on the feature store (the MLlib
     * stand-in for the reference's LightGBM), forecasting the NEXT
     * week's quantity from features computed through the current week —
@@ -372,6 +399,10 @@ object Jobs {
 
     val submission = forecastSubmission(spark, sfDir, outDir)
     println(s"[job] submission: ${submission.count()} rows -> $outDir/submission (validated)")
+
+    val champion = championSubmission(spark, sfDir, outDir)
+    println(s"[job] champion submission: ${champion.count()} rows -> " +
+      s"$outDir/submission_champion (validated)")
 
     // holdout score: last 4 weeks as test, EWMA level from the train prefix
     val weekly = etl(spark, sfDir)

@@ -26,13 +26,19 @@ import graft.functions.Funcs.r
   * convention — partial-aggregation-order independent), and each
   * round's (a, b) round before feeding the next round.
   *
-  * Execution shape: ONE narrow projected base frame, checkpointed once
-  * (iters+1 consumers); each round is one hash-aggregate at the
-  * (group, τ) grain plus a broadcast join of the tiny coefficient
-  * table back onto the base. K fixed rounds = K+1 scans of the cached
-  * base — bounded, no driver loop over groups, no window. τ rides the
-  * aggregation key (one `explode` of the literal τ list), so any
-  * number of quantiles costs zero extra passes.
+  * Execution shape (the Platt.scala distinct-grain device): the fact
+  * first collapses to the DISTINCT (group, x, y) grain with a
+  * multiplicity count — one fact pass — and THAT tiny frame is
+  * checkpointed for the iters+1 consumers. IRLS weights depend only on
+  * (x, y, a, b, τ), so every weighted sum is exactly the distinct-cell
+  * sum scaled by the cell count (integer arithmetic — bit-identical to
+  * the row-grain sum in any order), and each round is a hash-aggregate
+  * over cells, not rows: for bounded-cardinality measures (prices,
+  * quantities, discounts — the retail reality) round cost is
+  * independent of fact size; in the worst (all-distinct) case it
+  * degrades to the row grain, i.e. never worse than one extra
+  * exchange. τ rides the aggregation key (one `explode` of the literal
+  * τ list), so any number of quantiles costs zero extra passes.
   *
   * Degenerate groups (no x variance → |den| < 1e-8) fall back to
   * b = 0 with a the weighted mean — the reference's Ridge fallback
@@ -49,17 +55,23 @@ object QuantileReg {
     require(iters >= 1, "need at least one reweighted round")
     val groups = groupCols.map(col)
     val dec = "decimal(38,0)"
+    // distinct-(group, x, y) grain with multiplicities: every weighted
+    // sum below is the row-grain sum exactly (integer products scale by
+    // the cell count), but round cost is cell-bounded, not fact-bounded
     val base = df.select(groups ++ Seq(x.cast("double").as("__x"),
         y.cast("double").as("__y")): _*)
+      .groupBy(groups ++ Seq(col("__x"), col("__y")): _*)
+      .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
       .withColumn("tau", explode(array(taus.map(lit): _*)))
     val keys = groupCols :+ "tau"
 
     def mxL = round(col("__x") * lit(1e4), 0).cast("long")
     def myL = round(col("__y") * lit(1e4), 0).cast("long")
+    def cntL = col("__cnt")
 
     def solve(weighted: DataFrame, w: Column): DataFrame = {
-      val mw = round(w * lit(1e4), 0).cast(dec)
+      val mw = round(w * lit(1e4), 0).cast(dec) * cntL
       val sums = weighted.groupBy(keys.map(col): _*).agg(
         (sum(mw).cast("double") / lit(1e4)).as("__sw"),
         (sum(mw * mxL).cast("double") / lit(1e8)).as("__swx"),
@@ -93,7 +105,7 @@ object QuantileReg {
         (col("tau") - 1) * col("__r"))))
     scored.groupBy(keys.map(col): _*)
       .agg(max(col("__a")).as("qr_a"), max(col("__b")).as("qr_b"),
-        r(sum(round(col("__rho") * lit(1e4), 0).cast(dec)).cast("double") /
-          lit(1e4) / count(lit(1))).as("pinball"))
+        r((sum(round(col("__rho") * lit(1e4), 0).cast(dec) * cntL).cast("double") /
+          lit(1e4) / sum(cntL).cast("double"))).as("pinball"))
   }
 }

@@ -59,4 +59,19 @@ class JobsSpec extends SparkSpec {
       assert(underApprox == exact)
     } finally spark.conf.unset(key)
   }
+
+  test("championSubmission: every series ships 5 validated champion rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_champ").toString
+    val out = graft.app.Jobs.championSubmission(spark, dir, tmp).cache()
+    try {
+      assert(out.columns.toSeq == Seq("semana", "pdv", "produto", "quantidade"))
+      val series = out.select("pdv", "produto").distinct().count()
+      assert(series > 0)
+      assert(out.count() == series * 5, "a series is missing forecast steps")
+      assert(out.filter(col("quantidade") < 0).count() == 0)
+      // every (series, step) cell is present exactly once
+      assert(out.groupBy("pdv", "produto", "semana").count()
+        .filter(col("count") =!= 1).count() == 0)
+    } finally out.unpersist()
+  }
 }

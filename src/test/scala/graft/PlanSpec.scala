@@ -387,4 +387,12 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("PQ ADC: codebook and LUT joins broadcast — the code scan never sort-merges") {
+    val plan = SparkEntry.queries("q264_pq_adc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
