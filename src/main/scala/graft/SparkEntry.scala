@@ -1965,6 +1965,17 @@ object SparkEntry {
         .select(col("vec_id"), col("sub").cast("long").as("sub"),
           col("code"), col("quant_err"))
     }),
+    // mergeable distinct-count rollup: weekly HLL sketch of distinct
+    // parts per supplier, range estimate by sketch union. Rows-only:
+    // DataSketches estimates are engine-specific (DuckDB's HLL is a
+    // different implementation); the exact-distinct twin is A3/q09 and
+    // SketchSpec pins merge-path agreement + the true-distinct band.
+    "q265_sketch_distinct" -> ((s, d) => {
+      val weekly = graft.operators.SketchRollup.sketchTable(li(s, d),
+        Seq("l_suppkey"), to_date(date_trunc("week", col("l_shipdate"))),
+        col("l_partkey"))
+      graft.operators.SketchRollup.distinctOverRange(weekly, Seq("l_suppkey"))
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {

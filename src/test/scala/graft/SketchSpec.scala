@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SketchRollup
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 keys × 10 periods; values overlap across periods so the range
+    * distinct is far below the sum of period distincts (the case where
+    * additive merge would be WRONG and sketches are needed). */
+  private def ledger = (0 until 3).flatMap { k =>
+    (0 until 10).flatMap { p =>
+      (0 until 200).map(i => (k.toLong, p.toLong, (k * 1000 + (i * 7 + p * 13) % 400).toLong))
+    }
+  }.toDF("k", "period", "customer")
+
+  test("merged period sketches agree with a direct range sketch within 1%") {
+    val df = ledger
+    val daily = SketchRollup.sketchTable(df, Seq("k"), col("period"), col("customer"))
+    val merged = SketchRollup.distinctOverRange(daily, Seq("k"))
+      .as[(Long, Double)].collect().toMap
+    val direct = df.groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("customer"), lit(12)))
+        .as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (k, est) =>
+      // DataSketches promotes sparse->dense at different points along
+      // different merge paths, so agreement is near, not bit-exact
+      val rel = math.abs(est - direct(k)) / direct(k)
+      assert(rel <= 0.01, s"key $k merged=$est direct=${direct(k)}")
+    }
+  }
+
+  test("estimate lands within the lgK=12 error band of the true distinct") {
+    val df = ledger
+    val daily = SketchRollup.sketchTable(df, Seq("k"), col("period"), col("customer"))
+    val est = SketchRollup.distinctOverRange(daily, Seq("k"))
+      .as[(Long, Double)].collect().toMap
+    val exact = df.groupBy("k").agg(countDistinct(col("customer")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val rel = math.abs(est(k) - ex) / ex.toDouble
+      assert(rel <= 0.05, s"key $k est=${est(k)} exact=$ex rel=$rel")
+    }
+  }
+
+  test("incremental sketch merge is equivalent to full recompute") {
+    val df = ledger
+    val base = SketchRollup.sketchTable(df.filter(col("period") < 7),
+      Seq("k"), col("period"), col("customer"))
+    val delta = SketchRollup.sketchTable(df.filter(col("period") >= 7),
+      Seq("k"), col("period"), col("customer"))
+    val maintained = SketchRollup.distinctOverRange(
+      SketchRollup.mergeSketches(base, delta, Seq("k")), Seq("k"))
+      .as[(Long, Double)].collect().toMap
+    val recomputed = SketchRollup.distinctOverRange(
+      SketchRollup.sketchTable(df, Seq("k"), col("period"), col("customer")),
+      Seq("k")).as[(Long, Double)].collect().toMap
+    assert(maintained.keySet == recomputed.keySet)
+    maintained.foreach { case (k, est) =>
+      val rel = math.abs(est - recomputed(k)) / recomputed(k)
+      assert(rel <= 0.01, s"key $k maintained=$est recomputed=${recomputed(k)}")
+    }
+  }
+}
