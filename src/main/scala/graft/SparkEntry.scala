@@ -1780,6 +1780,15 @@ object SparkEntry {
           r(col("hw_level")).as("hw_level"), r(col("hw_trend")).as("hw_trend"),
           r(col("hw_seasonal")).as("hw_seasonal"))
     }),
+    // additive Holt-Winters h-step forecast: last (level, trend) +
+    // the season ring's latest slot values, literal extrapolation
+    "q266_hw_forecast" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.holtWintersForecast(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, m = 4, h = 3)
+    }),
     // expectation-suite rule report over the fact table
     "q192_rule_report" -> ((s, d) =>
       Cleaning.ruleReport(li(s, d), Seq(
@@ -6461,37 +6470,14 @@ object SparkEntry {
     // the same recipe as q73/q74 with the ring unrolled. Expression
     // shapes mirror the Scala kernel exactly ((1e0-0.3e0), not 0.7e0,
     // so both engines round the same doubles).
-    "q191_holt_winters" -> {
-      val sPrev = "(CASE (t.rn-1)%4 WHEN 0 THEN e.s0 WHEN 1 THEN e.s1 WHEN 2 THEN e.s2 ELSE e.s3 END)"
-      val lv = s"(0.3e0*(t.q - $sPrev) + (1e0-0.3e0)*(e.lvl + e.tr))"
-      val tr = s"(0.1e0*($lv - e.lvl) + (1e0-0.1e0)*e.tr)"
-      val sn = s"(0.2e0*(t.q - $lv) + (1e0-0.2e0)*$sPrev)"
-      s"""WITH RECURSIVE
-           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
-                   l_suppkey, sum(l_quantity) q
-                 FROM lineitem GROUP BY 1,2,3),
-           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
-                   ORDER BY ws) rn FROM w),
-           e AS (
-             SELECT l_partkey, l_suppkey, ws, rn,
-               q AS lvl, 0.0e0 AS tr, 0.0e0 AS sea,
-               0.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2, 0.0e0 AS s3
-             FROM t WHERE rn = 1
-             UNION ALL
-             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
-               $lv, $tr, $sn,
-               CASE WHEN (t.rn-1)%4 = 0 THEN $sn ELSE e.s0 END,
-               CASE WHEN (t.rn-1)%4 = 1 THEN $sn ELSE e.s1 END,
-               CASE WHEN (t.rn-1)%4 = 2 THEN $sn ELSE e.s2 END,
-               CASE WHEN (t.rn-1)%4 = 3 THEN $sn ELSE e.s3 END
-             FROM t JOIN e ON t.l_partkey = e.l_partkey
-               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)
+    "q191_holt_winters" ->
+      s"""$hwRecursionSql
          SELECT ws AS week_start, l_partkey, l_suppkey,
                 (round(lvl*1e4)/1e4 + 0.0e0) AS hw_level,
                 (round(tr*1e4)/1e4 + 0.0e0) AS hw_trend,
                 (round(sea*1e4)/1e4 + 0.0e0) AS hw_seasonal
-         FROM e"""
-    },
+         FROM e""",
+    "q266_hw_forecast" -> hwForecastSql,
     "q192_rule_report" ->
       """WITH a AS (SELECT count(*) AS n,
                       CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
@@ -6816,6 +6802,56 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
     }
   )
+
+  /** Shared Holt-Winters recursion (q191/q266): the withHoltWinters
+    * fold unrolled as a recursive CTE carrying the full 4-slot season
+    * ring per row, weekly (part, supplier) grain, α=0.3 β=0.1 γ=0.2. */
+  private lazy val hwRecursionSql: String = {
+    val sPrev = "(CASE (t.rn-1)%4 WHEN 0 THEN e.s0 WHEN 1 THEN e.s1 WHEN 2 THEN e.s2 ELSE e.s3 END)"
+    val lv = s"(0.3e0*(t.q - $sPrev) + (1e0-0.3e0)*(e.lvl + e.tr))"
+    val tr = s"(0.1e0*($lv - e.lvl) + (1e0-0.1e0)*e.tr)"
+    val sn = s"(0.2e0*(t.q - $lv) + (1e0-0.2e0)*$sPrev)"
+    s"""WITH RECURSIVE
+           w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_partkey,
+                   l_suppkey, sum(l_quantity) q
+                 FROM lineitem GROUP BY 1,2,3),
+           t AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                   ORDER BY ws) rn FROM w),
+           e AS (
+             SELECT l_partkey, l_suppkey, ws, rn,
+               q AS lvl, 0.0e0 AS tr, 0.0e0 AS sea,
+               0.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2, 0.0e0 AS s3
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.l_partkey, t.l_suppkey, t.ws, t.rn,
+               $lv, $tr, $sn,
+               CASE WHEN (t.rn-1)%4 = 0 THEN $sn ELSE e.s0 END,
+               CASE WHEN (t.rn-1)%4 = 1 THEN $sn ELSE e.s1 END,
+               CASE WHEN (t.rn-1)%4 = 2 THEN $sn ELSE e.s2 END,
+               CASE WHEN (t.rn-1)%4 = 3 THEN $sn ELSE e.s3 END
+             FROM t JOIN e ON t.l_partkey = e.l_partkey
+               AND t.l_suppkey = e.l_suppkey AND t.rn = e.rn + 1)"""
+  }
+
+  /** q266 oracle: last ring + rounded state, then f_s = l + s*b +
+    * round(slot (rn-1+s) mod 4) — pure literal arithmetic, mirroring
+    * holtWintersForecast's rounded extraction. */
+  private lazy val hwForecastSql: String =
+    s"""$hwRecursionSql,
+           last AS (SELECT l_partkey, l_suppkey, rn, lvl, tr, s0, s1, s2, s3,
+                      row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                        ORDER BY rn DESC) rd
+                    FROM e),
+           l1 AS (SELECT l_partkey, l_suppkey, rn,
+                    (round(lvl*1e4)/1e4 + 0.0e0) AS l,
+                    (round(tr*1e4)/1e4 + 0.0e0) AS b,
+                    s0, s1, s2, s3 FROM last WHERE rd = 1),
+           f AS (SELECT l_partkey, l_suppkey, CAST(st.step AS BIGINT) AS step,
+                   (round((l + st.step*b + (round((CASE CAST((rn - 1 + st.step)%4 AS INTEGER)
+                      WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)*1e4)/1e4))*1e4)/1e4
+                    + 0.0e0) AS hw_forecast
+                 FROM l1, unnest(range(1, 4)) st(step))
+         SELECT l_partkey, l_suppkey, step, hw_forecast FROM f"""
 
   /** Shared PQ oracle pyramid (q263/q264): per-subspace portable Lloyd
     * exactly as Pq.trainCodebooks runs it — m=4 subspaces of 16 dims,

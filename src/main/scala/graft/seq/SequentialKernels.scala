@@ -537,6 +537,42 @@ object SequentialKernels {
       .select(key ++ Seq(col("__s.step"), col("__s.holt_forecast")): _*)
   }
 
+  /** W10++ — additive Holt-Winters h-step forecast: from each series'
+    * last state, f_{n+s} = l_n + s·b_n + season[(n−1+s) mod m] — the
+    * M-competition standard seasonal extrapolation over the
+    * [[withHoltWinters]] recursion. The season for step s is read from
+    * the EMITTED `hw_seasonal` of row n+s−m, the latest row that wrote
+    * that ring slot (h ≤ m guarantees it is at most one season old); a
+    * slot never written (series shorter than a season) contributes the
+    * ring's initial 0. Last level/trend and each season are rounded
+    * before the literal extrapolation — the q222 damped-Holt recipe —
+    * so the oracle (q266) is the q191 recursive CTE's final ring plus
+    * pure arithmetic. One output row per (series, step). */
+  def holtWintersForecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                          valueCol: String, alpha: Double, beta: Double,
+                          gamma: Double, m: Int, h: Int): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1 && h <= m, "horizon must lie in [1, m]")
+    val key = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key: _*).orderBy(ordCols.map(_.desc): _*)
+    val hw = withHoltWinters(df, keyCols, ordCols, valueCol, alpha, beta, gamma, m)
+      .withColumn("__rd", row_number().over(w))
+    val last = hw.filter(col("__rd") === 1)
+      .select(key ++ Seq(r(col("hw_level")).as("__l"),
+        r(col("hw_trend")).as("__b")): _*)
+    // desc rank rd maps to forecast step s = m − rd + 1 (row n+s−m)
+    val seas = hw.filter(col("__rd") <= m && col("__rd") >= m - h + 1)
+      .select(key ++ Seq((lit(m) - col("__rd") + 1).cast("int").as("step"),
+        r(col("hw_seasonal")).as("__s")): _*)
+    last.select(key ++ Seq(col("__l"), col("__b"),
+        explode(sequence(lit(1), lit(h))).as("step")): _*)
+      .join(seas, keyCols :+ "step", "left")
+      .select(key ++ Seq(col("step").cast("long").as("step"),
+        r(col("__l") + col("step") * col("__b") +
+          coalesce(col("__s"), lit(0.0))).as("hw_forecast")): _*)
+  }
+
   /** Cumulative damping factors Σ_{i=1..s} φⁱ for s = 1..h, computed by
     * exact iterative multiplication (shared with the oracle builder so
     * both engines embed bit-identical literals). */

@@ -143,4 +143,42 @@ class R10OpsSpec extends SparkSpec {
       .orderBy("t").select("ma1_resid").as[Double].collect().toSeq
     assert(got == expected)
   }
+
+  test("Holt-Winters forecast replays the hand state and ring") {
+    // m=2, α=β=γ=0.5, series (10, 20):
+    //   row1: l=10, b=0, ring [0, 0]
+    //   row2: sPrev=ring[1]=0 → l=0.5·20+0.5·10=15, b=0.5·5=2.5,
+    //         ring[1]=0.5·(20−15)=2.5
+    //   f1 = l + b + ring[(2−1+1)%2=0] = 15 + 2.5 + 0   = 17.5
+    //   f2 = l + 2b + ring[1]          = 15 + 5.0 + 2.5 = 22.5
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0)).toDF("k", "t", "v")
+    val got = SequentialKernels.holtWintersForecast(df, Seq("k"), Seq(col("t")),
+        "v", alpha = 0.5, beta = 0.5, gamma = 0.5, m = 2, h = 2)
+      .orderBy("step").select("step", "hw_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 17.5), (2L, 22.5)))
+  }
+
+  test("Holt-Winters forecast of a constant series is the constant, any length") {
+    val df = (Seq(("c1", 1, 7.0)) ++
+      (1 to 9).map(i => ("c9", i, 7.0))).toDF("k", "t", "v")
+    val got = SequentialKernels.holtWintersForecast(df, Seq("k"), Seq(col("t")),
+        "v", alpha = 0.3, beta = 0.1, gamma = 0.2, m = 4, h = 4)
+      .select("k", "hw_forecast").as[(String, Double)].collect()
+    assert(got.length == 8)
+    got.foreach { case (k, f) => assert(f == 7.0, s"$k forecast $f") }
+  }
+
+  test("Holt-Winters forecast continues a clean seasonal pattern") {
+    // strict 4-cycle, long horizon: the learned ring should reproduce
+    // the cycle's shape (peaks forecast above troughs)
+    val cycle = Seq(10.0, 30.0, 10.0, 30.0, 10.0, 30.0, 10.0, 30.0)
+    val df = cycle.zipWithIndex.map { case (v, i) => ("s", i + 1, v) }
+      .toDF("k", "t", "v")
+    val got = SequentialKernels.holtWintersForecast(df, Seq("k"), Seq(col("t")),
+        "v", alpha = 0.3, beta = 0.1, gamma = 0.5, m = 2, h = 2)
+      .orderBy("step").select("hw_forecast").as[Double].collect().toSeq
+    // last observation was a 30-peak; step 1 is a trough, step 2 a peak
+    assert(got(0) < got(1), s"trough ${got(0)} should sit below peak ${got(1)}")
+  }
 }
