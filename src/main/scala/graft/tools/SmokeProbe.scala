@@ -241,6 +241,26 @@ object SmokeProbe {
       Seq(col("l_orderkey"), col("l_linenumber")), qs = Seq(0.25, 0.5, 0.75))
       .orderBy("l_returnflag", "q").show(9, truncate = false)
 
+    println("== round-10: champion pick, PQ/ADC, HLL rollup, HW forecast ==")
+    graft.seq.Champion.championForecast(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = 3, m = 13)
+      .orderBy("l_suppkey", "step").show(6, truncate = false)
+    val pqCb = graft.sim.Pq.trainCodebooks(emb, dim = 64, m = 4, ksub = 4, iters = 1)
+    val pqCodes = graft.sim.Pq.encode(emb, pqCb, dim = 64, m = 4)
+    graft.sim.Pq.adcTopK(pqCodes, pqCb, probeQs, k = 3, dim = 64, m = 4)
+      .orderBy("query_id", "rank").show(6, truncate = false)
+    graft.operators.SketchRollup.distinctOverRange(
+      graft.operators.SketchRollup.sketchTable(li, Seq("l_suppkey"),
+        to_date(date_trunc("week", col("l_shipdate"))), col("l_partkey")),
+      Seq("l_suppkey")).orderBy("l_suppkey").show(5, truncate = false)
+    graft.seq.SequentialKernels.holtWintersForecast(weeklySup, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum",
+      alpha = 0.3, beta = 0.1, gamma = 0.2, m = 4, h = 3)
+      .orderBy("l_suppkey", "step").show(6, truncate = false)
+    graft.operators.QuantileReg.fit(li, Seq("l_returnflag"),
+      col("l_discount"), col("l_quantity")).orderBy("l_returnflag", "tau")
+      .show(9, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
