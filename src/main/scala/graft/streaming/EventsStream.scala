@@ -67,6 +67,31 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming windowed top-k values per event type — the custom
+    * TypedImperativeAggregate (`graft_topk`, expr/TopKExpr) running
+    * INSIDE a watermarked streaming aggregate. Micro-batch execution
+    * exercises the expression's partial/merge/serialize buffer paths
+    * through the streaming state store, proving the aggregate is
+    * streaming-safe, not just batch-safe; state per (window, type)
+    * stays k-bounded, the heap property that makes it 100 TB-safe in
+    * batch too. */
+  def windowedTopK(events: DataFrame, k: Int = 3, windowDur: String = "7 days",
+                   watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(graft.expr.TopKExpr.column(col("value"), k).as("top_values"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("top_values"))
+
+  /** Batch twin of [[windowedTopK]] for parity testing. */
+  def windowedTopKBatch(events: DataFrame, k: Int = 3,
+                        windowDur: String = "7 days"): DataFrame =
+    events.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(graft.expr.TopKExpr.column(col("value"), k).as("top_values"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("top_values"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(nEvents: Long, valueSum: Double, lastTs: Long)

@@ -39,6 +39,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
   }
 
+  test("custom top-k aggregate runs inside a watermarked streaming window") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventsStream.windowedTopK(events, k = 2, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode(OutputMode.Append()).start()
+
+    // same window split across micro-batches: the agg buffer must
+    // merge through the state store, not within one batch
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:15:00"), "click", 9.0))
+    query.processAllAvailable()
+    input.addData(
+      (ts("2024-01-01 10:25:00"), "click", 5.0),
+      (ts("2024-01-01 10:35:00"), "view", 2.0))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), "click", 0.5))
+    query.processAllAvailable()
+
+    val out = spark.table("win_topk")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("top_values"))
+      .as[(String, String, Seq[Double])].collect()
+      .map { case (w, t, v) => (w, t) -> v }.toMap
+    query.stop()
+
+    assert(out(("2024-01-01 10:00:00", "click")) == Seq(9.0, 5.0))
+    assert(out(("2024-01-01 10:00:00", "view")) == Seq(2.0))
+
+    // batch parity on the same rows
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:15:00"), "click", 9.0),
+      (ts("2024-01-01 10:25:00"), "click", 5.0),
+      (ts("2024-01-01 10:35:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value")
+    val b = EventsStream.windowedTopKBatch(batch, k = 2, "1 hour")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("top_values"))
+      .as[(String, String, Seq[Double])].collect()
+      .map { case (w, t, v) => (w, t) -> v }.toMap
+    assert(b == out.view.filterKeys(_._1 == "2024-01-01 10:00:00").toMap)
+  }
+
   test("streaming OHLC bars match the batch Bars.ohlc on closed bars") {
     implicit val sq = spark.sqlContext
     val rows = Seq(
