@@ -890,6 +890,14 @@ object SparkEntry {
       graft.seq.Champion.championForecast(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4, m = 13)
     }),
+    // Akaike-weight model averaging over the same eight-member family:
+    // w ∝ exp(−Δ/2), blend = Σ(w·f)/Σw as exact micro-int sums
+    "q267_champion_blend" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.Champion.blendForecast(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+    }),
     // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
     // qty stddev (explicit sufficient sums), prediction = the group
     // mean, calibrated per return flag
@@ -2269,7 +2277,7 @@ object SparkEntry {
     * q257/q213/q256/q74/q222 recipes re-keyed to l_suppkey; the damped
     * sums embed the engine's own iteratively-computed doubles (the
     * q222 convention). */
-  private lazy val championSql: String = {
+  private lazy val championMembersSql: String = {
     val damps = graft.seq.SequentialKernels.dampSums(0.9, 4).zipWithIndex
       .map { case (dv, i) => s"(${i + 1}, CAST($dv AS DOUBLE))" }.mkString(", ")
     def sq(e: String): String =
@@ -2541,18 +2549,43 @@ object SparkEntry {
            aics AS (SELECT l_suppkey, model, mrank,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scb WHERE sse IS NOT NULL AND neff >= 1),
-           champ AS (SELECT l_suppkey, model, aic
-                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
-                         ORDER BY aic, mrank) rk FROM aics)
-                 WHERE rk = 1),
            fcs AS (SELECT * FROM mean_fc UNION ALL SELECT * FROM sn_fc
                  UNION ALL SELECT * FROM ar_fc UNION ALL SELECT * FROM ari_fc
                  UNION ALL SELECT * FROM ma_fc UNION ALL SELECT * FROM arm_fc
-                 UNION ALL SELECT * FROM th_fc UNION ALL SELECT * FROM h_fc)
+                 UNION ALL SELECT * FROM th_fc UNION ALL SELECT * FROM h_fc)"""
+  }
+
+  /** q259 tail: deterministic argmin over the shared member CTEs. */
+  private lazy val championSql: String =
+    s"""$championMembersSql,
+           champ AS (SELECT l_suppkey, model, aic
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY aic, mrank) rk FROM aics)
+                 WHERE rk = 1)
          SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
          FROM champ c JOIN fcs f ON c.l_suppkey = f.l_suppkey
            AND c.model = f.model"""
-  }
+
+  /** q267 tail: Akaike weights w ∝ exp(−Δ/2) rounded to the 4dp grid,
+    * blend = Σ(w·f)/Σw as exact micro-int sums — mirrors
+    * Champion.blendForecast term for term. */
+  private lazy val championBlendSql: String =
+    s"""$championMembersSql,
+           amin AS (SELECT l_suppkey, min(aic) AS am FROM aics GROUP BY 1),
+           wts AS (SELECT a.l_suppkey, a.model,
+                   (round(exp((m.am - a.aic)/2e0)*1e4)/1e4 + 0.0e0) AS w
+                 FROM aics a JOIN amin m ON a.l_suppkey = m.l_suppkey),
+           bl AS (SELECT f.l_suppkey, f.step,
+                   (CAST(sum(CAST(round(w.w*1e4) AS BIGINT)
+                      * CAST(round(f.forecast*1e4) AS BIGINT)) AS DOUBLE)/1e8) AS num,
+                   (CAST(sum(CAST(round(w.w*1e4) AS BIGINT)) AS DOUBLE)/1e4) AS den,
+                   count(*) AS n_members
+                 FROM fcs f JOIN wts w ON f.l_suppkey = w.l_suppkey
+                   AND f.model = w.model
+                 GROUP BY 1,2)
+         SELECT l_suppkey, step,
+                (round((num/den)*1e4)/1e4 + 0.0e0) AS blend_forecast, n_members
+         FROM bl"""
 
   /** q261 oracle: the keyed-replicate bootstrap with the engine's own
     * threshold literal (M31·frac truncated) and the q114 Lehmer twin.
@@ -2657,6 +2690,7 @@ object SparkEntry {
     "q221_temperature" -> temperatureSql,
     "q222_damped_holt" -> dampedHoltSql,
     "q259_champion" -> championSql,
+    "q267_champion_blend" -> championBlendSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

@@ -68,15 +68,15 @@ object Champion {
     r(sum(round(resid * resid * lit(1e8), 0).cast("decimal(38,0)"))
       .cast("double") / lit(1e8))
 
-  /** One row per (series, step) with the champion member's id, its
-    * rounded AIC and its h-step forecast. Output columns:
-    * keys..., champion, aic, step, forecast. `ord` must be unique per
-    * key; `h` must not exceed the seasonal period `m` (so every snaive
-    * forecast base is observed). */
-  def championForecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
-                       valueCol: String, h: Int = 4, m: Int = 13,
-                       alpha: Double = 0.3, beta: Double = 0.1,
-                       damp: Double = 0.9): DataFrame = {
+  /** Shared member machinery: the eight family members' AIC scoreboard
+    * (keys..., model, __mrank, aic) and their h-step forecast union
+    * (keys..., model, step, forecast) — consumed by the argmin pick
+    * ([[championForecast]]) and the Akaike-weight average
+    * ([[blendForecast]]). */
+  private def memberTables(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                           valueCol: String, h: Int, m: Int,
+                           alpha: Double, beta: Double,
+                           damp: Double): (DataFrame, DataFrame) = {
     require(h >= 1 && h <= m, "horizon must lie in [1, m]")
     val keys = keyCols.map(col)
     val x = col(valueCol).cast("double")
@@ -197,21 +197,76 @@ object Champion {
       ordCols, valueCol, alpha, beta, damp, h)
       .withColumnRenamed("holt_forecast", "forecast"), "holt_damped")
 
-    // ---- scoreboard → AIC → deterministic argmin → winner's forecasts
+    // ---- scoreboard → AIC (the pick/average happens in the consumers)
     val scores = Seq(meanScore, snScore, arScore, ariScore, maScore,
       armaScore, thScore, holtScore).reduce(_ unionByName _)
       .filter(col("sse").isNotNull && col("neff") >= 1)
     val aic = scores.withColumn("aic",
       r(col("neff") * log(greatest(col("sse"), lit(1e-8)) / col("neff")) +
         lit(2.0) * col("__k")))
+    val fcs = Seq(meanFc, snFc, arFc, ariFc, maFc, armaFc, thFc, holtFc)
+      .reduce(_ unionByName _)
+    (aic, fcs)
+  }
+
+  /** One row per (series, step) with the champion member's id, its
+    * rounded AIC and its h-step forecast. Output columns:
+    * keys..., champion, aic, step, forecast. `ord` must be unique per
+    * key; `h` must not exceed the seasonal period `m` (so every snaive
+    * forecast base is observed). */
+  def championForecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                       valueCol: String, h: Int = 4, m: Int = 13,
+                       alpha: Double = 0.3, beta: Double = 0.1,
+                       damp: Double = 0.9): DataFrame = {
+    val keys = keyCols.map(col)
+    val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+      alpha, beta, damp)
     val wPick = Window.partitionBy(keys: _*).orderBy(col("aic"), col("__mrank"))
     val champ = aic.withColumn("__rk", row_number().over(wPick))
       .filter(col("__rk") === 1)
       .select(keys ++ Seq(col("model"), col("aic")): _*)
-    val fcs = Seq(meanFc, snFc, arFc, ariFc, maFc, armaFc, thFc, holtFc)
-      .reduce(_ unionByName _)
     champ.join(fcs, keyCols :+ "model")
       .select(keys ++ Seq(col("model").as("champion"), col("aic"),
         col("step"), col("forecast")): _*)
+  }
+
+  /** Akaike-weight model averaging — the combination twin of the
+    * argmin pick (Burnham & Anderson: w_i ∝ exp(−Δ_i/2) with
+    * Δ_i = AIC_i − AIC_min). Every scored member contributes its
+    * forecast, weighted by its evidence ratio; a single dominant
+    * member (Δ ≫ 0 for the rest) collapses to the champion, while
+    * near-ties average instead of knife-edge flipping — the usual
+    * practical argument for averaging over selection.
+    *
+    * Determinism: Δ is a difference of 4dp-grid AICs (identical IEEE
+    * operands cross-engine), each weight rounds to the 4dp grid after
+    * exp() (same knife-edge ulp class as the AIC's ln(), documented
+    * there), and the blend is a ratio of exact micro-int sums
+    * Σ w·f / Σ w — no normalization step, so no order-dependent
+    * double accumulation anywhere. Output: keys..., step,
+    * blend_forecast, n_members. */
+  def blendForecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                    valueCol: String, h: Int = 4, m: Int = 13,
+                    alpha: Double = 0.3, beta: Double = 0.1,
+                    damp: Double = 0.9): DataFrame = {
+    val keys = keyCols.map(col)
+    val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+      alpha, beta, damp)
+    val amin = aic.groupBy(keys: _*).agg(min(col("aic")).as("__amin"))
+    val wts = aic.join(amin, keyCols)
+      .withColumn("__w", r(exp((col("__amin") - col("aic")) / 2)))
+      .select(keys ++ Seq(col("model"), col("__w")): _*)
+    fcs.join(wts, keyCols :+ "model")
+      .groupBy(keys :+ col("step"): _*)
+      .agg(
+        (sum(round(col("__w") * lit(1e4), 0).cast("long") *
+          round(col("forecast") * lit(1e4), 0).cast("long"))
+          .cast("double") / lit(1e8)).as("__num"),
+        (sum(round(col("__w") * lit(1e4), 0).cast("long"))
+          .cast("double") / lit(1e4)).as("__den"),
+        count(lit(1)).as("n_members"))
+      .select(keys ++ Seq(col("step"),
+        r(col("__num") / col("__den")).as("blend_forecast"),
+        col("n_members")): _*)
   }
 }

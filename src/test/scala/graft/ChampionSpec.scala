@@ -140,4 +140,50 @@ class ChampionSpec extends SparkSpec {
     assert(eight.sortBy(r => (r._1, r._4)).toSeq ==
       result.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  private lazy val blended = Champion.blendForecast(
+    planted.toDF("k", "t", "v"), Seq("k"), Seq(col("t")), "v", h = 4, m = 13)
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3)))
+
+  test("blend shape: h steps per series, every scored member contributes") {
+    blended.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L), k)
+      // the member count is constant across a series' steps
+      assert(rows.map(_._4).distinct.length == 1, k)
+      assert(rows.head._4 >= 1, k)
+    }
+  }
+
+  test("a single-member series blends to exactly that member's forecast") {
+    // length-1 series: only the always-eligible mean member scores
+    val solo = Champion.blendForecast(
+      Seq(("s", 1, 42.0)).toDF("k", "t", "v"), Seq("k"), Seq(col("t")),
+      "v", h = 3, m = 13)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(solo == Seq((1L, 42.0, 1L), (2L, 42.0, 1L), (3L, 42.0, 1L)))
+  }
+
+  test("a dominant member's blend collapses to the champion forecast") {
+    // the planted ari ramp fits exactly (SSE ≈ 0) while every rival
+    // carries real error, so Δ-AIC ≫ 0 for the rest: the Akaike
+    // weights put ~all mass on the champion
+    val champ = result.filter(_._1 == "ari").sortBy(_._4).map(_._5).toSeq
+    val blend = blended.filter(_._1 == "ari").sortBy(_._2).map(_._3).toSeq
+    champ.zip(blend).foreach { case (c, b) =>
+      assert(math.abs(c - b) <= math.max(0.01, 0.001 * math.abs(c)),
+        s"champion $c vs blend $b")
+    }
+  }
+
+  test("blend is partitioning-invariant") {
+    val eight = Champion.blendForecast(
+      planted.toDF("k", "t", "v").repartition(8), Seq("k"), Seq(col("t")),
+      "v", h = 4, m = 13)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(eight.sortBy(r => (r._1, r._2)).toSeq ==
+      blended.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
