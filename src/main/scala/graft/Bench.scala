@@ -31,7 +31,8 @@ object Bench {
     "q249_ari_forecast", "q251_ar_intervals", "q252_weighted_quantiles",
     "q253_ma1_fit", "q254_sari_forecast", "q255_arma_fit",
     "q259_champion", "q260_wmape_calibration", "q261_bootstrap",
-    "q262_quantile_reg", "q263_pq_codes", "q264_pq_adc")
+    "q262_quantile_reg", "q263_pq_codes", "q264_pq_adc",
+    "q265_sketch_distinct", "q266_hw_forecast", "q267_champion_blend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
