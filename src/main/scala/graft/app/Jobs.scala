@@ -217,6 +217,57 @@ object Jobs {
     back
   }
 
+  /** Champion-vs-blend backtest — the "which strategy ships?" report.
+    * Per-series walk-forward at the supplier grain: each series' last
+    * `h` observations are held out, the family fits on the prefix, and
+    * three strategies forecast the holdout — (a) the per-series AIC
+    * champion pick, (b) the Akaike-weight blend, (c) naive last-value
+    * carry (the floor every strategy must beat). One tall row per
+    * strategy with the pooled holdout WMAPE and its coverage. Steps
+    * are the series' OWN next h observations (the M-competition
+    * convention), so sparse series stay aligned by construction;
+    * series shorter than h + 1 have no train prefix and drop from all
+    * three strategies alike. */
+  def championBacktest(spark: SparkSession, sfDir: String, h: Int = 4): DataFrame = {
+    val weekly = etl(spark, sfDir)
+      .groupBy(col("week_start"), col("l_suppkey"))
+      .agg(sum(col("qty_sum")).as("qty_sum"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+    val cw = Window.partitionBy(col("l_suppkey"))
+    val tagged = weekly
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__n") > h)
+      .localCheckpoint(true)
+    val train = tagged.filter(col("__rn") <= col("__n") - h)
+      .select("week_start", "l_suppkey", "qty_sum")
+    val test = tagged.filter(col("__rn") > col("__n") - h)
+      .select(col("l_suppkey"), (col("__rn") - (col("__n") - h)).cast("long").as("step"),
+        col("qty_sum").as("actual"))
+    val champ = graft.seq.Champion.championForecast(train, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = h, m = 13)
+      .select(col("l_suppkey"), col("step"), col("forecast"))
+    val blend = graft.seq.Champion.blendForecast(train, Seq("l_suppkey"),
+      Seq(col("week_start")), "qty_sum", h = h, m = 13)
+      .select(col("l_suppkey"), col("step"), col("blend_forecast").as("forecast"))
+    val lastW = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start").desc)
+    val naive = train.withColumn("__rd", row_number().over(lastW))
+      .filter(col("__rd") === 1)
+      .select(col("l_suppkey"), col("qty_sum").as("__lv"))
+      .withColumn("step", explode(sequence(lit(1L), lit(h.toLong))))
+      .select(col("l_suppkey"), col("step"), col("__lv").as("forecast"))
+    def leg(name: String, fc: DataFrame): DataFrame =
+      test.join(fc, Seq("l_suppkey", "step"))
+        .agg(Metrics.wmape(col("actual"), col("forecast")).as("holdout_wmape"),
+          count(lit(1)).as("n_points"),
+          countDistinct(col("l_suppkey")).as("n_series"))
+        .select(lit(name).as("strategy"), col("holdout_wmape"),
+          col("n_points"), col("n_series"))
+    leg("champion", champ)
+      .unionByName(leg("blend", blend))
+      .unionByName(leg("naive", naive))
+  }
+
   /** §3.3 model path: GBT trained on the feature store (the MLlib
     * stand-in for the reference's LightGBM), forecasting the NEXT
     * week's quantity from features computed through the current week —

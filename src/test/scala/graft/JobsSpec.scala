@@ -60,6 +60,18 @@ class JobsSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("championBacktest: three strategies, identical holdout coverage") {
+    val rows = graft.app.Jobs.championBacktest(spark, dir, h = 3)
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("blend", "champion", "naive"))
+    // every strategy forecasts the SAME holdout points
+    assert(rows.map(r => (r._3, r._4)).distinct.length == 1)
+    rows.foreach { case (s, wmape, n, k) =>
+      assert(!wmape.isNaN && wmape >= 0.0, s"$s wmape=$wmape")
+      assert(n == 3 * k, s"$s points=$n series=$k")
+    }
+  }
+
   test("championSubmission: every series ships 5 validated champion rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_champ").toString
     val out = graft.app.Jobs.championSubmission(spark, dir, tmp).cache()
