@@ -61,6 +61,37 @@ object Jobs {
       Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
   }
 
+  /** ETL with an inline audit via Spark's `Observation` API — the
+    * lakehouse run-audit pattern done the Spark-native way: the audit
+    * metrics (row count, null-join rate, negative-quantity count, total
+    * quantity mass) ride the SAME job as the data they audit — zero
+    * extra passes, collected on the driver when the action completes —
+    * instead of a second scan the way a naive quality re-check would.
+    * Returns (weekly frame, observation); read
+    * `observation.get` AFTER an action on the returned frame. */
+  def etlObserved(spark: SparkSession, sfDir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("etl_audit")
+    val li = Tables.lineitem(spark, sfDir)
+    val cleaned = Seq(
+      Cleaning.dropNullKeys(Seq("l_partkey", "l_suppkey")) _,
+      Cleaning.fillZero(Seq("l_quantity")) _,
+      Cleaning.positiveOnly("l_quantity") _,
+      Cleaning.dedupKeepFirst(Seq("l_orderkey", "l_partkey", "l_linenumber"),
+        Seq(col("l_quantity"), col("l_extendedprice"))) _
+    ).foldLeft(li)((d, step) => step(d))
+    val enriched = Enrichment.enrich(cleaned, Tables.part(spark, sfDir),
+        "l_partkey", "p_partkey")
+      .observe(obs,
+        count(lit(1)).as("rows_enriched"),
+        sum(when(col("p_brand") === "Unknown", 1L).otherwise(0L)).as("unknown_joins"),
+        sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("negative_qty"),
+        sum(col("l_quantity")).as("qty_mass"))
+    val weekly = Enrichment.weeklyAggregate(enriched, col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
+    (weekly, obs)
+  }
+
   /** END-TO-END forecast evaluation report: weekly grain → naive
     * trailing-4-week forecast → split-conformal bands (per-supplier
     * calibration) → one-row report of WMAPE, bias, and empirical band

@@ -67,6 +67,18 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Stream-static enrichment: the event stream LEFT-joined to a
+    * static dimension frame, broadcast per micro-batch — the streaming
+    * twin of the batch J1 enrichment (etl.Enrichment.enrich). The
+    * static side is re-resolved each micro-batch by Spark's
+    * stream-static join semantics, so a dimension snapshot refresh is
+    * picked up without restarting the query; unmatched events keep
+    * NULL dimension columns (fill policy stays with the caller, as in
+    * the batch operator). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Streaming windowed top-k values per event type — the custom
     * TypedImperativeAggregate (`graft_topk`, expr/TopKExpr) running
     * INSIDE a watermarked streaming aggregate. Micro-batch execution

@@ -60,6 +60,19 @@ class JobsSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("etlObserved: the audit rides the job and matches a direct recount") {
+    val (weekly, obs) = graft.app.Jobs.etlObserved(spark, dir)
+    val weeklyRows = weekly.count() // the action that completes the observation
+    val m = obs.get
+    // mass conservation: the audited pre-aggregation quantity mass
+    // equals the weekly aggregate's total
+    val weeklyMass = weekly.agg(sum(col("qty_sum"))).head().getDouble(0)
+    assert(math.abs(m("qty_mass").asInstanceOf[Double] - weeklyMass) < 1e-6)
+    assert(m("rows_enriched").asInstanceOf[Long] > weeklyRows) // aggregation reduces
+    assert(m("negative_qty").asInstanceOf[Long] == 0L) // positiveOnly upstream
+    assert(m("unknown_joins").asInstanceOf[Long] >= 0L)
+  }
+
   test("championBacktest: three strategies, identical holdout coverage") {
     val rows = graft.app.Jobs.championBacktest(spark, dir, h = 3)
       .as[(String, Double, Long, Long)].collect().sortBy(_._1)

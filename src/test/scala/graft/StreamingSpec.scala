@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
   }
 
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("u_id", "tier")
+
+    val query = EventsStream.enrichStream(events, dim, "user_id", "u_id")
+      .select("user_id", "event_type", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, "click", 1.0), (3L, "view", 2.0))
+    query.processAllAvailable()
+    input.addData((2L, "click", 3.0))
+    query.processAllAvailable()
+
+    val out = spark.table("enriched")
+      .as[(Long, String, Option[String])].collect().toSet
+    query.stop()
+    assert(out == Set(
+      (1L, "click", Some("gold")),
+      (3L, "view", None), // unmatched keeps NULL, the batch J1 contract
+      (2L, "click", Some("silver"))))
+  }
+
   test("custom top-k aggregate runs inside a watermarked streaming window") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
