@@ -45,8 +45,10 @@ object Jobs {
     spark
   }
 
-  /** §3.1 ETL: load → clean → enrich → weekly grain. */
-  def etl(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The §3.1 clean→enrich chain, shared by [[etl]] and [[etlObserved]]
+    * so the audited pipeline can never silently diverge from the
+    * production one. */
+  private def cleanEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val cleaned = Seq(
       Cleaning.dropNullKeys(Seq("l_partkey", "l_suppkey")) _,
@@ -55,11 +57,17 @@ object Jobs {
       Cleaning.dedupKeepFirst(Seq("l_orderkey", "l_partkey", "l_linenumber"),
         Seq(col("l_quantity"), col("l_extendedprice"))) _
     ).foldLeft(li)((d, step) => step(d))
-    val enriched = Enrichment.enrich(cleaned, Tables.part(spark, sfDir),
+    Enrichment.enrich(cleaned, Tables.part(spark, sfDir),
       "l_partkey", "p_partkey")
+  }
+
+  private def toWeekly(enriched: DataFrame): DataFrame =
     Enrichment.weeklyAggregate(enriched, col("l_shipdate"),
       Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
-  }
+
+  /** §3.1 ETL: load → clean → enrich → weekly grain. */
+  def etl(spark: SparkSession, sfDir: String): DataFrame =
+    toWeekly(cleanEnrich(spark, sfDir))
 
   /** ETL with an inline audit via Spark's `Observation` API — the
     * lakehouse run-audit pattern done the Spark-native way: the audit
@@ -72,24 +80,12 @@ object Jobs {
   def etlObserved(spark: SparkSession, sfDir: String)
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation("etl_audit")
-    val li = Tables.lineitem(spark, sfDir)
-    val cleaned = Seq(
-      Cleaning.dropNullKeys(Seq("l_partkey", "l_suppkey")) _,
-      Cleaning.fillZero(Seq("l_quantity")) _,
-      Cleaning.positiveOnly("l_quantity") _,
-      Cleaning.dedupKeepFirst(Seq("l_orderkey", "l_partkey", "l_linenumber"),
-        Seq(col("l_quantity"), col("l_extendedprice"))) _
-    ).foldLeft(li)((d, step) => step(d))
-    val enriched = Enrichment.enrich(cleaned, Tables.part(spark, sfDir),
-        "l_partkey", "p_partkey")
-      .observe(obs,
-        count(lit(1)).as("rows_enriched"),
-        sum(when(col("p_brand") === "Unknown", 1L).otherwise(0L)).as("unknown_joins"),
-        sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("negative_qty"),
-        sum(col("l_quantity")).as("qty_mass"))
-    val weekly = Enrichment.weeklyAggregate(enriched, col("l_shipdate"),
-      Seq(col("l_partkey"), col("l_suppkey"), col("p_brand")), col("l_quantity"))
-    (weekly, obs)
+    val audited = cleanEnrich(spark, sfDir).observe(obs,
+      count(lit(1)).as("rows_enriched"),
+      sum(when(col("p_brand") === "Unknown", 1L).otherwise(0L)).as("unknown_joins"),
+      sum(when(col("l_quantity") < 0, 1L).otherwise(0L)).as("negative_qty"),
+      sum(col("l_quantity")).as("qty_mass"))
+    (toWeekly(audited), obs)
   }
 
   /** END-TO-END forecast evaluation report: weekly grain → naive
@@ -275,11 +271,12 @@ object Jobs {
     val test = tagged.filter(col("__rn") > col("__n") - h)
       .select(col("l_suppkey"), (col("__rn") - (col("__n") - h)).cast("long").as("step"),
         col("qty_sum").as("actual"))
-    val champ = graft.seq.Champion.championForecast(train, Seq("l_suppkey"),
-      Seq(col("week_start")), "qty_sum", h = h, m = 13)
-      .select(col("l_suppkey"), col("step"), col("forecast"))
-    val blend = graft.seq.Champion.blendForecast(train, Seq("l_suppkey"),
-      Seq(col("week_start")), "qty_sum", h = h, m = 13)
+    // ONE member-pipeline execution serves both strategies
+    // (Champion.pickAndBlend materializes the series-grain tables)
+    val (champRaw, blendRaw) = graft.seq.Champion.pickAndBlend(train,
+      Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = h, m = 13)
+    val champ = champRaw.select(col("l_suppkey"), col("step"), col("forecast"))
+    val blend = blendRaw
       .select(col("l_suppkey"), col("step"), col("blend_forecast").as("forecast"))
     val lastW = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start").desc)
     val naive = train.withColumn("__rd", row_number().over(lastW))

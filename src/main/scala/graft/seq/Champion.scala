@@ -218,9 +218,15 @@ object Champion {
                        valueCol: String, h: Int = 4, m: Int = 13,
                        alpha: Double = 0.3, beta: Double = 0.1,
                        damp: Double = 0.9): DataFrame = {
-    val keys = keyCols.map(col)
     val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
+    pickFrom(aic, fcs, keyCols)
+  }
+
+  /** Argmin tail over already-built member tables. */
+  private def pickFrom(aic: DataFrame, fcs: DataFrame,
+                       keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
     val wPick = Window.partitionBy(keys: _*).orderBy(col("aic"), col("__mrank"))
     val champ = aic.withColumn("__rk", row_number().over(wPick))
       .filter(col("__rk") === 1)
@@ -228,6 +234,25 @@ object Champion {
     champ.join(fcs, keyCols :+ "model")
       .select(keys ++ Seq(col("model").as("champion"), col("aic"),
         col("step"), col("forecast")): _*)
+  }
+
+  /** Both consumers from ONE member-pipeline execution: the scoreboard
+    * and forecast union are materialized (they are series-grain tiny —
+    * #series × 8 and × 8·h rows), so the eight member fits run once
+    * however many of the returned frames are consumed. The single-query
+    * paths (championForecast / blendForecast) deliberately stay
+    * unmaterialized one-plan shapes (the measured-fastest form —
+    * BENCH_NOTES r10); this entry exists for multi-consumer jobs like
+    * the walk-forward backtest, which was paying the family twice. */
+  def pickAndBlend(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                   valueCol: String, h: Int = 4, m: Int = 13,
+                   alpha: Double = 0.3, beta: Double = 0.1,
+                   damp: Double = 0.9): (DataFrame, DataFrame) = {
+    val (aic0, fcs0) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+      alpha, beta, damp)
+    val aic = aic0.localCheckpoint(true)
+    val fcs = fcs0.localCheckpoint(true)
+    (pickFrom(aic, fcs, keyCols), blendFrom(aic, fcs, keyCols))
   }
 
   /** Akaike-weight model averaging — the combination twin of the
@@ -249,9 +274,15 @@ object Champion {
                     valueCol: String, h: Int = 4, m: Int = 13,
                     alpha: Double = 0.3, beta: Double = 0.1,
                     damp: Double = 0.9): DataFrame = {
-    val keys = keyCols.map(col)
     val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
+    blendFrom(aic, fcs, keyCols)
+  }
+
+  /** Akaike-weight tail over already-built member tables. */
+  private def blendFrom(aic: DataFrame, fcs: DataFrame,
+                        keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
     // Δ via a window-min, NOT a groupBy+join-back: the join shape
     // consumes the scoreboard twice and re-executes all eight member
     // score pipelines (measured +3s at sf0.1); the window keeps one

@@ -104,23 +104,26 @@ object Pq {
       .select(col("__id").as(idCol), col("sub"), col("cell").as("code"),
         col("__dist").as("quant_err"))
 
-  /** ADC top-k: score every (query, corpus-id) pair by the sum of
-    * per-subspace lookup-table similarities sim(q_sub, centroid[code]),
-    * rank per query. `codes` is an `encode` output (possibly pre-pruned
-    * by an IVF probe — see ivfPqTopK); the LUT is (queries × m·ksub)
-    * rows, broadcast. The corpus side of the scoring join carries ONLY
-    * (id, sub, code) — the compressed representation — which is the
-    * point of PQ: at 100 TB the float vectors never move. */
-  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, m: Int, corpusId: String = "vec_id",
-              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val qsub = subvectors(queries, dim, m, queryId, queryVec)
+  /** Per-query lookup table: (query_id, sub, code, rounded subspace
+    * dot) for every codebook entry — m·ksub rows per query. */
+  private def buildLut(queries: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+                       queryId: String, queryVec: String): DataFrame =
+    subvectors(queries, dim, m, queryId, queryVec)
       .select(col("__id").as("query_id"), col("sub"), col("subvec"))
-    val lut = qsub.join(broadcast(codebooks), Seq("sub"))
+      .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell").as("code"),
         r(dot(col("subvec"), col("centroid"))).as("__sim"))
-    val scored = codes.select(col(corpusId).as("neighbor_id"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("sub", "code"))
+
+  /** Shared ADC scoring tail: join candidates to the LUT, sum the
+    * rounded subspace similarities exactly once per (query, neighbor),
+    * rank per query. `cand` columns: [query_id,] neighbor_id, sub,
+    * code; `joinKeys` selects the all-queries shape (sub, code) or the
+    * per-query pre-pruned shape (query_id, sub, code). Queries and
+    * corpus must share one id space — a neighbor whose id equals the
+    * query id is treated as the query itself and excluded. */
+  private def scoreCandidates(cand: DataFrame, lut: DataFrame,
+                              joinKeys: Seq[String], k: Int): DataFrame = {
+    val scored = cand.join(broadcast(lut), joinKeys)
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(r(sum(col("__sim"))).as("adc_score"))
@@ -130,6 +133,25 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_score"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** ADC top-k: score every (query, corpus-id) pair by the sum of
+    * per-subspace lookup-table similarities sim(q_sub, centroid[code]),
+    * rank per query. `codes` is an `encode` output; the LUT is
+    * (queries × m·ksub) rows, broadcast. The corpus side of the scoring
+    * join carries ONLY (id, sub, code) — the compressed representation —
+    * which is the point of PQ: at 100 TB the float vectors never move.
+    * PRECONDITION (house ANN convention, as in Similarity.*TopK):
+    * query ids live in the corpus id space — self-matches are excluded
+    * by id equality, so external queries must carry ids disjoint from
+    * the corpus (e.g. negative) or they silently lose the
+    * same-numbered corpus vector. */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, m: Int, corpusId: String = "vec_id",
+              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val lut = buildLut(queries, codebooks, dim, m, queryId, queryVec)
+    val cand = codes.select(col(corpusId).as("neighbor_id"), col("sub"), col("code"))
+    scoreCandidates(cand, lut, Seq("sub", "code"), k)
   }
 
   /** IVF-PQ: the FAISS-default composition. A coarse quantizer
@@ -172,23 +194,7 @@ object Pq {
     val cand = codes.join(probed, Seq("cell"))
       .select(col("query_id"), col(corpusId).as("neighbor_id"),
         col("sub"), col("code"))
-    val qframe = queries.select(col(queryId).as("query_id"),
-      col(queryVec).cast("array<double>").as("query_vec"))
-    val qsub = subvectors(qframe, dim, m, "query_id", "query_vec")
-      .select(col("__id").as("query_id"), col("sub"), col("subvec"))
-    val lut = qsub.join(broadcast(codebooks), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cell").as("code"),
-        r(dot(col("subvec"), col("centroid"))).as("__sim"))
-    val scored = cand
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(r(sum(col("__sim"))).as("adc_score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_score"),
-        col("rank").cast("long").as("rank"))
+    val lut = buildLut(queries, codebooks, dim, m, queryId, queryVec)
+    scoreCandidates(cand, lut, Seq("query_id", "sub", "code"), k)
   }
 }
