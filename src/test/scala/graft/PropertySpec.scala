@@ -143,4 +143,62 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(g1 - g2) <= 2e-4, s"seed $i: $g1 vs $g2")
     }
   }
+
+  test("Akaike blend of a constant series is the constant (convexity fixpoint)") {
+    // every family member forecasts a constant series at the constant,
+    // so any convex combination of them must return it exactly
+    val cases = Gen.zip(Gen.chooseNum(1, 40),
+      Gen.chooseNum(0.0, 500.0).map(x => math.rint(x * 1e4) / 1e4))
+    (0 until 6).foreach { i =>
+      val (n, c) = gen(cases, 500L + i)
+      val df = (1 to n).map(t => ("k", t, c)).toDF("k", "t", "v")
+      val out = graft.seq.Champion.blendForecast(df, Seq("k"), Seq(col("t")),
+        "v", h = 3, m = 13).select("blend_forecast").as[Double].collect()
+      assert(out.length == 3, s"seed $i")
+      out.foreach(f => assert(f == c, s"seed $i n=$n c=$c got $f"))
+    }
+  }
+
+  test("Holt-Winters gamma=0 forecast replays the textbook Holt hand recursion") {
+    // γ=0 keeps the season ring at its initial zeros, so the HW kernel
+    // degenerates to TEXTBOOK Holt (l = αx + (1−α)(l+b); note
+    // withHolt is deliberately the reference's EWMA-of-diffs variant,
+    // a different recursion) and the forecast to l + s·b
+    val series: Gen[List[Double]] = Gen.listOfN(12,
+      Gen.chooseNum(0.0, 100.0).map(x => math.rint(x * 1e4) / 1e4))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    (0 until 6).foreach { i =>
+      val xs = gen(series, 600L + i)
+      val df = xs.zipWithIndex.map { case (v, t) => ("k", t + 1, v) }
+        .toDF("k", "t", "v")
+      val hw = graft.seq.SequentialKernels.holtWintersForecast(df, Seq("k"),
+        Seq(col("t")), "v", alpha = 0.3, beta = 0.1, gamma = 0.0, m = 4, h = 3)
+        .orderBy("step").select("hw_forecast").as[Double].collect().toSeq
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val nl = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * (nl - l) + 0.9 * b
+        l = nl
+      }
+      val hand = (1 to 3).map(s => r4(r4(l) + s * r4(b)))
+      assert(hw == hand, s"seed $i: $hw vs $hand")
+    }
+  }
+
+  test("PQ codes are invariant under input partitioning") {
+    val vecs: Gen[List[List[Double]]] = Gen.listOfN(30,
+      Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0).map(x => math.rint(x * 1e4) / 1e4)))
+    (0 until 4).foreach { i =>
+      val vs = gen(vecs, 700L + i)
+      val df = vs.zipWithIndex.map { case (v, id) =>
+        (id.toLong, v.map(_.toFloat).toArray) }.toDF("vec_id", "embedding")
+      def codesOf(d: org.apache.spark.sql.DataFrame) = {
+        val cb = graft.sim.Pq.trainCodebooks(d, dim = 8, m = 4, ksub = 4, iters = 2)
+        graft.sim.Pq.encode(d, cb, dim = 8, m = 4)
+          .select("vec_id", "sub", "code").as[(Long, Int, Long)]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+      }
+      assert(codesOf(df) == codesOf(df.repartition(7)), s"seed $i")
+    }
+  }
 }
