@@ -2002,6 +2002,86 @@ object SparkEntry {
       val cb = graft.sim.Pq.trainCodebooks(emb, dim = 64, m = 4, ksub = 4, iters = 2)
       val codes = graft.sim.Pq.encode(emb, cb, dim = 64, m = 4)
       graft.sim.Pq.adcTopK(codes, cb, queries, k = 10, dim = 64, m = 4)
+    }),
+    // prediction-quality scorecard per supplier over the weekly series:
+    // pred = naive lag-1, unc = |lag1 − lag2|, business target = the
+    // series' exact micro-int mean; component scores + A-F grade
+    // (model_diagnostics.py:539-755)
+    "q268_quality_scorecard" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+      val wAll = Window.partitionBy(col("l_suppkey"))
+      val t = weekly
+        .withColumn("pred", r(lag(col("qty_sum"), 1).over(w)))
+        .withColumn("unc", r(abs(lag(col("qty_sum"), 1).over(w) -
+          lag(col("qty_sum"), 2).over(w))))
+        .withColumn("tgt", r(sum(round(col("qty_sum") * lit(1e4), 0)
+          .cast("decimal(38,0)")).over(wAll).cast("double") / lit(1e4) /
+          count(lit(1)).over(wAll)))
+        .filter(col("unc").isNotNull)
+      graft.metrics.Diagnostics.qualityScorecard(t, Seq("l_suppkey"),
+        col("qty_sum"), col("pred"), col("unc"), col("tgt"),
+        Seq(col("week_start")))
+    }),
+    // multi-channel drift report per return flag: 1996+ shipments as
+    // the current slice vs the earlier reference slice; KS over the
+    // target/prediction/residual channels + the WMAPE degradation gate
+    // (model_diagnostics.py:147-440)
+    "q269_drift_report" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val t = li(s, d).withColumn("pred", r(avg(col("l_quantity")).over(wg)))
+      graft.metrics.Diagnostics.driftReport(t, Seq("l_returnflag"),
+        Seq("target" -> col("l_quantity"), "prediction" -> col("pred"),
+          "residual" -> (col("l_quantity") - col("pred"))),
+        col("l_shipdate") >= lit("1996-01-01").cast("date"),
+        col("l_quantity"), col("pred"))
+    }),
+    // feature-importance stability: the A36 heuristic importances
+    // scored on the pre-1996 baseline vs the 1996+ current slice,
+    // |Spearman| × (1 − mean change) with the most-changed feature
+    // (model_diagnostics.py:445-527)
+    "q270_importance_stability" -> ((s, d) => {
+      val feats = Seq("l_discount", "l_tax", "l_extendedprice", "l_linenumber")
+      val cut = col("l_shipdate") < lit("1996-01-01").cast("date")
+      def imp(f: DataFrame) = graft.operators.FeatureQuality
+        .importanceScores(f, feats, "l_quantity")
+        .select(col("feature"), r(col("score")).as("score"))
+      val joined = imp(li(s, d).filter(cut))
+        .withColumnRenamed("score", "base_imp")
+        .join(imp(li(s, d).filter(!cut)).withColumnRenamed("score", "cur_imp"),
+          "feature")
+      graft.metrics.Diagnostics.importanceStability(joined, Nil,
+        col("feature"), col("base_imp"), col("cur_imp"))
+    }),
+    // per-scenario inverse-WMAPE model weights: naive / snaive / series
+    // -mean members scored on the weekly supplier series, scenarios =
+    // series-length tiers (meta_ensemble.py:117-171 PerformanceTracker)
+    "q271_model_weights" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+      val wAll = Window.partitionBy(col("l_suppkey"))
+      val t = weekly
+        .withColumn("__naive", r(lag(col("qty_sum"), 1).over(w)))
+        .withColumn("__snaive", r(lag(col("qty_sum"), 13).over(w)))
+        .withColumn("__smean", r(sum(round(col("qty_sum") * lit(1e4), 0)
+          .cast("decimal(38,0)")).over(wAll).cast("double") / lit(1e4) /
+          count(lit(1)).over(wAll)))
+        .withColumn("__nw", count(lit(1)).over(wAll))
+        .withColumn("scenario", when(col("__nw") >= 40, "long")
+          .when(col("__nw") >= 20, "mid").otherwise("short"))
+        .select(col("scenario"), col("qty_sum"),
+          explode(array(
+            struct(lit("naive").as("model"), col("__naive").as("pred")),
+            struct(lit("snaive").as("model"), col("__snaive").as("pred")),
+            struct(lit("smean").as("model"), col("__smean").as("pred"))))
+            .as("__e"))
+        .select(col("scenario"), col("qty_sum"),
+          col("__e.model").as("model"), col("__e.pred").as("pred"))
+        .filter(col("pred").isNotNull)
+      graft.model.Ensembles.scenarioWeights(t, Seq("scenario"), col("model"),
+        col("qty_sum"), col("pred"))
     })
   )
 
@@ -6834,7 +6914,251 @@ object SparkEntry {
            rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
-    }
+    },
+    // q268: the quality scorecard replayed term for term — micro-int
+    // sums for every error aggregate, per-row-rounded MAPE terms,
+    // component scores rounded before the weighted overall, the same
+    // grade ladder
+    "q268_quality_scorecard" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                      sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+              lagd AS (SELECT l_suppkey, ws, q,
+                      (round((lag(q,1) OVER sw)*1e4)/1e4 + 0.0e0) AS pred,
+                      (round(abs(lag(q,1) OVER sw - lag(q,2) OVER sw)*1e4)/1e4 + 0.0e0) AS unc,
+                      (round((CAST(sum(CAST(round(q*1e4) AS HUGEINT)) OVER sa AS DOUBLE)
+                        /1e4/(count(*) OVER sa))*1e4)/1e4 + 0.0e0) AS tgt
+                    FROM w
+                    WINDOW sw AS (PARTITION BY l_suppkey ORDER BY ws),
+                           sa AS (PARTITION BY l_suppkey)),
+              base AS (SELECT l_suppkey, ws, (round(q*1e4)/1e4 + 0.0e0) AS a,
+                      pred AS p, unc AS u, tgt AS t,
+                      lag(pred,1) OVER (PARTITION BY l_suppkey ORDER BY ws) AS pprev
+                    FROM lagd WHERE unc IS NOT NULL),
+              g AS (SELECT l_suppkey, count(*) AS n_rows, CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(round(abs(a-p)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS saa,
+                      CAST(sum(CAST(round(a*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sa,
+                      CAST(sum(CAST(round(a*a*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS saa2,
+                      CAST(sum(CAST(round((a-p)*(a-p)*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS sse,
+                      CAST(sum(CAST(round((abs(a-p)/(abs(a)+1e-8))*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS mapesum,
+                      sum(CASE WHEN a >= p - 1.96e0*u AND a <= p + 1.96e0*u THEN 1 ELSE 0 END) AS cov,
+                      sum(CASE WHEN pprev IS NOT NULL THEN 1 ELSE 0 END) AS nch,
+                      CAST(sum(CASE WHEN pprev IS NOT NULL
+                        THEN CAST(round(abs(p-pprev)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS chs,
+                      CAST(sum(CASE WHEN pprev IS NOT NULL
+                        THEN CAST(round(abs(p-pprev)*abs(p-pprev)*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS chss,
+                      sum(CASE WHEN abs(p - t) <= 0.1e0*abs(t + 1e-8) THEN 1 ELSE 0 END) AS close
+                    FROM base GROUP BY 1),
+              e1 AS (SELECT *,
+                      (round((sad/(saa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape,
+                      saa2 - n*(sa/n)*(sa/n) AS sst
+                    FROM g),
+              e2 AS (SELECT *,
+                      (round(greatest(0.0e0, 100 - wmape)*1e4)/1e4 + 0.0e0) AS accuracy_score,
+                      (round((cov/n)*1e4)/1e4 + 0.0e0) AS coverage,
+                      (round((CASE WHEN nch > 0 THEN chs/nch ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS mean_change,
+                      (round((CASE WHEN nch > 1 THEN
+                        sqrt(greatest(chss/nch - (chs/nch)*(chs/nch), 0.0e0))/(chs/nch + 1e-8)
+                        ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS cv_changes,
+                      (round((close/n)*1e4)/1e4 + 0.0e0) AS alignment_rate
+                    FROM e1),
+              e3 AS (SELECT *,
+                      (round(abs(coverage - 0.95e0)*1e4)/1e4 + 0.0e0) AS calibration_error,
+                      (round((consistency)*1e4)/1e4 + 0.0e0) AS consistency_score,
+                      (round((alignment_rate*100)*1e4)/1e4 + 0.0e0) AS alignment_score
+                    FROM (SELECT *, greatest(0.0e0, 100 - cv_changes*20) AS consistency FROM e2)),
+              e4 AS (SELECT *,
+                      (round(greatest(0.0e0, 100 - calibration_error*200)*1e4)/1e4 + 0.0e0) AS calibration_score
+                    FROM e3),
+              e5 AS (SELECT *,
+                      (round((accuracy_score*0.4e0 + calibration_score*0.25e0
+                        + consistency_score*0.2e0 + alignment_score*0.15e0)*1e4)/1e4 + 0.0e0) AS overall_quality
+                    FROM e4)
+         SELECT l_suppkey, n_rows, wmape,
+                (round((sad/n)*1e4)/1e4 + 0.0e0) AS mae,
+                (round(sqrt(sse/n)*1e4)/1e4 + 0.0e0) AS rmse,
+                (CASE WHEN sst > 0 THEN round((1 - sse/sst)*1e4)/1e4 + 0.0e0 END) AS r2,
+                (round((mapesum/n*100)*1e4)/1e4 + 0.0e0) AS mape,
+                accuracy_score, coverage, calibration_error, calibration_score,
+                mean_change, cv_changes, consistency_score, alignment_rate,
+                alignment_score, overall_quality,
+                (CASE WHEN overall_quality >= 90 THEN 'A'
+                      WHEN overall_quality >= 80 THEN 'B'
+                      WHEN overall_quality >= 70 THEN 'C'
+                      WHEN overall_quality >= 60 THEN 'D'
+                      ELSE 'F' END) AS quality_grade
+         FROM e5""",
+    // q269: channel melt → per-channel two-sample KS (q243's cumulative
+    // CDF device) + micro-int moment deltas; WMAPE-degradation row with
+    // the reference's 20% gate
+    "q269_drift_report" ->
+      """WITH g AS (SELECT l_returnflag, l_quantity,
+                      CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS cur,
+                      (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4
+                        + 0.0e0) AS pred
+                    FROM lineitem),
+              m AS (SELECT l_returnflag, cur, 'target' AS channel,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS value FROM g
+                    UNION ALL
+                    SELECT l_returnflag, cur, 'prediction', pred FROM g
+                    UNION ALL
+                    SELECT l_returnflag, cur, 'residual',
+                      (round((l_quantity - pred)*1e4)/1e4 + 0.0e0) FROM g),
+              s AS (SELECT l_returnflag, channel, value,
+                      sum(cur) np, sum(1 - cur) nn
+                    FROM m GROUP BY 1,2,3),
+              d AS (SELECT *, sum(np) OVER c AS cp, sum(nn) OVER c AS cn,
+                      sum(np) OVER a AS tp, sum(nn) OVER a AS tn
+                    FROM s
+                    WINDOW c AS (PARTITION BY l_returnflag, channel ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           a AS (PARTITION BY l_returnflag, channel
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+              ksx AS (SELECT l_returnflag, channel,
+                      (round(max(abs(cp/tp - cn/tn))*1e4)/1e4 + 0.0e0) AS ks_stat
+                    FROM d GROUP BY 1,2),
+              mo AS (SELECT l_returnflag, channel,
+                      CAST(sum(1 - cur) AS BIGINT) AS n_ref,
+                      CAST(sum(cur) AS BIGINT) AS n_cur,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(value*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS rs,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(value*value*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS rss,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(value*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS cs,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(value*value*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS css
+                    FROM m GROUP BY 1,2),
+              vr AS (SELECT mo.l_returnflag, mo.channel, n_ref, n_cur, k.ks_stat,
+                      (round((rs/n_ref)*1e4)/1e4 + 0.0e0) AS ref_mean,
+                      (round((cs/n_cur)*1e4)/1e4 + 0.0e0) AS cur_mean,
+                      (round(sqrt(greatest(rss/n_ref - (rs/n_ref)*(rs/n_ref), 0.0e0))*1e4)/1e4 + 0.0e0) AS ref_sd,
+                      (round(sqrt(greatest(css/n_cur - (cs/n_cur)*(cs/n_cur), 0.0e0))*1e4)/1e4 + 0.0e0) AS cur_sd
+                    FROM mo JOIN ksx k ON mo.l_returnflag = k.l_returnflag
+                      AND mo.channel = k.channel),
+              vrows AS (SELECT l_returnflag, channel, n_ref, n_cur, ks_stat,
+                      ref_mean, cur_mean,
+                      (round(abs(cur_mean - ref_mean)*1e4)/1e4 + 0.0e0) AS mean_change,
+                      (round(abs(cur_sd - ref_sd)*1e4)/1e4 + 0.0e0) AS std_change,
+                      CASE WHEN ks_stat > 0.1e0 THEN 1 ELSE 0 END AS drift_detected,
+                      (round((CASE WHEN ks_stat > 0.1e0 THEN ks_stat ELSE 0.0e0 END)*1e4)/1e4
+                        + 0.0e0) AS drift_score
+                    FROM vr),
+              ga AS (SELECT l_returnflag, cur,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS a, pred AS p FROM g),
+              pf0 AS (SELECT l_returnflag,
+                      CAST(sum(1 - cur) AS BIGINT) AS n_ref,
+                      CAST(sum(cur) AS BIGINT) AS n_cur,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(abs(a-p)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS rsad,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(abs(a)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS rsaa,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(abs(a-p)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS csad,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(abs(a)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS csaa
+                    FROM ga GROUP BY 1),
+              pf1 AS (SELECT l_returnflag, n_ref, n_cur,
+                      (round((rsad/(rsaa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS ref_mean,
+                      (round((csad/(csaa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS cur_mean
+                    FROM pf0),
+              pf2 AS (SELECT l_returnflag, n_ref, n_cur, ref_mean, cur_mean,
+                      (CASE WHEN ref_mean > 0
+                        THEN round(((cur_mean - ref_mean)/ref_mean)*1e4)/1e4 + 0.0e0 END) AS mean_change
+                    FROM pf1),
+              pf AS (SELECT l_returnflag, 'performance' AS channel, n_ref, n_cur,
+                      CAST(NULL AS DOUBLE) AS ks_stat, ref_mean, cur_mean, mean_change,
+                      CAST(NULL AS DOUBLE) AS std_change,
+                      CASE WHEN mean_change IS NOT NULL AND mean_change > 0.2e0
+                        THEN 1 ELSE 0 END AS drift_detected,
+                      (round((CASE WHEN mean_change IS NOT NULL AND mean_change > 0.2e0
+                        THEN greatest(0.0e0, mean_change) ELSE 0.0e0 END)*1e4)/1e4
+                        + 0.0e0) AS drift_score
+                    FROM pf2)
+         SELECT * FROM vrows
+         UNION ALL
+         SELECT l_returnflag, channel, n_ref, n_cur, ks_stat, ref_mean, cur_mean,
+                mean_change, std_change, drift_detected, drift_score
+         FROM pf""",
+    // q270: the A36 heuristic importances scored per period slice,
+    // joined at feature grain; |Spearman| via the exact doubled-rank
+    // device (q247), struct-max tie-break replayed as ORDER BY DESC
+    "q270_importance_stability" -> {
+      def impSql(src: String): String =
+        Seq("l_discount", "l_tax", "l_extendedprice", "l_linenumber").map { f =>
+          s"""SELECT '$f' AS feature,
+                coalesce(abs(corr($f, l_quantity)), 0)*0.3
+                + coalesce(stddev($f)/(abs(avg($f))+1e-8), 0)*0.2 + 0.0 AS s
+              FROM $src"""
+        }.mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+              c AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+              bs AS (${impSql("b")}),
+              cs AS (${impSql("c")}),
+              j AS (SELECT bs.feature,
+                      (round(bs.s*1e4)/1e4 + 0.0e0) AS bi,
+                      (round(cs.s*1e4)/1e4 + 0.0e0) AS ci
+                    FROM bs JOIN cs USING (feature)),
+              ch AS (SELECT feature, bi, ci,
+                      (round(abs(ci - bi)*1e4)/1e4 + 0.0e0) AS chg FROM j),
+              ag AS (SELECT count(*) AS n_features,
+                      (round((CAST(sum(CAST(round(chg*1e4) AS HUGEINT)) AS DOUBLE)
+                        /1e4/count(*))*1e4)/1e4 + 0.0e0) AS mean_change,
+                      (round(max(chg)*1e4)/1e4 + 0.0e0) AS max_change
+                    FROM ch),
+              top AS (SELECT feature AS top_changed_feature, chg AS top_change
+                    FROM ch ORDER BY chg DESC, feature DESC LIMIT 1),
+              rk AS (SELECT CAST(2*rank() OVER (ORDER BY bi)
+                        + count(*) OVER (PARTITION BY bi) - 1 AS BIGINT) AS rx,
+                      CAST(2*rank() OVER (ORDER BY ci)
+                        + count(*) OVER (PARTITION BY ci) - 1 AS BIGINT) AS ry
+                    FROM ch),
+              sp AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                      sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+                    FROM rk),
+              rho AS (SELECT (round((CAST(n*sxy - sx*sy AS DOUBLE) /
+                        (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                         sqrt(CAST(n*syy - sy*sy AS DOUBLE))))*1e4)/1e4 + 0.0e0) AS r0
+                    FROM sp),
+              fin AS (SELECT ag.*, coalesce(abs(rho.r0), 0.0e0) AS rank_corr
+                    FROM ag CROSS JOIN rho)
+         SELECT n_features, mean_change, max_change, rank_corr,
+                (round((rank_corr*(1.0e0 - mean_change))*1e4)/1e4 + 0.0e0) AS stability_score,
+                CASE WHEN (round((rank_corr*(1.0e0 - mean_change))*1e4)/1e4 + 0.0e0)
+                  > (1.0e0 - 0.3e0) THEN 1 ELSE 0 END AS stable,
+                top.top_changed_feature, top.top_change
+         FROM fin CROSS JOIN top"""
+    },
+    // q271: inverse-WMAPE scenario weights — melt the three members,
+    // micro-int error sums, rounded raw weights normalized by an exact
+    // micro-int scenario total
+    "q271_model_weights" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                      sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+              t AS (SELECT l_suppkey, ws, q,
+                      (round((lag(q,1) OVER sw)*1e4)/1e4 + 0.0e0) AS naive,
+                      (round((lag(q,13) OVER sw)*1e4)/1e4 + 0.0e0) AS snaive,
+                      (round((CAST(sum(CAST(round(q*1e4) AS HUGEINT)) OVER sa AS DOUBLE)
+                        /1e4/(count(*) OVER sa))*1e4)/1e4 + 0.0e0) AS smean,
+                      count(*) OVER sa AS nw
+                    FROM w
+                    WINDOW sw AS (PARTITION BY l_suppkey ORDER BY ws),
+                           sa AS (PARTITION BY l_suppkey)),
+              m AS (SELECT CASE WHEN nw >= 40 THEN 'long' WHEN nw >= 20 THEN 'mid'
+                        ELSE 'short' END AS scenario, q, 'naive' AS model, naive AS pred FROM t
+                    UNION ALL
+                    SELECT CASE WHEN nw >= 40 THEN 'long' WHEN nw >= 20 THEN 'mid'
+                        ELSE 'short' END, q, 'snaive', snaive FROM t
+                    UNION ALL
+                    SELECT CASE WHEN nw >= 40 THEN 'long' WHEN nw >= 20 THEN 'mid'
+                        ELSE 'short' END, q, 'smean', smean FROM t),
+              f AS (SELECT scenario, model, (round(q*1e4)/1e4 + 0.0e0) AS a, pred AS p
+                    FROM m WHERE pred IS NOT NULL),
+              g AS (SELECT scenario, model, count(*) AS n_rows,
+                      CAST(sum(CAST(round(abs(a-p)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS saa
+                    FROM f GROUP BY 1,2),
+              g2 AS (SELECT *, (round((sad/(saa + 1e-8))*1e4)/1e4 + 0.0e0) AS wmape FROM g),
+              g3 AS (SELECT *, (round((1.0e0/(wmape + 1e-8))*1e8)/1e8 + 0.0e0) AS raw FROM g2),
+              g4 AS (SELECT *, CAST(sum(CAST(round(raw*1e8) AS HUGEINT))
+                        OVER (PARTITION BY scenario) AS DOUBLE)/1e8 AS tot FROM g3)
+         SELECT scenario, model, n_rows, wmape,
+                (round((raw/tot)*1e6)/1e6 + 0.0e0) AS weight
+         FROM g4"""
   )
 
   /** Shared Holt-Winters recursion (q191/q266): the withHoltWinters

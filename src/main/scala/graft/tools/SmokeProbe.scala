@@ -261,6 +261,48 @@ object SmokeProbe {
       col("l_discount"), col("l_quantity")).orderBy("l_returnflag", "tau")
       .show(9, truncate = false)
 
+    println("== round-10b: diagnostics + performance-weighted ensemble ==")
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+      val scored = weeklySup
+        .withColumn("pred", graft.functions.Funcs.r(lag(col("qty_sum"), 1).over(w)))
+        .withColumn("unc", graft.functions.Funcs.r(abs(lag(col("qty_sum"), 1).over(w) -
+          lag(col("qty_sum"), 2).over(w))))
+        .filter(col("unc").isNotNull)
+      graft.metrics.Diagnostics.qualityScorecard(scored, Seq("l_suppkey"),
+        col("qty_sum"), col("pred"), col("unc"), col("pred"),
+        Seq(col("week_start")))
+        .orderBy("l_suppkey")
+        .select("l_suppkey", "wmape", "accuracy_score", "calibration_score",
+          "consistency_score", "overall_quality", "quality_grade")
+        .show(5, truncate = false)
+      graft.metrics.Diagnostics.driftReport(li.withColumn("pred",
+        graft.functions.Funcs.r(avg(col("l_quantity"))
+          .over(Window.partitionBy(col("l_partkey"))))),
+        Seq("l_returnflag"),
+        Seq("target" -> col("l_quantity"), "residual" -> (col("l_quantity") - col("pred"))),
+        col("l_shipdate") >= lit("1996-01-01").cast("date"),
+        col("l_quantity"), col("pred"))
+        .orderBy("l_returnflag", "channel").show(9, truncate = false)
+      import spark.implicits._
+      val imp = Seq(("l_discount", 0.3, 0.25), ("l_tax", 0.2, 0.3),
+        ("l_extendedprice", 0.5, 0.45)).toDF("feature", "base_imp", "cur_imp")
+      graft.metrics.Diagnostics.importanceStability(imp, Nil, col("feature"),
+        col("base_imp"), col("cur_imp")).show(truncate = false)
+      val melted = weeklySup
+        .withColumn("naive", graft.functions.Funcs.r(lag(col("qty_sum"), 1).over(w)))
+        .filter(col("naive").isNotNull)
+        .select(lit("all").as("scenario"), col("qty_sum"),
+          lit("naive").as("model"), col("naive").as("pred"))
+      val wts = graft.model.Ensembles.scenarioWeights(melted, Seq("scenario"),
+        col("model"), col("qty_sum"), col("pred"))
+      wts.show(truncate = false)
+      graft.model.Ensembles.weightedBlend(melted.withColumn("obs", col("qty_sum")),
+        wts, Seq("scenario"), Seq("obs"), col("model"), col("pred"))
+        .show(3, truncate = false)
+    }
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
