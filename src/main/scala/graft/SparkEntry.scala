@@ -2082,6 +2082,19 @@ object SparkEntry {
         .filter(col("pred").isNotNull)
       graft.model.Ensembles.scenarioWeights(t, Seq("scenario"), col("model"),
         col("qty_sum"), col("pred"))
+    }),
+    // model-validation check suite per supplier: the five named checks
+    // (accuracy / bias / residual / business-rules / data-quality) with
+    // the reference's PASSED/WARNING/FAILED ladders over the naive
+    // lag-1 forecast of the weekly series (model_validator.py)
+    "q272_validation" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+      val t = weekly.withColumn("pred", r(lag(col("qty_sum"), 1).over(w)))
+        .filter(col("pred").isNotNull)
+      graft.metrics.Validation.validateModel(t, Seq("l_suppkey"),
+        col("qty_sum"), col("pred"), Seq(col("week_start")))
     })
   )
 
@@ -7158,7 +7171,138 @@ object SparkEntry {
                         OVER (PARTITION BY scenario) AS DOUBLE)/1e8 AS tot FROM g3)
          SELECT scenario, model, n_rows, wmape,
                 (round((raw/tot)*1e6)/1e6 + 0.0e0) AS weight
-         FROM g4"""
+         FROM g4""",
+    // q272: the five-check validation suite replayed — micro-int error
+    // and residual power sums, exact q99 gate, the same central-moment
+    // algebra and threshold ladders (all literals e0-suffixed so both
+    // engines compare the same doubles)
+    "q272_validation" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                      sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+              px AS (SELECT l_suppkey, ws, q,
+                      (round((lag(q,1) OVER (PARTITION BY l_suppkey ORDER BY ws))*1e4)/1e4
+                        + 0.0e0) AS pred
+                    FROM w),
+              b0 AS (SELECT l_suppkey, ws, (round(q*1e4)/1e4 + 0.0e0) AS a, pred AS p
+                    FROM px WHERE pred IS NOT NULL),
+              base AS (SELECT *, (round((a - p)*1e4)/1e4 + 0.0e0) AS rr,
+                      lag((round((a - p)*1e4)/1e4 + 0.0e0), 1)
+                        OVER (PARTITION BY l_suppkey ORDER BY ws) AS rprev
+                    FROM b0),
+              qq AS (SELECT l_suppkey, (round(quantile_cont(a, 0.99)*1e4)/1e4 + 0.0e0) AS q99
+                    FROM base GROUP BY 1),
+              g AS (SELECT b.l_suppkey, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(CAST(round(abs(a-p)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS saa,
+                      CAST(sum(CAST(round((abs(a-p)/(abs(a)+1e-8))*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS mapesum,
+                      sum(CASE WHEN a <> 0 THEN 1 ELSE 0 END) AS nb,
+                      CAST(sum(CASE WHEN a <> 0
+                        THEN CAST(round(((p-a)/a)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS biassum,
+                      CAST(sum(CAST(round(rr*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS s1,
+                      CAST(sum(CAST(round(rr*rr*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS s2,
+                      CAST(sum(CAST(round(rr*rr*rr*1e12) AS HUGEINT)) AS DOUBLE)/1e12 AS s3,
+                      CAST(sum(CAST(round(rr*rr*rr*rr*1e12) AS HUGEINT)) AS DOUBLE)/1e12 AS s4,
+                      sum(CASE WHEN rprev IS NOT NULL THEN 1 ELSE 0 END) AS np,
+                      CAST(sum(CASE WHEN rprev IS NOT NULL
+                        THEN CAST(round(rr*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS spx,
+                      CAST(sum(CAST(round(rprev*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS spy,
+                      CAST(sum(CASE WHEN rprev IS NOT NULL
+                        THEN CAST(round(rr*1e4) AS HUGEINT)*CAST(round(rprev*1e4) AS HUGEINT)
+                        END) AS DOUBLE)/1e8 AS spxy,
+                      CAST(sum(CASE WHEN rprev IS NOT NULL
+                        THEN CAST(round(rr*rr*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS spxx,
+                      CAST(sum(CAST(round(rprev*rprev*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS spyy,
+                      sum(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS nneg,
+                      sum(CASE WHEN p > 3.0e0*q99 THEN 1 ELSE 0 END) AS nextreme,
+                      sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS missa,
+                      sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS missp,
+                      CAST(sum(CAST(round(p*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sp,
+                      CAST(sum(CAST(round(p*p*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS spp
+                    FROM base b JOIN qq USING (l_suppkey) GROUP BY 1),
+              e0 AS (SELECT *, s1/nd AS mu FROM g),
+              e1 AS (SELECT *,
+                      (s2 - 2.0e0*mu*s1 + nd*mu*mu)/nd AS m2,
+                      (s3 - 3.0e0*mu*s2 + 3.0e0*mu*mu*s1 - nd*mu*mu*mu)/nd AS m3,
+                      (s4 - 4.0e0*mu*s3 + 6.0e0*mu*mu*s2 - 4.0e0*mu*mu*mu*s1
+                        + nd*mu*mu*mu*mu)/nd AS m4
+                    FROM e0),
+              e2 AS (SELECT *, sqrt(greatest(m2, 0.0e0)) AS sdp FROM e1),
+              e3 AS (SELECT *,
+                      (round((sad/(saa + 1e-8))*1e4)/1e4 + 0.0e0) AS wmape,
+                      (round((mapesum/nd)*1e4)/1e4 + 0.0e0) AS mape,
+                      (CASE WHEN nb > 0 THEN round((biassum/nb)*1e4)/1e4 + 0.0e0 END) AS bias,
+                      (round((CASE WHEN n < 3 OR sdp <= 0 THEN 0.0e0
+                        ELSE m3/(sdp*sdp*sdp) END)*1e4)/1e4 + 0.0e0) AS skewness,
+                      (round((CASE WHEN n < 4 OR sdp <= 0 THEN 3.0e0
+                        ELSE m4/(m2*m2) - 3.0e0 END)*1e4)/1e4 + 0.0e0) AS kurtosis,
+                      (round((CASE WHEN np < 2 THEN 0.0e0
+                        ELSE (np*spxy - spx*spy) /
+                          (sqrt(np*spxx - spx*spx)*sqrt(np*spyy - spy*spy))
+                        END)*1e4)/1e4 + 0.0e0) AS autocorr_lag1
+                    FROM e2),
+              e4 AS (SELECT *,
+                      (CASE WHEN abs(skewness) > 2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN abs(kurtosis) > 7 THEN 1 ELSE 0 END)
+                        + (CASE WHEN abs(autocorr_lag1) > 0.3e0 THEN 1 ELSE 0 END) AS resissues,
+                      (CASE WHEN nneg > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN nextreme > nd*0.01e0 THEN 1 ELSE 0 END) AS bizissues,
+                      (CASE WHEN missa > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN missp > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n < 30 THEN 1 ELSE 0 END)
+                        + (CASE WHEN sqrt(greatest(spp/nd - pow(sp/nd, 2), 0.0e0)) < 1e-6
+                           THEN 1 ELSE 0 END) AS dqissues
+                    FROM e3)
+         SELECT l_suppkey, CAST(n AS BIGINT) AS n_rows,
+                'accuracy_check' AS check_name, 'statistical' AS category,
+                wmape, mape, CAST(NULL AS DOUBLE) AS bias,
+                CAST(NULL AS DOUBLE) AS skewness, CAST(NULL AS DOUBLE) AS kurtosis,
+                CAST(NULL AS DOUBLE) AS autocorr_lag1,
+                CAST(NULL AS BIGINT) AS n_negative, CAST(NULL AS BIGINT) AS n_extreme,
+                CAST(NULL AS BIGINT) AS n_missing,
+                (CASE WHEN wmape <= 0.2e0 AND mape <= 0.25e0 THEN 0 ELSE 1 END) AS n_issues,
+                (CASE WHEN wmape <= 0.2e0 AND mape <= 0.25e0 THEN 'PASSED'
+                      WHEN wmape <= 0.2e0*1.2e0 THEN 'WARNING'
+                      ELSE 'FAILED' END) AS result
+         FROM e4
+         UNION ALL
+         SELECT l_suppkey, CAST(n AS BIGINT), 'bias_check', 'statistical',
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), bias,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                (CASE WHEN abs(bias) <= 0.1e0 THEN 0 ELSE 1 END),
+                (CASE WHEN abs(bias) <= 0.1e0 THEN 'PASSED'
+                      WHEN abs(bias) <= 0.1e0*1.5e0 THEN 'WARNING'
+                      ELSE 'FAILED' END)
+         FROM e4
+         UNION ALL
+         SELECT l_suppkey, CAST(n AS BIGINT), 'residual_analysis', 'statistical',
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                skewness, kurtosis, autocorr_lag1,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                resissues,
+                (CASE WHEN resissues = 0 THEN 'PASSED'
+                      WHEN resissues <= 1 THEN 'WARNING' ELSE 'FAILED' END)
+         FROM e4
+         UNION ALL
+         SELECT l_suppkey, CAST(n AS BIGINT), 'business_rules', 'business',
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(nneg AS BIGINT), CAST(nextreme AS BIGINT), CAST(NULL AS BIGINT),
+                bizissues,
+                (CASE WHEN bizissues = 0 THEN 'PASSED'
+                      WHEN bizissues <= 2 THEN 'WARNING' ELSE 'FAILED' END)
+         FROM e4
+         UNION ALL
+         SELECT l_suppkey, CAST(n AS BIGINT), 'data_quality', 'data_quality',
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(missa + missp AS BIGINT),
+                dqissues,
+                (CASE WHEN dqissues = 0 THEN 'PASSED'
+                      WHEN dqissues <= 1 THEN 'WARNING' ELSE 'FAILED' END)
+         FROM e4"""
   )
 
   /** Shared Holt-Winters recursion (q191/q266): the withHoltWinters

@@ -301,6 +301,11 @@ object SmokeProbe {
       graft.model.Ensembles.weightedBlend(melted.withColumn("obs", col("qty_sum")),
         wts, Seq("scenario"), Seq("obs"), col("model"), col("pred"))
         .show(3, truncate = false)
+      graft.metrics.Validation.validateModel(scored, Seq("l_suppkey"),
+        col("qty_sum"), col("pred"), Seq(col("week_start")))
+        .orderBy("l_suppkey", "check_name")
+        .select("l_suppkey", "check_name", "n_issues", "result")
+        .show(10, truncate = false)
     }
 
     println("== entry() flagship pipeline (driver smoke contract) ==")
