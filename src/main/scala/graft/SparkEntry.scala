@@ -2095,8 +2095,40 @@ object SparkEntry {
         .filter(col("pred").isNotNull)
       graft.metrics.Validation.validateModel(t, Seq("l_suppkey"),
         col("qty_sum"), col("pred"), Seq(col("week_start")))
-    })
+    }),
+    // per-team leaderboard position report: the supplier "teams" are
+    // scored by their naive-forecast WMAPE (lower better), submissions
+    // = observed weeks; rank/zone/gap/achievability/recommended-target
+    // for EVERY team in one pass (leaderboard_analyzer.py:121-231)
+    "q273_leaderboard" -> ((s, d) =>
+      graft.operators.Leaderboard.positionReport(supplierBoard(s, d),
+        col("l_suppkey"), col("score"), col("n_weeks"))),
+    // one-row competition summary: score distribution, submission
+    // patterns and the competitive-intensity composite
+    // (leaderboard_analyzer.py:429-468)
+    "q274_competition" -> ((s, d) =>
+      graft.operators.Leaderboard.competitionSummary(supplierBoard(s, d),
+        col("l_suppkey"), col("score"), col("n_weeks")))
   )
+
+  /** Shared q273/q274 input: the supplier "leaderboard" — each
+    * supplier scored by the WMAPE of its naive lag-1 weekly forecast
+    * (fraction, lower better), submissions = its week count. */
+  private def supplierBoard(s: SparkSession, d: String): DataFrame = {
+    val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+      Seq(col("l_suppkey")), col("l_quantity"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+    weekly.withColumn("pred", r(lag(col("qty_sum"), 1).over(w)))
+      .filter(col("pred").isNotNull)
+      .withColumn("__a", r(col("qty_sum")))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_weeks"),
+        (sum(round(abs(col("__a") - col("pred")) * lit(1e4), 0)
+          .cast("decimal(38,0)")).cast("double") / lit(1e4)).as("__sad"),
+        (sum(round(abs(col("__a")) * lit(1e4), 0)
+          .cast("decimal(38,0)")).cast("double") / lit(1e4)).as("__saa"))
+      .withColumn("score", r(col("__sad") / (col("__saa") + lit(graft.functions.Funcs.Eps))))
+  }
 
   /** Target mix for q131: five named sources get explicit weights (the
     * others drop), half the corpus as the target budget. src0 is
@@ -7302,8 +7334,139 @@ object SparkEntry {
                 dqissues,
                 (CASE WHEN dqissues = 0 THEN 'PASSED'
                       WHEN dqissues <= 1 THEN 'WARNING' ELSE 'FAILED' END)
-         FROM e4"""
+         FROM e4""",
+    // q273: the per-team position report replayed — rank/percentile/
+    // zone windows, the reference's k-th-score-or-zero convention for
+    // top-3/10/25, rounded factor pipeline into the achievability and
+    // target ladders
+    "q273_leaderboard" -> (supplierBoardSql +
+      """,
+              rk AS (SELECT l_suppkey AS team, score, n_weeks AS submissions,
+                      CAST(row_number() OVER (ORDER BY score, l_suppkey) AS BIGINT) AS rank,
+                      count(*) OVER () AS total_teams,
+                      min(score) OVER () AS top_score,
+                      lag(score, 1) OVER (ORDER BY score, l_suppkey) AS prev
+                    FROM brd),
+              rk2 AS (SELECT *,
+                      CASE WHEN total_teams >= 3 THEN
+                        max(CASE WHEN rank = 3 THEN score END) OVER () ELSE 0.0e0 END AS s3,
+                      CASE WHEN total_teams >= 10 THEN
+                        max(CASE WHEN rank = 10 THEN score END) OVER () ELSE 0.0e0 END AS s10,
+                      CASE WHEN total_teams >= 25 THEN
+                        max(CASE WHEN rank = 25 THEN score END) OVER () ELSE 0.0e0 END AS s25,
+                      sum(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) OVER () AS n20,
+                      CAST(sum(CASE WHEN rank <= 20
+                        THEN CAST(round(score*1e4) AS HUGEINT) END) OVER () AS DOUBLE)/1e4 AS s20,
+                      CAST(sum(CASE WHEN rank <= 20
+                        THEN CAST(round(score*score*1e8) AS HUGEINT) END) OVER () AS DOUBLE)/1e8 AS ss20
+                    FROM rk),
+              e AS (SELECT *, CAST(total_teams AS DOUBLE) AS nd,
+                      (round(abs(score - s3)*1e4)/1e4 + 0.0e0) AS g3,
+                      (round(abs(score - s10)*1e4)/1e4 + 0.0e0) AS g10,
+                      (round(abs(score - s25)*1e4)/1e4 + 0.0e0) AS g25
+                    FROM rk2),
+              e2 AS (SELECT *,
+                      (round(((nd - rank + 1)/nd*100)*1e4)/1e4 + 0.0e0) AS percentile,
+                      CASE WHEN rank <= 3 THEN 'leader' WHEN rank <= 10 THEN 'contender'
+                           WHEN rank <= nd*0.5e0 THEN 'middle_pack'
+                           ELSE 'bottom' END AS competitive_zone,
+                      (round(abs(score - top_score)*1e4)/1e4 + 0.0e0) AS gap_to_top,
+                      (round((CASE WHEN rank > 1 THEN abs(score - prev)
+                        ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS gap_to_next,
+                      (round((g3*(1.0e0 + 0.05e0))*1e4)/1e4 + 0.0e0) AS i3,
+                      (round((g10*(1.0e0 + 0.05e0))*1e4)/1e4 + 0.0e0) AS i10,
+                      (round((g25*(1.0e0 + 0.05e0))*1e4)/1e4 + 0.0e0) AS i25,
+                      (round(greatest(score*0.05e0, 1.0e0)*1e4)/1e4 + 0.0e0) AS ib
+                    FROM e),
+              e3 AS (SELECT *,
+                      (i3 + i10 + i25 + ib)/4.0e0 AS avgimp,
+                      sqrt(greatest(ss20/n20 - pow(s20/n20, 2), 0.0e0)) AS std20
+                    FROM e2),
+              e4 AS (SELECT *,
+                      (round(greatest(0.1e0, 1.0e0 - rank/nd)*1e4)/1e4 + 0.0e0) AS posf,
+                      (round(greatest(0.1e0, 1.0e0/(1.0e0 + avgimp/10.0e0))*1e4)/1e4 + 0.0e0) AS impf,
+                      (round(least(1.0e0, std20/5.0e0)*1e4)/1e4 + 0.0e0) AS densf
+                    FROM e3),
+              e5 AS (SELECT *,
+                      (round(least(1.0e0, (posf + impf + densf)/3.0e0)*1e4)/1e4 + 0.0e0) AS achievability
+                    FROM e4)
+         SELECT team, score, rank, total_teams, percentile, competitive_zone,
+                gap_to_top, gap_to_next,
+                g3 AS gap_to_top_3, g10 AS gap_to_top_10, g25 AS gap_to_top_25,
+                i3 AS improve_top_3, i10 AS improve_top_10, i25 AS improve_top_25,
+                ib AS improve_baseline, achievability,
+                CAST(CASE WHEN achievability > 0.8e0 AND i3 < 3.0e0
+                       THEN least(3, rank - 1)
+                     WHEN achievability > 0.6e0 AND i10 < 5.0e0
+                       THEN least(10, rank - 2)
+                     WHEN achievability > 0.4e0
+                       THEN greatest(1, CAST(floor(rank*0.8e0) AS BIGINT))
+                     ELSE greatest(1, CAST(floor(rank*0.9e0) AS BIGINT))
+                     END AS BIGINT) AS recommended_target
+         FROM e5"""),
+    // q274: the one-row competition summary — rank-conditional
+    // micro-int sums, the reference's n-gates (top-10 range at 10,
+    // density at 20, intensity fallback 0.5 under 10 teams)
+    "q274_competition" -> (supplierBoardSql +
+      """,
+              rk AS (SELECT *, row_number() OVER (ORDER BY score, l_suppkey) AS rank
+                    FROM brd),
+              a AS (SELECT count(*) AS n_teams,
+                      CAST(sum(CAST(round(score*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS s,
+                      CAST(sum(CAST(round(score*score*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS ss,
+                      min(score) AS mn, max(score) AS mx,
+                      sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS n10,
+                      min(CASE WHEN rank <= 10 THEN score END) AS mn10,
+                      max(CASE WHEN rank <= 10 THEN score END) AS mx10,
+                      CAST(sum(CASE WHEN rank <= 10
+                        THEN CAST(round(score*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS s10,
+                      CAST(sum(CASE WHEN rank <= 10
+                        THEN CAST(round(score*score*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS ss10,
+                      sum(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) AS n20,
+                      CAST(sum(CASE WHEN rank <= 20
+                        THEN CAST(round(score*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS sc20,
+                      CAST(sum(CASE WHEN rank <= 20
+                        THEN CAST(round(score*score*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS ssc20,
+                      sum(CASE WHEN rank <= 20 THEN n_weeks ELSE 0 END) AS sub20,
+                      sum(n_weeks) AS subs, max(n_weeks) AS max_submissions,
+                      corr(rank, n_weeks) AS eff
+                    FROM rk)
+         SELECT n_teams,
+                (round((s/n_teams)*1e4)/1e4 + 0.0e0) AS mean_score,
+                (round(sqrt(greatest(ss/n_teams - pow(s/n_teams, 2), 0.0e0))*1e4)/1e4
+                  + 0.0e0) AS std_score,
+                (round((mx - mn)*1e4)/1e4 + 0.0e0) AS score_range,
+                (round((CASE WHEN n_teams >= 10 THEN mx10 - mn10
+                  ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS top_10_range,
+                (round((CASE WHEN n_teams >= 20 THEN
+                  sqrt(greatest(ssc20/n20 - pow(sc20/n20, 2), 0.0e0))
+                  ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS competitive_density,
+                (round((CAST(subs AS DOUBLE)/n_teams)*1e4)/1e4 + 0.0e0) AS avg_submissions,
+                CAST(max_submissions AS BIGINT) AS max_submissions,
+                (round((coalesce(CASE WHEN n_teams > 1 THEN eff END, 0.0e0))*1e4)/1e4
+                  + 0.0e0) AS submission_efficiency,
+                (round((CASE WHEN n_teams < 10 THEN 0.5e0
+                  ELSE least(1.0e0,
+                    1.0e0/((round((ss10/n10 - pow(s10/n10, 2))*1e8)/1e8 + 0.0e0) + 0.001e0)*0.1e0
+                    + (CAST(sub20 AS DOUBLE)/n20)/10.0e0) END)*1e4)/1e4 + 0.0e0) AS competitive_intensity
+         FROM a""")
   )
+
+  /** Shared q273/q274 board CTE: per-supplier naive-forecast WMAPE
+    * score + week count, mirroring [[supplierBoard]] term for term. */
+  private lazy val supplierBoardSql: String =
+    """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
+                      sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+              b0 AS (SELECT l_suppkey, (round(q*1e4)/1e4 + 0.0e0) AS a,
+                      (round((lag(q,1) OVER (PARTITION BY l_suppkey ORDER BY ws))*1e4)/1e4
+                        + 0.0e0) AS pred
+                    FROM w),
+              brd AS (SELECT l_suppkey, count(*) AS n_weeks,
+                      (round(((CAST(sum(CAST(round(abs(a - pred)*1e4) AS HUGEINT)) AS DOUBLE)/1e4)
+                        /((CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4) + 1e-8))*1e4)/1e4
+                        + 0.0e0) AS score
+                    FROM b0 WHERE pred IS NOT NULL GROUP BY 1)"""
 
   /** Shared Holt-Winters recursion (q191/q266): the withHoltWinters
     * fold unrolled as a recursive CTE carrying the full 4-slot season

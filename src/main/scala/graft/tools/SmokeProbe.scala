@@ -306,6 +306,18 @@ object SmokeProbe {
         .orderBy("l_suppkey", "check_name")
         .select("l_suppkey", "check_name", "n_issues", "result")
         .show(10, truncate = false)
+      val board = scored.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_weeks"),
+          graft.functions.Funcs.r(sum(abs(col("qty_sum") - col("pred"))) /
+            (sum(abs(col("qty_sum"))) + lit(1e-8))).as("score"))
+      graft.operators.Leaderboard.positionReport(board, col("l_suppkey"),
+        col("score"), col("n_weeks"))
+        .orderBy("rank")
+        .select("team", "score", "rank", "competitive_zone", "gap_to_next",
+          "achievability", "recommended_target")
+        .show(5, truncate = false)
+      graft.operators.Leaderboard.competitionSummary(board, col("l_suppkey"),
+        col("score"), col("n_weeks")).show(truncate = false)
     }
 
     println("== entry() flagship pipeline (driver smoke contract) ==")
