@@ -2108,7 +2108,27 @@ object SparkEntry {
     // (leaderboard_analyzer.py:429-468)
     "q274_competition" -> ((s, d) =>
       graft.operators.Leaderboard.competitionSummary(supplierBoard(s, d),
-        col("l_suppkey"), col("score"), col("n_weeks")))
+        col("l_suppkey"), col("score"), col("n_weeks"))),
+    // model-health report per return flag: current (1996+) slice vs
+    // reference, REAL KS drift scores where the reference stubs
+    // literals, weighted health composite + alert/warning flags
+    // (model_diagnostics.py:757-963)
+    "q275_health_report" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val q = col("l_quantity")
+      val t = li(s, d)
+        .withColumn("pred", r(avg(q).over(wg)))
+        .withColumn("__n", count(lit(1)).over(wg).cast("double"))
+        .withColumn("__sq", sum(q).over(wg))
+        .withColumn("__sqq", sum(q * q).over(wg))
+        .withColumn("unc", r(when(col("__n") > 1,
+          sqrt((col("__n") * col("__sqq") - col("__sq") * col("__sq")) /
+            (col("__n") * (col("__n") - 1))))))
+        .filter(col("unc").isNotNull)
+      graft.metrics.Diagnostics.healthReport(t, Seq("l_returnflag"), q,
+        col("pred"), col("unc"),
+        col("l_shipdate") >= lit("1996-01-01").cast("date"))
+    })
   )
 
   /** Shared q273/q274 input: the supplier "leaderboard" — each
@@ -7449,7 +7469,121 @@ object SparkEntry {
                   ELSE least(1.0e0,
                     1.0e0/((round((ss10/n10 - pow(s10/n10, 2))*1e8)/1e8 + 0.0e0) + 0.001e0)*0.1e0
                     + (CAST(sub20 AS DOUBLE)/n20)/10.0e0) END)*1e4)/1e4 + 0.0e0) AS competitive_intensity
-         FROM a""")
+         FROM a"""),
+    // q275: the health composite replayed — q260's uncertainty frame,
+    // q269's KS device feeding the REAL drift scores, micro-int error
+    // sums, every component rounded before the weighted combination
+    "q275_health_report" ->
+      """WITH gg AS (SELECT l_returnflag, l_quantity,
+                      CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS cur,
+                      (round((avg(l_quantity) OVER pw)*1e4)/1e4 + 0.0e0) AS pred,
+                      CAST(count(*) OVER pw AS DOUBLE) AS pn,
+                      sum(l_quantity) OVER pw AS psq,
+                      sum(l_quantity*l_quantity) OVER pw AS psqq
+                    FROM lineitem
+                    WINDOW pw AS (PARTITION BY l_partkey, l_suppkey)),
+              u AS (SELECT l_returnflag, cur,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS a, pred AS p,
+                      (round((CASE WHEN pn > 1
+                        THEN sqrt((pn*psqq - psq*psq)/(pn*(pn - 1))) END)*1e4)/1e4 + 0.0e0) AS uu
+                    FROM gg),
+              f AS (SELECT * FROM u WHERE uu IS NOT NULL),
+              g AS (SELECT l_returnflag,
+                      CAST(sum(cur) AS BIGINT) AS n_cur,
+                      CAST(sum(1 - cur) AS BIGINT) AS n_ref,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(abs(a-p)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(abs(a)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS saa,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(a*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS sa,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(a*a*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS saa2,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round((a-p)*(a-p)*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS sse,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(p*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS sp,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(p*p*1e8) AS HUGEINT) END) AS DOUBLE)/1e8 AS spp,
+                      CAST(sum(CASE WHEN cur = 1 THEN CAST(round(abs(p)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS sap,
+                      sum(CASE WHEN cur = 1 AND a >= p - 1.96e0*uu AND a <= p + 1.96e0*uu
+                        THEN 1 ELSE 0 END) AS cov,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(abs(a-p)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS rsad,
+                      CAST(sum(CASE WHEN cur = 0 THEN CAST(round(abs(a)*1e4) AS HUGEINT) END) AS DOUBLE)/1e4 AS rsaa
+                    FROM f GROUP BY 1),
+              m AS (SELECT l_returnflag, cur, 'target' AS channel, a AS value FROM f
+                    UNION ALL
+                    SELECT l_returnflag, cur, 'residual',
+                      (round((a - p)*1e4)/1e4 + 0.0e0) FROM f),
+              s AS (SELECT l_returnflag, channel, value, sum(cur) np, sum(1 - cur) nn
+                    FROM m GROUP BY 1,2,3),
+              d AS (SELECT *, sum(np) OVER c AS cp, sum(nn) OVER c AS cn,
+                      sum(np) OVER a2 AS tp, sum(nn) OVER a2 AS tn
+                    FROM s
+                    WINDOW c AS (PARTITION BY l_returnflag, channel ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           a2 AS (PARTITION BY l_returnflag, channel
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+              ksx AS (SELECT l_returnflag, channel,
+                      (round(max(abs(cp/tp - cn/tn))*1e4)/1e4 + 0.0e0) AS ks
+                    FROM d GROUP BY 1,2),
+              dsc AS (SELECT l_returnflag, channel,
+                      (round((CASE WHEN ks > 0.1e0 THEN ks ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS dscore
+                    FROM ksx),
+              dr AS (SELECT l_returnflag,
+                      max(CASE WHEN channel = 'residual' THEN dscore END) AS concept_drift_score,
+                      max(CASE WHEN channel = 'target' THEN dscore END) AS data_drift_score
+                    FROM dsc GROUP BY 1),
+              j0 AS (SELECT g.*, dr.concept_drift_score, dr.data_drift_score,
+                      CAST(n_cur AS DOUBLE) AS n
+                    FROM g JOIN dr USING (l_returnflag)),
+              j1 AS (SELECT *,
+                      (round((sad/(saa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape,
+                      saa2 - n*(sa/n)*(sa/n) AS sst,
+                      sqrt(greatest(spp/n - pow(sp/n, 2), 0.0e0))/(sap/n + 1e-8) AS cvp
+                    FROM j0),
+              j2 AS (SELECT *,
+                      (round((CASE WHEN n_cur < 2 THEN 1.0e0
+                        ELSE greatest(0.0e0, 1.0e0 - cvp) END)*1e4)/1e4 + 0.0e0) AS prediction_stability,
+                      (round((cov/n)*1e4)/1e4 + 0.0e0) AS coverage,
+                      (round(greatest(0.0e0, 100 - wmape)*1e4)/1e4 + 0.0e0) AS business_impact_score,
+                      (CASE WHEN n_ref > 0 THEN
+                        round((rsad/(rsaa + 1e-8)*100)*1e4)/1e4 + 0.0e0 END) AS reference_wmape
+                    FROM j1),
+              j3 AS (SELECT *,
+                      (round((greatest(0.0e0,
+                        100 - (round(abs(coverage - 0.95e0)*1e4)/1e4 + 0.0e0)*200)/100.0e0)*1e4)/1e4
+                        + 0.0e0) AS calibration_score,
+                      (CASE WHEN reference_wmape > 0 THEN
+                        round(((wmape - reference_wmape)/reference_wmape)*1e4)/1e4 + 0.0e0 END) AS degradation
+                    FROM j2),
+              j4 AS (SELECT *,
+                      (round((business_impact_score*0.4e0
+                        + (prediction_stability + 1.0e0)*50.0e0*0.2e0
+                        + calibration_score*100.0e0*0.15e0
+                        + business_impact_score*0.25e0
+                        - (concept_drift_score + data_drift_score)*50.0e0*0.1e0)*1e4)/1e4
+                        + 0.0e0) AS raw
+                    FROM j3),
+              j5 AS (SELECT *,
+                      (round(greatest(0.0e0, least(100.0e0,
+                        CASE WHEN degradation IS NOT NULL AND degradation > 0.2e0
+                          THEN raw*0.8e0 ELSE raw END))*1e4)/1e4 + 0.0e0) AS health_score
+                    FROM j4),
+              j6 AS (SELECT *,
+                      (CASE WHEN degradation IS NOT NULL AND degradation > 0.2e0 THEN 1 ELSE 0 END) AS alert_degradation,
+                      (CASE WHEN concept_drift_score > 0.05e0 THEN 1 ELSE 0 END) AS alert_drift,
+                      (CASE WHEN health_score < 70 THEN 1 ELSE 0 END) AS alert_low_health,
+                      (CASE WHEN wmape > 30 THEN 1 ELSE 0 END) AS alert_high_error,
+                      (CASE WHEN prediction_stability < 0.7e0 THEN 1 ELSE 0 END) AS warn_low_stability,
+                      (CASE WHEN wmape > 20 AND wmape <= 30 THEN 1 ELSE 0 END) AS warn_elevated_error
+                    FROM j5)
+         SELECT l_returnflag, n_cur, n_ref, wmape,
+                (round((sad/n)*1e4)/1e4 + 0.0e0) AS mae,
+                (round(sqrt(sse/n)*1e4)/1e4 + 0.0e0) AS rmse,
+                (CASE WHEN sst > 0 THEN round((1 - sse/sst)*1e4)/1e4 + 0.0e0 END) AS r2,
+                prediction_stability,
+                1.0e0 AS feature_importance_stability,
+                calibration_score, concept_drift_score, data_drift_score,
+                business_impact_score, reference_wmape, degradation, health_score,
+                alert_degradation, alert_drift, alert_low_health, alert_high_error,
+                warn_low_stability, warn_elevated_error,
+                (alert_degradation + alert_drift + alert_low_health + alert_high_error) AS n_alerts,
+                (warn_low_stability + warn_elevated_error) AS n_warnings
+         FROM j6"""
   )
 
   /** Shared q273/q274 board CTE: per-supplier naive-forecast WMAPE

@@ -318,6 +318,15 @@ object SmokeProbe {
         .show(5, truncate = false)
       graft.operators.Leaderboard.competitionSummary(board, col("l_suppkey"),
         col("score"), col("n_weeks")).show(truncate = false)
+      graft.metrics.Diagnostics.healthReport(
+        li.withColumn("pred", graft.functions.Funcs.r(avg(col("l_quantity"))
+          .over(Window.partitionBy(col("l_partkey"))))).withColumn("unc", lit(5.0)),
+        Seq("l_returnflag"), col("l_quantity"), col("pred"), col("unc"),
+        col("l_shipdate") >= lit("1996-01-01").cast("date"))
+        .orderBy("l_returnflag")
+        .select("l_returnflag", "wmape", "prediction_stability", "health_score",
+          "n_alerts", "n_warnings")
+        .show(truncate = false)
     }
 
     println("== entry() flagship pipeline (driver smoke contract) ==")

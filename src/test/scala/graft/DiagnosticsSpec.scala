@@ -104,6 +104,55 @@ class DiagnosticsSpec extends SparkSpec {
     assert(perf.getAs[Double]("drift_score") > 0.2)
   }
 
+  test("healthReport: healthy model scores the hand composite") {
+    // perfect predictions in both slices, wide intervals: acc 100,
+    // stability 1, calib (100 − 0.05·200)/100 = 0.9, zero drift →
+    // health = 40 + 20 + 13.5 + 25 = 98.5; no alerts or warnings
+    val rows = for (cur <- Seq(0, 1); i <- 1 to 20)
+      yield ("g", cur, 10.0 + (i % 3), 10.0 + (i % 3), 5.0)
+    val row = Diagnostics.healthReport(rows.toDF("g", "cur", "a", "p", "u"),
+      Seq("g"), col("a"), col("p"), col("u"), col("cur") === 1)
+      .collect().head
+    assert(row.getAs[Double]("wmape") == 0.0)
+    assert(row.getAs[Double]("prediction_stability") > 0.9)
+    assert(row.getAs[Double]("calibration_score") == 0.9)
+    assert(row.getAs[Double]("concept_drift_score") == 0.0)
+    assert(row.getAs[Double]("data_drift_score") == 0.0)
+    assert(row.getAs[Int]("n_alerts") == 0)
+    assert(row.getAs[Int]("n_warnings") == 0)
+    // stability is 1 − cv of the period-3 prediction pattern, not
+    // exactly 1 — recompute the composite from the emitted parts
+    val expected = 100.0 * 0.4 +
+      (row.getAs[Double]("prediction_stability") + 1.0) * 50 * 0.2 +
+      0.9 * 100 * 0.15 + 100.0 * 0.25
+    assert(math.abs(row.getAs[Double]("health_score") - expected) < 1e-9)
+  }
+
+  test("healthReport: degradation, drift and high error all alert") {
+    // reference slice: small error (wmape ~9.5%); current: shifted
+    // target (KS D = 1 both channels) and wmape ~36% → degradation
+    // > 0.2 (×0.8 penalty), drift alert, high-error alert
+    val ref = (1 to 20).map(i => ("g", 0, i.toDouble, i - 1.0, 100.0))
+    val cur = (1 to 20).map(i => ("g", 1, i + 100.0, i + 60.0, 100.0))
+    val row = Diagnostics.healthReport((ref ++ cur).toDF("g", "cur", "a", "p", "u"),
+      Seq("g"), col("a"), col("p"), col("u"), col("cur") === 1)
+      .collect().head
+    assert(row.getAs[Double]("concept_drift_score") == 1.0)
+    assert(row.getAs[Double]("data_drift_score") == 1.0)
+    assert(row.getAs[Double]("wmape") > 30)
+    assert(row.getAs[Double]("degradation") > 0.2)
+    assert(row.getAs[Int]("alert_degradation") == 1)
+    assert(row.getAs[Int]("alert_drift") == 1)
+    assert(row.getAs[Int]("alert_high_error") == 1)
+    assert(row.getAs[Int]("n_alerts") >= 3)
+    // the ×0.8 penalty applies to the rounded raw composite
+    val raw = row.getAs[Double]("business_impact_score") * 0.25 +
+      (100.0 - row.getAs[Double]("wmape")) * 0.4 +
+      (row.getAs[Double]("prediction_stability") + 1.0) * 50 * 0.2 +
+      row.getAs[Double]("calibration_score") * 100 * 0.15 - 2.0 * 50 * 0.1
+    assert(row.getAs[Double]("health_score") <= raw)
+  }
+
   test("importanceStability: identity vector is perfectly stable") {
     val df = Seq(("f1", 0.5, 0.5), ("f2", 0.3, 0.3), ("f3", 0.2, 0.2))
       .toDF("f", "b", "c")
