@@ -32,7 +32,10 @@ object Bench {
     "q253_ma1_fit", "q254_sari_forecast", "q255_arma_fit",
     "q259_champion", "q260_wmape_calibration", "q261_bootstrap",
     "q262_quantile_reg", "q263_pq_codes", "q264_pq_adc",
-    "q265_sketch_distinct", "q266_hw_forecast", "q267_champion_blend")
+    "q265_sketch_distinct", "q266_hw_forecast", "q267_champion_blend",
+    "q268_quality_scorecard", "q269_drift_report", "q270_importance_stability",
+    "q271_model_weights", "q272_validation", "q273_leaderboard",
+    "q274_competition", "q275_health_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -146,13 +146,18 @@ object Diagnostics {
     * max(0, change) as at :239.
     *
     * Execution shape: the channel melt is a per-row explode
-    * (projection, no shuffle); the KS leg collapses immediately to the
-    * (group, channel, distinct value) grain with one hash-aggregate,
-    * the moment leg is a second aggregate on (group, channel), and the
-    * join between them is channel-grain tiny. At 100 TB pre-bucket
-    * continuous channels (Eval scale note) so the KS grain stays
-    * bounded.
-    */
+    * (projection, no shuffle); ONE hash-aggregate collapses it to the
+    * (group, channel, distinct value) grain carrying the per-value
+    * slice counts, and BOTH the KS cumulative-CDF windows and the
+    * slice moments (exact micro-int value sums weighted by the counts
+    * — identical integers to per-row accumulation) ride that tiny
+    * grain on the same (group, channel) partitioning, so the fact is
+    * scanned once for all channels. Per-value weighted products
+    * accumulate as long×count inside decimal(38,0) (exact while
+    * micro(value²)·count(value) stays under 2⁶³ — satisfied to ~1e6
+    * rows per distinct value at value ≤ 1e4; pre-bucket continuous
+    * channels per the Eval scale note, which also bounds the grain).
+    * The performance leg is its own single aggregate over the fact. */
   def driftReport(df: DataFrame, groupCols: Seq[String],
                   channels: Seq[(String, Column)], isCurrent: Column,
                   actual: Column, pred: Column,
@@ -166,21 +171,37 @@ object Diagnostics {
       explode(array(entries: _*)).as("__e")): _*)
       .select(keys ++ Seq(col("__e.channel").as("channel"),
         col("__e.value").as("value"), col("__cur")): _*)
-    val ks = Eval.ks(melted, col("value"), col("__cur"),
-      groupCols :+ "channel")
-      .select(keys ++ Seq(col("channel"), col("ks").as("ks_stat")): _*)
-    def sliceStat(curSide: Int, c: Column): Column =
-      when(col("__cur") === curSide, c).otherwise(lit(null))
-    val moments = melted.groupBy(keys :+ col("channel"): _*).agg(
-      sum(lit(1L) - col("__cur")).as("n_ref"),
-      sum(col("__cur").cast("long")).as("n_cur"),
-      microSum(sliceStat(0, col("value"))).as("__rs"),
-      microSumSq(sliceStat(0, col("value"))).as("__rss"),
-      microSum(sliceStat(1, col("value"))).as("__cs"),
-      microSumSq(sliceStat(1, col("value"))).as("__css"))
+    val grain = melted.groupBy(keys ++ Seq(col("channel"), col("value")): _*)
+      .agg(sum(col("__cur").cast("long")).as("np"),
+        sum(lit(1L) - col("__cur")).as("nn"))
+    val pAll = Window.partitionBy(keys :+ col("channel"): _*)
+    val cum = pAll.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def wSum(weight: Column, micro: Column, scale: Double): Column =
+      sum((micro.cast("long") * weight).cast("decimal(38,0)")).over(pAll)
+        .cast("double") / lit(scale)
+    val withCdf = grain
+      .withColumn("__cp", sum(col("np")).over(cum))
+      .withColumn("__cn", sum(col("nn")).over(cum))
+      .withColumn("__tp", sum(col("np")).over(pAll))
+      .withColumn("__tn", sum(col("nn")).over(pAll))
+      .withColumn("__rs", wSum(col("nn"), round(col("value") * lit(1e4), 0), 1e4))
+      .withColumn("__rss",
+        wSum(col("nn"), round(col("value") * col("value") * lit(1e8), 0), 1e8))
+      .withColumn("__cs", wSum(col("np"), round(col("value") * lit(1e4), 0), 1e4))
+      .withColumn("__css",
+        wSum(col("np"), round(col("value") * col("value") * lit(1e8), 0), 1e8))
+      .withColumn("diff",
+        abs(col("__cp") / col("__tp") - col("__cn") / col("__tn")))
+      .withColumn("__mx", max(col("diff")).over(pAll))
     def popSd(s: Column, ss: Column, n: Column): Column =
       r(sqrt(greatest(ss / n - pow(s / n, 2), lit(0.0))))
-    val valueRows = moments.join(ks, groupCols :+ "channel")
+    val valueRows = withCdf.filter(col("diff") === col("__mx"))
+      .groupBy(keys :+ col("channel"): _*)
+      .agg(first(col("__tn")).as("n_ref"), first(col("__tp")).as("n_cur"),
+        r(max(col("diff"))).as("ks_stat"),
+        first(col("__rs")).as("__rs"), first(col("__rss")).as("__rss"),
+        first(col("__cs")).as("__cs"), first(col("__css")).as("__css"))
       .withColumn("ref_mean", r(col("__rs") / col("n_ref")))
       .withColumn("cur_mean", r(col("__cs") / col("n_cur")))
       .withColumn("mean_change", r(abs(col("cur_mean") - col("ref_mean"))))
@@ -194,6 +215,8 @@ object Diagnostics {
     val outCols = Seq(col("channel"), col("n_ref"), col("n_cur"),
       col("ks_stat"), col("ref_mean"), col("cur_mean"), col("mean_change"),
       col("std_change"), col("drift_detected"), col("drift_score"))
+    def sliceStat(curSide: Int, c: Column): Column =
+      when(col("__cur") === curSide, c).otherwise(lit(null))
     val perf = df.select(keys ++ Seq(isCurrent.cast("int").as("__cur"),
       r(actual).as("__a"), r(pred).as("__p")): _*)
       .groupBy(keys: _*).agg(
