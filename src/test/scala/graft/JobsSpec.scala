@@ -99,4 +99,27 @@ class JobsSpec extends SparkSpec {
         .filter(col("count") =!= 1).count() == 0)
     } finally out.unpersist()
   }
+
+  test("competitiveSubmission: zone factor shifts the shipped totals") {
+    // board where our score 0.5 is rank 1 of 12 → leader → ×1.01;
+    // board where our 5.0 is rank 4 (three scores below) with the 3rd
+    // score 0.4 away → ×0.98. Same forecasts underneath, so the
+    // aggressive total must come in at or below the conservative one.
+    val far = (1 to 12).map(i => (s"t$i", i * 10.0)).toDF("team", "score")
+    val near = (Seq(4.0, 4.3, 4.6) ++ (4 to 12).map(_ + 6.0)).zipWithIndex
+      .map { case (s, i) => (s"t$i", s) }.toDF("team", "score")
+    val t1 = java.nio.file.Files.createTempDirectory("graft_comp1").toString
+    val t2 = java.nio.file.Files.createTempDirectory("graft_comp2").toString
+    val lead = graft.app.Jobs.competitiveSubmission(spark, dir, t1, far, 0.5)
+    val aggr = graft.app.Jobs.competitiveSubmission(spark, dir, t2, near, 5.0)
+    val leadTotal = lead.agg(sum(col("quantidade"))).collect().head.getLong(0)
+    val aggrTotal = aggr.agg(sum(col("quantidade"))).collect().head.getLong(0)
+    assert(lead.filter(col("quantidade") < 0).count() == 0)
+    assert(leadTotal > 0 && aggrTotal > 0)
+    // ×0.98 vs ×1.01 on identical pre-adjustment grids
+    assert(aggrTotal <= leadTotal)
+    // both validate through the submission contract (isValid ran in
+    // the job); structural sanity on the shipped grid
+    assert(lead.columns.toSeq == Seq("semana", "pdv", "produto", "quantidade"))
+  }
 }
