@@ -35,7 +35,8 @@ object Bench {
     "q265_sketch_distinct", "q266_hw_forecast", "q267_champion_blend",
     "q268_quality_scorecard", "q269_drift_report", "q270_importance_stability",
     "q271_model_weights", "q272_validation", "q273_leaderboard",
-    "q274_competition", "q275_health_report")
+    "q274_competition", "q275_health_report", "q276_kneser_ney",
+    "q277_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

