@@ -2125,6 +2125,19 @@ object SparkEntry {
     "q274_competition" -> ((s, d) =>
       graft.operators.Leaderboard.competitionSummary(supplierBoard(s, d),
         col("l_suppkey"), col("score"), col("n_weeks"))),
+    // systematic-bias detector per return flag: overall stats + t and
+    // Wilcoxon signed-rank statistics, linestatus/month dimensional
+    // bias with the 2·std/√n gate, monthly-bias OLS trend
+    // (error_analysis.py:467-610, the Phase-5 requirement)
+    "q278_systematic_bias" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val t = li(s, d).withColumn("pred",
+        r(avg(col("l_quantity")).over(wg)))
+      graft.metrics.BiasAnalysis.systematicBias(t, Seq("l_returnflag"),
+        Seq("linestatus" -> col("l_linestatus"),
+          "month" -> date_format(col("l_shipdate"), "yyyy-MM")),
+        col("l_quantity"), col("pred"), trendDim = Some("month"))
+    }),
     // model-health report per return flag: current (1996+) slice vs
     // reference, REAL KS drift scores where the reference stubs
     // literals, weighted health composite + alert/warning flags
@@ -7483,6 +7496,132 @@ object SparkEntry {
                     1.0e0/((round((ss10/n10 - pow(s10/n10, 2))*1e8)/1e8 + 0.0e0) + 0.001e0)*0.1e0
                     + (CAST(sub20 AS DOUBLE)/n20)/10.0e0) END)*1e4)/1e4 + 0.0e0) AS competitive_intensity
          FROM a"""),
+    // q278: the bias detector replayed — three explicit grains instead
+    // of GROUPING SETS (same integers), the doubled-rank signed-rank
+    // device, rounded stats into every gate, the month-grain OLS trend
+    "q278_systematic_bias" ->
+      """WITH gg AS (SELECT l_returnflag, l_linestatus AS linestatus,
+                      strftime(l_shipdate, '%Y-%m') AS month,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS a,
+                      (round((l_quantity -
+                        (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4
+                          + 0.0e0))*1e4)/1e4 + 0.0e0) AS e
+                    FROM lineitem),
+              st AS (SELECT l_returnflag,
+                      CAST(NULL AS VARCHAR) AS dimension, CAST(NULL AS VARCHAR) AS segment,
+                      count(*) AS n,
+                      CAST(sum(CAST(round(e*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS s,
+                      CAST(sum(CAST(round(e*e*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS ss,
+                      quantile_cont(e, 0.5) AS med,
+                      CAST(sum(CAST(round(a*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sa,
+                      sum(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS nneg,
+                      sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS npos
+                    FROM gg GROUP BY 1
+                    UNION ALL
+                    SELECT l_returnflag, 'linestatus', linestatus, count(*),
+                      CAST(sum(CAST(round(e*1e4) AS HUGEINT)) AS DOUBLE)/1e4,
+                      CAST(sum(CAST(round(e*e*1e8) AS HUGEINT)) AS DOUBLE)/1e8,
+                      quantile_cont(e, 0.5),
+                      CAST(sum(CAST(round(a*1e4) AS HUGEINT)) AS DOUBLE)/1e4,
+                      sum(CASE WHEN e < 0 THEN 1 ELSE 0 END),
+                      sum(CASE WHEN e > 0 THEN 1 ELSE 0 END)
+                    FROM gg GROUP BY 1, 3
+                    UNION ALL
+                    SELECT l_returnflag, 'month', month, count(*),
+                      CAST(sum(CAST(round(e*1e4) AS HUGEINT)) AS DOUBLE)/1e4,
+                      CAST(sum(CAST(round(e*e*1e8) AS HUGEINT)) AS DOUBLE)/1e8,
+                      quantile_cont(e, 0.5),
+                      CAST(sum(CAST(round(a*1e4) AS HUGEINT)) AS DOUBLE)/1e4,
+                      sum(CASE WHEN e < 0 THEN 1 ELSE 0 END),
+                      sum(CASE WHEN e > 0 THEN 1 ELSE 0 END)
+                    FROM gg GROUP BY 1, 3),
+              base AS (SELECT l_returnflag, dimension, segment, n,
+                      CAST(n AS DOUBLE) AS nd,
+                      (round((s/n)*1e4)/1e4 + 0.0e0) AS mean_bias,
+                      (round(med*1e4)/1e4 + 0.0e0) AS median_bias,
+                      (CASE WHEN n > 1 THEN
+                        round(sqrt(greatest((ss - s*s/n)/(n - 1), 0.0e0))*1e4)/1e4 + 0.0e0
+                        END) AS std_bias,
+                      (round((CASE WHEN sa <> 0 THEN (s/n)/(sa/n)*100 ELSE 0.0e0 END)*1e4)/1e4
+                        + 0.0e0) AS bias_pct,
+                      (round((nneg/CAST(n AS DOUBLE)*100)*1e4)/1e4 + 0.0e0) AS pct_over,
+                      (round((npos/CAST(n AS DOUBLE)*100)*1e4)/1e4 + 0.0e0) AS pct_under
+                    FROM st),
+              nz AS (SELECT l_returnflag, e,
+                      CAST(2*rank() OVER (PARTITION BY l_returnflag ORDER BY abs(e))
+                        + count(*) OVER (PARTITION BY l_returnflag, abs(e)) - 1 AS BIGINT) AS r2
+                    FROM gg WHERE e <> 0),
+              wx AS (SELECT l_returnflag,
+                      (round((CAST(least(sum(CASE WHEN e > 0 THEN r2 ELSE 0 END),
+                        sum(r2) - sum(CASE WHEN e > 0 THEN r2 ELSE 0 END)) AS DOUBLE)/2.0e0)*1e4)/1e4
+                        + 0.0e0) AS wilcoxon_w
+                    FROM nz GROUP BY 1),
+              ov AS (SELECT b.l_returnflag, 'overall' AS section,
+                      b.dimension, b.segment, b.n, b.mean_bias, b.median_bias,
+                      b.std_bias, b.bias_pct, b.pct_over, b.pct_under,
+                      (CASE WHEN b.n > 10 AND b.std_bias > 0 THEN
+                        round((b.mean_bias/(b.std_bias/sqrt(b.nd)))*1e4)/1e4 + 0.0e0
+                        END) AS t_stat,
+                      (CASE WHEN b.n > 10 THEN w.wilcoxon_w END) AS wilcoxon_w,
+                      (CASE WHEN abs(b.bias_pct) > 10 THEN 'High'
+                            WHEN abs(b.bias_pct) > 5 THEN 'Medium'
+                            ELSE 'Low' END) AS severity,
+                      (CASE WHEN b.mean_bias < 0 THEN 'Overestimate'
+                            ELSE 'Underestimate' END) AS direction
+                    FROM base b LEFT JOIN wx w USING (l_returnflag)
+                    WHERE b.dimension IS NULL),
+              ov2 AS (SELECT *,
+                      (CASE WHEN coalesce(abs(t_stat) > 1.96e0, FALSE)
+                            OR abs(bias_pct) > 5 THEN 1 ELSE 0 END) AS sig_flag
+                    FROM ov),
+              dm AS (SELECT l_returnflag, 'dimension' AS section, dimension, segment,
+                      n, mean_bias, median_bias, std_bias, bias_pct, pct_over, pct_under,
+                      (CASE WHEN std_bias IS NOT NULL AND std_bias > 0 AND n > 1
+                            AND abs(mean_bias) > 2.0e0*(std_bias/sqrt(nd))
+                        THEN 1 ELSE 0 END) AS sig_flag,
+                      (CASE WHEN row_number() OVER (PARTITION BY l_returnflag, dimension
+                          ORDER BY abs(mean_bias) DESC, segment ASC) = 1
+                        THEN 1 ELSE 0 END) AS is_max_segment
+                    FROM base WHERE dimension IS NOT NULL),
+              tp AS (SELECT l_returnflag, mean_bias AS y,
+                      CAST(row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY segment) - 1 AS DOUBLE) AS x
+                    FROM base WHERE dimension = 'month'),
+              tg AS (SELECT l_returnflag, count(*) AS n,
+                      sum(x) AS sx,
+                      CAST(sum(CAST(round(y*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sy,
+                      CAST(sum(CAST(round(x*y*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sxy,
+                      sum(x*x) AS sxx,
+                      CAST(sum(CAST(round(y*y*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS syy
+                    FROM tp GROUP BY 1),
+              tr AS (SELECT l_returnflag, n,
+                      (round(((sxy - sx*sy/nd)/(sxx - sx*sx/nd))*1e4)/1e4 + 0.0e0) AS trend_slope,
+                      (round((CASE WHEN (syy - sy*sy/nd) > 0 THEN
+                        (sxy - sx*sy/nd)*(sxy - sx*sy/nd)
+                          /((sxx - sx*sx/nd)*(syy - sy*sy/nd))
+                        ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS trend_r2
+                    FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM tg) WHERE n > 2)
+         SELECT l_returnflag, section, dimension, segment, CAST(n AS BIGINT) AS n_rows,
+                mean_bias, median_bias, std_bias, bias_pct, pct_over, pct_under,
+                t_stat, wilcoxon_w, sig_flag, CAST(NULL AS INTEGER) AS is_max_segment,
+                severity, direction, CAST(NULL AS DOUBLE) AS trend_slope,
+                CAST(NULL AS DOUBLE) AS trend_r2
+         FROM ov2
+         UNION ALL
+         SELECT l_returnflag, section, dimension, segment, CAST(n AS BIGINT),
+                mean_bias, median_bias, std_bias, bias_pct, pct_over, pct_under,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), sig_flag, is_max_segment,
+                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM dm
+         UNION ALL
+         SELECT l_returnflag, 'trend', 'month', CAST(NULL AS VARCHAR), CAST(n AS BIGINT),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+                CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                trend_slope, trend_r2
+         FROM tr""",
     // q275: the health composite replayed — q260's uncertainty frame,
     // q269's KS device feeding the REAL drift scores, micro-int error
     // sums, every component rounded before the weighted combination

@@ -1,0 +1,191 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs.{pct, r}
+
+/** Systematic-bias detection — the reference's Phase-5 bias analyzer
+  * (src/evaluation/error_analysis.py:467-610 detect_systematic_bias):
+  * per analysis group, one tall report with
+  *
+  *   section 'overall'    mean/median bias, bias% of the actual mean,
+  *                        over/under rates, the one-sample t statistic
+  *                        and the Wilcoxon signed-rank statistic
+  *                        (n > 10 guard as in the reference), the
+  *                        Low/Medium/High severity ladder (5%/10%),
+  *                        direction and the systematic-bias flag
+  *   section 'dimension'  per-segment mean/median/std/count with the
+  *                        reference's |mean| > 2·std/√n significance
+  *                        gate and the max-|bias| segment marker
+  *   section 'trend'      OLS slope / r² / t of the per-period mean
+  *                        bias over the `trendDim` segments (:555-575)
+  *
+  * p-value gates follow the house statistic-threshold convention
+  * (ResidualDiagnostics): the t-test's p < 0.05 becomes |t| > 1.96.
+  * The Wilcoxon statistic is scipy's min(R+, R−) over average ranks of
+  * |error| with zeros dropped, computed exactly via the doubled-rank
+  * integer device (Assoc.spearman's tie treatment).
+  *
+  * Execution shape: ONE GROUPING-SETS pass computes the overall grain
+  * and every dimension grain together (the errorSlices device), one
+  * group-partitioned rank window feeds the signed-rank sums, and the
+  * trend regression runs on the period-grain rows (tiny). Errors are
+  * rounded to the 4dp grid; all means/stds are ratios of micro-int
+  * decimal(38,0) sums; every statistic is rounded before its gate.
+  */
+object BiasAnalysis {
+
+  private def microSum(c: Column): Column =
+    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+
+  private def microSumSq(c: Column): Column =
+    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
+
+  def systematicBias(df: DataFrame, groupCols: Seq[String],
+                     dims: Seq[(String, Column)], actual: Column, pred: Column,
+                     trendDim: Option[String] = None,
+                     exactMedian: Option[Boolean] = None): DataFrame = {
+    val keys = groupCols.map(col)
+    val dimNames = dims.map(_._1)
+    val pre = df.select(keys ++
+      dims.map { case (n, c) => c.cast("string").as(n) } ++
+      Seq(r(actual - pred).as("__e"), r(actual).as("__a")): _*)
+
+    // ---- one pass: overall + per-dimension grains via GROUPING SETS
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      microSum(col("__e")).as("__s"),
+      microSumSq(col("__e")).as("__ss"),
+      pct(col("__e"), 0.5, exactMedian).as("__med"),
+      microSum(col("__a")).as("__sa"),
+      sum(when(col("__e") < 0, 1L).otherwise(0L)).as("__nneg"),
+      sum(when(col("__e") > 0, 1L).otherwise(0L)).as("__npos")) ++
+      dimNames.map(n => grouping(col(n)).as("__g_" + n))
+    val grouped = pre
+      .groupingSets(Seq(keys) ++ dimNames.map(n => keys :+ col(n)),
+        keys ++ dimNames.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val dimension = dimNames.foldLeft(lit(null).cast("string")) { (acc, n) =>
+      when(col("__g_" + n) === 0, lit(n)).otherwise(acc)
+    }
+    val segment = dimNames.foldLeft(lit(null).cast("string")) { (acc, n) =>
+      when(col("__g_" + n) === 0, col(n)).otherwise(acc)
+    }
+    val n = col("n").cast("double")
+    val base = grouped.select(keys ++ Seq(dimension.as("dimension"),
+      segment.as("segment"), col("n"),
+      r(col("__s") / n).as("mean_bias"),
+      r(col("__med")).as("median_bias"),
+      r(when(col("n") > 1,
+        sqrt(greatest((col("__ss") - col("__s") * col("__s") / n) / (n - 1),
+          lit(0.0))))).as("std_bias"),
+      r(when(col("__sa") =!= 0, (col("__s") / n) / (col("__sa") / n) * lit(100.0))
+        .otherwise(lit(0.0))).as("bias_pct"),
+      r(col("__nneg") / n * lit(100.0)).as("pct_over"),
+      r(col("__npos") / n * lit(100.0)).as("pct_under")): _*)
+
+    // ---- signed-rank pass (overall grain only): doubled average ranks
+    // of |e| over nonzero errors; W = min(R+, R−) exactly
+    val nz = pre.filter(col("__e") =!= 0)
+    val rk2 = (lit(2L) * rank().over(Window.partitionBy(keys: _*)
+      .orderBy(abs(col("__e")))) +
+      count(lit(1)).over(Window.partitionBy(keys :+ abs(col("__e")): _*)) -
+      lit(1L)).cast("long")
+    val wilcox = nz.select(keys ++ Seq(col("__e"), rk2.as("__r2")): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__nw"), sum(col("__r2")).as("__tot2"),
+        sum(when(col("__e") > 0, col("__r2")).otherwise(lit(0L))).as("__pos2"))
+      .withColumn("wilcoxon_w",
+        r(least(col("__pos2"), col("__tot2") - col("__pos2")).cast("double") / lit(2.0)))
+      .select(keys :+ col("wilcoxon_w"): _*)
+
+    // ---- overall rows: tests + severity ladder
+    val overall0 = base.filter(col("dimension").isNull)
+    val overall = (if (groupCols.isEmpty) overall0.crossJoin(wilcox)
+    else overall0.join(wilcox, groupCols, "left"))
+      .withColumn("t_stat",
+        r(when(col("n") > 10 && col("std_bias") > 0,
+          col("mean_bias") / (col("std_bias") / sqrt(col("n").cast("double"))))))
+      .withColumn("wilcoxon_w", when(col("n") > 10, col("wilcoxon_w")))
+      .withColumn("severity",
+        when(abs(col("bias_pct")) > 10, "High")
+          .when(abs(col("bias_pct")) > 5, "Medium").otherwise("Low"))
+      .withColumn("direction",
+        when(col("mean_bias") < 0, "Overestimate").otherwise("Underestimate"))
+      .withColumn("sig_flag",
+        (coalesce(abs(col("t_stat")) > 1.96, lit(false)) ||
+          abs(col("bias_pct")) > 5).cast("int"))
+      .withColumn("section", lit("overall"))
+      .withColumn("is_max_segment", lit(null).cast("int"))
+      .withColumn("trend_slope", lit(null).cast("double"))
+      .withColumn("trend_r2", lit(null).cast("double"))
+
+    // ---- dimension rows: significance gate + max-|bias| marker
+    val wMax = Window.partitionBy(keys :+ col("dimension"): _*)
+      .orderBy(abs(col("mean_bias")).desc, col("segment").asc)
+    val dimRows = base.filter(col("dimension").isNotNull)
+      .withColumn("sig_flag",
+        (col("std_bias").isNotNull && col("std_bias") > 0 && col("n") > 1 &&
+          abs(col("mean_bias")) >
+            lit(2.0) * (col("std_bias") / sqrt(col("n").cast("double")))).cast("int"))
+      .withColumn("is_max_segment",
+        (row_number().over(wMax) === 1).cast("int"))
+      .withColumn("section", lit("dimension"))
+      .withColumn("t_stat", lit(null).cast("double"))
+      .withColumn("wilcoxon_w", lit(null).cast("double"))
+      .withColumn("severity", lit(null).cast("string"))
+      .withColumn("direction", lit(null).cast("string"))
+      .withColumn("trend_slope", lit(null).cast("double"))
+      .withColumn("trend_r2", lit(null).cast("double"))
+
+    // ---- trend row: OLS of per-period mean bias on the period index
+    val trend = trendDim.map { td =>
+      val wOrd = Window.partitionBy(keys: _*).orderBy(col("segment"))
+      val pts = base.filter(col("dimension") === td)
+        .withColumn("__x", (row_number().over(wOrd) - 1).cast("double"))
+        .withColumn("__y", col("mean_bias"))
+      val g = pts.groupBy(keys: _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        microSum(col("__y")).as("__sy"),
+        microSum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        microSumSq(col("__y")).as("__syy"))
+      val nT = col("n").cast("double")
+      val sxx = col("__sxx") - col("__sx") * col("__sx") / nT
+      val sxy = col("__sxy") - col("__sx") * col("__sy") / nT
+      val syy = col("__syy") - col("__sy") * col("__sy") / nT
+      val slope = sxy / sxx
+      g.filter(col("n") > 2)
+        .withColumn("trend_slope", r(slope))
+        .withColumn("trend_r2",
+          r(when(syy > 0, sxy * sxy / (sxx * syy)).otherwise(lit(0.0))))
+        .withColumn("section", lit("trend"))
+        .withColumn("dimension", lit(td))
+        .withColumn("segment", lit(null).cast("string"))
+        .withColumn("mean_bias", lit(null).cast("double"))
+        .withColumn("median_bias", lit(null).cast("double"))
+        .withColumn("std_bias", lit(null).cast("double"))
+        .withColumn("bias_pct", lit(null).cast("double"))
+        .withColumn("pct_over", lit(null).cast("double"))
+        .withColumn("pct_under", lit(null).cast("double"))
+        .withColumn("t_stat", lit(null).cast("double"))
+        .withColumn("wilcoxon_w", lit(null).cast("double"))
+        .withColumn("severity", lit(null).cast("string"))
+        .withColumn("direction", lit(null).cast("string"))
+        .withColumn("sig_flag", lit(null).cast("int"))
+        .withColumn("is_max_segment", lit(null).cast("int"))
+    }
+
+    val outCols = Seq(col("section"), col("dimension"), col("segment"),
+      col("n").cast("long").as("n_rows"), col("mean_bias"), col("median_bias"),
+      col("std_bias"), col("bias_pct"), col("pct_over"), col("pct_under"),
+      col("t_stat"), col("wilcoxon_w"), col("sig_flag"), col("is_max_segment"),
+      col("severity"), col("direction"), col("trend_slope"), col("trend_r2"))
+    val main = overall.select(keys ++ outCols: _*)
+      .unionByName(dimRows.select(keys ++ outCols: _*))
+    trend.map(t => main.unionByName(t.select(keys ++ outCols: _*)))
+      .getOrElse(main)
+  }
+}

@@ -318,6 +318,17 @@ object SmokeProbe {
         .show(5, truncate = false)
       graft.operators.Leaderboard.competitionSummary(board, col("l_suppkey"),
         col("score"), col("n_weeks")).show(truncate = false)
+      graft.metrics.BiasAnalysis.systematicBias(
+        li.withColumn("pred", graft.functions.Funcs.r(avg(col("l_quantity"))
+          .over(Window.partitionBy(col("l_partkey"))))),
+        Seq("l_returnflag"),
+        Seq("linestatus" -> col("l_linestatus"),
+          "month" -> date_format(col("l_shipdate"), "yyyy-MM")),
+        col("l_quantity"), col("pred"), trendDim = Some("month"))
+        .orderBy("l_returnflag", "section", "dimension", "segment")
+        .select("l_returnflag", "section", "dimension", "segment", "mean_bias",
+          "sig_flag", "severity")
+        .show(8, truncate = false)
       graft.metrics.Diagnostics.healthReport(
         li.withColumn("pred", graft.functions.Funcs.r(avg(col("l_quantity"))
           .over(Window.partitionBy(col("l_partkey"))))).withColumn("unc", lit(5.0)),
