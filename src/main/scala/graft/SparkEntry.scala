@@ -2138,6 +2138,17 @@ object SparkEntry {
           "month" -> date_format(col("l_shipdate"), "yyyy-MM")),
         col("l_quantity"), col("pred"), trendDim = Some("month"))
     }),
+    // volume-pattern error analysis per return flag: 0.33/0.67
+    // quantile-cut Small/Medium/Large segments, full error profile per
+    // segment + the cross-segment summary and struggle flags
+    // (error_analysis.py:357-466, the second Phase-5 requirement)
+    "q279_volume_patterns" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val t = li(s, d).withColumn("pred",
+        r(avg(col("l_quantity")).over(wg)))
+      graft.metrics.BiasAnalysis.volumePatterns(t, Seq("l_returnflag"),
+        col("l_quantity"), col("pred"))
+    }),
     // model-health report per return flag: current (1996+) slice vs
     // reference, REAL KS drift scores where the reference stubs
     // literals, weighted health composite + alert/warning flags
@@ -7622,6 +7633,73 @@ object SparkEntry {
                 CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                 trend_slope, trend_r2
          FROM tr""",
+    // q279: the volume-pattern analysis replayed — rounded quantile
+    // cuts, micro-int segment sums, first_value summary windows
+    "q279_volume_patterns" ->
+      """WITH gg AS (SELECT l_returnflag,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS a,
+                      (round((l_quantity -
+                        (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4
+                          + 0.0e0))*1e4)/1e4 + 0.0e0) AS e
+                    FROM lineitem),
+              g2 AS (SELECT *,
+                      (round((abs(e)/(abs(a) + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS pe
+                    FROM gg),
+              th AS (SELECT l_returnflag,
+                      (round(quantile_cont(a, 0.33)*1e4)/1e4 + 0.0e0) AS t33,
+                      (round(quantile_cont(a, 0.67)*1e4)/1e4 + 0.0e0) AS t67
+                    FROM g2 GROUP BY 1),
+              seg AS (SELECT g2.*,
+                      CASE WHEN a <= t33 THEN 'Small'
+                           WHEN a <= t67 THEN 'Medium'
+                           ELSE 'Large' END AS volume_segment
+                    FROM g2 JOIN th USING (l_returnflag)),
+              ag AS (SELECT l_returnflag, volume_segment, count(*) AS n,
+                      CAST(count(*) AS DOUBLE) AS nd,
+                      min(a) AS vmin, max(a) AS vmax,
+                      CAST(sum(CAST(round(a*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS va,
+                      CAST(sum(CAST(round(abs(e)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS saa,
+                      CAST(sum(CAST(round(pe*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS spe,
+                      CAST(sum(CAST(round(e*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS se,
+                      CAST(sum(CAST(round(e*e*1e8) AS HUGEINT)) AS DOUBLE)/1e8 AS sse,
+                      sum(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS nneg,
+                      sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS npos,
+                      sum(CASE WHEN pe > 50 THEN 1 ELSE 0 END) AS nlarge
+                    FROM seg GROUP BY 1, 2),
+              sc AS (SELECT l_returnflag, volume_segment, n,
+                      (round(vmin*1e4)/1e4 + 0.0e0) AS volume_min,
+                      (round(vmax*1e4)/1e4 + 0.0e0) AS volume_max,
+                      (round((va/nd)*1e4)/1e4 + 0.0e0) AS volume_mean,
+                      (round((sad/(saa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape,
+                      (round((sad/nd)*1e4)/1e4 + 0.0e0) AS mae,
+                      (round((spe/nd)*1e4)/1e4 + 0.0e0) AS mape,
+                      (round((se/nd)*1e4)/1e4 + 0.0e0) AS bias,
+                      (CASE WHEN n > 1 THEN
+                        round(sqrt(greatest((sse - se*se/nd)/(nd - 1), 0.0e0))*1e4)/1e4 + 0.0e0
+                        END) AS std_error,
+                      (round((nneg/nd*100)*1e4)/1e4 + 0.0e0) AS overestimate_pct,
+                      (round((npos/nd*100)*1e4)/1e4 + 0.0e0) AS underestimate_pct,
+                      (round((nlarge/nd*100)*1e4)/1e4 + 0.0e0) AS large_errors_pct
+                    FROM ag),
+              fin AS (SELECT *,
+                      first_value(volume_segment) OVER
+                        (PARTITION BY l_returnflag ORDER BY wmape ASC, volume_segment ASC) AS best_segment,
+                      first_value(volume_segment) OVER
+                        (PARTITION BY l_returnflag ORDER BY wmape DESC, volume_segment ASC) AS worst_segment,
+                      (round((max(wmape) OVER pa - min(wmape) OVER pa)*1e4)/1e4 + 0.0e0) AS wmape_range,
+                      max(CASE WHEN volume_segment = 'Small' THEN wmape END) OVER pa AS sw,
+                      max(CASE WHEN volume_segment = 'Large' THEN wmape END) OVER pa AS lw
+                    FROM sc
+                    WINDOW pa AS (PARTITION BY l_returnflag))
+         SELECT l_returnflag, volume_segment, CAST(n AS BIGINT) AS n_rows,
+                volume_min, volume_max, volume_mean, wmape, mae, mape, bias,
+                std_error, overestimate_pct, underestimate_pct, large_errors_pct,
+                best_segment, worst_segment, wmape_range,
+                (CASE WHEN wmape_range > 5 THEN 1 ELSE 0 END) AS sig_volume_diff,
+                (CASE WHEN coalesce(sw > lw*1.2e0, FALSE) THEN 1 ELSE 0 END) AS small_struggles,
+                (CASE WHEN coalesce(lw > sw*1.2e0, FALSE) THEN 1 ELSE 0 END) AS large_struggles
+         FROM fin""",
     // q275: the health composite replayed — q260's uncertainty frame,
     // q269's KS device feeding the REAL drift scores, micro-int error
     // sums, every component rounded before the weighted combination

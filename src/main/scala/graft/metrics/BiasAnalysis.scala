@@ -42,6 +42,89 @@ object BiasAnalysis {
   private def microSumSq(c: Column): Column =
     sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
 
+  /** Volume-pattern error analysis — the reference's other Phase-5
+    * requirement (error_analysis.py:357-466 analyze_volume_patterns):
+    * actuals quantile-cut at the 0.33/0.67 points into Small/Medium/
+    * Large segments (pd.cut closed-right bins), each profiled with the
+    * full error block (WMAPE, MAE, MAPE over per-row pct errors, bias,
+    * sample std, over/under rates, >50% large-error rate) and the
+    * volume range; every row also carries the group-level cross-segment
+    * summary (:428-447: best/worst segment by WMAPE, the WMAPE range,
+    * the >5-point significance flag and the small-vs-large ×1.2
+    * struggle flags) so the table is self-contained.
+    *
+    * Execution shape: one group-grain quantile aggregate joined back
+    * (threshold table is group-sized), one hash-aggregate to the
+    * (group, segment ≤ 3) grain, and group-partitioned windows over
+    * that tiny grain for the summary. Thresholds and per-row pct
+    * errors are rounded before every comparison.
+    */
+  def volumePatterns(df: DataFrame, groupCols: Seq[String], actual: Column,
+                     pred: Column,
+                     exactPercentile: Option[Boolean] = None): DataFrame = {
+    val keys = groupCols.map(col)
+    val pre = df.select(keys ++ Seq(r(actual).as("__a"), r(pred).as("__p")): _*)
+      .withColumn("__e", r(col("__a") - col("__p")))
+      .withColumn("__pe", r(abs(col("__e")) / (abs(col("__a")) + lit(1e-8)) * lit(100.0)))
+    val th = pre.groupBy(keys: _*).agg(
+      r(pct(col("__a"), 0.33, exactPercentile)).as("__t33"),
+      r(pct(col("__a"), 0.67, exactPercentile)).as("__t67"))
+    val seg = (if (groupCols.isEmpty) pre.crossJoin(th) else pre.join(th, groupCols))
+      .withColumn("volume_segment",
+        when(col("__a") <= col("__t33"), "Small")
+          .when(col("__a") <= col("__t67"), "Medium").otherwise("Large"))
+    val g = seg.groupBy(keys :+ col("volume_segment"): _*).agg(
+      count(lit(1)).as("n"),
+      min(col("__a")).as("__vmin"), max(col("__a")).as("__vmax"),
+      microSum(col("__a")).as("__va"),
+      microSum(abs(col("__e"))).as("__sad"),
+      microSum(abs(col("__a"))).as("__saa"),
+      microSum(col("__pe")).as("__spe"),
+      microSum(col("__e")).as("__se"),
+      microSumSq(col("__e")).as("__sse"),
+      sum(when(col("__e") < 0, 1L).otherwise(0L)).as("__nneg"),
+      sum(when(col("__e") > 0, 1L).otherwise(0L)).as("__npos"),
+      sum(when(col("__pe") > 50, 1L).otherwise(0L)).as("__nlarge"))
+    val n = col("n").cast("double")
+    val scored = g
+      .withColumn("volume_min", r(col("__vmin")))
+      .withColumn("volume_max", r(col("__vmax")))
+      .withColumn("volume_mean", r(col("__va") / n))
+      .withColumn("wmape", r(col("__sad") / (col("__saa") + lit(1e-8)) * lit(100.0)))
+      .withColumn("mae", r(col("__sad") / n))
+      .withColumn("mape", r(col("__spe") / n))
+      .withColumn("bias", r(col("__se") / n))
+      .withColumn("std_error", r(when(col("n") > 1,
+        sqrt(greatest((col("__sse") - col("__se") * col("__se") / n) / (n - 1),
+          lit(0.0))))))
+      .withColumn("overestimate_pct", r(col("__nneg") / n * lit(100.0)))
+      .withColumn("underestimate_pct", r(col("__npos") / n * lit(100.0)))
+      .withColumn("large_errors_pct", r(col("__nlarge") / n * lit(100.0)))
+    val wAll = Window.partitionBy(keys: _*)
+    val wBest = wAll.orderBy(col("wmape").asc, col("volume_segment").asc)
+    val wWorst = wAll.orderBy(col("wmape").desc, col("volume_segment").asc)
+    def segWmape(s: String): Column =
+      max(when(col("volume_segment") === s, col("wmape"))).over(wAll)
+    val out = scored
+      .withColumn("best_segment", first(col("volume_segment")).over(wBest))
+      .withColumn("worst_segment", first(col("volume_segment")).over(wWorst))
+      .withColumn("wmape_range",
+        r(max(col("wmape")).over(wAll) - min(col("wmape")).over(wAll)))
+      .withColumn("sig_volume_diff", (col("wmape_range") > 5).cast("int"))
+      .withColumn("small_struggles",
+        coalesce(segWmape("Small") > segWmape("Large") * lit(1.2), lit(false))
+          .cast("int"))
+      .withColumn("large_struggles",
+        coalesce(segWmape("Large") > segWmape("Small") * lit(1.2), lit(false))
+          .cast("int"))
+    out.select(keys ++ Seq(col("volume_segment"), col("n").cast("long").as("n_rows"),
+      col("volume_min"), col("volume_max"), col("volume_mean"), col("wmape"),
+      col("mae"), col("mape"), col("bias"), col("std_error"),
+      col("overestimate_pct"), col("underestimate_pct"), col("large_errors_pct"),
+      col("best_segment"), col("worst_segment"), col("wmape_range"),
+      col("sig_volume_diff"), col("small_struggles"), col("large_struggles")): _*)
+  }
+
   def systematicBias(df: DataFrame, groupCols: Seq[String],
                      dims: Seq[(String, Column)], actual: Column, pred: Column,
                      trendDim: Option[String] = None,

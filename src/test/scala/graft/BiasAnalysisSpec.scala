@@ -57,6 +57,36 @@ class BiasAnalysisSpec extends SparkSpec {
     assert(t.getAs[Double]("trend_r2") == 1.0)
   }
 
+  test("volumePatterns: hand-computed segment profiles and summary") {
+    // a = 1..30: quantile cuts at 10.57/20.43 → Small 1-10 (e=0.5),
+    // Medium 11-20 (e=1), Large 21-30 (e=5). WMAPEs: 9.0909 / 6.4516 /
+    // 19.6078 → best Medium, worst Large, range 13.1562 → significant;
+    // Large > 1.2×Small → large_struggles
+    val rows = (1 to 30).map { a =>
+      val e = if (a <= 10) 0.5 else if (a <= 20) 1.0 else 5.0
+      ("g", a.toDouble, a - e)
+    }
+    val out = BiasAnalysis.volumePatterns(rows.toDF("g", "a", "p"), Seq("g"),
+      col("a"), col("p")).collect()
+      .map(r0 => r0.getAs[String]("volume_segment") -> r0).toMap
+    assert(out.keySet == Set("Small", "Medium", "Large"))
+    val s = out("Small"); val m = out("Medium"); val l = out("Large")
+    assert(s.getAs[Long]("n_rows") == 10L && s.getAs[Double]("volume_max") == 10.0)
+    assert(s.getAs[Double]("wmape") == 9.0909)
+    assert(m.getAs[Double]("wmape") == 6.4516)
+    assert(l.getAs[Double]("wmape") == 19.6078)
+    assert(s.getAs[Double]("bias") == 0.5)
+    assert(l.getAs[Double]("underestimate_pct") == 100.0)
+    Seq(s, m, l).foreach { r0 =>
+      assert(r0.getAs[String]("best_segment") == "Medium")
+      assert(r0.getAs[String]("worst_segment") == "Large")
+      assert(r0.getAs[Double]("wmape_range") == 13.1562)
+      assert(r0.getAs[Int]("sig_volume_diff") == 1)
+      assert(r0.getAs[Int]("small_struggles") == 0)
+      assert(r0.getAs[Int]("large_struggles") == 1)
+    }
+  }
+
   test("degenerate: constant zero error yields Low severity, no tests fire") {
     val clean = (1 to 20).map(i => ("g", "A", "2022-01", 10.0, 10.0))
     val o = BiasAnalysis.systematicBias(clean.toDF("g", "flag", "month", "a", "p"),
