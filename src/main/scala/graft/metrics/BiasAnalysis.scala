@@ -156,6 +156,10 @@ object BiasAnalysis {
       when(col("__g_" + n) === 0, col(n)).otherwise(acc)
     }
     val n = col("n").cast("double")
+    // the grains table is tiny (groups × (1 + Σ|segments|)) but has
+    // THREE consumers (overall / dimension / trend) that would each
+    // re-run the fact-sized GROUPING-SETS pass — materialize once
+    // (the champion pickAndBlend house pattern)
     val base = grouped.select(keys ++ Seq(dimension.as("dimension"),
       segment.as("segment"), col("n"),
       r(col("__s") / n).as("mean_bias"),
@@ -167,6 +171,7 @@ object BiasAnalysis {
         .otherwise(lit(0.0))).as("bias_pct"),
       r(col("__nneg") / n * lit(100.0)).as("pct_over"),
       r(col("__npos") / n * lit(100.0)).as("pct_under")): _*)
+      .localCheckpoint(true)
 
     // ---- signed-rank pass (overall grain only): doubled average ranks
     // of |e| over nonzero errors; W = min(R+, R−) exactly
