@@ -1478,6 +1478,11 @@ object SparkEntry {
     // diversity (Kneser & Ney 1995), D = 0.75
     "q276_kneser_ney" -> ((s, d) =>
       graft.text.NgramLm.scoreKneserNey(Tables.documents(s, d), "doc_id", "text")),
+    // temperature-scaled source mixing weights (T=2): w ∝ share^(1/T)
+    // normalized — the multilingual-LM low-resource boost
+    "q280_temperature_mix" -> ((s, d) =>
+      graft.text.CorpusMix.temperatureWeights(Tables.documents(s, d),
+        "source", temperature = 2.0)),
     // SCD2 validity intervals from the events change log
     "q145_scd2" -> ((s, d) =>
       graft.operators.Scd.scd2(Tables.events(s, d), Seq("user_id"), "ts", "event_id",
@@ -5433,6 +5438,22 @@ object SparkEntry {
          SELECT doc_id, n_bigrams, kn_avg_logprob,
                 (round(exp(-kn_avg_logprob)*1e4)/1e4 + 0.0e0) AS kn_perplexity
          FROM ag""",
+    // q280: temperature weights replayed — rounded share into pow
+    // (1/T = 0.5 literal), 1e-8 grid powers, exact micro-int normalizer
+    "q280_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+              t AS (SELECT *, sum(n_docs) OVER () AS tot FROM c),
+              p AS (SELECT source, n_docs,
+                      (round((CAST(n_docs AS DOUBLE)/tot)*1e4)/1e4 + 0.0e0) AS raw_share
+                    FROM t),
+              q AS (SELECT *, (round(pow(raw_share, 0.5e0)*1e8)/1e8 + 0.0e0) AS pw
+                    FROM p),
+              nrm AS (SELECT *,
+                      CAST(sum(CAST(round(pw*1e8) AS HUGEINT)) OVER () AS DOUBLE)/1e8 AS norm
+                    FROM q)
+         SELECT source, n_docs, raw_share,
+                (round((pw/norm)*1e6)/1e6 + 0.0e0) AS weight
+         FROM nrm""",
     "q145_scd2" ->
       """WITH g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,

@@ -42,4 +42,38 @@ object CorpusMix {
       .filter(PortableHash.lehmer(col(id)) < floor(lit(PortableHash.M31) * frac))
       .drop("__src", "__cnt", "__total")
   }
+
+  /** Temperature-scaled source weights — the multilingual-LM sampling
+    * scheme (mBERT/XLM-R style): w_s ∝ (n_s/N)^(1/T), normalized.
+    * T = 1 reproduces the observed proportions; T → ∞ flattens toward
+    * uniform, boosting low-resource sources at the expense of the
+    * head. Emits the (source, n_docs, raw_share, weight) table a
+    * caller feeds to [[mixToTarget]].
+    *
+    * Determinism: the share is rounded to the 4dp grid BEFORE the
+    * power (both engines then exponentiate the identical double; the
+    * residual pow() last-ulp class is the champion ln()/exp()
+    * convention), the powered value rounds to the 1e-8 grid, and the
+    * normalizer is an exact micro-int sum of those rounded values.
+    * Scale shape: one source-grain aggregate + windows over that tiny
+    * grain — the fact is scanned once, nothing fact-sized shuffles. */
+  def temperatureWeights(df: DataFrame, source: String,
+                         temperature: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Funcs.r
+    val invT = 1.0 / temperature
+    val wAll = Window.partitionBy(lit(0))
+    val counts = df.groupBy(col(source).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__tot", sum(col("n_docs")).over(wAll))
+      .withColumn("raw_share",
+        r(col("n_docs").cast("double") / col("__tot")))
+      .withColumn("__pw", r(pow(col("raw_share"), lit(invT)), 8))
+    counts
+      .withColumn("__norm",
+        sum(round(col("__pw") * lit(1e8), 0).cast("decimal(38,0)")).over(wAll)
+          .cast("double") / lit(1e8))
+      .select(col("source"), col("n_docs"), col("raw_share"),
+        r(col("__pw") / col("__norm"), 6).as("weight"))
+  }
 }

@@ -100,4 +100,25 @@ class CorpusMixSpec extends SparkSpec {
     assert(math.abs(out(2) - 0.0) < 1e-6)    // v=3
     assert(out(4) > 400.0)                   // outlier stays an outlier
   }
+
+  test("temperatureWeights: T=1 reproduces proportions, T=2 flattens") {
+    // sources A×6, B×3, C×1 → shares 0.6/0.3/0.1
+    val docs = ((1 to 6).map(i => (i.toLong, "A")) ++
+      (7 to 9).map(i => (i.toLong, "B")) ++ Seq((10L, "C")))
+      .toDF("doc_id", "source")
+    val t1 = graft.text.CorpusMix.temperatureWeights(docs, "source", 1.0)
+      .collect().map(r0 => r0.getAs[String]("source") ->
+        (r0.getAs[Double]("raw_share"), r0.getAs[Double]("weight"))).toMap
+    assert(t1("A") == ((0.6, 0.6)) && t1("B") == ((0.3, 0.3)) && t1("C") == ((0.1, 0.1)))
+    val t2 = graft.text.CorpusMix.temperatureWeights(docs, "source", 2.0)
+      .collect().map(r0 => r0.getAs[String]("source") ->
+        r0.getAs[Double]("weight")).toMap
+    // sqrt-share normalization: the tail is boosted, the head shrinks,
+    // mass still sums to 1
+    assert(t2("C") > 0.1 && t2("A") < 0.6)
+    assert(math.abs(t2.values.sum - 1.0) < 1e-5)
+    assert(math.abs(t2("C") - 0.192994) < 1e-4)
+    // ordering by size is preserved at any finite temperature
+    assert(t2("A") > t2("B") && t2("B") > t2("C"))
+  }
 }
