@@ -2143,6 +2143,15 @@ object SparkEntry {
           "month" -> date_format(col("l_shipdate"), "yyyy-MM")),
         col("l_quantity"), col("pred"), trendDim = Some("month"))
     }),
+    // cross-dimensional WMAPE matrix: (returnflag × linestatus) cells
+    // with best/worst combination ranks (error_analysis.py:199-237)
+    "q281_cross_dim_wmape" -> ((s, d) => {
+      val wg = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val t = li(s, d).withColumn("pred",
+        r(avg(col("l_quantity")).over(wg)))
+      graft.metrics.Metrics.crossDimensionalWmape(t, col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("pred"))
+    }),
     // volume-pattern error analysis per return flag: 0.33/0.67
     // quantile-cut Small/Medium/Large segments, full error profile per
     // segment + the cross-segment summary and struggle flags
@@ -7654,6 +7663,25 @@ object SparkEntry {
                 CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                 trend_slope, trend_r2
          FROM tr""",
+    // q281: the cross-dim matrix replayed — micro-int cell sums,
+    // deterministic rank windows
+    "q281_cross_dim_wmape" ->
+      """WITH gg AS (SELECT l_returnflag AS dim1, l_linestatus AS dim2,
+                      (round(l_quantity*1e4)/1e4 + 0.0e0) AS a,
+                      (round((avg(l_quantity) OVER (PARTITION BY l_partkey, l_suppkey))*1e4)/1e4
+                        + 0.0e0) AS p
+                    FROM lineitem),
+              g AS (SELECT dim1, dim2, count(*) AS n_rows,
+                      CAST(sum(CAST(round(abs(a-p)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS sad,
+                      CAST(sum(CAST(round(abs(a)*1e4) AS HUGEINT)) AS DOUBLE)/1e4 AS saa
+                    FROM gg GROUP BY 1, 2),
+              sc AS (SELECT dim1, dim2, n_rows,
+                      (round((sad/(saa + 1e-8)*100)*1e4)/1e4 + 0.0e0) AS wmape
+                    FROM g)
+         SELECT dim1, dim2, CAST(n_rows AS BIGINT) AS n_rows, wmape,
+                CAST(row_number() OVER (ORDER BY wmape ASC, dim1 ASC, dim2 ASC) AS BIGINT) AS best_rank,
+                CAST(row_number() OVER (ORDER BY wmape DESC, dim1 ASC, dim2 ASC) AS BIGINT) AS worst_rank
+         FROM sc""",
     // q279: the volume-pattern analysis replayed — rounded quantile
     // cuts, micro-int segment sums, first_value summary windows
     "q279_volume_patterns" ->

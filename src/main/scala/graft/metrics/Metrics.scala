@@ -105,6 +105,41 @@ object Metrics {
       col("n_rows"), col("wmape"), col("bias"), col("mae"), col("rmse"))
   }
 
+  /** M15 (interaction leg) — cross-dimensional WMAPE matrix
+    * (reference error_analysis.py:199-237 _cross_dimensional_analysis):
+    * the (dim1 × dim2) WMAPE pivot plus the reference's best/worst
+    * combination lists, emitted as rank columns (best_rank/worst_rank
+    * 1..cells, deterministic dim tiebreak) so the top-5 lists are a
+    * filter away and the full matrix stays in one frame. One
+    * hash-aggregate to the cell grain + rank windows over the cells.
+    * WMAPE from exact micro-int sums of 4dp-rounded inputs. */
+  def crossDimensionalWmape(df: DataFrame, dim1: Column, dim2: Column,
+                            actual: Column, pred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Funcs.r
+    def microSum(c: Column): Column =
+      sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+    val g = df.select(dim1.cast("string").as("dim1"),
+      dim2.cast("string").as("dim2"),
+      r(actual).as("__a"), r(pred).as("__p"))
+      .groupBy(col("dim1"), col("dim2"))
+      .agg(count(lit(1)).as("n_rows"),
+        microSum(abs(col("__a") - col("__p"))).as("__sad"),
+        microSum(abs(col("__a"))).as("__saa"))
+      .withColumn("wmape",
+        r(col("__sad") / (col("__saa") + lit(Eps)) * lit(100.0)))
+    val wBest = Window.partitionBy(lit(0))
+      .orderBy(col("wmape").asc, col("dim1").asc, col("dim2").asc)
+    val wWorst = Window.partitionBy(lit(0))
+      .orderBy(col("wmape").desc, col("dim1").asc, col("dim2").asc)
+    g.withColumn("best_rank",
+      org.apache.spark.sql.functions.row_number().over(wBest).cast("long"))
+      .withColumn("worst_rank",
+        org.apache.spark.sql.functions.row_number().over(wWorst).cast("long"))
+      .select(col("dim1"), col("dim2"), col("n_rows"), col("wmape"),
+        col("best_rank"), col("worst_rank"))
+  }
+
   /** All headline metrics in one pass. */
   def scorecard(df: DataFrame, actual: Column, pred: Column): DataFrame =
     df.agg(

@@ -126,4 +126,22 @@ class MetricsSpec extends SparkSpec {
     val mRows = out.filter(col("slice_type") === "m").count()
     assert(mRows == 2) // "jan" and the genuine null bucket
   }
+
+  test("crossDimensionalWmape: hand matrix with best/worst ranks") {
+    // cells: (A,X) 10%, (A,Y) 20%, (B,X) 0%, (B,Y) 50%
+    val rows = for {
+      (d1, d2, p) <- Seq(("A", "X", 9.0), ("A", "Y", 8.0),
+        ("B", "X", 10.0), ("B", "Y", 5.0))
+      _ <- 1 to 5
+    } yield (d1, d2, 10.0, p)
+    val out = Metrics.crossDimensionalWmape(rows.toDF("d1", "d2", "a", "p"),
+      col("d1"), col("d2"), col("a"), col("p"))
+      .collect().map(r0 => (r0.getAs[String]("dim1"), r0.getAs[String]("dim2")) ->
+        (r0.getAs[Double]("wmape"), r0.getAs[Long]("best_rank"),
+          r0.getAs[Long]("worst_rank"))).toMap
+    assert(out(("B", "X")) == ((0.0, 1L, 4L)))
+    assert(out(("A", "X")) == ((10.0, 2L, 3L)))
+    assert(out(("A", "Y")) == ((20.0, 3L, 2L)))
+    assert(out(("B", "Y")) == ((50.0, 4L, 1L)))
+  }
 }
