@@ -36,7 +36,8 @@ object Bench {
     "q268_quality_scorecard", "q269_drift_report", "q270_importance_stability",
     "q271_model_weights", "q272_validation", "q273_leaderboard",
     "q274_competition", "q275_health_report", "q276_kneser_ney",
-    "q277_ann_recall", "q278_systematic_bias", "q279_volume_patterns")
+    "q277_ann_recall", "q278_systematic_bias", "q279_volume_patterns",
+    "q280_temperature_mix", "q281_cross_dim_wmape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
