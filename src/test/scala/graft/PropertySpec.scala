@@ -201,4 +201,78 @@ class PropertySpec extends SparkSpec {
       assert(codesOf(df) == codesOf(df.repartition(7)), s"seed $i")
     }
   }
+
+  test("Kneser-Ney: per-context probability mass sums to 1 on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, doc))
+    (0 until 6).foreach { i =>
+      val docs = gen(corpus, 300L + i).zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      // rebuild the model tables and check Σ_w2 P_KN(w2|w1) = 1 per w1
+      val bi = graft.text.NgramLm.bigramCounts(df, "text").collect()
+        .map(r0 => (r0.getString(0), r0.getString(1)) -> r0.getLong(2)).toMap
+      if (bi.nonEmpty) {
+        val c1 = bi.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+        val n1f = bi.groupBy(_._1._1).map { case (w, m) => w -> m.size }
+        val n1b = bi.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+        val t = bi.size.toDouble
+        c1.keys.foreach { w1 =>
+          val mass = bi.collect { case ((a, b), c) if a == w1 =>
+            (c - 0.75) / c1(w1) + 0.75 * n1f(w1) / c1(w1) * (n1b(b) / t)
+          }.sum
+          // seen-continuation mass + redistributed mass over UNSEEN
+          // continuations: summing the interpolation term over all w2
+          // (not just seen) gives exactly 1
+          val full = bi.collect { case ((a, b), c) if a == w1 =>
+            (c - 0.75) / c1(w1) }.sum +
+            // valuesIterator, NOT keys.map: a Set would dedup equal counts
+            0.75 * n1f(w1) / c1(w1) * n1b.valuesIterator.map(_ / t).sum
+          assert(math.abs(full - 1.0) < 1e-9, s"seed $i w1=$w1")
+          assert(mass <= 1.0 + 1e-9, s"seed $i w1=$w1 seen-mass $mass")
+        }
+      }
+    }
+  }
+
+  test("healthReport: score stays in [0,100] under random error regimes") {
+    val err = Gen.chooseNum(-50.0, 50.0).map(x => math.rint(x * 10) / 10.0)
+    val series = Gen.listOfN(30, err)
+    (0 until 6).foreach { i =>
+      val es = gen(series, 400L + i)
+      val rows = es.zipWithIndex.flatMap { case (e, j) =>
+        Seq(("g", 0, 100.0 + j, 100.0 + j), ("g", 1, 100.0 + j, 100.0 + j - e))
+      }
+      val row = graft.metrics.Diagnostics.healthReport(
+        rows.toDF("g", "cur", "a", "p").withColumn("u", lit(10.0)),
+        Seq("g"), col("a"), col("p"), col("u"), col("cur") === 1)
+        .collect().head
+      val h = row.getAs[Double]("health_score")
+      assert(h >= 0.0 && h <= 100.0, s"seed $i: $h")
+      assert(row.getAs[Double]("prediction_stability") >= 0.0)
+      assert(row.getAs[Double]("prediction_stability") <= 1.0)
+    }
+  }
+
+  test("leaderboard: percentiles bounded, ranks a permutation, zones partition") {
+    val score = Gen.chooseNum(0.0, 10.0).map(x => math.rint(x * 100) / 100.0)
+    (0 until 6).foreach { i =>
+      val scores = gen(Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, score)), 500L + i)
+      val board = scores.zipWithIndex.map { case (s, j) => (s"t$j", s, j + 1) }
+        .toDF("team", "score", "subs")
+      val out = graft.operators.Leaderboard.positionReport(board, col("team"),
+        col("score"), col("subs")).collect()
+      val ranks = out.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to scores.length).toSeq, s"seed $i")
+      out.foreach { r0 =>
+        val p = r0.getAs[Double]("percentile")
+        assert(p > 0 && p <= 100.0, s"seed $i")
+        assert(Set("leader", "contender", "middle_pack", "bottom")
+          .contains(r0.getAs[String]("competitive_zone")))
+        val ach = r0.getAs[Double]("achievability")
+        assert(ach >= 0.0 && ach <= 1.0, s"seed $i")
+        assert(r0.getAs[Long]("recommended_target") >= 0L)
+      }
+    }
+  }
 }
