@@ -457,4 +457,43 @@ object EventsStream {
       .select(col("window.start").as("window_start"),
         col("__total").cast("long").as("n_events"), psi.as("psi"))
   }
+
+  /** Streaming binned two-sample KS vs a static reference CDF — the
+    * streaming twin of the drift report's KS leg
+    * (metrics/Diagnostics.driftReport; reference
+    * model_diagnostics.py:243-353 runs the same test offline). The
+    * window's empirical CDF is evaluated at the bin edges and
+    * D = max_i |F̂(edge_i) − refCdf(i)| — EXACT for pre-binned values
+    * and the standard bounded-state approximation otherwise (state per
+    * open window = one long per bin, the psiStream contract; the
+    * full-resolution KS needs the batch detector). `refCdf(i)` is the
+    * reference distribution's CDF at `edges(i)`. Same watermark/
+    * append-mode emission as [[psiStream]]; running the identical plan
+    * on a batch frame is the parity twin. */
+  def ksStream(events: DataFrame, value: Column, edges: Seq[Double],
+               refCdf: Seq[Double], windowDur: String = "7 days",
+               watermark: String = "1 day"): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    require(refCdf.length == edges.length,
+      "refCdf must carry one reference CDF point per edge")
+    val nB = edges.length + 1
+    val bin = edges.map(e => when(value > lit(e), 1).otherwise(0)).reduce(_ + _)
+    val counts = (0 until nB).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val total = (0 until nB).map(b => col(s"__c$b")).reduce(_ + _)
+    val ks = edges.indices.map { i =>
+      val cum = (0 to i).map(b => col(s"__c$b")).reduce(_ + _)
+        .cast("double") / col("__total")
+      abs(cum - lit(refCdf(i)))
+    }.reduce((a, b) => greatest(a, b))
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__bin", bin)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("__total", total.cast("double"))
+      .select(col("window.start").as("window_start"),
+        col("__total").cast("long").as("n_events"),
+        graft.functions.Funcs.r(ks).as("ks"))
+  }
 }

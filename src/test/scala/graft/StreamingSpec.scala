@@ -454,4 +454,37 @@ class StreamingSpec extends SparkSpec {
     // 4/6 of the mass in the top quartile bin vs 1/4 reference → drifted
     assert(want._3 > 0.25, s"psi=${want._3}")
   }
+
+  test("ksStream: windowed binned KS merges across micro-batches, batch parity") {
+    implicit val sq = spark.sqlContext
+    val edges = Seq(2.0, 5.0, 8.0)
+    val refCdf = Seq(0.25, 0.5, 0.75) // uniform-quartile reference
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val query = EventsStream.ksStream(events, col("value"), edges, refCdf,
+      "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode(OutputMode.Append()).start()
+    val w1 = Seq(1.0, 7.0, 8.0).map(v => (ts("2024-01-01 10:05:00"), v))
+    val w2 = Seq(9.0, 7.5, 3.0).map(v => (ts("2024-01-01 10:40:00"), v))
+    input.addData(w1: _*)
+    query.processAllAvailable()
+    input.addData(w2: _*)
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), 1.0))
+    query.processAllAvailable()
+    val got = spark.table("ks_out")
+      .select(col("window_start").cast("string"), col("n_events"), col("ks"))
+      .as[(String, Long, Double)].collect().toSet
+    query.stop()
+    val want = EventsStream.ksStream(
+      (w1 ++ w2).toDF("ts", "value"), col("value"), edges, refCdf,
+      "1 hour", "10 minutes")
+      .select(col("window_start").cast("string"), col("n_events"), col("ks"))
+      .as[(String, Long, Double)].head()
+    assert(got.contains(want), s"$got vs $want")
+    // bins 1/1/3/1 of 6 → cum (0.1667, 0.3333, 0.8333) vs quartiles →
+    // D at the middle edge = |2/6 − 0.5| = 0.1667
+    assert(want._2 == 6L && want._3 == 0.1667)
+  }
 }
