@@ -2123,7 +2123,7 @@ object SparkEntry {
     // for EVERY team in one pass (leaderboard_analyzer.py:121-231)
     "q273_leaderboard" -> ((s, d) =>
       graft.operators.Leaderboard.positionReport(supplierBoard(s, d),
-        col("l_suppkey"), col("score"), col("n_weeks"))),
+        col("l_suppkey"), col("score"))),
     // one-row competition summary: score distribution, submission
     // patterns and the competitive-intensity composite
     // (leaderboard_analyzer.py:429-468)
@@ -7355,7 +7355,12 @@ object SparkEntry {
                         ELSE m3/(sdp*sdp*sdp) END)*1e4)/1e4 + 0.0e0) AS skewness,
                       (round((CASE WHEN n < 4 OR sdp <= 0 THEN 3.0e0
                         ELSE m4/(m2*m2) - 3.0e0 END)*1e4)/1e4 + 0.0e0) AS kurtosis,
+                      -- the zero-variance guard mirrors Spark's
+                      -- nanToNull: a degenerate pair series (0/0 = NaN
+                      -- there) must be NULL here too, not DuckDB's NaN
                       (round((CASE WHEN np < 2 THEN 0.0e0
+                        WHEN (np*spxx - spx*spx) <= 0
+                          OR (np*spyy - spy*spy) <= 0 THEN NULL
                         ELSE (np*spxy - spx*spy) /
                           (sqrt(np*spxx - spx*spx)*sqrt(np*spyy - spy*spy))
                         END)*1e4)/1e4 + 0.0e0) AS autocorr_lag1
@@ -7428,7 +7433,7 @@ object SparkEntry {
     // target ladders
     "q273_leaderboard" -> (supplierBoardSql +
       """,
-              rk AS (SELECT l_suppkey AS team, score, n_weeks AS submissions,
+              rk AS (SELECT l_suppkey AS team, score,
                       CAST(row_number() OVER (ORDER BY score, l_suppkey) AS BIGINT) AS rank,
                       count(*) OVER () AS total_teams,
                       min(score) OVER () AS top_score,

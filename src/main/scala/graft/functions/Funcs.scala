@@ -70,6 +70,21 @@ object Funcs {
     sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") /
       lit(1e4) / count(lit(1)) + lit(0.0)
 
+  /** Exact sum of a 4dp-grid column via micro-int accumulation in
+    * decimal(38,0) — the summand of [[microMean]], shared by every
+    * operator that needs partial-aggregation-order-independent error
+    * sums. Oracle twin: `CAST(sum(CAST(round(x*1e4) AS HUGEINT)) AS
+    * DOUBLE)/1e4`. */
+  def microSum(c: Column): Column =
+    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+
+  /** Exact sum of squares of a 4dp-grid column (squares quantized to
+    * the 1e-8 grid; decimal(38,0) leaves ~30 integer digits of
+    * headroom). Oracle twin: `CAST(sum(CAST(round(x*x*1e8) AS
+    * HUGEINT)) AS DOUBLE)/1e8`. */
+  def microSumSq(c: Column): Column =
+    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
+
   /** Normalize NaN → NULL. Spark's corr/stddev return NaN on zero
     * variance where most SQL engines (and the reference's pandas ops)
     * return NULL; normalizing keeps downstream `when` ladders and oracle

@@ -3,7 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{pct, r}
+import graft.functions.Funcs.{microSum, microSumSq, pct, r}
 
 /** Systematic-bias detection — the reference's Phase-5 bias analyzer
   * (src/evaluation/error_analysis.py:467-610 detect_systematic_bias):
@@ -35,12 +35,6 @@ import graft.functions.Funcs.{pct, r}
   * decimal(38,0) sums; every statistic is rounded before its gate.
   */
 object BiasAnalysis {
-
-  private def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
-
-  private def microSumSq(c: Column): Column =
-    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
 
   /** Volume-pattern error analysis — the reference's other Phase-5
     * requirement (error_analysis.py:357-466 analyze_volume_patterns):

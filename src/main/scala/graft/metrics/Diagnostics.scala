@@ -3,7 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{Eps, r}
+import graft.functions.Funcs.{Eps, microSum, microSumSq, r}
 
 /** Model-diagnostics operators — the engine-expressible core of the
   * reference's monitoring stack (src/evaluation/model_diagnostics.py):
@@ -26,13 +26,9 @@ import graft.functions.Funcs.{Eps, r}
 object Diagnostics {
 
   /** Exact sum of a 4dp-grid column via micro-int accumulation. */
-  private def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
 
   /** Exact sum of squares of a 4dp-grid column (squares live on the
     * 1e-8 grid; decimal(38,0) gives ~30 integer digits of headroom). */
-  private def microSumSq(c: Column): Column =
-    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
 
   /** The reference's letter ladder (model_diagnostics.py:732-743). */
   def grade(score: Column): Column =
@@ -153,11 +149,10 @@ object Diagnostics {
     * — identical integers to per-row accumulation) ride that tiny
     * grain on the same (group, channel) partitioning, so the fact is
     * scanned once for all channels. Per-value weighted products
-    * accumulate as long×count inside decimal(38,0) (exact while
-    * micro(value²)·count(value) stays under 2⁶³ — satisfied to ~1e6
-    * rows per distinct value at value ≤ 1e4; pre-bucket continuous
-    * channels per the Eval scale note, which also bounds the grain).
-    * The performance leg is its own single aggregate over the fact. */
+    * multiply in decimal(38,0) BEFORE summing (a long×long product
+    * would wrap silently), so the sums stay exact to ~1e38; pre-bucket
+    * continuous channels per the Eval scale note, which also bounds
+    * the grain. The performance leg is its own single aggregate. */
   def driftReport(df: DataFrame, groupCols: Seq[String],
                   channels: Seq[(String, Column)], isCurrent: Column,
                   actual: Column, pred: Column,
@@ -177,8 +172,11 @@ object Diagnostics {
     val pAll = Window.partitionBy(keys :+ col("channel"): _*)
     val cum = pAll.orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // decimal BEFORE the multiply (the Validation.__spxy convention) —
+    // a long×long product of micro(value²)·count would wrap past 2⁶³
+    // at ~10³ rows per distinct value for values near 1e4
     def wSum(weight: Column, micro: Column, scale: Double): Column =
-      sum((micro.cast("long") * weight).cast("decimal(38,0)")).over(pAll)
+      sum(micro.cast("decimal(38,0)") * weight.cast("decimal(38,0)")).over(pAll)
         .cast("double") / lit(scale)
     val withCdf = grain
       .withColumn("__cp", sum(col("np")).over(cum))
@@ -348,16 +346,21 @@ object Diagnostics {
         r(greatest(lit(0.0), least(lit(100.0),
           when(col("degradation").isNotNull && col("degradation") > 0.2,
             col("__raw") * lit(0.8)).otherwise(col("__raw"))))))
+      // every flag is coalesce-guarded: a group with an empty current
+      // slice has NULL wmape/health, and the oracle's CASE...ELSE 0
+      // emits 0 there — an unguarded cast would emit NULL instead
       .withColumn("alert_degradation",
         coalesce(col("degradation") > 0.2, lit(false)).cast("int"))
       .withColumn("alert_drift",
-        (col("concept_drift_score") > 0.05).cast("int"))
-      .withColumn("alert_low_health", (col("health_score") < 70).cast("int"))
-      .withColumn("alert_high_error", (col("wmape") > 30).cast("int"))
+        coalesce(col("concept_drift_score") > 0.05, lit(false)).cast("int"))
+      .withColumn("alert_low_health",
+        coalesce(col("health_score") < 70, lit(false)).cast("int"))
+      .withColumn("alert_high_error",
+        coalesce(col("wmape") > 30, lit(false)).cast("int"))
       .withColumn("warn_low_stability",
-        (col("prediction_stability") < 0.7).cast("int"))
+        coalesce(col("prediction_stability") < 0.7, lit(false)).cast("int"))
       .withColumn("warn_elevated_error",
-        (col("wmape") > 20 && col("wmape") <= 30).cast("int"))
+        coalesce(col("wmape") > 20 && col("wmape") <= 30, lit(false)).cast("int"))
       .withColumn("n_alerts",
         col("alert_degradation") + col("alert_drift") +
           col("alert_low_health") + col("alert_high_error"))

@@ -3,7 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{Eps, nanToNull, pct, r}
+import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, pct, r}
 
 /** Model-validation check suite — the engine side of the reference's
   * ModelValidator framework (src/validation/model_validator.py): five
@@ -41,11 +41,7 @@ import graft.functions.Funcs.{Eps, nanToNull, pct, r}
   */
 object Validation {
 
-  private def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
 
-  private def microSumSq(c: Column): Column =
-    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
 
   private def microSumP(c: Column, scale: Double): Column =
     sum(round(c * lit(scale), 0).cast("decimal(38,0)")).cast("double") / lit(scale)

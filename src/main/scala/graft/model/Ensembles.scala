@@ -3,7 +3,7 @@ package graft.model
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{Eps, r}
+import graft.functions.Funcs.{Eps, microSum, r}
 
 /** Performance-tracked ensemble weighting — the engine core of the
   * reference's meta-ensemble orchestrator
@@ -23,8 +23,6 @@ import graft.functions.Funcs.{Eps, r}
   */
 object Ensembles {
 
-  private def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
 
   /** Per-(scenario, model) WMAPE and the normalized inverse-error
     * weight. WMAPE here is the fraction Σ|a−p|/Σ|a| (the reference

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{nanToNull, r}
+import graft.functions.Funcs.{microSum, microSumSq, nanToNull, r}
 
 /** Competitive-leaderboard analytics — the engine side of the
   * reference's LeaderboardAnalyzer
@@ -22,12 +22,6 @@ import graft.functions.Funcs.{nanToNull, r}
   */
 object Leaderboard {
 
-  private def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
-
-  private def microSumSq(c: Column): Column =
-    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
-
   /** Per-team position + gap analysis (analyze_position :121-190 and
     * analyze_gaps :192-231 applied table-wide): rank, percentile,
     * competitive zone (:381-391), gaps to the top / next / top-3/10/25
@@ -37,11 +31,9 @@ object Leaderboard {
     * position ladder (:412-427).
     */
   def positionReport(df: DataFrame, teamCol: Column, scoreCol: Column,
-                     submissionsCol: Column,
                      topTier: Int = 3, contenderTier: Int = 10,
                      improvementBuffer: Double = 0.05): DataFrame = {
-    val base = df.select(teamCol.as("team"), r(scoreCol).as("score"),
-      submissionsCol.cast("long").as("submissions"))
+    val base = df.select(teamCol.as("team"), r(scoreCol).as("score"))
     val wRank = Window.partitionBy(lit(0)).orderBy(col("score"), col("team"))
     val wAll = Window.partitionBy(lit(0))
     def scoreAt(k: Int): Column =

@@ -474,6 +474,8 @@ object EventsStream {
                refCdf: Seq[Double], windowDur: String = "7 days",
                watermark: String = "1 day"): DataFrame = {
     require(edges.nonEmpty, "need at least one bin edge")
+    require(edges == edges.sorted,
+      "edges must be ascending — the cumulative bin sum is a CDF only then")
     require(refCdf.length == edges.length,
       "refCdf must carry one reference CDF point per edge")
     val nB = edges.length + 1

@@ -46,6 +46,15 @@ object NgramLm {
     df.select(explode(toks(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** Per-document bigram stream (idCol, w1, w2) — shared by both
+    * scorers so a tokenization fix propagates to each. */
+  private def docBigrams(df: DataFrame, idCol: String, text: String): DataFrame =
+    df.select(col(idCol), toks(text).as("__t"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   /** Per-document mean bigram log-probability + perplexity under the
     * corpus-trained add-k model. Documents with < 2 tokens drop (no
     * bigrams to score). */
@@ -55,12 +64,7 @@ object NgramLm {
     val uni = unigramCounts(df, text)
     val v = uni.agg(count(lit(1)).as("__v"))
 
-    val docBigrams = df
-      .select(col(idCol), toks(text).as("__t"))
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
-        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docBigrams = NgramLm.docBigrams(df, idCol, text)
 
     // Scoring the training corpus ⇒ every (w1,w2) and w1 exists in the
     // count tables; joins stay inner. Both right sides are vocab-bounded
@@ -108,12 +112,7 @@ object NgramLm {
     val bwd = bi.groupBy("w2").agg(count(lit(1)).as("__n1b"))
     val t = bi.agg(count(lit(1)).as("__t"))
 
-    val docBigrams = df
-      .select(col(idCol), toks(text).as("__t"))
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1), size(col("__t")) - 1).as("w1"),
-        slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docBigrams = NgramLm.docBigrams(df, idCol, text)
 
     val lp = docBigrams
       .join(broadcast(bi), Seq("w1", "w2"))

@@ -311,7 +311,7 @@ object SmokeProbe {
           graft.functions.Funcs.r(sum(abs(col("qty_sum") - col("pred"))) /
             (sum(abs(col("qty_sum"))) + lit(1e-8))).as("score"))
       graft.operators.Leaderboard.positionReport(board, col("l_suppkey"),
-        col("score"), col("n_weeks"))
+        col("score"))
         .orderBy("rank")
         .select("team", "score", "rank", "competitive_zone", "gap_to_next",
           "achievability", "recommended_target")

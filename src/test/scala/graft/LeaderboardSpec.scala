@@ -13,8 +13,8 @@ class LeaderboardSpec extends SparkSpec {
     .toDF("team", "score", "subs")
 
   test("positionReport: ranks, zones, gaps and hand-computed targets") {
-    val out = Leaderboard.positionReport(board, col("team"), col("score"),
-      col("subs")).collect().map(r0 => r0.getAs[String]("team") -> r0).toMap
+    val out = Leaderboard.positionReport(board, col("team"), col("score"))
+      .collect().map(r0 => r0.getAs[String]("team") -> r0).toMap
     val t1 = out("t01"); val t5 = out("t05"); val t11 = out("t11")
     assert(t1.getAs[Long]("rank") == 1L && t1.getAs[Double]("percentile") == 100.0)
     assert(t1.getAs[String]("competitive_zone") == "leader")
@@ -66,10 +66,10 @@ class LeaderboardSpec extends SparkSpec {
   }
 
   test("positionReport: partitioning invariance") {
-    val a = Leaderboard.positionReport(board, col("team"), col("score"), col("subs"))
+    val a = Leaderboard.positionReport(board, col("team"), col("score"))
       .orderBy("team").collect().toSeq
     val b = Leaderboard.positionReport(board.repartition(7), col("team"),
-      col("score"), col("subs")).orderBy("team").collect().toSeq
+      col("score")).orderBy("team").collect().toSeq
     assert(a == b)
   }
 }

@@ -261,7 +261,7 @@ class PropertySpec extends SparkSpec {
       val board = scores.zipWithIndex.map { case (s, j) => (s"t$j", s, j + 1) }
         .toDF("team", "score", "subs")
       val out = graft.operators.Leaderboard.positionReport(board, col("team"),
-        col("score"), col("subs")).collect()
+        col("score")).collect()
       val ranks = out.map(_.getAs[Long]("rank")).sorted.toSeq
       assert(ranks == (1L to scores.length).toSeq, s"seed $i")
       out.foreach { r0 =>
