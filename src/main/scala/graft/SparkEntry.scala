@@ -2197,10 +2197,8 @@ object SparkEntry {
       .withColumn("__a", r(col("qty_sum")))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_weeks"),
-        (sum(round(abs(col("__a") - col("pred")) * lit(1e4), 0)
-          .cast("decimal(38,0)")).cast("double") / lit(1e4)).as("__sad"),
-        (sum(round(abs(col("__a")) * lit(1e4), 0)
-          .cast("decimal(38,0)")).cast("double") / lit(1e4)).as("__saa"))
+        graft.functions.Funcs.microSum(abs(col("__a") - col("pred"))).as("__sad"),
+        graft.functions.Funcs.microSum(abs(col("__a"))).as("__saa"))
       .withColumn("score", r(col("__sad") / (col("__saa") + lit(graft.functions.Funcs.Eps))))
   }
 

@@ -116,9 +116,7 @@ object Metrics {
   def crossDimensionalWmape(df: DataFrame, dim1: Column, dim2: Column,
                             actual: Column, pred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Funcs.r
-    def microSum(c: Column): Column =
-      sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+    import graft.functions.Funcs.{microSum, r}
     val g = df.select(dim1.cast("string").as("dim1"),
       dim2.cast("string").as("dim2"),
       r(actual).as("__a"), r(pred).as("__p"))
