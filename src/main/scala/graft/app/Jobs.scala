@@ -163,6 +163,54 @@ object Jobs {
     kpi.unionByName(psi).unionByName(rules)
   }
 
+  /** Composed model-diagnostics run — the engine twin of the
+    * reference's diagnostics orchestration (model_diagnostics.py:994
+    * main(): drift detection + quality assessment + health report in
+    * one call). One tall alert frame in the [[monitorRun]] contract
+    * (check_name, check_key, metric_value, status): per-group drift
+    * channels (the KS gate → OK/CRIT), the quality scorecard's overall
+    * with its letter grade as the status, and the health composite
+    * with its alert count driving the ladder (0 → OK, warnings only →
+    * WARN, any alert → CRIT). The weekly supplier frame with the
+    * naive-lag prediction is built ONCE and localCheckpointed for the
+    * three consumers (the house multi-consumer trade). */
+  def diagnosticsRun(spark: SparkSession, sfDir: String,
+                     refWeeks: Int = 26): DataFrame = {
+    import graft.functions.Funcs.r
+    val weekly = etl(spark, sfDir)
+      .groupBy(col("week_start"), col("l_suppkey"))
+      .agg(sum(col("qty_sum")).as("qty_sum"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("week_start"))
+    val scored = weekly
+      .withColumn("pred", r(lag(col("qty_sum"), 1).over(w)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("pred").isNotNull)
+      .localCheckpoint(true)
+    val drift = graft.metrics.Diagnostics.driftReport(scored, Nil,
+      Seq("target" -> col("qty_sum"),
+        "residual" -> (col("qty_sum") - col("pred"))),
+      col("__rn") > refWeeks, col("qty_sum"), col("pred"))
+      .select(lit("drift").as("check_name"), col("channel").as("check_key"),
+        coalesce(col("drift_score"), lit(0.0)).as("metric_value"),
+        when(col("drift_detected") === 1, "CRIT").otherwise("OK").as("status"))
+    val quality = graft.metrics.Diagnostics.qualityScorecard(
+      scored.withColumn("unc", r(abs(col("qty_sum") - col("pred")))),
+      Nil, col("qty_sum"), col("pred"), col("unc"), col("pred"),
+      Seq(col("l_suppkey"), col("week_start")))
+      .select(lit("quality").as("check_name"),
+        lit("overall").as("check_key"),
+        col("overall_quality").as("metric_value"),
+        col("quality_grade").as("status"))
+    val health = graft.metrics.Diagnostics.healthReport(
+      scored.withColumn("unc", r(abs(col("qty_sum") - col("pred")))),
+      Nil, col("qty_sum"), col("pred"), col("unc"), col("__rn") > refWeeks)
+      .select(lit("health").as("check_name"), lit("composite").as("check_key"),
+        col("health_score").as("metric_value"),
+        when(col("n_alerts") > 0, "CRIT")
+          .when(col("n_warnings") > 0, "WARN").otherwise("OK").as("status"))
+    drift.unionByName(quality).unionByName(health)
+  }
+
   /** §3.2 feature store: the weekly grain plus temporal/agg features,
     * all on ONE series shuffle. */
   def featureStore(spark: SparkSession, sfDir: String): DataFrame = {

@@ -100,6 +100,30 @@ class JobsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("diagnosticsRun: one alert frame with drift, quality and health legs") {
+    val out = graft.app.Jobs.diagnosticsRun(spark, dir).cache()
+    try {
+      assert(out.columns.toSeq ==
+        Seq("check_name", "check_key", "metric_value", "status"))
+      val byName = out.collect().groupBy(_.getAs[String]("check_name"))
+      // drift: target/residual channels + the performance row
+      assert(byName("drift").map(_.getAs[String]("check_key")).toSet ==
+        Set("target", "residual", "performance"))
+      byName("drift").foreach(r0 =>
+        assert(Set("OK", "CRIT").contains(r0.getAs[String]("status"))))
+      // quality: a letter grade and a bounded score
+      val q = byName("quality").head
+      assert(Set("A", "B", "C", "D", "F").contains(q.getAs[String]("status")))
+      assert(q.getAs[Double]("metric_value") >= 0 &&
+        q.getAs[Double]("metric_value") <= 100)
+      // health: composite in [0,100] with the alert ladder
+      val h = byName("health").head
+      assert(h.getAs[Double]("metric_value") >= 0 &&
+        h.getAs[Double]("metric_value") <= 100)
+      assert(Set("OK", "WARN", "CRIT").contains(h.getAs[String]("status")))
+    } finally out.unpersist()
+  }
+
   test("competitiveSubmission: zone factor shifts the shipped totals") {
     // board where our score 0.5 is rank 1 of 12 → leader → ×1.01;
     // board where our 5.0 is rank 4 (three scores below) with the 3rd
