@@ -97,7 +97,22 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.filter(_._2 > 0).map(_._2).sum
-    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}""")
+    val fullLine = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}"""
+    println(fullLine)
+    // The driver stores only the LAST 2000 bytes of stdout and parses
+    // the JSON line it finds there; the full-name line above is ~2.5 KB
+    // so its head falls off the window (r8-r10 all recorded
+    // "parsed": null). Persist the full record to a file, then print a
+    // compact twin LAST — query keys truncated to their unique qNNN
+    // prefix — that fits the tail window whole.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f" }.mkString("{", ",", "}")
+    System.out.flush()
+    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{Eps, microSum, microSumSq, r}
+import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, r}
 
 /** Model-diagnostics operators — the engine-expressible core of the
   * reference's monitoring stack (src/evaluation/model_diagnostics.py):
@@ -24,11 +24,6 @@ import graft.functions.Funcs.{Eps, microSum, microSumSq, r}
   * literal statistic thresholds, documented per method.
   */
 object Diagnostics {
-
-  /** Exact sum of a 4dp-grid column via micro-int accumulation. */
-
-  /** Exact sum of squares of a 4dp-grid column (squares live on the
-    * 1e-8 grid; decimal(38,0) gives ~30 integer digits of headroom). */
 
   /** The reference's letter ladder (model_diagnostics.py:732-743). */
   def grade(score: Column): Column =
@@ -320,10 +315,14 @@ object Diagnostics {
         r(when(col("n_cur") < 2, lit(1.0))
           .otherwise(greatest(lit(0.0), lit(1.0) - cvPred))))
       .withColumn("feature_importance_stability", lit(1.0))
-      .withColumn("coverage", r(col("__cov") / n))
+      // n_cur = 0 (group present only in the reference slice) would give
+      // 0/0.0 = NaN here vs NULL in the SQL oracle; the guard keeps the
+      // house NaN-parity convention on the score chain
+      .withColumn("coverage", r(when(col("n_cur") > 0, col("__cov") / n)))
       .withColumn("calibration_score",
-        r(greatest(lit(0.0), lit(100.0) - r(abs(col("coverage") - lit(0.95))) * lit(200.0))
-          / lit(100.0)))
+        nanToNull(r(greatest(lit(0.0),
+          lit(100.0) - r(abs(col("coverage") - lit(0.95))) * lit(200.0))
+          / lit(100.0))))
       .withColumn("business_impact_score",
         r(greatest(lit(0.0), lit(100.0) - col("wmape"))))
       .withColumn("reference_wmape",
@@ -341,11 +340,11 @@ object Diagnostics {
         col("business_impact_score") * lit(0.25) -
         (col("concept_drift_score") + col("data_drift_score")) * lit(50.0) * lit(0.1)
     val out = joined
-      .withColumn("__raw", r(rawHealth))
+      .withColumn("__raw", nanToNull(r(rawHealth)))
       .withColumn("health_score",
-        r(greatest(lit(0.0), least(lit(100.0),
+        nanToNull(r(greatest(lit(0.0), least(lit(100.0),
           when(col("degradation").isNotNull && col("degradation") > 0.2,
-            col("__raw") * lit(0.8)).otherwise(col("__raw"))))))
+            col("__raw") * lit(0.8)).otherwise(col("__raw")))))))
       // every flag is coalesce-guarded: a group with an empty current
       // slice has NULL wmape/health, and the oracle's CASE...ELSE 0
       // emits 0 there — an unguarded cast would emit NULL instead

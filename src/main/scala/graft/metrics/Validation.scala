@@ -25,7 +25,14 @@ import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, pct, r}
   * the reference and are excluded; the CV validator maps to the
   * existing TimeSplits + champion backtest machinery. The reference's
   * degenerate kurtosis returns 3.0 (not 0 excess — model_validator.py:
-  * 309-317); replicated faithfully.
+  * 309-317); replicated faithfully. DELIBERATE DIVERGENCE on the
+  * accuracy/bias thresholds: the reference's wmape()/mape() return
+  * PERCENTS (0-100) yet its AccuracyValidator compares them to
+  * 0.20/0.25/0.10 — so its accuracy and bias checks effectively always
+  * FAIL on any real series. This engine reads the thresholds on the
+  * fraction scale they evidently intend (wmape ≤ 0.20 = 20%), so
+  * PASSED/WARNING/FAILED outcomes intentionally differ from literal
+  * reference behavior where the reference's unit bug bites.
   *
   * Determinism: inputs rounded to the 4dp grid; every mean is a ratio
   * of micro-int decimal(38,0) sums; residual power sums quantize r³/r⁴
@@ -40,8 +47,6 @@ import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, pct, r}
   * explode from the single wide row — no per-check passes.
   */
 object Validation {
-
-
 
   private def microSumP(c: Column, scale: Double): Column =
     sum(round(c * lit(scale), 0).cast("decimal(38,0)")).cast("double") / lit(scale)

@@ -23,7 +23,6 @@ import graft.functions.Funcs.{Eps, microSum, r}
   */
 object Ensembles {
 
-
   /** Per-(scenario, model) WMAPE and the normalized inverse-error
     * weight. WMAPE here is the fraction Σ|a−p|/Σ|a| (the reference
     * tracker feeds wmape into 1/(x+1e-8) without a percent scale —
@@ -80,7 +79,10 @@ object Ensembles {
         (sum(round(col("weight") * lit(1e6), 0).cast("decimal(38,0)"))
           .cast("double") / lit(1e6)).as("__den"),
         count(lit(1)).as("n_models"))
-      .select(keys ++ Seq(r(col("__num") / col("__den")).as("ensemble_pred"),
+      // degenerate all-zero-weight rows (every present model's weight
+      // rounds to 0 on the 1e-6 grid) emit an explicit NULL, not NaN
+      .select(keys ++ Seq(
+        r(when(col("__den") > 0, col("__num") / col("__den"))).as("ensemble_pred"),
         col("n_models")): _*)
   }
 }

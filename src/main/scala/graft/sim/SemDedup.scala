@@ -57,4 +57,35 @@ object SemDedup {
       .select(col(idCol), col("cell").cast("long").as("cell"),
         col("keep"), col("dup_of"))
   }
+
+  /** Fully-oracle-comparable SemDeDup twin: the coarse quantizer is the
+    * portable fixed-iteration Lloyd ([[Similarity.lloydCentroids]] —
+    * rounded state, lowest-id seeds, deterministic tie-breaks) instead
+    * of MLlib KMeans, so the cells — and therefore the whole keep/drop
+    * decision — replay exactly in an unrolled-CTE SQL oracle (the q204
+    * recipe). Same scale shape as [[semDedup]]: centroid table broadcast,
+    * pair search is an equi-join on cell, witness pick is a skew-safe
+    * partial-aggregated min. */
+  def semDedupPortable(emb: DataFrame, dim: Int = 64, nClusters: Int = 8,
+                       threshold: Double = 0.95, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cent = Similarity.lloydCentroids(emb, dim, nClusters, iters, idCol, vecCol)
+      .select(col("cell"), col("centroid").as("__c"))
+    val base = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val assigned = Similarity.assignCells(base, cent)
+    val a = assigned.select(col("__id").as("id_a"), col("__v").as("__va"), col("cell"))
+    val b = assigned.select(col("__id").as("id_b"), col("__v").as("__vb"), col("cell"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Funcs.r(Similarity.cosine(col("__va"), col("__vb"))))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("__id").as(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select(col(idCol), col("cell"), col("keep"), col("dup_of"))
+  }
 }

@@ -201,8 +201,10 @@ object Similarity {
   }
 
   /** Nearest-cell assignment by rounded squared distance, cell-id
-    * tie-break. One broadcast of the centroid table per call. */
-  private def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
+    * tie-break. One broadcast of the centroid table per call.
+    * Package-visible: the portable SemDeDup ([[SemDedup.semDedupPortable]])
+    * reuses the exact same assignment so its cells admit the q204 oracle. */
+  private[sim] def assignCells(base: DataFrame, cent: DataFrame): DataFrame = {
     import graft.functions.Funcs.r
     val dist = r(dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("__c"))
       + dot(col("__c"), col("__c")))
