@@ -477,6 +477,18 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameSample(media, 1000L)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
     }),
+    // REAL image-codec round trip: plant a deterministic PNG per doc
+    // (pixel channels are fixed integer formulas of (id, x, y)), decode
+    // it back through javax.imageio, emit dims + per-channel means. PNG
+    // is lossless, so the oracle computes the same stats analytically
+    // from the formulas — the actual JDK decode is on the hashed path
+    "q282_image_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id").as("media_id"))
+      val planted = graft.multimodal.Multimodal.plantImages(ids)
+      graft.multimodal.Multimodal.decodeImageFeatures(planted)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
+    }),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7140,6 +7152,26 @@ object SparkEntry {
          FROM a3 LEFT JOIN dup USING (vec_id)"""
     },
     "q147_bpe" -> bpeSql,
+    // q282: the planted-PNG formulas replayed analytically — integer
+    // channel sums over the x×y grid are exact in both engines
+    "q282_image_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+                      CAST(8 + doc_id % 9 AS INT) AS w,
+                      CAST(8 + (7*doc_id) % 9 AS INT) AS h
+                    FROM documents),
+           px AS (SELECT media_id, w, h, x.x, y.y
+                  FROM d, unnest(range(0, w)) x(x), unnest(range(0, h)) y(y)),
+           m AS (SELECT media_id, any_value(w) AS width, any_value(h) AS height,
+                   (round((CAST(sum((media_id + 3*x + 5*y) % 256) AS DOUBLE)
+                     /count(*))*1e4)/1e4 + 0.0e0) AS mean_r,
+                   (round((CAST(sum((2*media_id + 7*x + 11*y) % 256) AS DOUBLE)
+                     /count(*))*1e4)/1e4 + 0.0e0) AS mean_g,
+                   (round((CAST(sum((3*media_id + 13*x + 17*y) % 256) AS DOUBLE)
+                     /count(*))*1e4)/1e4 + 0.0e0) AS mean_b
+                 FROM px GROUP BY 1)
+         SELECT media_id, width, height, CAST(3 AS INT) AS channels,
+                mean_r, mean_g, mean_b, TRUE AS decode_ok
+         FROM m""",
     // q268: the quality scorecard replayed term for term — micro-int
     // sums for every error aggregate, per-row-rounded MAPE terms,
     // component scores rounded before the weighted overall, the same

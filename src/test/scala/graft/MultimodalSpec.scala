@@ -50,6 +50,37 @@ class MultimodalSpec extends SparkSpec {
     assert(counts(1L) == 3L)
   }
 
+  test("planted PNGs decode through the real JDK codec to the planted stats") {
+    val ids = Seq(0L, 5L, 17L).toDF("media_id")
+    val out = Multimodal.decodeImageFeatures(Multimodal.plantImages(ids))
+      .select("media_id", "width", "height", "channels",
+        "mean_r", "mean_g", "mean_b", "decode_ok")
+      .as[(Long, Int, Int, Int, Double, Double, Double, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    ids.as[Long].collect().foreach { id =>
+      val (w, h) = ((8 + id % 9).toInt, (8 + (7 * id) % 9).toInt)
+      // analytic expectation straight from the pixel formulas
+      def mean(f: (Long, Long) => Long): Double = {
+        val s = (for (x <- 0L until w; y <- 0L until h) yield f(x, y)).sum
+        math.round(s.toDouble / (w * h) * 1e4) / 1e4
+      }
+      val (_, gw, gh, ch, mr, mg, mb, ok) = out(id)
+      assert(ok && gw == w && gh == h && ch == 3)
+      assert(mr == mean((x, y) => (id + 3 * x + 5 * y) % 256))
+      assert(mg == mean((x, y) => (2 * id + 7 * x + 11 * y) % 256))
+      assert(mb == mean((x, y) => (3 * id + 13 * x + 17 * y) % 256))
+    }
+  }
+
+  test("undecodable payloads degrade to decode_ok = false with NULL stats") {
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeImageFeatures(junk)
+      .select("media_id", "width", "decode_ok")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, true, false), (2L, true, false)))
+  }
+
   test("per-partition feature extraction appends fixed-dim deterministic vectors") {
     val f1 = Multimodal.featuresByPartition(media, batchSize = 1, dim = 8)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
