@@ -1808,6 +1808,23 @@ object SparkEntry {
       graft.model.Recommend.sequentialPatterns(seqs, "seq",
         minSupport = 0.2, maxLength = 3)
     }),
+    // portable rank-2 explicit ALS twin of q187: fixed iterations,
+    // closed-form 2×2 ridge solves, 4dp-rounded factor state, exact
+    // micro-int sufficient statistics — fully oracled
+    "q283_als_portable" -> ((s, d) => {
+      val ratings = li(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      graft.model.Recommend.alsPortable(ratings, "user", "item", "cnt")
+    }),
+    // portable sequential-pattern twin of q188: subsequence-containment
+    // counting for patterns up to length 3 over per-user event-type
+    // sequences — fully oracled
+    "q284_prefixspan_portable" -> ((s, d) =>
+      graft.model.Recommend.sequentialPatternsPortable(Tables.events(s, d),
+        "user_id", "event_type", Seq(col("ts"), col("event_id")),
+        minSupport = 0.2)),
     // RAG chunking: 200-char windows, 50-char overlap (stride 150)
     "q189_chunk" -> ((s, d) =>
       graft.text.Chunker.chunk(Tables.documents(s, d), "doc_id", "text",
@@ -2579,6 +2596,52 @@ object SparkEntry {
               CAST(sum(np) AS BIGINT) AS n_pieces
        FROM dw JOIN fin USING (w) WHERE w <> ''
        GROUP BY 1"""
+  }
+
+  /** q283 oracle: the rank-2 explicit ALS unrolled — per half-step, the
+    * exact micro-int sufficient statistics (squares on the 1e-8 grid,
+    * rating·factor on the 1e-4 grid — ratings are integral counts), the
+    * IDENTICALLY-parenthesized Cramer solve, and the 4dp rounding of
+    * each factor, so every arithmetic input is bit-equal cross-engine.
+    * The final cross-score + per-user top-5 mirrors the Spark tail. */
+  private lazy val alsPortableSql: String = {
+    val lam = "0.1e0"
+    def s8(e: String) =
+      s"CAST(sum(CAST(round(($e)*1e8) AS HUGEINT)) AS DOUBLE)/1e8"
+    def s4(e: String) =
+      s"CAST(sum(CAST(round(($e)*1e4) AS HUGEINT)) AS DOUBLE)/1e4"
+    def solveCte(n: Int, srcFac: String, joinKey: String, outKey: String,
+                 agg: String, out: String) =
+      s""",
+         $agg AS (SELECT $outKey,
+                    ${s8("f1*f1")} AS a11, ${s8("f1*f2")} AS a12,
+                    ${s8("f2*f2")} AS a22,
+                    ${s4("rv*f1")} AS b1, ${s4("rv*f2")} AS b2
+                  FROM rt JOIN $srcFac USING ($joinKey) GROUP BY 1),
+         $out AS (SELECT $outKey,
+                    (round((((a22 + $lam)*b1 - a12*b2)
+                      /((a11 + $lam)*(a22 + $lam) - a12*a12))*1e4)/1e4 + 0.0e0) AS f1,
+                    (round((((a11 + $lam)*b2 - a12*b1)
+                      /((a11 + $lam)*(a22 + $lam) - a12*a12))*1e4)/1e4 + 0.0e0) AS f2
+                  FROM $agg)"""
+    val iters = (1 to 2).map { n =>
+      solveCte(n, s"y${n - 1}", "i", "u", s"ua$n", s"u$n") +
+        solveCte(n, s"u$n", "u", "i", s"ia$n", s"y$n")
+    }.mkString
+    s"""WITH rt AS (SELECT o_custkey AS u, l_partkey AS i,
+                      CAST(count(*) AS DOUBLE) AS rv
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+         y0 AS (SELECT i,
+                  (round((0.1e0 + (i % 7)/10.0)*1e4)/1e4 + 0.0e0) AS f1,
+                  (round((0.1e0 + (i % 11)/10.0)*1e4)/1e4 + 0.0e0) AS f2
+                FROM (SELECT DISTINCT i FROM rt))$iters,
+         sc AS (SELECT u2.u, y2.i,
+                  (round((u2.f1*y2.f1 + u2.f2*y2.f2)*1e4)/1e4 + 0.0e0) AS score
+                FROM u2, y2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY u
+                  ORDER BY score DESC, i ASC) AS rank FROM sc)
+       SELECT u AS "user", i AS item, score, rank FROM rk WHERE rank <= 5"""
   }
 
   /** q259 oracle: every family member's fit/SSE/forecast replayed at
@@ -7152,6 +7215,33 @@ object SparkEntry {
          FROM a3 LEFT JOIN dup USING (vec_id)"""
     },
     "q147_bpe" -> bpeSql,
+    "q283_als_portable" -> alsPortableSql,
+    // q284: containment algebra over per-(user, item) position extrema —
+    // (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a b-occurrence lies
+    // strictly between min_pos(a) and max_pos(c); support gate vs the
+    // distinct-user count
+    "q284_prefixspan_portable" ->
+      """WITH e0 AS (SELECT user_id AS u, event_type AS t,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS p
+                     FROM events),
+           mm AS (SELECT u, t, min(p) AS minp, max(p) AS maxp
+                  FROM e0 GROUP BY 1, 2),
+           n AS (SELECT count(DISTINCT u) AS ns FROM e0),
+           l1 AS (SELECT t AS pattern, count(*) AS freq FROM mm GROUP BY 1),
+           l2 AS (SELECT a.t || '>' || b.t AS pattern, count(*) AS freq
+                  FROM mm a JOIN mm b ON a.u = b.u AND a.minp < b.maxp
+                  GROUP BY 1),
+           l3 AS (SELECT ta || '>' || tb || '>' || tc AS pattern,
+                    count(*) AS freq
+                  FROM (SELECT DISTINCT e0.u, a.t AS ta, e0.t AS tb, c.t AS tc
+                        FROM e0 JOIN mm a ON e0.u = a.u AND a.minp < e0.p
+                                JOIN mm c ON e0.u = c.u AND e0.p < c.maxp)
+                  GROUP BY 1),
+           allp AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+                    UNION ALL SELECT * FROM l3)
+         SELECT pattern, CAST(freq AS BIGINT) AS freq
+         FROM allp, n WHERE CAST(freq AS DOUBLE) >= 0.2e0 * ns""",
     // q282: the planted-PNG formulas replayed analytically — integer
     // channel sums over the x×y grid are exact in both engines
     "q282_image_decode" ->

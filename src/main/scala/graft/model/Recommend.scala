@@ -1,8 +1,10 @@
 package graft.model
 
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r
 
 /** Collaborative-filtering recommendation over implicit co-purchase
   * counts (customer × part), and sequential-pattern mining over event
@@ -39,6 +41,134 @@ object Recommend {
       .select(col(userCol), col("col")(itemCol).as(itemCol),
         col("col")("rating").cast("double").as("score"),
         (col("pos") + 1).cast("long").as("rank"))
+
+  /** Fully-oracle-comparable ALS twin: rank-2 EXPLICIT alternating
+    * least squares with fixed iterations and 4dp-rounded factor state —
+    * the Lloyd recipe applied to matrix factorization. Each half-step
+    * solves the 2×2 ridge normal equations in closed form (Cramer), so
+    * no iterative linear solver is involved; the sufficient statistics
+    * (ΣyᵀY, Σr·y) accumulate by the house exact micro-int convention,
+    * making every comparison input bit-identical cross-engine. Item
+    * factors initialize from fixed formulas of the item id
+    * (y = [0.1 + (i mod 7)/10, 0.1 + (i mod 11)/10]) — deterministic,
+    * non-degenerate, seedless.
+    *
+    * DECLARED DIVERGENCE from [[fitAls]]: MLlib's path is IMPLICIT ALS
+    * (confidence-weighted, solves over the full user×item grid); the
+    * portable twin is explicit (observed triples only), which is what
+    * admits a SQL oracle. Both expose the same alternating-update
+    * semantics; the MLlib path stays the engine's production route.
+    *
+    * Scale shape: each half-step is one equi-join ratings⋈factors plus
+    * one key-grain aggregate (factor tables are entity-grain tiny);
+    * state is localCheckpointed per half-step (lineage stays O(1) per
+    * iteration). The final all-pairs scoring is the DEMO tail — at
+    * corpus scale you'd hand the factor tables to the ANN module
+    * (Similarity.ivfPortableTopK) instead of cross-scoring; here the
+    * item-factor table is dimension-grain and broadcast. */
+  def alsPortable(ratings: DataFrame, userCol: String, itemCol: String,
+                  ratingCol: String, iters: Int = 2, lambda: Double = 0.1,
+                  k: Int = 5): DataFrame = {
+    val rt = ratings.select(col(userCol).cast("long").as("u"),
+      col(itemCol).cast("long").as("i"),
+      col(ratingCol).cast("double").as("rv"))
+      .localCheckpoint(true)
+    // exact micro-int sums: f1*f2 lives on the 1e-8 grid, rv*f on 1e-4
+    // (ratings are integral counts)
+    def s8(c: Column) =
+      sum(round(c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
+    def s4(c: Column) =
+      sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+    // closed-form 2×2 ridge solve (A + λI)x = b, factors rounded to 4dp
+    def solve(joined: DataFrame, key: String): DataFrame = {
+      val g = joined.groupBy(col(key))
+        .agg(s8(col("f1") * col("f1")).as("a11"),
+          s8(col("f1") * col("f2")).as("a12"),
+          s8(col("f2") * col("f2")).as("a22"),
+          s4(col("rv") * col("f1")).as("b1"),
+          s4(col("rv") * col("f2")).as("b2"))
+      val det = (col("a11") + lit(lambda)) * (col("a22") + lit(lambda)) -
+        col("a12") * col("a12")
+      g.select(col(key),
+        r(((col("a22") + lit(lambda)) * col("b1") - col("a12") * col("b2")) / det)
+          .as("f1"),
+        r(((col("a11") + lit(lambda)) * col("b2") - col("a12") * col("b1")) / det)
+          .as("f2"))
+    }
+    var itemF = rt.select(col("i")).distinct()
+      .select(col("i"),
+        r(lit(0.1) + (col("i") % 7) / lit(10.0)).as("f1"),
+        r(lit(0.1) + (col("i") % 11) / lit(10.0)).as("f2"))
+      .localCheckpoint(true)
+    var userF: DataFrame = null
+    for (_ <- 1 to iters) {
+      userF = solve(rt.join(itemF, "i"), "u").localCheckpoint(true)
+      itemF = solve(rt.join(userF, "u"), "i").localCheckpoint(true)
+    }
+    val scored = userF.select(col("u"), col("f1").as("x1"), col("f2").as("x2"))
+      .crossJoin(broadcast(
+        itemF.select(col("i"), col("f1").as("y1"), col("f2").as("y2"))))
+      .select(col("u"), col("i"),
+        r(col("x1") * col("y1") + col("x2") * col("y2")).as("score"))
+    val w = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("u").as(userCol), col("i").as(itemCol), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Fully-oracle-comparable sequential-pattern twin for single-item
+    * sequences up to length 3: pattern support = number of keys whose
+    * ordered item sequence CONTAINS the pattern as a subsequence —
+    * exactly MLlib PrefixSpan's count on single-element itemsets, but
+    * computed by containment algebra instead of projected databases:
+    *
+    *   (a)       supported by every key where a occurs;
+    *   (a,b)     supported iff min_pos(a) < max_pos(b);
+    *   (a,b,c)   supported iff some b-occurrence lies strictly between
+    *             min_pos(a) and max_pos(c).
+    *
+    * Scale shape: one window pass assigns positions, one aggregate
+    * collapses events to the (key, item, min_pos, max_pos) table —
+    * alphabet-bounded per key — and each pattern length is an equi-join
+    * on the key against that small table (the length-3 probe joins the
+    * event table once, never two self-joins of raw events). The support
+    * gate is a broadcast 1-row aggregate, no driver scalar. */
+  def sequentialPatternsPortable(events: DataFrame, keyCol: String,
+                                 itemCol: String, ordCols: Seq[Column],
+                                 minSupport: Double,
+                                 maxLength: Int = 3): DataFrame = {
+    require(maxLength >= 1 && maxLength <= 3, "portable twin covers lengths 1-3")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordCols: _*)
+    val e = events.select(col(keyCol).as("u"), col(itemCol).as("t"),
+      row_number().over(w).as("p"))
+      .localCheckpoint(true)
+    val mm = e.groupBy(col("u"), col("t"))
+      .agg(min("p").as("minp"), max("p").as("maxp"))
+      .localCheckpoint(true)
+    val l1 = mm.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .select(col("t").as("pattern"), col("freq"))
+    val l2 = mm.select(col("u"), col("t").as("ta"), col("minp"))
+      .join(mm.select(col("u"), col("t").as("tb"), col("maxp")), "u")
+      .filter(col("minp") < col("maxp"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(">", col("ta"), col("tb")).as("pattern"), col("freq"))
+    val l3 = e
+      .join(mm.select(col("u"), col("t").as("ta"), col("minp")), "u")
+      .filter(col("minp") < col("p"))
+      .join(mm.select(col("u"), col("t").as("tc"), col("maxp")), "u")
+      .filter(col("p") < col("maxp"))
+      .select(col("u"), col("ta"), col("t").as("tb"), col("tc")).distinct()
+      .groupBy(col("ta"), col("tb"), col("tc")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(">", col("ta"), col("tb"), col("tc")).as("pattern"),
+        col("freq"))
+    val all = Seq(Some(l1), Option.when(maxLength >= 2)(l2),
+      Option.when(maxLength >= 3)(l3)).flatten.reduce(_ unionByName _)
+    val nseq = e.agg(countDistinct(col("u")).as("ns"))
+    all.crossJoin(broadcast(nseq))
+      .filter(col("freq").cast("double") >= lit(minSupport) * col("ns"))
+      .select(col("pattern"), col("freq"))
+  }
 
   /** Frequent sequential patterns (MLlib PrefixSpan) over per-key
     * ordered item sequences. Input: one row per (key, ordered seq of

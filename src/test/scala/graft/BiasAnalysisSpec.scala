@@ -100,4 +100,20 @@ class BiasAnalysisSpec extends SparkSpec {
     // std = 0 → t suppressed
     assert(o.isNullAt(o.fieldIndex("t_stat")))
   }
+
+  test("degenerate: all-zero errors with EMPTY groupCols keep the overall row") {
+    // empty groupCols takes the crossJoin(wilcox) branch; with every
+    // error zero the signed-rank sample is empty, but the global
+    // aggregate still emits its one row (SQL global-agg semantics), so
+    // the overall row must survive with a NULL W — regression pin for
+    // the r10 review finding
+    val clean = (1 to 20).map(i => ("A", "2022-01", 10.0, 10.0))
+    val out = BiasAnalysis.systematicBias(clean.toDF("flag", "month", "a", "p"),
+      Seq.empty, Seq("flag" -> col("flag")), col("a"), col("p"))
+      .filter(col("section") === "overall").collect()
+    assert(out.length == 1)
+    val o = out.head
+    assert(o.getAs[Double]("mean_bias") == 0.0)
+    assert(o.isNullAt(o.fieldIndex("wilcoxon_w")))
+  }
 }

@@ -38,4 +38,40 @@ class RecommendSpec extends SparkSpec {
     assert(out("a>b") == 2L)
     assert(!out.contains("x") && !out.contains("y"))
   }
+
+  test("portable sequential patterns match MLlib PrefixSpan exactly") {
+    // events: (user, pos, type) with repeats and non-adjacent patterns
+    val ev = Seq(
+      (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+      (2, 1, "b"), (2, 2, "b"), (2, 3, "c"),
+      (3, 1, "a"), (3, 2, "c"), (3, 3, "c"), (3, 4, "b"),
+      (4, 1, "c"), (4, 2, "a"), (4, 3, "b"))
+      .toDF("u", "pos", "t")
+    val portable = Recommend.sequentialPatternsPortable(ev, "u", "t",
+      Seq(col("pos")), minSupport = 0.5, maxLength = 3)
+      .as[(String, Long)].collect().toMap
+    val seqs = ev.groupBy("u")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")).as("seq"))
+    val mllib = Recommend.sequentialPatterns(seqs, "seq",
+      minSupport = 0.5, maxLength = 3)
+      .as[(String, Long)].collect().toMap
+    assert(portable == mllib)
+  }
+
+  test("portable ALS recovers block preference structure deterministically") {
+    val ratings = Seq(
+      (1L, 10L, 9.0), (1L, 20L, 1.0), (2L, 10L, 8.0),
+      (3L, 20L, 9.0), (4L, 20L, 8.0), (4L, 10L, 1.0))
+      .toDF("user", "item", "cnt")
+    val out = Recommend.alsPortable(ratings, "user", "item", "cnt", k = 2)
+    val top1 = out.filter(col("rank") === 1)
+      .select("user", "item").as[(Long, Long)].collect().toMap
+    assert(top1(1L) == 10L && top1(2L) == 10L && top1(3L) == 20L)
+    // determinism: a second run produces byte-identical rows
+    val r1 = out.collect().toSeq
+    val r2 = Recommend.alsPortable(ratings, "user", "item", "cnt", k = 2)
+      .collect().toSeq
+    assert(r1.toSet == r2.toSet)
+  }
 }
