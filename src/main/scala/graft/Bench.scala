@@ -37,7 +37,9 @@ object Bench {
     "q271_model_weights", "q272_validation", "q273_leaderboard",
     "q274_competition", "q275_health_report", "q276_kneser_ney",
     "q277_ann_recall", "q278_systematic_bias", "q279_volume_patterns",
-    "q280_temperature_mix", "q281_cross_dim_wmape")
+    "q280_temperature_mix", "q281_cross_dim_wmape",
+    "q282_image_decode", "q283_als_portable", "q284_prefixspan_portable",
+    "q146_semdedup", "q147_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2054,6 +2054,15 @@ object SparkEntry {
         col("l_partkey"))
       graft.operators.SketchRollup.distinctOverRange(weekly, Seq("l_suppkey"))
     }),
+    // portable KMV distinct sketch: weekly k-minimum-Lehmer-hash
+    // sketches per supplier, range estimate by exactly-associative
+    // sketch merge — the fully-oracled twin of the HLL rollup (q265)
+    "q285_kmv_distinct" -> ((s, d) => {
+      val weekly = graft.operators.SketchRollup.kmvSketchTable(li(s, d),
+        Seq("l_suppkey"), to_date(date_trunc("week", col("l_shipdate"))),
+        col("l_partkey"))
+      graft.operators.SketchRollup.kmvDistinctOverRange(weekly, Seq("l_suppkey"))
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {
@@ -7216,6 +7225,29 @@ object SparkEntry {
     },
     "q147_bpe" -> bpeSql,
     "q283_als_portable" -> alsPortableSql,
+    // q285: the KMV pipeline replayed — 3-round Lehmer permutation as
+    // pure integer arithmetic, per-week k smallest distinct hashes,
+    // exactly-associative merge, (k−1)·M/h_k estimator
+    "q285_kmv_distinct" ->
+      """WITH h AS (SELECT l_suppkey,
+                      CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+                      ((((l_partkey % 2147483647)*48271 % 2147483647)
+                        *48271 % 2147483647)*48271 % 2147483647) AS hv
+                    FROM lineitem),
+           sk AS (SELECT l_suppkey, wk,
+                    list_sort(list(DISTINCT hv))[1:32] AS kmv
+                  FROM h GROUP BY 1, 2),
+           ex AS (SELECT l_suppkey, u.hv2
+                  FROM sk, unnest(kmv) u(hv2)),
+           mg AS (SELECT l_suppkey,
+                    list_sort(list(DISTINCT hv2))[1:32] AS merged
+                  FROM ex GROUP BY 1)
+         SELECT l_suppkey, CAST(len(merged) AS BIGINT) AS n_kept,
+                (round((CASE WHEN len(merged) < 32
+                   THEN CAST(len(merged) AS DOUBLE)
+                   ELSE 31.0e0 * 2147483647.0e0 / CAST(merged[32] AS DOUBLE)
+                 END)*1e4)/1e4 + 0.0e0) AS est_distinct
+         FROM mg""",
     // q284: containment algebra over per-(user, item) position extrema —
     // (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a b-occurrence lies
     // strictly between min_pos(a) and max_pos(c); support gate vs the

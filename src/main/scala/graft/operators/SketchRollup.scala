@@ -53,4 +53,43 @@ object SketchRollup {
     base.unionByName(delta)
       .groupBy(keyCols.map(col) :+ col("period"): _*)
       .agg(hll_union_agg(col("dv_sketch")).as("dv_sketch"))
+
+  /** Portable KMV (k-minimum-values) distinct sketch — the
+    * fully-oracle-comparable twin of the HLL pair above (Bar-Yossef et
+    * al. 2002): hash each value with the portable Lehmer permutation
+    * ([[graft.functions.PortableHash.lehmer]] — pure 64-bit arithmetic,
+    * bit-identical in any engine) and keep the k smallest DISTINCT
+    * hashes per (keys..., period). Two properties HLL lacks here:
+    * the state is portable (a sorted BIGINT array, no engine-private
+    * registers), and the merge is EXACTLY associative — the global k
+    * minima of a union are each inside their part's k minima, so
+    * merge-then-estimate equals estimate-of-recompute bit for bit
+    * (SketchSpec pins both). Estimator: exact |state| below k (the
+    * sketch IS the distinct set there), else (k−1)·M/h₍ₖ₎.
+    * Same 100 TB shape as the HLL path: map-side-combinable aggregate,
+    * O(k) state per group, range queries merge period sketches without
+    * a fact rescan. */
+  def kmvSketchTable(df: DataFrame, keyCols: Seq[String], periodCol: Column,
+                     value: Column, k: Int = 32): DataFrame =
+    df.select(keyCols.map(col) :+ periodCol.as("period") :+
+        graft.functions.PortableHash.lehmer(value).as("__h"): _*)
+      .groupBy(keyCols.map(col) :+ col("period"): _*)
+      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("kmv"))
+
+  /** Merge each key's period KMV sketches and estimate the distinct
+    * count over the whole range. Output: keys..., n_kept, est_distinct. */
+  def kmvDistinctOverRange(sketches: DataFrame, keyCols: Seq[String],
+                           k: Int = 32): DataFrame = {
+    import graft.functions.Funcs.r
+    val m = graft.functions.PortableHash.M31
+    sketches.select(keyCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("merged"))
+      .select(keyCols.map(col) :+
+        size(col("merged")).cast("long").as("n_kept") :+
+        r(when(size(col("merged")) < k, size(col("merged")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) /
+            element_at(col("merged"), k).cast("double")))
+          .as("est_distinct"): _*)
+  }
 }

@@ -64,4 +64,39 @@ class SketchSpec extends SparkSpec {
       assert(rel <= 0.01, s"key $k maintained=$est recomputed=${recomputed(k)}")
     }
   }
+
+  test("KMV merge-then-estimate equals estimate-of-recompute EXACTLY") {
+    // the KMV advantage over HLL: the global k minima each survive
+    // per-part truncation, so the merge is exactly associative
+    val df = ledger
+    val byPeriod = SketchRollup.kmvSketchTable(df, Seq("k"), col("period"),
+      col("customer"))
+    val merged = SketchRollup.kmvDistinctOverRange(byPeriod, Seq("k"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val direct = SketchRollup.kmvDistinctOverRange(
+      SketchRollup.kmvSketchTable(df, Seq("k"), lit(0L), col("customer")),
+      Seq("k"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(merged == direct)
+  }
+
+  test("KMV estimate: exact below k, inside a loose band above k") {
+    val small = (0 until 10).map(i => (1L, 0L, i.toLong)).toDF("k", "period", "customer")
+    val sEst = SketchRollup.kmvDistinctOverRange(
+      SketchRollup.kmvSketchTable(small, Seq("k"), col("period"), col("customer")),
+      Seq("k")).as[(Long, Long, Double)].collect().head
+    assert(sEst._2 == 10L && sEst._3 == 10.0) // below k: the sketch IS the set
+    val big = ledger
+    val est = SketchRollup.kmvDistinctOverRange(
+      SketchRollup.kmvSketchTable(big, Seq("k"), col("period"), col("customer")),
+      Seq("k")).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    val exact = big.groupBy("k").agg(countDistinct(col("customer")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      // k=32 → relative std error ~1/√(k−2) ≈ 18%; pin a 3σ-ish band
+      val rel = math.abs(est(k) - ex) / ex.toDouble
+      assert(rel <= 0.55, s"key $k est=${est(k)} exact=$ex rel=$rel")
+    }
+  }
 }
