@@ -926,6 +926,16 @@ object SparkEntry {
     // reference's auto-ARIMA model-selection loop. SUPPLIER grain for
     // series long enough that every member is identified somewhere
     "q259_champion" -> ((s, d) => championShared(s, d)._1),
+    // the stepwise-order-search trace: every identified family member's
+    // (k, SSE, n_eff, AIC, rank) per series — the scoreboard q259
+    // argmins over (arima_temporal.py:277-361 logs exactly this per
+    // tried order before picking)
+    "q286_order_search" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.Champion.scoreboard(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+    }),
     // Akaike-weight model averaging over the same eight-member family:
     // w ∝ exp(−Δ/2), blend = Σ(w·f)/Σw as exact micro-int sums —
     // shares the member tables with q259 (championShared)
@@ -1810,13 +1820,20 @@ object SparkEntry {
     }),
     // portable rank-2 explicit ALS twin of q187: fixed iterations,
     // closed-form 2×2 ridge solves, 4dp-rounded factor state, exact
-    // micro-int sufficient statistics — fully oracled
+    // micro-int sufficient statistics — fully oracled. Cost shape at
+    // sf0.1 (~8.5s warm): four sequentially-materialized alternating
+    // half-steps over the 590k-pair ratings fact, each a broadcast
+    // join + decimal(38,0)-exact aggregate — the price of cross-engine
+    // bit-exactness; q187 (MLlib implicit ALS) stays the fast engine
+    // path. Scoring tail restricted to the u ≡ 0 (mod 20) query set
+    // (the ANN query-set convention; full cross-scoring is quadratic)
     "q283_als_portable" -> ((s, d) => {
       val ratings = li(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .agg(count(lit(1)).cast("double").as("cnt"))
-      graft.model.Recommend.alsPortable(ratings, "user", "item", "cnt")
+      graft.model.Recommend.alsPortable(ratings, "user", "item", "cnt",
+        scoreUserMod = Some(20L))
     }),
     // portable sequential-pattern twin of q188: subsequence-containment
     // counting for patterns up to length 3 over per-user event-type
@@ -2647,7 +2664,7 @@ object SparkEntry {
                 FROM (SELECT DISTINCT i FROM rt))$iters,
          sc AS (SELECT u2.u, y2.i,
                   (round((u2.f1*y2.f1 + u2.f2*y2.f2)*1e4)/1e4 + 0.0e0) AS score
-                FROM u2, y2),
+                FROM u2, y2 WHERE u2.u % 20 = 0),
          rk AS (SELECT *, row_number() OVER (PARTITION BY u
                   ORDER BY score DESC, i ASC) AS rank FROM sc)
        SELECT u AS "user", i AS item, score, rank FROM rk WHERE rank <= 5"""
@@ -2949,6 +2966,19 @@ object SparkEntry {
          FROM champ c JOIN fcs f ON c.l_suppkey = f.l_suppkey
            AND c.model = f.model"""
 
+  /** q286 tail: the scoreboard itself — every aics row joined back to
+    * its scb sufficient statistics, ranked by (aic, member order). */
+  private lazy val orderSearchSql: String =
+    s"""$championMembersSql,
+           rk AS (SELECT l_suppkey, model, aic,
+                   row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY aic, mrank) AS rank
+                 FROM aics)
+         SELECT s.l_suppkey, s.model, s.k, s.sse, s.neff AS n_eff,
+                r2.aic, r2.rank
+         FROM scb s JOIN rk r2 ON s.l_suppkey = r2.l_suppkey
+           AND s.model = r2.model"""
+
   /** q267 tail: Akaike weights w ∝ exp(−Δ/2) rounded to the 4dp grid,
     * blend = Σ(w·f)/Σw as exact micro-int sums — mirrors
     * Champion.blendForecast term for term. */
@@ -3074,6 +3104,7 @@ object SparkEntry {
     "q222_damped_holt" -> dampedHoltSql,
     "q259_champion" -> championSql,
     "q267_champion_blend" -> championBlendSql,
+    "q286_order_search" -> orderSearchSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

@@ -68,7 +68,7 @@ object Recommend {
     * item-factor table is dimension-grain and broadcast. */
   def alsPortable(ratings: DataFrame, userCol: String, itemCol: String,
                   ratingCol: String, iters: Int = 2, lambda: Double = 0.1,
-                  k: Int = 5): DataFrame = {
+                  k: Int = 5, scoreUserMod: Option[Long] = None): DataFrame = {
     val rt = ratings.select(col(userCol).cast("long").as("u"),
       col(itemCol).cast("long").as("i"),
       col(ratingCol).cast("double").as("rv"))
@@ -102,10 +102,21 @@ object Recommend {
       .localCheckpoint(true)
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
-      userF = solve(rt.join(itemF, "i"), "u").localCheckpoint(true)
-      itemF = solve(rt.join(userF, "u"), "i").localCheckpoint(true)
+      // factor tables are entity-grain (one row per user/item) — always
+      // the broadcast side against the ratings fact
+      userF = solve(rt.join(broadcast(itemF), "i"), "u").localCheckpoint(true)
+      itemF = solve(rt.join(broadcast(userF), "u"), "i").localCheckpoint(true)
     }
-    val scored = userF.select(col("u"), col("f1").as("x1"), col("f2").as("x2"))
+    // the factorization trains on EVERY rating; the all-items scoring
+    // tail is restricted to a deterministic user subset when asked
+    // (scoreUserMod = Some(m) keeps users with u ≡ 0 mod m) — the ANN
+    // query-set convention: full-corpus cross-scoring is quadratic and
+    // at scale you'd hand the factor tables to the ANN module instead
+    val scoreUsers = scoreUserMod match {
+      case Some(m) => userF.filter(pmod(col("u"), lit(m)) === 0)
+      case None => userF
+    }
+    val scored = scoreUsers.select(col("u"), col("f1").as("x1"), col("f2").as("x2"))
       .crossJoin(broadcast(
         itemF.select(col("i"), col("f1").as("y1"), col("f2").as("y2"))))
       .select(col("u"), col("i"),

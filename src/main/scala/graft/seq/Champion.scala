@@ -236,6 +236,28 @@ object Champion {
         col("step"), col("forecast")): _*)
   }
 
+  /** The full order-search TRACE — what the reference's stepwise
+    * auto-ARIMA loop logs per candidate order
+    * (src/models/arima_temporal.py:277-361: each tried (p,d,q) with its
+    * AIC, then the argmin): every identified family member's parameter
+    * count, exact SSE, effective n, rounded AIC and its deterministic
+    * rank within the series (rank 1 = the champion q259 forecasts).
+    * Exposes the member scoreboard that championForecast argmins over,
+    * so model-selection diagnostics (AIC gaps, near-ties, member
+    * eligibility) are queryable rather than implicit. */
+  def scoreboard(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                 valueCol: String, h: Int = 4, m: Int = 13,
+                 alpha: Double = 0.3, beta: Double = 0.1,
+                 damp: Double = 0.9): DataFrame = {
+    val (aic, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+      alpha, beta, damp)
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("aic"), col("__mrank"))
+    aic.withColumn("rank", row_number().over(w).cast("long"))
+      .select(keys ++ Seq(col("model"), col("__k").as("k"), col("sse"),
+        col("neff").as("n_eff"), col("aic"), col("rank")): _*)
+  }
+
   /** Both consumers from ONE member-pipeline execution: the scoreboard
     * and forecast union are materialized (they are series-grain tiny —
     * #series × 8 and × 8·h rows), so the eight member fits run once

@@ -186,4 +186,20 @@ class ChampionSpec extends SparkSpec {
     assert(eight.sortBy(r => (r._1, r._2)).toSeq ==
       blended.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("scoreboard: rank-1 row IS the champion, ranks are a permutation") {
+    val sb = Champion.scoreboard(planted.toDF("k", "t", "v"), Seq("k"),
+      Seq(col("t")), "v", h = 4, m = 13)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5),
+        r.getLong(6)))
+    val champs = result.map(r => (r._1, r._2)).distinct.toMap
+    val rank1 = sb.filter(_._4 == 1L).map(r => (r._1, r._2)).toMap
+    assert(rank1 == champs)
+    // ranks within each series are 1..n_members with matching AIC order
+    sb.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.sortBy(_._4).map(_._3).toSeq ==
+        rows.map(_._3).sorted.toSeq)
+    }
+  }
 }
