@@ -33,21 +33,21 @@ object SparkEntry {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def part(s: SparkSession, d: String) = Tables.part(s, d)
 
-  /** q259/q267 share the eight-member champion family via
-    * [[graft.seq.Champion.pickAndBlend]]: the member scoreboard and
+  /** q259/q267/q286 share the eight-member champion family via
+    * [[graft.seq.Champion.pickBlendScore]]: the member scoreboard and
     * forecast union are series-grain tiny and localCheckpointed once
-    * per (session, sfDir), so a sweep that runs both queries pays the
+    * per (session, sfDir), so a sweep that runs all three pays the
     * eight per-series fits ONCE (r10 measured the pair re-fitting the
     * family twice at ~5s each). Values are identical to the one-plan
     * championForecast/blendForecast paths — pickAndBlend materializes
     * the exact same member tables the tails consume. */
-  private val championMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
-  private def championShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private val championMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame, DataFrame)]()
+  private def championShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     championMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity"))
-      graft.seq.Champion.pickAndBlend(weekly, Seq("l_suppkey"),
+      graft.seq.Champion.pickBlendScore(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4, m = 13)
     })
 
@@ -929,13 +929,9 @@ object SparkEntry {
     // the stepwise-order-search trace: every identified family member's
     // (k, SSE, n_eff, AIC, rank) per series — the scoreboard q259
     // argmins over (arima_temporal.py:277-361 logs exactly this per
-    // tried order before picking)
-    "q286_order_search" -> ((s, d) => {
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity"))
-      graft.seq.Champion.scoreboard(weekly, Seq("l_suppkey"),
-        Seq(col("week_start")), "qty_sum", h = 4, m = 13)
-    }),
+    // tried order before picking) — shares the member tables with
+    // q259/q267 (championShared)
+    "q286_order_search" -> ((s, d) => championShared(s, d)._3),
     // Akaike-weight model averaging over the same eight-member family:
     // w ∝ exp(−Δ/2), blend = Σ(w·f)/Σw as exact micro-int sums —
     // shares the member tables with q259 (championShared)

@@ -251,11 +251,7 @@ object Champion {
                  damp: Double = 0.9): DataFrame = {
     val (aic, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
-    val keys = keyCols.map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col("aic"), col("__mrank"))
-    aic.withColumn("rank", row_number().over(w).cast("long"))
-      .select(keys ++ Seq(col("model"), col("__k").as("k"), col("sse"),
-        col("neff").as("n_eff"), col("aic"), col("rank")): _*)
+    scoreboardFrom(aic, keyCols)
   }
 
   /** Both consumers from ONE member-pipeline execution: the scoreboard
@@ -270,11 +266,34 @@ object Champion {
                    valueCol: String, h: Int = 4, m: Int = 13,
                    alpha: Double = 0.3, beta: Double = 0.1,
                    damp: Double = 0.9): (DataFrame, DataFrame) = {
+    val (pick, blend, _) = pickBlendScore(df, keyCols, ordCols, valueCol,
+      h, m, alpha, beta, damp)
+    (pick, blend)
+  }
+
+  /** All THREE consumers — champion pick, Akaike blend and the
+    * order-search scoreboard — from one materialized member-pipeline
+    * execution (the pickAndBlend contract extended with the q286
+    * trace). */
+  def pickBlendScore(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                     valueCol: String, h: Int = 4, m: Int = 13,
+                     alpha: Double = 0.3, beta: Double = 0.1,
+                     damp: Double = 0.9): (DataFrame, DataFrame, DataFrame) = {
     val (aic0, fcs0) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     val aic = aic0.localCheckpoint(true)
     val fcs = fcs0.localCheckpoint(true)
-    (pickFrom(aic, fcs, keyCols), blendFrom(aic, fcs, keyCols))
+    (pickFrom(aic, fcs, keyCols), blendFrom(aic, fcs, keyCols),
+      scoreboardFrom(aic, keyCols))
+  }
+
+  /** Scoreboard tail over an already-built member score table. */
+  private def scoreboardFrom(aic: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("aic"), col("__mrank"))
+    aic.withColumn("rank", row_number().over(w).cast("long"))
+      .select(keys ++ Seq(col("model"), col("__k").as("k"), col("sse"),
+        col("neff").as("n_eff"), col("aic"), col("rank")): _*)
   }
 
   /** Akaike-weight model averaging — the combination twin of the
