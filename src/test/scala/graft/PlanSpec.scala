@@ -395,4 +395,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("portable ALS: scoring cross is a broadcast of the factor table, never cartesian") {
+    // the half-step joins are materialized behind localCheckpoints, so
+    // the FINAL plan is the scoring tail: query-user factors crossed
+    // with the broadcast entity-grain item-factor table + top-k window
+    val plan = SparkEntry.queries("q283_als_portable")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("portable sequential patterns: every pattern probe is an equi-join on key") {
+    val plan = SparkEntry.queries("q284_prefixspan_portable")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the support gate is a broadcast 1-row aggregate, not a driver scalar
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("KMV sketch: one partial-aggregable exchange per grain, no join at all") {
+    val plan = SparkEntry.queries("q285_kmv_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // weekly sketch grain + range merge grain: two hash exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("portable SemDeDup: pair search is an equi-join on cell, centroids broadcast") {
+    val plan = SparkEntry.queries("q146_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }
