@@ -39,10 +39,30 @@ object Bpe {
 
   /** Learn `numMerges` merges over the corpus word vocabulary, frequency-
     * weighted. Deterministic: ties break on (pair count desc, left asc,
-    * right asc). Stops early when no adjacent pair occurs twice. */
-  def learnMerges(df: DataFrame, text: String, numMerges: Int): Seq[Merge] = {
-    var vocab = df.select(words(text).as("w"))
+    * right asc — unsigned UTF-8 byte order, matching Spark/DuckDB binary
+    * string comparison). Stops early when no adjacent pair occurs twice.
+    *
+    * Two execution paths with IDENTICAL results (BpeSpec pins parity):
+    * when the vocabulary fits `maxDriverVocab` entries the merge loop
+    * runs driver-side over the collected (word, freq) table — the corpus
+    * still collapses to its vocabulary DISTRIBUTED (one map-side-combined
+    * groupBy; that is the only corpus-sized pass), and a vocab-bounded
+    * loop on one machine is how production tokenizer trainers work
+    * (numMerges driver round-trips of the distributed loop cost more
+    * than the whole local computation). Corpora whose vocabulary
+    * overflows the bound fall back to the fully-distributed loop:
+    * per-iteration pair counts as a vocab-grain aggregate, a 1-row
+    * argmax, and a codegen'd array-fold merge pass. */
+  def learnMerges(df: DataFrame, text: String, numMerges: Int,
+                  maxDriverVocab: Int = 1 << 16): Seq[Merge] = {
+    val vocabCounts = df.select(words(text).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    val local = vocabCounts.limit(maxDriverVocab + 1).collect()
+    if (local.length <= maxDriverVocab)
+      return learnMergesLocal(
+        local.map(r => (r.getString(0), r.getLong(1))), numMerges)
+
+    var vocab = vocabCounts
       .select(split(col("w"), "").as("syms"), col("freq"))
       .cache()
     vocab.count() // materialize before the loop
@@ -69,6 +89,70 @@ object Bpe {
         vocab = (if ((i + 1) % 8 == 0) next.localCheckpoint(true) else next).cache()
         i += 1
       }
+    }
+    out.result()
+  }
+
+  /** Unsigned-UTF-8-byte string order — Spark's and DuckDB's BINARY
+    * collation. Scala's String.compareTo is UTF-16 code-unit order,
+    * which diverges for supplementary-plane characters; tie-breaks must
+    * sort identically in all three places. */
+  private[text] val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
+    (a: String, b: String) => {
+      val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      val n = math.min(ab.length, bb.length)
+      while (i < n && ab(i) == bb(i)) i += 1
+      if (i < n) (ab(i) & 0xff) - (bb(i) & 0xff) else ab.length - bb.length
+    })
+
+  /** Driver-side merge loop over a collected (word, freq) vocabulary —
+    * bitwise the same merges as the distributed loop: same pair counts,
+    * same (count desc, left asc, right asc) argmax under UTF-8 byte
+    * order, same greedy non-overlapping pass ([[encodeWord]]'s), same
+    * stop-below-2 rule. */
+  private def learnMergesLocal(vocab: Array[(String, Long)],
+                               numMerges: Int): Seq[Merge] = {
+    // Java "".split("") -> [""], identical to Spark's split(w, "")
+    var state = vocab.map { case (w, f) => (w.split(""), f) }
+    val out = Seq.newBuilder[Merge]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      state.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          counts.merge((syms(j), syms(j + 1)), f, _ + _)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        import scala.jdk.CollectionConverters._
+        val ((a, b), cnt) = counts.asScala.minBy { case ((x, y), c) =>
+          (-c, x, y)
+        }(Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
+        if (cnt < 2L) done = true
+        else {
+          out += Merge(i, a, b)
+          state = state.map { case (syms, f) => (encodeOnePass(syms, a, b), f) }
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One greedy non-overlapping left-to-right pass (the [[encodeWord]]
+    * inner step, exposed for the driver-side trainer). */
+  private def encodeOnePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
     }
     out.result()
   }

@@ -106,6 +106,18 @@ class SemDedupBpeSpec extends SparkSpec {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("driver-vocab fast path and distributed loop learn identical merges") {
+    val corpus = Seq(
+      "low lower lowest", "new newer newest", "low low new",
+      "wider wide widest", "lower newer", "aaaa aaa aa")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val local = Bpe.learnMerges(df, "text", numMerges = 12)
+    // maxDriverVocab = 0 can never hold the vocab -> distributed loop
+    val dist = Bpe.learnMerges(df, "text", numMerges = 12, maxDriverVocab = 0)
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
+  }
+
   test("encode applies merges in rank order; piece concat reconstructs word") {
     val df = Seq((0L, "banana bandana")).toDF("doc_id", "text")
     val merges = Seq(Bpe.Merge(0, "a", "n"), Bpe.Merge(1, "an", "an"))
