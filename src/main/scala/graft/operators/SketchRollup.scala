@@ -74,7 +74,10 @@ object SketchRollup {
     df.select(keyCols.map(col) :+ periodCol.as("period") :+
         graft.functions.PortableHash.lehmer(value).as("__h"): _*)
       .groupBy(keyCols.map(col) :+ col("period"): _*)
-      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("kmv"))
+      // bounded native aggregate — NOT collect_set+slice, whose buffer
+      // is the group's FULL distinct set; this one's state is ≤ k longs
+      // per group at every point (map side, shuffle, reduce side)
+      .agg(graft.expr.MinKDistinctExpr.column(col("__h"), k).as("kmv"))
 
   /** Merge each key's period KMV sketches and estimate the distinct
     * count over the whole range. Output: keys..., n_kept, est_distinct. */
@@ -84,7 +87,7 @@ object SketchRollup {
     val m = graft.functions.PortableHash.M31
     sketches.select(keyCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
       .groupBy(keyCols.map(col): _*)
-      .agg(slice(array_sort(collect_set(col("__h"))), 1, k).as("merged"))
+      .agg(graft.expr.MinKDistinctExpr.column(col("__h"), k).as("merged"))
       .select(keyCols.map(col) :+
         size(col("merged")).cast("long").as("n_kept") :+
         r(when(size(col("merged")) < k, size(col("merged")).cast("double"))

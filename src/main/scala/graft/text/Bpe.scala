@@ -55,17 +55,23 @@ object Bpe {
     * argmax, and a codegen'd array-fold merge pass. */
   def learnMerges(df: DataFrame, text: String, numMerges: Int,
                   maxDriverVocab: Int = 1 << 16): Seq[Merge] = {
+    // cache before the size probe so an over-bound vocabulary does not
+    // pay the corpus-sized groupBy twice (probe + distributed loop)
     val vocabCounts = df.select(words(text).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache()
     val local = vocabCounts.limit(maxDriverVocab + 1).collect()
-    if (local.length <= maxDriverVocab)
+    if (local.length <= maxDriverVocab) {
+      vocabCounts.unpersist()
       return learnMergesLocal(
         local.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    }
 
     var vocab = vocabCounts
       .select(split(col("w"), "").as("syms"), col("freq"))
       .cache()
     vocab.count() // materialize before the loop
+    vocabCounts.unpersist()
 
     val out = Seq.newBuilder[Merge]
     var i = 0

@@ -65,6 +65,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bounded min-k-distinct aggregate equals the composed collect_set form") {
+    val df = ledger
+    val bounded = df
+      .select(col("k"), graft.functions.PortableHash.lehmer(col("customer")).as("h"))
+      .groupBy("k")
+      .agg(graft.expr.MinKDistinctExpr.column(col("h"), 32).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = df
+      .select(col("k"), graft.functions.PortableHash.lehmer(col("customer")).as("h"))
+      .groupBy("k")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 32).as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bounded == composed)
+  }
+
   test("KMV merge-then-estimate equals estimate-of-recompute EXACTLY") {
     // the KMV advantage over HLL: the global k minima each survive
     // per-part truncation, so the merge is exactly associative
