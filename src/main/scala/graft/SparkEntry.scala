@@ -489,6 +489,20 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           col("mean_r"), col("mean_g"), col("mean_b"), col("decode_ok"))
     }),
+    // REAL audio-codec round trip: plant a deterministic RIFF/WAV
+    // PCM-16 payload per doc (sample t is a fixed integer formula of
+    // (id, t)), decode it back through javax.sound.sampled, emit the
+    // format + amplitude stats. PCM is lossless, so the oracle replays
+    // the same stats analytically from the formula — the actual JDK
+    // decode is on the hashed path
+    "q287_audio_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id").as("media_id"))
+      val planted = graft.multimodal.Multimodal.plantAudio(ids)
+      graft.multimodal.Multimodal.decodeAudioFeatures(planted)
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("bits"), col("n_samples"), col("duration_ms"),
+          col("mean_amp"), col("rms_amp"), col("zero_cross"), col("decode_ok"))
+    }),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7321,6 +7335,30 @@ object SparkEntry {
          SELECT media_id, width, height, CAST(3 AS INT) AS channels,
                 mean_r, mean_g, mean_b, TRUE AS decode_ok
          FROM m""",
+    // q287: the planted-WAV sample formula replayed analytically —
+    // integer amplitude sums over the t range are exact in both engines
+    "q287_audio_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+                      CAST(64 + doc_id % 65 AS BIGINT) AS n
+                    FROM documents),
+           sm AS (SELECT media_id, n, t.t,
+                    ((37*media_id + 13*t*t + 7*t) % 4096 - 2048) * 16 AS s
+                  FROM d, unnest(range(0, n)) t(t)),
+           lg AS (SELECT media_id, n, t, s,
+                    lag(s) OVER (PARTITION BY media_id ORDER BY t) AS prev
+                  FROM sm),
+           ag AS (SELECT media_id, any_value(n) AS n,
+                    sum(s) AS ssum, sum(s*s) AS ssq,
+                    sum(CASE WHEN t > 0 AND prev * s < 0 THEN 1 ELSE 0 END) AS zc
+                  FROM lg GROUP BY 1)
+         SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+                n AS n_samples,
+                (round(n*1000.0e0/8000*1e4)/1e4 + 0.0e0) AS duration_ms,
+                (round(CAST(ssum AS DOUBLE)/n*1e4)/1e4 + 0.0e0) AS mean_amp,
+                (round(sqrt(CAST(ssq AS DOUBLE)/n)*1e4)/1e4 + 0.0e0) AS rms_amp,
+                CAST(zc AS BIGINT) AS zero_cross, TRUE AS decode_ok
+         FROM ag""",
     // q268: the quality scorecard replayed term for term — micro-int
     // sums for every error aggregate, per-row-rounded MAPE terms,
     // component scores rounded before the weighted overall, the same

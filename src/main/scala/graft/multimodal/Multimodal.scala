@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * `javax.imageio` codec (PNG/JPEG/BMP/GIF, zero extra dependencies)
   * inside the per-partition batch seam, and [[plantImages]] generates
   * genuine PNG payloads from deterministic pixel formulas so the decode
-  * path is oracle-checkable end-to-end. Audio/video codecs have no JDK
-  * implementation, so those stay behind `decodeStub` — a deterministic
-  * fake derived from the payload hash — with everything Spark-side real
+  * path is oracle-checkable end-to-end. AUDIO decode is REAL too:
+  * [[decodeAudioFeatures]] runs the JDK `javax.sound.sampled` codec
+  * (WAV/AIFF/AU PCM) and [[plantAudio]] writes genuine RIFF/WAVE PCM-16
+  * payloads from a deterministic sample formula. Only VIDEO has no JDK
+  * codec, so it stays behind `decodeStub` — a deterministic fake
+  * derived from the payload hash — with everything Spark-side real
   * and tested: schemas, the mapPartitions batch shape (the Scala
   * analogue of `mapInPandas`: an iterator of row batches, model loaded
   * once per partition), partitioning-preserving signatures, and the
@@ -187,6 +190,114 @@ object Multimodal {
               Seq(w, h, ch, r4(sr / n), r4(sg / n), r4(sb / n), true)
             case None => Seq(null, null, null, null, null, null, false)
           }
+          Row.fromSeq(row.toSeq ++ extra)
+        }
+      }
+    }(enc)
+  }
+
+  /** Plant a deterministic REAL WAV payload per id: mono 16-bit PCM at
+    * 8 kHz whose sample t is a fixed integer formula of (id, t) —
+    *   n = 64 + id % 65,
+    *   s(t) = ((37·id + 13·t² + 7·t) mod 4096 − 2048) · 16
+    * — wrapped in a hand-written RIFF/WAVE header (the container format
+    * is a public spec; writing it directly keeps the byte stream fully
+    * deterministic, while DECODE below goes through the real JDK codec).
+    * PCM is lossless, so the decoded stats are oracle-computable
+    * analytically from the formula, exactly like [[plantImages]]. */
+  def plantAudio(df: DataFrame, idCol: String = "media_id",
+                 sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val n = (64 + id % 65).toInt
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)                  // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+          .putShort(2).putShort(16)                 // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var t = 0
+        while (t < n) {
+          val s = (((37 * id + 13L * t * t + 7L * t) % 4096) - 2048) * 16
+          bb.putShort(s.toShort)
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode through the JDK codec (`javax.sound.sampled.
+    * AudioSystem` — WAV/AIFF/AU PCM with zero extra dependencies):
+    * per-partition batched like [[decodeImageFeatures]], emitting the
+    * decoded format (rate, channels, bits), sample count, duration, and
+    * amplitude stats (mean, RMS, zero-crossings). Undecodable payloads
+    * degrade to `decode_ok = false` with NULL stats. Scale shape: pure
+    * per-row work behind one narrow mapPartitions, no shuffle; decoded
+    * samples never leave the task. */
+  def decodeAudioFeatures(df: DataFrame, payloadCol: String = "payload",
+                          batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", DoubleType, nullable = true),
+      StructField("mean_amp", DoubleType, nullable = true),
+      StructField("rms_amp", DoubleType, nullable = true),
+      StructField("zero_cross", LongType, nullable = true),
+      StructField("decode_ok", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    def r4(x: Double): Double = math.round(x * 1e4) / 1e4 + 0.0
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val extra: Seq[Any] = (row.get(payloadIdx) match {
+            case bytes: Array[Byte] if bytes.nonEmpty =>
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try {
+                  val fmt = in.getFormat
+                  val signed = fmt.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  if (!signed || fmt.getSampleSizeInBits != 16) None
+                  else {
+                    val raw = in.readAllBytes()
+                    val bb = java.nio.ByteBuffer.wrap(raw).order(
+                      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN)
+                    val ch = fmt.getChannels
+                    val nFrames = raw.length / (2 * ch)
+                    var (sum, sumSq, zc) = (0L, 0L, 0L)
+                    var prev = 0L
+                    var i = 0
+                    while (i < nFrames) {
+                      // frame value = first channel (planted audio is mono)
+                      val s = bb.getShort(i * 2 * ch).toLong
+                      sum += s; sumSq += s * s
+                      if (i > 0 && prev * s < 0) zc += 1
+                      prev = s
+                      i += 1
+                    }
+                    val n = nFrames.toDouble
+                    Some(Seq(fmt.getSampleRate.toInt, ch, 16, nFrames.toLong,
+                      r4(nFrames * 1000.0 / fmt.getSampleRate),
+                      r4(sum / n), r4(math.sqrt(sumSq / n)), zc, true))
+                  }
+                } finally in.close()
+              } catch { case _: Exception => None }
+            case _ => None
+          }).getOrElse(Seq(null, null, null, null, null, null, null, null, false))
           Row.fromSeq(row.toSeq ++ extra)
         }
       }

@@ -72,6 +72,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("planted WAVs decode through the real JDK codec to the planted stats") {
+    val ids = Seq(0L, 5L, 17L, 64L).toDF("media_id")
+    val out = Multimodal.decodeAudioFeatures(Multimodal.plantAudio(ids))
+      .select("media_id", "sample_rate", "n_channels", "bits", "n_samples",
+        "duration_ms", "mean_amp", "rms_amp", "zero_cross", "decode_ok")
+      .as[(Long, Int, Int, Int, Long, Double, Double, Double, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    ids.as[Long].collect().foreach { id =>
+      val n = (64 + id % 65).toInt
+      // analytic expectation straight from the sample formula
+      val s = (0 until n).map(t =>
+        (((37 * id + 13L * t * t + 7L * t) % 4096) - 2048) * 16)
+      def r4(x: Double) = math.round(x * 1e4) / 1e4 + 0.0
+      val zc = (1 until n).count(t => s(t - 1) * s(t) < 0).toLong
+      val (_, rate, ch, bits, gn, dur, mean, rms, gzc, ok) = out(id)
+      assert(ok && rate == 8000 && ch == 1 && bits == 16 && gn == n)
+      assert(dur == r4(n * 1000.0 / 8000))
+      assert(mean == r4(s.sum.toDouble / n))
+      assert(rms == r4(math.sqrt(s.map(v => v * v).sum.toDouble / n)))
+      assert(gzc == zc)
+    }
+  }
+
+  test("undecodable audio degrades to decode_ok = false with NULL stats") {
+    val junk = Seq((1L, "not a wav".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioFeatures(junk)
+      .select("media_id", "n_samples", "decode_ok")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, true, false), (2L, true, false)))
+  }
+
   test("undecodable payloads degrade to decode_ok = false with NULL stats") {
     val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, Array.emptyByteArray))
       .toDF("media_id", "payload")
