@@ -503,6 +503,13 @@ object SparkEntry {
           col("bits"), col("n_samples"), col("duration_ms"),
           col("mean_amp"), col("rms_amp"), col("zero_cross"), col("decode_ok"))
     }),
+    // trained quality classifier (CCNet/fastText-style): 6 exact
+    // gradient steps of quasi-logistic regression of (lang = 'en') on
+    // hashed token-count features, then score every doc — the fit is
+    // replayed term for term by an unrolled-CTE oracle
+    "q288_quality_classifier" -> ((s, d) =>
+      graft.text.QualityClassifier.trainScore(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang") === "en")),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -2640,6 +2647,64 @@ object SparkEntry {
     * IDENTICALLY-parenthesized Cramer solve, and the 4dp rounding of
     * each factor, so every arithmetic input is bit-equal cross-engine.
     * The final cross-score + per-user top-5 mirrors the Spark tail. */
+  /** q288 oracle: the quality-classifier fit unrolled — 6 gradient
+    * steps on the 1e-6 micro-int grid, rational squash (no exp), bias
+    * as the constant feature in bucket 16. Every cross-row sum is an
+    * exact BIGINT sum; every division is one double op followed by an
+    * away-from-zero round — replaying graft.text.QualityClassifier
+    * term for term. */
+  private lazy val qualityClassifierSql: String = {
+    def score(k: Int, prev: String) =
+      s""",
+         s$k AS MATERIALIZED (
+           SELECT f.doc_id, any_value(f.y) AS y,
+                  CAST(round(CAST(sum(w.wi*f.xi) AS DOUBLE)/1e6) AS BIGINT) AS sm
+           FROM feat f JOIN $prev w ON f.b = w.b GROUP BY f.doc_id)"""
+    val iterCtes = (1 to 6).map { k =>
+      score(k, s"w${k - 1}") +
+        s""",
+         r$k AS (SELECT doc_id,
+                   CAST(round((0.5e0 + (sm/1e6)/(2.0e0*(1.0e0 + abs(sm/1e6))))*1e6) AS BIGINT)
+                     - y*1000000 AS rm
+                 FROM s$k),
+         w$k AS MATERIALIZED (
+           SELECT w.b,
+                  w.wi - CAST(round(0.5e0*round(CAST(coalesce(g.gs, 0) AS DOUBLE)/1e6/nd.n)) AS BIGINT) AS wi
+           FROM w${k - 1} w
+           LEFT JOIN (SELECT f.b, sum(f.xi*r.rm) AS gs
+                      FROM feat f JOIN r$k r USING (doc_id) GROUP BY f.b) g
+             ON w.b = g.b, nd)"""
+    }.mkString
+    s"""WITH tok AS (SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                FROM documents),
+         tk AS (SELECT doc_id, y,
+                  list_reduce([ord(w[i:i])::BIGINT FOR i IN range(1, len(w)+1)],
+                              (a,x) -> (a*31+x) % 1000000007) % 16 AS b
+                FROM tok WHERE w <> ''),
+         nt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+         cb AS (SELECT t.doc_id, any_value(t.y) AS y, t.b, count(*) AS cnt
+                FROM tk t GROUP BY t.doc_id, t.b),
+         feat AS MATERIALIZED (
+           SELECT cb.doc_id, cb.y, CAST(cb.b AS INT) AS b,
+                  CAST(round(cnt*1.0e0/nt.n*1e6) AS BIGINT) AS xi
+           FROM cb JOIN nt USING (doc_id)
+           UNION ALL
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  16 AS b, CAST(1000000 AS BIGINT) AS xi
+           FROM documents),
+         nd AS (SELECT count(*) AS n FROM documents),
+         w0 AS (SELECT CAST(b.b AS INT) AS b, CAST(0 AS BIGINT) AS wi
+                FROM unnest(range(0, 17)) b(b))$iterCtes${score(7, "w6")}
+       SELECT doc_id, y AS label, (sm/1e6 + 0.0e0) AS score,
+              (CAST(round((0.5e0 + (sm/1e6)/(2.0e0*(1.0e0 + abs(sm/1e6))))*1e6) AS BIGINT)/1e6
+                + 0.0e0) AS prob,
+              CASE WHEN CAST(round((0.5e0 + (sm/1e6)/(2.0e0*(1.0e0 + abs(sm/1e6))))*1e6) AS BIGINT)
+                     >= 500000 THEN 1 ELSE 0 END AS pred
+       FROM s7"""
+  }
+
   private lazy val alsPortableSql: String = {
     val lam = "0.1e0"
     def s8(e: String) =
@@ -7266,6 +7331,7 @@ object SparkEntry {
     },
     "q147_bpe" -> bpeSql,
     "q283_als_portable" -> alsPortableSql,
+    "q288_quality_classifier" -> qualityClassifierSql,
     // q285: the KMV pipeline replayed — 3-round Lehmer permutation as
     // pure integer arithmetic, per-week k smallest distinct hashes,
     // exactly-associative merge, (k−1)·M/h_k estimator
