@@ -510,6 +510,21 @@ object SparkEntry {
     "q288_quality_classifier" -> ((s, d) =>
       graft.text.QualityClassifier.trainScore(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang") === "en")),
+    // MMR diverse selection: top-40 most query-relevant vectors, then
+    // 8 greedy picks maximizing relevance minus max-similarity-to-
+    // selected — each round one distributed argmax, the greedy
+    // trajectory unrolled round for round by the oracle
+    "q289_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") === 0).select(col("vec").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("vec"),
+          r(graft.sim.Similarity.cosine(col("vec"), col("qv"))).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(40)
+      graft.sim.Mmr.mmrSelect(cands, "vec_id", "vec", "rel", k = 8)
+    }),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -2703,6 +2718,40 @@ object SparkEntry {
               CASE WHEN CAST(round((0.5e0 + (sm/1e6)/(2.0e0*(1.0e0 + abs(sm/1e6))))*1e6) AS BIGINT)
                      >= 500000 THEN 1 ELSE 0 END AS pred
        FROM s7"""
+  }
+
+  /** q289 oracle: the greedy MMR trajectory unrolled — pick round k is
+    * one argmax CTE over the survivors, the max-sim penalty column is
+    * updated incrementally with one rounded cosine per round (the same
+    * incremental formulation as the engine), ties on ascending id. */
+  private lazy val mmrSelectSql: String = {
+    def cos(a: String, b: String) =
+      s"""(round(list_dot_product($a, $b)
+             /(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))*1e4)/1e4 + 0.0e0)"""
+    val rounds = (1 to 8).map { k =>
+      s""",
+         p$k AS MATERIALIZED (
+           SELECT vec_id, cv, rel,
+                  (round((0.5e0*rel - 0.5e0*ms)*1e4)/1e4 + 0.0e0) AS mmr
+           FROM m${k - 1} ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+         m$k AS MATERIALIZED (
+           SELECT c.vec_id, c.cv, c.rel,
+                  greatest(c.ms, ${cos("c.cv", "p.cv")}) AS ms
+           FROM m${k - 1} c, p$k p WHERE c.vec_id <> p.vec_id)"""
+    }.mkString
+    val sel = (1 to 8).map(k =>
+      s"SELECT $k AS rank, vec_id, rel, mmr AS mmr_score FROM p$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0),
+         cr AS (SELECT vec_id, embedding::DOUBLE[] cv,
+                  ${cos("embedding::DOUBLE[]", "qv")} AS rel
+                FROM embeddings, q WHERE vec_id <> 0),
+         ct AS (SELECT vec_id, cv, rel,
+                  row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+                FROM cr),
+         m0 AS MATERIALIZED (SELECT vec_id, cv, rel, 0.0e0 AS ms
+                FROM ct WHERE rn <= 40)$rounds
+       $sel"""
   }
 
   private lazy val alsPortableSql: String = {
@@ -7332,6 +7381,7 @@ object SparkEntry {
     "q147_bpe" -> bpeSql,
     "q283_als_portable" -> alsPortableSql,
     "q288_quality_classifier" -> qualityClassifierSql,
+    "q289_mmr_select" -> mmrSelectSql,
     // q285: the KMV pipeline replayed — 3-round Lehmer permutation as
     // pure integer arithmetic, per-week k smallest distinct hashes,
     // exactly-associative merge, (k−1)·M/h_k estimator
