@@ -525,6 +525,13 @@ object SparkEntry {
         .orderBy(col("rel").desc, col("vec_id").asc).limit(40)
       graft.sim.Mmr.mmrSelect(cands, "vec_id", "vec", "rel", k = 8)
     }),
+    // true winnowing (MOSS): per-window rightmost-min of portable
+    // 8-gram polynomial hashes, window 4 — the position-bearing
+    // fingerprint set, exactly replayable (q113 is the global-min lite
+    // twin; q67 is the engine-hash blocking key)
+    "q290_winnow" -> ((s, d) =>
+      graft.text.TextAnalysis.winnow(Tables.documents(s, d),
+        col("doc_id"), col("text")).withColumnRenamed("id", "doc_id")),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7382,6 +7389,25 @@ object SparkEntry {
     "q283_als_portable" -> alsPortableSql,
     "q288_quality_classifier" -> qualityClassifierSql,
     "q289_mmr_select" -> mmrSelectSql,
+    // q290: winnowing replayed with DuckDB list functions — the same
+    // rightmost-min arithmetic (j + w − position(reverse(win), min(win)))
+    // over the same polynomial gram hashes
+    "q290_winnow" ->
+      """WITH d AS (SELECT doc_id, text, len(text) - 7 AS m
+                    FROM documents WHERE len(text) >= 8),
+           hs AS (SELECT doc_id, m, least(4, m) AS we,
+                    [list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0, 8)],
+                                 (a,x) -> (a*31+x) % 1000000007)
+                     FOR i IN range(1, m + 1)] AS h
+                  FROM d),
+           pr AS (SELECT doc_id, h, we, unnest(range(1, m - we + 2)) AS j
+                  FROM hs),
+           ps AS (SELECT doc_id, h,
+                    j + we - list_position(list_reverse(h[j:j+we-1]),
+                                           list_min(h[j:j+we-1])) AS pos
+                  FROM pr)
+         SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h[pos] AS fp
+         FROM ps""",
     // q285: the KMV pipeline replayed — 3-round Lehmer permutation as
     // pure integer arithmetic, per-week k smallest distinct hashes,
     // exactly-associative merge, (k−1)·M/h_k estimator

@@ -124,4 +124,45 @@ object TextAnalysis {
       i => xxhash64(text.substr(i, lit(shingle))))
     array_min(grams)
   }
+
+  /** TRUE winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * fingerprinting scheme): slide a window of `w` consecutive
+    * character-`k`-gram hashes and select the RIGHTMOST minimal hash of
+    * each window, then dedupe — guaranteeing every substring match of
+    * length ≥ k + w − 1 shares a selected fingerprint, with density
+    * ~2/(w+1). Unlike [[fingerprint]] (one global min, a blocking key)
+    * this yields a position-bearing fingerprint SET usable for span-
+    * level overlap detection and plagiarism-style matching.
+    *
+    * Hashes are the portable polynomial (PortableHash.MPoly), and the
+    * rightmost-min is computed arithmetically
+    * (`j + w − position(reverse(window), min(window))`) from codegen'd
+    * array builtins — the identical formula an oracle replays with
+    * DuckDB list functions (q290). Scale shape: pure per-row array
+    * work, no shuffle except the final distinct; O(len·k) hashing +
+    * O(len·w) selection per doc.
+    *
+    * Output: one row per distinct (id, pos, fp) — `pos` is the 1-based
+    * shingle start of the selected gram. Docs shorter than `k` emit
+    * nothing. */
+  def winnow(df: DataFrame, idCol: Column, textCol: Column,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    val m = (length(textCol) - (k - 1)).cast("int")
+    val base = df.select(idCol.as("id"), textCol.as("__t"), m.as("__m"))
+      .filter(col("__m") >= 1)
+    val hashes = transform(sequence(lit(1), col("__m")),
+      i => graft.functions.PortableHash.polyHash(col("__t").substr(i, lit(k))))
+    val wEff = least(lit(w), col("__m"))
+    val sel = base
+      .withColumn("__h", hashes)
+      .withColumn("__we", wEff)
+      .withColumn("__j", explode(sequence(lit(1), col("__m") - col("__we") + 1)))
+      .withColumn("__win", slice(col("__h"), col("__j"), col("__we")))
+      .withColumn("pos", (col("__j") + col("__we") -
+        array_position(reverse(col("__win")), array_min(col("__win"))))
+        .cast("long"))
+    sel.select(col("id"), col("pos"),
+        element_at(col("__h"), col("pos").cast("int")).as("fp"))
+      .distinct()
+  }
 }

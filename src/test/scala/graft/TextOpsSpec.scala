@@ -6,6 +6,33 @@ import graft.operators.AggFeatures
 
 class TextOpsSpec extends SparkSpec {
 
+  test("winnowing guarantees a shared fingerprint for substring matches >= k+w-1") {
+    import spark.implicits._
+    // docs 1 and 2 share an 11-char substring (= k + w - 1 with k=8, w=4)
+    val shared = "THESHAREDRUN"
+    val docs = Seq((1L, s"aaaaaa${shared}bbbbbb"), (2L, s"zzz${shared}qqqqqqq"),
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val fp = graft.text.TextAnalysis.winnow(docs, col("doc_id"), col("text"))
+      .select("id", "fp").as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+  }
+
+  test("winnowing density and determinism; short docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 100), (2L, "short")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.winnow(docs, col("doc_id"), col("text"))
+      .select("id", "pos", "fp").as[(Long, Long, Long)].collect()
+    assert(!out.exists(_._1 == 2L)) // len 5 < k=8
+    // constant text -> every 8-gram hash equal -> rightmost-min walks the
+    // windows; selection still dedupes to far fewer than one per window
+    val n1 = out.count(_._1 == 1L)
+    assert(n1 >= 1 && n1 <= 93)
+    val again = graft.text.TextAnalysis.winnow(docs, col("doc_id"), col("text"))
+      .select("id", "pos", "fp").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(t => (t._1, t._2)).sameElements(again.sortBy(t => (t._1, t._2))))
+  }
+
   test("cleanText: NFC-composes, strips controls, collapses whitespace") {
     import spark.implicits._
     val docs = Seq(
