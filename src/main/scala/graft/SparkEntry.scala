@@ -532,6 +532,26 @@ object SparkEntry {
     "q290_winnow" -> ((s, d) =>
       graft.text.TextAnalysis.winnow(Tables.documents(s, d),
         col("doc_id"), col("text")).withColumnRenamed("id", "doc_id")),
+    // retrieval-order eval of the LSH ANN search: per-query MRR / AP@10
+    // / NDCG@10 with same-label ground truth — the discount table rides
+    // as shared micro-int literals, so no libm log ever crosses engines
+    "q291_ranking_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked0 = graft.sim.Similarity.lshTopK(emb, queries, 10, dim = 64)
+      val ql = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val nlab = emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlab"))
+      val ranked = ranked0.join(broadcast(ql), "query_id").join(nlab, "neighbor_id")
+        .select(col("query_id"), col("rank"),
+          when(col("nlab") === col("qlab"), 1).otherwise(0).as("rel"))
+      val lc = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      val nRel = ql.join(broadcast(lc), ql("qlab") === lc("label"))
+        .select(col("query_id"), (col("c") - 1).cast("int").as("n_rel"))
+      graft.metrics.RankingMetrics.rankingMetrics(ranked, nRel,
+        "query_id", "rank", "rel", 10)
+    }),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -2759,6 +2779,49 @@ object SparkEntry {
          m0 AS MATERIALIZED (SELECT vec_id, cv, rel, 0.0e0 AS ms
                 FROM ct WHERE rn <= 40)$rounds
        $sel"""
+  }
+
+  /** q291 oracle: the LSH search CTE (annLshSql) re-ranked against
+    * same-label ground truth; DCG/IDCG are exact integer sums over the
+    * SAME micro-int discount literals the engine embeds
+    * (RankingMetrics.discountsMicro), AP terms per-row-rounded. */
+  private lazy val rankingMetricsSql: String = {
+    val dt = graft.metrics.RankingMetrics.discountsMicro(10).zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    val pt = graft.metrics.RankingMetrics.idcgPrefixMicro(10).zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    s"""WITH ap0 AS ($annLshSql),
+         dt AS (SELECT * FROM (VALUES $dt) AS t(i, dm)),
+         pt AS (SELECT * FROM (VALUES $pt) AS t(i, pm)),
+         ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings
+                WHERE vec_id < 5),
+         nl AS (SELECT vec_id AS neighbor_id, label AS nlab FROM embeddings),
+         lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+         nr AS (SELECT q.query_id, lc.c - 1 AS n_rel
+                FROM ql q JOIN lc ON lc.label = q.qlab),
+         rl AS (SELECT a.query_id, a.rank,
+                  CASE WHEN nl.nlab = ql.qlab THEN 1 ELSE 0 END AS rel
+                FROM ap0 a JOIN ql USING (query_id) JOIN nl USING (neighbor_id)
+                WHERE a.rank <= 10),
+         cm AS (SELECT query_id, rank, rel,
+                  sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+                FROM rl),
+         ag AS (SELECT c.query_id,
+                  sum(c.rel * dt.dm) AS dcgm,
+                  sum(CASE WHEN c.rel = 1
+                        THEN CAST(round(CAST(c.cum AS DOUBLE)/c.rank*1e6) AS BIGINT)
+                        ELSE 0 END) AS apm,
+                  min(CASE WHEN c.rel = 1 THEN c.rank END) AS minrank
+                FROM cm c JOIN dt ON dt.i = c.rank GROUP BY 1)
+       SELECT a.query_id, CAST(n.n_rel AS BIGINT) AS n_rel,
+              (round(coalesce(1.0e0/a.minrank, 0.0e0)*1e4)/1e4 + 0.0e0) AS mrr,
+              (round((CASE WHEN least(n.n_rel, 10) > 0
+                 THEN CAST(a.apm AS DOUBLE)/1e6/least(n.n_rel, 10)
+                 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS ap,
+              (round((CASE WHEN n.n_rel > 0 THEN CAST(a.dcgm AS DOUBLE)/pt.pm
+                 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS ndcg
+       FROM ag a JOIN nr n USING (query_id)
+       JOIN pt ON pt.i = least(greatest(n.n_rel, 1), 10)"""
   }
 
   private lazy val alsPortableSql: String = {
@@ -7389,6 +7452,7 @@ object SparkEntry {
     "q283_als_portable" -> alsPortableSql,
     "q288_quality_classifier" -> qualityClassifierSql,
     "q289_mmr_select" -> mmrSelectSql,
+    "q291_ranking_metrics" -> rankingMetricsSql,
     // q290: winnowing replayed with DuckDB list functions — the same
     // rightmost-min arithmetic (j + w − position(reverse(win), min(win)))
     // over the same polynomial gram hashes
