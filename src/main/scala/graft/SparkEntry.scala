@@ -552,6 +552,12 @@ object SparkEntry {
       graft.metrics.RankingMetrics.rankingMetrics(ranked, nRel,
         "query_id", "rank", "rel", 10)
     }),
+    // MOSS match detection: doc pairs sharing >= 2 winnowing
+    // fingerprints, ubiquitous fingerprints dropped before the pair
+    // join (bounded fan-out — the band-join discipline)
+    "q292_winnow_pairs" -> ((s, d) =>
+      graft.text.TextAnalysis.winnowOverlapPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"))),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7453,6 +7459,29 @@ object SparkEntry {
     "q288_quality_classifier" -> qualityClassifierSql,
     "q289_mmr_select" -> mmrSelectSql,
     "q291_ranking_metrics" -> rankingMetricsSql,
+    // q292: the q290 winnow CTE -> distinct doc-fp sets -> df<=10
+    // stop-fingerprint prune -> self-join pairs sharing >= 2
+    "q292_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text, len(text) - 7 AS m
+                    FROM documents WHERE len(text) >= 8),
+           hs AS (SELECT doc_id, m, least(4, m) AS we,
+                    [list_reduce([ord(text[i+j:i+j])::BIGINT FOR j IN range(0, 8)],
+                                 (a,x) -> (a*31+x) % 1000000007)
+                     FOR i IN range(1, m + 1)] AS h
+                  FROM d),
+           pr AS (SELECT doc_id, h, we, unnest(range(1, m - we + 2)) AS j
+                  FROM hs),
+           ps AS (SELECT doc_id, h,
+                    j + we - list_position(list_reverse(h[j:j+we-1]),
+                                           list_min(h[j:j+we-1])) AS pos
+                  FROM pr),
+           fp AS (SELECT DISTINCT doc_id, h[pos] AS fp FROM ps),
+           rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+           pf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*) AS n_shared
+         FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     // q290: winnowing replayed with DuckDB list functions — the same
     // rightmost-min arithmetic (j + w − position(reverse(win), min(win)))
     // over the same polynomial gram hashes

@@ -165,4 +165,27 @@ object TextAnalysis {
         element_at(col("__h"), col("pos").cast("int")).as("fp"))
       .distinct()
   }
+
+  /** MOSS-style span-overlap candidate pairs from [[winnow]]
+    * fingerprints: docs sharing ≥ `minShared` distinct selected
+    * fingerprints. Ubiquitous fingerprints (document frequency >
+    * `maxDf` — boilerplate, license headers) are dropped BEFORE the
+    * pair join, so the join fan-out per fingerprint is ≤ maxDf²/2 and
+    * the candidate set stays bounded at any corpus size — the same
+    * blocking discipline as the MinHash band join (never all-pairs).
+    * Output: (id_a < id_b, n_shared). */
+  def winnowOverlapPairs(df: DataFrame, idCol: Column, textCol: Column,
+                         k: Int = 8, w: Int = 4, minShared: Int = 2,
+                         maxDf: Int = 10): DataFrame = {
+    val fps = winnow(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -18,6 +18,21 @@ class TextOpsSpec extends SparkSpec {
     assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
   }
 
+  test("winnow pairs surface the overlapping pair and drop boilerplate fps") {
+    import spark.implicits._
+    val shared = "A_LONG_SHARED_SPAN_OF_TEXT_HERE"
+    val docs = (Seq((1L, s"xxxxxx${shared}yyyy"), (2L, s"qq${shared}ppppp")) ++
+      // 20 docs sharing the SAME boilerplate run: df(fp) > maxDf -> pruned
+      (10L until 30L).map(i => (i, s"BOILERPLATE_HEADER_COMMON v$i")))
+      .toDF("doc_id", "text")
+    val pairs = graft.text.TextAnalysis
+      .winnowOverlapPairs(docs, col("doc_id"), col("text"), maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 10L && p._2 >= 10L),
+      "boilerplate-only docs must not pair up past the df cap")
+  }
+
   test("winnowing density and determinism; short docs emit nothing") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 100), (2L, "short")).toDF("doc_id", "text")
