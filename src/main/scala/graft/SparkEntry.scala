@@ -558,6 +558,18 @@ object SparkEntry {
     "q292_winnow_pairs" -> ((s, d) =>
       graft.text.TextAnalysis.winnowOverlapPairs(Tables.documents(s, d),
         col("doc_id"), col("text"))),
+    // Fellegi-Sunter record linkage: nation-blocked customer pairs
+    // scored in likelihood-ratio form (no logs — engine-exact) over
+    // market segment, balance bucket, and name-tail agreement
+    "q293_record_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      graft.etl.RecordLinkage.fellegiSunter(c,
+        col("c_custkey"), col("c_nationkey"),
+        Seq(
+          (col("c_mktsegment"), 0.95),
+          (floor(col("c_acctbal").cast("double") / 100), 0.9),
+          (col("c_name").substr(length(col("c_name")) - 1, lit(2)), 0.8)))
+    }),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7482,6 +7494,36 @@ object SparkEntry {
                 count(*) AS n_shared
          FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2""",
+    // q293: Fellegi-Sunter replayed — exact integer frequency sums per
+    // field, one-division likelihood ratios rounded to 1e-6, pair score
+    // re-rounded after every multiply (the engine's fold order)
+    "q293_record_linkage" ->
+      """WITH b AS (SELECT c_custkey AS id, c_nationkey AS blk,
+                      c_mktsegment AS f0,
+                      floor(CAST(c_acctbal AS DOUBLE)/100) AS f1,
+                      substr(c_name, len(c_name)-1, 2) AS f2
+                    FROM customer),
+           nn AS (SELECT count(*)*(count(*)-1) AS nn FROM b),
+           u0 AS (SELECT sum(c*(c-1)) AS u FROM (SELECT count(*) c FROM b GROUP BY f0)),
+           u1 AS (SELECT sum(c*(c-1)) AS u FROM (SELECT count(*) c FROM b GROUP BY f1)),
+           u2 AS (SELECT sum(c*(c-1)) AS u FROM (SELECT count(*) c FROM b GROUP BY f2)),
+           rt AS (SELECT
+                    (round(0.95e0*nn.nn/u0.u*1e6)/1e6 + 0.0e0) AS ar0,
+                    (round((1.0e0-0.95e0)*nn.nn/(nn.nn-u0.u)*1e6)/1e6 + 0.0e0) AS dr0,
+                    (round(0.9e0*nn.nn/u1.u*1e6)/1e6 + 0.0e0) AS ar1,
+                    (round((1.0e0-0.9e0)*nn.nn/(nn.nn-u1.u)*1e6)/1e6 + 0.0e0) AS dr1,
+                    (round(0.8e0*nn.nn/u2.u*1e6)/1e6 + 0.0e0) AS ar2,
+                    (round((1.0e0-0.8e0)*nn.nn/(nn.nn-u2.u)*1e6)/1e6 + 0.0e0) AS dr2
+                  FROM nn, u0, u1, u2),
+           pr AS (SELECT a.id AS id_a, b2.id AS id_b,
+                    (round((round((round((1.0e0*
+                      (CASE WHEN a.f0 = b2.f0 THEN rt.ar0 ELSE rt.dr0 END))*1e6)/1e6 + 0.0e0)*
+                      (CASE WHEN a.f1 = b2.f1 THEN rt.ar1 ELSE rt.dr1 END)*1e6)/1e6 + 0.0e0)*
+                      (CASE WHEN a.f2 = b2.f2 THEN rt.ar2 ELSE rt.dr2 END)*1e6)/1e6 + 0.0e0) AS score
+                  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id, rt)
+         SELECT id_a, id_b, score,
+                CASE WHEN score >= 500.0e0 THEN 'match' ELSE 'possible' END AS cls
+         FROM pr WHERE score >= 10.0e0""",
     // q290: winnowing replayed with DuckDB list functions — the same
     // rightmost-min arithmetic (j + w − position(reverse(win), min(win)))
     // over the same polynomial gram hashes
