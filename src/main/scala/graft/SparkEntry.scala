@@ -570,6 +570,12 @@ object SparkEntry {
           (floor(col("c_acctbal").cast("double") / 100), 0.9),
           (col("c_name").substr(length(col("c_name")) - 1, lit(2)), 0.8)))
     }),
+    // Z-order layout profile: Morton-interleave (part, supp), bucket by
+    // the top z-bits and emit per-bucket bounding boxes — the min/max
+    // stats a 100TB scan would prune on after a z-sorted write
+    "q294_zorder" -> ((s, d) =>
+      graft.operators.ZOrder.zProfile(li(s, d),
+        col("l_partkey"), col("l_suppkey"), bits = 21, bucketShift = 16)),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -2797,6 +2803,24 @@ object SparkEntry {
          m0 AS MATERIALIZED (SELECT vec_id, cv, rel, 0.0e0 AS ms
                 FROM ct WHERE rn <= 40)$rounds
        $sel"""
+  }
+
+  /** q294 oracle: the Morton interleave replayed with integer
+    * division/modulo terms — bit-exact by construction. */
+  private lazy val zorderSql: String = {
+    val terms = (0 until 21).map(j =>
+      s"((l_partkey // ${1L << j}) % 2) * ${1L << (2 * j)} + " +
+        s"((l_suppkey // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")
+      .mkString(" +\n                 ")
+    s"""WITH z AS (SELECT l_partkey, l_suppkey,
+                  ($terms) AS zv
+                FROM lineitem)
+       SELECT zv // ${1L << 16} AS z_bucket, count(*) AS n_rows,
+              CAST(min(l_partkey) AS BIGINT) AS x_min,
+              CAST(max(l_partkey) AS BIGINT) AS x_max,
+              CAST(min(l_suppkey) AS BIGINT) AS y_min,
+              CAST(max(l_suppkey) AS BIGINT) AS y_max
+       FROM z GROUP BY 1"""
   }
 
   /** q291 oracle: the LSH search CTE (annLshSql) re-ranked against
@@ -7471,6 +7495,7 @@ object SparkEntry {
     "q288_quality_classifier" -> qualityClassifierSql,
     "q289_mmr_select" -> mmrSelectSql,
     "q291_ranking_metrics" -> rankingMetricsSql,
+    "q294_zorder" -> zorderSql,
     // q292: the q290 winnow CTE -> distinct doc-fp sets -> df<=10
     // stop-fingerprint prune -> self-join pairs sharing >= 2
     "q292_winnow_pairs" ->
