@@ -432,4 +432,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("winnow pairs: the pair search is an equi-join on fingerprint, never cartesian") {
+    val plan = SparkEntry.queries("q292_winnow_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("record linkage: pairs equi-join on the block key; the ratio frame broadcasts") {
+    val plan = SparkEntry.queries("q293_record_linkage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan) // 1-row stats frame
+  }
+
+  test("zorder profile: a single hash-aggregate exchange, no join") {
+    val plan = SparkEntry.queries("q294_zorder")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("audio decode: one narrow mapPartitions chain, no shuffle at all") {
+    val plan = SparkEntry.queries("q287_audio_decode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
