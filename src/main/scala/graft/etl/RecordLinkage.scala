@@ -35,7 +35,10 @@ object RecordLinkage {
 
   /** Score and classify blocked pairs. `fields`: (expression, m-prob)
     * per compared field — m is the P(agree | true match) prior, u is
-    * estimated from the data. Emits only pairs with score ≥
+    * estimated from the data. Every compared field must take at least
+    * one repeated value (u > 0) and must not be constant (u < 1);
+    * otherwise its likelihood ratio is ±∞ by construction — pick a
+    * coarser/finer comparator instead. Emits only pairs with score ≥
     * `tauPossible` (the non-match mass is the overwhelming majority
     * and carries no information): (id_a < id_b, score, cls). */
   def fellegiSunter(df: DataFrame, idCol: Column, blockCol: Column,

@@ -270,9 +270,11 @@ object Multimodal {
                   val fmt = in.getFormat
                   val signed = fmt.getEncoding ==
                     javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-                  if (!signed || fmt.getSampleSizeInBits != 16) None
+                  val raw0 = if (signed && fmt.getSampleSizeInBits == 16)
+                    in.readAllBytes() else Array.emptyByteArray
+                  if (raw0.length < 2 * fmt.getChannels) None // no frames -> undecodable
                   else {
-                    val raw = in.readAllBytes()
+                    val raw = raw0
                     val bb = java.nio.ByteBuffer.wrap(raw).order(
                       if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
                       else java.nio.ByteOrder.LITTLE_ENDIAN)

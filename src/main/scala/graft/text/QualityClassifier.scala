@@ -75,8 +75,12 @@ object QualityClassifier {
     // bias rows: constant feature 1.0 for EVERY doc (even token-less)
     val biasRows = base.select(col("doc_id"), col("y"),
       lit(buckets).as("b"), lit(Micro).as("xi"))
+    // eager localCheckpoint (the Lloyd/ALS house pattern): materialized
+    // once, lineage truncated, doc_id partitioning kept for the
+    // per-iteration doc-grain aggregate + join, nothing left pinned in
+    // the cache manager after the session moves on
     val feat = bucketRows.unionByName(biasRows)
-      .repartition(col("doc_id")).cache()
+      .repartition(col("doc_id")).localCheckpoint(true)
 
     var w = Array.fill(buckets + 1)(0L) // micro-int weights, bias last
     def termSum: Column = // Σ_b w_b·x_b on the 1e-12 integer grid
