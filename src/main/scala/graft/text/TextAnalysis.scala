@@ -144,9 +144,27 @@ object TextAnalysis {
     *
     * Output: one row per distinct (id, pos, fp) — `pos` is the 1-based
     * shingle start of the selected gram. Docs shorter than `k` emit
-    * nothing. */
+    * nothing.
+    *
+    * Backed by the codegen'd graft.expr.WinnowExpr (rolling Karp–Rabin
+    * hashes + monotonic-deque window minima, O(len) per doc); the HOF
+    * twin [[winnowHof]] below is the readable reference it is pinned
+    * against and the shape of the q290 DuckDB oracle. The expression
+    * emits each document's distinct selection set directly, so no
+    * global `.distinct()` shuffle is needed. */
   def winnow(df: DataFrame, idCol: Column, textCol: Column,
-             k: Int = 8, w: Int = 4): DataFrame = {
+             k: Int = 8, w: Int = 4): DataFrame =
+    df.select(idCol.as("id"),
+        graft.expr.WinnowExpr.column(textCol, k, w).as("__sel"))
+      .select(col("id"), explode(col("__sel")).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
+  /** The Column/HOF formulation of [[winnow]] — the readable reference
+    * the codegen'd expression is pinned against (TextOpsSpec parity)
+    * and the formula the DuckDB oracle replays. O(len²) exploded-row
+    * traffic per doc — not the production path. */
+  def winnowHof(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 8, w: Int = 4): DataFrame = {
     val m = (length(textCol) - (k - 1)).cast("int")
     val base = df.select(idCol.as("id"), textCol.as("__t"), m.as("__m"))
       .filter(col("__m") >= 1)

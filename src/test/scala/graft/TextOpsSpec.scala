@@ -48,6 +48,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out.sortBy(t => (t._1, t._2)).sameElements(again.sortBy(t => (t._1, t._2))))
   }
 
+  test("winnow: codegen'd expression matches the HOF reference on real corpus text") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+      // exercise short-doc, multibyte and tie-heavy inputs too
+      .union(Seq((9001L, "short"), (9002L, "x" * 60),
+        (9003L, "héllo wörld — unïcode façade répété héllo wörld"),
+        (9004L, "")).toDF("doc_id", "text"))
+    val fast = graft.text.TextAnalysis.winnow(docs, col("doc_id"), col("text"))
+      .select("id", "pos", "fp").as[(Long, Long, Long)].collect().sorted.toSeq
+    val ref = graft.text.TextAnalysis.winnowHof(docs, col("doc_id"), col("text"))
+      .select("id", "pos", "fp").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(fast == ref)
+  }
+
   test("cleanText: NFC-composes, strips controls, collapses whitespace") {
     import spark.implicits._
     val docs = Seq(
