@@ -576,6 +576,24 @@ object SparkEntry {
     "q294_zorder" -> ((s, d) =>
       graft.operators.ZOrder.zProfile(li(s, d),
         col("l_partkey"), col("l_suppkey"), bits = 21, bucketShift = 16)),
+    // k-anonymity governance: per-equivalence-class risk profile over
+    // (nation, segment, balance kilo-bucket) QIs with name-tail
+    // l-diversity — ONE hash-aggregate at the QI grain
+    "q295_kanonymity" -> ((s, d) =>
+      graft.etl.Privacy.kAnonymityProfile(Tables.customer(s, d),
+        Seq("c_nationkey" -> col("c_nationkey"),
+          "c_mktsegment" -> col("c_mktsegment"),
+          "bal_bucket" -> floor(col("c_acctbal").cast("double") / 1000)),
+        col("c_name").substr(length(col("c_name")) - 1, lit(2)))),
+    // the matching release transform: suppress rows whose QI class is
+    // below k (kept-class table broadcast onto a null-safe semi-join)
+    "q296_kanon_suppress" -> ((s, d) =>
+      graft.etl.Privacy.suppressBelowK(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal").cast("double") / 1000).as("bal_bucket")),
+        Seq("n" -> col("c_nationkey"), "m" -> col("c_mktsegment"),
+          "b" -> col("bal_bucket")))),
     "q72_media_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
       graft.multimodal.Multimodal.featuresByPartition(
@@ -7496,6 +7514,26 @@ object SparkEntry {
     "q289_mmr_select" -> mmrSelectSql,
     "q291_ranking_metrics" -> rankingMetricsSql,
     "q294_zorder" -> zorderSql,
+    // q295: one GROUP BY at the QI grain; prosecutor risk is the
+    // rounded reciprocal class size, l-diversity an exact distinct
+    "q295_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(floor(CAST(c_acctbal AS DOUBLE)/1000) AS BIGINT) AS bal_bucket,
+                count(*) AS class_size,
+                count(DISTINCT c_name[-2:]) AS l_distinct,
+                round(1.0/count(*), 4) AS prosecutor_risk,
+                count(*) < 5 AS below_k,
+                count(DISTINCT c_name[-2:]) < 2 AS below_l
+         FROM customer GROUP BY 1, 2, 3""",
+    // q296: keep rows whose QI class reaches k=5 (window count replay
+    // of the engine's aggregate + semi-join)
+    "q296_kanon_suppress" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment,
+                CAST(floor(CAST(c_acctbal AS DOUBLE)/1000) AS BIGINT) AS bal_bucket
+         FROM (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+                      count(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                        floor(CAST(c_acctbal AS DOUBLE)/1000)) AS cs
+               FROM customer) WHERE cs >= 5""",
     // q292: the q290 winnow CTE -> distinct doc-fp sets -> df<=10
     // stop-fingerprint prune -> self-join pairs sharing >= 2
     "q292_winnow_pairs" ->

@@ -1,0 +1,87 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs.r
+
+/** k-anonymity / l-diversity governance profile (Sweeney 2002;
+  * Machanavajjhala et al. 2007) — the privacy-risk assessment a
+  * training-data pipeline runs BEFORE releasing user-derived records
+  * into a corpus. Complements the PII scrubber (TextAnalysis.scrub,
+  * q121): that redacts free text; this measures re-identification risk
+  * carried by STRUCTURED quasi-identifier combinations.
+  *
+  * A record is k-anonymous when at least k records share its
+  * quasi-identifier (QI) combination; its equivalence class is
+  * l-diverse when the class carries ≥ l distinct sensitive values
+  * (a class can be large yet still leak the sensitive attribute when
+  * every member shares it — the homogeneity attack).
+  *
+  * Scale shape: ONE hash-aggregate on the QI key computes class size
+  * and the exact distinct sensitive count (no window, no join);
+  * prosecutor risk is the rounded reciprocal class size. 100 TB
+  * posture: the QI grain is the output grain — cardinality-bounded by
+  * the QI domain, never by row count — and partial aggregation
+  * combines map-side like any other groupBy.
+  */
+object Privacy {
+
+  /** Per-equivalence-class profile: QI values, class size, distinct
+    * sensitive values, prosecutor re-identification risk (1/size), and
+    * the k / l gate flags. */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[(String, Column)],
+                        sensitive: Column, k: Int = 5,
+                        l: Int = 2): DataFrame =
+    df.groupBy(qiCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_distinct"))
+      .select(qiCols.map { case (n, _) => col(n) } ++ Seq(
+        col("class_size"),
+        col("l_distinct"),
+        r(lit(1.0) / col("class_size")).as("prosecutor_risk"),
+        (col("class_size") < k).as("below_k"),
+        (col("l_distinct") < l).as("below_l")): _*)
+
+  /** Corpus-level release gate over [[kAnonymityProfile]]: rows/classes
+    * at risk, worst class, and the max prosecutor risk — the one-row
+    * scorecard a release pipeline thresholds on. */
+  def kAnonymitySummary(df: DataFrame, qiCols: Seq[(String, Column)],
+                        sensitive: Column, k: Int = 5,
+                        l: Int = 2): DataFrame = {
+    val prof = kAnonymityProfile(df, qiCols, sensitive, k, l)
+    prof.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).as("n_rows"),
+      sum(when(col("below_k"), 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("below_k"), col("class_size")).otherwise(lit(0L)))
+        .as("rows_below_k"),
+      sum(when(col("below_l"), 1L).otherwise(0L)).as("classes_below_l"),
+      min(col("class_size")).as("min_class_size"),
+      max(col("prosecutor_risk")).as("max_prosecutor_risk"))
+      .select(col("n_classes"), col("n_rows"),
+        col("classes_below_k"), col("rows_below_k"),
+        r(col("rows_below_k").cast("double") / col("n_rows") * 100)
+          .as("pct_rows_below_k"),
+        col("classes_below_l"), col("min_class_size"),
+        col("max_prosecutor_risk"))
+  }
+
+  /** Suppression pass: drop every row whose QI equivalence class is
+    * smaller than k — the minimal-distortion release transform (coarsen
+    * a QI column and re-profile when the suppression rate is too high).
+    * The kept-class table is QI-domain-grain (small) so it broadcasts
+    * onto a null-safe semi-join; the fact table is touched once. */
+  def suppressBelowK(df: DataFrame, qiCols: Seq[(String, Column)],
+                     k: Int = 5): DataFrame = {
+    val names = qiCols.map(_._1)
+    val withQi = df.select(col("*") +:
+      qiCols.map { case (n, c) => c.as(s"__qi_$n") }: _*)
+    val keep = withQi.groupBy(names.map(n => col(s"__qi_$n")): _*)
+      .agg(count(lit(1)).as("__cs")).filter(col("__cs") >= k)
+      .select(names.map(n => col(s"__qi_$n").as(s"__k_$n")): _*)
+    val cond = names.map(n => col(s"__qi_$n") <=> col(s"__k_$n")).reduce(_ && _)
+    withQi.join(broadcast(keep), cond, "leftsemi")
+      .drop(names.map(n => s"__qi_$n"): _*)
+  }
+}

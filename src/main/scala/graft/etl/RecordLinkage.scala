@@ -46,8 +46,13 @@ object RecordLinkage {
                     tauPossible: Double = 10.0,
                     tauMatch: Double = 500.0): DataFrame = {
     val named = fields.zipWithIndex.map { case ((c, m), i) => (s"__f$i", c, m) }
+    // the projected entity table has FIVE consumers (one frequency
+    // aggregate per field + both sides of the pair join) — materialize
+    // once so the source scan and comparator expressions don't re-run
+    // per consumer (entity tables are dimension-grain)
     val base = df.select(Seq(idCol.as("__id"), blockCol.as("__blk")) ++
       named.map { case (n, c, _) => c.as(n) }: _*)
+      .localCheckpoint(true)
 
     // one-row ratio frame: for each field, the rounded agree/disagree
     // likelihood ratios from exact integer frequency sums

@@ -439,6 +439,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("winnow: the codegen'd expression plan is shuffle-free (scan -> project -> generate)") {
+    val plan = SparkEntry.queries("q290_winnow")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_winnow"), plan)
+  }
+
+  test("k-anonymity: one hash-aggregate at the QI grain; suppression semi-join broadcasts") {
+    val prof = SparkEntry.queries("q295_kanonymity")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!prof.contains("Join"), prof)
+    val sup = SparkEntry.queries("q296_kanon_suppress")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sup.contains("BroadcastHashJoin") && sup.contains("LeftSemi"), sup)
+    assert(!sup.contains("CartesianProduct"), sup)
+  }
+
   test("record linkage: pairs equi-join on the block key; the ratio frame broadcasts") {
     val plan = SparkEntry.queries("q293_record_linkage")(spark, dir)
       .queryExecution.executedPlan.toString
