@@ -56,11 +56,29 @@ object ScaleProbe {
 
     val (rows01, sec01) = timeSpine(src)
     val (rows1, sec1) = timeSpine(work)
+
+    // text leg: the winnowing fingerprint pass (per-doc O(len) codegen'd
+    // expression, shuffle-free) over a 10x corpus — doc ids shifted and
+    // a per-copy salt prefixed so the fingerprint sets stay distinct
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until 10).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
+        .withColumn("text", concat(lit(s"c$k "), col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    def timeWinnow(dir: String): Double = {
+      def w() = run(graft.text.TextAnalysis.winnow(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")))
+      w() // warm
+      val t0 = System.nanoTime(); w(); (System.nanoTime() - t0) / 1e9
+    }
+    val (tw01, tw1) = (timeWinnow(src), timeWinnow(work))
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
-    println(f"""{"probe":"scale10x","sf01_rows":$rows01,"sf01_sec":$sec01%.3f,"sf01_rows_per_sec":${rows01 / sec01}%.0f,"sf1_rows":$rows1,"sf1_sec":$sec1%.3f,"sf1_rows_per_sec":${rows1 / sec1}%.0f,"walltime_ratio":${sec1 / sec01}%.2f,"loadavg":"$loadavg"}""")
+    println(f"""{"probe":"scale10x","sf01_rows":$rows01,"sf01_sec":$sec01%.3f,"sf01_rows_per_sec":${rows01 / sec01}%.0f,"sf1_rows":$rows1,"sf1_sec":$sec1%.3f,"sf1_rows_per_sec":${rows1 / sec1}%.0f,"walltime_ratio":${sec1 / sec01}%.2f,"winnow_sec_1x":$tw01%.3f,"winnow_sec_10x":$tw1%.3f,"winnow_ratio":${tw1 / tw01}%.2f,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }
