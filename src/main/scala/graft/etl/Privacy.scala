@@ -3,7 +3,8 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Funcs.r
+import graft.functions.Funcs.{microSum, r}
+import graft.functions.PortableHash
 
 /** k-anonymity / l-diversity governance profile (Sweeney 2002;
   * Machanavajjhala et al. 2007) — the privacy-risk assessment a
@@ -65,6 +66,46 @@ object Privacy {
           .as("pct_rows_below_k"),
         col("classes_below_l"), col("min_class_size"),
         col("max_prosecutor_risk"))
+  }
+
+  /** ε-differentially-private count/sum release (the Laplace
+    * mechanism, Dwork et al. 2006): per released group, noise with
+    * scale sensitivity/ε is added to the true count (sensitivity 1)
+    * and true sum before anything leaves the operator — the
+    * aggregate-release complement of [[suppressBelowK]] (that drops
+    * risky rows; this perturbs what is published).
+    *
+    * The noise draw is DETERMINISTIC and replayable: the group key
+    * string hashes through the portable polynomial into a Lehmer
+    * uniform u ∈ (0,1), and the inverse-CDF transform
+    * −b·sign(u−½)·ln(1−2|u−½|) yields the Laplace deviate (ln feeds a
+    * hash-checked output only after the house 4dp rounding — the
+    * q144/q276 libm convention; count and sum draw DISTINCT uniforms
+    * via different Lehmer round counts — decorrelated by the
+    * multiplicative step, not formally independent). Keyed deterministic
+    * noise is the consistent-release discipline (repeated releases of
+    * the same group reuse one draw, so averaging attacks gain
+    * nothing); `seed` stands in for the secret a production deployment
+    * would key with. True values never appear in the output.
+    *
+    * Scale shape: ONE hash-aggregate at the release grain; the noise
+    * is scalar expression work on the (small) released table. */
+  def dpRelease(df: DataFrame, qiCols: Seq[(String, Column)], value: Column,
+                eps: Double = 1.0, sensitivity: Double = 1.0,
+                seed: Long = 42L): DataFrame = {
+    val grouped = df.groupBy(qiCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("__n"), microSum(value).as("__s"))
+    val keyHash = PortableHash.polyHash(
+      concat_ws("|", qiCols.map { case (n, _) => col(n).cast("string") }: _*))
+    def lap(rounds: Int, b: Double) = {
+      val u = (PortableHash.lehmer(keyHash + lit(seed), rounds).cast("double") +
+        lit(0.5)) / lit(PortableHash.M31.toDouble)
+      val c = u - lit(0.5)
+      r(-lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)))
+    }
+    grouped.select(qiCols.map { case (n, _) => col(n) } ++ Seq(
+      r(col("__n") + lap(3, 1.0 / eps)).as("dp_count"),
+      r(col("__s") + lap(4, sensitivity / eps)).as("dp_sum")): _*)
   }
 
   /** Suppression pass: drop every row whose QI equivalence class is
