@@ -111,8 +111,13 @@ object Privacy {
   /** Suppression pass: drop every row whose QI equivalence class is
     * smaller than k — the minimal-distortion release transform (coarsen
     * a QI column and re-profile when the suppression rate is too high).
-    * The kept-class table is QI-domain-grain (small) so it broadcasts
-    * onto a null-safe semi-join; the fact table is touched once. */
+    *
+    * The kept-class table has one row per surviving equivalence class —
+    * up to n/k rows, i.e. DATA-dependent, and largest precisely in the
+    * high-cardinality-QI regime this operator exists for. So no
+    * broadcast hint: the semi-join is null-safe-equality (shuffle-hash /
+    * sort-merge joinable) and AQE broadcasts it at runtime when the
+    * measured size is actually small. The fact table is touched once. */
   def suppressBelowK(df: DataFrame, qiCols: Seq[(String, Column)],
                      k: Int = 5): DataFrame = {
     val names = qiCols.map(_._1)
@@ -122,7 +127,7 @@ object Privacy {
       .agg(count(lit(1)).as("__cs")).filter(col("__cs") >= k)
       .select(names.map(n => col(s"__qi_$n").as(s"__k_$n")): _*)
     val cond = names.map(n => col(s"__qi_$n") <=> col(s"__k_$n")).reduce(_ && _)
-    withQi.join(broadcast(keep), cond, "leftsemi")
+    withQi.join(keep, cond, "leftsemi")
       .drop(names.map(n => s"__qi_$n"): _*)
   }
 }

@@ -183,8 +183,13 @@ object BiasAnalysis {
       .select(keys :+ col("wilcoxon_w"): _*)
 
     // ---- overall rows: tests + severity ladder
+    // ungrouped path: re-aggregate wilcox to a GUARANTEED one-row frame
+    // (agg over an empty input still yields one null row) so the overall
+    // row survives the all-zero-error degenerate case — a bare crossJoin
+    // against an empty wilcox would drop it, unlike the grouped left join
     val overall0 = base.filter(col("dimension").isNull)
-    val overall = (if (groupCols.isEmpty) overall0.crossJoin(wilcox)
+    val overall = (if (groupCols.isEmpty)
+      overall0.crossJoin(wilcox.agg(max(col("wilcoxon_w")).as("wilcoxon_w")))
     else overall0.join(wilcox, groupCols, "left"))
       .withColumn("t_stat",
         r(when(col("n") > 10 && col("std_bias") > 0,

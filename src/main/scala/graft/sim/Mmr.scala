@@ -63,6 +63,10 @@ object Mmr {
         cur = cur.filter(col("__id") =!= id)
           .withColumn("__ms", greatest(col("__ms"),
             r(Similarity.cosine(col("__v"), lit(vec)))))
+        // each round chains one filter + one cosine onto the plan; cut
+        // the lineage periodically (the Bpe merge-loop pattern) so
+        // analysis stays O(k), not O(k²), for large k
+        if (round % 8 == 0) cur = cur.localCheckpoint(true)
         round += 1
       }
     }

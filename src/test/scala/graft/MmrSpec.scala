@@ -43,4 +43,24 @@ class MmrSpec extends SparkSpec {
       .collect()
     assert(out.length == 3)
   }
+
+  test("k=64 smoke: the periodic checkpoint keeps large-k selection tractable") {
+    // 128 candidates on 8 axes; crosses the every-8-rounds localCheckpoint
+    // boundary 8 times — pins the lineage-cut path added after r11
+    val big = (0 until 128).map { i =>
+      val axis = i % 8
+      (i.toLong,
+        Array.tabulate(8)(j => if (j == axis) 1.0 else 0.001 * ((i + j) % 5)).toSeq,
+        1.0 - i * 0.001)
+    }.toDF("vec_id", "vec", "rel")
+      .select(col("vec_id"), col("vec").cast("array<double>").as("vec"),
+        r(col("rel")).as("rel"))
+    val out = Mmr.mmrSelect(big, "vec_id", "vec", "rel", k = 64)
+      .select("rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.length == 64)
+    assert(out.map(_._1).toSeq == (1 to 64))
+    assert(out.map(_._2).distinct.length == 64)
+    // the first 8 picks should sweep all 8 axes (diversity pressure)
+    assert(out.take(8).map(_._2 % 8).toSet.size == 8)
+  }
 }

@@ -446,14 +446,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_winnow"), plan)
   }
 
-  test("k-anonymity: one hash-aggregate at the QI grain; suppression semi-join broadcasts") {
+  test("k-anonymity: one hash-aggregate at the QI grain; suppression semi-join unforced") {
     val prof = SparkEntry.queries("q295_kanonymity")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!prof.contains("Join"), prof)
     val sup = SparkEntry.queries("q296_kanon_suppress")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(sup.contains("BroadcastHashJoin") && sup.contains("LeftSemi"), sup)
-    assert(!sup.contains("CartesianProduct"), sup)
+    val plan = sup.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the kept-class table is data-dependent (up to n/k rows) so the hint
+    // must NOT be forced — no broadcast hint survives to the optimized plan
+    assert(!sup.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      sup.queryExecution.optimizedPlan.toString)
+  }
+
+  test("suppressBelowK degrades to a shuffle semi-join on a high-cardinality QI") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 4000)
+        .select(col("id"), (col("id") % 2000).as("qi")) // every class size 2
+      val out = graft.etl.Privacy.suppressBelowK(fact, Seq("q" -> col("qi")), k = 2)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan) // shuffle join when big
+      assert(out.count() == 4000L)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
   }
 
   test("record linkage: pairs equi-join on the block key; the ratio frame broadcasts") {
