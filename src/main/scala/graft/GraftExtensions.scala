@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{DotProduct, MinHashSigExpr, NfcNormalizeExpr, PolyFingerprintExpr, TopKExpr}
+import graft.expr.{DotProduct, MinHashSigExpr, NfcNormalizeExpr, PolyFingerprintExpr, TopKExpr, TopKPairsExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions as
@@ -57,6 +57,15 @@ object GraftFunctions {
         (children: Seq[Expression]) => {
           require(children.length == 2, "graft_topk(value, k) takes 2 arguments")
           TopKExpr(children.head, intLit(children(1), "k")).toAggregateExpression()
+        }),
+      (
+        FunctionIdentifier("graft_topk_pairs"),
+        new ExpressionInfo(classOf[TopKPairsExpr].getName, "graft_topk_pairs"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "graft_topk_pairs(score, id, k) takes 3 arguments")
+          TopKPairsExpr(children.head, children(1), intLit(children(2), "k"))
+            .toAggregateExpression()
         }))
 
   private def intLit(e: Expression, name: String): Int = e match {

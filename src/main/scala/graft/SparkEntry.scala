@@ -1922,10 +1922,12 @@ object SparkEntry {
     // portable rank-2 explicit ALS twin of q187: fixed iterations,
     // closed-form 2×2 ridge solves, 4dp-rounded factor state, exact
     // micro-int sufficient statistics — fully oracled. Cost shape at
-    // sf0.1 (~8.5s warm): four sequentially-materialized alternating
-    // half-steps over the 590k-pair ratings fact, each a broadcast
-    // join + decimal(38,0)-exact aggregate — the price of cross-engine
-    // bit-exactness; q187 (MLlib implicit ALS) stays the fast engine
+    // sf0.1 (~5s warm, was 8.9s before the r12 TopKPairsExpr scoring
+    // tail): four sequentially-materialized alternating half-steps
+    // over the 590k-pair ratings fact (each a broadcast join +
+    // decimal(38,0)-exact aggregate — the price of cross-engine
+    // bit-exactness) plus a bounded-heap top-k over the 15M-row
+    // scoring frame; q187 (MLlib implicit ALS) stays the fast engine
     // path. Scoring tail restricted to the u ≡ 0 (mod 20) query set
     // (the ANN query-set convention; full cross-scoring is quadratic)
     "q283_als_portable" -> ((s, d) => {

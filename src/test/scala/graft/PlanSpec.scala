@@ -480,6 +480,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("als portable: scoring top-k is the bounded-heap aggregate, not a window sort") {
+    val plan = SparkEntry.queries("q283_als_portable")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk_pairs"), plan)
+    // the rank-window form would sort every user's full scored item
+    // list map-side (WindowGroupLimit is sort-based); the aggregate
+    // ships at most k pairs per user per partition instead
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("partial_graft_topk_pairs"), plan) // map-side combine
+  }
+
   test("record linkage: pairs equi-join on the block key; the ratio frame broadcasts") {
     val plan = SparkEntry.queries("q293_record_linkage")(spark, dir)
       .queryExecution.executedPlan.toString

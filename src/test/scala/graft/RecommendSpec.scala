@@ -74,4 +74,42 @@ class RecommendSpec extends SparkSpec {
       .collect().toSeq
     assert(r1.toSet == r2.toSet)
   }
+
+  test("topk-pairs aggregate matches the rank-window form row for row") {
+    import org.apache.spark.sql.expressions.Window
+    // 40 groups x 200 candidates with engineered score TIES inside and
+    // across 4dp-grid values, so the (score desc, id asc) tiebreak is
+    // actually exercised; NaN scores planted to pin the NaN-largest
+    // convention shared by Spark's sort and java.lang.Double.compare
+    val rows = for (g <- 0L until 40L; i <- 0L until 200L) yield {
+      val s = if (i % 37 == 0) Double.NaN else ((i * 7919 + g * 31) % 50) / 10000.0
+      (g, i, s)
+    }
+    val df = rows.toDF("g", "i", "s")
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("i").asc)
+    val win = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("g"), col("i"), col("s"), col("rank").cast("long").as("rank"))
+      .collect().toSet
+    val agg = df.groupBy(col("g"))
+      .agg(graft.expr.TopKPairsExpr.column(col("s"), col("i"), 7).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.id").as("i"), col("col.score").as("s"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .collect().toSet
+    // NaN != NaN under ==; compare on a stringized key instead
+    def key(s: Set[org.apache.spark.sql.Row]) =
+      s.map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2).toString, r0.getLong(3)))
+    assert(key(agg) == key(win))
+  }
+
+  test("topk-pairs: groups smaller than k return all rows, in rank order") {
+    val df = Seq((1L, 5L, 0.5), (1L, 3L, 0.5), (1L, 9L, 0.9)).toDF("g", "i", "s")
+    val out = df.groupBy(col("g"))
+      .agg(graft.expr.TopKPairsExpr.column(col("s"), col("i"), 10).as("t"))
+      .select(posexplode(col("t")))
+      .select(col("pos"), col("col.id"), col("col.score"))
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((0, 9L, 0.9), (1, 3L, 0.5), (2, 5L, 0.5)))
+  }
 }
