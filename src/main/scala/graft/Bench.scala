@@ -42,7 +42,9 @@ object Bench {
     "q146_semdedup", "q147_bpe", "q285_kmv_distinct", "q286_order_search",
     "q287_audio_decode", "q288_quality_classifier", "q289_mmr_select",
     "q290_winnow", "q291_ranking_metrics", "q292_winnow_pairs",
-    "q293_record_linkage", "q294_zorder", "q295_kanonymity")
+    "q293_record_linkage", "q294_zorder", "q295_kanonymity",
+    "q296_kanon_suppress", "q297_arima211", "q298_arima021",
+    "q299_order_search_ext")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1041,6 +1041,42 @@ object SparkEntry {
     // w ∝ exp(−Δ/2), blend = Σ(w·f)/Σw as exact micro-int sums —
     // shares the member tables with q259 (championShared)
     "q267_champion_blend" -> ((s, d) => championShared(s, d)._2),
+    // ARIMA(2,1,1): the ARMA(2,1) CLS grid fit on first differences,
+    // integrated h-step forecast — one order past the family's (1,1,1),
+    // toward the reference's stepwise search bounds
+    // (arima_temporal.py:277-361, statsmodels fallback (2,1,2))
+    "q297_arima211" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.SequentialKernels.arima211Forecast(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4)
+        .select(col("l_suppkey"), col("arma2_phi1").as("phi1"),
+          col("arma2_phi2").as("phi2"), col("arma2_theta").as("theta"),
+          col("arma2_sse").as("sse"), col("step"),
+          col("arima_forecast").as("forecast"))
+    }),
+    // ARIMA(0,2,1): MA(1) on SECOND differences, doubly-integrated
+    // forecast — the d = 2 coverage of the reference's search space
+    // (pmdarima max_d = 2)
+    "q298_arima021" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.OrderSearch.arima021Forecast(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4)
+        .select(col("l_suppkey"), col("d2_theta").as("theta"),
+          col("d2_sse").as("sse"), col("step"),
+          col("arima_forecast").as("forecast"))
+    }),
+    // the TEN-member order-search scoreboard: the family eight (shared
+    // member tables via championShared — no re-fit) plus arima021 and
+    // arima211, re-ranked by (AIC, member order)
+    "q299_order_search_ext" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.OrderSearch.extendedScoreboardFrom(
+        championShared(s, d)._3.drop("rank"), weekly,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")
+    }),
     // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
     // qty stddev (explicit sufficient sums), prediction = the group
     // mean, calibrated per return flag
@@ -3235,6 +3271,151 @@ object SparkEntry {
          FROM scb s JOIN rk r2 ON s.l_suppkey = r2.l_suppkey
            AND s.model = r2.model"""
 
+  /** Shared extended-order CTEs (q297/q298/q299): ARMA(2,1) on the
+    * first differences and MA(1) on the second differences, mirroring
+    * SequentialKernels.fitArma21Full / OrderSearch.arima021Full term
+    * for term. Rides on championMembersSql's w/dd/yl/steps/mag CTEs;
+    * DuckDB's optimizer prunes the member CTEs a consumer doesn't
+    * reference. */
+  private lazy val extOrderBlocksSql: String =
+    """dmu AS (SELECT l_suppkey,
+                   (CAST(sum(CAST(round(dq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu,
+                   count(*) AS nd
+                 FROM dd GROUP BY 1),
+           dmt AS (SELECT dd.l_suppkey, dd.dq - dmu.mu AS xc,
+                   row_number() OVER (PARTITION BY dd.l_suppkey ORDER BY dd.ws) rn
+                 FROM dd JOIN dmu USING (l_suppkey)),
+           a2g AS (SELECT p1.phi1, p2.phi2, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi1) p1
+                 CROSS JOIN (SELECT unnest([-0.3e0,0.0e0,0.3e0]) AS phi2) p2
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           a2e AS (SELECT mt.l_suppkey, g.phi1, g.phi2, g.theta, mt.rn,
+                   mt.xc AS xp1, 0.0e0 AS xp2, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM dmt mt CROSS JOIN a2g g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.phi1, e.phi2, e.theta, mt.rn,
+                   mt.xc, e.xp1,
+                   CASE WHEN mt.rn <= 2 THEN 0.0e0
+                        ELSE mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2 - e.theta*e.e END,
+                   CASE WHEN mt.rn <= 2 THEN 0.0e0
+                        ELSE e.sse + (mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2 - e.theta*e.e)
+                                   * (mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2 - e.theta*e.e) END
+                 FROM dmt mt JOIN a2e e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           a2fin AS (SELECT l_suppkey, phi1, phi2, theta, sse, e AS eps,
+                   xp1 AS xcl, xp2 AS xcp
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey,
+                         phi1, phi2, theta ORDER BY rn DESC) rd FROM a2e)
+                 WHERE rd = 1),
+           a2pick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, phi1, phi2, theta) rn2 FROM a2fin),
+           a2_sc AS (SELECT p.l_suppkey, 'arima211' AS model, 9 AS mrank, 4.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(d.nd - 2 AS DOUBLE) AS neff
+                 FROM a2pick p JOIN dmu d USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND d.nd >= 4),
+           a2f AS (SELECT p.l_suppkey, 1 AS step,
+                   (round((d.mu + p.phi1*p.xcl + p.phi2*p.xcp + p.theta*p.eps)*1e4)/1e4 + 0.0e0) AS fc,
+                   0.0e0 AS fprev, d.mu, p.phi1, p.phi2, p.xcl, p.theta,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS msse
+                 FROM a2pick p JOIN dmu d USING (l_suppkey) WHERE p.rn2 = 1
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   CASE WHEN step = 1
+                     THEN (round((mu + phi1*(fc - mu) + phi2*xcl)*1e4)/1e4 + 0.0e0)
+                     ELSE (round((mu + phi1*(fc - mu) + phi2*(fprev - mu))*1e4)/1e4 + 0.0e0) END,
+                   fc, mu, phi1, phi2, xcl, theta, msse
+                 FROM a2f WHERE step < 4),
+           a2int AS (SELECT f.l_suppkey, f.phi1, f.phi2, f.theta, f.msse, f.step,
+                   (round((y.yn + sum(f.fc) OVER (PARTITION BY f.l_suppkey
+                      ORDER BY f.step))*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM a2f f JOIN yl y USING (l_suppkey)),
+           d2s AS (SELECT l_suppkey, ws,
+                   dq - lag(dq, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) AS ddq
+                 FROM dd),
+           d2v AS (SELECT l_suppkey, ws, ddq FROM d2s WHERE ddq IS NOT NULL),
+           d2mu AS (SELECT l_suppkey,
+                   (CAST(sum(CAST(round(ddq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu,
+                   count(*) AS n2
+                 FROM d2v GROUP BY 1),
+           d2mt AS (SELECT v.l_suppkey, v.ddq - m.mu AS xc,
+                   row_number() OVER (PARTITION BY v.l_suppkey ORDER BY v.ws) rn
+                 FROM d2v v JOIN d2mu m USING (l_suppkey)),
+           d2e AS (SELECT mt.l_suppkey, g.theta, mt.rn,
+                   mt.xc - g.theta*0.0e0 AS e,
+                   0.0e0 + (mt.xc - g.theta*0.0e0)*(mt.xc - g.theta*0.0e0) AS sse
+                 FROM d2mt mt CROSS JOIN mag g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.theta, mt.rn,
+                   mt.xc - e.theta*e.e,
+                   e.sse + (mt.xc - e.theta*e.e)*(mt.xc - e.theta*e.e)
+                 FROM d2mt mt JOIN d2e e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           d2fin AS (SELECT l_suppkey, theta, sse, e AS eps
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, theta
+                         ORDER BY rn DESC) rd FROM d2e)
+                 WHERE rd = 1),
+           d2pick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, theta) rn2 FROM d2fin),
+           d2_sc AS (SELECT p.l_suppkey, 'arima021' AS model, 8 AS mrank, 2.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(m.n2 AS DOUBLE) AS neff
+                 FROM d2pick p JOIN d2mu m USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND m.n2 >= 2),
+           dlv2 AS (SELECT l_suppkey, dq AS dn
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM dd)
+                 WHERE rd = 1),
+           d2fc AS (SELECT p.l_suppkey, p.theta,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS msse, s.step,
+                   CASE WHEN s.step = 1
+                     THEN (round((m.mu + p.theta*p.eps)*1e4)/1e4 + 0.0e0)
+                     ELSE (round(m.mu*1e4)/1e4 + 0.0e0) END AS f2
+                 FROM d2pick p JOIN d2mu m USING (l_suppkey) CROSS JOIN steps s
+                 WHERE p.rn2 = 1),
+           d2i AS (SELECT f.l_suppkey, f.theta, f.msse, f.step,
+                   (round((v.dn + sum(f.f2) OVER (PARTITION BY f.l_suppkey
+                      ORDER BY f.step))*1e4)/1e4 + 0.0e0) AS dhat
+                 FROM d2fc f JOIN dlv2 v USING (l_suppkey)),
+           d2y AS (SELECT i.l_suppkey, i.theta, i.msse, i.step,
+                   (round((y.yn + sum(i.dhat) OVER (PARTITION BY i.l_suppkey
+                      ORDER BY i.step))*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM d2i i JOIN yl y USING (l_suppkey))"""
+
+  /** q297 oracle: the ARMA(2,1)-on-diffs recursion, winner triple by
+    * (sse, φ₁, φ₂, θ), integrated forecast — mirrors arima211Forecast. */
+  private lazy val arima211Sql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql
+         SELECT l_suppkey, phi1, phi2, theta, msse AS sse,
+                CAST(step AS BIGINT) AS step, forecast
+         FROM a2int"""
+
+  /** q298 oracle: the MA(1)-on-second-diffs recursion, doubly
+    * integrated — mirrors OrderSearch.arima021Forecast. */
+  private lazy val arima021Sql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql
+         SELECT l_suppkey, theta, msse AS sse,
+                CAST(step AS BIGINT) AS step, forecast
+         FROM d2y"""
+
+  /** q299 oracle: the ten-member scoreboard — the family's scb rows
+    * unioned with the two extended members, AIC recomputed by the
+    * identical closed form, re-ranked by (aic, member order). */
+  private lazy val orderSearchExtSql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql,
+           scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
+                 UNION ALL SELECT * FROM a2_sc),
+           aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
+           rkx AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY aic, mrank) AS rank FROM aicsx)
+         SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
+         FROM rkx"""
+
   /** q267 tail: Akaike weights w ∝ exp(−Δ/2) rounded to the 4dp grid,
     * blend = Σ(w·f)/Σw as exact micro-int sums — mirrors
     * Champion.blendForecast term for term. */
@@ -3361,6 +3542,9 @@ object SparkEntry {
     "q259_champion" -> championSql,
     "q267_champion_blend" -> championBlendSql,
     "q286_order_search" -> orderSearchSql,
+    "q297_arima211" -> arima211Sql,
+    "q298_arima021" -> arima021Sql,
+    "q299_order_search_ext" -> orderSearchExtSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

@@ -391,6 +391,188 @@ object SequentialKernels {
       .select(keys ++ Seq(col("step"), col("arima_forecast")): _*)
   }
 
+  /** Joint ARMA(2,1) fit by conditional least squares over a LITERAL
+    * (φ₁, φ₂, θ) grid — the p = 2 extension of [[fitArma11Full]] that
+    * closes the order-search family toward the reference's stepwise
+    * auto-ARIMA bounds (src/models/arima_temporal.py:277-361 searches
+    * p up to 5 via pmdarima; the engine greets the searched space with
+    * the grid members it can fit in one deterministic pass):
+    *
+    *   ε_t = (x_t − μ) − φ₁·(x_{t−1} − μ) − φ₂·(x_{t−2} − μ) − θ·ε_{t−1}
+    *
+    * conditioned on the first TWO observations (ε_1 = ε_2 = 0, SSE
+    * over t ≥ 3 — one more conditioning row than ARMA(1,1) because the
+    * second AR lag only exists from t = 3). Every grid triple advances
+    * in ONE vectorized fold per series (both centered lags ride the
+    * state); the series end yields each triple's SSE and the
+    * (sse, φ₁, φ₂, θ)-smallest wins, ties breaking to the smallest
+    * triple in both engines. Returns one row per series with the
+    * winner's parameters and forecast-relevant state: arma2_phi1,
+    * arma2_phi2, arma2_theta, arma2_sse, arma2_neff (the number of
+    * SSE terms, n − 2), arma2_mu, arma2_eps_last, arma2_xc_last
+    * (= x_n − μ) and arma2_xc_prev (= x_{n−1} − μ; 0.0 for
+    * single-observation series, where every triple ties at SSE 0). */
+  def fitArma21Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                    valueCol: String,
+                    phi1Grid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                    phi2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3),
+                    thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    require(phi1Grid.nonEmpty && phi2Grid.nonEmpty && thetaGrid.nonEmpty,
+      "grids must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val triples = for (p1 <- phi1Grid; p2 <- phi2Grid; t <- thetaGrid)
+      yield (p1, p2, t)
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val sseCols = triples.indices.map(i => s"__sse$i")
+    val epsCols = triples.indices.map(i => s"__e$i")
+    // state = (xc_{t−1}, xc_{t−2}, #obs seen, per-triple (eps_prev, sse),
+    // #SSE terms); emitted per row: each triple's running sse and eps,
+    // the previous centered value (so the LAST row carries xc_{n−1})
+    // and the SSE term count
+    type St = (Double, Double, Int, Array[(Double, Double)], Int)
+    val folded = keyedFold[St](
+      centered, keyCols, ordCols, "__xc",
+      sseCols ++ epsCols ++ Seq("__xp1", "__nsse")) {
+      case (None, st) => (st match {
+        case Some((xp1, _, _, arr, nsse)) =>
+          triples.indices.map(i => Some(arr(i)._2)) ++
+            triples.indices.map(i => Some(arr(i)._1)) ++
+            Seq(Some(xp1), Some(nsse.toDouble))
+        case None => Seq.fill(triples.size * 2 + 2)(None)
+      }, st)
+      case (Some(xc), None) =>
+        val zeros = Array.fill(triples.size)((0.0, 0.0))
+        (triples.indices.map(_ => Some(0.0)) ++
+          triples.indices.map(_ => Some(0.0)) ++
+          Seq(Some(0.0), Some(0.0)),
+          Some((xc, 0.0, 1, zeros, 0)))
+      case (Some(xc), Some((xp1, xp2, n, st, nsse))) =>
+        if (n == 1) {
+          // second observation: still conditioned (ε_2 = 0, no SSE term)
+          (triples.indices.map(i => Some(st(i)._2)) ++
+            triples.indices.map(i => Some(st(i)._1)) ++
+            Seq(Some(xp1), Some(nsse.toDouble)),
+            Some((xc, xp1, 2, st, nsse)))
+        } else {
+          val ns = st.zip(triples).map { case ((ep, sse), (p1, p2, th)) =>
+            val e = xc - p1 * xp1 - p2 * xp2 - th * ep
+            (e, sse + e * e)
+          }
+          (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)) ++
+            Seq(Some(xp1), Some(nsse + 1.0)),
+            Some((xc, xp1, n + 1, ns, nsse + 1)))
+        }
+    }
+    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val last = folded.withColumn("__rd", row_number().over(wLast))
+      .filter(col("__rd") === 1)
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc"),
+      col("__xp1"), col("__nsse")) :+
+      explode(array(triples.zipWithIndex.map {
+        case ((p1, p2, th), i) => struct(lit(p1).as("phi1"), lit(p2).as("phi2"),
+          lit(th).as("theta"), col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"))
+      }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__mu"), col("__xc"), col("__xp1"), col("__nsse"),
+        col("__p.phi1").as("phi1"), col("__p.phi2").as("phi2"),
+        col("__p.theta").as("theta"),
+        col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
+    // both engines fold the identical IEEE chain per triple: order by
+    // RAW sse, round only the reported value
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("sse"), col("phi1"), col("phi2"), col("theta"))
+    longForm.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("phi1").as("arma2_phi1"),
+        col("phi2").as("arma2_phi2"),
+        col("theta").as("arma2_theta"),
+        graft.functions.Funcs.r(col("sse")).as("arma2_sse"),
+        col("__nsse").as("arma2_neff"),
+        col("__mu").as("arma2_mu"),
+        col("eps").as("arma2_eps_last"),
+        col("__xc").as("arma2_xc_last"),
+        col("__xp1").as("arma2_xc_prev")): _*)
+  }
+
+  /** h-step ARMA(2,1) forecast from the CLS grid fit: with the winning
+    * (φ₁, φ₂, θ), future innovations zero,
+    *
+    *   f_1 = r( μ + φ₁·(x_n − μ) + φ₂·(x_{n−1} − μ) + θ·ε_n )
+    *   f_2 = r( μ + φ₁·(f_1 − μ) + φ₂·(x_n − μ) )
+    *   f_s = r( μ + φ₁·(f_{s−1} − μ) + φ₂·(f_{s−2} − μ) )   s ≥ 3
+    *
+    * each step rounded before feeding forward (recursive-CTE-replayable
+    * chain). One row per (series, step). */
+  def arma21Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                     valueCol: String, h: Int,
+                     phi1Grid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                     phi2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3),
+                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val base = fitArma21Full(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, thetaGrid)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val f =
+        if (s == 1) r(col("arma2_mu") + col("arma2_phi1") * col("arma2_xc_last") +
+          col("arma2_phi2") * col("arma2_xc_prev") +
+          col("arma2_theta") * col("arma2_eps_last"))
+        else if (s == 2) r(col("arma2_mu") +
+          col("arma2_phi1") * (acc(0) - col("arma2_mu")) +
+          col("arma2_phi2") * col("arma2_xc_last"))
+        else r(col("arma2_mu") +
+          col("arma2_phi1") * (acc(s - 2) - col("arma2_mu")) +
+          col("arma2_phi2") * (acc(s - 3) - col("arma2_mu")))
+      acc :+ f
+    }
+    base.select(keys ++ Seq(col("arma2_phi1"), col("arma2_phi2"),
+      col("arma2_theta"), col("arma2_sse")) :+
+      posexplode(array(steps: _*)).as(Seq("__p", "arma2_forecast")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(keys ++ Seq(col("arma2_phi1"), col("arma2_phi2"),
+        col("arma2_theta"), col("arma2_sse"), col("step"),
+        col("arma2_forecast")): _*)
+  }
+
+  /** ARIMA(2,1,1) by composition — the d = 1 member of the ARMA(2,1)
+    * class, one order past the family's ARIMA(1,1,1)
+    * ([[arima111Forecast]]): the CLS grid fit runs on the first
+    * differences and the h diff forecasts integrate back from the last
+    * observed level (ŷ_{n+s} = r(y_n + Σ_{j≤s} d̂_{n+j}), the q249
+    * integration machinery). Series with < 2 observations drop. Emits
+    * the winning (φ₁, φ₂, θ) and diff-scale SSE alongside each step. */
+  def arima211Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                       valueCol: String, h: Int,
+                       phi1Grid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                       phi2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3),
+                       thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val dy = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
+    val lastLevel = dy.withColumn("__rdL", row_number().over(wd))
+      .filter(col("__rdL") === 1)
+      .select(keys :+ col("__yraw").as("__yn"): _*)
+    val diffed = dy.filter(col("__dy").isNotNull).drop("__yraw")
+    val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arma21Forecast(diffed, keyCols, ordCols, "__dy", h,
+      phi1Grid, phi2Grid, thetaGrid)
+      .join(lastLevel, keyCols)
+      .withColumn("arima_forecast",
+        graft.functions.Funcs.r(col("__yn") + sum(col("arma2_forecast")).over(wcum)))
+      .select(keys ++ Seq(col("arma2_phi1"), col("arma2_phi2"),
+        col("arma2_theta"), col("arma2_sse"), col("step"),
+        col("arima_forecast")): _*)
+  }
+
   /** M5 — Croston's method (and the SBA bias-corrected variant):
     * exponential smoothing of the nonzero-demand sizes (z) and the
     * inter-demand intervals (p); per-row forecast = z/p

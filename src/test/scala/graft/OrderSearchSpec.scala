@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.seq.{OrderSearch, SequentialKernels}
+
+class OrderSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, Int, java.lang.Double)*) =
+    rows.toSeq.toDF("k", "t", "v")
+
+  test("ARMA(2,1) CLS fold matches the hand-computed recursion for one triple") {
+    // series 10,14,8,12,16 → μ = 12; centered −2,2,−4,0,4.
+    // For (φ1, φ2, θ) = (0.5, 0.3, 0.4): ε_1 = ε_2 = 0 (conditioned),
+    // ε_3 = −4 − 0.5·2 − 0.3·(−2) − 0.4·0 = −4.4
+    // ε_4 = 0 − 0.5·(−4) − 0.3·2 − 0.4·(−4.4) = 3.16
+    // ε_5 = 4 − 0.5·0 − 0.3·(−4) − 0.4·3.16 = 3.936
+    // SSE = 4.4² + 3.16² + 3.936² = 19.36 + 9.9856 + 15.492096
+    val df = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 8.0),
+      ("a", 4, 12.0), ("a", 5, 16.0))
+    val out = SequentialKernels.fitArma21Full(df, Seq("k"), Seq(col("t")), "v",
+      phi1Grid = Seq(0.5), phi2Grid = Seq(0.3), thetaGrid = Seq(0.4))
+      .select("arma2_sse", "arma2_neff", "arma2_eps_last",
+        "arma2_xc_last", "arma2_xc_prev")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val expSse = 4.4 * 4.4 + 3.16 * 3.16 + 3.936 * 3.936
+    assert(math.abs(out._1 - expSse) < 1e-4)
+    assert(out._2 == 3.0) // three SSE terms (t = 3..5)
+    assert(math.abs(out._3 - 3.936) < 1e-12)
+    assert(out._4 == 4.0 && out._5 == 0.0)
+  }
+
+  test("ARMA(2,1) grid pick is deterministic and per-series independent") {
+    // AR(2)-ish series x_t = 0.9·x_{t−1} rides the φ1 = 0.9 grid point;
+    // a second white-ish series must keep its own state and pick
+    val a = Seq.iterate(10.0, 12)(x => 0.9 * x).zipWithIndex
+      .map { case (v, i) => ("a", i + 1, java.lang.Double.valueOf(v)) }
+    val b = Seq(5.0, -5.0, 5.0, -5.0, 5.0, -5.0).zipWithIndex
+      .map { case (v, i) => ("b", i + 1, java.lang.Double.valueOf(v)) }
+    val out = SequentialKernels.fitArma21Full((a ++ b).toDF("k", "t", "v"),
+      Seq("k"), Seq(col("t")), "v")
+      .select("k", "arma2_phi1").as[(String, Double)].collect().toMap
+    assert(out("a") == 0.9)
+    // the alternating series is anti-correlated at lag 1
+    assert(out("b") == -0.5)
+  }
+
+  test("ARIMA(0,2,1): double integration extends a quadratic exactly") {
+    // x_t = t² → Δx = 3,5,7,9, Δ²x = 2,2,2 (constant): μ = 2, every θ
+    // ties at the ε chain of the centered zeros → θ = −0.8 (smallest),
+    // all f^Δ² = μ = 2, so the forecast continues the quadratic:
+    // Δŷ = 11,13,15 → ŷ = 36,49,64
+    val df = series((1 to 5).map(t => ("a", t, java.lang.Double.valueOf(t * t))): _*)
+    val out = OrderSearch.arima021Forecast(df, Seq("k"), Seq(col("t")), "v", h = 3)
+      .orderBy("step").select("step", "arima_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 36.0), (2L, 49.0), (3L, 64.0)))
+  }
+
+  test("extended scoreboard: ten members for long series, gates for short") {
+    // NB series key must not be named "k" — the scoreboard schema's
+    // parameter-count column k would shadow it (Champion convention)
+    val long = (1 to 20).map(t =>
+      ("L", t, java.lang.Double.valueOf(t + (if (t % 2 == 0) 3.0 else -3.0))))
+    val short = (1 to 3).map(t => ("S", t, java.lang.Double.valueOf(t * 2.0)))
+    val df = (long ++ short).toDF("g", "t", "v")
+    val sb = OrderSearch.extendedScoreboard(df, Seq("g"), Seq(col("t")), "v",
+      h = 2, m = 4)
+    val byKey = sb.select("g", "model").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey("L").contains("arima021") && byKey("L").contains("arima211"))
+    // n = 3: one second-diff residual (< 2) and no conditioned ARMA(2,1)
+    // residuals — both extended members must be gated out
+    assert(!byKey("S").contains("arima021") && !byKey("S").contains("arima211"))
+    // ranks are a dense 1..n permutation per series
+    val ranksL = sb.filter(col("g") === "L").select("rank").as[Long]
+      .collect().sorted.toSeq
+    assert(ranksL == (1L to ranksL.size).toSeq)
+    assert(ranksL.size == 10)
+  }
+
+  test("ARIMA(2,1,1) forecast integrates from the last level") {
+    // linear series: diffs constant 3 → every triple ties at SSE 0 on
+    // the centered-zero diffs; forecast continues the line
+    val df = series((1 to 6).map(t => ("a", t, java.lang.Double.valueOf(3.0 * t))): _*)
+    val out = SequentialKernels.arima211Forecast(df, Seq("k"), Seq(col("t")), "v", h = 3)
+      .orderBy("step").select("step", "arima_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 21.0), (2L, 24.0), (3L, 27.0)))
+  }
+}
