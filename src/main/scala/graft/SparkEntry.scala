@@ -1067,9 +1067,10 @@ object SparkEntry {
           col("d2_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))
     }),
-    // the TEN-member order-search scoreboard: the family eight (shared
-    // member tables via championShared — no re-fit) plus arima021 and
-    // arima211, re-ranked by (AIC, member order)
+    // the ELEVEN-member order-search scoreboard: the family eight
+    // (shared member tables via championShared — no re-fit) plus
+    // arima021, arima211 and the seasonal sari, re-ranked by
+    // (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity"))
@@ -2962,21 +2963,15 @@ object SparkEntry {
        SELECT u AS "user", i AS item, score, rank FROM rk WHERE rank <= 5"""
   }
 
-  /** q259 oracle: every family member's fit/SSE/forecast replayed at
-    * the supplier-week grain, the rounded-AIC scoreboard, the
-    * (aic, member-rank) argmin, and the winner's forecast rows. The
-    * member fragments are the already-green q214/q217/q249/q253/q255/
-    * q257/q213/q256/q74/q222 recipes re-keyed to l_suppkey; the damped
-    * sums embed the engine's own iteratively-computed doubles (the
-    * q222 convention). */
-  private lazy val championMembersSql: String = {
-    val damps = graft.seq.SequentialKernels.dampSums(0.9, 4).zipWithIndex
-      .map { case (dv, i) => s"(${i + 1}, CAST($dv AS DOUBLE))" }.mkString(", ")
-    def sq(e: String): String =
-      s"(round((CAST(sum(CAST(round(($e)*($e)*1e8) AS HUGEINT)) AS DOUBLE)/1e8)*1e4)/1e4 + 0.0e0)"
-    // the q214 nine-sums → Cramer → rounded-coefs block, parameterized
-    // on the source CTE (value column y, lag columns b1/b2)
-    def arBlock(src: String, y: String, p: String): String =
+  /** The exact-SSE aggregate on the 1e-8 grid (sqSum's SQL mirror) —
+    * shared by the champion members and the extended-order blocks. */
+  private def sq(e: String): String =
+    s"(round((CAST(sum(CAST(round(($e)*($e)*1e8) AS HUGEINT)) AS DOUBLE)/1e8)*1e4)/1e4 + 0.0e0)"
+
+  /** The q214 nine-sums → Cramer → rounded-coefs block, parameterized
+    * on the source CTE (value column y, lag columns b1/b2) — shared by
+    * the champion members (ar2/ari) and the extended sari member. */
+  private def arBlock(src: String, y: String, p: String): String =
       s"""${p}s AS (SELECT l_suppkey,
                    CAST(count(*) AS DOUBLE) n,
                    (CAST(sum(CAST(round($y*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) sy,
@@ -3002,6 +2997,17 @@ object SparkEntry {
                    (round((CASE WHEN n >= 3 AND abs(det) >= 1e-8
                       THEN detp2/det ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS p2
                  FROM ${p}d)"""
+
+  /** q259 oracle: every family member's fit/SSE/forecast replayed at
+    * the supplier-week grain, the rounded-AIC scoreboard, the
+    * (aic, member-rank) argmin, and the winner's forecast rows. The
+    * member fragments are the already-green q214/q217/q249/q253/q255/
+    * q257/q213/q256/q74/q222 recipes re-keyed to l_suppkey; the damped
+    * sums embed the engine's own iteratively-computed doubles (the
+    * q222 convention). */
+  private lazy val championMembersSql: String = {
+    val damps = graft.seq.SequentialKernels.dampSums(0.9, 4).zipWithIndex
+      .map { case (dv, i) => s"(${i + 1}, CAST($dv AS DOUBLE))" }.mkString(", ")
     s"""WITH RECURSIVE
            w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws, l_suppkey,
                    sum(l_quantity) q
@@ -3278,7 +3284,7 @@ object SparkEntry {
     * DuckDB's optimizer prunes the member CTEs a consumer doesn't
     * reference. */
   private lazy val extOrderBlocksSql: String =
-    """dmu AS (SELECT l_suppkey,
+    s"""dmu AS (SELECT l_suppkey,
                    (CAST(sum(CAST(round(dq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu,
                    count(*) AS nd
                  FROM dd GROUP BY 1),
@@ -3380,7 +3386,23 @@ object SparkEntry {
            d2y AS (SELECT i.l_suppkey, i.theta, i.msse, i.step,
                    (round((y.yn + sum(i.dhat) OVER (PARTITION BY i.l_suppkey
                       ORDER BY i.step))*1e4)/1e4 + 0.0e0) AS forecast
-                 FROM d2i i JOIN yl y USING (l_suppkey))"""
+                 FROM d2i i JOIN yl y USING (l_suppkey)),
+           sdd AS (SELECT l_suppkey, ws,
+                   q - lag(q, 13) OVER (PARTITION BY l_suppkey ORDER BY ws) AS sdq
+                 FROM w),
+           sdv AS (SELECT l_suppkey, ws, sdq FROM sdd WHERE sdq IS NOT NULL),
+           sdt AS (SELECT *,
+                   lag(sdq, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) b1,
+                   lag(sdq, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) b2
+                 FROM sdv),
+           ${arBlock("sdt", "sdq", "sar")},
+           sarfit AS (SELECT sdt.l_suppkey, sdt.sdq,
+                   (round((sarc.c + sarc.p1*sdt.b1 + sarc.p2*sdt.b2)*1e4)/1e4 + 0.0e0) AS f
+                 FROM sdt JOIN sarc USING (l_suppkey) WHERE sdt.b2 IS NOT NULL),
+           sar_sc AS (SELECT l_suppkey, 'sari' AS model, 10 AS mrank, 3.0e0 AS k,
+                   ${sq("sdq - f")} AS sse,
+                   CAST(count(*) AS DOUBLE) AS neff
+                 FROM sarfit GROUP BY 1 HAVING count(*) >= 3)"""
 
   /** q297 oracle: the ARMA(2,1)-on-diffs recursion, winner triple by
     * (sse, φ₁, φ₂, θ), integrated forecast — mirrors arima211Forecast. */
@@ -3400,14 +3422,14 @@ object SparkEntry {
                 CAST(step AS BIGINT) AS step, forecast
          FROM d2y"""
 
-  /** q299 oracle: the ten-member scoreboard — the family's scb rows
-    * unioned with the two extended members, AIC recomputed by the
+  /** q299 oracle: the eleven-member scoreboard — the family's scb rows
+    * unioned with the three extended members, AIC recomputed by the
     * identical closed form, re-ranked by (aic, member order). */
   private lazy val orderSearchExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
-                 UNION ALL SELECT * FROM a2_sc),
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM sar_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),

@@ -25,15 +25,20 @@ import graft.functions.Funcs.r
   *                                coverage — pmdarima's max_d)
   *                       (2,1,1)  ARMA(2,1) on first differences
   *                                (p = 2 with a joint MA side)
+  *                       sari     SARIMA(2,0,0)(0,1,0)_m — AR(2) on
+  *                                the lag-m seasonal differences
+  *                                (the seasonal-D leg, max_D = 1)
   *
   * Scoring and ranking follow the Champion conventions exactly:
   * AIC = n_eff·ln(max(SSE, 1e-8)/n_eff) + 2k rounded to the 4dp grid,
   * k the literal parameter count ((0,2,1): θ + μ = 2; (2,1,1):
-  * φ₁ + φ₂ + θ + μ = 4), ties break to the fixed member order with the
+  * φ₁ + φ₂ + θ + μ = 4; sari: the AR(2) intercept + 2 coefs = 3),
+  * ties break to the fixed member order with the
   * new members ranked after the family eight. A member enters a
   * series' scoreboard only when identified: (0,2,1) needs ≥ 2
   * second-difference residuals (n ≥ 4), (2,1,1) needs ≥ 2 conditioned
-  * diff residuals (n ≥ 5).
+  * diff residuals (n ≥ 5), sari needs ≥ 3 seasonal-diff regression
+  * rows (n ≥ m + 5).
   *
   * Execution shape: the two new members reuse the family's single-
   * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x,
@@ -98,33 +103,35 @@ object OrderSearch {
         col("arima_forecast")): _*)
   }
 
-  /** Fixed tiebreak order across the ten searched members. */
+  /** Fixed tiebreak order across the eleven searched members. */
   private val MemberRank: Map[String, Int] = Map(
     "mean_naive" -> 0, "snaive" -> 1, "ar2" -> 2, "ari" -> 3, "ma1" -> 4,
     "arma11" -> 5, "theta" -> 6, "holt_damped" -> 7,
-    "arima021" -> 8, "arima211" -> 9)
+    "arima021" -> 8, "arima211" -> 9, "sari" -> 10)
 
-  /** The ten-member order-search scoreboard: the Champion family's
+  /** The eleven-member order-search scoreboard: the Champion family's
     * eight rows per series ([[Champion.scoreboard]] columns model, k,
-    * sse, n_eff, aic) unioned with the (0,2,1) and (2,1,1) members and
-    * re-ranked by (aic, member order). Same output schema as the
-    * family scoreboard — (keys..., model, k, sse, n_eff, aic, rank) —
-    * so diagnostics consumers swap in the wider search unchanged. */
+    * sse, n_eff, aic) unioned with the (0,2,1), (2,1,1) and seasonal
+    * sari members and re-ranked by (aic, member order). Same output
+    * schema as the family scoreboard — (keys..., model, k, sse, n_eff,
+    * aic, rank) — so diagnostics consumers swap in the wider search
+    * unchanged. */
   def extendedScoreboard(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                          valueCol: String, h: Int = 4, m: Int = 13,
                          alpha: Double = 0.3, beta: Double = 0.1,
                          damp: Double = 0.9): DataFrame =
     extendedScoreboardFrom(
       Champion.scoreboard(df, keyCols, ordCols, valueCol, h, m, alpha, beta, damp),
-      df, keyCols, ordCols, valueCol)
+      df, keyCols, ordCols, valueCol, m)
 
   /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
     * (the [[Champion.scoreboard]] output, rank column ignored) — so a
-    * caller holding a memoized family table pays only the two new
-    * member fits. */
+    * caller holding a memoized family table pays only the three new
+    * member fits. `m` is the seasonal period the sari member
+    * differences at (must match the family board's m). */
   def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
                              keyCols: Seq[String], ordCols: Seq[Column],
-                             valueCol: String): DataFrame = {
+                             valueCol: String, m: Int = 13): DataFrame = {
     val keys = keyCols.map(col)
     val base = familyBoard
       .select(keys ++ Seq(col("model"), col("k"), col("sse"), col("n_eff"),
@@ -145,7 +152,27 @@ object OrderSearch {
       .select(keys ++ Seq(lit("arima211").as("model"), lit(4.0).as("k"),
         col("arma2_sse").as("sse"), col("arma2_neff").as("n_eff"),
         aicOf(col("arma2_sse"), col("arma2_neff"), 4.0).as("aic")): _*)
-    val all = base.unionByName(d2).unionByName(a21)
+    // sari — SARIMA(2,0,0)(0,1,0)_m: AR(2) on the lag-m SEASONAL
+    // differences (the Ar.forecastSeasonalIntegrated / q254 fit),
+    // scored exactly like the family's ari member (k = 3, n_eff the
+    // regression-row count, ≥ 3 to be identified) — the seasonal-D leg
+    // of the reference's search space (pmdarima max_D = 1)
+    val sd = df.withColumn("__sd",
+      col(valueCol).cast("double") - lag(col(valueCol).cast("double"), m).over(w))
+      .filter(col("__sd").isNotNull)
+    val sqSum = (resid: Column) =>
+      r(sum(round(resid * resid * lit(1e8), 0).cast("decimal(38,0)"))
+        .cast("double") / lit(1e8))
+    val sari = Ar.fitted(sd, keyCols, ordCols, "__sd")
+      .filter(col("ar_fitted").isNotNull)
+      .withColumn("__res", col("__sd") - col("ar_fitted"))
+      .groupBy(keys: _*).agg(sqSum(col("__res")).as("sse"),
+        count(lit(1)).cast("double").as("n_eff"))
+      .filter(col("n_eff") >= 3)
+      .select(keys ++ Seq(lit("sari").as("model"), lit(3.0).as("k"),
+        col("sse"), col("n_eff"),
+        aicOf(col("sse"), col("n_eff"), 3.0).as("aic")): _*)
+    val all = base.unionByName(d2).unionByName(a21).unionByName(sari)
     val mrank = MemberRank.foldLeft(lit(99)) { case (acc, (name, rk)) =>
       when(col("model") === name, rk).otherwise(acc)
     }

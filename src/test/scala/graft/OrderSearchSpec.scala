@@ -57,7 +57,7 @@ class OrderSearchSpec extends SparkSpec {
     assert(out == Seq((1L, 36.0), (2L, 49.0), (3L, 64.0)))
   }
 
-  test("extended scoreboard: ten members for long series, gates for short") {
+  test("extended scoreboard: eleven members for long series, gates for short") {
     // NB series key must not be named "k" — the scoreboard schema's
     // parameter-count column k would shadow it (Champion convention)
     val long = (1 to 20).map(t =>
@@ -69,14 +69,16 @@ class OrderSearchSpec extends SparkSpec {
     val byKey = sb.select("g", "model").as[(String, String)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byKey("L").contains("arima021") && byKey("L").contains("arima211"))
-    // n = 3: one second-diff residual (< 2) and no conditioned ARMA(2,1)
-    // residuals — both extended members must be gated out
+    assert(byKey("L").contains("sari"))
+    // n = 3: one second-diff residual (< 2), no conditioned ARMA(2,1)
+    // residuals, no lag-4 seasonal diffs — all three gated out
     assert(!byKey("S").contains("arima021") && !byKey("S").contains("arima211"))
+    assert(!byKey("S").contains("sari"))
     // ranks are a dense 1..n permutation per series
     val ranksL = sb.filter(col("g") === "L").select("rank").as[Long]
       .collect().sorted.toSeq
     assert(ranksL == (1L to ranksL.size).toSeq)
-    assert(ranksL.size == 10)
+    assert(ranksL.size == 11)
   }
 
   test("ARIMA(2,1,1) forecast integrates from the last level") {
