@@ -1046,8 +1046,11 @@ object SparkEntry {
     // toward the reference's stepwise search bounds
     // (arima_temporal.py:277-361, statsmodels fallback (2,1,2))
     "q297_arima211" -> ((s, d) => {
+      // the diff/fit/forecast chain has several consumers of the weekly
+      // frame — checkpoint the one aggregate instead of re-shuffling
+      // lineitem per consumer (memberTables src convention)
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity"))
+        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
       graft.seq.SequentialKernels.arima211Forecast(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
         .select(col("l_suppkey"), col("arma2_phi1").as("phi1"),
@@ -1060,7 +1063,7 @@ object SparkEntry {
     // (pmdarima max_d = 2)
     "q298_arima021" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity"))
+        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
       graft.seq.OrderSearch.arima021Forecast(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4)
         .select(col("l_suppkey"), col("d2_theta").as("theta"),
@@ -1073,7 +1076,7 @@ object SparkEntry {
     // (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity"))
+        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
       graft.seq.OrderSearch.extendedScoreboardFrom(
         championShared(s, d)._3.drop("rank"), weekly,
         Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")

@@ -512,4 +512,14 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("extended order search: member fits are key-grain equi-joins, never cartesian") {
+    // every new member (arima021 / arima211 / sari) is a per-series
+    // fold or window plus key-grain aggregates — the scoreboard union
+    // must contain no cartesian or nested-loop join anywhere
+    val plan = SparkEntry.queries("q299_order_search_ext")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
