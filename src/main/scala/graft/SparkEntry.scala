@@ -42,13 +42,35 @@ object SparkEntry {
     * championForecast/blendForecast paths — pickAndBlend materializes
     * the exact same member tables the tails consume. */
   private val championMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, DataFrame)]()
-  private def championShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def championShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
     championMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity"))
-      graft.seq.Champion.pickBlendScore(weekly, Seq("l_suppkey"),
+      graft.seq.Champion.pickBlendScoreFcs(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+    })
+
+  /** q299/q300 share the extended-order member tables the way the
+    * champion trio shares the family's: the eleven-member board and
+    * the full forecast union are series-grain tiny, localCheckpointed
+    * once per (session, sfDir), riding the championShared family
+    * tables — so a sweep running both pays the three extended fits
+    * ONCE and q300 is a pure winner join. */
+  private val extMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame)]()
+  private def extShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    extMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
+      val shared = championShared(s, d)
+      val (extScores, extFcs) = graft.seq.OrderSearch.extMemberTables(weekly,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+      val board = graft.seq.OrderSearch.boardFrom(
+        shared._3.drop("rank"), extScores, Seq("l_suppkey")).localCheckpoint(true)
+      val fcs = shared._4.select(col("l_suppkey"), col("model"), col("step"),
+        col("forecast")).unionByName(extFcs).localCheckpoint(true)
+      (board, fcs)
     })
 
   /** The standard per-series window: series = (part, supplier), ordered
@@ -1074,12 +1096,13 @@ object SparkEntry {
     // (shared member tables via championShared — no re-fit) plus
     // arima021, arima211 and the seasonal sari, re-ranked by
     // (AIC, member order)
-    "q299_order_search_ext" -> ((s, d) => {
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
-      graft.seq.OrderSearch.extendedScoreboardFrom(
-        championShared(s, d)._3.drop("rank"), weekly,
-        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")
+    "q299_order_search_ext" -> ((s, d) => extShared(s, d)._1),
+    // the extended champion: argmin over the eleven-member scoreboard,
+    // winner's forecast joined from the shared family forecast union
+    // plus the three extended forecasters (one fit each — extShared)
+    "q300_champion_ext" -> ((s, d) => {
+      val (board, fcs) = extShared(s, d)
+      graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
     }),
     // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
     // qty stddev (explicit sufficient sums), prediction = the group
@@ -3405,7 +3428,35 @@ object SparkEntry {
            sar_sc AS (SELECT l_suppkey, 'sari' AS model, 10 AS mrank, 3.0e0 AS k,
                    ${sq("sdq - f")} AS sse,
                    CAST(count(*) AS DOUBLE) AS neff
-                 FROM sarfit GROUP BY 1 HAVING count(*) >= 3)"""
+                 FROM sarfit GROUP BY 1 HAVING count(*) >= 3),
+           sarlv AS (SELECT l_suppkey,
+                   max(CASE WHEN rd = 1 THEN sdq END) xn,
+                   max(CASE WHEN rd = 2 THEN sdq END) xn1
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM sdv)
+                 GROUP BY 1
+                 HAVING max(CASE WHEN rd = 2 THEN sdq END) IS NOT NULL),
+           sarbv AS (SELECT l_suppkey, CAST(13 - rd + 1 AS BIGINT) AS step, q AS base
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY ws DESC) rd FROM w)
+                 WHERE rd <= 13 AND rd > 9),
+           sare AS (SELECT lv.l_suppkey, 1 AS step,
+                   (round((c.c + c.p1*lv.xn + c.p2*lv.xn1)*1e4)/1e4 + 0.0e0) AS f,
+                   lv.xn AS fprev, c.c, c.p1, c.p2
+                 FROM sarlv lv JOIN sarc c USING (l_suppkey)
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   (round((c + p1*f + p2*fprev)*1e4)/1e4 + 0.0e0), f, c, p1, p2
+                 FROM sare WHERE step < 4),
+           sar_fc AS (SELECT e.l_suppkey, 'sari' AS model,
+                   CAST(e.step AS BIGINT) AS step,
+                   (round((b.base + e.f)*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM sare e JOIN sarbv b ON e.l_suppkey = b.l_suppkey
+                   AND e.step = b.step),
+           d2_fc AS (SELECT l_suppkey, 'arima021' AS model,
+                   CAST(step AS BIGINT) AS step, forecast FROM d2y),
+           a2_fc AS (SELECT l_suppkey, 'arima211' AS model,
+                   CAST(step AS BIGINT) AS step, forecast FROM a2int)"""
 
   /** q297 oracle: the ARMA(2,1)-on-diffs recursion, winner triple by
     * (sse, φ₁, φ₂, θ), integrated forecast — mirrors arima211Forecast. */
@@ -3440,6 +3491,27 @@ object SparkEntry {
                    ORDER BY aic, mrank) AS rank FROM aicsx)
          SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
          FROM rkx"""
+
+  /** q300 oracle: the eleven-member argmin, winner's forecast joined
+    * from the family fcs union plus the three extended forecasters —
+    * mirrors OrderSearch.championForecastExt. */
+  private lazy val championExtSql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql,
+           scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM sar_sc),
+           aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
+           champx AS (SELECT l_suppkey, model, aic
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY aic, mrank) rk2 FROM aicsx)
+                 WHERE rk2 = 1),
+           fcsx AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
+                 UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM sar_fc)
+         SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
+         FROM champx c JOIN fcsx f ON c.l_suppkey = f.l_suppkey
+           AND c.model = f.model"""
 
   /** q267 tail: Akaike weights w ∝ exp(−Δ/2) rounded to the 4dp grid,
     * blend = Σ(w·f)/Σw as exact micro-int sums — mirrors
@@ -3570,6 +3642,7 @@ object SparkEntry {
     "q297_arima211" -> arima211Sql,
     "q298_arima021" -> arima021Sql,
     "q299_order_search_ext" -> orderSearchExtSql,
+    "q300_champion_ext" -> championExtSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

@@ -279,12 +279,25 @@ object Champion {
                      valueCol: String, h: Int = 4, m: Int = 13,
                      alpha: Double = 0.3, beta: Double = 0.1,
                      damp: Double = 0.9): (DataFrame, DataFrame, DataFrame) = {
+    val (pick, blend, board, _) = pickBlendScoreFcs(df, keyCols, ordCols,
+      valueCol, h, m, alpha, beta, damp)
+    (pick, blend, board)
+  }
+
+  /** [[pickBlendScore]] plus the materialized member FORECAST union
+    * (keys..., model, step, forecast) as a fourth frame — what an
+    * extended search ([[OrderSearch.championForecastExt]]) joins its
+    * winner against without re-fitting the family. */
+  def pickBlendScoreFcs(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                        valueCol: String, h: Int = 4, m: Int = 13,
+                        alpha: Double = 0.3, beta: Double = 0.1,
+                        damp: Double = 0.9): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (aic0, fcs0) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     val aic = aic0.localCheckpoint(true)
     val fcs = fcs0.localCheckpoint(true)
     (pickFrom(aic, fcs, keyCols), blendFrom(aic, fcs, keyCols),
-      scoreboardFrom(aic, keyCols))
+      scoreboardFrom(aic, keyCols), fcs)
   }
 
   /** Scoreboard tail over an already-built member score table. */

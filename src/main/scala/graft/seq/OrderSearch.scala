@@ -83,10 +83,16 @@ object OrderSearch {
     * One row per (series, step), with the winning θ and SSE attached. */
   def arima021Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                        valueCol: String, h: Int,
-                       grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
+                       grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame =
+    arima021ForecastFrom(arima021Full(df, keyCols, ordCols, valueCol, grid),
+      keyCols, h)
+
+  /** The [[arima021Forecast]] integration tail over an ALREADY-BUILT
+    * [[arima021Full]] table — so a caller holding a materialized fit
+    * derives the forecast without re-running the fold. */
+  def arima021ForecastFrom(base: DataFrame, keyCols: Seq[String], h: Int): DataFrame = {
     require(h >= 1, "horizon must be at least 1")
     val keys = keyCols.map(col)
-    val base = arima021Full(df, keyCols, ordCols, valueCol, grid)
     val steps = (1 to h).map { s =>
       if (s == 1) r(col("d2_mu") + col("d2_theta") * col("d2_eps_last"))
       else r(col("d2_mu"))
@@ -124,35 +130,57 @@ object OrderSearch {
       Champion.scoreboard(df, keyCols, ordCols, valueCol, h, m, alpha, beta, damp),
       df, keyCols, ordCols, valueCol, m)
 
-  /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
-    * (the [[Champion.scoreboard]] output, rank column ignored) — so a
-    * caller holding a memoized family table pays only the three new
-    * member fits. `m` is the seasonal period the sari member
-    * differences at (must match the family board's m). */
-  def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
-                             keyCols: Seq[String], ordCols: Seq[Column],
-                             valueCol: String, m: Int = 13): DataFrame = {
+  /** The three extended members' score AND forecast tables from ONE
+    * fit execution each — the [[Champion]] memberTables discipline:
+    * the (0,2,1) and (2,1,1) grid-fit bases are localCheckpointed
+    * (series-grain tiny) so the score row and the forecast recursion
+    * read the same materialized fit instead of re-running the fold;
+    * the sari member's fit and forecast are both cheap closed-form
+    * aggregates (no fold), so they stay unmaterialized.
+    *
+    * Scores: (keys..., model, k, sse, n_eff, aic) gated per member
+    * ((0,2,1) ≥ 2 Δ² residuals, (2,1,1) ≥ 2 conditioned diff
+    * residuals, sari ≥ 3 seasonal-diff regression rows — each
+    * strictly tighter than its forecaster's support, so every scored
+    * member forecasts). Forecasts: (keys..., model, step, forecast). */
+  def extMemberTables(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                      valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
-    val base = familyBoard
-      .select(keys ++ Seq(col("model"), col("k"), col("sse"), col("n_eff"),
-        col("aic")): _*)
     def aicOf(sse: Column, neff: Column, k: Double): Column =
       r(neff * log(greatest(sse, lit(1e-8)) / neff) + lit(2.0 * k))
-    val d2 = arima021Full(df, keyCols, ordCols, valueCol)
-      .filter(col("d2_neff") >= 2)
+    // ---- arima021: one MA(1)-on-Δ² fit feeds both consumers
+    val d2base = arima021Full(df, keyCols, ordCols, valueCol).localCheckpoint(true)
+    val d2Score = d2base.filter(col("d2_neff") >= 2)
       .select(keys ++ Seq(lit("arima021").as("model"), lit(2.0).as("k"),
         col("d2_sse").as("sse"), col("d2_neff").as("n_eff"),
         aicOf(col("d2_sse"), col("d2_neff"), 2.0).as("aic")): _*)
+    val d2Fc = arima021ForecastFrom(d2base, keyCols, h)
+      .select(keys ++ Seq(lit("arima021").as("model"), col("step"),
+        col("arima_forecast").as("forecast")): _*)
+    // ---- arima211: one ARMA(2,1)-on-Δ fit, integrated forecast
     val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
-    val dy = df.withColumn("__dy",
-      col(valueCol).cast("double") - lag(col(valueCol).cast("double"), 1).over(w))
-      .filter(col("__dy").isNotNull)
-    val a21 = SequentialKernels.fitArma21Full(dy, keyCols, ordCols, "__dy")
-      .filter(col("arma2_neff") >= 2)
+    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val dy0 = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
+    val lastLevel = dy0.withColumn("__rdL", row_number().over(wd))
+      .filter(col("__rdL") === 1)
+      .select(keys :+ col("__yraw").as("__yn"): _*)
+    val diffed = dy0.filter(col("__dy").isNotNull).drop("__yraw")
+    val a21base = SequentialKernels.fitArma21Full(diffed, keyCols, ordCols, "__dy")
+      .localCheckpoint(true)
+    val a21Score = a21base.filter(col("arma2_neff") >= 2)
       .select(keys ++ Seq(lit("arima211").as("model"), lit(4.0).as("k"),
         col("arma2_sse").as("sse"), col("arma2_neff").as("n_eff"),
         aicOf(col("arma2_sse"), col("arma2_neff"), 4.0).as("aic")): _*)
-    // sari — SARIMA(2,0,0)(0,1,0)_m: AR(2) on the lag-m SEASONAL
+    val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a21Fc = SequentialKernels.arma21ForecastFrom(a21base, keyCols, h)
+      .join(lastLevel, keyCols)
+      .withColumn("forecast",
+        r(col("__yn") + sum(col("arma2_forecast")).over(wcum)))
+      .select(keys ++ Seq(lit("arima211").as("model"), col("step"),
+        col("forecast")): _*)
+    // ---- sari — SARIMA(2,0,0)(0,1,0)_m: AR(2) on the lag-m SEASONAL
     // differences (the Ar.forecastSeasonalIntegrated / q254 fit),
     // scored exactly like the family's ari member (k = 3, n_eff the
     // regression-row count, ≥ 3 to be identified) — the seasonal-D leg
@@ -163,7 +191,7 @@ object OrderSearch {
     val sqSum = (resid: Column) =>
       r(sum(round(resid * resid * lit(1e8), 0).cast("decimal(38,0)"))
         .cast("double") / lit(1e8))
-    val sari = Ar.fitted(sd, keyCols, ordCols, "__sd")
+    val sariScore = Ar.fitted(sd, keyCols, ordCols, "__sd")
       .filter(col("ar_fitted").isNotNull)
       .withColumn("__res", col("__sd") - col("ar_fitted"))
       .groupBy(keys: _*).agg(sqSum(col("__res")).as("sse"),
@@ -172,7 +200,25 @@ object OrderSearch {
       .select(keys ++ Seq(lit("sari").as("model"), lit(3.0).as("k"),
         col("sse"), col("n_eff"),
         aicOf(col("sse"), col("n_eff"), 3.0).as("aic")): _*)
-    val all = base.unionByName(d2).unionByName(a21).unionByName(sari)
+    val sariFc = Ar.forecastSeasonalIntegrated(df, keyCols, ordCols,
+      valueCol, m, h)
+      .select(keys ++ Seq(lit("sari").as("model"), col("step"),
+        col("sari_forecast").as("forecast")): _*)
+    (d2Score.unionByName(a21Score).unionByName(sariScore),
+      d2Fc.unionByName(a21Fc).unionByName(sariFc))
+  }
+
+  /** Union + re-rank tail: the family scoreboard rows (rank ignored)
+    * with the extended member scores, ranked by (aic, member order). */
+  def boardFrom(familyBoard: DataFrame, extScores: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = familyBoard
+      .select(keys ++ Seq(col("model"), col("k"), col("sse"), col("n_eff"),
+        col("aic")): _*)
+    val all = base.unionByName(
+      extScores.select(keys ++ Seq(col("model"), col("k"), col("sse"),
+        col("n_eff"), col("aic")): _*))
     val mrank = MemberRank.foldLeft(lit(99)) { case (acc, (name, rk)) =>
       when(col("model") === name, rk).otherwise(acc)
     }
@@ -181,5 +227,48 @@ object OrderSearch {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .select(keys ++ Seq(col("model"), col("k"), col("sse"), col("n_eff"),
         col("aic"), col("rank")): _*)
+  }
+
+  /** Winner-join tail: rank-1 per series joined against a forecast
+    * union (keys..., model, step, forecast). */
+  def pickFrom(board: DataFrame, fcs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    board.filter(col("rank") === 1)
+      .select(keys ++ Seq(col("model"), col("aic")): _*)
+      .join(fcs.select(keys ++ Seq(col("model"), col("step"),
+        col("forecast")): _*), keyCols :+ "model")
+      .select(keys ++ Seq(col("model").as("champion"), col("aic"),
+        col("step"), col("forecast")): _*)
+  }
+
+  /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
+    * (the [[Champion.scoreboard]] output, rank column ignored) — so a
+    * caller holding a memoized family table pays only the three new
+    * member fits. `m` is the seasonal period the sari member
+    * differences at (must match the family board's m). */
+  def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
+                             keyCols: Seq[String], ordCols: Seq[Column],
+                             valueCol: String, m: Int = 13): DataFrame =
+    boardFrom(familyBoard,
+      extMemberTables(df, keyCols, ordCols, valueCol, m = m)._1, keyCols)
+
+  /** The extended champion: argmin over the ELEVEN-member scoreboard,
+    * the winner's h-step forecast joined back — [[Champion
+    * .championForecast]] widened to the searched orders. Consumes an
+    * already-materialized family scoreboard and forecast union (the
+    * [[Champion.pickBlendScoreFcs]] frames) so the family fits once;
+    * the extended members fit once each via [[extMemberTables]].
+    * Output mirrors championForecast: (keys..., champion, aic, step,
+    * forecast). Every scoreboard-eligible member's forecaster emits
+    * rows, so the winner join never drops a series. */
+  def championForecastExt(familyBoard: DataFrame, familyFcs: DataFrame,
+                          df: DataFrame, keyCols: Seq[String],
+                          ordCols: Seq[Column], valueCol: String,
+                          h: Int = 4, m: Int = 13): DataFrame = {
+    val keys = keyCols.map(col)
+    val (extScores, extFcs) = extMemberTables(df, keyCols, ordCols, valueCol, h, m)
+    val fcs = familyFcs.select(keys ++ Seq(col("model"), col("step"),
+      col("forecast")): _*).unionByName(extFcs)
+    pickFrom(boardFrom(familyBoard, extScores, keyCols), fcs, keyCols)
   }
 }

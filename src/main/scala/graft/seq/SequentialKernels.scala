@@ -74,6 +74,74 @@ object SequentialKernels {
       }(enc)
   }
 
+  /** Series-end fold: like [[keyedFold]] but emits ONE row per series —
+    * the run's LAST input row (by the fold's sort order) with
+    * `finish(state)` appended — instead of a wide output row per input
+    * row. This is the right shape for grid FITS, where only the
+    * series-end state matters: the per-input-row form pays a boxed
+    * `2·|grid|`-column Row per fact row plus a full descending sort
+    * just to keep the last row (measured 3-7s per query on the wider
+    * grids); this form updates a primitive state in place and writes
+    * |series| rows total, no window. `step` mutates/returns the state;
+    * `finish` converts the final state to the output columns. */
+  private def keyedFoldLast[S](df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                               valueCol: String, outCols: Seq[String])(
+                               step: (Option[Double], Option[S]) => Option[S])(
+                               finish: Option[S] => Seq[Option[Double]]): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++
+      outCols.map(c => StructField(c, DoubleType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    val getValue: Row => Double = df.schema(valIdx).dataType match {
+      case DoubleType => _.getDouble(valIdx)
+      case FloatType => _.getFloat(valIdx).toDouble
+      case LongType => _.getLong(valIdx).toDouble
+      case IntegerType => _.getInt(valIdx).toDouble
+      case ShortType => _.getShort(valIdx).toDouble
+      case ByteType => _.getByte(valIdx).toDouble
+      case dt: DecimalType => _.getDecimal(valIdx).doubleValue()
+      case dt => throw new IllegalArgumentException(
+        s"keyedFoldLast value column '$valueCol' must be numeric, got $dt")
+    }
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ ordCols: _*)
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private var curKey: Seq[Any] = null
+          private var state: Option[S] = None
+          private var lastRow: Row = null
+          private var pending: Row = null
+          private def emit(): Row =
+            Row.fromSeq(lastRow.toSeq ++ finish(state).map(_.orNull))
+          private def advance(): Unit = {
+            while (pending == null && rows.hasNext) {
+              val row = rows.next()
+              val k = keyIdx.map(row.get)
+              if (curKey != null && k != curKey) {
+                pending = emit()
+                state = None
+              }
+              curKey = k
+              val v = if (row.isNullAt(valIdx)) None else Some(getValue(row))
+              state = step(v, state)
+              lastRow = row
+            }
+            if (pending == null && lastRow != null) {
+              pending = emit()
+              lastRow = null; curKey = null; state = None
+            }
+          }
+          def hasNext: Boolean = { advance(); pending != null }
+          def next(): Row = {
+            advance()
+            if (pending == null) throw new NoSuchElementException("empty fold")
+            val r = pending; pending = null; r
+          }
+        }
+      }(enc)
+  }
+
   /** W9 — EWMA with pandas `adjust=False` recursion:
     * y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}. */
   def withEwma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
@@ -199,28 +267,35 @@ object SequentialKernels {
                  grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
     require(grid.nonEmpty, "theta grid must be non-empty")
     val keys = keyCols.map(col)
+    val nG = grid.size
+    val gridArr = grid.toArray
     val mu = df.groupBy(keys: _*)
       .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = grid.indices.map(i => s"__sse$i")
     val epsCols = grid.indices.map(i => s"__e$i")
-    val folded = keyedFold[Array[(Double, Double)]](
+    // series-end fold: flat primitive state [e_i, sse_i]*, mutated in
+    // place — same IEEE chain per θ as the per-row form, one output
+    // row per series
+    val last = keyedFoldLast[Array[Double]](
       centered, keyCols, ordCols, "__xc", sseCols ++ epsCols) {
-      case (None, st) => (grid.indices.map(i => st.map(_(i)._2)) ++
-        grid.indices.map(i => st.map(_(i)._1)), st)
+      case (None, st) => st
       case (Some(xc), stOpt) =>
-        val st = stOpt.getOrElse(Array.fill(grid.size)((0.0, 0.0)))
-        val ns = st.zip(grid).map { case ((e, sse), th) =>
-          val ne = xc - th * e
-          (ne, sse + ne * ne)
+        val a = stOpt.getOrElse(new Array[Double](2 * nG))
+        var i = 0
+        while (i < nG) {
+          val ne = xc - gridArr(i) * a(2 * i)
+          a(2 * i) = ne
+          a(2 * i + 1) += ne * ne
+          i += 1
         }
-        (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)), Some(ns))
+        Some(a)
+    } { st =>
+      val a = st.getOrElse(new Array[Double](2 * nG))
+      grid.indices.map(i => Some(a(2 * i + 1))) ++
+        grid.indices.map(i => Some(a(2 * i)))
     }
-    import org.apache.spark.sql.expressions.Window
-    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
-    val last = folded.withColumn("__rd", row_number().over(wLast))
-      .filter(col("__rd") === 1)
     val pairs = last.select(keys ++ Seq(col("__mu")) :+
       explode(array(grid.zipWithIndex.map {
         case (th, i) => struct(lit(th).as("theta"), col(s"__sse$i").as("sse"),
@@ -230,6 +305,7 @@ object SequentialKernels {
         col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
     // both engines fold the identical IEEE chain per θ, so ordering by
     // the RAW sse (rounding only the reported value) picks the same θ
+    import org.apache.spark.sql.expressions.Window
     val wPick = Window.partitionBy(keys: _*).orderBy(col("sse"), col("theta"))
     pairs.withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") === 1)
@@ -276,32 +352,43 @@ object SequentialKernels {
     import org.apache.spark.sql.expressions.Window
     val pairs = for (p <- phiGrid; t <- thetaGrid) yield (p, t)
     val keys = keyCols.map(col)
+    val nP = pairs.size
+    val pairArr = pairs.toArray
     val mu = df.groupBy(keys: _*)
       .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
     val centered = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = pairs.indices.map(i => s"__sse$i")
     val epsCols = pairs.indices.map(i => s"__e$i")
-    // state = (previous centered value, per-pair (eps_prev, sse))
-    val folded = keyedFold[(Double, Array[(Double, Double)])](
+    // series-end fold; flat primitive state [xp, (e_i, sse_i)*] mutated
+    // in place — identical IEEE chain per pair, one output row per
+    // series (the per-row form paid a 24-column boxed row per fact row
+    // plus a descending sort)
+    val last = keyedFoldLast[Array[Double]](
       centered, keyCols, ordCols, "__xc", sseCols ++ epsCols) {
-      case (None, st) => (pairs.indices.map(i => st.map(_._2(i)._2)) ++
-        pairs.indices.map(i => st.map(_._2(i)._1)), st)
+      case (None, st) => st
       case (Some(xc), None) =>
         // first observation is conditioned on: ε_1 = 0, SSE starts at 0
-        val zeros = Array.fill(pairs.size)((0.0, 0.0))
-        (pairs.indices.map(_ => Some(0.0)) ++ pairs.indices.map(_ => Some(0.0)),
-          Some((xc, zeros)))
-      case (Some(xc), Some((xp, st))) =>
-        val ns = st.zip(pairs).map { case ((ep, sse), (ph, th)) =>
-          val e = xc - ph * xp - th * ep
-          (e, sse + e * e)
+        val a = new Array[Double](1 + 2 * nP)
+        a(0) = xc
+        Some(a)
+      case (Some(xc), Some(a)) =>
+        val xp = a(0)
+        var i = 0
+        while (i < nP) {
+          val (ph, th) = pairArr(i)
+          val e = xc - ph * xp - th * a(1 + 2 * i)
+          a(1 + 2 * i) = e
+          a(2 + 2 * i) += e * e
+          i += 1
         }
-        (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)), Some((xc, ns)))
+        a(0) = xc
+        Some(a)
+    } { st =>
+      val a = st.getOrElse(new Array[Double](1 + 2 * nP))
+      pairs.indices.map(i => Some(a(2 + 2 * i))) ++
+        pairs.indices.map(i => Some(a(1 + 2 * i)))
     }
-    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
-    val last = folded.withColumn("__rd", row_number().over(wLast))
-      .filter(col("__rd") === 1)
     val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc")) :+
       explode(array(pairs.zipWithIndex.map {
         case ((ph, th), i) => struct(lit(ph).as("phi"), lit(th).as("theta"),
@@ -429,47 +516,46 @@ object SequentialKernels {
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
     val sseCols = triples.indices.map(i => s"__sse$i")
     val epsCols = triples.indices.map(i => s"__e$i")
-    // state = (xc_{t−1}, xc_{t−2}, #obs seen, per-triple (eps_prev, sse),
-    // #SSE terms); emitted per row: each triple's running sse and eps,
-    // the previous centered value (so the LAST row carries xc_{n−1})
-    // and the SSE term count
-    type St = (Double, Double, Int, Array[(Double, Double)], Int)
-    val folded = keyedFold[St](
+    val nT = triples.size
+    val tripleArr = triples.toArray
+    // series-end fold; flat primitive state
+    // [xp1, xp2, nObs, nSse, (e_i, sse_i)*] mutated in place. The
+    // series-end state carries everything the pick needs: each
+    // triple's ε_n and SSE, xc_{n−1} (slot 1 after the last update)
+    // and the SSE term count; the emitted row's own __xc is xc_n.
+    val last = keyedFoldLast[Array[Double]](
       centered, keyCols, ordCols, "__xc",
       sseCols ++ epsCols ++ Seq("__xp1", "__nsse")) {
-      case (None, st) => (st match {
-        case Some((xp1, _, _, arr, nsse)) =>
-          triples.indices.map(i => Some(arr(i)._2)) ++
-            triples.indices.map(i => Some(arr(i)._1)) ++
-            Seq(Some(xp1), Some(nsse.toDouble))
-        case None => Seq.fill(triples.size * 2 + 2)(None)
-      }, st)
+      case (None, st) => st
       case (Some(xc), None) =>
-        val zeros = Array.fill(triples.size)((0.0, 0.0))
-        (triples.indices.map(_ => Some(0.0)) ++
-          triples.indices.map(_ => Some(0.0)) ++
-          Seq(Some(0.0), Some(0.0)),
-          Some((xc, 0.0, 1, zeros, 0)))
-      case (Some(xc), Some((xp1, xp2, n, st, nsse))) =>
-        if (n == 1) {
+        // first observation: conditioned (ε_1 = 0, no SSE term)
+        val a = new Array[Double](4 + 2 * nT)
+        a(0) = xc
+        a(2) = 1
+        Some(a)
+      case (Some(xc), Some(a)) =>
+        if (a(2) == 1.0) {
           // second observation: still conditioned (ε_2 = 0, no SSE term)
-          (triples.indices.map(i => Some(st(i)._2)) ++
-            triples.indices.map(i => Some(st(i)._1)) ++
-            Seq(Some(xp1), Some(nsse.toDouble)),
-            Some((xc, xp1, 2, st, nsse)))
+          a(1) = a(0); a(0) = xc; a(2) = 2
         } else {
-          val ns = st.zip(triples).map { case ((ep, sse), (p1, p2, th)) =>
-            val e = xc - p1 * xp1 - p2 * xp2 - th * ep
-            (e, sse + e * e)
+          val xp1 = a(0); val xp2 = a(1)
+          var i = 0
+          while (i < nT) {
+            val (p1, p2, th) = tripleArr(i)
+            val e = xc - p1 * xp1 - p2 * xp2 - th * a(4 + 2 * i)
+            a(4 + 2 * i) = e
+            a(5 + 2 * i) += e * e
+            i += 1
           }
-          (ns.map(p => Some(p._2)) ++ ns.map(p => Some(p._1)) ++
-            Seq(Some(xp1), Some(nsse + 1.0)),
-            Some((xc, xp1, n + 1, ns, nsse + 1)))
+          a(1) = a(0); a(0) = xc; a(2) += 1; a(3) += 1
         }
+        Some(a)
+    } { st =>
+      val a = st.getOrElse(new Array[Double](4 + 2 * nT))
+      triples.indices.map(i => Some(a(5 + 2 * i))) ++
+        triples.indices.map(i => Some(a(4 + 2 * i))) ++
+        Seq(Some(a(1)), Some(a(3)))
     }
-    val wLast = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
-    val last = folded.withColumn("__rd", row_number().over(wLast))
-      .filter(col("__rd") === 1)
     val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc"),
       col("__xp1"), col("__nsse")) :+
       explode(array(triples.zipWithIndex.map {
@@ -510,12 +596,18 @@ object SequentialKernels {
                      valueCol: String, h: Int,
                      phi1Grid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
                      phi2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3),
-                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame =
+    arma21ForecastFrom(fitArma21Full(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, thetaGrid), keyCols, h)
+
+  /** The [[arma21Forecast]] step recursion over an ALREADY-BUILT
+    * [[fitArma21Full]] table — so a caller holding a materialized fit
+    * (e.g. the extended order search's member tables) derives the
+    * forecast without re-running the fold. */
+  def arma21ForecastFrom(base: DataFrame, keyCols: Seq[String], h: Int): DataFrame = {
     import graft.functions.Funcs.r
     require(h >= 1, "horizon must be at least 1")
     val keys = keyCols.map(col)
-    val base = fitArma21Full(df, keyCols, ordCols, valueCol,
-      phi1Grid, phi2Grid, thetaGrid)
     val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
       val f =
         if (s == 1) r(col("arma2_mu") + col("arma2_phi1") * col("arma2_xc_last") +
