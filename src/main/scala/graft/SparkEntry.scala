@@ -61,16 +61,35 @@ object SparkEntry {
     (Int, String), (DataFrame, DataFrame)]()
   private def extShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     extMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
+      val (weekly, d2base, a21base, lastLevel) = extFitShared(s, d)
       val shared = championShared(s, d)
-      val (extScores, extFcs) = graft.seq.OrderSearch.extMemberTables(weekly,
+      val (extScores, extFcs) = graft.seq.OrderSearch.extMemberTablesFrom(
+        d2base, a21base, lastLevel, weekly,
         Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4, m = 13)
       val board = graft.seq.OrderSearch.boardFrom(
         shared._3.drop("rank"), extScores, Seq("l_suppkey")).localCheckpoint(true)
       val fcs = shared._4.select(col("l_suppkey"), col("model"), col("step"),
         col("forecast")).unionByName(extFcs).localCheckpoint(true)
       (board, fcs)
+    })
+
+  /** The extended members' expensive state — the weekly frame plus the
+    * two grid-fit bases and the last-level frame ([[graft.seq
+    * .OrderSearch.extFitBases]]) — fit ONCE per (session, sfDir) and
+    * shared by q297, q298 and the extended board (extShared): the same
+    * memo discipline as championShared, so a sweep running all four
+    * extended queries pays the ARMA(2,1) and MA(1)-on-Δ² folds exactly
+    * once. Values are identical to the standalone per-query plans (the
+    * folds are deterministic over the same checkpointed weekly frame). */
+  private val extFitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def extFitShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    extFitMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
+      val (d2base, a21base, lastLevel) = graft.seq.OrderSearch.extFitBases(
+        weekly, Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")
+      (weekly, d2base, a21base, lastLevel)
     })
 
   /** The standard per-series window: series = (part, supplier), ordered
@@ -1068,13 +1087,11 @@ object SparkEntry {
     // toward the reference's stepwise search bounds
     // (arima_temporal.py:277-361, statsmodels fallback (2,1,2))
     "q297_arima211" -> ((s, d) => {
-      // the diff/fit/forecast chain has several consumers of the weekly
-      // frame — checkpoint the one aggregate instead of re-shuffling
-      // lineitem per consumer (memberTables src convention)
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
-      graft.seq.SequentialKernels.arima211Forecast(weekly, Seq("l_suppkey"),
-        Seq(col("week_start")), "qty_sum", h = 4)
+      // the grid fold is shared with q298/q299/q300 (extFitShared) —
+      // this query is the integration tail over the materialized fit
+      val (_, _, a21base, lastLevel) = extFitShared(s, d)
+      graft.seq.SequentialKernels.arima211ForecastFrom(a21base, lastLevel,
+        Seq("l_suppkey"), h = 4)
         .select(col("l_suppkey"), col("arma2_phi1").as("phi1"),
           col("arma2_phi2").as("phi2"), col("arma2_theta").as("theta"),
           col("arma2_sse").as("sse"), col("step"),
@@ -1084,10 +1101,10 @@ object SparkEntry {
     // forecast — the d = 2 coverage of the reference's search space
     // (pmdarima max_d = 2)
     "q298_arima021" -> ((s, d) => {
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
-      graft.seq.OrderSearch.arima021Forecast(weekly, Seq("l_suppkey"),
-        Seq(col("week_start")), "qty_sum", h = 4)
+      // the Δ² fold is shared with q297/q299/q300 (extFitShared) —
+      // this query is the double-integration tail over the fit
+      val (_, d2base, _, _) = extFitShared(s, d)
+      graft.seq.OrderSearch.arima021ForecastFrom(d2base, Seq("l_suppkey"), h = 4)
         .select(col("l_suppkey"), col("d2_theta").as("theta"),
           col("d2_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))

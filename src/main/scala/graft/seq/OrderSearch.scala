@@ -145,11 +145,47 @@ object OrderSearch {
     * member forecasts). Forecasts: (keys..., model, step, forecast). */
   def extMemberTables(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                       valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
+    val (d2base, a21base, lastLevel) = extFitBases(df, keyCols, ordCols, valueCol)
+    extMemberTablesFrom(d2base, a21base, lastLevel, df, keyCols, ordCols,
+      valueCol, h, m)
+  }
+
+  /** The two grid-fit bases the extended members rank and forecast
+    * from, fit ONCE and localCheckpointed (series-grain tiny): the
+    * [[arima021Full]] table on Δ², the [[SequentialKernels
+    * .fitArma21Full]] table on Δ, and the last-observed-level frame
+    * (keys..., `__yn`) the (2,1,1) integration needs. Exposed so a
+    * sweep registering q297/q298 AND the extended scoreboard pays each
+    * fold exactly once (the championShared memo discipline). */
+  def extFitBases(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                  valueCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    val d2base = arima021Full(df, keyCols, ordCols, valueCol).localCheckpoint(true)
+    val dy0 = df.withColumn("__yraw", col(valueCol).cast("double"))
+      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
+    val lastLevel = dy0.withColumn("__rdL", row_number().over(wd))
+      .filter(col("__rdL") === 1)
+      .select(keys :+ col("__yraw").as("__yn"): _*)
+      .localCheckpoint(true)
+    val diffed = dy0.filter(col("__dy").isNotNull).drop("__yraw")
+    val a21base = SequentialKernels.fitArma21Full(diffed, keyCols, ordCols, "__dy")
+      .localCheckpoint(true)
+    (d2base, a21base, lastLevel)
+  }
+
+  /** [[extMemberTables]] over ALREADY-BUILT [[extFitBases]] frames —
+    * the score rows and forecast recursions read the materialized
+    * fits; only the sari member (cheap closed-form aggregates, no
+    * fold) computes from `df` here. */
+  def extMemberTablesFrom(d2base: DataFrame, a21base: DataFrame,
+                          lastLevel: DataFrame, df: DataFrame,
+                          keyCols: Seq[String], ordCols: Seq[Column],
+                          valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
     def aicOf(sse: Column, neff: Column, k: Double): Column =
       r(neff * log(greatest(sse, lit(1e-8)) / neff) + lit(2.0 * k))
-    // ---- arima021: one MA(1)-on-Δ² fit feeds both consumers
-    val d2base = arima021Full(df, keyCols, ordCols, valueCol).localCheckpoint(true)
     val d2Score = d2base.filter(col("d2_neff") >= 2)
       .select(keys ++ Seq(lit("arima021").as("model"), lit(2.0).as("k"),
         col("d2_sse").as("sse"), col("d2_neff").as("n_eff"),
@@ -157,29 +193,15 @@ object OrderSearch {
     val d2Fc = arima021ForecastFrom(d2base, keyCols, h)
       .select(keys ++ Seq(lit("arima021").as("model"), col("step"),
         col("arima_forecast").as("forecast")): _*)
-    // ---- arima211: one ARMA(2,1)-on-Δ fit, integrated forecast
     val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
-    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
-    val dy0 = df.withColumn("__yraw", col(valueCol).cast("double"))
-      .withColumn("__dy", col("__yraw") - lag(col("__yraw"), 1).over(w))
-    val lastLevel = dy0.withColumn("__rdL", row_number().over(wd))
-      .filter(col("__rdL") === 1)
-      .select(keys :+ col("__yraw").as("__yn"): _*)
-    val diffed = dy0.filter(col("__dy").isNotNull).drop("__yraw")
-    val a21base = SequentialKernels.fitArma21Full(diffed, keyCols, ordCols, "__dy")
-      .localCheckpoint(true)
     val a21Score = a21base.filter(col("arma2_neff") >= 2)
       .select(keys ++ Seq(lit("arima211").as("model"), lit(4.0).as("k"),
         col("arma2_sse").as("sse"), col("arma2_neff").as("n_eff"),
         aicOf(col("arma2_sse"), col("arma2_neff"), 4.0).as("aic")): _*)
-    val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val a21Fc = SequentialKernels.arma21ForecastFrom(a21base, keyCols, h)
-      .join(lastLevel, keyCols)
-      .withColumn("forecast",
-        r(col("__yn") + sum(col("arma2_forecast")).over(wcum)))
+    val a21Fc = SequentialKernels.arima211ForecastFrom(a21base, lastLevel,
+      keyCols, h)
       .select(keys ++ Seq(lit("arima211").as("model"), col("step"),
-        col("forecast")): _*)
+        col("arima_forecast").as("forecast")): _*)
     // ---- sari — SARIMA(2,0,0)(0,1,0)_m: AR(2) on the lag-m SEASONAL
     // differences (the Ar.forecastSeasonalIntegrated / q254 fit),
     // scored exactly like the family's ari member (k = 3, n_eff the

@@ -653,10 +653,24 @@ object SequentialKernels {
       .filter(col("__rdL") === 1)
       .select(keys :+ col("__yraw").as("__yn"): _*)
     val diffed = dy.filter(col("__dy").isNotNull).drop("__yraw")
+    arima211ForecastFrom(fitArma21Full(diffed, keyCols, ordCols, "__dy",
+      phi1Grid, phi2Grid, thetaGrid), lastLevel, keyCols, h)
+  }
+
+  /** The [[arima211Forecast]] integration tail over an ALREADY-BUILT
+    * [[fitArma21Full]]-on-first-differences table plus the
+    * last-observed-level frame (keys..., `__yn`) — so a caller holding
+    * a materialized fit (the extended order search's shared bases)
+    * derives the integrated forecast without re-running the grid
+    * fold. Arithmetic is the exact [[arima211Forecast]] chain. */
+  def arima211ForecastFrom(base: DataFrame, lastLevel: DataFrame,
+                           keyCols: Seq[String], h: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
     val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    arma21Forecast(diffed, keyCols, ordCols, "__dy", h,
-      phi1Grid, phi2Grid, thetaGrid)
+    arma21ForecastFrom(base, keyCols, h)
       .join(lastLevel, keyCols)
       .withColumn("arima_forecast",
         graft.functions.Funcs.r(col("__yn") + sum(col("arma2_forecast")).over(wcum)))
