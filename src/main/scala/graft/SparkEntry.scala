@@ -2263,6 +2263,20 @@ object SparkEntry {
         col("l_partkey"))
       graft.operators.SketchRollup.kmvDistinctOverRange(weekly, Seq("l_suppkey"))
     }),
+    // portable mergeable histogram sketch: monthly fixed-bin quantity
+    // histograms per return flag (25 bins over [0, 50]), range
+    // quantiles by exactly-associative element-wise merge + in-bin
+    // linear interpolation — the approximate-percentile scale path
+    // (one map-side-combinable aggregate, 25 longs of state per group,
+    // no per-group sort)
+    "q301_hist_quantiles" -> ((s, d) => {
+      val monthly = graft.operators.SketchRollup.histogramSketchTable(li(s, d),
+        Seq("l_returnflag"), date_format(col("l_shipdate"), "yyyy-MM"),
+        col("l_quantity"), lo = 0.0, hi = 50.0, bins = 25)
+      graft.operators.SketchRollup.quantilesFromHistograms(monthly,
+        Seq("l_returnflag"), Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 50.0,
+        bins = 25)
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {
@@ -7930,6 +7944,35 @@ object SparkEntry {
                    ELSE 31.0e0 * 2147483647.0e0 / CAST(merged[32] AS DOUBLE)
                  END)*1e4)/1e4 + 0.0e0) AS est_distinct
          FROM mg""",
+    // q301: the histogram-sketch quantile chain replayed — merge ≡
+    // recompute exactly (integer bin counts), so the oracle histograms
+    // the fact directly: clip-to-bin, cumulative count, and the
+    // in-bin interpolation est = lo + width·(bin + (t − cum_before)/cnt)
+    // on the identical IEEE chain (all inputs exact integers/literals)
+    "q301_hist_quantiles" ->
+      """WITH b AS (SELECT l_returnflag,
+                      LEAST(24, GREATEST(0, CAST(FLOOR(
+                        (CAST(l_quantity AS DOUBLE) - 0.0e0) / 2.0e0)
+                        AS INT))) AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM lineitem WHERE l_quantity IS NOT NULL
+                    GROUP BY 1, 2),
+           c AS (SELECT l_returnflag, bin, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                     ORDER BY bin) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                     AS BIGINT) AS n_rows
+                 FROM b),
+           qs AS (SELECT CAST(q AS DOUBLE) AS quantile
+                  FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+         SELECT l_returnflag, quantile,
+                (round((0.0e0 + 2.0e0 * (bin +
+                   (quantile * n_rows - (cum - cnt)) / cnt)) * 1e4)/1e4
+                 + 0.0e0) AS est_value,
+                n_rows
+         FROM c CROSS JOIN qs
+         WHERE cum - cnt < quantile * n_rows
+           AND quantile * n_rows <= cum""",
     // q284: containment algebra over per-(user, item) position extrema —
     // (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a b-occurrence lies
     // strictly between min_pos(a) and max_pos(c); support gate vs the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count maintenance via HLL sketches (Apache
@@ -78,6 +79,110 @@ object SketchRollup {
       // is the group's FULL distinct set; this one's state is ≤ k longs
       // per group at every point (map side, shuffle, reduce side)
       .agg(graft.expr.MinKDistinctExpr.column(col("__h"), k).as("kmv"))
+
+  /** Mergeable fixed-bin histogram sketch — the portable approximate-
+    * QUANTILE companion to the distinct sketches above. Exact
+    * percentiles need a per-group sort (or a full-partition window
+    * buffer — see the q272 validator's q99), which is the one
+    * percentile shape that gets expensive at 100 TB; the mergeable
+    * alternative is one map-side-combinable hash aggregate whose state
+    * is `bins` longs per (key, period) regardless of row count, after
+    * which any quantile over any period range is answered from the
+    * sketches alone, never rescanning the fact.
+    *
+    * Unlike t-digest/KLL (engine-private centroids / random
+    * compaction), the fixed-bin histogram is fully portable: bin
+    * edges are literals, counts are exact integers, merge is
+    * element-wise addition — EXACTLY associative, so merge-then-
+    * estimate equals estimate-of-recompute bit for bit (the KMV
+    * property, pinned by `HistogramSketchSpec`), and any engine
+    * replays the identical estimate (q301 is a full hash-checked
+    * oracle). The price is a fixed domain [lo, hi] and an error bound
+    * of one bin width instead of a relative-rank guarantee — the
+    * right trade for measure columns with known business ranges
+    * (quantities, prices, ratios).
+    *
+    * One row per (keys..., period) with `hist`: bins counts; values
+    * below lo clip into bin 0, at/above hi into bin bins−1 (the
+    * sketch covers the whole real line, like numpy.clip-then-
+    * histogram); NULLs are not counted. */
+  def histogramSketchTable(df: DataFrame, keyCols: Seq[String], periodCol: Column,
+                           value: Column, lo: Double, hi: Double,
+                           bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be at least 1")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / bins
+    val v = value.cast("double")
+    // explicit null gate: Spark's greatest/least IGNORE null arguments
+    // (largest non-null wins), so without it a NULL value would clip
+    // into bin 0 instead of dropping
+    val bin = when(v.isNotNull, least(lit(bins - 1), greatest(lit(0),
+      floor((v - lit(lo)) / lit(width)).cast("int"))))
+    val cnts = (0 until bins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"__b$i"))
+    df.groupBy(keyCols.map(col) :+ periodCol.as("period"): _*)
+      .agg(cnts.head, cnts.tail: _*)
+      .select(keyCols.map(col) :+ col("period") :+
+        array((0 until bins).map(i => col(s"__b$i")): _*).as("hist"): _*)
+  }
+
+  /** Incremental maintenance: fold a delta batch's histogram sketches
+    * into the materialized table — element-wise count addition, so
+    * union ≡ recompute EXACTLY (integer arithmetic, no representation
+    * boundary). Long-form explode keeps the merge a plain hash
+    * aggregate; the collect_list buffer is bounded by `bins`. */
+  def mergeHistograms(base: DataFrame, delta: DataFrame,
+                      keyCols: Seq[String]): DataFrame =
+    base.unionByName(delta)
+      .select(keyCols.map(col) :+ col("period") :+
+        posexplode(col("hist")).as(Seq("__i", "__c")): _*)
+      .groupBy(keyCols.map(col) :+ col("period") :+ col("__i"): _*)
+      .agg(sum(col("__c")).as("__c"))
+      .groupBy(keyCols.map(col) :+ col("period"): _*)
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
+        x => x.getField("__c")).as("hist"))
+
+  /** Merge each key's period sketches and estimate quantiles over the
+    * whole covered range by linear interpolation inside the selected
+    * bin: with N the merged row count and t = q·N the target mass, the
+    * estimate lands in the unique non-empty bin whose cumulative count
+    * first reaches t, at
+    *
+    *   est = lo + width · (bin + (t − cum_before) / cnt)
+    *
+    * rounded to the 4dp grid — every input to the chain is an exact
+    * integer count or a literal, so the IEEE chain replays identically
+    * cross-engine. Output: keys..., quantile, est_value, n_rows; each
+    * q in `qs` must lie in (0, 1]. */
+  def quantilesFromHistograms(sketches: DataFrame, keyCols: Seq[String],
+                              qs: Seq[Double], lo: Double, hi: Double,
+                              bins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "each quantile must lie in (0, 1]")
+    import graft.functions.Funcs.r
+    val width = (hi - lo) / bins
+    val keys = keyCols.map(col)
+    val perBin = sketches
+      .select(keys :+ posexplode(col("hist")).as(Seq("bin", "__c")): _*)
+      .groupBy(keys :+ col("bin"): _*).agg(sum(col("__c")).as("cnt"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(keys: _*)
+    perBin
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_rows", sum(col("cnt")).over(wAll))
+      .select(keys ++ Seq(col("bin"), col("cnt"), col("cum"), col("n_rows")) :+
+        explode(array(qs.map(lit(_)): _*)).as("quantile"): _*)
+      .withColumn("__t", col("quantile") * col("n_rows"))
+      // cum_before < t ≤ cum selects exactly one bin, necessarily
+      // non-empty (a zero bin leaves cum unchanged, so the interval
+      // (cum_before, cum] is empty there)
+      .filter(col("cum") - col("cnt") < col("__t") &&
+        col("__t") <= col("cum"))
+      .withColumn("est_value", r(lit(lo) + lit(width) *
+        (col("bin") + (col("__t") - (col("cum") - col("cnt"))) / col("cnt"))))
+      .select(keys ++ Seq(col("quantile"), col("est_value"),
+        col("n_rows")): _*)
+  }
 
   /** Merge each key's period KMV sketches and estimate the distinct
     * count over the whole range. Output: keys..., n_kept, est_distinct. */
