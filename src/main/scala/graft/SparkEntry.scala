@@ -2277,6 +2277,21 @@ object SparkEntry {
         Seq("l_returnflag"), Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 50.0,
         bins = 25)
     }),
+    // portable count-min frequency sketch: monthly sparse CM tables of
+    // part occurrences per return flag (depth 3 × width 512, portable
+    // affine-Lehmer hash rows), exactly-associative slot-count merge,
+    // then point estimates for the l_partkey < 40 probe set — the
+    // approximate-frequency scale path (probes equi-join the merged
+    // sketch, never rescanning the fact)
+    "q302_cm_frequency" -> ((s, d) => {
+      val monthly = graft.operators.SketchRollup.cmSketchTable(li(s, d),
+        Seq("l_returnflag"), date_format(col("l_shipdate"), "yyyy-MM"),
+        col("l_partkey"), depth = 3, width = 512)
+      val cands = li(s, d).filter(col("l_partkey") < 40)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+      graft.operators.SketchRollup.cmEstimate(monthly, Seq("l_returnflag"),
+        cands, "l_partkey", depth = 3, width = 512)
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {
@@ -7973,6 +7988,35 @@ object SparkEntry {
          FROM c CROSS JOIN qs
          WHERE cum - cnt < quantile * n_rows
            AND quantile * n_rows <= cum""",
+    // q302: the count-min chain replayed — the affine-Lehmer hash rows
+    // as pure integer arithmetic (constants from the same Lehmer
+    // stream the Spark plan embeds), sparse slot counts, min-over-rows
+    // probe with absent slots as 0; merge ≡ recompute exactly, so the
+    // oracle sketches the fact directly
+    "q302_cm_frequency" ->
+      """WITH cons AS (SELECT * FROM (VALUES
+                (0, 175855092, 1879661991),
+                (1, 1467249978, 1023573230),
+                (2, 611161217, 167484469)) t(j, a, b)),
+           e AS (SELECT l_returnflag, j,
+                   (((l_partkey % 2147483647) * a + b) % 2147483647)
+                     % 512 AS slot
+                 FROM lineitem CROSS JOIN cons
+                 WHERE l_partkey IS NOT NULL),
+           sk AS (SELECT l_returnflag, j, slot,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM e GROUP BY 1, 2, 3),
+           cand AS (SELECT DISTINCT l_returnflag, l_partkey
+                    FROM lineitem WHERE l_partkey < 40),
+           pr AS (SELECT c.l_returnflag, c.l_partkey, k.j,
+                    (((c.l_partkey % 2147483647) * k.a + k.b)
+                      % 2147483647) % 512 AS slot
+                  FROM cand c CROSS JOIN cons k)
+         SELECT pr.l_returnflag, pr.l_partkey,
+                CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+         FROM pr LEFT JOIN sk ON sk.l_returnflag = pr.l_returnflag
+                             AND sk.j = pr.j AND sk.slot = pr.slot
+         GROUP BY 1, 2""",
     // q284: containment algebra over per-(user, item) position extrema —
     // (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a b-occurrence lies
     // strictly between min_pos(a) and max_pos(c); support gate vs the

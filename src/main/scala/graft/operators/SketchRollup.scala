@@ -184,6 +184,73 @@ object SketchRollup {
         col("n_rows")): _*)
   }
 
+  /** The count-min rows' pairwise-independent hash family:
+    * h_j(x) = ((x mod M31)·A_j + B_j) mod M31, then mod width — pure
+    * 64-bit arithmetic (intermediates < 2^62 + 2^31), bit-identical in
+    * any engine. A_j/B_j come from the deterministic Lehmer constant
+    * stream, so Spark plan and oracle SQL embed the same literals. */
+  private def cmSlot(x: Column, j: Int, width: Int): Column = {
+    val a = graft.functions.PortableHash.lehmerLong(1234567L + j)
+    val b = graft.functions.PortableHash.lehmerLong(7654321L + j)
+    (((x % lit(graft.functions.PortableHash.M31)) * lit(a) + lit(b)) %
+      lit(graft.functions.PortableHash.M31)) % lit(width)
+  }
+
+  /** Portable count-min frequency sketch, SPARSE long form — the
+    * mergeable approximate-COUNT companion completing the sketch trio
+    * (KMV ≙ distinct, histogram ≙ quantiles, count-min ≙ frequency):
+    * one row per (keys..., period, row j, slot) with the slot's hit
+    * count, at most depth·width rows per (key, period) regardless of
+    * item cardinality. Built as one hash aggregate over a depth-way
+    * explode (map-side combinable); merge across periods/batches is
+    * slot-count ADDITION — exactly associative, so merge ≡ recompute
+    * bit for bit and any engine replays the estimate (q302 is a full
+    * hash-checked oracle). `item` must be a non-negative integer
+    * column (hash strings through [[graft.functions.PortableHash
+    * .polyHash]] first).
+    *
+    * The 100 TB shape: the fact streams once through a narrow
+    * map + combinable count; any later "how often did item i occur in
+    * range R per key" probe joins the merged sketch on (row, slot) —
+    * equi-joins only, never rescanning the fact. Standard CM
+    * guarantee: estimate ≥ true count always; ≤ true + (e/width)·N
+    * with probability 1 − e^−depth. */
+  def cmSketchTable(df: DataFrame, keyCols: Seq[String], periodCol: Column,
+                    item: Column, depth: Int = 3, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth ≥ 1 and width ≥ 2")
+    val rows = (0 until depth).map(j => struct(lit(j).as("row"),
+      cmSlot(item.cast("long"), j, width).as("slot")))
+    df.select(keyCols.map(col) :+ periodCol.as("period") :+
+        explode(array(rows: _*)).as("__rs"): _*)
+      .filter(col("__rs.slot").isNotNull) // NULL items are not counted
+      .groupBy(keyCols.map(col) ++ Seq(col("period"), col("__rs.row").as("row"),
+        col("__rs.slot").as("slot")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate probes over the merged range sketch: for each
+    * (keys..., item) row of `candidates`, est = min over the depth
+    * rows of the item's slot count (absent slot → 0). One equi-join
+    * on (keys, row, slot) against the period-merged sketch — the
+    * candidate set never touches the fact. Output: keys..., item
+    * (under `candidates`' column name), est_count. */
+  def cmEstimate(sketches: DataFrame, keyCols: Seq[String],
+                 candidates: DataFrame, itemCol: String,
+                 depth: Int = 3, width: Int = 512): DataFrame = {
+    val keys = keyCols.map(col)
+    val merged = sketches.groupBy(keys ++ Seq(col("row"), col("slot")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val rows = (0 until depth).map(j => struct(lit(j).as("row"),
+      cmSlot(col(itemCol).cast("long"), j, width).as("slot")))
+    val probes = candidates
+      .select(keys :+ col(itemCol) :+ explode(array(rows: _*)).as("__rs"): _*)
+      .select(keys ++ Seq(col(itemCol), col("__rs.row").as("row"),
+        col("__rs.slot").as("slot")): _*)
+    probes.join(merged, keyCols ++ Seq("row", "slot"), "left")
+      .groupBy(keys :+ col(itemCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Merge each key's period KMV sketches and estimate the distinct
     * count over the whole range. Output: keys..., n_kept, est_distinct. */
   def kmvDistinctOverRange(sketches: DataFrame, keyCols: Seq[String],
