@@ -9,13 +9,19 @@ import graft.expr.{DotProduct, MinHashSigExpr, NfcNormalizeExpr, PolyFingerprint
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions as
-  * SQL-visible functions. Activate cluster-wide with
-  * `--conf spark.sql.extensions=graft.GraftExtensions`, or on an
-  * existing session via [[GraftFunctions.register]].
+  * SQL-visible functions and its optimizer rules. Activate
+  * cluster-wide with `--conf spark.sql.extensions=graft.GraftExtensions`,
+  * or on an existing session via [[GraftFunctions.register]] /
+  * [[graft.plans.GraftPlans.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // band-join binning, conf-gated (spark.graft.rangeJoin.binSize > 0)
+    ext.injectOptimizerRule(_ => graft.plans.ConfRangeJoinRewrite)
+    // planner strategy for the native as-of join physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -2292,6 +2292,23 @@ object SparkEntry {
       graft.operators.SketchRollup.cmEstimate(monthly, Seq("l_returnflag"),
         cands, "l_partkey", depth = 3, width = 512)
     }),
+    // band-join binning through the OPTIMIZER RULE: a naive non-equi
+    // range join (part prices vs data-derived per-brand price bands —
+    // would plan as a nested loop) handed to plans.RangeJoinRewrite,
+    // which rebinds it as a binned equi-join; the aggregate proves the
+    // rewritten join's row set exactly matches the naive semantics
+    "q303_range_rewrite" -> ((s, d) => {
+      val p = part(s, d)
+      val iv = p.groupBy(col("p_brand").as("b_brand"))
+        .agg((min(col("p_retailprice")) + lit(5.0)).as("lo"),
+          (max(col("p_retailprice")) - lit(5.0)).as("hi"))
+      val naive = p.select(col("p_partkey"), col("p_retailprice"))
+        .join(iv, col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      graft.plans.GraftPlans.rewriteRangeJoin(naive, binSize = 100.0)
+        .groupBy(col("b_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Funcs.microSum(col("p_retailprice")).as("sum_rp"))
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {
@@ -8017,6 +8034,19 @@ object SparkEntry {
          FROM pr LEFT JOIN sk ON sk.l_returnflag = pr.l_returnflag
                              AND sk.j = pr.j AND sk.slot = pr.slot
          GROUP BY 1, 2""",
+    // q303: the naive band join the optimizer rule rewrites — the oracle
+    // states the PRE-rewrite semantics, so a hash match proves the
+    // binned equi-join plan is row-for-row equivalent
+    "q303_range_rewrite" ->
+      """WITH iv AS (SELECT p_brand AS b_brand,
+                       MIN(p_retailprice) + 5.0 AS lo,
+                       MAX(p_retailprice) - 5.0 AS hi
+                     FROM part GROUP BY 1)
+         SELECT b_brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(ROUND(p_retailprice * 1e4) AS HUGEINT))
+                     AS DOUBLE) / 1e4 AS sum_rp
+         FROM part JOIN iv ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY 1""",
     // q284: containment algebra over per-(user, item) position extrema —
     // (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a b-occurrence lies
     // strictly between min_pos(a) and max_pos(c); support gate vs the

@@ -27,6 +27,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
   }
 
+  test("q303: the band-join rewrite leaves no nested loop in the plan") {
+    val plan = SparkEntry.queries("q303_range_rewrite")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__graft_bin"), plan) // rewrite actually fired
+  }
+
   test("J1: dimension enrichment joins broadcast, never shuffle the fact") {
     val plan = SparkEntry.queries("q23_enrich_join")(spark, dir)
       .queryExecution.executedPlan.toString

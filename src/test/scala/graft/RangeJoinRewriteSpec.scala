@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.{ConfRangeJoinRewrite, GraftPlans}
+
+/** The band-join binning optimizer rule: exact parity with the naive
+  * non-equi join across boundary/NULL/degenerate cases, the
+  * nested-loop-free plan shape it exists for, the guards that leave
+  * other joins alone, and the conf-gated session-wide path. */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Points: NULLs, negatives, exact bin boundaries. */
+  private def points = Seq(
+    (1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 25.0), (5L, -7.5),
+    (6L, 100.0), (7L, 59.999), (8L, -20.0), (9L, 33.3))
+    .toDF("id", "v")
+    .union(Seq((10L, Option.empty[Double])).toDF("id", "v"))
+
+  /** Intervals: wide/narrow, negative, empty (lo > hi), NULL bounds,
+    * zero-width, bin-boundary-aligned. */
+  private def intervals = Seq(
+    (101L, 0.0, 10.0), (102L, 10.0, 20.0), (103L, -10.0, 0.0),
+    (104L, 24.0, 26.0), (105L, 50.0, 40.0), // empty: lo > hi
+    (106L, 33.3, 33.3), // zero width
+    (107L, -100.0, 200.0), (108L, 59.0, 60.0))
+    .toDF("iid", "lo", "hi")
+    .union(Seq((109L, Option.empty[Double], Some(10.0)),
+      (110L, Some(5.0), Option.empty[Double])).toDF("iid", "lo", "hi"))
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("id", "iid").as[(Long, Long)].collect().toSet
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  test("parity with the naive join for every strictness mix") {
+    val conds = Seq(
+      col("v") >= col("lo") && col("v") < col("hi"),
+      col("v") > col("lo") && col("v") <= col("hi"),
+      col("v") >= col("lo") && col("v") <= col("hi"),
+      col("lo") <= col("v") && col("hi") > col("v")) // flipped operands
+    for (c <- conds; bin <- Seq(0.7, 10.0, 1000.0)) {
+      val naive = points.join(intervals, c)
+      val rewritten = GraftPlans.rewriteRangeJoin(naive, bin)
+      assert(pairs(rewritten) == pairs(naive), s"cond=$c bin=$bin")
+      assert(rewritten.columns.toSeq == naive.columns.toSeq)
+    }
+  }
+
+  test("parity when the point is on the right side") {
+    val c = col("v") >= col("lo") && col("v") < col("hi")
+    val naive = intervals.join(points, c)
+    assert(pairs(GraftPlans.rewriteRangeJoin(naive, 10.0)) == pairs(naive))
+  }
+
+  test("the rewritten plan equi-joins: no nested loop, no cartesian") {
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      val before = naive.queryExecution.executedPlan.toString
+      assert(before.contains("CartesianProduct")
+        || before.contains("BroadcastNestedLoopJoin"), before)
+      val after = GraftPlans.rewriteRangeJoin(naive, 10.0)
+        .queryExecution.executedPlan.toString
+      assert(!after.contains("CartesianProduct"), after)
+      assert(!after.contains("BroadcastNestedLoopJoin"), after)
+      assert(after.contains("SortMergeJoin") || after.contains("ShuffledHashJoin"),
+        after)
+    }
+  }
+
+  test("guard: a broadcast-hinted band join is left alone") {
+    val naive = points.join(broadcast(intervals),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    val plan = GraftPlans.rewriteRangeJoin(naive, 10.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("__graft_bin"), plan)
+  }
+
+  test("guard: an equi-keyed join with a band residual is left alone") {
+    val iv2 = intervals.withColumn("pid", col("iid") - 100)
+    val naive = points.join(iv2, col("id") === col("pid") && col("v") >= col("lo"))
+    // no Generate/bin machinery appears; plan still hash-joins the key
+    val plan = GraftPlans.rewriteRangeJoin(naive, 10.0)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
+  }
+
+  test("guard: non-inner band joins are left alone") {
+    val naive = points.join(intervals,
+      col("v") >= col("lo") && col("v") < col("hi"), "left")
+    val rewritten = GraftPlans.rewriteRangeJoin(naive, 10.0)
+    assert(!rewritten.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    assert(rewritten.count() == naive.count())
+  }
+
+  test("conf-gated session-wide path: install once, toggle by conf") {
+    GraftPlans.install(spark)
+    GraftPlans.install(spark) // idempotent
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraOptimizations
+    assert(exp.count(_ eq ConfRangeJoinRewrite) == 1)
+    val naive = points.join(intervals,
+      col("v") >= col("lo") && col("v") < col("hi"))
+    withConf(ConfRangeJoinRewrite.BinSizeKey, "10.0") {
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val plan = naive.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(pairs(naive) == pairs(GraftPlans.rewriteRangeJoin(
+          points.join(intervals, col("v") >= col("lo") && col("v") < col("hi")),
+          10.0)))
+      }
+    }
+    // conf back at default: the installed rule is a no-op again (a FRESH
+    // frame — QueryExecution caches the plan optimized under the old conf)
+    val off = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .queryExecution.optimizedPlan.toString
+    assert(!off.contains("__graft_bin"), off)
+  }
+}
