@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,5 +71,54 @@ object AsOfJoin {
           <= round(tol * lit(1000000L)).cast("long"), col("__match")))
     }
     bounded.select(left.columns.map(col) :+ col("__match.*"): _*)
+  }
+
+  /** The same as-of join through graft's native physical operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * each side is hash-exchanged on the key and sorted on its OWN
+    * narrow schema, then a streaming O(1)-state merge pass attaches
+    * the match — vs [[asOf]]'s single sort of |L|+|R| union-padded
+    * rows plus a window operator. Same signature, same output columns
+    * (`asof_t`, `asof_<payload>`), same tolerance semantics.
+    *
+    * Semantics difference, documented: NULL keys and NULL times never
+    * match here (SQL equality, DuckDB `ASOF JOIN` behavior), whereas
+    * [[asOf]]'s window partitioning groups NULL keys together.
+    *
+    * Idempotently registers [[graft.plans.AsOfJoinStrategy]] on the
+    * session (cluster deployments can instead set
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String, payload: Seq[String],
+                 inclusive: Boolean = true, forward: Boolean = false,
+                 tolerance: Option[Column] = None): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // every right-side column re-aliased → fresh exprIds, so a
+    // self-as-of (left and right reading the same source) can't
+    // collide attributes across the two sides of the custom node
+    val rSel = right.select(
+      keys.map(k => col(k).as(s"__rk_$k")) ++
+        (col(rightTime).as("asof_t") +:
+          payload.map(c => col(c).as(s"asof_$c"))): _*)
+    val (lPlan, rPlan) = (left.queryExecution.analyzed, rSel.queryExecution.analyzed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__rk_$k")),
+      attr(lPlan, leftTime), attr(rPlan, "asof_t"),
+      attr(rPlan, "asof_t") +: payload.map(c => attr(rPlan, s"asof_$c")),
+      inclusive, forward)
+    val res = GraftSqlBridge.ofRows(spark, node)
+    tolerance match {
+      case None => res
+      case Some(tol) => // identical micros-exact bound as [[asOf]]
+        val ok = abs(unix_micros(col(leftTime).cast("timestamp"))
+          - unix_micros(col("asof_t").cast("timestamp"))) <=
+          round(tol * lit(1000000L)).cast("long")
+        res.select(left.columns.map(col) ++
+          ("asof_t" +: payload.map("asof_" + _)).map(c => when(ok, col(c)).as(c)): _*)
+    }
   }
 }

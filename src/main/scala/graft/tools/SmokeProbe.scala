@@ -340,6 +340,15 @@ object SmokeProbe {
         .show(truncate = false)
     }
 
+    println("== native as-of join exec (custom LogicalPlan/Strategy/SparkPlan) ==")
+    val evAsOf = Tables.events(spark, dir)
+    val purch = evAsOf.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clk = evAsOf.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.AsOfJoin.asOfNative(purch, clk, Seq("user_id"), "ts", "ts",
+      Seq("click_id")).orderBy("event_id").show(5, truncate = false)
+
     println("== entry() flagship pipeline (driver smoke contract) ==")
     graft.SparkEntry.entry(spark).show(truncate = false)
 
