@@ -45,7 +45,8 @@ object Bench {
     "q293_record_linkage", "q294_zorder", "q295_kanonymity",
     "q296_kanon_suppress", "q297_arima211", "q298_arima021",
     "q299_order_search_ext", "q300_champion_ext", "q301_hist_quantiles",
-    "q302_cm_frequency", "q303_range_rewrite")
+    "q302_cm_frequency", "q303_range_rewrite", "q304_asof_exec",
+    "q305_asof_exec_fwd", "q306_range_rewrite_ts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

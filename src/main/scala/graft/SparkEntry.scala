@@ -2309,6 +2309,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           graft.functions.Funcs.microSum(col("p_retailprice")).as("sum_rp"))
     }),
+    // timestamp-band join through the optimizer rule: events vs
+    // data-derived per-type validity windows (no equi key — naive is a
+    // nested loop); 30-day bins, the original predicate refines exactly
+    "q306_range_rewrite_ts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val iv = ev.groupBy(col("event_type").as("w_type"))
+        .agg((min(col("ts")) + expr("INTERVAL 1 DAY")).as("lo"),
+          (max(col("ts")) - expr("INTERVAL 1 DAY")).as("hi"))
+      val naive = ev.select(col("event_id"), col("ts"))
+        .join(iv, col("ts") >= col("lo") && col("ts") < col("hi"))
+      graft.plans.GraftPlans.rewriteRangeJoin(naive, binSize = 30.0 * 86400)
+        .groupBy(col("w_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(unix_micros(col("ts")) % lit(1000003L)).as("ts_chk"))
+    }),
+    // q118's as-of join through the NATIVE PHYSICAL OPERATOR
+    // (plans.AsOfJoinExec: per-side narrow sorts + streaming merge,
+    // planned via the injected AsOfJoinStrategy) — same rows, same
+    // oracle; the plan has no Window and no union-padded sort
+    "q304_asof_exec" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_t")).as("click_us"),
+          col("asof_click_id").as("click_id"),
+          r(col("asof_click_value")).as("click_value"))
+    }),
+    // q196's forward+tolerance as-of through the native operator
+    "q305_asof_exec_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"), inclusive = true, forward = true,
+        tolerance = Some(lit(3600.0)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_t")).as("next_click_us"),
+          col("asof_click_id").as("click_id"))
+    }),
     // asymmetric-distance top-k over the PQ codes: per-query LUT of
     // m·ksub rounded subspace dots, score = LUT sum over the code row
     "q264_pq_adc" -> ((s, d) => {
@@ -7588,6 +7637,39 @@ object SparkEntry {
                 coalesce(l.n_last_seen, 0) AS n_last_seen
          FROM active a LEFT JOIN fresh f USING (ws) LEFT JOIN lastseen l USING (ws)""",
     "q196_asof_forward" ->
+      """WITH j AS (SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts,
+                      c.event_id AS cid
+                    FROM (SELECT * FROM events WHERE event_type='purchase') p
+                    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+                      ON p.user_id = c.user_id AND p.ts <= c.ts)
+         SELECT event_id, user_id, epoch_us(pts) AS purchase_us,
+                CASE WHEN cts IS NOT NULL
+                  AND epoch_us(cts) - epoch_us(pts) <= 3600000000
+                  THEN epoch_us(cts) END AS next_click_us,
+                CASE WHEN cts IS NOT NULL
+                  AND epoch_us(cts) - epoch_us(pts) <= 3600000000
+                  THEN cid END AS click_id
+         FROM j""",
+    // q306: the timestamp-band rewrite — oracle states the naive join
+    "q306_range_rewrite_ts" ->
+      """WITH iv AS (SELECT event_type AS w_type,
+                       min(ts) + INTERVAL 1 DAY AS lo,
+                       max(ts) - INTERVAL 1 DAY AS hi
+                     FROM events GROUP BY 1)
+         SELECT w_type, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(epoch_us(ts) % 1000003) AS BIGINT) AS ts_chk
+         FROM events JOIN iv ON ts >= lo AND ts < hi
+         GROUP BY 1""",
+    // q304/q305: the native-exec as-of twins — BYTE-IDENTICAL oracles
+    // to q118/q196 (same semantics, different physical operator)
+    "q304_asof_exec" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+                epoch_us(c.ts) AS click_us, c.event_id AS click_id,
+                (round((c.value)*1e4)/1e4 + 0.0e0) AS click_value
+         FROM (SELECT * FROM events WHERE event_type='purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q305_asof_exec_fwd" ->
       """WITH j AS (SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts,
                       c.event_id AS cid
                     FROM (SELECT * FROM events WHERE event_type='purchase') p

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Generate, HintInfo, Join, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Catalyst optimizer rule: band-join binning.
   *
@@ -41,8 +41,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * equi conjunct (they hash-join fine, the band is just a post
   * filter); joins either of whose sides carries an explicit BROADCAST
   * hint (a user-forced tiny-table nested loop is already the right
-  * plan — [[graft.operators.RangeJoin.broadcastRange]]); non-numeric
-  * band expressions. Idempotent by construction: the rewritten join
+  * plan — [[graft.operators.RangeJoin.broadcastRange]]); band
+  * expressions that are neither numeric nor timestamp. Idempotent by construction: the rewritten join
   * HAS a cross-side equi conjunct, so the fixed-point batch skips it
   * on the next pass.
   *
@@ -68,6 +68,12 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
     else if (refs.subsetOf(r.outputSet)) Some(false)
     else None
   }
+
+  /** Numerics bin directly; timestamps bin via their cast-to-double
+    * epoch seconds (`binSize` is then in seconds) — the SCD/validity
+    * -window join shape `fact.ts BETWEEN dim.start AND dim.end`. */
+  private def bandable(dt: DataType): Boolean =
+    dt.isInstanceOf[NumericType] || dt == TimestampType
 
   /** Normalize a comparison to (small, large) regardless of operator
     * direction; strictness is irrelevant here — the original conjunct
@@ -112,9 +118,7 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
       (lo, p1) <- ordered.iterator
       (p2, hi) <- ordered.iterator
       if p1.semanticEquals(p2)
-      if p1.dataType.isInstanceOf[NumericType] &&
-        lo.dataType.isInstanceOf[NumericType] &&
-        hi.dataType.isInstanceOf[NumericType]
+      if bandable(p1.dataType) && bandable(lo.dataType) && bandable(hi.dataType)
       pSide <- sideOf(p1, left, right)
       loSide <- sideOf(lo, left, right)
       hiSide <- sideOf(hi, left, right)

@@ -74,6 +74,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("timestamp bands: parity + the rewrite fires (SCD/validity-window shape)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val pts = Seq((1L, ts(0)), (2L, ts(3600)), (3L, ts(86400)), (4L, ts(100000)))
+      .toDF("id", "t")
+    val ivs = Seq((201L, ts(0), ts(3600)), (202L, ts(3600), ts(90000)),
+      (203L, ts(50), ts(50))).toDF("iid", "lo", "hi")
+    for (bin <- Seq(60.0, 86400.0)) { // minute and day bins, both exact
+      val naive = pts.join(ivs, col("t") >= col("lo") && col("t") < col("hi"))
+      val rewritten = GraftPlans.rewriteRangeJoin(naive, bin)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(pairs(rewritten) == pairs(naive), s"bin=$bin")
+    }
+  }
+
   test("guard: a broadcast-hinted band join is left alone") {
     val naive = points.join(broadcast(intervals),
       col("v") >= col("lo") && col("v") < col("hi"))
