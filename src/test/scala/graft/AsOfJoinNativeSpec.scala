@@ -127,6 +127,34 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert("(?s)Sort .*AsOfJoin|AsOfJoin.*Sort ".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("randomized parity with the compositional form (explicit-seed scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // few keys → dense per-key series; right times deduped per key so
+    // the matched row is unique and both forms must agree exactly
+    val leftGen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 500L)))
+    val rightGen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 500L),
+        Gen.chooseNum(-100.0, 100.0)))
+    for (seed <- 0 until 6; inc <- Seq(true, false); fwd <- Seq(true, false)) {
+      val lRows = gen(leftGen, seed.toLong).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+      val rRows = gen(rightGen, 1000L + seed)
+        .groupBy(r => (r._1, r._2)).map(_._2.head) // unique (key, time)
+        .zipWithIndex.map { case ((k, t, v), i) => (2000L + i, k, ts(t), v) }.toSeq
+      val l = lRows.toDF("event_id", "user_id", "pts").repartition(5)
+      val r = rRows.toDF("click_id", "user_id", "cts", "v").repartition(3)
+      val n = AsOfJoin.asOfNative(l, r, Seq("user_id"), "pts", "cts",
+        Seq("click_id", "v"), inc, fwd, None)
+      val c = AsOfJoin.asOf(l, r, Seq("user_id"), "pts", "cts",
+        Seq("click_id", "v"), inc, fwd, None)
+      assert(rows(n) == rows(c), s"seed=$seed inc=$inc fwd=$fwd")
+    }
+  }
+
   test("strategy registration is idempotent") {
     AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"), "pts", "cts", Seq("v"))
     val n = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
