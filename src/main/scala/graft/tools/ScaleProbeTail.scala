@@ -67,6 +67,12 @@ object ScaleProbeTail {
         .withColumn("c_nationkey", col("c_nationkey") + lit(k * 25L))
     }.write.mode("overwrite").parquet(s"$work/customer.parquet")
 
+    val evts = spark.read.parquet(s"$src/events.parquet")
+    copies(evts) { (d, k) => // users ×10, per-user history unchanged
+      d.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    }.write.mode("overwrite").parquet(s"$work/events.parquet")
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     copies(docs) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
@@ -101,6 +107,19 @@ object ScaleProbeTail {
           (col("c_name").substr(length(col("c_name")) - 1, lit(2)), 0.8)))
     }
 
+    def asof(dir: String, native: Boolean): DataFrame = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      val f = if (native) graft.operators.AsOfJoin.asOfNative _
+      else graft.operators.AsOfJoin.asOf _
+      f(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), true, false, None)
+    }
+
     def curate(dir: String): DataFrame =
       graft.app.Jobs.curateCorpus(spark, dir,
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
@@ -118,6 +137,8 @@ object ScaleProbeTail {
     }
 
     val rows = Seq(
+      probe("q304_asof_exec", d => asof(d, native = true)),
+      probe("q118_asof_union", d => asof(d, native = false)),
       probe("q21_cooccurrence", cooc),
       probe("q293_record_linkage", linkage),
       probe("q138_curate", curate),
