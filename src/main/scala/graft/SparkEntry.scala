@@ -52,19 +52,19 @@ object SparkEntry {
     })
 
   /** q299/q300 share the extended-order member tables the way the
-    * champion trio shares the family's: the eleven-member board and
+    * champion trio shares the family's: the twelve-member board and
     * the full forecast union are series-grain tiny, localCheckpointed
     * once per (session, sfDir), riding the championShared family
-    * tables — so a sweep running both pays the three extended fits
+    * tables — so a sweep running both pays the four extended fits
     * ONCE and q300 is a pure winner join. */
   private val extMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (DataFrame, DataFrame)]()
   private def extShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     extMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
-      val (weekly, d2base, a21base, lastLevel) = extFitShared(s, d)
+      val (weekly, d2base, a21base, a22base, lastLevel) = extFitShared(s, d)
       val shared = championShared(s, d)
       val (extScores, extFcs) = graft.seq.OrderSearch.extMemberTablesFrom(
-        d2base, a21base, lastLevel, weekly,
+        d2base, a21base, a22base, lastLevel, weekly,
         Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4, m = 13)
       val board = graft.seq.OrderSearch.boardFrom(
         shared._3.drop("rank"), extScores, Seq("l_suppkey")).localCheckpoint(true)
@@ -74,22 +74,23 @@ object SparkEntry {
     })
 
   /** The extended members' expensive state — the weekly frame plus the
-    * two grid-fit bases and the last-level frame ([[graft.seq
+    * three grid-fit bases and the last-level frame ([[graft.seq
     * .OrderSearch.extFitBases]]) — fit ONCE per (session, sfDir) and
-    * shared by q297, q298 and the extended board (extShared): the same
-    * memo discipline as championShared, so a sweep running all four
-    * extended queries pays the ARMA(2,1) and MA(1)-on-Δ² folds exactly
-    * once. Values are identical to the standalone per-query plans (the
-    * folds are deterministic over the same checkpointed weekly frame). */
+    * shared by q297, q298, q307 and the extended board (extShared): the
+    * same memo discipline as championShared, so a sweep running all the
+    * extended queries pays the ARMA(2,1), ARMA(2,2) and MA(1)-on-Δ²
+    * folds exactly once. Values are identical to the standalone
+    * per-query plans (the folds are deterministic over the same
+    * checkpointed weekly frame). */
   private val extFitMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
-  private def extFitShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def extFitShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     extFitMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
-      val (d2base, a21base, lastLevel) = graft.seq.OrderSearch.extFitBases(
+      val (d2base, a21base, a22base, lastLevel) = graft.seq.OrderSearch.extFitBases(
         weekly, Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")
-      (weekly, d2base, a21base, lastLevel)
+      (weekly, d2base, a21base, a22base, lastLevel)
     })
 
   /** The standard per-series window: series = (part, supplier), ordered
@@ -1089,7 +1090,7 @@ object SparkEntry {
     "q297_arima211" -> ((s, d) => {
       // the grid fold is shared with q298/q299/q300 (extFitShared) —
       // this query is the integration tail over the materialized fit
-      val (_, _, a21base, lastLevel) = extFitShared(s, d)
+      val (_, _, a21base, _, lastLevel) = extFitShared(s, d)
       graft.seq.SequentialKernels.arima211ForecastFrom(a21base, lastLevel,
         Seq("l_suppkey"), h = 4)
         .select(col("l_suppkey"), col("arma2_phi1").as("phi1"),
@@ -1103,23 +1104,37 @@ object SparkEntry {
     "q298_arima021" -> ((s, d) => {
       // the Δ² fold is shared with q297/q299/q300 (extFitShared) —
       // this query is the double-integration tail over the fit
-      val (_, d2base, _, _) = extFitShared(s, d)
+      val (_, d2base, _, _, _) = extFitShared(s, d)
       graft.seq.OrderSearch.arima021ForecastFrom(d2base, Seq("l_suppkey"), h = 4)
         .select(col("l_suppkey"), col("d2_theta").as("theta"),
           col("d2_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))
     }),
-    // the ELEVEN-member order-search scoreboard: the family eight
+    // the TWELVE-member order-search scoreboard: the family eight
     // (shared member tables via championShared — no re-fit) plus
-    // arima021, arima211 and the seasonal sari, re-ranked by
-    // (AIC, member order)
+    // arima021, arima211, arima212 and the seasonal sari, re-ranked
+    // by (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => extShared(s, d)._1),
-    // the extended champion: argmin over the eleven-member scoreboard,
+    // the extended champion: argmin over the twelve-member scoreboard,
     // winner's forecast joined from the shared family forecast union
-    // plus the three extended forecasters (one fit each — extShared)
+    // plus the four extended forecasters (one fit each — extShared)
     "q300_champion_ext" -> ((s, d) => {
       val (board, fcs) = extShared(s, d)
       graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
+    }),
+    // ARIMA(2,1,2): the ARMA(2,2) CLS grid fit on first differences,
+    // integrated h-step forecast — the reference's statsmodels-fallback
+    // LITERAL order (arima_temporal.py:341); grid fold shared with the
+    // extended board via extFitShared
+    "q307_arima212" -> ((s, d) => {
+      val (_, _, _, a22base, lastLevel) = extFitShared(s, d)
+      graft.seq.SequentialKernels.arima212ForecastFrom(a22base, lastLevel,
+        Seq("l_suppkey"), h = 4)
+        .select(col("l_suppkey"), col("arma22_phi1").as("phi1"),
+          col("arma22_phi2").as("phi2"), col("arma22_theta1").as("theta1"),
+          col("arma22_theta2").as("theta2"),
+          col("arma22_sse").as("sse"), col("step"),
+          col("arima_forecast").as("forecast"))
     }),
     // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
     // qty stddev (explicit sufficient sums), prediction = the group
@@ -3474,6 +3489,61 @@ object SparkEntry {
                    (round((y.yn + sum(f.fc) OVER (PARTITION BY f.l_suppkey
                       ORDER BY f.step))*1e4)/1e4 + 0.0e0) AS forecast
                  FROM a2f f JOIN yl y USING (l_suppkey)),
+           a22g AS (SELECT p1.phi1, p2.phi2, t1.theta1, t2.theta2
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi1) p1
+                 CROSS JOIN (SELECT unnest([-0.3e0,0.0e0,0.3e0]) AS phi2) p2
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta1) t1
+                 CROSS JOIN (SELECT unnest([-0.3e0,0.0e0,0.3e0]) AS theta2) t2),
+           a22e AS (SELECT mt.l_suppkey, g.phi1, g.phi2, g.theta1, g.theta2,
+                   mt.rn, mt.xc AS xp1, 0.0e0 AS xp2,
+                   0.0e0 AS e, 0.0e0 AS ep, 0.0e0 AS sse
+                 FROM dmt mt CROSS JOIN a22g g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.phi1, e.phi2, e.theta1, e.theta2, mt.rn,
+                   mt.xc, e.xp1,
+                   CASE WHEN mt.rn <= 2 THEN 0.0e0
+                        ELSE mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2
+                             - e.theta1*e.e - e.theta2*e.ep END,
+                   CASE WHEN mt.rn <= 2 THEN 0.0e0 ELSE e.e END,
+                   CASE WHEN mt.rn <= 2 THEN 0.0e0
+                        ELSE e.sse + (mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2
+                                      - e.theta1*e.e - e.theta2*e.ep)
+                                   * (mt.xc - e.phi1*e.xp1 - e.phi2*e.xp2
+                                      - e.theta1*e.e - e.theta2*e.ep) END
+                 FROM dmt mt JOIN a22e e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           a22fin AS (SELECT l_suppkey, phi1, phi2, theta1, theta2, sse,
+                   e AS eps, ep AS epsp, xp1 AS xcl, xp2 AS xcp
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey,
+                         phi1, phi2, theta1, theta2 ORDER BY rn DESC) rd FROM a22e)
+                 WHERE rd = 1),
+           a22pick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, phi1, phi2, theta1, theta2) rn2 FROM a22fin),
+           a22_sc AS (SELECT p.l_suppkey, 'arima212' AS model, 11 AS mrank, 5.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(d.nd - 2 AS DOUBLE) AS neff
+                 FROM a22pick p JOIN dmu d USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND d.nd >= 4),
+           a22f AS (SELECT p.l_suppkey, 1 AS step,
+                   (round((d.mu + p.phi1*p.xcl + p.phi2*p.xcp
+                      + p.theta1*p.eps + p.theta2*p.epsp)*1e4)/1e4 + 0.0e0) AS fc,
+                   0.0e0 AS fprev, d.mu, p.phi1, p.phi2, p.xcl,
+                   p.theta1, p.theta2, p.eps,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS msse
+                 FROM a22pick p JOIN dmu d USING (l_suppkey) WHERE p.rn2 = 1
+                 UNION ALL
+                 SELECT l_suppkey, step + 1,
+                   CASE WHEN step = 1
+                     THEN (round((mu + phi1*(fc - mu) + phi2*xcl
+                            + theta2*eps)*1e4)/1e4 + 0.0e0)
+                     ELSE (round((mu + phi1*(fc - mu) + phi2*(fprev - mu))*1e4)/1e4 + 0.0e0) END,
+                   fc, mu, phi1, phi2, xcl, theta1, theta2, eps, msse
+                 FROM a22f WHERE step < 4),
+           a22int AS (SELECT f.l_suppkey, f.phi1, f.phi2, f.theta1, f.theta2,
+                   f.msse, f.step,
+                   (round((y.yn + sum(f.fc) OVER (PARTITION BY f.l_suppkey
+                      ORDER BY f.step))*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM a22f f JOIN yl y USING (l_suppkey)),
            d2s AS (SELECT l_suppkey, ws,
                    dq - lag(dq, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) AS ddq
                  FROM dd),
@@ -3568,7 +3638,9 @@ object SparkEntry {
            d2_fc AS (SELECT l_suppkey, 'arima021' AS model,
                    CAST(step AS BIGINT) AS step, forecast FROM d2y),
            a2_fc AS (SELECT l_suppkey, 'arima211' AS model,
-                   CAST(step AS BIGINT) AS step, forecast FROM a2int)"""
+                   CAST(step AS BIGINT) AS step, forecast FROM a2int),
+           a22_fc AS (SELECT l_suppkey, 'arima212' AS model,
+                   CAST(step AS BIGINT) AS step, forecast FROM a22int)"""
 
   /** q297 oracle: the ARMA(2,1)-on-diffs recursion, winner triple by
     * (sse, φ₁, φ₂, θ), integrated forecast — mirrors arima211Forecast. */
@@ -3588,14 +3660,25 @@ object SparkEntry {
                 CAST(step AS BIGINT) AS step, forecast
          FROM d2y"""
 
-  /** q299 oracle: the eleven-member scoreboard — the family's scb rows
-    * unioned with the three extended members, AIC recomputed by the
+  /** q307 oracle: the ARMA(2,2)-on-diffs recursion, winner quadruple
+    * by (sse, φ₁, φ₂, θ₁, θ₂), integrated forecast — mirrors
+    * SequentialKernels.arima212ForecastFrom. */
+  private lazy val arima212Sql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql
+         SELECT l_suppkey, phi1, phi2, theta1, theta2, msse AS sse,
+                CAST(step AS BIGINT) AS step, forecast
+         FROM a22int"""
+
+  /** q299 oracle: the twelve-member scoreboard — the family's scb rows
+    * unioned with the four extended members, AIC recomputed by the
     * identical closed form, re-ranked by (aic, member order). */
   private lazy val orderSearchExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
-                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM sar_sc),
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
+                 UNION ALL SELECT * FROM sar_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3604,14 +3687,15 @@ object SparkEntry {
          SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
          FROM rkx"""
 
-  /** q300 oracle: the eleven-member argmin, winner's forecast joined
-    * from the family fcs union plus the three extended forecasters —
+  /** q300 oracle: the twelve-member argmin, winner's forecast joined
+    * from the family fcs union plus the four extended forecasters —
     * mirrors OrderSearch.championForecastExt. */
   private lazy val championExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
-                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM sar_sc),
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
+                 UNION ALL SELECT * FROM sar_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3755,6 +3839,7 @@ object SparkEntry {
     "q298_arima021" -> arima021Sql,
     "q299_order_search_ext" -> orderSearchExtSql,
     "q300_champion_ext" -> championExtSql,
+    "q307_arima212" -> arima212Sql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

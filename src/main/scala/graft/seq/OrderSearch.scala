@@ -25,6 +25,9 @@ import graft.functions.Funcs.r
   *                                coverage — pmdarima's max_d)
   *                       (2,1,1)  ARMA(2,1) on first differences
   *                                (p = 2 with a joint MA side)
+  *                       (2,1,2)  ARMA(2,2) on first differences —
+  *                                the reference's statsmodels-fallback
+  *                                LITERAL order (arima_temporal.py:341)
   *                       sari     SARIMA(2,0,0)(0,1,0)_m — AR(2) on
   *                                the lag-m seasonal differences
   *                                (the seasonal-D leg, max_D = 1)
@@ -32,15 +35,15 @@ import graft.functions.Funcs.r
   * Scoring and ranking follow the Champion conventions exactly:
   * AIC = n_eff·ln(max(SSE, 1e-8)/n_eff) + 2k rounded to the 4dp grid,
   * k the literal parameter count ((0,2,1): θ + μ = 2; (2,1,1):
-  * φ₁ + φ₂ + θ + μ = 4; sari: the AR(2) intercept + 2 coefs = 3),
-  * ties break to the fixed member order with the
-  * new members ranked after the family eight. A member enters a
-  * series' scoreboard only when identified: (0,2,1) needs ≥ 2
-  * second-difference residuals (n ≥ 4), (2,1,1) needs ≥ 2 conditioned
-  * diff residuals (n ≥ 5), sari needs ≥ 3 seasonal-diff regression
-  * rows (n ≥ m + 5).
+  * φ₁ + φ₂ + θ + μ = 4; (2,1,2): φ₁ + φ₂ + θ₁ + θ₂ + μ = 5; sari: the
+  * AR(2) intercept + 2 coefs = 3), ties break to the fixed member
+  * order with the new members ranked after the family eight. A member
+  * enters a series' scoreboard only when identified: (0,2,1) needs ≥ 2
+  * second-difference residuals (n ≥ 4), (2,1,1) and (2,1,2) need ≥ 2
+  * conditioned diff residuals (n ≥ 5), sari needs ≥ 3 seasonal-diff
+  * regression rows (n ≥ m + 5).
   *
-  * Execution shape: the two new members reuse the family's single-
+  * Execution shape: the grid-fold members reuse the family's single-
   * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x,
   * [[SequentialKernels.fitArma21Full]] on Δx); the union scoreboard is
   * series-grain tiny. Scales in the series count like Champion.
@@ -109,19 +112,19 @@ object OrderSearch {
         col("arima_forecast")): _*)
   }
 
-  /** Fixed tiebreak order across the eleven searched members. */
+  /** Fixed tiebreak order across the twelve searched members. */
   private val MemberRank: Map[String, Int] = Map(
     "mean_naive" -> 0, "snaive" -> 1, "ar2" -> 2, "ari" -> 3, "ma1" -> 4,
     "arma11" -> 5, "theta" -> 6, "holt_damped" -> 7,
-    "arima021" -> 8, "arima211" -> 9, "sari" -> 10)
+    "arima021" -> 8, "arima211" -> 9, "sari" -> 10, "arima212" -> 11)
 
-  /** The eleven-member order-search scoreboard: the Champion family's
+  /** The twelve-member order-search scoreboard: the Champion family's
     * eight rows per series ([[Champion.scoreboard]] columns model, k,
-    * sse, n_eff, aic) unioned with the (0,2,1), (2,1,1) and seasonal
-    * sari members and re-ranked by (aic, member order). Same output
-    * schema as the family scoreboard — (keys..., model, k, sse, n_eff,
-    * aic, rank) — so diagnostics consumers swap in the wider search
-    * unchanged. */
+    * sse, n_eff, aic) unioned with the (0,2,1), (2,1,1), (2,1,2) and
+    * seasonal sari members and re-ranked by (aic, member order). Same
+    * output schema as the family scoreboard — (keys..., model, k, sse,
+    * n_eff, aic, rank) — so diagnostics consumers swap in the wider
+    * search unchanged. */
   def extendedScoreboard(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                          valueCol: String, h: Int = 4, m: Int = 13,
                          alpha: Double = 0.3, beta: Double = 0.1,
@@ -130,35 +133,37 @@ object OrderSearch {
       Champion.scoreboard(df, keyCols, ordCols, valueCol, h, m, alpha, beta, damp),
       df, keyCols, ordCols, valueCol, m)
 
-  /** The three extended members' score AND forecast tables from ONE
+  /** The four extended members' score AND forecast tables from ONE
     * fit execution each — the [[Champion]] memberTables discipline:
-    * the (0,2,1) and (2,1,1) grid-fit bases are localCheckpointed
-    * (series-grain tiny) so the score row and the forecast recursion
-    * read the same materialized fit instead of re-running the fold;
-    * the sari member's fit and forecast are both cheap closed-form
-    * aggregates (no fold), so they stay unmaterialized.
+    * the (0,2,1), (2,1,1) and (2,1,2) grid-fit bases are
+    * localCheckpointed (series-grain tiny) so the score row and the
+    * forecast recursion read the same materialized fit instead of
+    * re-running the fold; the sari member's fit and forecast are both
+    * cheap closed-form aggregates (no fold), so they stay
+    * unmaterialized.
     *
     * Scores: (keys..., model, k, sse, n_eff, aic) gated per member
-    * ((0,2,1) ≥ 2 Δ² residuals, (2,1,1) ≥ 2 conditioned diff
+    * ((0,2,1) ≥ 2 Δ² residuals, (2,1,1)/(2,1,2) ≥ 2 conditioned diff
     * residuals, sari ≥ 3 seasonal-diff regression rows — each
     * strictly tighter than its forecaster's support, so every scored
     * member forecasts). Forecasts: (keys..., model, step, forecast). */
   def extMemberTables(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                       valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
-    val (d2base, a21base, lastLevel) = extFitBases(df, keyCols, ordCols, valueCol)
-    extMemberTablesFrom(d2base, a21base, lastLevel, df, keyCols, ordCols,
+    val (d2base, a21base, a22base, lastLevel) = extFitBases(df, keyCols, ordCols, valueCol)
+    extMemberTablesFrom(d2base, a21base, a22base, lastLevel, df, keyCols, ordCols,
       valueCol, h, m)
   }
 
-  /** The two grid-fit bases the extended members rank and forecast
+  /** The three grid-fit bases the extended members rank and forecast
     * from, fit ONCE and localCheckpointed (series-grain tiny): the
     * [[arima021Full]] table on Δ², the [[SequentialKernels
-    * .fitArma21Full]] table on Δ, and the last-observed-level frame
-    * (keys..., `__yn`) the (2,1,1) integration needs. Exposed so a
-    * sweep registering q297/q298 AND the extended scoreboard pays each
-    * fold exactly once (the championShared memo discipline). */
+    * .fitArma21Full]] and [[SequentialKernels.fitArma22Full]] tables
+    * on Δ, and the last-observed-level frame (keys..., `__yn`) the
+    * integrations need. Exposed so a sweep registering q297/q298/q307
+    * AND the extended scoreboard pays each fold exactly once (the
+    * championShared memo discipline). */
   def extFitBases(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
-                  valueCol: String): (DataFrame, DataFrame, DataFrame) = {
+                  valueCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
     val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
@@ -172,7 +177,9 @@ object OrderSearch {
     val diffed = dy0.filter(col("__dy").isNotNull).drop("__yraw")
     val a21base = SequentialKernels.fitArma21Full(diffed, keyCols, ordCols, "__dy")
       .localCheckpoint(true)
-    (d2base, a21base, lastLevel)
+    val a22base = SequentialKernels.fitArma22Full(diffed, keyCols, ordCols, "__dy")
+      .localCheckpoint(true)
+    (d2base, a21base, a22base, lastLevel)
   }
 
   /** [[extMemberTables]] over ALREADY-BUILT [[extFitBases]] frames —
@@ -180,6 +187,7 @@ object OrderSearch {
     * fits; only the sari member (cheap closed-form aggregates, no
     * fold) computes from `df` here. */
   def extMemberTablesFrom(d2base: DataFrame, a21base: DataFrame,
+                          a22base: DataFrame,
                           lastLevel: DataFrame, df: DataFrame,
                           keyCols: Seq[String], ordCols: Seq[Column],
                           valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
@@ -201,6 +209,14 @@ object OrderSearch {
     val a21Fc = SequentialKernels.arima211ForecastFrom(a21base, lastLevel,
       keyCols, h)
       .select(keys ++ Seq(lit("arima211").as("model"), col("step"),
+        col("arima_forecast").as("forecast")): _*)
+    val a22Score = a22base.filter(col("arma22_neff") >= 2)
+      .select(keys ++ Seq(lit("arima212").as("model"), lit(5.0).as("k"),
+        col("arma22_sse").as("sse"), col("arma22_neff").as("n_eff"),
+        aicOf(col("arma22_sse"), col("arma22_neff"), 5.0).as("aic")): _*)
+    val a22Fc = SequentialKernels.arima212ForecastFrom(a22base, lastLevel,
+      keyCols, h)
+      .select(keys ++ Seq(lit("arima212").as("model"), col("step"),
         col("arima_forecast").as("forecast")): _*)
     // ---- sari — SARIMA(2,0,0)(0,1,0)_m: AR(2) on the lag-m SEASONAL
     // differences (the Ar.forecastSeasonalIntegrated / q254 fit),
@@ -226,8 +242,8 @@ object OrderSearch {
       valueCol, m, h)
       .select(keys ++ Seq(lit("sari").as("model"), col("step"),
         col("sari_forecast").as("forecast")): _*)
-    (d2Score.unionByName(a21Score).unionByName(sariScore),
-      d2Fc.unionByName(a21Fc).unionByName(sariFc))
+    (d2Score.unionByName(a21Score).unionByName(a22Score).unionByName(sariScore),
+      d2Fc.unionByName(a21Fc).unionByName(a22Fc).unionByName(sariFc))
   }
 
   /** Union + re-rank tail: the family scoreboard rows (rank ignored)
@@ -265,7 +281,7 @@ object OrderSearch {
 
   /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
     * (the [[Champion.scoreboard]] output, rank column ignored) — so a
-    * caller holding a memoized family table pays only the three new
+    * caller holding a memoized family table pays only the four new
     * member fits. `m` is the seasonal period the sari member
     * differences at (must match the family board's m). */
   def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
@@ -274,7 +290,7 @@ object OrderSearch {
     boardFrom(familyBoard,
       extMemberTables(df, keyCols, ordCols, valueCol, m = m)._1, keyCols)
 
-  /** The extended champion: argmin over the ELEVEN-member scoreboard,
+  /** The extended champion: argmin over the TWELVE-member scoreboard,
     * the winner's h-step forecast joined back — [[Champion
     * .championForecast]] widened to the searched orders. Consumes an
     * already-materialized family scoreboard and forecast union (the

@@ -679,6 +679,170 @@ object SequentialKernels {
         col("arima_forecast")): _*)
   }
 
+  /** ARMA(2,2) conditional-least-squares fit on the literal
+    * (φ₁, φ₂, θ₁, θ₂) grid — the q = 2 extension of [[fitArma21Full]]
+    * completing the reference's statsmodels-fallback order
+    * (arima_temporal.py:341: a literal ARIMA(2,1,2)). Same recursion
+    * conditioned at ε₁ = ε₂ = 0 with the first SSE term at the third
+    * observation:
+    *
+    *   ε_t = xc_t − φ₁·xc_{t−1} − φ₂·xc_{t−2} − θ₁·ε_{t−1} − θ₂·ε_{t−2}
+    *
+    * folded once over the series per grid quadruple (flat primitive
+    * state, 3 doubles per quadruple: ε_{t−1}, ε_{t−2}, SSE). Winner by
+    * RAW sse with ties to the smallest (φ₁, φ₂, θ₁, θ₂); one row per
+    * series: the winning quadruple, r(sse), the residual count
+    * (n − 2), the exact micro-int mean, ε_n and ε_{n−1}, and
+    * xc_n / xc_{n−1} — everything the forecast recursion needs. */
+  def fitArma22Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                    valueCol: String,
+                    phi1Grid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                    phi2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3),
+                    theta1Grid: Seq[Double] = Seq(-0.4, 0.0, 0.4),
+                    theta2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3)): DataFrame = {
+    require(phi1Grid.nonEmpty && phi2Grid.nonEmpty &&
+      theta1Grid.nonEmpty && theta2Grid.nonEmpty, "grids must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val quads = for (p1 <- phi1Grid; p2 <- phi2Grid; t1 <- theta1Grid;
+                     t2 <- theta2Grid) yield (p1, p2, t1, t2)
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val sseCols = quads.indices.map(i => s"__sse$i")
+    val epsCols = quads.indices.map(i => s"__e$i")
+    val epsPrevCols = quads.indices.map(i => s"__ep$i")
+    val nQ = quads.size
+    val quadArr = quads.toArray
+    // series-end fold; flat primitive state
+    // [xp1, xp2, nObs, nSse, (e_i, ep_i, sse_i)*] mutated in place;
+    // the emitted row's own __xc is xc_n, slot 1 holds xc_{n−1}.
+    val last = keyedFoldLast[Array[Double]](
+      centered, keyCols, ordCols, "__xc",
+      sseCols ++ epsCols ++ epsPrevCols ++ Seq("__xp1", "__nsse")) {
+      case (None, st) => st
+      case (Some(xc), None) =>
+        // first observation: conditioned (ε_1 = 0, no SSE term)
+        val a = new Array[Double](4 + 3 * nQ)
+        a(0) = xc
+        a(2) = 1
+        Some(a)
+      case (Some(xc), Some(a)) =>
+        if (a(2) == 1.0) {
+          // second observation: still conditioned (ε_2 = 0, no SSE term)
+          a(1) = a(0); a(0) = xc; a(2) = 2
+        } else {
+          val xp1 = a(0); val xp2 = a(1)
+          var i = 0
+          while (i < nQ) {
+            val (p1, p2, t1, t2) = quadArr(i)
+            val e = xc - p1 * xp1 - p2 * xp2 - t1 * a(4 + 3 * i) - t2 * a(5 + 3 * i)
+            a(5 + 3 * i) = a(4 + 3 * i)
+            a(4 + 3 * i) = e
+            a(6 + 3 * i) += e * e
+            i += 1
+          }
+          a(1) = a(0); a(0) = xc; a(2) += 1; a(3) += 1
+        }
+        Some(a)
+    } { st =>
+      val a = st.getOrElse(new Array[Double](4 + 3 * nQ))
+      quads.indices.map(i => Some(a(6 + 3 * i))) ++
+        quads.indices.map(i => Some(a(4 + 3 * i))) ++
+        quads.indices.map(i => Some(a(5 + 3 * i))) ++
+        Seq(Some(a(1)), Some(a(3)))
+    }
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc"),
+      col("__xp1"), col("__nsse")) :+
+      explode(array(quads.zipWithIndex.map {
+        case ((p1, p2, t1, t2), i) => struct(lit(p1).as("phi1"),
+          lit(p2).as("phi2"), lit(t1).as("theta1"), lit(t2).as("theta2"),
+          col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"),
+          col(s"__ep$i").as("epsp"))
+      }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__mu"), col("__xc"), col("__xp1"), col("__nsse"),
+        col("__p.phi1").as("phi1"), col("__p.phi2").as("phi2"),
+        col("__p.theta1").as("theta1"), col("__p.theta2").as("theta2"),
+        col("__p.sse").as("sse"), col("__p.eps").as("eps"),
+        col("__p.epsp").as("epsp")): _*)
+    // both engines fold the identical IEEE chain per quadruple: order
+    // by RAW sse, round only the reported value
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("sse"), col("phi1"), col("phi2"), col("theta1"), col("theta2"))
+    longForm.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("phi1").as("arma22_phi1"),
+        col("phi2").as("arma22_phi2"),
+        col("theta1").as("arma22_theta1"),
+        col("theta2").as("arma22_theta2"),
+        graft.functions.Funcs.r(col("sse")).as("arma22_sse"),
+        col("__nsse").as("arma22_neff"),
+        col("__mu").as("arma22_mu"),
+        col("eps").as("arma22_eps_last"),
+        col("epsp").as("arma22_eps_prev"),
+        col("__xc").as("arma22_xc_last"),
+        col("__xp1").as("arma22_xc_prev")): _*)
+  }
+
+  /** h-step ARMA(2,2) forecast from the CLS grid fit: with the winning
+    * (φ₁, φ₂, θ₁, θ₂), future innovations zero,
+    *
+    *   f_1 = r( μ + φ₁·(x_n − μ) + φ₂·(x_{n−1} − μ) + θ₁·ε_n + θ₂·ε_{n−1} )
+    *   f_2 = r( μ + φ₁·(f_1 − μ) + φ₂·(x_n − μ) + θ₂·ε_n )
+    *   f_s = r( μ + φ₁·(f_{s−1} − μ) + φ₂·(f_{s−2} − μ) )   s ≥ 3
+    *
+    * each step rounded before feeding forward (recursive-CTE-replayable
+    * chain). One row per (series, step). */
+  def arma22ForecastFrom(base: DataFrame, keyCols: Seq[String], h: Int): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val f =
+        if (s == 1) r(col("arma22_mu") + col("arma22_phi1") * col("arma22_xc_last") +
+          col("arma22_phi2") * col("arma22_xc_prev") +
+          col("arma22_theta1") * col("arma22_eps_last") +
+          col("arma22_theta2") * col("arma22_eps_prev"))
+        else if (s == 2) r(col("arma22_mu") +
+          col("arma22_phi1") * (acc(0) - col("arma22_mu")) +
+          col("arma22_phi2") * col("arma22_xc_last") +
+          col("arma22_theta2") * col("arma22_eps_last"))
+        else r(col("arma22_mu") +
+          col("arma22_phi1") * (acc(s - 2) - col("arma22_mu")) +
+          col("arma22_phi2") * (acc(s - 3) - col("arma22_mu")))
+      acc :+ f
+    }
+    base.select(keys ++ Seq(col("arma22_phi1"), col("arma22_phi2"),
+      col("arma22_theta1"), col("arma22_theta2"), col("arma22_sse")) :+
+      posexplode(array(steps: _*)).as(Seq("__p", "arma22_forecast")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(keys ++ Seq(col("arma22_phi1"), col("arma22_phi2"),
+        col("arma22_theta1"), col("arma22_theta2"), col("arma22_sse"),
+        col("step"), col("arma22_forecast")): _*)
+  }
+
+  /** The ARIMA(2,1,2) integration tail over an ALREADY-BUILT
+    * [[fitArma22Full]]-on-first-differences table plus the
+    * last-observed-level frame (keys..., `__yn`) — the reference's
+    * statsmodels-fallback order (arima_temporal.py:341) by the exact
+    * [[arima211ForecastFrom]] integration chain. */
+  def arima212ForecastFrom(base: DataFrame, lastLevel: DataFrame,
+                           keyCols: Seq[String], h: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val wcum = Window.partitionBy(keys: _*).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arma22ForecastFrom(base, keyCols, h)
+      .join(lastLevel, keyCols)
+      .withColumn("arima_forecast",
+        graft.functions.Funcs.r(col("__yn") + sum(col("arma22_forecast")).over(wcum)))
+      .select(keys ++ Seq(col("arma22_phi1"), col("arma22_phi2"),
+        col("arma22_theta1"), col("arma22_theta2"), col("arma22_sse"),
+        col("step"), col("arima_forecast")): _*)
+  }
+
   /** M5 — Croston's method (and the SBA bias-corrected variant):
     * exponential smoothing of the nonzero-demand sizes (z) and the
     * inter-demand intervals (p); per-row forecast = z/p

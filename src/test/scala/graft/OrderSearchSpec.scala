@@ -57,7 +57,60 @@ class OrderSearchSpec extends SparkSpec {
     assert(out == Seq((1L, 36.0), (2L, 49.0), (3L, 64.0)))
   }
 
-  test("extended scoreboard: eleven members for long series, gates for short") {
+  test("ARMA(2,2) CLS fold matches the hand-computed recursion for one quadruple") {
+    // series 10,14,8,12,16 → μ = 12; centered −2,2,−4,0,4.
+    // For (φ1, φ2, θ1, θ2) = (0.5, 0.3, 0.4, 0.3): ε_1 = ε_2 = 0,
+    // ε_3 = −4 − 0.5·2 − 0.3·(−2) − 0.4·0 − 0.3·0 = −4.4
+    // ε_4 = 0 − 0.5·(−4) − 0.3·2 − 0.4·(−4.4) − 0.3·0 = 3.16
+    // ε_5 = 4 − 0.5·0 − 0.3·(−4) − 0.4·3.16 − 0.3·(−4.4) = 5.256
+    // SSE = 4.4² + 3.16² + 5.256²
+    val df = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 8.0),
+      ("a", 4, 12.0), ("a", 5, 16.0))
+    val out = SequentialKernels.fitArma22Full(df, Seq("k"), Seq(col("t")), "v",
+      phi1Grid = Seq(0.5), phi2Grid = Seq(0.3),
+      theta1Grid = Seq(0.4), theta2Grid = Seq(0.3))
+      .select("arma22_sse", "arma22_neff", "arma22_eps_last",
+        "arma22_eps_prev", "arma22_xc_last", "arma22_xc_prev")
+      .as[(Double, Double, Double, Double, Double, Double)].head()
+    val e5 = 4.0 - 0.3 * (-4.0) - 0.4 * 3.16 - 0.3 * (-4.4)
+    val expSse = 4.4 * 4.4 + 3.16 * 3.16 + e5 * e5
+    assert(math.abs(out._1 - expSse) < 1e-4)
+    assert(out._2 == 3.0) // three SSE terms (t = 3..5)
+    assert(math.abs(out._3 - e5) < 1e-12)
+    assert(math.abs(out._4 - 3.16) < 1e-12)
+    assert(out._5 == 4.0 && out._6 == 0.0)
+  }
+
+  test("ARMA(2,2) with θ2 = 0 grid degenerates to the ARMA(2,1) fit") {
+    val df = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 8.0),
+      ("a", 4, 12.0), ("a", 5, 16.0), ("a", 6, 9.0), ("a", 7, 13.0))
+    val g21 = SequentialKernels.fitArma21Full(df, Seq("k"), Seq(col("t")), "v")
+      .select("arma2_phi1", "arma2_phi2", "arma2_theta", "arma2_sse")
+      .as[(Double, Double, Double, Double)].head()
+    val g22 = SequentialKernels.fitArma22Full(df, Seq("k"), Seq(col("t")), "v",
+      theta2Grid = Seq(0.0))
+      .select("arma22_phi1", "arma22_phi2", "arma22_theta1", "arma22_sse")
+      .as[(Double, Double, Double, Double)].head()
+    assert(g21 == g22) // identical grid → identical winner and SSE
+  }
+
+  test("ARIMA(2,1,2) forecast integrates from the last level") {
+    // linear series: diffs constant 3 → every quadruple ties at SSE 0
+    // on the centered-zero diffs; forecast continues the line
+    val df = series((1 to 6).map(t => ("a", t, java.lang.Double.valueOf(3.0 * t))): _*)
+    val base = SequentialKernels.fitArma22Full(
+      df.withColumn("__dy", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("t")))).filter(col("__dy").isNotNull),
+      Seq("k"), Seq(col("t")), "__dy")
+    val lastLevel = df.groupBy(col("k")).agg(max(col("v")).as("__yn"))
+    val out = SequentialKernels.arima212ForecastFrom(base, lastLevel, Seq("k"), h = 3)
+      .orderBy("step").select("step", "arima_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 21.0), (2L, 24.0), (3L, 27.0)))
+  }
+
+  test("extended scoreboard: twelve members for long series, gates for short") {
     // NB series key must not be named "k" — the scoreboard schema's
     // parameter-count column k would shadow it (Champion convention)
     val long = (1 to 20).map(t =>
@@ -69,16 +122,16 @@ class OrderSearchSpec extends SparkSpec {
     val byKey = sb.select("g", "model").as[(String, String)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byKey("L").contains("arima021") && byKey("L").contains("arima211"))
-    assert(byKey("L").contains("sari"))
-    // n = 3: one second-diff residual (< 2), no conditioned ARMA(2,1)
-    // residuals, no lag-4 seasonal diffs — all three gated out
+    assert(byKey("L").contains("arima212") && byKey("L").contains("sari"))
+    // n = 3: one second-diff residual (< 2), no conditioned ARMA(2,q)
+    // residuals, no lag-4 seasonal diffs — all four gated out
     assert(!byKey("S").contains("arima021") && !byKey("S").contains("arima211"))
-    assert(!byKey("S").contains("sari"))
+    assert(!byKey("S").contains("arima212") && !byKey("S").contains("sari"))
     // ranks are a dense 1..n permutation per series
     val ranksL = sb.filter(col("g") === "L").select("rank").as[Long]
       .collect().sorted.toSeq
     assert(ranksL == (1L to ranksL.size).toSeq)
-    assert(ranksL.size == 11)
+    assert(ranksL.size == 12)
   }
 
   test("ARIMA(2,1,1) forecast integrates from the last level") {
