@@ -52,10 +52,10 @@ object SparkEntry {
     })
 
   /** q299/q300 share the extended-order member tables the way the
-    * champion trio shares the family's: the twelve-member board and
+    * champion trio shares the family's: the thirteen-member board and
     * the full forecast union are series-grain tiny, localCheckpointed
     * once per (session, sfDir), riding the championShared family
-    * tables — so a sweep running both pays the four extended fits
+    * tables — so a sweep running both pays the five extended fits
     * ONCE and q300 is a pure winner join. */
   private val extMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (DataFrame, DataFrame)]()
@@ -1110,17 +1110,28 @@ object SparkEntry {
           col("d2_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))
     }),
-    // the TWELVE-member order-search scoreboard: the family eight
+    // the THIRTEEN-member order-search scoreboard: the family eight
     // (shared member tables via championShared — no re-fit) plus
-    // arima021, arima211, arima212 and the seasonal sari, re-ranked
-    // by (AIC, member order)
+    // arima021, arima211, arima212 and the seasonal sari + sma,
+    // re-ranked by (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => extShared(s, d)._1),
-    // the extended champion: argmin over the twelve-member scoreboard,
+    // the extended champion: argmin over the thirteen-member scoreboard,
     // winner's forecast joined from the shared family forecast union
-    // plus the four extended forecasters (one fit each — extShared)
+    // plus the five extended forecasters (one fit each — extShared)
     "q300_champion_ext" -> ((s, d) => {
       val (board, fcs) = extShared(s, d)
       graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
+    }),
+    // SARIMA(0,0,1)(0,1,0)_m: MA(1) CLS on the lag-m seasonal
+    // differences, seasonally integrated against the observed last
+    // season — the seasonal-Q leg of the searched space
+    "q308_sarima011" -> ((s, d) => {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.OrderSearch.sarima011Forecast(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+        .select(col("l_suppkey"), col("sma_theta").as("theta"),
+          col("sma_sse").as("sse"), col("step"),
+          col("sma_forecast").as("forecast"))
     }),
     // ARIMA(2,1,2): the ARMA(2,2) CLS grid fit on first differences,
     // integrated h-step forecast — the reference's statsmodels-fallback
@@ -3635,12 +3646,54 @@ object SparkEntry {
                    (round((b.base + e.f)*1e4)/1e4 + 0.0e0) AS forecast
                  FROM sare e JOIN sarbv b ON e.l_suppkey = b.l_suppkey
                    AND e.step = b.step),
+           smamu AS (SELECT l_suppkey,
+                   (CAST(sum(CAST(round(sdq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS mu,
+                   count(*) AS ns
+                 FROM sdv GROUP BY 1),
+           smat AS (SELECT v.l_suppkey, v.sdq - m.mu AS xc,
+                   row_number() OVER (PARTITION BY v.l_suppkey ORDER BY v.ws) rn
+                 FROM sdv v JOIN smamu m USING (l_suppkey)),
+           smae AS (SELECT mt.l_suppkey, g.theta, mt.rn,
+                   mt.xc - g.theta*0.0e0 AS e,
+                   0.0e0 + (mt.xc - g.theta*0.0e0)*(mt.xc - g.theta*0.0e0) AS sse
+                 FROM smat mt CROSS JOIN mag g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.theta, mt.rn,
+                   mt.xc - e.theta*e.e,
+                   e.sse + (mt.xc - e.theta*e.e)*(mt.xc - e.theta*e.e)
+                 FROM smat mt JOIN smae e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           smafin AS (SELECT l_suppkey, theta, sse, e AS eps
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, theta
+                         ORDER BY rn DESC) rd FROM smae)
+                 WHERE rd = 1),
+           smapick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, theta) rn2 FROM smafin),
+           sma_sc AS (SELECT p.l_suppkey, 'sma' AS model, 12 AS mrank, 2.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(m.ns AS DOUBLE) AS neff
+                 FROM smapick p JOIN smamu m USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND m.ns >= 2),
+           smaf AS (SELECT p.l_suppkey, p.theta,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS msse, s.step,
+                   CASE WHEN s.step = 1
+                     THEN (round((m.mu + p.theta*p.eps)*1e4)/1e4 + 0.0e0)
+                     ELSE (round(m.mu*1e4)/1e4 + 0.0e0) END AS f
+                 FROM smapick p JOIN smamu m USING (l_suppkey) CROSS JOIN steps s
+                 WHERE p.rn2 = 1),
+           smaint AS (SELECT f.l_suppkey, f.theta, f.msse,
+                   CAST(f.step AS BIGINT) AS step,
+                   (round((b.base + f.f)*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM smaf f JOIN sarbv b ON f.l_suppkey = b.l_suppkey
+                   AND f.step = b.step),
            d2_fc AS (SELECT l_suppkey, 'arima021' AS model,
                    CAST(step AS BIGINT) AS step, forecast FROM d2y),
            a2_fc AS (SELECT l_suppkey, 'arima211' AS model,
                    CAST(step AS BIGINT) AS step, forecast FROM a2int),
            a22_fc AS (SELECT l_suppkey, 'arima212' AS model,
-                   CAST(step AS BIGINT) AS step, forecast FROM a22int)"""
+                   CAST(step AS BIGINT) AS step, forecast FROM a22int),
+           sma_fc AS (SELECT l_suppkey, 'sma' AS model, step, forecast
+                 FROM smaint)"""
 
   /** q297 oracle: the ARMA(2,1)-on-diffs recursion, winner triple by
     * (sse, φ₁, φ₂, θ), integrated forecast — mirrors arima211Forecast. */
@@ -3670,15 +3723,24 @@ object SparkEntry {
                 CAST(step AS BIGINT) AS step, forecast
          FROM a22int"""
 
-  /** q299 oracle: the twelve-member scoreboard — the family's scb rows
-    * unioned with the four extended members, AIC recomputed by the
-    * identical closed form, re-ranked by (aic, member order). */
+  /** q308 oracle: the MA(1)-on-seasonal-diffs recursion, seasonally
+    * integrated against the observed last season — mirrors
+    * OrderSearch.sarima011Forecast. */
+  private lazy val sarima011Sql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql
+         SELECT l_suppkey, theta, msse AS sse, step, forecast
+         FROM smaint"""
+
+  /** q299 oracle: the thirteen-member scoreboard — the family's scb
+    * rows unioned with the five extended members, AIC recomputed by
+    * the identical closed form, re-ranked by (aic, member order). */
   private lazy val orderSearchExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
                  UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
-                 UNION ALL SELECT * FROM sar_sc),
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3687,15 +3749,15 @@ object SparkEntry {
          SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
          FROM rkx"""
 
-  /** q300 oracle: the twelve-member argmin, winner's forecast joined
-    * from the family fcs union plus the four extended forecasters —
-    * mirrors OrderSearch.championForecastExt. */
+  /** q300 oracle: the thirteen-member argmin, winner's forecast
+    * joined from the family fcs union plus the five extended
+    * forecasters — mirrors OrderSearch.championForecastExt. */
   private lazy val championExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
                  UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
-                 UNION ALL SELECT * FROM sar_sc),
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3704,7 +3766,8 @@ object SparkEntry {
                          ORDER BY aic, mrank) rk2 FROM aicsx)
                  WHERE rk2 = 1),
            fcsx AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
-                 UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM sar_fc)
+                 UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM a22_fc
+                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc)
          SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
          FROM champx c JOIN fcsx f ON c.l_suppkey = f.l_suppkey
            AND c.model = f.model"""
@@ -3840,6 +3903,7 @@ object SparkEntry {
     "q299_order_search_ext" -> orderSearchExtSql,
     "q300_champion_ext" -> championExtSql,
     "q307_arima212" -> arima212Sql,
+    "q308_sarima011" -> sarima011Sql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

@@ -30,18 +30,22 @@ import graft.functions.Funcs.r
   *                                LITERAL order (arima_temporal.py:341)
   *                       sari     SARIMA(2,0,0)(0,1,0)_m — AR(2) on
   *                                the lag-m seasonal differences
-  *                                (the seasonal-D leg, max_D = 1)
+  *                                (the seasonal-P + seasonal-D legs)
+  *                       sma      SARIMA(0,0,1)(0,1,0)_m — MA(1) on
+  *                                the lag-m seasonal differences
+  *                                (the seasonal-Q leg, max_Q)
   *
   * Scoring and ranking follow the Champion conventions exactly:
   * AIC = n_eff·ln(max(SSE, 1e-8)/n_eff) + 2k rounded to the 4dp grid,
   * k the literal parameter count ((0,2,1): θ + μ = 2; (2,1,1):
   * φ₁ + φ₂ + θ + μ = 4; (2,1,2): φ₁ + φ₂ + θ₁ + θ₂ + μ = 5; sari: the
-  * AR(2) intercept + 2 coefs = 3), ties break to the fixed member
+  * AR(2) intercept + 2 coefs = 3; sma: θ + μ = 2), ties break to the fixed member
   * order with the new members ranked after the family eight. A member
   * enters a series' scoreboard only when identified: (0,2,1) needs ≥ 2
   * second-difference residuals (n ≥ 4), (2,1,1) and (2,1,2) need ≥ 2
   * conditioned diff residuals (n ≥ 5), sari needs ≥ 3 seasonal-diff
-  * regression rows (n ≥ m + 5).
+  * regression rows (n ≥ m + 5), sma needs ≥ 2 seasonal-diff rows
+  * (n ≥ m + 2).
   *
   * Execution shape: the grid-fold members reuse the family's single-
   * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x,
@@ -112,16 +116,86 @@ object OrderSearch {
         col("arima_forecast")): _*)
   }
 
-  /** Fixed tiebreak order across the twelve searched members. */
+  /** SARIMA(0,0,1)(0,1,0)_m fit: the MA(1) CLS grid fold run on the
+    * lag-m seasonal differences — the seasonal-Q leg of the searched
+    * space (pmdarima max_Q; this member is Q = 1, complementing the
+    * sari member's seasonal-P side). One row per series with > m
+    * observations: sma_theta, sma_sse, sma_neff (the seasonal-diff row
+    * count), sma_mu (the exact micro-int mean of the diffs) and
+    * sma_eps_last. */
+  def sarima011Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                    valueCol: String, m: Int,
+                    grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    val sd = df.withColumn("__sd", col(valueCol).cast("double")
+      - lag(col(valueCol).cast("double"), m).over(w))
+      .filter(col("__sd").isNotNull)
+    val fit = SequentialKernels.fitMa1Full(sd, keyCols, ordCols, "__sd", grid)
+    val neff = sd.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("sma_neff"))
+    fit.join(neff, keyCols)
+      .select(keys ++ Seq(col("ma1_theta").as("sma_theta"),
+        col("ma1_sse").as("sma_sse"), col("sma_neff"),
+        col("ma1_mu").as("sma_mu"),
+        col("ma1_eps_last").as("sma_eps_last")): _*)
+  }
+
+  /** The last-season base frame the seasonal integration adds forecasts
+    * onto: (keys..., step, `__base` = y_{n−m+step}) for step 1..h —
+    * the snaive/sari base convention; needs h ≤ m so every step's base
+    * is an OBSERVED value. */
+  def seasonalBase(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                   valueCol: String, h: Int, m: Int): DataFrame = {
+    require(h >= 1 && h <= m, s"seasonal base needs 1 <= h <= m (got h=$h m=$m)")
+    val keys = keyCols.map(col)
+    val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
+    df.withColumn("__rd", row_number().over(wd))
+      .filter(col("__rd") <= m && col("__rd") > m - h)
+      .select(keys ++ Seq((lit(m) - col("__rd") + 1).cast("long").as("step"),
+        col(valueCol).cast("double").as("__base")): _*)
+  }
+
+  /** h-step SARIMA(0,0,1)(0,1,0)_m forecast over an ALREADY-BUILT
+    * [[sarima011Full]] table: on the seasonal-diff scale
+    * f_1 = r(μ + θ·ε_n), f_{s≥2} = r(μ) (the MA(1) forecast), then
+    * ŷ_{n+s} = r(y_{n+s−m} + f_s) — seasonal integration against the
+    * observed last season ([[seasonalBase]]). */
+  def sarima011ForecastFrom(base: DataFrame, seasonBase: DataFrame,
+                            keyCols: Seq[String], h: Int): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val steps = (1 to h).map { s =>
+      if (s == 1) r(col("sma_mu") + col("sma_theta") * col("sma_eps_last"))
+      else r(col("sma_mu"))
+    }
+    base.select(keys ++ Seq(col("sma_theta"), col("sma_sse")) :+
+      posexplode(array(steps: _*)).as(Seq("__p", "__f")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .join(seasonBase, keyCols :+ "step")
+      .withColumn("sma_forecast", r(col("__base") + col("__f")))
+      .select(keys ++ Seq(col("sma_theta"), col("sma_sse"), col("step"),
+        col("sma_forecast")): _*)
+  }
+
+  /** [[sarima011Full]] + [[sarima011ForecastFrom]] in one call. */
+  def sarima011Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                        valueCol: String, h: Int, m: Int,
+                        grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame =
+    sarima011ForecastFrom(
+      sarima011Full(df, keyCols, ordCols, valueCol, m, grid),
+      seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
+
+  /** Fixed tiebreak order across the thirteen searched members. */
   private val MemberRank: Map[String, Int] = Map(
     "mean_naive" -> 0, "snaive" -> 1, "ar2" -> 2, "ari" -> 3, "ma1" -> 4,
     "arma11" -> 5, "theta" -> 6, "holt_damped" -> 7,
-    "arima021" -> 8, "arima211" -> 9, "sari" -> 10, "arima212" -> 11)
+    "arima021" -> 8, "arima211" -> 9, "sari" -> 10, "arima212" -> 11,
+    "sma" -> 12)
 
-  /** The twelve-member order-search scoreboard: the Champion family's
+  /** The thirteen-member order-search scoreboard: the Champion family's
     * eight rows per series ([[Champion.scoreboard]] columns model, k,
     * sse, n_eff, aic) unioned with the (0,2,1), (2,1,1), (2,1,2) and
-    * seasonal sari members and re-ranked by (aic, member order). Same
+    * seasonal sari/sma members and re-ranked by (aic, member order). Same
     * output schema as the family scoreboard — (keys..., model, k, sse,
     * n_eff, aic, rank) — so diagnostics consumers swap in the wider
     * search unchanged. */
@@ -133,7 +207,7 @@ object OrderSearch {
       Champion.scoreboard(df, keyCols, ordCols, valueCol, h, m, alpha, beta, damp),
       df, keyCols, ordCols, valueCol, m)
 
-  /** The four extended members' score AND forecast tables from ONE
+  /** The five extended members' score AND forecast tables from ONE
     * fit execution each — the [[Champion]] memberTables discipline:
     * the (0,2,1), (2,1,1) and (2,1,2) grid-fit bases are
     * localCheckpointed (series-grain tiny) so the score row and the
@@ -242,8 +316,23 @@ object OrderSearch {
       valueCol, m, h)
       .select(keys ++ Seq(lit("sari").as("model"), col("step"),
         col("sari_forecast").as("forecast")): _*)
-    (d2Score.unionByName(a21Score).unionByName(a22Score).unionByName(sariScore),
-      d2Fc.unionByName(a21Fc).unionByName(a22Fc).unionByName(sariFc))
+    // ---- sma — SARIMA(0,0,1)(0,1,0)_m: MA(1) on the lag-m seasonal
+    // differences (the seasonal-Q leg; k = θ + μ = 2, ≥ 2 diff rows);
+    // one fold, materialized once for the score row AND the forecast
+    val smaBase = sarima011Full(df, keyCols, ordCols, valueCol, m)
+      .localCheckpoint(true)
+    val smaScore = smaBase.filter(col("sma_neff") >= 2)
+      .select(keys ++ Seq(lit("sma").as("model"), lit(2.0).as("k"),
+        col("sma_sse").as("sse"), col("sma_neff").as("n_eff"),
+        aicOf(col("sma_sse"), col("sma_neff"), 2.0).as("aic")): _*)
+    val smaFc = sarima011ForecastFrom(smaBase,
+      seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
+      .select(keys ++ Seq(lit("sma").as("model"), col("step"),
+        col("sma_forecast").as("forecast")): _*)
+    (d2Score.unionByName(a21Score).unionByName(a22Score).unionByName(sariScore)
+      .unionByName(smaScore),
+      d2Fc.unionByName(a21Fc).unionByName(a22Fc).unionByName(sariFc)
+        .unionByName(smaFc))
   }
 
   /** Union + re-rank tail: the family scoreboard rows (rank ignored)
@@ -281,7 +370,7 @@ object OrderSearch {
 
   /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
     * (the [[Champion.scoreboard]] output, rank column ignored) — so a
-    * caller holding a memoized family table pays only the four new
+    * caller holding a memoized family table pays only the five new
     * member fits. `m` is the seasonal period the sari member
     * differences at (must match the family board's m). */
   def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
@@ -290,7 +379,7 @@ object OrderSearch {
     boardFrom(familyBoard,
       extMemberTables(df, keyCols, ordCols, valueCol, m = m)._1, keyCols)
 
-  /** The extended champion: argmin over the TWELVE-member scoreboard,
+  /** The extended champion: argmin over the THIRTEEN-member scoreboard,
     * the winner's h-step forecast joined back — [[Champion
     * .championForecast]] widened to the searched orders. Consumes an
     * already-materialized family scoreboard and forecast union (the

@@ -110,7 +110,24 @@ class OrderSearchSpec extends SparkSpec {
     assert(out == Seq((1L, 21.0), (2L, 24.0), (3L, 27.0)))
   }
 
-  test("extended scoreboard: twelve members for long series, gates for short") {
+  test("SARIMA(0,0,1)(0,1,0)_m: seasonal-naive series forecasts exactly") {
+    // period-3 pattern repeated: seasonal diffs all 0 → μ = 0, every θ
+    // ties at SSE 0 → θ = −0.8 (smallest); f = 0, so the forecast IS
+    // the last observed season
+    val pat = Seq(7.0, 11.0, 4.0)
+    val df = series((1 to 9).map(t =>
+      ("a", t, java.lang.Double.valueOf(pat((t - 1) % 3)))): _*)
+    val out = OrderSearch.sarima011Forecast(df, Seq("k"), Seq(col("t")), "v",
+      h = 3, m = 3)
+      .orderBy("step").select("step", "sma_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 7.0), (2L, 11.0), (3L, 4.0)))
+    val theta = OrderSearch.sarima011Full(df, Seq("k"), Seq(col("t")), "v", m = 3)
+      .select("sma_theta").as[Double].head()
+    assert(theta == -0.8)
+  }
+
+  test("extended scoreboard: thirteen members for long series, gates for short") {
     // NB series key must not be named "k" — the scoreboard schema's
     // parameter-count column k would shadow it (Champion convention)
     val long = (1 to 20).map(t =>
@@ -123,15 +140,17 @@ class OrderSearchSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byKey("L").contains("arima021") && byKey("L").contains("arima211"))
     assert(byKey("L").contains("arima212") && byKey("L").contains("sari"))
+    assert(byKey("L").contains("sma"))
     // n = 3: one second-diff residual (< 2), no conditioned ARMA(2,q)
-    // residuals, no lag-4 seasonal diffs — all four gated out
+    // residuals, no lag-4 seasonal diffs — all five gated out
     assert(!byKey("S").contains("arima021") && !byKey("S").contains("arima211"))
     assert(!byKey("S").contains("arima212") && !byKey("S").contains("sari"))
+    assert(!byKey("S").contains("sma"))
     // ranks are a dense 1..n permutation per series
     val ranksL = sb.filter(col("g") === "L").select("rank").as[Long]
       .collect().sorted.toSeq
     assert(ranksL == (1L to ranksL.size).toSeq)
-    assert(ranksL.size == 12)
+    assert(ranksL.size == 13)
   }
 
   test("ARIMA(2,1,1) forecast integrates from the last level") {
