@@ -153,6 +153,31 @@ class OrderSearchSpec extends SparkSpec {
     assert(ranksL.size == 13)
   }
 
+  test("extended champion: every series gets exactly h forecast rows, " +
+    "whichever member wins") {
+    // the winner-join invariant the scoreboard/forecast unions must
+    // keep in lockstep: a member present in the board without rows in
+    // the forecast union would silently DROP its series here
+    val long = (1 to 24).map(t =>
+      ("L", t, java.lang.Double.valueOf(t * 2.0 + (if (t % 4 == 0) 5.0 else 0.0))))
+    val wavy = (1 to 24).map(t =>
+      ("W", t, java.lang.Double.valueOf(math.round(
+        50 + 20 * math.sin(t * 1.3) + 3 * t) * 1.0)))
+    val df = (long ++ wavy).toDF("g", "t", "v")
+    val (_, _, famBoard, famFcs) = graft.seq.Champion.pickBlendScoreFcs(
+      df, Seq("g"), Seq(col("t")), "v", h = 3, m = 4)
+    val picked = OrderSearch.championForecastExt(famBoard, famFcs, df,
+      Seq("g"), Seq(col("t")), "v", h = 3, m = 4)
+    val rows = picked.select("g", "champion", "step")
+      .as[(String, String, Long)].collect()
+    assert(rows.count(_._1 == "L") == 3, rows.toSeq)
+    assert(rows.count(_._1 == "W") == 3, rows.toSeq)
+    // the winner is one of the thirteen searched members
+    val members = Set("mean_naive", "snaive", "ar2", "ari", "ma1", "arma11",
+      "theta", "holt_damped", "arima021", "arima211", "sari", "arima212", "sma")
+    assert(rows.map(_._2).toSet.subsetOf(members), rows.map(_._2).toSet)
+  }
+
   test("ARIMA(2,1,1) forecast integrates from the last level") {
     // linear series: diffs constant 3 → every triple ties at SSE 0 on
     // the centered-zero diffs; forecast continues the line
