@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Generate, HintInfo, Join, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Catalyst optimizer rule: band-join binning.
   *
@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, Nu
   * filter); joins either of whose sides carries an explicit BROADCAST
   * hint (a user-forced tiny-table nested loop is already the right
   * plan — [[graft.operators.RangeJoin.broadcastRange]]); band
-  * expressions that are neither numeric nor timestamp. Idempotent by construction: the rewritten join
+  * expressions that are not numeric, timestamp, or date. Idempotent by construction: the rewritten join
   * HAS a cross-side equi conjunct, so the fixed-point batch skips it
   * on the next pass.
   *
@@ -69,11 +69,16 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
     else None
   }
 
-  /** Numerics bin directly; timestamps bin via their cast-to-double
-    * epoch seconds (`binSize` is then in seconds) — the SCD/validity
-    * -window join shape `fact.ts BETWEEN dim.start AND dim.end`. */
+  /** Numerics bin directly; timestamps and dates bin via their
+    * cast-to-double epoch seconds (`binSize` is then in seconds;
+    * dates route through a session-timezone timestamp cast first) —
+    * the SCD/validity-window join shape `fact.ts BETWEEN dim.start
+    * AND dim.end`. All three band operands share the identical cast,
+    * which is monotonic, so a point's bin always lands inside its
+    * interval's generated span and the original predicate stays the
+    * exact refine filter. */
   private def bandable(dt: DataType): Boolean =
-    dt.isInstanceOf[NumericType] || dt == TimestampType
+    dt.isInstanceOf[NumericType] || dt == TimestampType || dt == DateType
 
   /** Normalize a comparison to (small, large) regardless of operator
     * direction; strictness is irrelevant here — the original conjunct
@@ -126,8 +131,13 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
     } yield (p1, lo, hi, pSide)).nextOption()
 
     band.map { case (p, lo, hi, pointOnLeft) =>
-      def binOf(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(binSize))) // floor(double) IS long
+      def binOf(e: Expression): Expression = {
+        // date → timestamp needs the session zone resolved at rule time
+        val asNum = if (e.dataType == DateType)
+          Cast(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)), DoubleType)
+        else Cast(e, DoubleType)
+        Floor(Divide(asNum, Literal(binSize))) // floor(double) IS long
+      }
       val (pointSide, boundSide) = if (pointOnLeft) (left, right) else (right, left)
 
       val binAlias = Alias(binOf(p), "__graft_bin_pt")()

@@ -155,6 +155,25 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("skewed hot key: one key holding most right rows stays linear and exact") {
+    // skew lands in ONE partition's merge pass — O(1) state, a linear
+    // scan, never a pair blow-up; the match for each left row is the
+    // greatest click time <= purchase time, verifiable in closed form
+    val hotClicks = (0 until 20000).map(i => (3000L + i, 1L, ts(2L * i), i * 1.0))
+    val coldClicks = Seq((90001L, 2L, ts(500), -1.0))
+    val r = (hotClicks ++ coldClicks).toDF("click_id", "user_id", "cts", "v")
+    val l = (0 until 50).map(i => (i.toLong, 1L, ts(1000L * i + 1)))
+      .toDF("event_id", "user_id", "pts")
+    val out = AsOfJoin.asOfNative(l, r, Seq("user_id"), "pts", "cts", Seq("click_id"))
+      .select(col("event_id"), col("asof_click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    (0 until 50).foreach { i =>
+      // greatest 2k <= 1000i + 1 → k = min((1000i + 1) / 2, 19999)
+      val k = math.min((1000L * i + 1) / 2, 19999L)
+      assert(out(i.toLong) == Some(3000L + k), s"i=$i")
+    }
+  }
+
   test("strategy registration is idempotent") {
     AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"), "pts", "cts", Seq("v"))
     val n = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -89,6 +89,42 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("date bands: parity + the rewrite fires (date validity windows)") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val pts = Seq((1L, d("2024-01-01")), (2L, d("2024-02-15")),
+      (3L, d("2024-06-30")), (4L, d("2025-01-01"))).toDF("id", "t")
+    val ivs = Seq((201L, d("2024-01-01"), d("2024-03-01")),
+      (202L, d("2024-03-01"), d("2024-12-31")),
+      (203L, d("2024-06-30"), d("2024-06-30"))).toDF("iid", "lo", "hi")
+    for (bin <- Seq(86400.0, 30 * 86400.0)) { // day and 30-day bins
+      val naive = pts.join(ivs, col("t") >= col("lo") && col("t") < col("hi"))
+      val rewritten = GraftPlans.rewriteRangeJoin(naive, bin)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(pairs(rewritten) == pairs(naive), s"bin=$bin")
+    }
+  }
+
+  test("randomized parity (explicit-seed scalacheck points and intervals)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val ptsGen = Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))
+    val ivGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(-1000.0, 1000.0),
+      Gen.chooseNum(0.0, 400.0))) // lo + nonneg width (some zero-width)
+    for (seed <- 0 until 4; bin <- Seq(3.3, 100.0)) {
+      val pts = gen(ptsGen, seed.toLong).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val ivs = gen(ivGen, 500L + seed).zipWithIndex
+        .map { case ((lo, wd), i) => (1000L + i, lo, lo + wd) }
+        .toDF("iid", "lo", "hi")
+      val naive = pts.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+      assert(pairs(GraftPlans.rewriteRangeJoin(naive, bin)) == pairs(naive),
+        s"seed=$seed bin=$bin")
+    }
+  }
+
   test("guard: a broadcast-hinted band join is left alone") {
     val naive = points.join(broadcast(intervals),
       col("v") >= col("lo") && col("v") < col("hi"))
