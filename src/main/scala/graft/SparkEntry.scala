@@ -3455,10 +3455,12 @@ object SparkEntry {
          FROM scb s JOIN rk r2 ON s.l_suppkey = r2.l_suppkey
            AND s.model = r2.model"""
 
-  /** Shared extended-order CTEs (q297/q298/q299): ARMA(2,1) on the
-    * first differences and MA(1) on the second differences, mirroring
-    * SequentialKernels.fitArma21Full / OrderSearch.arima021Full term
-    * for term. Rides on championMembersSql's w/dd/yl/steps/mag CTEs;
+  /** Shared extended-order CTEs (q297/q298/q299/q300/q307/q308):
+    * ARMA(2,1) and ARMA(2,2) on the first differences, MA(1) on the
+    * second differences and MA(1) on the seasonal differences,
+    * mirroring SequentialKernels.fitArma21Full / fitArma22Full /
+    * OrderSearch.arima021Full / OrderSearch.sarima011Full term for
+    * term. Rides on championMembersSql's w/dd/yl/steps/mag CTEs;
     * DuckDB's optimizer prunes the member CTEs a consumer doesn't
     * reference. */
   private lazy val extOrderBlocksSql: String =

@@ -48,9 +48,11 @@ import graft.functions.Funcs.r
   * (n ≥ m + 2).
   *
   * Execution shape: the grid-fold members reuse the family's single-
-  * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x,
-  * [[SequentialKernels.fitArma21Full]] on Δx); the union scoreboard is
-  * series-grain tiny. Scales in the series count like Champion.
+  * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x and on
+  * the lag-m seasonal differences, [[SequentialKernels.fitArma21Full]]
+  * and [[SequentialKernels.fitArma22Full]] on Δx); the union
+  * scoreboard is series-grain tiny. Scales in the series count like
+  * Champion.
   */
 object OrderSearch {
 
