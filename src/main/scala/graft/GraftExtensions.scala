@@ -9,10 +9,14 @@ import graft.expr.{DotProduct, MinHashSigExpr, NfcNormalizeExpr, PolyFingerprint
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions as
-  * SQL-visible functions and its optimizer rules. Activate
-  * cluster-wide with `--conf spark.sql.extensions=graft.GraftExtensions`,
-  * or on an existing session via [[GraftFunctions.register]] /
-  * [[graft.plans.GraftPlans.install]].
+  * SQL-visible functions, its optimizer rules and its planner
+  * strategies. Activate cluster-wide with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — a STATIC conf,
+  * applied only when the SparkContext is built with it. On an already
+  * running session use the live seams instead: [[GraftFunctions
+  * .register]], [[graft.plans.GraftPlans.install]] and
+  * [[graft.operators.AsOfJoin.asOfNative]] (which self-registers its
+  * strategy) — the same objects, verified by `GraftExtensionsSpec`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -37,4 +37,25 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Test probe: apply a session-extensions installer to a fresh
+    * `SparkSessionExtensions` and report what it would inject at
+    * session construction — (optimizer rules, planner strategies,
+    * newly registered function names). `spark.sql.extensions` is a
+    * STATIC conf (it only takes effect when the SparkContext is built
+    * with it), so an in-JVM suite probes the injection surface here
+    * and exercises the behaviors through the live-session seams
+    * ([[addOptimizerRule]] / [[addStrategy]] / function register). */
+  def probeExtensions(spark: SparkSession,
+                      installer: SparkSessionExtensions => Unit):
+      (Seq[Rule[LogicalPlan]], Seq[SparkStrategy], Seq[String]) = {
+    val ext = new SparkSessionExtensions
+    installer(ext)
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val base = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val before = base.listFunction().map(_.funcName).toSet
+    val after = ext.registerFunctions(base)
+    (ext.buildOptimizerRules(cs), ext.buildPlannerStrategies(cs),
+      after.listFunction().map(_.funcName).filterNot(before))
+  }
 }
