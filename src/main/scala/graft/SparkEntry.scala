@@ -1134,6 +1134,13 @@ object SparkEntry {
       val (board, fcs) = extShared(s, d)
       graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
     }),
+    // Akaike-weight blend over the THIRTEEN-member extended board —
+    // q267's blend arithmetic over the wider search (pure tail over
+    // the extShared memoized board + forecast union)
+    "q309_blend_ext" -> ((s, d) => {
+      val (board, fcs) = extShared(s, d)
+      graft.seq.OrderSearch.blendFromBoards(board, fcs, Seq("l_suppkey"))
+    }),
     // SARIMA(0,0,1)(0,1,0)_m: MA(1) CLS on the lag-m seasonal
     // differences, seasonally integrated against the observed last
     // season — the seasonal-Q leg of the searched space
@@ -3748,6 +3755,36 @@ object SparkEntry {
          SELECT l_suppkey, theta, msse AS sse, step, forecast
          FROM smaint"""
 
+  /** q309 oracle: the q267 Akaike-blend arithmetic over the
+    * thirteen-member scoreboard and forecast unions. */
+  private lazy val blendExtSql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql,
+           scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
+           aicsx AS (SELECT l_suppkey, model, mrank,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
+           fcsx AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
+                 UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM a22_fc
+                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc),
+           aminx AS (SELECT l_suppkey, min(aic) AS am FROM aicsx GROUP BY 1),
+           wtsx AS (SELECT a.l_suppkey, a.model,
+                   (round(exp((m.am - a.aic)/2e0)*1e4)/1e4 + 0.0e0) AS w
+                 FROM aicsx a JOIN aminx m ON a.l_suppkey = m.l_suppkey),
+           blx AS (SELECT f.l_suppkey, f.step,
+                   (CAST(sum(CAST(round(w.w*1e4) AS BIGINT)
+                      * CAST(round(f.forecast*1e4) AS BIGINT)) AS DOUBLE)/1e8) AS num,
+                   (CAST(sum(CAST(round(w.w*1e4) AS BIGINT)) AS DOUBLE)/1e4) AS den,
+                   count(*) AS n_members
+                 FROM fcsx f JOIN wtsx w ON f.l_suppkey = w.l_suppkey
+                   AND f.model = w.model
+                 GROUP BY 1,2)
+         SELECT l_suppkey, step,
+                (round((num/den)*1e4)/1e4 + 0.0e0) AS blend_forecast, n_members
+         FROM blx"""
+
   /** q299 oracle: the thirteen-member scoreboard — the family's scb
     * rows unioned with the five extended members, AIC recomputed by
     * the identical closed form, re-ranked by (aic, member order). */
@@ -3920,6 +3957,7 @@ object SparkEntry {
     "q300_champion_ext" -> championExtSql,
     "q307_arima212" -> arima212Sql,
     "q308_sarima011" -> sarima011Sql,
+    "q309_blend_ext" -> blendExtSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

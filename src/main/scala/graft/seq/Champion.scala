@@ -334,7 +334,7 @@ object Champion {
   }
 
   /** Akaike-weight tail over already-built member tables. */
-  private def blendFrom(aic: DataFrame, fcs: DataFrame,
+  private[seq] def blendFrom(aic: DataFrame, fcs: DataFrame,
                         keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
     // Δ via a window-min, NOT a groupBy+join-back: the join shape

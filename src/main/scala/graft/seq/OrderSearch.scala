@@ -400,4 +400,29 @@ object OrderSearch {
       col("forecast")): _*).unionByName(extFcs)
     pickFrom(boardFrom(familyBoard, extScores, keyCols), fcs, keyCols)
   }
+
+  /** Akaike-weight blend over the THIRTEEN-member board —
+    * [[Champion.blendForecast]] widened to the searched orders: per
+    * series w ∝ exp(−Δaic/2) over every identified member, blend =
+    * Σ(w·f)/Σw as exact micro-int sums (the q267 arithmetic,
+    * unchanged). Consumes the same already-materialized family frames
+    * as [[championForecastExt]]; callers holding the extShared memo
+    * pass its (board, fcs) directly to [[Champion.blendFrom]]. */
+  def blendForecastExt(familyBoard: DataFrame, familyFcs: DataFrame,
+                       df: DataFrame, keyCols: Seq[String],
+                       ordCols: Seq[Column], valueCol: String,
+                       h: Int = 4, m: Int = 13): DataFrame = {
+    val keys = keyCols.map(col)
+    val (extScores, extFcs) = extMemberTables(df, keyCols, ordCols, valueCol, h, m)
+    val fcs = familyFcs.select(keys ++ Seq(col("model"), col("step"),
+      col("forecast")): _*).unionByName(extFcs)
+    blendFromBoards(boardFrom(familyBoard, extScores, keyCols), fcs, keyCols)
+  }
+
+  /** The blend tail over ALREADY-BUILT (board, forecast-union) frames
+    * — e.g. a memoized extended board. Exact [[Champion]] blend
+    * arithmetic. */
+  def blendFromBoards(board: DataFrame, fcs: DataFrame,
+                      keyCols: Seq[String]): DataFrame =
+    Champion.blendFrom(board, fcs, keyCols)
 }

@@ -176,6 +176,17 @@ class OrderSearchSpec extends SparkSpec {
     val members = Set("mean_naive", "snaive", "ar2", "ari", "ma1", "arma11",
       "theta", "holt_damped", "arima021", "arima211", "sari", "arima212", "sma")
     assert(rows.map(_._2).toSet.subsetOf(members), rows.map(_._2).toSet)
+    // the extended blend mixes EVERY identified member: h rows per
+    // series, n_members = that series' scoreboard row count
+    val board = OrderSearch.extendedScoreboardFrom(famBoard, df,
+      Seq("g"), Seq(col("t")), "v", m = 4)
+    val boardN = board.groupBy(col("g")).count()
+      .as[(String, Long)].collect().toMap
+    val blend = OrderSearch.blendForecastExt(famBoard, famFcs, df,
+      Seq("g"), Seq(col("t")), "v", h = 3, m = 4)
+      .select("g", "step", "n_members").as[(String, Long, Long)].collect()
+    assert(blend.count(_._1 == "L") == 3 && blend.count(_._1 == "W") == 3)
+    blend.foreach { case (g, _, nm) => assert(nm == boardN(g), s"$g: $nm") }
   }
 
   test("ARIMA(2,1,1) forecast integrates from the last level") {
