@@ -120,6 +120,14 @@ object ScaleProbeTail {
         Seq("click_id", "click_value"), true, false, None)
     }
 
+    def orderSearch(dir: String): DataFrame = {
+      val weekly = graft.etl.Enrichment.weeklyAggregate(
+        spark.read.parquet(s"$dir/lineitem.parquet"), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      graft.seq.OrderSearch.extendedScoreboard(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum")
+    }
+
     def curate(dir: String): DataFrame =
       graft.app.Jobs.curateCorpus(spark, dir,
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
@@ -139,6 +147,7 @@ object ScaleProbeTail {
     val rows = Seq(
       probe("q304_asof_exec", d => asof(d, native = true)),
       probe("q118_asof_union", d => asof(d, native = false)),
+      probe("q299_order_search", orderSearch), // 13 member fits, 10x series
       probe("q21_cooccurrence", cooc),
       probe("q293_record_linkage", linkage),
       probe("q138_curate", curate),
