@@ -39,6 +39,16 @@ object AsOfJoin {
            leftTime: String, rightTime: String, payload: Seq[String],
            inclusive: Boolean = true, forward: Boolean = false,
            tolerance: Option[Column] = None): DataFrame = {
+    // same reserved-name discipline as asOfNative: the carry machinery
+    // overwrites __t/__r/__p/__match via withColumn and the output
+    // attaches asof_t/asof_<payload>, so a left frame already carrying
+    // any of them would be silently corrupted or ambiguous
+    val reserved = Seq("__t", "__r", "__p", "__match", "asof_t") ++
+      payload.map(c => s"asof_$c")
+    val clash = left.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"left frame already has reserved as-of column(s) $clash — rename " +
+        "them before asOf")
     val rStruct = struct(
       col(rightTime).as("asof_t") +: payload.map(c => col(c).as(s"asof_$c")): _*)
     val rTag = right.select(keys.map(col) :+ col(rightTime).as("__t")
@@ -94,6 +104,25 @@ object AsOfJoin {
                  tolerance: Option[Column] = None): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // Reserved output/internal names must be collision-free up front:
+    // a left frame already carrying asof_t/asof_<payload> would make
+    // the output (and the tolerance re-select, which resolves asof_t
+    // by name) ambiguous, and duplicate generated right-side aliases
+    // (e.g. payload "t" colliding with the asof_t time alias, or a
+    // payload literally named "_rk_<key>") would silently bind the
+    // wrong column. Same error style as the missing-column attr()
+    // check below.
+    val attached = "asof_t" +: payload.map(c => s"asof_$c")
+    val leftClash = left.columns.toSeq.intersect(attached)
+    require(leftClash.isEmpty,
+      s"left frame already has reserved as-of output column(s) $leftClash — " +
+        "rename them before asOfNative (they would make the attached " +
+        "payload ambiguous)")
+    val generated = keys.map(k => s"__rk_$k") ++ attached
+    val genDups = generated.diff(generated.distinct).distinct
+    require(genDups.isEmpty,
+      s"as-of internal alias collision on $genDups — key/payload names " +
+        "that render to the same __rk_/asof_ alias are not supported")
     // every right-side column re-aliased → fresh exprIds, so a
     // self-as-of (left and right reading the same source) can't
     // collide attributes across the two sides of the custom node

@@ -62,11 +62,22 @@ case class AsOfJoinPlan(
 /** Planner strategy mapping [[AsOfJoinPlan]] to [[AsOfJoinExec]].
   * Registered per-session by [[graft.operators.AsOfJoin.asOfNative]]
   * (idempotent, via the experimental-strategies seam) or cluster-wide
-  * via `spark.sql.extensions=graft.GraftExtensions`. */
+  * via `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Float/double equi keys are wrapped in Spark's own floating-point
+  * normalization here (the `NormalizeFloatingNumbers` rule only
+  * matches built-in Join/Window/Aggregate nodes, so a custom operator
+  * must normalize its own keys): without it, -0.0 vs 0.0 and
+  * non-canonical NaN key bits compare unequal in the exec's
+  * `RowOrdering`/co-partitioning while SQL equality treats them as
+  * equal — built-in joins would match, this operator would silently
+  * miss. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+      import org.apache.spark.sql.GraftSqlBridge.normalizeFloatingNumbers
+      AsOfJoinExec(p.leftKeys.map(normalizeFloatingNumbers),
+        p.rightKeys.map(normalizeFloatingNumbers), p.leftTime, p.rightTime,
         p.payload, p.inclusive, p.forward,
         planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil

@@ -27,8 +27,11 @@ object GraftPlans {
   /** Apply the band-join binning to this one plan with an explicit
     * `binSize` (pick it near the median interval width). Joins the
     * rule guards against (equi-keyed, broadcast-hinted, non-inner,
-    * non-numeric) pass through unchanged. */
-  def rewriteRangeJoin(df: DataFrame, binSize: Double): DataFrame =
+    * non-numeric) pass through unchanged; intervals spanning more than
+    * `maxBinsPerInterval` bins stay on the naive plan in a fallback
+    * union branch (see [[RangeJoinRewrite]]). */
+  def rewriteRangeJoin(df: DataFrame, binSize: Double,
+      maxBinsPerInterval: Long = RangeJoinRewrite.DefaultMaxBinsPerInterval): DataFrame =
     GraftSqlBridge.ofRows(df.sparkSession,
-      RangeJoinRewrite(binSize)(df.queryExecution.analyzed))
+      RangeJoinRewrite(binSize, maxBinsPerInterval)(df.queryExecution.analyzed))
 }

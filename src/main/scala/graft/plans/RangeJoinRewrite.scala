@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Generate, HintInfo, Join, LogicalPlan, Project, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Generate, HintInfo, Join, LogicalPlan, Project, ResolvedHint, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Catalyst optimizer rule: band-join binning.
@@ -36,7 +37,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, Lo
   *
   * Cost: linear in |points| + |intervals| · (avg interval width /
   * binSize); pick `binSize` near the median interval width so most
-  * intervals explode into ≤ 2 bins. Guards (each leaves the plan
+  * intervals explode into ≤ 2 bins. Intervals spanning more than
+  * `maxBinsPerInterval` bins (open-ended SCD sentinels like
+  * 9999-12-31, which would otherwise Sequence-explode into billions
+  * of bin rows and throw past MAX_ROUNDED_ARRAY_LENGTH) are split
+  * into a separate union branch that keeps the ORIGINAL naive join —
+  * exact for every row, pathological intervals just stay off the fast
+  * path. Guards (each leaves the plan
   * untouched): non-inner joins; joins that already have a cross-side
   * equi conjunct (they hash-join fine, the band is just a post
   * filter); joins either of whose sides carries an explicit BROADCAST
@@ -44,16 +51,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, Lo
   * plan — [[graft.operators.RangeJoin.broadcastRange]]); band
   * expressions that are not numeric, timestamp, or date. Idempotent by construction: the rewritten join
   * HAS a cross-side equi conjunct, so the fixed-point batch skips it
-  * on the next pass.
+  * on the next pass, and the wide-interval fallback join carries
+  * [[RangeJoinRewrite.SkipTag]].
   *
   * Scoped use: [[GraftPlans.rewriteRangeJoin]] (one plan, explicit
   * binSize). Session/cluster-wide: [[GraftPlans.install]] /
   * `spark.sql.extensions=graft.GraftExtensions`, gated on the
   * `spark.graft.rangeJoin.binSize` conf (≤ 0 — the default — is off).
   */
-case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
-    with PredicateHelper {
+case class RangeJoinRewrite(binSize: Double,
+    maxBinsPerInterval: Long = RangeJoinRewrite.DefaultMaxBinsPerInterval)
+    extends Rule[LogicalPlan] with PredicateHelper {
   require(binSize > 0, "binSize must be positive")
+  require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be at least 1")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(_, _, Inner, Some(_), _) => rewrite(j).getOrElse(j)
@@ -92,6 +102,10 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
   }
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
+    // the wide-interval fallback branch below is intentionally left on
+    // the naive plan — don't rewrite it again on the next fixed-point
+    // pass (the tag rides plan copies via copyTagsFrom)
+    if (j.getTagValue(RangeJoinRewrite.SkipTag).isDefined) return None
     val Join(left, right, _, Some(cond), hint) = j
     def broadcastHinted(h: Option[HintInfo]) = h.flatMap(_.strategy).contains(BROADCAST)
     // pre-optimizer (scoped) plans still carry the hint as a ResolvedHint
@@ -149,20 +163,64 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
       // inner join with a NULL/contradictory predicate would keep: none.
       val loBin = binOf(lo)
       val hiBin = binOf(hi)
+      // Per-interval bin explosion is bounded: an interval spanning
+      // more than maxBinsPerInterval bins (the SCD open-ended sentinel
+      // end date, e.g. 9999-12-31, spans billions at a 1-day binSize —
+      // Sequence would throw past MAX_ROUNDED_ARRAY_LENGTH, and short
+      // of that the explode multiplies the interval side's row count)
+      // stays on the naive nested-loop plan in a separate, usually
+      // empty, union branch. NULL-bound intervals fail the narrow
+      // filter too — correct, an inner join against a NULL band bound
+      // keeps nothing.
+      val guarded = maxBinsPerInterval != Long.MaxValue
+      val span = Subtract(hiBin, loBin)
+      val narrowBound = if (guarded)
+        Filter(LessThanOrEqual(span, Literal(maxBinsPerInterval)), boundSide)
+      else boundSide
       val bins = If(LessThanOrEqual(loBin, hiBin),
         new Sequence(loBin, hiBin, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
         Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
       val binAttr = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
       val newBoundSide =
-        Generate(Explode(bins), Nil, outer = false, None, Seq(binAttr), boundSide)
+        Generate(Explode(bins), Nil, outer = false, None, Seq(binAttr), narrowBound)
 
       val (newLeft, newRight) =
         if (pointOnLeft) (newPointSide, newBoundSide) else (newBoundSide, newPointSide)
-      Project(j.output,
+      val binned = Project(j.output,
         Join(newLeft, newRight, Inner,
           Some(And(EqualTo(binAlias.toAttribute, binAttr), cond)), hint))
+      if (!guarded) binned
+      else {
+        // pathological intervals (span > cap, or a NULL span that a
+        // NULL bound produces — those match nothing either way) ride a
+        // separate branch that keeps the ORIGINAL naive join over the
+        // wide subset only. Healthy data leaves this branch empty; AQE
+        // then folds the empty-side join away at runtime.
+        val wideBound =
+          Filter(GreaterThan(span, Literal(maxBinsPerInterval)), boundSide)
+        val (wideLeft, wideRight) =
+          if (pointOnLeft) (pointSide, wideBound) else (wideBound, pointSide)
+        val wideJoin = Join(wideLeft, wideRight, Inner, Some(cond), hint)
+        wideJoin.setTagValue(RangeJoinRewrite.SkipTag, ())
+        Union(Seq(binned, Project(j.output, wideJoin)))
+      }
     }
   }
+}
+
+object RangeJoinRewrite {
+  /** Pathological-interval fallback marker (see [[RangeJoinRewrite]]
+    * guards): a join tagged with this is never rewritten again. */
+  val SkipTag: TreeNodeTag[Unit] = TreeNodeTag[Unit]("graft.rangeJoin.skip")
+
+  /** Default per-interval bin cap: at the recommended binSize (near
+    * the median interval width, so typical intervals explode into
+    * ≤ 2 bins) 4096 bins is already a 2000×-outlier interval — wide
+    * enough to keep real data on the fast path, far below Sequence's
+    * array-length ceiling. `Long.MaxValue` disables the guard (and its
+    * fallback union branch) entirely — the pure binned two-table plan,
+    * for inputs KNOWN to be bounded. */
+  val DefaultMaxBinsPerInterval: Long = 4096L
 }
 
 /** Session-installable variant, gated at OPTIMIZATION time on the
@@ -172,9 +230,14 @@ case class RangeJoinRewrite(binSize: Double) extends Rule[LogicalPlan]
   * [[GraftPlans.install]]) without touching call sites. */
 object ConfRangeJoinRewrite extends Rule[LogicalPlan] {
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val b = conf.getConfString(BinSizeKey, "0").toDouble
-    if (b > 0) RangeJoinRewrite(b)(plan) else plan
+    if (b > 0) {
+      val mb = conf.getConfString(MaxBinsKey,
+        RangeJoinRewrite.DefaultMaxBinsPerInterval.toString).toLong
+      RangeJoinRewrite(b, mb)(plan)
+    } else plan
   }
 }

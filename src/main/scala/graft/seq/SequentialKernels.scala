@@ -365,7 +365,7 @@ object SequentialKernels {
     // series (the per-row form paid a 24-column boxed row per fact row
     // plus a descending sort)
     val last = keyedFoldLast[Array[Double]](
-      centered, keyCols, ordCols, "__xc", sseCols ++ epsCols) {
+      centered, keyCols, ordCols, "__xc", sseCols ++ epsCols :+ "__xcn") {
       case (None, st) => st
       case (Some(xc), None) =>
         // first observation is conditioned on: ε_1 = 0, SSE starts at 0
@@ -386,15 +386,19 @@ object SequentialKernels {
         Some(a)
     } { st =>
       val a = st.getOrElse(new Array[Double](1 + 2 * nP))
-      pairs.indices.map(i => Some(a(2 + 2 * i))) ++
-        pairs.indices.map(i => Some(a(1 + 2 * i)))
+      // xc_n rides the STATE (a(0) = last non-null centered value), not
+      // the emitted row's own __xc — a trailing NULL value row would
+      // otherwise report xc_last = NULL while eps reflects the last
+      // non-null observation (inconsistent forecast state)
+      (pairs.indices.map(i => Some(a(2 + 2 * i))) ++
+        pairs.indices.map(i => Some(a(1 + 2 * i)))) :+ st.map(_(0))
     }
-    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc")) :+
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xcn")) :+
       explode(array(pairs.zipWithIndex.map {
         case ((ph, th), i) => struct(lit(ph).as("phi"), lit(th).as("theta"),
           col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"))
       }: _*)).as("__p"): _*)
-      .select(keys ++ Seq(col("__mu"), col("__xc"),
+      .select(keys ++ Seq(col("__mu"), col("__xcn"),
         col("__p.phi").as("phi"), col("__p.theta").as("theta"),
         col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
     val wPick = Window.partitionBy(keys: _*)
@@ -406,7 +410,7 @@ object SequentialKernels {
         graft.functions.Funcs.r(col("sse")).as("arma_sse"),
         col("__mu").as("arma_mu"),
         col("eps").as("arma_eps_last"),
-        col("__xc").as("arma_xc_last")): _*)
+        col("__xcn").as("arma_xc_last")): _*)
   }
 
   /** h-step ARMA(1,1) forecast from the CLS grid fit — the forecasting
@@ -521,11 +525,11 @@ object SequentialKernels {
     // series-end fold; flat primitive state
     // [xp1, xp2, nObs, nSse, (e_i, sse_i)*] mutated in place. The
     // series-end state carries everything the pick needs: each
-    // triple's ε_n and SSE, xc_{n−1} (slot 1 after the last update)
-    // and the SSE term count; the emitted row's own __xc is xc_n.
+    // triple's ε_n and SSE, xc_n (slot 0) and xc_{n−1} (slot 1 after
+    // the last update) and the SSE term count.
     val last = keyedFoldLast[Array[Double]](
       centered, keyCols, ordCols, "__xc",
-      sseCols ++ epsCols ++ Seq("__xp1", "__nsse")) {
+      sseCols ++ epsCols ++ Seq("__xp1", "__nsse", "__xcn")) {
       case (None, st) => st
       case (Some(xc), None) =>
         // first observation: conditioned (ε_1 = 0, no SSE term)
@@ -552,17 +556,19 @@ object SequentialKernels {
         Some(a)
     } { st =>
       val a = st.getOrElse(new Array[Double](4 + 2 * nT))
+      // xc_n rides the state (slot 0 = last non-null centered value) so
+      // a trailing NULL value row can't desync xc_last from eps/xp1
       triples.indices.map(i => Some(a(5 + 2 * i))) ++
         triples.indices.map(i => Some(a(4 + 2 * i))) ++
-        Seq(Some(a(1)), Some(a(3)))
+        Seq(Some(a(1)), Some(a(3))) :+ st.map(_(0))
     }
-    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc"),
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xcn"),
       col("__xp1"), col("__nsse")) :+
       explode(array(triples.zipWithIndex.map {
         case ((p1, p2, th), i) => struct(lit(p1).as("phi1"), lit(p2).as("phi2"),
           lit(th).as("theta"), col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"))
       }: _*)).as("__p"): _*)
-      .select(keys ++ Seq(col("__mu"), col("__xc"), col("__xp1"), col("__nsse"),
+      .select(keys ++ Seq(col("__mu"), col("__xcn"), col("__xp1"), col("__nsse"),
         col("__p.phi1").as("phi1"), col("__p.phi2").as("phi2"),
         col("__p.theta").as("theta"),
         col("__p.sse").as("sse"), col("__p.eps").as("eps")): _*)
@@ -579,7 +585,7 @@ object SequentialKernels {
         col("__nsse").as("arma2_neff"),
         col("__mu").as("arma2_mu"),
         col("eps").as("arma2_eps_last"),
-        col("__xc").as("arma2_xc_last"),
+        col("__xcn").as("arma2_xc_last"),
         col("__xp1").as("arma2_xc_prev")): _*)
   }
 
@@ -717,10 +723,10 @@ object SequentialKernels {
     val quadArr = quads.toArray
     // series-end fold; flat primitive state
     // [xp1, xp2, nObs, nSse, (e_i, ep_i, sse_i)*] mutated in place;
-    // the emitted row's own __xc is xc_n, slot 1 holds xc_{n−1}.
+    // slot 0 holds xc_n, slot 1 holds xc_{n−1}.
     val last = keyedFoldLast[Array[Double]](
       centered, keyCols, ordCols, "__xc",
-      sseCols ++ epsCols ++ epsPrevCols ++ Seq("__xp1", "__nsse")) {
+      sseCols ++ epsCols ++ epsPrevCols ++ Seq("__xp1", "__nsse", "__xcn")) {
       case (None, st) => st
       case (Some(xc), None) =>
         // first observation: conditioned (ε_1 = 0, no SSE term)
@@ -748,12 +754,14 @@ object SequentialKernels {
         Some(a)
     } { st =>
       val a = st.getOrElse(new Array[Double](4 + 3 * nQ))
+      // xc_n rides the state (slot 0 = last non-null centered value) so
+      // a trailing NULL value row can't desync xc_last from eps/xp1
       quads.indices.map(i => Some(a(6 + 3 * i))) ++
         quads.indices.map(i => Some(a(4 + 3 * i))) ++
         quads.indices.map(i => Some(a(5 + 3 * i))) ++
-        Seq(Some(a(1)), Some(a(3)))
+        Seq(Some(a(1)), Some(a(3))) :+ st.map(_(0))
     }
-    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xc"),
+    val longForm = last.select(keys ++ Seq(col("__mu"), col("__xcn"),
       col("__xp1"), col("__nsse")) :+
       explode(array(quads.zipWithIndex.map {
         case ((p1, p2, t1, t2), i) => struct(lit(p1).as("phi1"),
@@ -761,7 +769,7 @@ object SequentialKernels {
           col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"),
           col(s"__ep$i").as("epsp"))
       }: _*)).as("__p"): _*)
-      .select(keys ++ Seq(col("__mu"), col("__xc"), col("__xp1"), col("__nsse"),
+      .select(keys ++ Seq(col("__mu"), col("__xcn"), col("__xp1"), col("__nsse"),
         col("__p.phi1").as("phi1"), col("__p.phi2").as("phi2"),
         col("__p.theta1").as("theta1"), col("__p.theta2").as("theta2"),
         col("__p.sse").as("sse"), col("__p.eps").as("eps"),
@@ -781,7 +789,7 @@ object SequentialKernels {
         col("__mu").as("arma22_mu"),
         col("eps").as("arma22_eps_last"),
         col("epsp").as("arma22_eps_prev"),
-        col("__xc").as("arma22_xc_last"),
+        col("__xcn").as("arma22_xc_last"),
         col("__xp1").as("arma22_xc_prev")): _*)
   }
 

@@ -38,6 +38,33 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Normalize floating-point groups in `e` exactly the way Spark's
+    * own joins/aggregates do (`NormalizeFloatingNumbers`: -0.0 → 0.0,
+    * all NaN bit patterns → the canonical NaN, recursing into
+    * struct/array/map) — that optimizer rule only matches the built-in
+    * Join/Window/Aggregate nodes, so custom operators comparing keys
+    * with `RowOrdering`/hashing must apply it themselves or silently
+    * miss matches SQL equality would make. No-op for types that don't
+    * need it. */
+  def normalizeFloatingNumbers(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Unpersist the localCheckpoint blocks backing `df`. A
+    * `localCheckpoint(eager = true)` Dataset is a `LogicalRDD` over a
+    * persisted RDD — RDD-level storage `Dataset.unpersist` does NOT
+    * release (that only clears CacheManager entries), so a memo
+    * registry evicting checkpointed frames walks the plan and
+    * unpersists the backing RDDs directly. Non-blocking; a plan with
+    * no LogicalRDD is a no-op. */
+  def unpersistCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+
   /** Test probe: apply a session-extensions installer to a fresh
     * `SparkSessionExtensions` and report what it would inject at
     * session construction — (optimizer rules, planner strategies,

@@ -181,4 +181,39 @@ class AsOfJoinNativeSpec extends SparkSpec {
       .count(_ eq graft.plans.AsOfJoinStrategy)
     assert(n == 1)
   }
+
+  test("double equi keys: -0.0 matches 0.0 and NaN matches NaN (SQL " +
+    "equality via NormalizeFloatingNumbers on the custom node's keys)") {
+    // built-in joins normalize float keys through the
+    // NormalizeFloatingNumbers rule; that rule only matches built-in
+    // nodes, so the strategy normalizes the custom node's keys itself
+    val l = Seq((1L, -0.0, 10L), (2L, Double.NaN, 10L))
+      .toDF("event_id", "fkey", "t")
+    val r = Seq((0.0, 5L, 1.5), (Double.NaN, 5L, 2.5))
+      .toDF("fkey", "t", "v")
+    val out = AsOfJoin.asOfNative(l, r, Seq("fkey"), "t", "t", Seq("v"))
+      .select(col("event_id"), col("asof_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(1.5), "-0.0 left key must match the 0.0 right key")
+    assert(out(2L) == Some(2.5), "NaN left key must match the NaN right key")
+  }
+
+  test("reserved output names collide loudly, not silently") {
+    val badLeft = purchases.withColumn("asof_v", lit(1))
+    val eNative = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(badLeft, clicks, Seq("user_id"), "pts", "cts", Seq("v"))
+    }
+    assert(eNative.getMessage.contains("asof_v"))
+    val eUnion = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, clicks, Seq("user_id"), "pts", "cts", Seq("v"))
+    }
+    assert(eUnion.getMessage.contains("asof_v"))
+    // a payload named "t" would render to asof_t, colliding with the
+    // matched-time alias — rejected up front
+    val eDup = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(purchases, clicks.withColumnRenamed("v", "t"),
+        Seq("user_id"), "pts", "cts", Seq("t"))
+    }
+    assert(eDup.getMessage.contains("asof_t"))
+  }
 }

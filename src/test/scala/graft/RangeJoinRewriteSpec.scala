@@ -65,13 +65,44 @@ class RangeJoinRewriteSpec extends SparkSpec {
       val before = naive.queryExecution.executedPlan.toString
       assert(before.contains("CartesianProduct")
         || before.contains("BroadcastNestedLoopJoin"), before)
+      // unguarded (maxBins = MaxValue): the pure binned two-table plan,
+      // zero nested-loop nodes anywhere
+      val pure = GraftPlans.rewriteRangeJoin(naive, 10.0, Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert(!pure.contains("CartesianProduct"), pure)
+      assert(!pure.contains("BroadcastNestedLoopJoin"), pure)
+      assert(pure.contains("SortMergeJoin") || pure.contains("ShuffledHashJoin"),
+        pure)
+      // guarded default: the hot path is still the binned equi-join; the
+      // ONLY nested-loop node can be the wide-interval fallback branch
+      // (empty on healthy data — here the optimizer even proves it empty
+      // at compile time over the local relation and collapses the union,
+      // leaving the pure binned plan; on file sources AQE folds the
+      // empty-side join at runtime instead)
       val after = GraftPlans.rewriteRangeJoin(naive, 10.0)
         .queryExecution.executedPlan.toString
       assert(!after.contains("CartesianProduct"), after)
-      assert(!after.contains("BroadcastNestedLoopJoin"), after)
+      assert(after.split("BroadcastNestedLoopJoin").length <= 2, after)
       assert(after.contains("SortMergeJoin") || after.contains("ShuffledHashJoin"),
         after)
     }
+  }
+
+  test("sentinel-wide intervals stay exact and never Sequence-explode") {
+    // an SCD-style open-ended interval: at binSize 10 the sentinel
+    // spans ~2e14 bins — unguarded this throws in Sequence (or, short
+    // of that, multiplies the interval side's rows); the guard routes
+    // it to the naive branch and keeps every match
+    val ivs = intervals.union(
+      Seq((111L, Some(15.0), Some(2.0e15))).toDF("iid", "lo", "hi"))
+    val naive = points.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+    val expected = pairs(naive)
+    assert(expected.exists(_._2 == 111L)) // the sentinel interval matches rows
+    val guarded = GraftPlans.rewriteRangeJoin(naive, 10.0)
+    assert(pairs(guarded) == expected)
+    // a tiny cap forces EVERY interval onto the fallback branch — still exact
+    val allWide = GraftPlans.rewriteRangeJoin(naive, 10.0, maxBinsPerInterval = 1L)
+    assert(pairs(allWide) == expected)
   }
 
   test("timestamp bands: parity + the rewrite fires (SCD/validity-window shape)") {
@@ -162,8 +193,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
     withConf(ConfRangeJoinRewrite.BinSizeKey, "10.0") {
       withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
         val plan = naive.queryExecution.executedPlan.toString
-        assert(!plan.contains("CartesianProduct")
-          && !plan.contains("BroadcastNestedLoopJoin"), plan)
+        // the binned equi-join carries the hot path; the only naive
+        // join node left is the span-guarded wide-interval fallback
+        // branch (empty here; with broadcast disabled it plans as a
+        // cartesian over the empty filtered subset)
+        assert(plan.contains("__graft_bin"), plan)
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          plan)
+        val naiveNodes = plan.split("BroadcastNestedLoopJoin").length - 1 +
+          plan.split("CartesianProduct").length - 1
+        assert(naiveNodes <= 1, plan)
         assert(pairs(naive) == pairs(GraftPlans.rewriteRangeJoin(
           points.join(intervals, col("v") >= col("lo") && col("v") < col("hi")),
           10.0)))

@@ -133,6 +133,36 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(out.toSeq == Seq(10.0, 15.0, 7.5, 23.75))
   }
 
+  test("ARMA grid fits: a trailing NULL value row keeps xc_last consistent " +
+    "with eps (state-carried, not row-read)") {
+    // trailing NULL observation: the fold skips it (its state — eps,
+    // xp — reflects the last NON-NULL value), so xc_last must be that
+    // same last non-null centered value, not the emitted row's own
+    // (NULL) centered value. μ still counts the NULL row per the house
+    // count(*) convention: (10+14+8+12)/5 = 8.8.
+    val trail = series(("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 8.0), ("a", 4, 12.0),
+      ("a", 5, null))
+    val xcLast = 12.0 - 8.8   // last non-null value, centered
+    val xcPrev = 8.0 - 8.8
+    val t11 = SequentialKernels.fitArma11Full(trail, Seq("k"), Seq(col("t")), "v")
+      .select("arma_xc_last").as[java.lang.Double].head()
+    assert(t11 != null && math.abs(t11 - xcLast) < 1e-12)
+    val t21 = SequentialKernels.fitArma21Full(trail, Seq("k"), Seq(col("t")), "v")
+      .select("arma2_xc_last", "arma2_xc_prev")
+      .as[(java.lang.Double, java.lang.Double)].head()
+    assert(t21._1 != null && math.abs(t21._1 - xcLast) < 1e-12)
+    assert(math.abs(t21._2 - xcPrev) < 1e-12)
+    val t22 = SequentialKernels.fitArma22Full(trail, Seq("k"), Seq(col("t")), "v")
+      .select("arma22_xc_last", "arma22_xc_prev")
+      .as[(java.lang.Double, java.lang.Double)].head()
+    assert(t22._1 != null && math.abs(t22._1 - xcLast) < 1e-12)
+    assert(math.abs(t22._2 - xcPrev) < 1e-12)
+    // and the forecast built on the trailing-NULL fit is non-null
+    val fc = SequentialKernels.arma11Forecast(trail, Seq("k"), Seq(col("t")), "v", 2)
+      .select("arma_forecast").as[java.lang.Double].collect()
+    assert(fc.nonEmpty && fc.forall(_ != null))
+  }
+
   test("EWM variance follows West's online recursion, hand-computed") {
     val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 10.0))
     val out = SequentialKernels.withEwmVar(df, Seq("k"), Seq(col("t")), "v", 0.5)
