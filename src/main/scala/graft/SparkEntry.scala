@@ -33,6 +33,90 @@ object SparkEntry {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def part(s: SparkSession, d: String) = Tables.part(s, d)
 
+  /** Session-scoped memo registry for the shared fit tables below
+    * (champion family, extended-order bases/board, seasonal fits):
+    * the values are series-grain-tiny localCheckpointed DataFrames a
+    * sweep reuses across queries, so re-deriving them per query would
+    * re-pay the per-series folds (~5-17 s each at sf0.1, measured
+    * r10-r12).
+    *
+    * BOUNDED and EVICTABLE (r12 verdict ask #3 — the previous
+    * identityHashCode-keyed unbounded maps pinned checkpointed RDD
+    * blocks for the JVM's life in a long-lived multi-session service):
+    * at most [[MaxSessions]] sessions hold entries (LRU by access —
+    * evicting a session only drops the references; Spark's
+    * ContextCleaner reclaims the checkpoint blocks once the frames are
+    * unreachable), and [[SparkEntry.releaseMemos]] evicts a finished
+    * session eagerly, unpersisting every checkpointed frame it held. */
+  private object Memos {
+    private val MaxSessions = 8
+    private val reg = new java.util.LinkedHashMap[
+        SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[String, AnyRef]]): Boolean =
+        size() > MaxSessions
+    }
+
+    /** Build-once per (session, slot, sfDir). NOT computeIfAbsent:
+      * builders recurse into other slots of the same map (extShared →
+      * championShared), which computeIfAbsent forbids; the benign race
+      * (two threads building the same deterministic value) matches the
+      * old per-map behavior. */
+    def memo[T <: AnyRef](s: SparkSession, slot: String, d: String)(build: => T): T = {
+      val m = reg.synchronized {
+        var v = reg.get(s)
+        if (v == null) { v = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]; reg.put(s, v) }
+        v
+      }
+      val k = slot + "|" + d
+      val hit = m.get(k)
+      if (hit != null) hit.asInstanceOf[T]
+      else {
+        val built = build
+        val prev = m.putIfAbsent(k, built)
+        if (prev != null) prev.asInstanceOf[T] else built
+      }
+    }
+
+    /** Evict `s` and unpersist every checkpointed frame it memoized
+      * (values are DataFrames or tuples of them). Safe after the
+      * session is done with the frames; ignores already-stopped
+      * contexts. */
+    def release(s: SparkSession): Unit = {
+      val m = reg.synchronized(reg.remove(s))
+      if (m != null) {
+        import scala.jdk.CollectionConverters._
+        def frames(v: Any): Seq[DataFrame] = v match {
+          case df: DataFrame => Seq(df)
+          case it: Iterable[_] => it.flatMap(frames).toSeq
+          case p: Product => p.productIterator.flatMap(frames).toSeq
+          case _ => Seq.empty
+        }
+        m.values.asScala.flatMap(frames).foreach { df =>
+          // localCheckpoint blocks are RDD-level storage — released via
+          // the plan's LogicalRDDs (Dataset.unpersist only clears
+          // CacheManager entries); see GraftSqlBridge.unpersistCheckpoints
+          try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(df)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+
+    def sessionCount: Int = reg.synchronized(reg.size)
+  }
+
+  /** Evict every memoized shared fit table of `s` (champion family,
+    * extended-order bases, seasonal fits) and unpersist their
+    * checkpoint blocks — call when a session is done with the library
+    * in a long-lived multi-session service. Idempotent. */
+  def releaseMemos(s: SparkSession): Unit = Memos.release(s)
+
+  /** Test/monitoring probe: how many sessions currently hold memo
+    * entries (bounded by the registry's LRU cap). */
+  def memoSessionCount: Int = Memos.sessionCount
+
   /** q259/q267/q286 share the eight-member champion family via
     * [[graft.seq.Champion.pickBlendScore]]: the member scoreboard and
     * forecast union are series-grain tiny and localCheckpointed once
@@ -41,37 +125,39 @@ object SparkEntry {
     * family twice at ~5s each). Values are identical to the one-plan
     * championForecast/blendForecast paths — pickAndBlend materializes
     * the exact same member tables the tails consume. */
-  private val championMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
   private def championShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
-    championMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+    Memos.memo(s, "champion", d) {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity"))
       graft.seq.Champion.pickBlendScoreFcs(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", h = 4, m = 13)
-    })
+    }
 
-  /** q299/q300 share the extended-order member tables the way the
-    * champion trio shares the family's: the thirteen-member board and
+  /** q299/q300/q309 share the extended-order member tables the way the
+    * champion trio shares the family's: the fourteen-member board and
     * the full forecast union are series-grain tiny, localCheckpointed
     * once per (session, sfDir), riding the championShared family
-    * tables — so a sweep running both pays the five extended fits
+    * tables — so a sweep running them pays the six extended fits
     * ONCE and q300 is a pure winner join. */
-  private val extMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame)]()
-  private def extShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    extMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+  private def extShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val t = Memos.memo(s, "ext", d) {
       val (weekly, d2base, a21base, a22base, lastLevel) = extFitShared(s, d)
       val shared = championShared(s, d)
+      // the seasonal fit bases checkpointed inside the member build ride
+      // the memo value so releaseMemos frees their blocks too
+      val bases = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val (extScores, extFcs) = graft.seq.OrderSearch.extMemberTablesFrom(
         d2base, a21base, a22base, lastLevel, weekly,
-        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4, m = 13)
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4, m = 13,
+        onCheckpoint = bases += _)
       val board = graft.seq.OrderSearch.boardFrom(
         shared._3.drop("rank"), extScores, Seq("l_suppkey")).localCheckpoint(true)
       val fcs = shared._4.select(col("l_suppkey"), col("model"), col("step"),
         col("forecast")).unionByName(extFcs).localCheckpoint(true)
-      (board, fcs)
-    })
+      (board, fcs, bases.toList)
+    }
+    (t._1, t._2)
+  }
 
   /** The extended members' expensive state — the weekly frame plus the
     * three grid-fit bases and the last-level frame ([[graft.seq
@@ -82,28 +168,34 @@ object SparkEntry {
     * folds exactly once. Values are identical to the standalone
     * per-query plans (the folds are deterministic over the same
     * checkpointed weekly frame). */
-  private val extFitMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
   private def extFitShared(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
-    extFitMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+    Memos.memo(s, "extFit", d) {
       val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
         Seq(col("l_suppkey")), col("l_quantity")).localCheckpoint(true)
       val (d2base, a21base, a22base, lastLevel) = graft.seq.OrderSearch.extFitBases(
         weekly, Seq("l_suppkey"), Seq(col("week_start")), "qty_sum")
       (weekly, d2base, a21base, a22base, lastLevel)
-    })
+    }
 
   /** q308's seasonal-MA fit table, fit once per (session, sfDir) over
     * the shared weekly frame (the extFitShared discipline) so the
     * bench's repeated passes pay the fold exactly once. */
-  private val smaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
   private def smaShared(s: SparkSession, d: String): DataFrame =
-    smaMemo.computeIfAbsent((System.identityHashCode(s), d), { _ =>
+    Memos.memo(s, "sma", d) {
       val (weekly, _, _, _, _) = extFitShared(s, d)
       graft.seq.OrderSearch.sarima011Full(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum", m = 13).localCheckpoint(true)
-    })
+    }
+
+  /** q310's joint seasonal ARMA(1,1)-on-seasonal-diffs fit table
+    * ([[graft.seq.OrderSearch.sarma11Full]]), fit once per
+    * (session, sfDir) — same discipline as [[smaShared]]. */
+  private def sarmaShared(s: SparkSession, d: String): DataFrame =
+    Memos.memo(s, "sarma", d) {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.OrderSearch.sarma11Full(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", m = 13).localCheckpoint(true)
+    }
 
   /** The standard per-series window: series = (part, supplier), ordered
     * by ship date with a unique tiebreaker. */
@@ -1122,19 +1214,19 @@ object SparkEntry {
           col("d2_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))
     }),
-    // the THIRTEEN-member order-search scoreboard: the family eight
+    // the FOURTEEN-member order-search scoreboard: the family eight
     // (shared member tables via championShared — no re-fit) plus
-    // arima021, arima211, arima212 and the seasonal sari + sma,
+    // arima021, arima211, arima212 and the seasonal sari + sma + sarma,
     // re-ranked by (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => extShared(s, d)._1),
-    // the extended champion: argmin over the thirteen-member scoreboard,
+    // the extended champion: argmin over the fourteen-member scoreboard,
     // winner's forecast joined from the shared family forecast union
-    // plus the five extended forecasters (one fit each — extShared)
+    // plus the six extended forecasters (one fit each — extShared)
     "q300_champion_ext" -> ((s, d) => {
       val (board, fcs) = extShared(s, d)
       graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
     }),
-    // Akaike-weight blend over the THIRTEEN-member extended board —
+    // Akaike-weight blend over the FOURTEEN-member extended board —
     // q267's blend arithmetic over the wider search (pure tail over
     // the extShared memoized board + forecast union)
     "q309_blend_ext" -> ((s, d) => {
@@ -1153,6 +1245,22 @@ object SparkEntry {
         .select(col("l_suppkey"), col("sma_theta").as("theta"),
           col("sma_sse").as("sse"), col("step"),
           col("sma_forecast").as("forecast"))
+    }),
+    // SARIMA(1,0,1)(0,1,0)_m: the JOINT seasonal member — ARMA(1,1)
+    // CLS on the lag-m seasonal differences (seasonal P and Q fit
+    // together, the reference's configured seasonal_order=(1,1,1,m)
+    // shape, arima_temporal.py:224), seasonally integrated against the
+    // observed last season
+    "q310_sarma11" -> ((s, d) => {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.OrderSearch.sarma11ForecastFrom(sarmaShared(s, d),
+        graft.seq.OrderSearch.seasonalBase(weekly, Seq("l_suppkey"),
+          Seq(col("week_start")), "qty_sum", h = 4, m = 13),
+        Seq("l_suppkey"), h = 4)
+        .select(col("l_suppkey"), col("sarma_phi").as("phi"),
+          col("sarma_theta").as("theta"),
+          col("sarma_sse").as("sse"), col("step"),
+          col("sarma_forecast").as("forecast"))
     }),
     // ARIMA(2,1,2): the ARMA(2,2) CLS grid fit on first differences,
     // integrated h-step forecast — the reference's statsmodels-fallback
@@ -3462,12 +3570,13 @@ object SparkEntry {
          FROM scb s JOIN rk r2 ON s.l_suppkey = r2.l_suppkey
            AND s.model = r2.model"""
 
-  /** Shared extended-order CTEs (q297/q298/q299/q300/q307/q308):
+  /** Shared extended-order CTEs (q297/q298/q299/q300/q307/q308/q310):
     * ARMA(2,1) and ARMA(2,2) on the first differences, MA(1) on the
-    * second differences and MA(1) on the seasonal differences,
+    * second differences, and MA(1) plus joint ARMA(1,1) on the
+    * seasonal differences,
     * mirroring SequentialKernels.fitArma21Full / fitArma22Full /
-    * OrderSearch.arima021Full / OrderSearch.sarima011Full term for
-    * term. Rides on championMembersSql's w/dd/yl/steps/mag CTEs;
+    * OrderSearch.arima021Full / OrderSearch.sarima011Full /
+    * OrderSearch.sarma11Full term for term. Rides on championMembersSql's w/dd/yl/steps/mag CTEs;
     * DuckDB's optimizer prunes the member CTEs a consumer doesn't
     * reference. */
   private lazy val extOrderBlocksSql: String =
@@ -3709,6 +3818,46 @@ object SparkEntry {
                    (round((b.base + f.f)*1e4)/1e4 + 0.0e0) AS forecast
                  FROM smaf f JOIN sarbv b ON f.l_suppkey = b.l_suppkey
                    AND f.step = b.step),
+           smg AS (SELECT p.phi, th.theta
+                 FROM (SELECT unnest([-0.5e0,0.0e0,0.5e0,0.9e0]) AS phi) p
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS theta) th),
+           smge AS (SELECT mt.l_suppkey, g.phi, g.theta, mt.rn,
+                   mt.xc AS xcprev, 0.0e0 AS e, 0.0e0 AS sse
+                 FROM smat mt CROSS JOIN smg g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.phi, e.theta, mt.rn, mt.xc,
+                   mt.xc - e.phi*e.xcprev - e.theta*e.e,
+                   e.sse + (mt.xc - e.phi*e.xcprev - e.theta*e.e)
+                         * (mt.xc - e.phi*e.xcprev - e.theta*e.e)
+                 FROM smat mt JOIN smge e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           smgfin AS (SELECT l_suppkey, phi, theta, sse, e AS eps, xcprev AS xcl
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, phi,
+                         theta ORDER BY rn DESC) rd FROM smge)
+                 WHERE rd = 1),
+           smgpick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, phi, theta) rn2 FROM smgfin),
+           sarma_sc AS (SELECT p.l_suppkey, 'sarma' AS model, 13 AS mrank, 3.0e0 AS k,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(m.ns - 1 AS DOUBLE) AS neff
+                 FROM smgpick p JOIN smamu m USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND m.ns >= 3),
+           sarmaf AS (SELECT p.l_suppkey, p.phi, p.theta,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS msse, 1 AS step,
+                   (round((m.mu + p.phi*p.xcl + p.theta*p.eps)*1e4)/1e4 + 0.0e0) AS f,
+                   m.mu
+                 FROM smgpick p JOIN smamu m USING (l_suppkey) WHERE p.rn2 = 1
+                 UNION ALL
+                 SELECT l_suppkey, phi, theta, msse, step + 1,
+                   (round((mu + phi*(f - mu))*1e4)/1e4 + 0.0e0), mu
+                 FROM sarmaf WHERE step < 4),
+           sarmaint AS (SELECT f.l_suppkey, f.phi, f.theta, f.msse,
+                   CAST(f.step AS BIGINT) AS step,
+                   (round((b.base + f.f)*1e4)/1e4 + 0.0e0) AS forecast
+                 FROM sarmaf f JOIN sarbv b ON f.l_suppkey = b.l_suppkey
+                   AND f.step = b.step),
+           sarma_fc AS (SELECT l_suppkey, 'sarma' AS model, step, forecast
+                 FROM sarmaint),
            d2_fc AS (SELECT l_suppkey, 'arima021' AS model,
                    CAST(step AS BIGINT) AS step, forecast FROM d2y),
            a2_fc AS (SELECT l_suppkey, 'arima211' AS model,
@@ -3755,20 +3904,32 @@ object SparkEntry {
          SELECT l_suppkey, theta, msse AS sse, step, forecast
          FROM smaint"""
 
+  /** q310 oracle: the ARMA(1,1)-on-seasonal-diffs recursion (the joint
+    * seasonal member), winner pair by (sse, φ, θ), seasonally
+    * integrated against the observed last season — mirrors
+    * OrderSearch.sarma11Forecast. */
+  private lazy val sarma11Sql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql
+         SELECT l_suppkey, phi, theta, msse AS sse, step, forecast
+         FROM sarmaint"""
+
   /** q309 oracle: the q267 Akaike-blend arithmetic over the
-    * thirteen-member scoreboard and forecast unions. */
+    * fourteen-member scoreboard and forecast unions. */
   private lazy val blendExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
                  UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
-                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc
+                 UNION ALL SELECT * FROM sarma_sc),
            aicsx AS (SELECT l_suppkey, model, mrank,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
            fcsx AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
                  UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM a22_fc
-                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc),
+                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc
+                 UNION ALL SELECT * FROM sarma_fc),
            aminx AS (SELECT l_suppkey, min(aic) AS am FROM aicsx GROUP BY 1),
            wtsx AS (SELECT a.l_suppkey, a.model,
                    (round(exp((m.am - a.aic)/2e0)*1e4)/1e4 + 0.0e0) AS w
@@ -3785,15 +3946,16 @@ object SparkEntry {
                 (round((num/den)*1e4)/1e4 + 0.0e0) AS blend_forecast, n_members
          FROM blx"""
 
-  /** q299 oracle: the thirteen-member scoreboard — the family's scb
-    * rows unioned with the five extended members, AIC recomputed by
+  /** q299 oracle: the fourteen-member scoreboard — the family's scb
+    * rows unioned with the six extended members, AIC recomputed by
     * the identical closed form, re-ranked by (aic, member order). */
   private lazy val orderSearchExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
                  UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
-                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc
+                 UNION ALL SELECT * FROM sarma_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3802,15 +3964,16 @@ object SparkEntry {
          SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
          FROM rkx"""
 
-  /** q300 oracle: the thirteen-member argmin, winner's forecast
-    * joined from the family fcs union plus the five extended
+  /** q300 oracle: the fourteen-member argmin, winner's forecast
+    * joined from the family fcs union plus the six extended
     * forecasters — mirrors OrderSearch.championForecastExt. */
   private lazy val championExtSql: String =
     s"""$championMembersSql,
            $extOrderBlocksSql,
            scbx AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
                  UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
-                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc),
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc
+                 UNION ALL SELECT * FROM sarma_sc),
            aicsx AS (SELECT l_suppkey, model, mrank, k, sse, neff,
                    (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
                  FROM scbx WHERE sse IS NOT NULL AND neff >= 1),
@@ -3820,7 +3983,8 @@ object SparkEntry {
                  WHERE rk2 = 1),
            fcsx AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
                  UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM a22_fc
-                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc)
+                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc
+                 UNION ALL SELECT * FROM sarma_fc)
          SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
          FROM champx c JOIN fcsx f ON c.l_suppkey = f.l_suppkey
            AND c.model = f.model"""
@@ -3957,6 +4121,7 @@ object SparkEntry {
     "q300_champion_ext" -> championExtSql,
     "q307_arima212" -> arima212Sql,
     "q308_sarima011" -> sarima011Sql,
+    "q310_sarma11" -> sarma11Sql,
     "q309_blend_ext" -> blendExtSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,

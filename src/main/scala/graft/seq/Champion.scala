@@ -76,7 +76,7 @@ object Champion {
   private def memberTables(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                            valueCol: String, h: Int, m: Int,
                            alpha: Double, beta: Double,
-                           damp: Double): (DataFrame, DataFrame) = {
+                           damp: Double): (DataFrame, DataFrame, DataFrame) = {
     require(h >= 1 && h <= m, "horizon must lie in [1, m]")
     val keys = keyCols.map(col)
     val x = col(valueCol).cast("double")
@@ -206,7 +206,11 @@ object Champion {
         lit(2.0) * col("__k")))
     val fcs = Seq(meanFc, snFc, arFc, ariFc, maFc, armaFc, thFc, holtFc)
       .reduce(_ unionByName _)
-    (aic, fcs)
+    // src rides along so a caller that re-materializes aic/fcs can
+    // unpersist the source checkpoint — Spark pins persisted RDDs in
+    // SparkContext.persistentRdds (strong refs), so an intermediate
+    // localCheckpoint left behind leaks for the JVM's life
+    (aic, fcs, src)
   }
 
   /** One row per (series, step) with the champion member's id, its
@@ -218,7 +222,7 @@ object Champion {
                        valueCol: String, h: Int = 4, m: Int = 13,
                        alpha: Double = 0.3, beta: Double = 0.1,
                        damp: Double = 0.9): DataFrame = {
-    val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+    val (aic, fcs, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     pickFrom(aic, fcs, keyCols)
   }
@@ -249,7 +253,7 @@ object Champion {
                  valueCol: String, h: Int = 4, m: Int = 13,
                  alpha: Double = 0.3, beta: Double = 0.1,
                  damp: Double = 0.9): DataFrame = {
-    val (aic, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+    val (aic, _, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     scoreboardFrom(aic, keyCols)
   }
@@ -292,10 +296,14 @@ object Champion {
                         valueCol: String, h: Int = 4, m: Int = 13,
                         alpha: Double = 0.3, beta: Double = 0.1,
                         damp: Double = 0.9): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (aic0, fcs0) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+    val (aic0, fcs0, src) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     val aic = aic0.localCheckpoint(true)
     val fcs = fcs0.localCheckpoint(true)
+    // aic/fcs are materialized now and every returned frame derives
+    // from THEM — the source checkpoint's blocks are dead weight, and
+    // persistentRdds would otherwise pin them for the JVM's life
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(src)
     (pickFrom(aic, fcs, keyCols), blendFrom(aic, fcs, keyCols),
       scoreboardFrom(aic, keyCols), fcs)
   }
@@ -328,7 +336,7 @@ object Champion {
                     valueCol: String, h: Int = 4, m: Int = 13,
                     alpha: Double = 0.3, beta: Double = 0.1,
                     damp: Double = 0.9): DataFrame = {
-    val (aic, fcs) = memberTables(df, keyCols, ordCols, valueCol, h, m,
+    val (aic, fcs, _) = memberTables(df, keyCols, ordCols, valueCol, h, m,
       alpha, beta, damp)
     blendFrom(aic, fcs, keyCols)
   }

@@ -34,25 +34,34 @@ import graft.functions.Funcs.r
   *                       sma      SARIMA(0,0,1)(0,1,0)_m — MA(1) on
   *                                the lag-m seasonal differences
   *                                (the seasonal-Q leg, max_Q)
+  *                       sarma    SARIMA(1,0,1)(0,1,0)_m — ARMA(1,1)
+  *                                on the lag-m seasonal differences
+  *                                (the JOINT seasonal P=1,Q=1 member,
+  *                                the reference's configured
+  *                                seasonal_order=(1,1,1,period) shape,
+  *                                arima_temporal.py:224)
   *
   * Scoring and ranking follow the Champion conventions exactly:
   * AIC = n_eff·ln(max(SSE, 1e-8)/n_eff) + 2k rounded to the 4dp grid,
   * k the literal parameter count ((0,2,1): θ + μ = 2; (2,1,1):
   * φ₁ + φ₂ + θ + μ = 4; (2,1,2): φ₁ + φ₂ + θ₁ + θ₂ + μ = 5; sari: the
-  * AR(2) intercept + 2 coefs = 3; sma: θ + μ = 2), ties break to the fixed member
+  * AR(2) intercept + 2 coefs = 3; sma: θ + μ = 2; sarma:
+  * φ + θ + μ = 3), ties break to the fixed member
   * order with the new members ranked after the family eight. A member
   * enters a series' scoreboard only when identified: (0,2,1) needs ≥ 2
   * second-difference residuals (n ≥ 4), (2,1,1) and (2,1,2) need ≥ 2
   * conditioned diff residuals (n ≥ 5), sari needs ≥ 3 seasonal-diff
   * regression rows (n ≥ m + 5), sma needs ≥ 2 seasonal-diff rows
-  * (n ≥ m + 2).
+  * (n ≥ m + 2), sarma needs ≥ 3 seasonal-diff rows — ≥ 2 conditioned
+  * residuals — (n ≥ m + 3).
   *
   * Execution shape: the grid-fold members reuse the family's single-
   * exchange kernels ([[SequentialKernels.fitMa1Full]] on Δ²x and on
-  * the lag-m seasonal differences, [[SequentialKernels.fitArma21Full]]
-  * and [[SequentialKernels.fitArma22Full]] on Δx); the union
-  * scoreboard is series-grain tiny. Scales in the series count like
-  * Champion.
+  * the lag-m seasonal differences, [[SequentialKernels.fitArma11Full]]
+  * on the lag-m seasonal differences, [[SequentialKernels
+  * .fitArma21Full]] and [[SequentialKernels.fitArma22Full]] on Δx);
+  * the union scoreboard is series-grain tiny. Scales in the series
+  * count like Champion.
   */
 object OrderSearch {
 
@@ -142,6 +151,79 @@ object OrderSearch {
         col("ma1_eps_last").as("sma_eps_last")): _*)
   }
 
+  /** SARIMA(1,0,1)(0,1,0)_m fit — the JOINT seasonal member: the
+    * ARMA(1,1) CLS (φ, θ) grid fold run on the lag-m seasonal
+    * differences, so the seasonal-AR and seasonal-MA legs are fit
+    * TOGETHER the way the reference configures pmdarima's seasonal
+    * search (`seasonal_order=(1,1,1,period)`,
+    * src/models/arima_temporal.py:224 — P and Q jointly, on the
+    * seasonally differenced scale; the sari and sma members cover each
+    * leg alone). One row per series with > m observations: sarma_phi,
+    * sarma_theta, sarma_sse, sarma_nsd (the seasonal-diff row count;
+    * the CLS conditions on the first diff, so n_eff = nsd − 1),
+    * sarma_mu (exact micro-int mean of the diffs), sarma_eps_last and
+    * sarma_xc_last (the forecast state). */
+  def sarma11Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                  valueCol: String, m: Int,
+                  phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                  thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ordCols: _*)
+    val sd = df.withColumn("__sd", col(valueCol).cast("double")
+      - lag(col(valueCol).cast("double"), m).over(w))
+      .filter(col("__sd").isNotNull)
+    val fit = SequentialKernels.fitArma11Full(sd, keyCols, ordCols, "__sd",
+      phiGrid, thetaGrid)
+    val nsd = sd.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("sarma_nsd"))
+    fit.join(nsd, keyCols)
+      .select(keys ++ Seq(col("arma_phi").as("sarma_phi"),
+        col("arma_theta").as("sarma_theta"),
+        col("arma_sse").as("sarma_sse"), col("sarma_nsd"),
+        col("arma_mu").as("sarma_mu"),
+        col("arma_eps_last").as("sarma_eps_last"),
+        col("arma_xc_last").as("sarma_xc_last")): _*)
+  }
+
+  /** h-step SARIMA(1,0,1)(0,1,0)_m forecast over an ALREADY-BUILT
+    * [[sarma11Full]] table: the ARMA(1,1) recursion on the
+    * seasonal-diff scale —
+    *
+    *   f_1 = r( μ + φ·(z_n − μ̄) + θ·ε_n )   (z_n − μ̄ = the stored xc)
+    *   f_s = r( μ + φ·(f_{s−1} − μ) )        s ≥ 2
+    *
+    * each step rounded before feeding forward, then seasonally
+    * integrated against the observed last season:
+    * ŷ_{n+s} = r(y_{n+s−m} + f_s) ([[seasonalBase]]). */
+  def sarma11ForecastFrom(base: DataFrame, seasonBase: DataFrame,
+                          keyCols: Seq[String], h: Int): DataFrame = {
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val steps = (1 to h).foldLeft(Vector.empty[Column]) { (acc, s) =>
+      val f =
+        if (s == 1) r(col("sarma_mu") + col("sarma_phi") * col("sarma_xc_last") +
+          col("sarma_theta") * col("sarma_eps_last"))
+        else r(col("sarma_mu") + col("sarma_phi") * (acc(s - 2) - col("sarma_mu")))
+      acc :+ f
+    }
+    base.select(keys ++ Seq(col("sarma_phi"), col("sarma_theta"),
+      col("sarma_sse")) :+
+      posexplode(array(steps: _*)).as(Seq("__p", "__f")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .join(seasonBase, keyCols :+ "step")
+      .withColumn("sarma_forecast", r(col("__base") + col("__f")))
+      .select(keys ++ Seq(col("sarma_phi"), col("sarma_theta"),
+        col("sarma_sse"), col("step"), col("sarma_forecast")): _*)
+  }
+
+  /** [[sarma11Full]] + [[sarma11ForecastFrom]] in one call. */
+  def sarma11Forecast(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                      valueCol: String, h: Int, m: Int,
+                      phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
+                      thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame =
+    sarma11ForecastFrom(
+      sarma11Full(df, keyCols, ordCols, valueCol, m, phiGrid, thetaGrid),
+      seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
+
   /** The last-season base frame the seasonal integration adds forecasts
     * onto: (keys..., step, `__base` = y_{n−m+step}) for step 1..h —
     * the snaive/sari base convention; needs h ≤ m so every step's base
@@ -187,14 +269,14 @@ object OrderSearch {
       sarima011Full(df, keyCols, ordCols, valueCol, m, grid),
       seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
 
-  /** Fixed tiebreak order across the thirteen searched members. */
+  /** Fixed tiebreak order across the fourteen searched members. */
   private val MemberRank: Map[String, Int] = Map(
     "mean_naive" -> 0, "snaive" -> 1, "ar2" -> 2, "ari" -> 3, "ma1" -> 4,
     "arma11" -> 5, "theta" -> 6, "holt_damped" -> 7,
     "arima021" -> 8, "arima211" -> 9, "sari" -> 10, "arima212" -> 11,
-    "sma" -> 12)
+    "sma" -> 12, "sarma" -> 13)
 
-  /** The thirteen-member order-search scoreboard: the Champion family's
+  /** The fourteen-member order-search scoreboard: the Champion family's
     * eight rows per series ([[Champion.scoreboard]] columns model, k,
     * sse, n_eff, aic) unioned with the (0,2,1), (2,1,1), (2,1,2) and
     * seasonal sari/sma members and re-ranked by (aic, member order). Same
@@ -209,7 +291,7 @@ object OrderSearch {
       Champion.scoreboard(df, keyCols, ordCols, valueCol, h, m, alpha, beta, damp),
       df, keyCols, ordCols, valueCol, m)
 
-  /** The five extended members' score AND forecast tables from ONE
+  /** The six extended members' score AND forecast tables from ONE
     * fit execution each — the [[Champion]] memberTables discipline:
     * the (0,2,1), (2,1,1) and (2,1,2) grid-fit bases are
     * localCheckpointed (series-grain tiny) so the score row and the
@@ -261,12 +343,16 @@ object OrderSearch {
   /** [[extMemberTables]] over ALREADY-BUILT [[extFitBases]] frames —
     * the score rows and forecast recursions read the materialized
     * fits; only the sari member (cheap closed-form aggregates, no
-    * fold) computes from `df` here. */
+    * fold) computes from `df` here. `onCheckpoint` observes every
+    * checkpoint this call creates (the seasonal sma/sarma fit bases)
+    * so a memoizing caller can unpersist them on eviction — Spark's
+    * persistentRdds pins them for the JVM's life otherwise. */
   def extMemberTablesFrom(d2base: DataFrame, a21base: DataFrame,
                           a22base: DataFrame,
                           lastLevel: DataFrame, df: DataFrame,
                           keyCols: Seq[String], ordCols: Seq[Column],
-                          valueCol: String, h: Int = 4, m: Int = 13): (DataFrame, DataFrame) = {
+                          valueCol: String, h: Int = 4, m: Int = 13,
+                          onCheckpoint: DataFrame => Unit = _ => ()): (DataFrame, DataFrame) = {
     val keys = keyCols.map(col)
     def aicOf(sse: Column, neff: Column, k: Double): Column =
       r(neff * log(greatest(sse, lit(1e-8)) / neff) + lit(2.0 * k))
@@ -323,18 +409,36 @@ object OrderSearch {
     // one fold, materialized once for the score row AND the forecast
     val smaBase = sarima011Full(df, keyCols, ordCols, valueCol, m)
       .localCheckpoint(true)
+    onCheckpoint(smaBase)
     val smaScore = smaBase.filter(col("sma_neff") >= 2)
       .select(keys ++ Seq(lit("sma").as("model"), lit(2.0).as("k"),
         col("sma_sse").as("sse"), col("sma_neff").as("n_eff"),
         aicOf(col("sma_sse"), col("sma_neff"), 2.0).as("aic")): _*)
-    val smaFc = sarima011ForecastFrom(smaBase,
-      seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
+    val seasonBase = seasonalBase(df, keyCols, ordCols, valueCol, h, m)
+    val smaFc = sarima011ForecastFrom(smaBase, seasonBase, keyCols, h)
       .select(keys ++ Seq(lit("sma").as("model"), col("step"),
         col("sma_forecast").as("forecast")): _*)
+    // ---- sarma — SARIMA(1,0,1)(0,1,0)_m: the JOINT seasonal member,
+    // ARMA(1,1) on the lag-m seasonal differences (P and Q legs fit
+    // together, the reference's seasonal_order=(1,1,1,m) shape;
+    // k = φ + θ + μ = 3; the CLS conditions on the first diff row, so
+    // n_eff = nsd − 1 and identification needs nsd ≥ 3, the family
+    // arma11 gate on the seasonal scale); one fold, materialized once
+    val sarmaBase = sarma11Full(df, keyCols, ordCols, valueCol, m)
+      .localCheckpoint(true)
+    onCheckpoint(sarmaBase)
+    val sarmaScore = sarmaBase.filter(col("sarma_nsd") >= 3)
+      .select(keys ++ Seq(lit("sarma").as("model"), lit(3.0).as("k"),
+        col("sarma_sse").as("sse"),
+        (col("sarma_nsd") - 1).as("n_eff"),
+        aicOf(col("sarma_sse"), col("sarma_nsd") - 1, 3.0).as("aic")): _*)
+    val sarmaFc = sarma11ForecastFrom(sarmaBase, seasonBase, keyCols, h)
+      .select(keys ++ Seq(lit("sarma").as("model"), col("step"),
+        col("sarma_forecast").as("forecast")): _*)
     (d2Score.unionByName(a21Score).unionByName(a22Score).unionByName(sariScore)
-      .unionByName(smaScore),
+      .unionByName(smaScore).unionByName(sarmaScore),
       d2Fc.unionByName(a21Fc).unionByName(a22Fc).unionByName(sariFc)
-        .unionByName(smaFc))
+        .unionByName(smaFc).unionByName(sarmaFc))
   }
 
   /** Union + re-rank tail: the family scoreboard rows (rank ignored)
@@ -372,7 +476,7 @@ object OrderSearch {
 
   /** [[extendedScoreboard]] over an ALREADY-BUILT family scoreboard
     * (the [[Champion.scoreboard]] output, rank column ignored) — so a
-    * caller holding a memoized family table pays only the five new
+    * caller holding a memoized family table pays only the six new
     * member fits. `m` is the seasonal period the sari member
     * differences at (must match the family board's m). */
   def extendedScoreboardFrom(familyBoard: DataFrame, df: DataFrame,
@@ -381,7 +485,7 @@ object OrderSearch {
     boardFrom(familyBoard,
       extMemberTables(df, keyCols, ordCols, valueCol, m = m)._1, keyCols)
 
-  /** The extended champion: argmin over the THIRTEEN-member scoreboard,
+  /** The extended champion: argmin over the FOURTEEN-member scoreboard,
     * the winner's h-step forecast joined back — [[Champion
     * .championForecast]] widened to the searched orders. Consumes an
     * already-materialized family scoreboard and forecast union (the
@@ -401,7 +505,7 @@ object OrderSearch {
     pickFrom(boardFrom(familyBoard, extScores, keyCols), fcs, keyCols)
   }
 
-  /** Akaike-weight blend over the THIRTEEN-member board —
+  /** Akaike-weight blend over the FOURTEEN-member board —
     * [[Champion.blendForecast]] widened to the searched orders: per
     * series w ∝ exp(−Δaic/2) over every identified member, blend =
     * Σ(w·f)/Σw as exact micro-int sums (the q267 arithmetic,

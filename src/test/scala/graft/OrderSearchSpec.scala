@@ -127,7 +127,53 @@ class OrderSearchSpec extends SparkSpec {
     assert(theta == -0.8)
   }
 
-  test("extended scoreboard: thirteen members for long series, gates for short") {
+  test("SARIMA(1,0,1)(0,1,0)_m: seasonal-naive series forecasts exactly") {
+    // period-3 pattern repeated: seasonal diffs all 0 -> mu = 0, xc = 0,
+    // every (phi, theta) ties at SSE 0 -> smallest pair (-0.5, -0.4);
+    // all step forecasts f = 0, so the forecast IS the last season
+    val pat = Seq(7.0, 11.0, 4.0)
+    val df = series((1 to 9).map(t =>
+      ("a", t, java.lang.Double.valueOf(pat((t - 1) % 3)))): _*)
+    val out = OrderSearch.sarma11Forecast(df, Seq("k"), Seq(col("t")), "v",
+      h = 3, m = 3)
+      .orderBy("step").select("step", "sarma_forecast")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 7.0), (2L, 11.0), (3L, 4.0)))
+    val fit = OrderSearch.sarma11Full(df, Seq("k"), Seq(col("t")), "v", m = 3)
+      .select("sarma_phi", "sarma_theta", "sarma_nsd")
+      .as[(Double, Double, Double)].head()
+    assert(fit == ((-0.5, -0.4, 6.0)))
+  }
+
+  test("SARIMA(1,0,1)(0,1,0)_m: hand-computed joint recursion on seasonal diffs") {
+    // m = 2; values 1,2,4,9,9,17 -> seasonal diffs z = [3,7,5,8]
+    // mu = 5.75; xc = [-2.75, 1.25, -0.75, 2.25]; for (phi, theta):
+    // e1 = 0 (conditioned), e2 = 1.25 - phi*(-2.75) - theta*0,
+    // e3 = -0.75 - phi*1.25 - theta*e2, e4 = 2.25 - phi*(-0.75) - theta*e3,
+    // SSE = e2^2 + e3^2 + e4^2 -- replayed per grid pair below
+    val df = series(Seq(1.0, 2.0, 4.0, 9.0, 9.0, 17.0).zipWithIndex.map {
+      case (v, i) => ("a", i + 1, java.lang.Double.valueOf(v)) }: _*)
+    val xs = Seq(3.0, 7.0, 5.0, 8.0)
+    val mu = xs.sum / 4
+    val xc = xs.map(_ - mu)
+    val grid = for (p <- Seq(-0.5, 0.0, 0.5, 0.9); t <- Seq(-0.4, 0.0, 0.4)) yield (p, t)
+    val sses = grid.map { case (ph, th) =>
+      var e = 0.0; var sse = 0.0; var xp = xc.head
+      xc.tail.foreach { x =>
+        val ne = x - ph * xp - th * e
+        sse += ne * ne; e = ne; xp = x
+      }
+      (ph, th) -> sse
+    }
+    val ((expPh, expTh), expSse) = sses.minBy { case ((p, t), ss) => (ss, p, t) }
+    val fit = OrderSearch.sarma11Full(df, Seq("k"), Seq(col("t")), "v", m = 2)
+      .select("sarma_phi", "sarma_theta", "sarma_sse")
+      .as[(Double, Double, Double)].head()
+    assert((fit._1, fit._2) == ((expPh, expTh)), sses.toString)
+    assert(math.abs(fit._3 - expSse) < 1e-4)
+  }
+
+  test("extended scoreboard: fourteen members for long series, gates for short") {
     // NB series key must not be named "k" — the scoreboard schema's
     // parameter-count column k would shadow it (Champion convention)
     val long = (1 to 20).map(t =>
@@ -140,17 +186,17 @@ class OrderSearchSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byKey("L").contains("arima021") && byKey("L").contains("arima211"))
     assert(byKey("L").contains("arima212") && byKey("L").contains("sari"))
-    assert(byKey("L").contains("sma"))
+    assert(byKey("L").contains("sma") && byKey("L").contains("sarma"))
     // n = 3: one second-diff residual (< 2), no conditioned ARMA(2,q)
-    // residuals, no lag-4 seasonal diffs — all five gated out
+    // residuals, no lag-4 seasonal diffs — all six gated out
     assert(!byKey("S").contains("arima021") && !byKey("S").contains("arima211"))
     assert(!byKey("S").contains("arima212") && !byKey("S").contains("sari"))
-    assert(!byKey("S").contains("sma"))
+    assert(!byKey("S").contains("sma") && !byKey("S").contains("sarma"))
     // ranks are a dense 1..n permutation per series
     val ranksL = sb.filter(col("g") === "L").select("rank").as[Long]
       .collect().sorted.toSeq
     assert(ranksL == (1L to ranksL.size).toSeq)
-    assert(ranksL.size == 13)
+    assert(ranksL.size == 14)
   }
 
   test("extended champion: every series gets exactly h forecast rows, " +
@@ -172,9 +218,10 @@ class OrderSearchSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     assert(rows.count(_._1 == "L") == 3, rows.toSeq)
     assert(rows.count(_._1 == "W") == 3, rows.toSeq)
-    // the winner is one of the thirteen searched members
+    // the winner is one of the fourteen searched members
     val members = Set("mean_naive", "snaive", "ar2", "ari", "ma1", "arma11",
-      "theta", "holt_damped", "arima021", "arima211", "sari", "arima212", "sma")
+      "theta", "holt_damped", "arima021", "arima211", "sari", "arima212", "sma",
+      "sarma")
     assert(rows.map(_._2).toSet.subsetOf(members), rows.map(_._2).toSet)
     // the extended blend mixes EVERY identified member: h rows per
     // series, n_members = that series' scoreboard row count
