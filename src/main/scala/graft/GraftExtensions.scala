@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     // band-join binning, conf-gated (spark.graft.rangeJoin.binSize > 0)
     ext.injectOptimizerRule(_ => graft.plans.ConfRangeJoinRewrite)
+    // SQL-surface as-of join: the graft_asof ON-clause marker rewrites
+    // the surrounding equi-join into the native as-of node
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRewrite)
     // planner strategy for the native as-of join physical operator
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -76,7 +79,11 @@ object GraftFunctions {
             "graft_topk_pairs(score, id, k) takes 3 arguments")
           TopKPairsExpr(children.head, children(1), intLit(children(2), "k"))
             .toAggregateExpression()
-        }))
+        }),
+      (
+        FunctionIdentifier("graft_asof"),
+        new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof"),
+        graft.plans.AsOfMarker.build _))
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
