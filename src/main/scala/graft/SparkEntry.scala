@@ -197,6 +197,16 @@ object SparkEntry {
         Seq(col("week_start")), "qty_sum", m = 13).localCheckpoint(true)
     }
 
+  /** q311's MA(3) grid-probe fit table
+    * ([[graft.seq.SequentialKernels.fitMa3Full]]), fit once per
+    * (session, sfDir) — same discipline as [[smaShared]]. */
+  private def ma3Shared(s: SparkSession, d: String): DataFrame =
+    Memos.memo(s, "ma3", d) {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.SequentialKernels.fitMa3Full(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum").localCheckpoint(true)
+    }
+
   /** The standard per-series window: series = (part, supplier), ordered
     * by ship date with a unique tiebreaker. */
   private def sw = SeriesWindow(
@@ -1261,6 +1271,19 @@ object SparkEntry {
           col("sarma_theta").as("theta"),
           col("sarma_sse").as("sse"), col("step"),
           col("sarma_forecast").as("forecast"))
+    }),
+    // ARIMA(0,0,3): MA(3) CLS over a θ³ literal grid — the order-search
+    // GRID-SCALE PROBE (COVERAGE.md boundary note: the reference
+    // configures max_q = 5, arima_temporal.py:69-70, but stepwise never
+    // leaves the (2,2) box on this data shape; this member demonstrates
+    // the series-end fold pattern at q = 3 without widening the board)
+    "q311_ma3_probe" -> ((s, d) => {
+      graft.seq.SequentialKernels.ma3ForecastFrom(ma3Shared(s, d),
+        Seq("l_suppkey"), h = 4)
+        .select(col("l_suppkey"), col("ma3_theta1").as("theta1"),
+          col("ma3_theta2").as("theta2"), col("ma3_theta3").as("theta3"),
+          col("ma3_sse").as("sse"), col("step"),
+          col("ma3_forecast").as("forecast"))
     }),
     // ARIMA(2,1,2): the ARMA(2,2) CLS grid fit on first differences,
     // integrated h-step forecast — the reference's statsmodels-fallback
@@ -3914,6 +3937,50 @@ object SparkEntry {
          SELECT l_suppkey, phi, theta, msse AS sse, step, forecast
          FROM sarmaint"""
 
+  /** q311 oracle: the MA(3) θ³-grid recursion on the centered weekly
+    * series (rides championMembersSql's mat/muq/steps CTEs), winner by
+    * (sse, θ₁, θ₂, θ₃), three-step memory-drain forecast — mirrors
+    * SequentialKernels.fitMa3Full / ma3ForecastFrom. */
+  private lazy val ma3ProbeSql: String =
+    s"""$championMembersSql,
+           m3g AS (SELECT a.t1, b.t2, c.t3
+                 FROM (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t1) a
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t2) b
+                 CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t3) c),
+           m3e AS (SELECT mt.l_suppkey, g.t1, g.t2, g.t3, mt.rn,
+                   mt.xc AS e, 0.0e0 AS ep, 0.0e0 AS epp,
+                   mt.xc*mt.xc AS sse
+                 FROM mat mt CROSS JOIN m3g g WHERE mt.rn = 1
+                 UNION ALL
+                 SELECT mt.l_suppkey, e.t1, e.t2, e.t3, mt.rn,
+                   mt.xc - e.t1*e.e - e.t2*e.ep - e.t3*e.epp,
+                   e.e, e.ep,
+                   e.sse + (mt.xc - e.t1*e.e - e.t2*e.ep - e.t3*e.epp)
+                         * (mt.xc - e.t1*e.e - e.t2*e.ep - e.t3*e.epp)
+                 FROM mat mt JOIN m3e e ON mt.l_suppkey = e.l_suppkey
+                   AND mt.rn = e.rn + 1),
+           m3fin AS (SELECT l_suppkey, t1, t2, t3, sse,
+                   e AS eps, ep AS epsp, epp AS epspp
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey,
+                         t1, t2, t3 ORDER BY rn DESC) rd FROM m3e)
+                 WHERE rd = 1),
+           m3pick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY sse, t1, t2, t3) rn2 FROM m3fin),
+           m3f AS (SELECT p.l_suppkey, p.t1 AS theta1, p.t2 AS theta2,
+                   p.t3 AS theta3,
+                   (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(s.step AS BIGINT) AS step,
+                   (CASE s.step
+                      WHEN 1 THEN round((m.mu + p.t1*p.eps + p.t2*p.epsp
+                                         + p.t3*p.epspp)*1e4)/1e4
+                      WHEN 2 THEN round((m.mu + p.t2*p.eps + p.t3*p.epsp)*1e4)/1e4
+                      WHEN 3 THEN round((m.mu + p.t3*p.eps)*1e4)/1e4
+                      ELSE round(m.mu*1e4)/1e4 END + 0.0e0) AS forecast
+                 FROM m3pick p JOIN muq m USING (l_suppkey) CROSS JOIN steps s
+                 WHERE p.rn2 = 1)
+         SELECT l_suppkey, theta1, theta2, theta3, sse, step, forecast
+         FROM m3f"""
+
   /** q309 oracle: the q267 Akaike-blend arithmetic over the
     * fourteen-member scoreboard and forecast unions. */
   private lazy val blendExtSql: String =
@@ -4122,6 +4189,7 @@ object SparkEntry {
     "q307_arima212" -> arima212Sql,
     "q308_sarima011" -> sarima011Sql,
     "q310_sarma11" -> sarma11Sql,
+    "q311_ma3_probe" -> ma3ProbeSql,
     "q309_blend_ext" -> blendExtSql,
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,

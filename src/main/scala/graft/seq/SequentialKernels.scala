@@ -315,6 +315,119 @@ object SequentialKernels {
         col("eps").as("ma1_eps_last")): _*)
   }
 
+  /** MA(3) fit by conditional least squares over a LITERAL θ³ grid —
+    * the q = 3 extension of [[fitMa1Full]], carried as the
+    * order-search GRID-SCALE PROBE (the reference configures
+    * max_q = 5, arima_temporal.py:69-70, but its stepwise walk
+    * practically never leaves the (2,2) box on weekly retail series —
+    * COVERAGE.md boundary note): the same series-end fold pattern,
+    * state (ε_{t−1}, ε_{t−2}, ε_{t−3}, SSE) per grid triple,
+    *
+    *   ε_t = (x_t − μ) − θ₁·ε_{t−1} − θ₂·ε_{t−2} − θ₃·ε_{t−3}
+    *
+    * with all pre-sample innovations zero (SSE from t = 1, the
+    * [[fitMa1Full]] conditioning). One row per series: ma3_theta1/2/3,
+    * ma3_sse (4dp), ma3_mu (exact micro-int mean), ma3_eps_last/
+    * _prev/_prev2 — the forecast state. Ties break to the smallest
+    * triple in both engines. */
+  def fitMa3Full(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                 valueCol: String,
+                 grid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
+    require(grid.nonEmpty, "theta grid must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val triples = for (t1 <- grid; t2 <- grid; t3 <- grid) yield (t1, t2, t3)
+    val keys = keyCols.map(col)
+    val nT = triples.size
+    val tripleArr = triples.toArray
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
+    val centered = df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val sseCols = triples.indices.map(i => s"__sse$i")
+    val eCols = triples.indices.map(i => s"__e$i")
+    val epCols = triples.indices.map(i => s"__ep$i")
+    val eppCols = triples.indices.map(i => s"__epp$i")
+    // flat primitive state [(e_i, ep_i, epp_i, sse_i)*] mutated in place
+    val last = keyedFoldLast[Array[Double]](
+      centered, keyCols, ordCols, "__xc",
+      sseCols ++ eCols ++ epCols ++ eppCols) {
+      case (None, st) => st
+      case (Some(xc), stOpt) =>
+        val a = stOpt.getOrElse(new Array[Double](4 * nT))
+        var i = 0
+        while (i < nT) {
+          val (t1, t2, t3) = tripleArr(i)
+          val ne = xc - t1 * a(4 * i) - t2 * a(4 * i + 1) - t3 * a(4 * i + 2)
+          a(4 * i + 2) = a(4 * i + 1)
+          a(4 * i + 1) = a(4 * i)
+          a(4 * i) = ne
+          a(4 * i + 3) += ne * ne
+          i += 1
+        }
+        Some(a)
+    } { st =>
+      val a = st.getOrElse(new Array[Double](4 * nT))
+      triples.indices.map(i => Some(a(4 * i + 3))) ++
+        triples.indices.map(i => Some(a(4 * i))) ++
+        triples.indices.map(i => Some(a(4 * i + 1))) ++
+        triples.indices.map(i => Some(a(4 * i + 2)))
+    }
+    val longForm = last.select(keys ++ Seq(col("__mu")) :+
+      explode(array(triples.zipWithIndex.map {
+        case ((t1, t2, t3), i) => struct(lit(t1).as("theta1"),
+          lit(t2).as("theta2"), lit(t3).as("theta3"),
+          col(s"__sse$i").as("sse"), col(s"__e$i").as("eps"),
+          col(s"__ep$i").as("epsp"), col(s"__epp$i").as("epspp"))
+      }: _*)).as("__p"): _*)
+      .select(keys ++ Seq(col("__mu"), col("__p.theta1").as("theta1"),
+        col("__p.theta2").as("theta2"), col("__p.theta3").as("theta3"),
+        col("__p.sse").as("sse"), col("__p.eps").as("eps"),
+        col("__p.epsp").as("epsp"), col("__p.epspp").as("epspp")): _*)
+    val wPick = Window.partitionBy(keys: _*)
+      .orderBy(col("sse"), col("theta1"), col("theta2"), col("theta3"))
+    longForm.withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys ++ Seq(col("theta1").as("ma3_theta1"),
+        col("theta2").as("ma3_theta2"),
+        col("theta3").as("ma3_theta3"),
+        graft.functions.Funcs.r(col("sse")).as("ma3_sse"),
+        col("__mu").as("ma3_mu"),
+        col("eps").as("ma3_eps_last"),
+        col("epsp").as("ma3_eps_prev"),
+        col("epspp").as("ma3_eps_prev2")): _*)
+  }
+
+  /** h-step MA(3) forecast over an ALREADY-BUILT [[fitMa3Full]] table:
+    * future innovations are zero, so the memory drains in three steps —
+    *
+    *   f_1 = r( μ + θ₁·ε_n + θ₂·ε_{n−1} + θ₃·ε_{n−2} )
+    *   f_2 = r( μ + θ₂·ε_n + θ₃·ε_{n−1} )
+    *   f_3 = r( μ + θ₃·ε_n )
+    *   f_s = r( μ )                    s ≥ 4
+    *
+    * One row per (series, step) with the winning triple attached. */
+  def ma3ForecastFrom(base: DataFrame, keyCols: Seq[String], h: Int): DataFrame = {
+    import graft.functions.Funcs.r
+    require(h >= 1, "horizon must be at least 1")
+    val keys = keyCols.map(col)
+    val steps = (1 to h).map {
+      case 1 => r(col("ma3_mu") + col("ma3_theta1") * col("ma3_eps_last") +
+        col("ma3_theta2") * col("ma3_eps_prev") +
+        col("ma3_theta3") * col("ma3_eps_prev2"))
+      case 2 => r(col("ma3_mu") + col("ma3_theta2") * col("ma3_eps_last") +
+        col("ma3_theta3") * col("ma3_eps_prev"))
+      case 3 => r(col("ma3_mu") + col("ma3_theta3") * col("ma3_eps_last"))
+      case _ => r(col("ma3_mu"))
+    }
+    base.select(keys ++ Seq(col("ma3_theta1"), col("ma3_theta2"),
+      col("ma3_theta3"), col("ma3_sse")) :+
+      posexplode(array(steps: _*)).as(Seq("__p", "ma3_forecast")): _*)
+      .withColumn("step", (col("__p") + 1).cast("long"))
+      .select(keys ++ Seq(col("ma3_theta1"), col("ma3_theta2"),
+        col("ma3_theta3"), col("ma3_sse"), col("step"),
+        col("ma3_forecast")): _*)
+  }
+
   /** Joint ARMA(1,1) fit by conditional least squares over a LITERAL
     * (φ, θ) grid — the combined autoregressive + moving-average core
     * (the reference's ARIMA(2,1,2) engine fits both sides jointly;

@@ -15,9 +15,11 @@ class GraftExtensionsSpec extends SparkSpec {
   private lazy val probe =
     GraftSqlBridge.probeExtensions(spark, new GraftExtensions()(_))
 
-  test("injects exactly the conf-gated band-join rewrite rule") {
+  test("injects exactly the conf-gated band-join rewrite and the as-of " +
+    "SQL-marker rewrite") {
     val (rules, _, _) = probe
-    assert(rules == Seq(graft.plans.ConfRangeJoinRewrite), rules)
+    assert(rules == Seq(graft.plans.ConfRangeJoinRewrite,
+      graft.plans.AsOfJoinRewrite), rules)
   }
 
   test("injects exactly the as-of planner strategy") {

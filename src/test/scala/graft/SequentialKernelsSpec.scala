@@ -163,6 +163,41 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(fc.nonEmpty && fc.forall(_ != null))
   }
 
+  test("MA(3) grid fit matches a local replay of the 27-triple recursion") {
+    val vals = Seq(10.0, 14.0, 8.0, 12.0, 6.0, 15.0, 9.0, 11.0)
+    val df = series(vals.zipWithIndex.map {
+      case (v, i) => ("a", i + 1, java.lang.Double.valueOf(v)) }: _*)
+    val mu = vals.sum / vals.size
+    val xc = vals.map(_ - mu)
+    val grid = Seq(-0.4, 0.0, 0.4)
+    val all = for (t1 <- grid; t2 <- grid; t3 <- grid) yield (t1, t2, t3)
+    val sses = all.map { case (t1, t2, t3) =>
+      var (e, ep, epp, sse) = (0.0, 0.0, 0.0, 0.0)
+      xc.foreach { x =>
+        val ne = x - t1 * e - t2 * ep - t3 * epp
+        epp = ep; ep = e; e = ne; sse += ne * ne
+      }
+      (t1, t2, t3) -> sse
+    }
+    val ((e1, e2, e3), expSse) =
+      sses.minBy { case ((a, b, c), ss) => (ss, a, b, c) }
+    val fit = SequentialKernels.fitMa3Full(df, Seq("k"), Seq(col("t")), "v")
+      .select("ma3_theta1", "ma3_theta2", "ma3_theta3", "ma3_sse")
+      .as[(Double, Double, Double, Double)].head()
+    assert((fit._1, fit._2, fit._3) == ((e1, e2, e3)), sses.toString)
+    assert(math.abs(fit._4 - expSse) < 1e-4)
+    // constant series: every triple ties at SSE 0 → the smallest wins
+    // and the forecast is flat at the mean
+    val const = series((1 to 6).map(t =>
+      ("a", t, java.lang.Double.valueOf(5.0))): _*)
+    val base = SequentialKernels.fitMa3Full(const, Seq("k"), Seq(col("t")), "v")
+    assert(base.select("ma3_theta1", "ma3_theta2", "ma3_theta3")
+      .as[(Double, Double, Double)].head() == ((-0.4, -0.4, -0.4)))
+    val fc = SequentialKernels.ma3ForecastFrom(base, Seq("k"), h = 5)
+      .select("ma3_forecast").as[Double].collect().toSeq
+    assert(fc == Seq.fill(5)(5.0))
+  }
+
   test("EWM variance follows West's online recursion, hand-computed") {
     val df = series(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 10.0))
     val out = SequentialKernels.withEwmVar(df, Seq("k"), Seq(col("t")), "v", 0.5)
