@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Generate, HintInfo, Join, LogicalPlan, Project, ResolvedHint, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, ResolvedHint, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
@@ -200,7 +200,16 @@ case class RangeJoinRewrite(binSize: Double,
           Filter(GreaterThan(span, Literal(maxBinsPerInterval)), boundSide)
         val (wideLeft, wideRight) =
           if (pointOnLeft) (pointSide, wideBound) else (wideBound, pointSide)
-        val wideJoin = Join(wideLeft, wideRight, Inner, Some(cond), hint)
+        // the WIDE side carries an explicit broadcast hint: it is
+        // pathological-rows-only (usually empty), and making it the
+        // BUILD side turns its emptiness into a materialized broadcast
+        // stage AQE's empty-relation propagation can see — the fallback
+        // join (and its rescan of the point side) folds away at runtime
+        // instead of streaming the full point side against nothing
+        val wideHint = HintInfo(strategy = Some(BROADCAST))
+        val jh = if (pointOnLeft) JoinHint(None, Some(wideHint))
+        else JoinHint(Some(wideHint), None)
+        val wideJoin = Join(wideLeft, wideRight, Inner, Some(cond), jh)
         wideJoin.setTagValue(RangeJoinRewrite.SkipTag, ())
         Union(Seq(binned, Project(j.output, wideJoin)))
       }

@@ -105,6 +105,35 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(pairs(allWide) == expected)
   }
 
+  test("file-source guarded rewrite: exact results, and AQE handles the " +
+    "runtime-empty wide branch") {
+    // over parquet (not a local relation) the optimizer can't prove the
+    // wide branch empty at compile time — the span filter materializes
+    // empty at RUNTIME and AQE's empty-relation propagation is what
+    // keeps the fallback from rescanning the point side at scale
+    val dir = java.nio.file.Files.createTempDirectory("graft_rjr").toString
+    points.write.mode("overwrite").parquet(s"$dir/pts")
+    intervals.write.mode("overwrite").parquet(s"$dir/ivs")
+    val p = spark.read.parquet(s"$dir/pts")
+    val iv = spark.read.parquet(s"$dir/ivs")
+    val naive = p.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+    val rewritten = GraftPlans.rewriteRangeJoin(naive, 10.0)
+    assert(pairs(rewritten) == pairs(naive))
+    // execute THIS dataset (pairs() planned its own projection) and
+    // read back the adaptive plan: the wide side is the hinted
+    // broadcast BUILD side, so its runtime emptiness is a materialized
+    // stage AQE's empty-relation propagation folds — the final plan
+    // drops the whole fallback branch (and its point-side rescan),
+    // leaving only the binned equi-join
+    rewritten.collect()
+    val post = rewritten.queryExecution.executedPlan.toString
+    assert(post.contains("isFinalPlan=true"), post)
+    val finalPlan = post.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), post)
+    assert(!finalPlan.contains("Union"), post)
+    assert(finalPlan.contains("__graft_bin"), post)
+  }
+
   test("timestamp bands: parity + the rewrite fires (SCD/validity-window shape)") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
