@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * exact post-filter `rightTime IS NOT NULL` (a matched row always has
   * one; an unmatched row never does).
   *
+  * Tolerance needs no marker argument here: unlike the DSL (whose
+  * payload is re-aliased, forcing [[graft.operators.AsOfJoin]] to
+  * re-select), the SQL form keeps the matched right time as a real
+  * output column, so pandas-style tolerance is ordinary SQL over the
+  * join result — e.g. `CASE WHEN l.pts - r.cts <= INTERVAL 5 MINUTES
+  * THEN r.v END`.
+  *
   * Guards (each leaves the join unrewritten, and the unevaluable
   * marker then fails at planning with its own clear message): more
   * than one marker; a marker nested under OR/NOT; a non-equi residual
