@@ -65,6 +65,25 @@ object ScaleProbe100 {
     val (rows1, t1) = timeSpine(src)
     val (rows100, t100) = timeSpine(work)
     val (s1, s100) = (t1.values.sum, t100.values.sum)
+
+    // native as-of leg: attach each line's latest supplier weekly state
+    // as of its ship date — the AsOfJoinExec merge with the fact as the
+    // 60M-row probe side (exchange-bound shape; per-key state is O(1))
+    def timeAsOf(dir: String): Double = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val weekly = graft.etl.Enrichment.weeklyAggregate(li,
+        org.apache.spark.sql.functions.col("l_shipdate"),
+        Seq(org.apache.spark.sql.functions.col("l_suppkey")),
+        org.apache.spark.sql.functions.col("l_quantity"))
+      val left = li.select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"),
+        org.apache.spark.sql.functions.col("l_shipdate").cast("date").as("ship_date"))
+      def go() = run(graft.operators.AsOfJoin.asOfNative(
+        left, weekly, Seq("l_suppkey"), "ship_date", "week_start", Seq("qty_sum")))
+      go() // warm
+      val t0 = System.nanoTime(); go(); (System.nanoTime() - t0) / 1e9
+    }
+    val (a1, a100) = (timeAsOf(src), timeAsOf(work))
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
@@ -72,7 +91,7 @@ object ScaleProbe100 {
     val per = spine.map(q =>
       f""""$q":{"sec_1x":${t1(q)}%.3f,"sec_100x":${t100(q)}%.3f,"ratio":${t100(q) / t1(q)}%.1f}""")
       .mkString("{", ",", "}")
-    println(f"""{"probe":"scale100x","rows_1x":$rows1,"rows_100x":$rows100,"sec_1x":$s1%.3f,"sec_100x":$s100%.3f,"walltime_ratio":${s100 / s1}%.1f,"rows_per_sec_100x":${rows100 / s100}%.0f,"stages":$per,"loadavg":"$loadavg"}""")
+    println(f"""{"probe":"scale100x","rows_1x":$rows1,"rows_100x":$rows100,"sec_1x":$s1%.3f,"sec_100x":$s100%.3f,"walltime_ratio":${s100 / s1}%.1f,"rows_per_sec_100x":${rows100 / s100}%.0f,"stages":$per,"asof_sec_1x":$a1%.3f,"asof_sec_100x":$a100%.3f,"asof_ratio":${a100 / a1}%.1f,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }
