@@ -79,6 +79,43 @@ object EventsStream {
                    eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Streaming AS-OF enrichment: attach to each event the LATEST state
+    * row with stateTime ≤ event time, per key — the streaming twin of
+    * [[graft.operators.AsOfJoin.asOf]] (inclusive backward), the
+    * "current dimension version at event time" lookup.
+    *
+    * Structured Streaming cannot sort-merge a stream, so the as-of is
+    * re-expressed as the SCD validity-window join the batch band
+    * machinery also targets: the STATIC state table folds once into
+    * half-open validity intervals ([stateTime, next stateTime) per
+    * key, the last version open-ended), and the stream LEFT-joins on
+    * key + containment — every event falls into AT MOST one interval,
+    * so the join IS the as-of match, no per-event aggregation and no
+    * stream-side state. The static side is broadcast (dimension
+    * snapshots are small; a refresh is picked up per micro-batch by
+    * stream-static semantics). Output columns follow the batch
+    * contract: events' own columns + `asof_t` (matched state time) +
+    * `asof_<payload>`, NULL where the event precedes every state row.
+    * NULL state times are dropped (they never match, the native-exec
+    * convention); stateTime should be unique per key (the SCD grain).
+    */
+  def asOfEnrichStream(events: DataFrame, state: DataFrame, keys: Seq[String],
+                       eventTime: String, stateTime: String,
+                       payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(stateTime))
+    val iv = state.filter(col(stateTime).isNotNull)
+      .withColumn("__ve", lead(col(stateTime), 1).over(w))
+    val rSel = iv.select(keys.map(k => col(k).as(s"__rk_$k")) ++
+      Seq(col(stateTime).as("asof_t"), col("__ve")) ++
+      payload.map(c => col(c).as(s"asof_$c")): _*)
+    val keyCond = keys.map(k => col(k) === col(s"__rk_$k")).reduce(_ && _)
+    val cond = keyCond && col(eventTime) >= col("asof_t") &&
+      (col("__ve").isNull || col(eventTime) < col("__ve"))
+    events.join(broadcast(rSel), cond, "left")
+      .drop(keys.map(k => s"__rk_$k") :+ "__ve": _*)
+  }
+
   /** Streaming windowed top-k values per event type — the custom
     * TypedImperativeAggregate (`graft_topk`, expr/TopKExpr) running
     * INSIDE a watermarked streaming aggregate. Micro-batch execution

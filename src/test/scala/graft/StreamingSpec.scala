@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSpec {
       (2L, "click", Some("silver"))))
   }
 
+  test("streaming as-of enrichment matches the batch asOf across micro-batches") {
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    // two state versions for user 10, one for 20, none for 30
+    val state = Seq((10L, ts(100), "bronze"), (10L, ts(200), "gold"),
+      (20L, ts(150), "silver")).toDF("user_id", "st", "tier")
+
+    val query = EventsStream.asOfEnrichStream(events, state, Seq("user_id"),
+      "ts", "st", Seq("tier"))
+      .select("user_id", "ts", "asof_t", "asof_tier")
+      .writeStream.format("memory").queryName("asof_enriched")
+      .outputMode(OutputMode.Append()).start()
+
+    val batch1 = Seq((10L, ts(99), 1.0), (10L, ts(100), 2.0), (10L, ts(150), 3.0))
+    val batch2 = Seq((10L, ts(200), 4.0), (10L, ts(500), 5.0),
+      (20L, ts(149), 6.0), (20L, ts(151), 7.0), (30L, ts(300), 8.0))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+
+    val got = spark.table("asof_enriched")
+      .as[(Long, Timestamp, Option[Timestamp], Option[String])].collect().toSet
+    query.stop()
+    // oracle: the batch union-and-carry asOf over the same rows
+    val expected = graft.operators.AsOfJoin.asOf(
+      (batch1 ++ batch2).toDF("user_id", "ts", "value"), state,
+      Seq("user_id"), "ts", "st", Seq("tier"))
+      .select("user_id", "ts", "asof_t", "asof_tier")
+      .as[(Long, Timestamp, Option[Timestamp], Option[String])].collect().toSet
+    assert(got == expected)
+    // spot-check the semantics the intervals encode: before-first NULL,
+    // inclusive boundary, version switch at the second state row
+    assert(got.contains((10L, ts(99), None, None)))
+    assert(got.contains((10L, ts(100), Some(ts(100)), Some("bronze"))))
+    assert(got.contains((10L, ts(200), Some(ts(200)), Some("gold"))))
+    assert(got.contains((30L, ts(300), None, None)))
+  }
+
   test("custom top-k aggregate runs inside a watermarked streaming window") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
