@@ -43,11 +43,16 @@ object SparkEntry {
     * BOUNDED and EVICTABLE (r12 verdict ask #3 — the previous
     * identityHashCode-keyed unbounded maps pinned checkpointed RDD
     * blocks for the JVM's life in a long-lived multi-session service):
-    * at most [[MaxSessions]] sessions hold entries (LRU by access —
-    * evicting a session only drops the references; Spark's
-    * ContextCleaner reclaims the checkpoint blocks once the frames are
-    * unreachable), and [[SparkEntry.releaseMemos]] evicts a finished
-    * session eagerly, unpersisting every checkpointed frame it held. */
+    * at most [[MaxSessions]] sessions hold entries (LRU by access),
+    * eviction UNPERSISTS the evicted session's checkpoint blocks
+    * (SparkContext.persistentRdds holds strong references, so merely
+    * dropping ours would still pin the blocks forever), and
+    * [[SparkEntry.releaseMemos]] evicts a finished session eagerly.
+    * An LRU-evicted-but-still-active session simply rebuilds on its
+    * next memo miss — only callers holding a pre-eviction frame object
+    * across 8 newer sessions would observe missing blocks, which is
+    * why the explicit release is the intended lifecycle and the bound
+    * the backstop. */
   private object Memos {
     private val MaxSessions = 8
     private val reg = new java.util.LinkedHashMap[
@@ -55,8 +60,11 @@ object SparkEntry {
         16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession,
-            java.util.concurrent.ConcurrentHashMap[String, AnyRef]]): Boolean =
-        size() > MaxSessions
+            java.util.concurrent.ConcurrentHashMap[String, AnyRef]]): Boolean = {
+        val evict = size() > MaxSessions
+        if (evict) releaseFrames(e.getValue)
+        evict
+      }
     }
 
     /** Build-once per (session, slot, sfDir). NOT computeIfAbsent:
@@ -86,21 +94,24 @@ object SparkEntry {
       * contexts. */
     def release(s: SparkSession): Unit = {
       val m = reg.synchronized(reg.remove(s))
-      if (m != null) {
-        import scala.jdk.CollectionConverters._
-        def frames(v: Any): Seq[DataFrame] = v match {
-          case df: DataFrame => Seq(df)
-          case it: Iterable[_] => it.flatMap(frames).toSeq
-          case p: Product => p.productIterator.flatMap(frames).toSeq
-          case _ => Seq.empty
-        }
-        m.values.asScala.flatMap(frames).foreach { df =>
-          // localCheckpoint blocks are RDD-level storage — released via
-          // the plan's LogicalRDDs (Dataset.unpersist only clears
-          // CacheManager entries); see GraftSqlBridge.unpersistCheckpoints
-          try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(df)
-          catch { case _: Throwable => () }
-        }
+      if (m != null) releaseFrames(m)
+    }
+
+    private def releaseFrames(
+        m: java.util.concurrent.ConcurrentHashMap[String, AnyRef]): Unit = {
+      import scala.jdk.CollectionConverters._
+      def frames(v: Any): Seq[DataFrame] = v match {
+        case df: DataFrame => Seq(df)
+        case it: Iterable[_] => it.flatMap(frames).toSeq
+        case p: Product => p.productIterator.flatMap(frames).toSeq
+        case _ => Seq.empty
+      }
+      m.values.asScala.flatMap(frames).foreach { df =>
+        // localCheckpoint blocks are RDD-level storage — released via
+        // the plan's LogicalRDDs (Dataset.unpersist only clears
+        // CacheManager entries); see GraftSqlBridge.unpersistCheckpoints
+        try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(df)
+        catch { case _: Throwable => () }
       }
     }
 

@@ -55,17 +55,32 @@ class MemoSpec extends SparkSpec {
     assert(SparkEntry.memoSessionCount == base)
   }
 
-  test("the registry is bounded: old sessions fall off the LRU instead of " +
-    "accumulating for the JVM's life") {
+  test("the registry is bounded: LRU eviction frees the evicted session's " +
+    "blocks instead of accumulating for the JVM's life") {
+    val sc = spark.sparkContext
     val base = SparkEntry.memoSessionCount
-    // far past the cap; each session memoizes the (tiny) sma fit table
+    val basePersisted = sc.getPersistentRDDs.size
+    // far past the cap; each session memoizes the sma fit table plus
+    // the extFit bases it rides on (6 checkpointed frames per session)
     val sessions = (1 to 12).map(_ => spark.newSession())
-    sessions.foreach { s =>
+    var perSession = 0
+    sessions.zipWithIndex.foreach { case (s, i) =>
       SparkEntry.queries("q308_sarima011")(s, dir).count()
+      if (i == 0) perSession = sc.getPersistentRDDs.size - basePersisted
     }
+    assert(perSession > 0)
     assert(SparkEntry.memoSessionCount <= 8,
       s"registry must stay bounded, saw ${SparkEntry.memoSessionCount}")
+    // SparkContext.persistentRdds pins checkpointed RDDs STRONGLY, so
+    // eviction must unpersist, not merely drop references: at most the
+    // cap's worth of sessions may still hold blocks
+    assert(sc.getPersistentRDDs.size <= basePersisted + 8 * perSession,
+      s"evicted sessions must not leak blocks: ${sc.getPersistentRDDs.size} " +
+        s"persisted vs base $basePersisted + 8x$perSession cap")
     sessions.foreach(SparkEntry.releaseMemos)
     assert(SparkEntry.memoSessionCount <= base)
+    assert(sc.getPersistentRDDs.size <= basePersisted,
+      s"full release must return to the baseline " +
+        s"(${sc.getPersistentRDDs.size} vs $basePersisted)")
   }
 }
