@@ -171,8 +171,11 @@ class RangeJoinRewriteSpec extends SparkSpec {
     def gen[A](g: Gen[A], seed: Long): A =
       g.apply(Gen.Parameters.default, Seed(seed)).get
     val ptsGen = Gen.listOfN(60, Gen.chooseNum(-1000.0, 1000.0))
+    // lo + width: mostly modest (some zero-width), ~1 in 8 a sentinel
+    // span (1e9 wide — forces the maxBins fallback branch to carry
+    // real rows alongside binned ones in the SAME query)
     val ivGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(-1000.0, 1000.0),
-      Gen.chooseNum(0.0, 400.0))) // lo + nonneg width (some zero-width)
+      Gen.frequency(7 -> Gen.chooseNum(0.0, 400.0), 1 -> Gen.const(1.0e9))))
     for (seed <- 0 until 4; bin <- Seq(3.3, 100.0)) {
       val pts = gen(ptsGen, seed.toLong).zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
