@@ -70,6 +70,25 @@ object Bench {
     try run(SparkEntry.queries("q22_weekly_aggregate")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => () }
 
+    // Fixed CPU calibration (r13 verdict ask #6): a CONSTANT
+    // single-thread xorshift loop (~1 s on an idle core) timed
+    // immediately before the sweep and embedded in the record, so
+    // round-over-round comparisons can normalize by the host's measured
+    // per-core throughput instead of re-litigating the 1.3-1.7x
+    // host-state band from loadavg alone. The loop is pure register
+    // arithmetic — no allocation, no memory traffic — so its time moves
+    // only with clock speed / steal time, exactly the signal wanted.
+    def xorshiftLoop(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val jitWarm = xorshiftLoop(5000000L) // compile the loop before timing
+    val calibT0 = System.nanoTime()
+    val calibX = xorshiftLoop(600000000L)
+    val cpuCalibSec = (System.nanoTime() - calibT0) / 1e9
+    if (jitWarm == 42L && calibX == 42L) System.err.println("") // defeat DCE
+
     // best-of-3: the first pass pays JIT/codegen compilation; later
     // passes measure the query. Keep the minimum — on a shared
     // container single runs vary ±30%+ (r5 flagged 4 phantom 1.6-2×
@@ -107,7 +126,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.filter(_._2 > 0).map(_._2).sum
-    val fullLine = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}"""
+    val fullLine = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg","cpu_calib_sec":$cpuCalibSec%.3f}"""
     println(fullLine)
     // The driver stores only the LAST 2000 bytes of stdout and parses
     // the JSON line it finds there; the full-name line above is ~2.5 KB
@@ -121,7 +140,7 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f" }.mkString("{", ",", "}")
     System.out.flush()
-    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg"}""")
+    println(f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","fact_rows":$factRows,"spine_sec":$spineSec%.3f,"spine_rows_per_sec":$rowsPerSec%.0f,"loadavg":"$loadavg","cpu_calib_sec":$cpuCalibSec%.3f}""")
     System.out.flush()
     spark.stop()
   }

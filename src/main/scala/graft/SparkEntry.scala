@@ -43,7 +43,8 @@ object SparkEntry {
     * BOUNDED and EVICTABLE (r12 verdict ask #3 — the previous
     * identityHashCode-keyed unbounded maps pinned checkpointed RDD
     * blocks for the JVM's life in a long-lived multi-session service):
-    * at most [[MaxSessions]] sessions hold entries (LRU by access),
+    * at most `spark.graft.memo.maxSessions` sessions (default 8) hold
+    * entries (LRU by access),
     * eviction UNPERSISTS the evicted session's checkpoint blocks
     * (SparkContext.persistentRdds holds strong references, so merely
     * dropping ours would still pin the blocks forever), and
@@ -54,14 +55,29 @@ object SparkEntry {
     * why the explicit release is the intended lifecycle and the bound
     * the backstop. */
   private object Memos {
-    private val MaxSessions = 8
+    /** Session-conf key sizing the LRU bound (default 8) so a service
+      * operator can size the registry to their session churn without
+      * rebuilding the library. Read from the ACCESSING session at each
+      * memo/registration, so the effective bound follows the live conf;
+      * sessions that never set it keep the default. */
+    val MaxSessionsKey = "spark.graft.memo.maxSessions"
+    val DefaultMaxSessions = 8
+    private def maxSessionsOf(s: SparkSession): Int =
+      try {
+        val n = s.conf.get(MaxSessionsKey, DefaultMaxSessions.toString).toInt
+        if (n >= 1) n else DefaultMaxSessions
+      } catch { case _: NumberFormatException => DefaultMaxSessions }
+
+    // written only under reg's lock, read by removeEldestEntry (which
+    // LinkedHashMap calls inside our own locked put)
+    private var bound = DefaultMaxSessions
     private val reg = new java.util.LinkedHashMap[
         SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]](
         16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession,
             java.util.concurrent.ConcurrentHashMap[String, AnyRef]]): Boolean = {
-        val evict = size() > MaxSessions
+        val evict = size() > bound
         if (evict) releaseFrames(e.getValue)
         evict
       }
@@ -69,11 +85,20 @@ object SparkEntry {
 
     /** Build-once per (session, slot, sfDir). NOT computeIfAbsent:
       * builders recurse into other slots of the same map (extShared →
-      * championShared), which computeIfAbsent forbids; the benign race
-      * (two threads building the same deterministic value) matches the
-      * old per-map behavior. */
+      * championShared), which computeIfAbsent forbids — so the build
+      * runs UNLOCKED and the post-build insert re-checks registration
+      * under the lock: a concurrent put from session N+1 past the bound
+      * can LRU-evict THIS session mid-build (releasing its map's blocks
+      * and orphaning the map), and the just-built frame must then land
+      * in the session's CURRENT registered map — never the orphan,
+      * whose other entries are already-released stale frames — or its
+      * checkpoint blocks would leak past every release path. A built
+      * value that loses the insert race is unpersisted on the spot
+      * (every slot builds exclusively fresh localCheckpoints, so the
+      * losing duplicate shares no blocks with the winner). */
     def memo[T <: AnyRef](s: SparkSession, slot: String, d: String)(build: => T): T = {
       val m = reg.synchronized {
+        bound = maxSessionsOf(s)
         var v = reg.get(s)
         if (v == null) { v = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]; reg.put(s, v) }
         v
@@ -83,8 +108,22 @@ object SparkEntry {
       if (hit != null) hit.asInstanceOf[T]
       else {
         val built = build
-        val prev = m.putIfAbsent(k, built)
-        if (prev != null) prev.asInstanceOf[T] else built
+        val (winner, loser) = reg.synchronized {
+          val cur0 = reg.get(s)
+          val cur = if (cur0 != null) cur0 else {
+            // evicted mid-build: register a fresh map (NOT m — its other
+            // entries' blocks were released by the eviction)
+            val v = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+            bound = maxSessionsOf(s)
+            reg.put(s, v)
+            v
+          }
+          val prev = cur.putIfAbsent(k, built)
+          if (prev != null) (prev.asInstanceOf[T], Some(built))
+          else (built, None)
+        }
+        loser.foreach(releaseValue)
+        winner
       }
     }
 
@@ -97,22 +136,27 @@ object SparkEntry {
       if (m != null) releaseFrames(m)
     }
 
-    private def releaseFrames(
-        m: java.util.concurrent.ConcurrentHashMap[String, AnyRef]): Unit = {
-      import scala.jdk.CollectionConverters._
-      def frames(v: Any): Seq[DataFrame] = v match {
-        case df: DataFrame => Seq(df)
-        case it: Iterable[_] => it.flatMap(frames).toSeq
-        case p: Product => p.productIterator.flatMap(frames).toSeq
-        case _ => Seq.empty
-      }
-      m.values.asScala.flatMap(frames).foreach { df =>
-        // localCheckpoint blocks are RDD-level storage — released via
-        // the plan's LogicalRDDs (Dataset.unpersist only clears
-        // CacheManager entries); see GraftSqlBridge.unpersistCheckpoints
+    private def frames(v: Any): Seq[DataFrame] = v match {
+      case df: DataFrame => Seq(df)
+      case it: Iterable[_] => it.flatMap(frames).toSeq
+      case p: Product => p.productIterator.flatMap(frames).toSeq
+      case _ => Seq.empty
+    }
+
+    /** Unpersist every checkpointed frame inside one memo value.
+      * localCheckpoint blocks are RDD-level storage — released via the
+      * plan's LogicalRDDs (Dataset.unpersist only clears CacheManager
+      * entries); see GraftSqlBridge.unpersistCheckpoints. */
+    private def releaseValue(v: AnyRef): Unit =
+      frames(v).foreach { df =>
         try org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(df)
         catch { case _: Throwable => () }
       }
+
+    private def releaseFrames(
+        m: java.util.concurrent.ConcurrentHashMap[String, AnyRef]): Unit = {
+      import scala.jdk.CollectionConverters._
+      m.values.asScala.foreach(releaseValue)
     }
 
     def sessionCount: Int = reg.synchronized(reg.size)

@@ -98,8 +98,18 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // inner = left-outer + matched-only: a match always carries a
       // non-null right time (NULL times never match), an unmatched row
       // never does; rt's references live in the payload, so the filter
-      // resolves against the node's own output
-      case _ => Some(Filter(IsNotNull(rt), node))
+      // resolves against the node's own output. The references must be
+      // re-marked nullable to MATCH that output: the node declares every
+      // payload attribute nullable (no match → NULL), but rt still holds
+      // the right child's original instances — if the source column is
+      // required (parquet REQUIRED field, primitive toDF), NullPropagation
+      // folds IsNotNull(non-nullable) to TRUE in the same fixed-point
+      // batch as this rule and the inner join silently degrades to left.
+      case _ =>
+        val rtOut = rt.transform {
+          case a: AttributeReference => a.withNullability(true)
+        }
+        Some(Filter(IsNotNull(rtOut), node))
     }
   }
 

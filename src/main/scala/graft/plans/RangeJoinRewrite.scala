@@ -101,11 +101,33 @@ case class RangeJoinRewrite(binSize: Double,
     case _                        => None
   }
 
+  /** Structural twin of [[RangeJoinRewrite.SkipTag]]: TreeNodeTags only
+    * survive makeCopy/withNewChildren, so a rule that rebuilds the join
+    * via case-class copy (InferFiltersFromConstraints does) drops the
+    * tag and the fallback join — band conjuncts, no equi key — would be
+    * rewritten AGAIN, nesting one extra union layer per fixed-point
+    * iteration. The fallback's interval side always sits behind the
+    * `span > cap` filter whose span is `floor(x/b) - floor(y/b)` — a
+    * fingerprint no user predicate plausibly carries — so a join with
+    * that shape under either input (through the Filter/Project chain
+    * other rules may interleave) is recognized as already-fallen-back. */
+  private def hasWideGuard(p: LogicalPlan): Boolean = p match {
+    case Filter(cond, child) =>
+      cond.exists {
+        case GreaterThan(Subtract(Floor(Divide(_, _, _)), Floor(Divide(_, _, _)), _), _) => true
+        case _ => false
+      } || hasWideGuard(child)
+    case Project(_, child) => hasWideGuard(child)
+    case _ => false
+  }
+
   private def rewrite(j: Join): Option[LogicalPlan] = {
     // the wide-interval fallback branch below is intentionally left on
     // the naive plan — don't rewrite it again on the next fixed-point
-    // pass (the tag rides plan copies via copyTagsFrom)
+    // pass (the tag rides plan copies via copyTagsFrom; the structural
+    // guard catches rebuilds that drop it)
     if (j.getTagValue(RangeJoinRewrite.SkipTag).isDefined) return None
+    if (hasWideGuard(j.left) || hasWideGuard(j.right)) return None
     val Join(left, right, _, Some(cond), hint) = j
     def broadcastHinted(h: Option[HintInfo]) = h.flatMap(_.strategy).contains(BROADCAST)
     // pre-optimizer (scoped) plans still carry the hint as a ResolvedHint
@@ -200,15 +222,31 @@ case class RangeJoinRewrite(binSize: Double,
           Filter(GreaterThan(span, Literal(maxBinsPerInterval)), boundSide)
         val (wideLeft, wideRight) =
           if (pointOnLeft) (pointSide, wideBound) else (wideBound, pointSide)
-        // the WIDE side carries an explicit broadcast hint: it is
-        // pathological-rows-only (usually empty), and making it the
-        // BUILD side turns its emptiness into a materialized broadcast
-        // stage AQE's empty-relation propagation can see — the fallback
-        // join (and its rescan of the point side) folds away at runtime
-        // instead of streaming the full point side against nothing
-        val wideHint = HintInfo(strategy = Some(BROADCAST))
-        val jh = if (pointOnLeft) JoinHint(None, Some(wideHint))
-        else JoinHint(Some(wideHint), None)
+        // the WIDE side carries an explicit broadcast hint when the
+        // WHOLE interval side's size estimate fits the broadcast
+        // threshold: it is pathological-rows-only (usually empty), and
+        // making it the BUILD side turns its emptiness into a
+        // materialized broadcast stage AQE's empty-relation propagation
+        // can see — the fallback join (and its rescan of the point
+        // side) folds away at runtime instead of streaming the full
+        // point side against nothing. The gate matters because Spark
+        // honors a BROADCAST hint regardless of actual size and the
+        // wide subset is NOT always small — on a real SCD table every
+        // current row carries the open-ended sentinel end date, so the
+        // "pathological" subset can be most of the table; when the
+        // interval side's estimate exceeds the threshold the fallback
+        // stays unhinted and the planner degrades the way the
+        // pre-rewrite naive join would (one nested-loop/cartesian pass,
+        // no forced driver materialization). Sentinel-heavy tables
+        // should pre-split current rows off the banded path instead.
+        val bcThreshold = conf.autoBroadcastJoinThreshold
+        val hintWide = bcThreshold > 0 && boundSide.stats.sizeInBytes <= bcThreshold
+        val jh = if (!hintWide) JoinHint.NONE
+        else {
+          val wideHint = HintInfo(strategy = Some(BROADCAST))
+          if (pointOnLeft) JoinHint(None, Some(wideHint))
+          else JoinHint(Some(wideHint), None)
+        }
         val wideJoin = Join(wideLeft, wideRight, Inner, Some(cond), jh)
         wideJoin.setTagValue(RangeJoinRewrite.SkipTag, ())
         Union(Seq(binned, Project(j.output, wideJoin)))

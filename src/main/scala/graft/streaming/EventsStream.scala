@@ -98,10 +98,40 @@ object EventsStream {
     * `asof_<payload>`, NULL where the event precedes every state row.
     * NULL state times are dropped (they never match, the native-exec
     * convention); stateTime should be unique per key (the SCD grain).
+    *
+    * Guards (the batch asOf/asOfNative reserved-name discipline plus a
+    * broadcast-size gate): the events frame must not already carry
+    * `asof_t`, `asof_<payload>`, `__rk_<key>` or `__ve` (the join
+    * machinery would make them ambiguous), the state frame must not
+    * carry `__ve` (withColumn would silently overwrite it), and the
+    * state table must hold at most `maxStateRows` rows — the folded
+    * state is FORCE-broadcast per micro-batch, so a caller handing a
+    * fact-sized table gets this operator's clear error instead of a
+    * driver OOM; fact-sized state belongs on the batch
+    * [[graft.operators.AsOfJoin.asOfNative]] path.
     */
   def asOfEnrichStream(events: DataFrame, state: DataFrame, keys: Seq[String],
                        eventTime: String, stateTime: String,
-                       payload: Seq[String]): DataFrame = {
+                       payload: Seq[String],
+                       maxStateRows: Int = 10000000): DataFrame = {
+    val reserved = Seq("asof_t", "__ve") ++ payload.map(c => s"asof_$c") ++
+      keys.map(k => s"__rk_$k")
+    val clash = events.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"events frame already has reserved as-of column(s) $clash — rename " +
+        "them before asOfEnrichStream")
+    require(!state.columns.contains("__ve"),
+      "state frame already has reserved column __ve — rename it before " +
+        "asOfEnrichStream")
+    require(maxStateRows >= 1 && maxStateRows < Int.MaxValue,
+      "maxStateRows must be in [1, Int.MaxValue)")
+    // bounded probe, not a full count: stops scanning past the cap
+    val probed = state.limit(maxStateRows + 1).count()
+    require(probed <= maxStateRows,
+      s"state has more than $maxStateRows rows — asOfEnrichStream " +
+        "broadcasts the folded state per micro-batch (dimension-snapshot " +
+        "contract); use batch AsOfJoin.asOfNative for fact-sized state, " +
+        "or raise maxStateRows")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(stateTime))
     val iv = state.filter(col(stateTime).isNotNull)

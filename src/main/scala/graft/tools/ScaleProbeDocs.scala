@@ -1,0 +1,179 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 100× scale probe for the LLM-pipeline DOCUMENT paths
+  * (r13 verdict ask #2): the spine and as-of have 100× evidence
+  * ([[ScaleProbe100]]); the dedup/ANN candidate generators stopped at
+  * 10×. This probe scales the `documents` table 100× (5k → 500k docs)
+  * and the `embeddings` table 100× (2k → 200k vectors) and measures
+  * the three hot candidate generators — MinHash banded LSH
+  * (`text/Dedup.minHashCandidates`, the q65 path), embedding-cosine
+  * near-dup via RHP-LSH bands (`sim/Similarity.cosineNearDupes`, the
+  * q107/q218 path), and winnowing overlap pairs with the df cap
+  * (`text/TextAnalysis.winnowOverlapPairs`, the q292 path) — recording
+  * wall ratios AND candidate-pair counts: the pair-count growth is the
+  * 100-TB answer, because a blocked join whose candidates grow
+  * super-linearly has found its wall no matter how fast one box runs.
+  *
+  * Scaling convention (entity count ×100, per-entity content distinct
+  * — the shape real 100× corpus volume has):
+  *
+  *  - documents: doc_id shifted per copy and EVERY TOKEN prefixed with
+  *    the copy tag, so word shingles and char k-grams are DISJOINT
+  *    across copies — cross-copy Jaccard is 0 and each copy carries the
+  *    1× corpus's internal near-dup structure exactly. (The 10× tail
+  *    probe's short whole-text prefix is fine for exact dedup/curate
+  *    but would make every copy a near-duplicate of the other 99,
+  *    turning the LSH pair count quadratic for a reason the REAL
+  *    workload doesn't have.)
+  *  - embeddings: vec_id shifted; each copy's vectors circularly
+  *    shifted by (k mod 64) dims and sign-flipped for k ≥ 64 — distinct
+  *    vectors with identical norm/coordinate distribution, cross-copy
+  *    cosines decorrelated, within-copy geometry exact.
+  *
+  * The RHP-LSH path gets the extra treatment its scale story needs:
+  * its band buckets live in a FIXED space (bands × 2^width), so at
+  * fixed parameters candidate pairs grow QUADRATICALLY with corpus
+  * size — sum over buckets of C(n,2) with per-bucket n ∝ N. The probe
+  * measures that bucket histogram at both scales (cheap — an
+  * aggregate, no join) to show the wall explicitly, then times the
+  * full operator at 100× with scale-adjusted parameters (bucket space
+  * grown with N so per-bucket occupancy stays O(1) — the mitigation a
+  * 100-TB user must reach for; IVF with √N cells, q204, is the other).
+  * MinHash bands hash into an UNBOUNDED key space (xxhash64 of the
+  * signature slice), and winnowing caps per-fingerprint df, so both
+  * stay near-linear at fixed parameters — the probe verifies that
+  * claim with their measured pair counts.
+  *
+  * Performance probe only — correctness inputs stay the driver
+  * parquet; derived copies live under workDir.
+  *
+  * Usage: runMain graft.tools.ScaleProbeDocs [srcSfDir] [workDir]
+  */
+object ScaleProbeDocs {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "target/scaleprobe_docs"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- synthesize the 100× tables (once; reused across runs) ----
+    val docsPath = s"$work/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("__k", explode(sequence(lit(0), lit(99))))
+        .withColumn("doc_id",
+          col("doc_id") + col("__k").cast("long") * lit(1000000000L))
+        // prefix every token with the copy tag → disjoint shingles/k-grams
+        // across copies (see scaling convention above)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("c"), col("__k"), lit("$1"))))
+        .drop("__k")
+        .repartition(64)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val embPath = s"$work/embeddings.parquet"
+    if (!new java.io.File(embPath).exists()) {
+      val dim = 64
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("__k", explode(sequence(lit(0), lit(99))))
+        .withColumn("vec_id",
+          col("vec_id") + col("__k").cast("long") * lit(1000000000L))
+        // circular dim shift by (k mod 64), negated for k ≥ 64:
+        // distinct, identically-distributed, cross-copy decorrelated
+        .withColumn("__s", (col("__k") % dim) + 1)
+        .withColumn("__f", when(col("__k") >= dim, lit(-1.0f)).otherwise(lit(1.0f)))
+        .withColumn("embedding", transform(
+          concat(slice(col("embedding"), col("__s"), lit(dim)),
+            slice(col("embedding"), lit(1), col("__s") - 1)),
+          x => x * col("__f")))
+        .drop("__k", "__s", "__f")
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath)
+    }
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    /** Warm pass + timed pass of a counted frame (count forces every
+      * candidate through the verify stage and IS the pair count). */
+    def probe(build: => DataFrame): (Long, Double) = {
+      build.count() // warm: JIT + codegen + file listing
+      val (n, sec) = timed(build.count())
+      (n, sec)
+    }
+
+    val docs1 = spark.read.parquet(s"$src/documents.parquet")
+    val docs100 = spark.read.parquet(docsPath)
+    val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+    val emb100 = spark.read.parquet(embPath)
+    val nDocs100 = docs100.count()
+    val nEmb100 = emb100.count()
+
+    // ---- path 1: MinHash banded LSH (q65) ----
+    val (mh1n, mh1t) = probe(
+      graft.text.Dedup.minHashCandidates(docs1, "doc_id", "text"))
+    val (mh100n, mh100t) = probe(
+      graft.text.Dedup.minHashCandidates(docs100, "doc_id", "text"))
+
+    // ---- path 2: winnowing overlap pairs with df cap (q292) ----
+    val (wn1n, wn1t) = probe(
+      graft.text.TextAnalysis.winnowOverlapPairs(docs1, col("doc_id"), col("text")))
+    val (wn100n, wn100t) = probe(
+      graft.text.TextAnalysis.winnowOverlapPairs(docs100, col("doc_id"), col("text")))
+
+    // ---- path 3: RHP-LSH cosine near-dup (q107/q218) ----
+    // (a) the JOIN FAN-OUT at fixed vs scale-adjusted parameters, via
+    // the bucket histogram: sum over (band, bucket) of C(n,2). An
+    // aggregate, no join — safe to evaluate even where the join itself
+    // would be a wall.
+    def bucketFanout(df: DataFrame, numPlanes: Int, bands: Int): Long = {
+      val width = numPlanes / bands
+      val mask = (1 << width) - 1
+      df.withColumn("__sig",
+          graft.sim.Similarity.rhpSignature(col("embedding"), 64, numPlanes))
+        .select(posexplode(array((0 until bands).map(b =>
+          shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
+        .toDF("band", "bucket")
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getLong(0)
+    }
+    val fanFixed1 = bucketFanout(emb1, 16, 8)       // q218 defaults at 1×
+    val fanFixed100 = bucketFanout(emb100, 16, 8)   // same params at 100×
+    val fanScaled100 = bucketFanout(emb100, 30, 2)  // width 15 ≈ log2(N)
+    // (b) the full operator, timed where feasible: 1× at the q218
+    // defaults; 100× at the scale-adjusted width (per-bucket O(1))
+    val (cs1n, cs1t) = probe(
+      graft.sim.Similarity.cosineNearDupes(emb1, dim = 64, threshold = 0.4))
+    val (cs100n, cs100t) = probe(
+      graft.sim.Similarity.cosineNearDupes(emb100, dim = 64, threshold = 0.4,
+        numPlanes = 30, bands = 2))
+
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+
+    println(
+      f"""{"probe":"scale100x_docs","docs_100x":$nDocs100,"emb_100x":$nEmb100,
+         |"minhash":{"pairs_1x":$mh1n,"pairs_100x":$mh100n,"pair_ratio":${mh100n.toDouble / math.max(1, mh1n)}%.1f,"sec_1x":$mh1t%.2f,"sec_100x":$mh100t%.2f,"wall_ratio":${mh100t / mh1t}%.1f},
+         |"winnow":{"pairs_1x":$wn1n,"pairs_100x":$wn100n,"pair_ratio":${wn100n.toDouble / math.max(1, wn1n)}%.1f,"sec_1x":$wn1t%.2f,"sec_100x":$wn100t%.2f,"wall_ratio":${wn100t / wn1t}%.1f},
+         |"cosine_lsh":{"fanout_fixed_1x":$fanFixed1,"fanout_fixed_100x":$fanFixed100,"fanout_scaled_100x":$fanScaled100,
+         |"pairs_1x":$cs1n,"sec_1x":$cs1t%.2f,"pairs_100x_scaled":$cs100n,"sec_100x_scaled":$cs100t%.2f,"wall_ratio_scaled":${cs100t / cs1t}%.1f},
+         |"loadavg":"$loadavg"}""".stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}

@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SeriesWindow, WindowFeatures}
+
+/** Planted-hot-key skew probe for the series exchange (r13 verdict ask
+  * #5): the engine ships the skew TOOLKIT (`etl/Skew.scala` —
+  * keySkewReport + saltedJoin) but the spine's own
+  * partitionBy(product, store) window exchange had no planted-hot-key
+  * evidence. This probe builds a 10× lineitem (6M rows) twice —
+  * balanced (plain key-shifted copies) and skewed (the same rows with
+  * 20% of them remapped onto ONE (l_partkey, l_suppkey) series) — and
+  * times three stages on each:
+  *
+  *  1. `weeklyAggregate` — the spine's groupBy((series, week)). Row
+  *     skew should be absorbed MAP-SIDE: partial aggregation combines
+  *     the hot key's rows within each input partition before the
+  *     exchange, so the shuffle carries (series, week) groups, not
+  *     rows, and the hot series adds at most its week count.
+  *  2. the RAW-row rolling window (the q40 shape: partitionBy(part,
+  *     supp) sorted by ship date over the unaggregated fact) — the
+  *     deliberately bad plan at skew: a window partition is ONE task,
+  *     so the hot series' 1.2M rows sort and stream in a single
+  *     straggler no matter how many executors exist. AQE's skew
+  *     handling splits JOIN partitions, not window partitions — this
+  *     stage is where the wall lives, and the probe records it
+  *     honestly.
+  *  3. the weekly-grain window (the spine's ACTUAL design: windows run
+  *     over weeklyAggregate output) — per-series depth is bounded by
+  *     the CALENDAR (~170 weeks at sf0.1) regardless of row skew, so
+  *     the hot key costs the same as any other series.
+  *
+  * The mitigation a 100-TB user should reach for, in order: (a) keep
+  * windows at the series' natural grain — aggregate first, window
+  * second (stage 3 IS stage 2's fix; the spine already does this);
+  * (b) where a raw-row window is semantically required, split the
+  * window's MEASURE into a two-pass form — partial per (key, coarse
+  * time bucket) then a window over bucket partials — the same
+  * partial-aggregation idea applied to the window; (c) for joins and
+  * groupBys (not windows), `etl/Skew.saltedJoin` + AQE skew-join
+  * handle it without restructuring. `keySkewReport` on the skewed key
+  * is printed so the detection side is exercised too.
+  *
+  * Performance probe only — correctness inputs stay the driver
+  * parquet; derived copies live under workDir.
+  *
+  * Usage: runMain graft.tools.SkewProbe [srcSfDir] [workDir]
+  */
+object SkewProbe {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "target/skewprobe"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val balancedPath = s"$work/lineitem_balanced.parquet"
+    val skewedPath = s"$work/lineitem_skewed.parquet"
+    if (!new java.io.File(balancedPath).exists()) {
+      val fanned = spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("__k", explode(sequence(lit(0L), lit(9L))))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__k") * lit(1000000000L))
+        .withColumn("l_partkey", col("l_partkey") + col("__k") * lit(10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + col("__k") * lit(1000000L))
+        .drop("__k")
+      fanned.repartition(64).write.mode("overwrite").parquet(balancedPath)
+      // same rows, but a deterministic 20% land on ONE series — the
+      // planted hot key (pmod of the unique line id, no RNG)
+      val hot = pmod(col("l_orderkey") * lit(7L) + col("l_linenumber"), lit(5)) === 0
+      spark.read.parquet(balancedPath)
+        .withColumn("l_partkey", when(hot, lit(424242L)).otherwise(col("l_partkey")))
+        .withColumn("l_suppkey", when(hot, lit(4242L)).otherwise(col("l_suppkey")))
+        .repartition(64).write.mode("overwrite").parquet(skewedPath)
+    }
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(df: => DataFrame): Double = {
+      run(df) // warm
+      val t0 = System.nanoTime(); run(df); (System.nanoTime() - t0) / 1e9
+    }
+
+    val seriesKeys = Seq(col("l_partkey"), col("l_suppkey"))
+    def weekly(li: DataFrame) = graft.etl.Enrichment.weeklyAggregate(
+      li, col("l_shipdate"), seriesKeys, col("l_quantity"))
+    def rawWindow(li: DataFrame) = {
+      val sw = SeriesWindow(seriesKeys,
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        WindowFeatures.rollingAvg(col("l_quantity"), 4, sw).as("roll_avg"),
+        WindowFeatures.rollingStd(col("l_quantity"), 4, sw).as("roll_std"))
+    }
+    def weeklyWindow(li: DataFrame) = {
+      val sw = SeriesWindow(seriesKeys, Seq(col("week_start")))
+      weekly(li).select(seriesKeys :+ col("week_start") :+
+        WindowFeatures.rollingAvg(col("qty_sum"), 4, sw).as("roll_avg") :+
+        WindowFeatures.rollingStd(col("qty_sum"), 4, sw).as("roll_std"): _*)
+    }
+
+    val bal = spark.read.parquet(balancedPath)
+    val skw = spark.read.parquet(skewedPath)
+
+    // detection: what a user would see before choosing a mitigation
+    val report = graft.etl.Skew.keySkewReport(skw,
+      Seq("l_partkey", "l_suppkey")).head()
+    val skewFactor = report.getAs[Double]("skew_factor")
+    val maxCnt = report.getAs[Long]("max_cnt")
+
+    val aggBal = timed(weekly(bal))
+    val aggSkw = timed(weekly(skw))
+    val rawBal = timed(rawWindow(bal))
+    val rawSkw = timed(rawWindow(skw))
+    val wkBal = timed(weeklyWindow(bal))
+    val wkSkw = timed(weeklyWindow(skw))
+
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+
+    println(
+      f"""{"probe":"skew_hotkey","rows":${bal.count()},"hot_key_rows":$maxCnt,"skew_factor":$skewFactor%.0f,
+         |"weekly_agg":{"balanced_sec":$aggBal%.2f,"skewed_sec":$aggSkw%.2f,"ratio":${aggSkw / aggBal}%.2f},
+         |"raw_window":{"balanced_sec":$rawBal%.2f,"skewed_sec":$rawSkw%.2f,"ratio":${rawSkw / rawBal}%.2f},
+         |"weekly_window":{"balanced_sec":$wkBal%.2f,"skewed_sec":$wkSkw%.2f,"ratio":${wkSkw / wkBal}%.2f},
+         |"loadavg":"$loadavg"}""".stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}

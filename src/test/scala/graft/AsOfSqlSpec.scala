@@ -65,6 +65,26 @@ class AsOfSqlSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("INNER JOIN post-filter survives non-nullable time columns " +
+    "(NullPropagation must not fold it away)") {
+    installed
+    // primitive toDF columns are NON-nullable; the rewrite's IsNotNull
+    // post-filter must be built against the as-of node's nullable
+    // output, or NullPropagation folds it to TRUE in the same
+    // fixed-point batch and INNER silently degrades to LEFT
+    Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 10L, 40L))
+      .toDF("event_id", "user_id", "pts").createOrReplaceTempView("asof_lnn")
+    Seq((101L, 10L, 50L, 1.5))
+      .toDF("click_id", "user_id", "cts", "v").createOrReplaceTempView("asof_rnn")
+    val sql = spark.sql(
+      """SELECT l.event_id, r.v AS asof_v FROM asof_lnn l JOIN asof_rnn r
+         ON l.user_id = r.user_id AND graft_asof(l.pts, r.cts)""")
+    assert(sql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // event 2's key has no right rows and event 3 precedes every right
+    // row — inner semantics must drop BOTH
+    assert(sql.as[(Long, Double)].collect().toSet == Set((1L, 1.5)))
+  }
+
   test("time args written in either order orient themselves") {
     installed
     val a = spark.sql(

@@ -55,6 +55,21 @@ class MemoSpec extends SparkSpec {
     assert(SparkEntry.memoSessionCount == base)
   }
 
+  test("the LRU bound is conf-tunable via spark.graft.memo.maxSessions " +
+    "(service operators size it without rebuilding)") {
+    val sessions = (1 to 4).map { _ =>
+      val s = spark.newSession()
+      s.conf.set("spark.graft.memo.maxSessions", "2")
+      s
+    }
+    sessions.foreach(s => SparkEntry.queries("q308_sarima011")(s, dir).count())
+    assert(SparkEntry.memoSessionCount <= 2,
+      s"conf bound 2 must hold, saw ${SparkEntry.memoSessionCount}")
+    // an evicted-but-active session transparently rebuilds on its next miss
+    assert(SparkEntry.queries("q308_sarima011")(sessions.head, dir).count() > 0)
+    sessions.foreach(SparkEntry.releaseMemos)
+  }
+
   test("the registry is bounded: LRU eviction frees the evicted session's " +
     "blocks instead of accumulating for the JVM's life") {
     val sc = spark.sparkContext

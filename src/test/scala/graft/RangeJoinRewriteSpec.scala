@@ -105,6 +105,64 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(pairs(allWide) == expected)
   }
 
+  test("the wide-fallback broadcast hint is stats-gated: an interval side " +
+    "estimated past the threshold stays unhinted (graceful degrade, no " +
+    "forced driver materialization)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val ivs = intervals.union(
+      Seq((111L, Some(15.0), Some(2.0e15))).toDF("iid", "lo", "hi"))
+    val naive = points.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+    def fallbackHints(df: DataFrame) = df.queryExecution.logical.collect {
+      case j: LJoin
+          if j.getTagValue(graft.plans.RangeJoinRewrite.SkipTag).isDefined =>
+        j.hint
+    }
+    // interval side fits the default threshold: hinted, so AQE folds the
+    // usually-empty wide branch at runtime
+    val hinted = fallbackHints(GraftPlans.rewriteRangeJoin(naive, 10.0))
+    assert(hinted.nonEmpty &&
+      hinted.forall(h => h.leftHint.isDefined || h.rightHint.isDefined))
+    // estimated past the threshold: unhinted — Spark honors a BROADCAST
+    // hint regardless of actual size, and on a real SCD table every
+    // current row carries the open-ended sentinel, so the "pathological"
+    // subset can be most of the table; unhinted, the planner degrades
+    // the way the pre-rewrite naive join would
+    withConf("spark.sql.autoBroadcastJoinThreshold", "1") {
+      val unhinted = fallbackHints(GraftPlans.rewriteRangeJoin(naive, 10.0))
+      assert(unhinted.nonEmpty &&
+        unhinted.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty))
+      assert(pairs(GraftPlans.rewriteRangeJoin(naive, 10.0)) == pairs(naive))
+    }
+  }
+
+  test("fallback idempotence survives tag-dropping plan rebuilds " +
+    "(structural guard alongside SkipTag)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Union => LUnion}
+    val ivs = intervals.union(
+      Seq((111L, Some(15.0), Some(2.0e15))).toDF("iid", "lo", "hi"))
+    val naive = points.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+    val once = GraftPlans.rewriteRangeJoin(naive, 10.0).queryExecution.logical
+    // simulate an optimizer rule that rebuilds joins via case-class copy
+    // (InferFiltersFromConstraints does): tags only survive
+    // makeCopy/withNewChildren, so such a rebuild loses SkipTag and the
+    // tag alone would let the fixed-point batch rewrite the fallback
+    // join AGAIN, nesting one extra union layer per iteration
+    once.foreach {
+      case j: LJoin => j.unsetTagValue(graft.plans.RangeJoinRewrite.SkipTag)
+      case _ => ()
+    }
+    val rebuilt = once
+    assert(rebuilt.collect {
+      case j: LJoin
+          if j.getTagValue(graft.plans.RangeJoinRewrite.SkipTag).isDefined => j
+    }.isEmpty, "the simulated rebuild must actually drop the tag")
+    val twice = graft.plans.RangeJoinRewrite(10.0)(rebuilt)
+    assert(twice.collect { case u: LUnion => u }.size ==
+      once.collect { case u: LUnion => u }.size, twice.toString)
+    assert(twice.collect { case j: LJoin => j }.size ==
+      once.collect { case j: LJoin => j }.size, twice.toString)
+  }
+
   test("file-source guarded rewrite: exact results, and AQE handles the " +
     "runtime-empty wide branch") {
     // over parquet (not a local relation) the optimizer can't prove the

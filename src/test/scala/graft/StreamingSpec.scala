@@ -105,6 +105,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((30L, ts(300), None, None)))
   }
 
+  test("streaming as-of enrichment fails fast on reserved-name clashes " +
+    "and oversize state (a message, not an executor OOM)") {
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val state = Seq((10L, ts(100), "bronze"), (10L, ts(200), "gold"),
+      (20L, ts(150), "silver")).toDF("user_id", "st", "tier")
+
+    // events already carrying an output/scratch column → clear require
+    val clash = intercept[IllegalArgumentException] {
+      EventsStream.asOfEnrichStream(
+        events.withColumn("asof_tier", lit("x")), state,
+        Seq("user_id"), "ts", "st", Seq("tier"))
+    }
+    assert(clash.getMessage.contains("asof_tier"), clash.getMessage)
+    val clashVe = intercept[IllegalArgumentException] {
+      EventsStream.asOfEnrichStream(events.withColumn("__ve", lit(1)),
+        state, Seq("user_id"), "ts", "st", Seq("tier"))
+    }
+    assert(clashVe.getMessage.contains("__ve"), clashVe.getMessage)
+    // state's __ve would be silently overwritten by the interval fold
+    val clashState = intercept[IllegalArgumentException] {
+      EventsStream.asOfEnrichStream(events,
+        state.withColumn("__ve", lit(1)), Seq("user_id"), "ts", "st",
+        Seq("tier"))
+    }
+    assert(clashState.getMessage.contains("__ve"), clashState.getMessage)
+
+    // the folded state is FORCE-broadcast per micro-batch: a state
+    // table past the cap must fail at definition time with the
+    // operator's own message, never a driver/executor OOM mid-stream
+    val oversize = intercept[IllegalArgumentException] {
+      EventsStream.asOfEnrichStream(events, state, Seq("user_id"),
+        "ts", "st", Seq("tier"), maxStateRows = 2)
+    }
+    assert(oversize.getMessage.contains("asOfNative"), oversize.getMessage)
+
+    // and the guarded operator still enriches (guards cost one bounded
+    // probe, not the semantics)
+    val query = EventsStream.asOfEnrichStream(events, state, Seq("user_id"),
+      "ts", "st", Seq("tier"), maxStateRows = 3)
+      .select("user_id", "ts", "asof_tier")
+      .writeStream.format("memory").queryName("asof_guarded")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((10L, ts(150), 1.0), (30L, ts(300), 2.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_guarded")
+      .as[(Long, Timestamp, Option[String])].collect().toSet
+    query.stop()
+    assert(got == Set((10L, ts(150), Some("bronze")), (30L, ts(300), None)))
+  }
+
   test("custom top-k aggregate runs inside a watermarked streaming window") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
