@@ -149,7 +149,8 @@ object ScaleProbeDocs {
           shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
         .toDF("band", "bucket")
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getLong(0)
+        .agg(sum((col("n") * (col("n") - 1) / lit(2)).cast("long")))
+        .head().getLong(0)
     }
     val fanFixed1 = bucketFanout(emb1, 16, 8)       // q218 defaults at 1×
     val fanFixed100 = bucketFanout(emb100, 16, 8)   // same params at 100×
