@@ -134,6 +134,20 @@ object ScaleProbeDocs {
       graft.text.TextAnalysis.winnowOverlapPairs(docs1, col("doc_id"), col("text")))
     val (wn100n, wn100t) = probe(
       graft.text.TextAnalysis.winnowOverlapPairs(docs100, col("doc_id"), col("text")))
+    // df-cap diagnostic: how many distinct fingerprints survive the
+    // maxDf=10 cap vs get dropped as ubiquitous at each scale —
+    // quantifies WHY the pair count stays bounded (k-char windows
+    // inside long unmodified words repeat across the 100 copies, push
+    // past the cap, and leave the pair join, exactly the
+    // boilerplate/license-header behavior the cap exists for)
+    def winnowCapStats(df: DataFrame): (Long, Long) = {
+      val byDf = graft.text.TextAnalysis.winnow(df, col("doc_id"), col("text"))
+        .select(col("id"), col("fp")).distinct()
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+      (byDf.filter(col("df") <= 10).count(), byDf.filter(col("df") > 10).count())
+    }
+    val (wnRare1, wnCapped1) = winnowCapStats(docs1)
+    val (wnRare100, wnCapped100) = winnowCapStats(docs100)
 
     // ---- path 3: RHP-LSH cosine near-dup (q107/q218) ----
     // (a) the JOIN FAN-OUT at fixed vs scale-adjusted parameters, via
@@ -171,7 +185,7 @@ object ScaleProbeDocs {
     println(
       f"""{"probe":"scale100x_docs","docs_100x":$nDocs100,"emb_100x":$nEmb100,
          |"minhash":{"pairs_1x":$mh1n,"pairs_100x":$mh100n,"pair_ratio":${mh100n.toDouble / math.max(1, mh1n)}%.1f,"sec_1x":$mh1t%.2f,"sec_100x":$mh100t%.2f,"wall_ratio":${mh100t / mh1t}%.1f},
-         |"winnow":{"pairs_1x":$wn1n,"pairs_100x":$wn100n,"pair_ratio":${wn100n.toDouble / math.max(1, wn1n)}%.1f,"sec_1x":$wn1t%.2f,"sec_100x":$wn100t%.2f,"wall_ratio":${wn100t / wn1t}%.1f},
+         |"winnow":{"pairs_1x":$wn1n,"pairs_100x":$wn100n,"pair_ratio":${wn100n.toDouble / math.max(1, wn1n)}%.1f,"sec_1x":$wn1t%.2f,"sec_100x":$wn100t%.2f,"wall_ratio":${wn100t / wn1t}%.1f,"fp_rare_1x":$wnRare1,"fp_capped_1x":$wnCapped1,"fp_rare_100x":$wnRare100,"fp_capped_100x":$wnCapped100},
          |"cosine_lsh":{"fanout_fixed_1x":$fanFixed1,"fanout_fixed_100x":$fanFixed100,"fanout_scaled_100x":$fanScaled100,
          |"pairs_1x":$cs1n,"sec_1x":$cs1t%.2f,"pairs_100x_scaled":$cs100n,"sec_100x_scaled":$cs100t%.2f,"wall_ratio_scaled":${cs100t / cs1t}%.1f},
          |"loadavg":"$loadavg"}""".stripMargin.replace("\n", ""))
