@@ -74,10 +74,27 @@ object EventsStream {
     * stream-static join semantics, so a dimension snapshot refresh is
     * picked up without restarting the query; unmatched events keep
     * NULL dimension columns (fill policy stays with the caller, as in
-    * the batch operator). */
+    * the batch operator).
+    *
+    * Same broadcast-size gate as [[asOfEnrichStream]]: the dimension
+    * is FORCE-broadcast per micro-batch (Spark honors the hint
+    * regardless of size), so a fact-sized `dim` must fail at
+    * definition time with this operator's message, not a driver OOM
+    * mid-stream. The probe is bounded — it stops scanning past the
+    * cap. */
   def enrichStream(events: DataFrame, dim: DataFrame,
-                   eventKey: String, dimKey: String): DataFrame =
+                   eventKey: String, dimKey: String,
+                   maxDimRows: Int = 10000000): DataFrame = {
+    require(maxDimRows >= 1 && maxDimRows < Int.MaxValue,
+      "maxDimRows must be in [1, Int.MaxValue)")
+    val probed = dim.limit(maxDimRows + 1).count()
+    require(probed <= maxDimRows,
+      s"dim has more than $maxDimRows rows — enrichStream broadcasts the " +
+        "dimension per micro-batch (dimension-snapshot contract); " +
+        "pre-aggregate or batch-join fact-sized tables instead, or raise " +
+        "maxDimRows")
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+  }
 
   /** Streaming AS-OF enrichment: attach to each event the LATEST state
     * row with stateTime ≤ event time, per key — the streaming twin of

@@ -64,6 +64,19 @@ class StreamingSpec extends SparkSpec {
       (2L, "click", Some("silver"))))
   }
 
+  test("stream-static enrichment rejects an oversize dimension with a " +
+    "message instead of a forced-broadcast OOM") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("u_id", "tier")
+    val oversize = intercept[IllegalArgumentException] {
+      EventsStream.enrichStream(events, dim, "user_id", "u_id", maxDimRows = 2)
+    }
+    assert(oversize.getMessage.contains("enrichStream"), oversize.getMessage)
+  }
+
   test("streaming as-of enrichment matches the batch asOf across micro-batches") {
     implicit val sq = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000L)
