@@ -83,6 +83,23 @@ object SparkEntry {
       }
     }
 
+    /** Converge the registry DOWN to the live bound (call under the
+      * lock, after the accessing session has been touched so it sits at
+      * the access-order tail). `removeEldestEntry` only fires once per
+      * put — it caps growth but a bound LOWERED below the current size
+      * would otherwise never be reached (each put adds one and evicts
+      * one, holding the old size forever). Iteration order is
+      * least-recently-accessed first, so this sheds the stalest
+      * sessions and never the caller's. */
+    private def shrinkToBound(): Unit = {
+      val it = reg.entrySet().iterator()
+      while (reg.size() > bound && it.hasNext) {
+        val e = it.next()
+        releaseFrames(e.getValue)
+        it.remove()
+      }
+    }
+
     /** Build-once per (session, slot, sfDir). NOT computeIfAbsent:
       * builders recurse into other slots of the same map (extShared →
       * championShared), which computeIfAbsent forbids — so the build
@@ -101,6 +118,7 @@ object SparkEntry {
         bound = maxSessionsOf(s)
         var v = reg.get(s)
         if (v == null) { v = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]; reg.put(s, v) }
+        shrinkToBound()
         v
       }
       val k = slot + "|" + d
@@ -116,6 +134,7 @@ object SparkEntry {
             val v = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
             bound = maxSessionsOf(s)
             reg.put(s, v)
+            shrinkToBound()
             v
           }
           val prev = cur.putIfAbsent(k, built)
@@ -2642,13 +2661,18 @@ object SparkEntry {
     "q270_importance_stability" -> ((s, d) => {
       val feats = Seq("l_discount", "l_tax", "l_extendedprice", "l_linenumber")
       val cut = col("l_shipdate") < lit("1996-01-01").cast("date")
-      def imp(f: DataFrame) = graft.operators.FeatureQuality
-        .importanceScores(f, feats, "l_quantity")
-        .select(col("feature"), r(col("score")).as("score"))
-      val joined = imp(li(s, d).filter(cut))
-        .withColumnRenamed("score", "base_imp")
-        .join(imp(li(s, d).filter(!cut)).withColumnRenamed("score", "cur_imp"),
-          "feature")
+      // both slices scored in ONE fact scan (conditional aggregation is
+      // bit-identical to the two filtered scans — see the operator's
+      // scaladoc), then the FEATURE-GRAIN score table (4 rows) is
+      // materialized once: importanceStability references its input
+      // twice (stats aggregate + spearman rank pass), which would
+      // re-run the fact scan per branch — the checkpoint makes the
+      // whole monitor tail scan-free (PlanSpec pins one lineitem scan)
+      val joined = graft.operators.FeatureQuality
+        .importanceScoresSliced(li(s, d), cut, feats, "l_quantity")
+        .select(col("feature"), r(col("score_in")).as("base_imp"),
+          r(col("score_out")).as("cur_imp"))
+        .localCheckpoint()
       graft.metrics.Diagnostics.importanceStability(joined, Nil,
         col("feature"), col("base_imp"), col("cur_imp"))
     }),

@@ -82,6 +82,46 @@ object FeatureQuality {
     wide.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
 
+  /** Two-slice variant of [[importanceScores]] — both slices' scores
+    * in ONE fact scan via conditional aggregation. `corr`/`avg`/
+    * `stddev` over `when(pred, x)` skip the other slice's rows
+    * pairwise, so each side equals the filtered-scan result bit for
+    * bit (same contributing rows, same partition order, same merge
+    * tree); rows where `slice` is NULL land on neither side, matching
+    * `filter(slice)` / `filter(!slice)`. This is the baseline-vs-
+    * current monitoring shape (model_diagnostics.py:445-527 compares
+    * two importance snapshots): fusing halves the fact scans and the
+    * aggregation codegen a cold monitoring sweep pays for. Returns
+    * (feature, score_in, score_out): the [[importanceScores]] score
+    * over rows WHERE slice and WHERE NOT slice. */
+  def importanceScoresSliced(df: DataFrame, slice: Column,
+                             features: Seq[String], target: String,
+                             keywordBoosts: Map[String, Double] =
+                               Map("lag" -> 0.2, "rolling" -> 0.15, "trend" -> 0.1)): DataFrame = {
+    def side(tag: String, pred: Column) = features.flatMap { c =>
+      Seq(nanToNull(corr(when(pred, col(c)), when(pred, col(target))))
+          .as(s"__${c}__corr_$tag"),
+        avg(when(pred, col(c))).as(s"__${c}__mean_$tag"),
+        nanToNull(stddev(when(pred, col(c)))).as(s"__${c}__std_$tag"))
+    }
+    val aggs = side("in", slice) ++ side("out", !slice)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def score(c: String, tag: String): Column = {
+      val boost = keywordBoosts.collect {
+        case (kw, b) if c.contains(kw) => b
+      }.foldLeft(0.0)(_ + _)
+      coalesce(abs(col(s"__${c}__corr_$tag")), lit(0.0)) * 0.3 +
+        coalesce(col(s"__${c}__std_$tag") /
+          (abs(col(s"__${c}__mean_$tag")) + lit(1e-8)), lit(0.0)) * 0.2 +
+        lit(boost)
+    }
+    val entries = features.map { c =>
+      struct(lit(c).as("feature"), score(c, "in").as("score_in"),
+        score(c, "out").as("score_out"))
+    }
+    wide.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
   /** A36 (selection leg) — keep the top-K scored features plus
     * essentials. The ranking collect is on the dim-sized score table
     * (one row per FEATURE) — a deliberate driver action. */

@@ -177,6 +177,50 @@ object ScaleProbeDocs {
       graft.sim.Similarity.cosineNearDupes(emb100, dim = 64, threshold = 0.4,
         numPlanes = 30, bands = 2))
 
+    // ---- path 4: IVF top-k (q106 production path; q204's portable twin
+    // shares the cell-equi-join shape) ---- the measured counterpart of
+    // the cosine-LSH paragraph's "or switch to IVF cells ~ sqrt(N)"
+    // claim: per-query candidates = nprobe × N/nlist, so FIXED nlist
+    // degrades linearly in N while nlist ~ √N holds candidates to
+    // O(√N). The fan-out is computed exactly from the same seeded
+    // KMeans model ivfTopK fits (Σ over cells of corpus_n × queries
+    // probing the cell) — an aggregate, no join.
+    def ivfLeg(emb: DataFrame, nlist: Int): (Long, Long, Double) = {
+      val queries = emb.orderBy(col("vec_id")).limit(50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def run = graft.sim.Similarity.ivfTopK(emb, queries, k = 10,
+        nlist = nlist, nprobe = 4)
+      run.count() // warm (includes one throwaway KMeans fit)
+      val (n, sec) = timed(run.count())
+      // exact candidate fan-out from an identically-seeded model
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val assembled = emb.withColumn("__v",
+        array_to_vector(col("embedding").cast("array<double>")))
+      val model = new KMeans().setK(nlist).setSeed(42L)
+        .setFeaturesCol("__v").setPredictionCol("cell").fit(assembled)
+      val corpusN = model.transform(assembled)
+        .groupBy("cell").agg(count(lit(1)).as("cn"))
+      import spark.implicits._
+      val cent = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+        .toSeq.toDF("cell", "centroid")
+      val qw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("__d").asc, col("cell").asc)
+      val probeN = queries.crossJoin(broadcast(cent))
+        .withColumn("__d", lit(1.0) -
+          graft.sim.Similarity.cosine(col("query_vec"), col("centroid")))
+        .withColumn("__r", row_number().over(qw))
+        .filter(col("__r") <= 4)
+        .groupBy("cell").agg(count(lit(1)).as("qn"))
+      val fanout = corpusN.join(probeN, "cell")
+        .agg(sum(col("cn") * col("qn"))).head().getLong(0)
+      (n, fanout, sec)
+    }
+    val (ivf1n, ivf1fan, ivf1t) = ivfLeg(emb1, 16)          // q106 defaults at 1×
+    val (ivfF100n, ivfF100fan, ivfF100t) = ivfLeg(emb100, 16)   // fixed params at 100×
+    val (ivfS100n, ivfS100fan, ivfS100t) = ivfLeg(emb100, 448)  // nlist ≈ √200k
+
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
@@ -188,6 +232,9 @@ object ScaleProbeDocs {
          |"winnow":{"pairs_1x":$wn1n,"pairs_100x":$wn100n,"pair_ratio":${wn100n.toDouble / math.max(1, wn1n)}%.1f,"sec_1x":$wn1t%.2f,"sec_100x":$wn100t%.2f,"wall_ratio":${wn100t / wn1t}%.1f,"fp_rare_1x":$wnRare1,"fp_capped_1x":$wnCapped1,"fp_rare_100x":$wnRare100,"fp_capped_100x":$wnCapped100},
          |"cosine_lsh":{"fanout_fixed_1x":$fanFixed1,"fanout_fixed_100x":$fanFixed100,"fanout_scaled_100x":$fanScaled100,
          |"pairs_1x":$cs1n,"sec_1x":$cs1t%.2f,"pairs_100x_scaled":$cs100n,"sec_100x_scaled":$cs100t%.2f,"wall_ratio_scaled":${cs100t / cs1t}%.1f},
+         |"ivf":{"rows_1x":$ivf1n,"fanout_1x":$ivf1fan,"sec_1x":$ivf1t%.2f,
+         |"rows_100x_fixed":$ivfF100n,"fanout_100x_fixed":$ivfF100fan,"sec_100x_fixed":$ivfF100t%.2f,
+         |"rows_100x_sqrtN":$ivfS100n,"fanout_100x_sqrtN":$ivfS100fan,"sec_100x_sqrtN":$ivfS100t%.2f},
          |"loadavg":"$loadavg"}""".stripMargin.replace("\n", ""))
     spark.stop()
   }

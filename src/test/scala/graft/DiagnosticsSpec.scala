@@ -220,4 +220,39 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out(2) == 7.0)
     assert(out(1) == 14.0)
   }
+
+  test("importanceScoresSliced: the fused single-scan scores equal the two " +
+    "filtered-scan importanceScores exactly (q270's cold-path fusion)") {
+    import graft.operators.FeatureQuality
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val feats = Seq("l_discount", "l_tax", "l_extendedprice", "l_linenumber")
+    val cut = col("l_shipdate") < lit("1996-01-01").cast("date")
+    def ref(f: org.apache.spark.sql.DataFrame) = FeatureQuality
+      .importanceScores(f, feats, "l_quantity")
+      .select("feature", "score").as[(String, Double)].collect().toMap
+    val (refIn, refOut) = (ref(li.filter(cut)), ref(li.filter(!cut)))
+    val fused = FeatureQuality
+      .importanceScoresSliced(li, cut, feats, "l_quantity")
+      .select("feature", "score_in", "score_out")
+      .as[(String, Double, Double)].collect()
+    assert(fused.length == feats.size)
+    fused.foreach { case (f, sIn, sOut) =>
+      // bit-identical, not approximately: same contributing rows in the
+      // same partition order through the same aggregate merge tree
+      assert(sIn == refIn(f), s"$f score_in $sIn != filtered ${refIn(f)}")
+      assert(sOut == refOut(f), s"$f score_out $sOut != filtered ${refOut(f)}")
+    }
+    // a NULL slice value lands on neither side (filter semantics)
+    val withNull = li.withColumn("__sl",
+      when(col("l_linenumber") === 1, lit(null).cast("boolean")).otherwise(cut))
+    val fusedN = FeatureQuality
+      .importanceScoresSliced(withNull, col("__sl"), feats, "l_quantity")
+      .select("feature", "score_in", "score_out")
+      .as[(String, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val refInN = ref(withNull.filter(col("__sl")))
+    val refOutN = ref(withNull.filter(!col("__sl")))
+    feats.foreach { f =>
+      assert(fusedN(f)._1 == refInN(f) && fusedN(f)._2 == refOutN(f))
+    }
+  }
 }

@@ -70,6 +70,23 @@ class MemoSpec extends SparkSpec {
     sessions.foreach(SparkEntry.releaseMemos)
   }
 
+  test("a bound LOWERED below the registry's current size converges on the " +
+    "next access (removeEldestEntry alone only caps growth)") {
+    // grow to 4 sessions under the default bound...
+    val grown = (1 to 4).map(_ => spark.newSession())
+    grown.foreach(s => SparkEntry.queries("q308_sarima011")(s, dir).count())
+    assert(SparkEntry.memoSessionCount >= 4)
+    // ...then one newcomer arrives with the bound lowered to 2: the
+    // registry must shed stale sessions down to the new bound, not
+    // hold the grown size forever
+    val tight = spark.newSession()
+    tight.conf.set("spark.graft.memo.maxSessions", "2")
+    SparkEntry.queries("q308_sarima011")(tight, dir).count()
+    assert(SparkEntry.memoSessionCount <= 2,
+      s"lowered bound 2 must converge, saw ${SparkEntry.memoSessionCount}")
+    (grown :+ tight).foreach(SparkEntry.releaseMemos)
+  }
+
   test("the registry is bounded: LRU eviction frees the evicted session's " +
     "blocks instead of accumulating for the JVM's life") {
     val sc = spark.sparkContext

@@ -533,4 +533,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q270: the fused importance monitor scans the fact exactly ONCE " +
+    "(both period slices via conditional aggregation)") {
+    // at 100 TB the scan count IS the cost of a monitoring sweep — the
+    // r14 fusion's contract: the sliced scorer reads the fact once for
+    // both slices...
+    val li = Tables.lineitem(spark, dir)
+    val cut = col("l_shipdate") < lit("1996-01-01").cast("date")
+    val scorer = graft.operators.FeatureQuality.importanceScoresSliced(
+      li, cut, Seq("l_discount", "l_tax"), "l_quantity")
+      .queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(scorer).length
+    assert(scans == 1, s"$scans lineitem scans in the scorer (want 1):\n$scorer")
+    // ...and q270 checkpoints the 4-row score table, so the stability
+    // tail (which references its input twice: stats aggregate +
+    // spearman pass) re-reads NO fact data at all
+    val tail = SparkEntry.queries("q270_importance_stability")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val tailScans = "lineitem\\.parquet".r.findAllIn(tail).length
+    assert(tailScans == 0, s"$tailScans lineitem scans in the tail (want 0):\n$tail")
+  }
 }
