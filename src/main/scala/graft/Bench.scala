@@ -47,7 +47,8 @@ object Bench {
     "q299_order_search_ext", "q300_champion_ext", "q301_hist_quantiles",
     "q302_cm_frequency", "q303_range_rewrite", "q304_asof_exec",
     "q305_asof_exec_fwd", "q306_range_rewrite_ts", "q307_arima212",
-    "q308_sarima011", "q309_blend_ext", "q310_sarma11", "q311_ma3_probe")
+    "q308_sarima011", "q309_blend_ext", "q310_sarma11", "q311_ma3_probe",
+    "q312_boilerplate", "q313_ar5_probe", "q314_acf_pacf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

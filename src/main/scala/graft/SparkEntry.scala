@@ -281,6 +281,16 @@ object SparkEntry {
         Seq(col("week_start")), "qty_sum").localCheckpoint(true)
     }
 
+  /** q313's AR(5) Yule–Walker fit table
+    * ([[graft.seq.YuleWalker.ar5Full]]), fit once per
+    * (session, sfDir) — same discipline as [[smaShared]]. */
+  private def ywShared(s: SparkSession, d: String): DataFrame =
+    Memos.memo(s, "yw5", d) {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.YuleWalker.ar5Full(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum").localCheckpoint(true)
+    }
+
   /** The standard per-series window: series = (part, supplier), ordered
     * by ship date with a unique tiebreaker. */
   private def sw = SeriesWindow(
@@ -1373,6 +1383,37 @@ object SparkEntry {
           col("arma22_sse").as("sse"), col("step"),
           col("arima_forecast").as("forecast"))
     }),
+    // AR(5) by Yule–Walker/Levinson–Durbin: the order-search probe for
+    // the reference's FULL p bound (max_p = 5, arima_temporal.py:69-70)
+    // — closed-form companion to q311's MA(3) grid probe on the q leg.
+    // The reflection coefficients the recursion emits are the PACF.
+    "q313_ar5_probe" -> ((s, d) => {
+      graft.seq.YuleWalker.ar5ForecastFrom(ywShared(s, d),
+        Seq("l_suppkey"), h = 4)
+        .select(col("l_suppkey"), col("yw_phi1").as("phi1"),
+          col("yw_phi2").as("phi2"), col("yw_phi3").as("phi3"),
+          col("yw_phi4").as("phi4"), col("yw_phi5").as("phi5"),
+          col("yw_sse").as("sse"), col("step"), col("forecast"))
+    }),
+    // Box–Jenkins identification table: sample ACF r1..r5 and PACF
+    // k1..k5 (Levinson reflection coefficients) per weekly series in
+    // ONE distributed pass — the order-selection diagnostic pmdarima's
+    // stepwise walk reads (arima_temporal.py's search seeds)
+    "q314_acf_pacf" -> ((s, d) => {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.YuleWalker.acfPacf(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum")
+        .withColumnRenamed("yw_neff", "n_eff")
+    }),
+    // CCNet-style corpus-frequency boilerplate scrub: 3-word spans
+    // appearing in >= 5 distinct documents are deleted from EVERY
+    // document (the complement of q124's keep-first span dedup, which
+    // retains one copy). Portable string-keyed census here; production
+    // default hashes the span to an 8-byte shuffle key (spec-pinned
+    // identical output).
+    "q312_boilerplate" -> ((s, d) =>
+      graft.text.Boilerplate.scrub(Tables.documents(s, d), "doc_id", "text",
+        w = 3, maxDocFreq = 5, hashedKey = false)),
     // WMAPE-calibrated uncertainty: raw uncertainty = per-(part,supp)
     // qty stddev (explicit sufficient sums), prediction = the group
     // mean, calibrated per return flag
@@ -4060,6 +4101,122 @@ object SparkEntry {
          SELECT l_suppkey, theta1, theta2, theta3, sse, step, forecast
          FROM m3f"""
 
+  /** q313 oracle: biased autocovariances c₀..c₅ as exact micro-int
+    * product sums over the centered weekly series, the Levinson–Durbin
+    * recursion unrolled five levels as a CTE chain (expression shapes
+    * mirror graft.seq.YuleWalker verbatim, denominators guarded the
+    * same way), in-sample SSE over the lag-5-conditioned rows, and the
+    * rounded-feedback 4-step forecast recursion. */
+  /** Guarded denominator, the YuleWalker.sden twin. */
+  private def ywsd(v: String) = s"(CASE WHEN abs($v) >= 1e-12 THEN $v ELSE 1.0e0 END)"
+
+  /** Shared q313/q314 CTE core: centered micro-int weekly series,
+    * autocovariance product sums, Levinson–Durbin chain through k₅ and
+    * the `ok` gate (graft.seq.YuleWalker.prep mirrored verbatim). */
+  private lazy val ywCoreSql: String = {
+    def sd(v: String) = ywsd(v)
+    s"""$championMembersSql,
+           ywt AS (SELECT w.l_suppkey, w.ws,
+                   CAST(round((w.q - muq.mu)*1e4) AS BIGINT) AS xi,
+                   row_number() OVER (PARTITION BY w.l_suppkey
+                     ORDER BY w.ws DESC) rd
+                 FROM w JOIN muq USING (l_suppkey)),
+           ywl AS (SELECT *,
+                   lag(xi, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) i1,
+                   lag(xi, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) i2,
+                   lag(xi, 3) OVER (PARTITION BY l_suppkey ORDER BY ws) i3,
+                   lag(xi, 4) OVER (PARTITION BY l_suppkey ORDER BY ws) i4,
+                   lag(xi, 5) OVER (PARTITION BY l_suppkey ORDER BY ws) i5
+                 FROM ywt),
+           yws AS (SELECT l_suppkey,
+                   CAST(count(*) AS DOUBLE) n,
+                   CAST(count(i5) AS DOUBLE) np5,
+                   (CAST(sum(CAST(xi AS HUGEINT)*xi) AS DOUBLE)/1e8 + 0.0e0) p0,
+                   (CAST(sum(CAST(xi AS HUGEINT)*i1) AS DOUBLE)/1e8 + 0.0e0) p1,
+                   (CAST(sum(CAST(xi AS HUGEINT)*i2) AS DOUBLE)/1e8 + 0.0e0) p2,
+                   (CAST(sum(CAST(xi AS HUGEINT)*i3) AS DOUBLE)/1e8 + 0.0e0) p3,
+                   (CAST(sum(CAST(xi AS HUGEINT)*i4) AS DOUBLE)/1e8 + 0.0e0) p4,
+                   (CAST(sum(CAST(xi AS HUGEINT)*i5) AS DOUBLE)/1e8 + 0.0e0) p5,
+                   max(CASE WHEN rd = 1 THEN xi END) x1i,
+                   max(CASE WHEN rd = 2 THEN xi END) x2i,
+                   max(CASE WHEN rd = 3 THEN xi END) x3i,
+                   max(CASE WHEN rd = 4 THEN xi END) x4i,
+                   max(CASE WHEN rd = 5 THEN xi END) x5i
+                 FROM ywl GROUP BY 1 HAVING count(i5) >= 3),
+           ywc AS (SELECT *, p0/n c0, p1/n c1, p2/n c2, p3/n c3,
+                   p4/n c4, p5/n c5 FROM yws),
+           ywk1 AS (SELECT *, c1/${sd("c0")} k1 FROM ywc),
+           ywv1 AS (SELECT *, c0*(1.0e0 - k1*k1) v1 FROM ywk1),
+           ywk2 AS (SELECT *, (c2 - k1*c1)/${sd("v1")} k2 FROM ywv1),
+           ywv2 AS (SELECT *, k1 - k2*k1 AS a21,
+                   v1*(1.0e0 - k2*k2) AS v2 FROM ywk2),
+           ywk3 AS (SELECT *, (c3 - a21*c2 - k2*c1)/${sd("v2")} k3 FROM ywv2),
+           ywv3 AS (SELECT *, a21 - k3*k2 AS a31, k2 - k3*a21 AS a32,
+                   v2*(1.0e0 - k3*k3) AS v3 FROM ywk3),
+           ywk4 AS (SELECT *, (c4 - a31*c3 - a32*c2 - k3*c1)/${sd("v3")} k4
+                 FROM ywv3),
+           ywv4 AS (SELECT *, a31 - k4*k3 AS a41, a32 - k4*a32 AS a42,
+                   k3 - k4*a31 AS a43, v3*(1.0e0 - k4*k4) AS v4 FROM ywk4),
+           ywk5 AS (SELECT *,
+                   (c5 - a41*c4 - a42*c3 - a43*c2 - k4*c1)/${sd("v4")} k5,
+                   (c0 >= 1e-8 AND abs(v1) >= 1e-12 AND abs(v2) >= 1e-12
+                    AND abs(v3) >= 1e-12 AND abs(v4) >= 1e-12) AS ok
+                 FROM ywv4)"""
+  }
+
+  /** q313 oracle tail: rounded φ's, conditioned-row SSE, and the
+    * rounded-feedback 4-step forecast over the shared core. */
+  private lazy val ywProbeSql: String =
+    s"""$ywCoreSql,
+           ywf AS (SELECT l_suppkey, x1i, x2i, x3i, x4i, x5i,
+                   (round((CASE WHEN ok THEN a41 - k5*k4 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi1,
+                   (round((CASE WHEN ok THEN a42 - k5*a43 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi2,
+                   (round((CASE WHEN ok THEN a43 - k5*a42 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi3,
+                   (round((CASE WHEN ok THEN k4 - k5*a41 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi4,
+                   (round((CASE WHEN ok THEN k5 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi5
+                 FROM ywk5),
+           ywr AS (SELECT l.l_suppkey,
+                   ${sq("(l.xi/1e4 + 0.0e0) - (f.phi1*(l.i1/1e4 + 0.0e0) + f.phi2*(l.i2/1e4 + 0.0e0) + f.phi3*(l.i3/1e4 + 0.0e0) + f.phi4*(l.i4/1e4 + 0.0e0) + f.phi5*(l.i5/1e4 + 0.0e0))")} AS sse
+                 FROM ywl l JOIN ywf f ON l.l_suppkey = f.l_suppkey
+                 WHERE l.i5 IS NOT NULL GROUP BY 1),
+           ywg AS (SELECT f.l_suppkey, f.phi1, f.phi2, f.phi3, f.phi4,
+                   f.phi5, r.sse, m.mu,
+                   (f.x1i/1e4 + 0.0e0) x1, (f.x2i/1e4 + 0.0e0) x2,
+                   (f.x3i/1e4 + 0.0e0) x3, (f.x4i/1e4 + 0.0e0) x4,
+                   (f.x5i/1e4 + 0.0e0) x5
+                 FROM ywf f JOIN ywr r USING (l_suppkey)
+                   JOIN muq m USING (l_suppkey)),
+           ywg1 AS (SELECT *, (round((phi1*x1 + phi2*x2 + phi3*x3
+                     + phi4*x4 + phi5*x5)*1e4)/1e4 + 0.0e0) g1 FROM ywg),
+           ywg2 AS (SELECT *, (round((phi1*g1 + phi2*x1 + phi3*x2
+                     + phi4*x3 + phi5*x4)*1e4)/1e4 + 0.0e0) g2 FROM ywg1),
+           ywg3 AS (SELECT *, (round((phi1*g2 + phi2*g1 + phi3*x1
+                     + phi4*x2 + phi5*x3)*1e4)/1e4 + 0.0e0) g3 FROM ywg2),
+           ywg4 AS (SELECT *, (round((phi1*g3 + phi2*g2 + phi3*g1
+                     + phi4*x1 + phi5*x2)*1e4)/1e4 + 0.0e0) g4 FROM ywg3)
+         SELECT l_suppkey, phi1, phi2, phi3, phi4, phi5, sse,
+                CAST(s.step AS BIGINT) AS step,
+                (CASE s.step WHEN 1 THEN round((mu + g1)*1e4)/1e4
+                             WHEN 2 THEN round((mu + g2)*1e4)/1e4
+                             WHEN 3 THEN round((mu + g3)*1e4)/1e4
+                             ELSE round((mu + g4)*1e4)/1e4 END + 0.0e0) AS forecast
+         FROM ywg4 CROSS JOIN steps s"""
+
+  /** q314 oracle tail: rounded ACF cₖ/c₀ and PACF kₖ with the same
+    * ok-gate/zero-fallback as the φ's, straight off the shared core. */
+  private lazy val ywAcfSql: String = {
+    def a(k: Int) =
+      s"(round((CASE WHEN ok THEN c$k/${ywsd("c0")} ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) acf$k"
+    def p(k: Int) =
+      s"(round((CASE WHEN ok THEN k$k ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) pacf$k"
+    s"""$ywCoreSql
+         SELECT l_suppkey,
+                ${(1 to 5).map(a).mkString(",\n                ")},
+                ${(1 to 5).map(p).mkString(",\n                ")},
+                np5 AS n_eff
+         FROM ywk5"""
+  }
+
   /** q309 oracle: the q267 Akaike-blend arithmetic over the
     * fourteen-member scoreboard and forecast unions. */
   private lazy val blendExtSql: String =
@@ -4269,7 +4426,27 @@ object SparkEntry {
     "q308_sarima011" -> sarima011Sql,
     "q310_sarma11" -> sarma11Sql,
     "q311_ma3_probe" -> ma3ProbeSql,
+    "q313_ar5_probe" -> ywProbeSql,
+    "q314_acf_pacf" -> ywAcfSql,
     "q309_blend_ext" -> blendExtSql,
+    // corpus-frequency boilerplate scrub (q124's span explode, census
+    // by distinct (doc, span), delete-all at df >= 5, ordered rebuild)
+    "q312_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         ch AS (SELECT doc_id,
+                       unnest([{'no': i, 'chunk': array_to_string(ws[((i-1)*3+1):(i*3)], ' ')}
+                               FOR i IN range(1, CAST(ceil(len(ws)/3.0) AS BIGINT)+1)]) AS c
+                FROM w),
+         fl AS (SELECT doc_id, c.no AS span_no, c.chunk AS span FROM ch),
+         cen AS (SELECT span, count(*) AS span_df
+                 FROM (SELECT DISTINCT doc_id, span FROM fl) GROUP BY 1)
+         SELECT fl.doc_id,
+                count(*) AS n_spans,
+                CAST(sum(CASE WHEN cen.span_df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                coalesce(string_agg(CASE WHEN cen.span_df < 5 THEN fl.span END,
+                                    ' ' ORDER BY fl.span_no), '') AS clean_text
+         FROM fl JOIN cen USING (span)
+         GROUP BY 1""",
     "q261_bootstrap" -> bootstrapSql,
     "q262_quantile_reg" -> quantileRegSql,
     "q263_pq_codes" -> pqCodesSql,

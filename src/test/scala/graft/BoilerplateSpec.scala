@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Boilerplate
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "x y" opens docs 1-3 (df = 3); every other span is unique to its doc;
+  // doc 4 repeats "x y" internally but contains it as ONE document.
+  private val docs = Seq(
+    (1L, "x y a b"),
+    (2L, "x y c d"),
+    (3L, "x y e f"),
+    (4L, "x y x y"),
+    (5L, "g h i j")
+  ).toDF("doc_id", "text")
+
+  test("census: document frequency, within-doc repeats count once") {
+    val cen = Boilerplate.census(docs, "doc_id", "text", 2)
+      .as[(String, Long)].collect().toMap
+    assert(cen("x y") == 4L) // docs 1,2,3,4 — doc 4's self-repeat counts once
+    assert(cen("a b") == 1L)
+    assert(cen("g h") == 1L)
+  }
+
+  test("scrub: spans at df >= maxDocFreq removed from EVERY document") {
+    val out = Boilerplate.scrub(docs, "doc_id", "text", w = 2, maxDocFreq = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 1L, "a b")))
+    assert(out(1) == ((2L, 2L, 1L, "c d")))
+    assert(out(2) == ((3L, 2L, 1L, "e f")))
+    // doc 4 was pure boilerplate: both occurrences go, text empties
+    assert(out(3) == ((4L, 2L, 2L, "")))
+    // doc 5 untouched (no span reaches df 3)
+    assert(out(4) == ((5L, 2L, 0L, "g h i j")))
+  }
+
+  test("scrub: below-threshold shared spans survive (keep-first would not)") {
+    val out = Boilerplate.scrub(docs, "doc_id", "text", w = 2, maxDocFreq = 5)
+      .orderBy("doc_id").select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect()
+    // df("x y") = 4 < 5 → nothing is boilerplate, every doc reconstructs
+    assert(out.forall(_._2 == 0L))
+    assert(out.map(_._3).toSeq ==
+      Seq("x y a b", "x y c d", "x y e f", "x y x y", "g h i j"))
+  }
+
+  test("hashed census key produces the portable string-keyed output") {
+    val a = Boilerplate.scrub(docs, "doc_id", "text", 2, 3, hashedKey = true)
+    val b = Boilerplate.scrub(docs, "doc_id", "text", 2, 3, hashedKey = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("guards: w >= 1, maxDocFreq >= 2") {
+    intercept[IllegalArgumentException] {
+      Boilerplate.scrub(docs, "doc_id", "text", w = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Boilerplate.scrub(docs, "doc_id", "text", w = 2, maxDocFreq = 1)
+    }
+  }
+}
