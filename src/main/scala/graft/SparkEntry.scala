@@ -1830,6 +1830,23 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
     }),
+    // interval×interval OVERLAP join (the third non-equi join form):
+    // part price bands [p, p+100) against supplier balance bands
+    // [b, b+500), bucketed equi-join with the first-shared-bucket
+    // dedup — count parity with the oracle's plain inequality join is
+    // exactly the duplicate-elimination correctness check
+    "q315_overlap_join" -> ((s, d) => {
+      val lhs = part(s, d).select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("plo"),
+        (col("p_retailprice").cast("double") + lit(100.0)).as("phi"))
+      val rhs = Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_acctbal").cast("double").as("slo"),
+        (col("s_acctbal").cast("double") + lit(500.0)).as("shi"))
+      graft.operators.RangeJoin.overlapJoin(lhs, "plo", "phi",
+        rhs, "slo", "shi", bucketWidth = 500.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_overlap"), min(col("s_suppkey")).as("min_supp"))
+    }),
     // class-rebalancing stratified sample (portable, key-consistent)
     "q120_stratified_sample" -> ((s, d) =>
       graft.functions.PortableHash.stratifiedSample(li(s, d), col("l_orderkey"),
@@ -4101,12 +4118,6 @@ object SparkEntry {
          SELECT l_suppkey, theta1, theta2, theta3, sse, step, forecast
          FROM m3f"""
 
-  /** q313 oracle: biased autocovariances c₀..c₅ as exact micro-int
-    * product sums over the centered weekly series, the Levinson–Durbin
-    * recursion unrolled five levels as a CTE chain (expression shapes
-    * mirror graft.seq.YuleWalker verbatim, denominators guarded the
-    * same way), in-sample SSE over the lag-5-conditioned rows, and the
-    * rounded-feedback 4-step forecast recursion. */
   /** Guarded denominator, the YuleWalker.sden twin. */
   private def ywsd(v: String) = s"(CASE WHEN abs($v) >= 1e-12 THEN $v ELSE 1.0e0 END)"
 
@@ -6808,6 +6819,19 @@ object SparkEntry {
          SELECT tier, count(*) AS n_rows,
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY 1""",
+    // interval-overlap join: the oracle runs the NAIVE inequality join,
+    // so row-count parity per key proves the bucketed form's
+    // first-shared-bucket dedup emits every overlapping pair exactly once
+    "q315_overlap_join" ->
+      """WITH l AS (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS plo,
+                           CAST(p_retailprice AS DOUBLE) + 100.0e0 AS phi
+                    FROM part),
+              r AS (SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS slo,
+                           CAST(s_acctbal AS DOUBLE) + 500.0e0 AS shi
+                    FROM supplier)
+         SELECT p_partkey, count(*) AS n_overlap, min(s_suppkey) AS min_supp
+         FROM l JOIN r ON plo < shi AND slo < phi
          GROUP BY 1""",
     "q120_stratified_sample" ->
       """SELECT l_returnflag, count(*) AS n_rows,

@@ -45,4 +45,48 @@ object RangeJoin {
       .filter(value >= col(loCol) && value < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join — the third non-equi join form
+    * (point-in-interval above, as-of in [[AsOfJoin]]): match row pairs
+    * whose half-open intervals [lo, hi) intersect, i.e.
+    * `l.lo < r.hi AND r.lo < l.hi`. Spark plans the naive form as a
+    * nested loop; here BOTH sides explode into the integer buckets of
+    * width `bucketWidth` they cover and join as a plain shuffled
+    * equi-join on the bucket, refined by the exact predicate.
+    *
+    * Duplicate elimination is FREE (no distinct): a pair overlapping
+    * across several shared buckets is emitted only from the FIRST
+    * shared bucket — the bucket where the later-starting interval
+    * begins, `greatest(floor(l.lo/w), floor(r.lo/w))` — which every
+    * overlapping pair shares by construction. One equi-join, no
+    * post-shuffle dedup exchange.
+    *
+    * Contract: half-open non-empty intervals (rows with lo ≥ hi or a
+    * NULL bound match nothing and are filtered before the explode —
+    * also what keeps `sequence` ascending); column names must be
+    * disjoint across the two frames. Cost is linear in rows × avg
+    * buckets per interval: pick `bucketWidth` near the median interval
+    * width, and pre-split open-ended sentinel intervals exactly as
+    * documented for [[bandedRange]] / the binning rewrite rule. */
+  def overlapJoin(left: DataFrame, loL: String, hiL: String,
+                  right: DataFrame, loR: String, hiR: String,
+                  bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(clash.isEmpty,
+      s"column name(s) $clash appear on both sides — rename before the overlap join")
+    def bucketed(df: DataFrame, lo: String, hi: String, b: String) =
+      df.filter(col(lo) < col(hi)).withColumn(b,
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor((col(hi) - lit(1e-9)) / bucketWidth).cast("long"))))
+    val lb = bucketed(left, loL, hiL, "__bl")
+    val rb = bucketed(right, loR, hiR, "__br")
+    lb.join(rb, col("__bl") === col("__br") &&
+        col(loL) < col(hiR) && col(loR) < col(hiL) &&
+        col("__bl") === greatest(
+          floor(col(loL) / bucketWidth).cast("long"),
+          floor(col(loR) / bucketWidth).cast("long")))
+      .drop("__bl", "__br")
+  }
 }

@@ -116,6 +116,40 @@ class AsOfRangeJoinSpec extends SparkSpec {
     assert(banded.contains((10.0, 1)))   // lo inclusive
   }
 
+  test("overlapJoin: parity with the naive inequality join, one row per pair") {
+    // widths straddle the bucket size (50): narrow, exact-width, and
+    // multi-bucket intervals, negatives, boundary touches
+    val l = Seq((1L, 0.0, 5.0), (2L, 10.0, 110.0), (3L, -75.0, -25.0),
+      (4L, 49.0, 51.0), (5L, 100.0, 200.0)).toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 5.0, 10.0), (11L, 0.0, 300.0), (12L, -30.0, 0.0),
+      (13L, 50.0, 50.5), (14L, 199.0, 250.0)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", 50.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = l.crossJoin(r)
+      .filter(col("llo") < col("rhi") && col("rlo") < col("lhi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // no duplicate emission across shared buckets (multi-bucket pairs
+    // like (2,11) and (5,11) share several 50-wide buckets)
+    val n = RangeJoin.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", 50.0).count()
+    assert(n == want.size.toLong)
+    // half-open: [0,5) does not overlap [5,10)
+    assert(!got.contains((1L, 10L)))
+  }
+
+  test("overlapJoin: empty/NULL intervals match nothing; name clash guarded") {
+    val l = Seq((1L, Some(5.0), Some(5.0)), (2L, None, Some(9.0)),
+      (3L, Some(1.0), Some(2.0))).toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 0.0, 10.0)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", 4.0)
+      .select("lid").as[Long].collect().toSeq
+    assert(got == Seq(3L)) // lo==hi empty and NULL-bound rows dropped
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(l, "llo", "lhi",
+        r.withColumnRenamed("rid", "lid"), "rlo", "rhi", 4.0)
+    }
+  }
+
   test("overlapping intervals emit one row per matching interval") {
     val intervals = Seq((0, 0.0, 20.0), (1, 10.0, 30.0)).toDF("tier", "lo", "hi")
     val fact = Seq(15.0).toDF("v")
