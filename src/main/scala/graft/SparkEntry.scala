@@ -1830,6 +1830,16 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
     }),
+    // differentially-private-style aggregate release: per-(flag,
+    // supplier) noisy count + noisy quantity sum, Laplace noise drawn
+    // DETERMINISTICALLY from the portable poly+Lehmer hash of the group
+    // key (consistent-release discipline — republishing reuses the
+    // draw); true values never appear in the output
+    "q316_dp_release" -> ((s, d) =>
+      graft.etl.Privacy.dpRelease(li(s, d),
+        Seq(("l_returnflag", col("l_returnflag")),
+          ("l_suppkey", col("l_suppkey"))),
+        col("l_quantity"), eps = 1.0, sensitivity = 50.0)),
     // interval×interval OVERLAP join (the third non-equi join form):
     // part price bands [p, p+100) against supplier balance bands
     // [b, b+500), bucketed equi-join with the first-shared-bucket
@@ -6820,6 +6830,27 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // DP-style release: poly-hash of 'flag|suppkey' -> Lehmer uniform
+    // (3 rounds for the count draw, 4 for the sum draw) -> inverse-CDF
+    // Laplace, noise rounded 4dp before the add (the engine's lap())
+    "q316_dp_release" ->
+      """WITH g AS (SELECT l_returnflag, l_suppkey, count(*) AS n,
+                     (CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4) AS s
+                    FROM lineitem GROUP BY 1,2),
+         h AS (SELECT *, list_reduce([ord(k[i:i])::BIGINT FOR i IN range(1, len(k)+1)],
+                         (a,x) -> (a*31+x) % 1000000007) + 42 AS hk
+               FROM (SELECT *, l_returnflag || '|' || CAST(l_suppkey AS VARCHAR) AS k
+                     FROM g)),
+         u AS (SELECT *,
+                (CAST((((hk % 2147483647)*48271 % 2147483647)*48271 % 2147483647)*48271 % 2147483647 AS DOUBLE)
+                 + 0.5e0)/2147483647.0e0 AS u3,
+                (CAST(((((hk % 2147483647)*48271 % 2147483647)*48271 % 2147483647)*48271 % 2147483647)*48271 % 2147483647 AS DOUBLE)
+                 + 0.5e0)/2147483647.0e0 AS u4
+               FROM h)
+         SELECT l_returnflag, l_suppkey,
+                (round((n + (round(((-(1.0e0))*sign(u3 - 0.5e0)*ln(1.0e0 - 2.0e0*abs(u3 - 0.5e0)))*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) AS dp_count,
+                (round((s + (round(((-(50.0e0))*sign(u4 - 0.5e0)*ln(1.0e0 - 2.0e0*abs(u4 - 0.5e0)))*1e4)/1e4 + 0.0e0))*1e4)/1e4 + 0.0e0) AS dp_sum
+         FROM u""",
     // interval-overlap join: the oracle runs the NAIVE inequality join,
     // so row-count parity per key proves the bucketed form's
     // first-shared-bucket dedup emits every overlapping pair exactly once

@@ -47,4 +47,37 @@ class PrivacySpec extends SparkSpec {
     // has 2 members and survives the null-safe join
     assert(kept == Set(1L, 2L, 3L, 5L, 6L, 7L, 8L))
   }
+
+  test("dpRelease: deterministic, keyed, bounded noise; no true values leak") {
+    val df = (1 to 300).map(i => (s"g${i % 7}", 1.0 + (i % 5))).toDF("grp", "v")
+    def rel = Privacy.dpRelease(df, Seq(("grp", col("grp"))), col("v"),
+      eps = 1.0, sensitivity = 5.0)
+    val a = rel.orderBy("grp").collect()
+    val b = rel.orderBy("grp").collect()
+    assert(a.toSeq == b.toSeq) // same key + seed -> same draw, every run
+    assert(rel.columns.toSeq == Seq("grp", "dp_count", "dp_sum"))
+    val truth = df.groupBy("grp")
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("v")).as("s"))
+      .orderBy("grp").collect()
+    // Laplace(b=1) deviate magnitude is at most ln(M31) ~ 21.5; b=5 scales it
+    a.zip(truth).foreach { case (r, t) =>
+      assert(r.getString(0) == t.getString(0))
+      assert(math.abs(r.getDouble(1) - t.getDouble(1)) < 25.0)
+      assert(math.abs(r.getDouble(2) - t.getDouble(2)) < 125.0)
+      // noise is real: exact-true releases would defeat the mechanism
+      assert(r.getDouble(1) != t.getDouble(1))
+    }
+    // distinct groups draw distinct noise (keyed, not shared)
+    val noises = a.zip(truth).map { case (r, t) => r.getDouble(1) - t.getDouble(1) }
+    assert(noises.distinct.length > 1)
+  }
+
+  test("dpRelease: a changed seed changes the draw") {
+    val df = (1 to 50).map(i => (s"g${i % 3}", 1.0)).toDF("grp", "v")
+    val s1 = Privacy.dpRelease(df, Seq(("grp", col("grp"))), col("v"))
+      .orderBy("grp").collect().map(_.getDouble(1)).toSeq
+    val s2 = Privacy.dpRelease(df, Seq(("grp", col("grp"))), col("v"), seed = 7L)
+      .orderBy("grp").collect().map(_.getDouble(1)).toSeq
+    assert(s1 != s2)
+  }
 }
