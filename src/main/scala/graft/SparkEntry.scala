@@ -1830,6 +1830,24 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
     }),
+    // reciprocal-rank fusion (Cormack et al. 2009) over two
+    // heterogeneous per-flag supplier rankings (by quantity and by
+    // discounted revenue) — rank order only, no score calibration;
+    // micro-int reciprocal sums keep the fusion engine-exact
+    "q317_rrf_fusion" -> ((s, d) => {
+      val base = li(s, d)
+        .groupBy(col("l_returnflag").as("query_id"),
+          col("l_suppkey").as("neighbor_id"))
+        .agg(sum(col("l_quantity")).as("__qty"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"))
+      def top20(m: String) = base.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col(m).desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      graft.sim.Fusion.rrf(Seq(top20("__qty"), top20("__rev")),
+        k0 = 60, topK = 10, queryCol = "query_id", docCol = "neighbor_id")
+    }),
     // differentially-private-style aggregate release: per-(flag,
     // supplier) noisy count + noisy quantity sum, Laplace noise drawn
     // DETERMINISTICALLY from the portable poly+Lehmer hash of the group
@@ -6830,6 +6848,32 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // RRF: union of the two k-bounded rank tables, micro-int reciprocal
+    // sum per (query, doc), re-rank by (score desc, doc asc), top 10
+    "q317_rrf_fusion" ->
+      """WITH b AS (SELECT l_returnflag AS query_id, l_suppkey AS neighbor_id,
+                     sum(l_quantity) AS qty,
+                     sum(l_extendedprice*(1-l_discount)) AS rev
+                    FROM lineitem GROUP BY 1,2),
+         ra AS (SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY qty DESC, neighbor_id) AS rank
+                FROM b),
+         rb AS (SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rev DESC, neighbor_id) AS rank
+                FROM b),
+         u AS (SELECT query_id, neighbor_id, rank FROM ra WHERE rank <= 20
+               UNION ALL
+               SELECT query_id, neighbor_id, rank FROM rb WHERE rank <= 20),
+         f AS (SELECT query_id, neighbor_id,
+                (CAST(sum(CAST(round(1e6/(60 + rank)) AS BIGINT)) AS DOUBLE)/1e6) AS rrf_score,
+                count(*) AS n_rankers
+               FROM u GROUP BY 1,2),
+         t AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+               FROM f)
+         SELECT query_id, neighbor_id, rrf_score, n_rankers,
+                CAST(rank AS BIGINT) AS rank
+         FROM t WHERE rank <= 10""",
     // DP-style release: poly-hash of 'flag|suppkey' -> Lehmer uniform
     // (3 rounds for the count draw, 4 for the sum draw) -> inverse-CDF
     // Laplace, noise rounded 4dp before the add (the engine's lap())
