@@ -275,4 +275,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("overlapJoin equals the naive inequality join on random interval sets") {
+    val iv: Gen[List[(Double, Double)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 40.0))
+        .map { case (lo, w) => (math.rint(lo * 4) / 4, math.rint((lo + w) * 4) / 4) })
+    (0 until 6).foreach { i =>
+      val ls = gen(iv, 300L + i).zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val rs = gen(iv, 400L + i).zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val l = ls.toDF("lid", "llo", "lhi")
+      val r = rs.toDF("rid", "rlo", "rhi")
+      val width = Seq(0.25, 3.0, 17.5)(i % 3)
+      val got = graft.operators.RangeJoin
+        .overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", width)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val want = l.crossJoin(r)
+        .filter(col("llo") < col("lhi") && col("rlo") < col("rhi") &&
+          col("llo") < col("rhi") && col("rlo") < col("lhi"))
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"seed $i width $width") // sorted WITH duplicates:
+      // any double emission across shared buckets would break equality
+    }
+  }
+
+  test("boilerplate scrub invariants on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc: Gen[String] = Gen.chooseNum(1, 24)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    (0 until 4).foreach { i =>
+      val docs = gen(Gen.listOfN(30, doc), 500L + i).zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.text.Boilerplate.scrub(docs, "doc_id", "text", w = 2,
+        maxDocFreq = 4)
+      // every document comes back exactly once
+      assert(out.count() == 30L)
+      val rows = out.select("n_spans", "n_dropped", "clean_text")
+        .as[(Long, Long, String)].collect()
+      rows.foreach { case (n, d, t) =>
+        assert(d >= 0 && d <= n)
+        // kept spans reassemble exactly: at most one ragged (1-word)
+        // span exists per doc, so ceil(tokens/2) IS the kept span count
+        val keptSpans = if (t.isEmpty) 0 else t.split(" ").grouped(2).size
+        assert(keptSpans == n - d, s"seed $i: $n/$d/$t")
+      }
+      // a threshold above the doc count is the identity scrub: nothing
+      // dropped and every document reconstructs to its original text
+      val id = graft.text.Boilerplate.scrub(docs, "doc_id", "text", 2,
+        maxDocFreq = 31)
+      assert(id.agg(sum(col("n_dropped"))).as[Long].head() == 0L)
+      assert(id.join(docs, "doc_id")
+        .filter(col("clean_text") =!= col("text")).count() == 0L)
+    }
+  }
+
+  test("acf/pacf bounds and identities on random series") {
+    val series: Gen[List[Double]] = Gen.listOfN(30,
+      Gen.chooseNum(-10.0, 10.0).map(x => math.rint(x * 100) / 100))
+    (0 until 6).foreach { i =>
+      val xs = gen(series, 600L + i)
+      val df = xs.zipWithIndex.map { case (v, t) => (1, t, v) }.toDF("k", "t", "v")
+      val d = graft.seq.YuleWalker.acfPacf(df, Seq("k"), Seq(col("t")), "v")
+        .select("acf1", "acf2", "acf3", "acf4", "acf5",
+          "pacf1", "pacf2", "pacf3", "pacf4", "pacf5")
+        .as[(Double, Double, Double, Double, Double,
+             Double, Double, Double, Double, Double)].head()
+      // pacf1 == acf1 always (k1 = c1/c0)
+      assert(d._6 == d._1, s"seed $i")
+      // biased-estimator autocorrelations live in [-1, 1] (+ 4dp rounding)
+      Seq(d._1, d._2, d._3, d._4, d._5).foreach(a =>
+        assert(math.abs(a) <= 1.0001, s"seed $i acf $a"))
+    }
+  }
 }
