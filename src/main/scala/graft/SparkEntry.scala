@@ -1830,6 +1830,20 @@ object SparkEntry {
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
     }),
+    // Theil–Sen robust monthly trend per supplier: median of pairwise
+    // slopes (29% breakdown — spikes can't drag it the way they drag
+    // the OLS line of q41/q167). MONTHLY grain on purpose: exact
+    // Theil–Sen is O(grain²) pairs per series (~85 months → 3.6k
+    // pairs vs 59k weekly), and robust long-horizon trend is a
+    // coarse-grain question; series count stays the distributed axis
+    "q318_theil_sen" -> ((s, d) => {
+      val monthly = li(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month_start"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+      graft.operators.Ols.theilSen(monthly, Seq("l_suppkey"),
+        datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"))
+    }),
     // reciprocal-rank fusion (Cormack et al. 2009) over two
     // heterogeneous per-flag supplier rankings (by quantity and by
     // discounted revenue) — rank order only, no score calibration;
@@ -6848,6 +6862,28 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
+    // vertical pairs), 4dp slopes -> exact interpolated median; the
+    // intercept pass re-rounds (y - slope*x) candidates the same way
+    "q318_theil_sen" ->
+      """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
+                     l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+         a AS (SELECT l_suppkey, CAST(ws - DATE '1992-01-01' AS DOUBLE) x,
+                      CAST(q AS DOUBLE) y FROM w),
+         p AS (SELECT a1.l_suppkey,
+                (round(((a2.y - a1.y)/(a2.x - a1.x))*1e4)/1e4 + 0.0e0) AS s
+               FROM a a1 JOIN a a2 ON a1.l_suppkey = a2.l_suppkey
+                 AND a1.x < a2.x),
+         m AS (SELECT l_suppkey,
+                (round((quantile_cont(s, 0.5e0))*1e4)/1e4 + 0.0e0) AS ts_slope,
+                count(*) AS n_pairs
+               FROM p GROUP BY 1),
+         ic AS (SELECT a.l_suppkey,
+                 (round((quantile_cont((round((a.y - m.ts_slope*a.x)*1e4)/1e4 + 0.0e0), 0.5e0))*1e4)/1e4 + 0.0e0) AS ts_intercept
+                FROM a JOIN m USING (l_suppkey) GROUP BY 1)
+         SELECT m.l_suppkey, m.ts_slope, m.n_pairs, ic.ts_intercept
+         FROM m JOIN ic USING (l_suppkey)""",
     // RRF: union of the two k-bounded rank tables, micro-int reciprocal
     // sum per (query, doc), re-rank by (score desc, doc asc), top 10
     "q317_rrf_fusion" ->

@@ -53,4 +53,49 @@ object Ols {
       Funcs.r(det0 / d).as("b0"), Funcs.r(det1 / d).as("b1"),
       Funcs.r(det2 / d).as("b2")): _*)
   }
+
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968): per-series slope =
+    * exact interpolated median of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over x_i < x_j, intercept = median of
+    * (y − slope·x). ~29% breakdown point — the robust complement of
+    * the least-squares line, which one promo spike drags arbitrarily
+    * (retail series are exactly that shape).
+    *
+    * Scale shape: exact Theil–Sen is inherently O(n²) pairs PER
+    * SERIES. The self-join is equi on the series key with the
+    * x-inequality refined inside the matched key, so total cost is
+    * Σₖ n_k² — bounded by the series LENGTH the time grain implies
+    * (weekly retail: a few hundred rows → tens of thousands of pairs
+    * per series), while the series COUNT remains the distributed
+    * axis. For very long series, coarsen the grain or sample pairs;
+    * the estimator degrades gracefully.
+    *
+    * Determinism: every pairwise slope and intercept candidate rounds
+    * to the 4dp grid before the exact interpolated median
+    * (`percentile` ↔ `quantile_cont`), and the medians round again on
+    * output. Pairs with equal x are excluded (vertical slope); series
+    * with fewer than 2 distinct x values are absent. */
+  def theilSen(df: DataFrame, keyCols: Seq[String], x: Column,
+               y: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val a = df.select(keys ++ Seq(
+      x.cast("double").as("__x"), y.cast("double").as("__y")): _*)
+    val b = a.withColumnRenamed("__x", "__x2").withColumnRenamed("__y", "__y2")
+    val pairs = a.join(b, keyCols).filter(col("__x") < col("__x2"))
+      .withColumn("__s",
+        Funcs.r((col("__y2") - col("__y")) / (col("__x2") - col("__x"))))
+    val slope = pairs.groupBy(keys: _*)
+      .agg(Funcs.r(percentile(col("__s"), lit(0.5))).as("ts_slope"),
+        count(lit(1)).as("n_pairs"))
+    // one consumption of the slope subtree: join the points back, then
+    // fold slope/pairs through the intercept aggregate with first()
+    // (constant per key) — a separate slope ⨝ intercept join would
+    // recompute the whole pairwise subtree a second time
+    a.join(slope, keyCols)
+      .withColumn("__ic", Funcs.r(col("__y") - col("ts_slope") * col("__x")))
+      .groupBy(keys: _*)
+      .agg(first(col("ts_slope")).as("ts_slope"),
+        first(col("n_pairs")).as("n_pairs"),
+        Funcs.r(percentile(col("__ic"), lit(0.5))).as("ts_intercept"))
+  }
 }

@@ -92,6 +92,31 @@ class R14OpsSpec extends SparkSpec {
     assert(got(1)._2 == rec(1) && got(1)._3 == 1L)
   }
 
+  test("theilSen: a spike cannot drag the robust slope; intercept exact on a line") {
+    val line = (1 to 20).map(t => (1, t.toDouble, 5.0 + 2.0 * t))
+    val spiked = line.map { case (k, x, y) => if (x == 10.0) (k, x, 1000.0) else (k, x, y) }
+    val ts = graft.operators.Ols.theilSen(spiked.toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y"))
+      .select("ts_slope", "ts_intercept", "n_pairs")
+      .as[(Double, Double, Long)].head()
+    assert(ts._1 == 2.0, s"robust slope = ${ts._1}") // median slope survives the spike
+    assert(ts._2 == 5.0, s"robust intercept = ${ts._2}")
+    assert(ts._3 == 190L) // C(20,2) pairs
+    // least squares on the same data IS dragged — the contrast theilSen exists for
+    val b = graft.operators.Ols.fit2(spiked.toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("x") * col("x"), col("y"))
+      .select("b1").as[Double].head()
+    assert(math.abs(b - 2.0) > 1.0, s"OLS slope = $b")
+  }
+
+  test("theilSen: equal-x pairs excluded; single-x series absent") {
+    val df = Seq((1, 1.0, 2.0), (1, 1.0, 8.0), (1, 3.0, 6.0),
+      (2, 5.0, 1.0), (2, 5.0, 9.0)).toDF("k", "x", "y")
+    val out = graft.operators.Ols.theilSen(df, Seq("k"), col("x"), col("y"))
+      .select("k", "n_pairs").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 2L)) // series 2 has one distinct x -> absent
+  }
+
   test("arma21Forecast one-call convenience == fit + forecastFrom") {
     val df = (1 to 40).map(t => (1, t, 10.0 + 3.0 * math.sin(t / 3.0)))
       .toDF("k", "t", "v")
