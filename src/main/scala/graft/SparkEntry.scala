@@ -1844,6 +1844,27 @@ object SparkEntry {
       graft.operators.Ols.theilSen(monthly, Seq("l_suppkey"),
         datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"))
     }),
+    // Mann–Kendall monotone-trend test on the same monthly pairwise
+    // structure as q318: S = sum of pairwise signs, tie-corrected
+    // variance, continuity-corrected z, Kendall tau — significance for
+    // the Theil–Sen slope with no distributional assumption
+    "q319_mann_kendall" -> ((s, d) => {
+      val monthly = li(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month_start"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+      graft.operators.Ols.mannKendall(monthly, Seq("l_suppkey"),
+        datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"))
+    }),
+    // Ljung–Box portmanteau Q at h=5 on the weekly series — the
+    // Box–Jenkins whiteness statistic over q314's rounded sample
+    // autocorrelations (compare to chi-square; threshold is the
+    // caller's)
+    "q320_ljung_box" -> ((s, d) => {
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      graft.seq.YuleWalker.ljungBox(weekly, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum")
+    }),
     // reciprocal-rank fusion (Cormack et al. 2009) over two
     // heterogeneous per-flag supplier rankings (by quantity and by
     // discounted revenue) — rank order only, no score calibration;
@@ -4270,6 +4291,18 @@ object SparkEntry {
          FROM ywk5"""
   }
 
+  /** q320 oracle tail: Ljung–Box Q at h = 5 over the ROUNDED sample
+    * autocorrelations (exactly the q314 values), same ok-gate. */
+  private lazy val ywLbSql: String = {
+    def rk(k: Int) =
+      s"(round((CASE WHEN ok THEN c$k/${ywsd("c0")} ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0)"
+    val terms = (1 to 5).map(k => s"${rk(k)}*${rk(k)}/(n-$k)").mkString(" + ")
+    s"""$ywCoreSql
+         SELECT l_suppkey, n AS n_obs,
+                (round((CASE WHEN ok THEN n*(n+2)*($terms) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS lb_q
+         FROM ywk5"""
+  }
+
   /** q309 oracle: the q267 Akaike-blend arithmetic over the
     * fourteen-member scoreboard and forecast unions. */
   private lazy val blendExtSql: String =
@@ -4481,6 +4514,7 @@ object SparkEntry {
     "q311_ma3_probe" -> ma3ProbeSql,
     "q313_ar5_probe" -> ywProbeSql,
     "q314_acf_pacf" -> ywAcfSql,
+    "q320_ljung_box" -> ywLbSql,
     "q309_blend_ext" -> blendExtSql,
     // corpus-frequency boilerplate scrub (q124's span explode, census
     // by distinct (doc, span), delete-all at df >= 5, ordered rebuild)
@@ -6862,6 +6896,36 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // Mann-Kendall: pairwise sign sum (exact BIGINT), tie-corrected
+    // variance from the y-group sizes (integer-valued doubles — exact
+    // in any order), continuity-corrected z, tau-a
+    "q319_mann_kendall" ->
+      """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
+                     l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+         a AS (SELECT l_suppkey, CAST(ws - DATE '1992-01-01' AS DOUBLE) x,
+                      CAST(q AS DOUBLE) y FROM w),
+         sg AS (SELECT a1.l_suppkey,
+                 CAST(sum(CAST(sign(a2.y - a1.y) AS BIGINT)) AS BIGINT) AS mk_s
+                FROM a a1 JOIN a a2 ON a1.l_suppkey = a2.l_suppkey
+                  AND a1.x < a2.x GROUP BY 1),
+         tg AS (SELECT l_suppkey,
+                 sum(tt*(tt-1)*(2.0e0*tt+5)) AS tie
+                FROM (SELECT l_suppkey, CAST(count(*) AS DOUBLE) tt
+                      FROM a GROUP BY l_suppkey, y) GROUP BY 1),
+         nn AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) n FROM a GROUP BY 1),
+         v AS (SELECT nn.l_suppkey, nn.n, sg.mk_s, tg.tie,
+                (nn.n*(nn.n-1)*(2.0e0*nn.n+5) - tg.tie)/18.0e0 AS vr
+               FROM nn JOIN sg USING (l_suppkey) JOIN tg USING (l_suppkey))
+         SELECT l_suppkey, n AS n_obs, mk_s,
+                (round(vr*1e4)/1e4 + 0.0e0) AS var_s,
+                (round((CASE WHEN vr > 0 THEN
+                   CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1)/sqrt(vr)
+                        WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1)/sqrt(vr)
+                        ELSE 0.0e0 END
+                 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS mk_z,
+                (round((CAST(mk_s AS DOUBLE)/(n*(n-1)/2))*1e4)/1e4 + 0.0e0) AS mk_tau
+         FROM v""",
     // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
     // vertical pairs), 4dp slopes -> exact interpolated median; the
     // intercept pass re-rounds (y - slope*x) candidates the same way

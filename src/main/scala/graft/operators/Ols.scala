@@ -98,4 +98,47 @@ object Ols {
         first(col("n_pairs")).as("n_pairs"),
         Funcs.r(percentile(col("__ic"), lit(0.5))).as("ts_intercept"))
   }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
+    * nonparametric significance companion of [[theilSen]], over the
+    * same x-ordered pairwise structure: S = Σ_{i<j} sign(y_j − y_i),
+    * tie-corrected Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18,
+    * continuity-corrected z = (S∓1)/√Var(S), and Kendall's τ_a =
+    * S / (n(n−1)/2). Monotone-trend detection with NO distributional
+    * or linearity assumption — spikes move S by at most their pair
+    * count of sign flips.
+    *
+    * Same O(grain²)-pairs-per-series cost model and equal-x exclusion
+    * as [[theilSen]]; sign sums are small exact integers, √ is IEEE
+    * correctly rounded, z and τ round to the 4dp grid. All-tied-y
+    * series have Var(S) = 0 and report z = 0; series with no
+    * x-ordered pair at all are absent (the [[theilSen]] contract). */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], x: Column,
+                  y: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val a = df.select(keys ++ Seq(
+      x.cast("double").as("__x"), y.cast("double").as("__y")): _*)
+    val b = a.withColumnRenamed("__x", "__x2").withColumnRenamed("__y", "__y2")
+    val sAgg = a.join(b, keyCols).filter(col("__x") < col("__x2"))
+      .groupBy(keys: _*)
+      .agg(sum(signum(col("__y2") - col("__y")).cast("long")).as("mk_s"))
+    val ties = a.groupBy((keys :+ col("__y")): _*)
+      .agg(count(lit(1)).cast("double").as("__t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2.0) * col("__t") + 5))
+        .as("__tie"))
+    val nAgg = a.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("n_obs"))
+    val n = col("n_obs")
+    val varS = (n * (n - 1) * (lit(2.0) * n + 5) - col("__tie")) / lit(18.0)
+    val s = col("mk_s").cast("double")
+    val z = when(col("mk_s") > 0, (s - 1) / sqrt(col("__var")))
+      .when(col("mk_s") < 0, (s + 1) / sqrt(col("__var")))
+      .otherwise(lit(0.0))
+    nAgg.join(sAgg, keyCols).join(ties, keyCols)
+      .withColumn("__var", varS)
+      .select(keys ++ Seq(col("n_obs"), col("mk_s"),
+        Funcs.r(col("__var")).as("var_s"),
+        Funcs.r(when(col("__var") > 0, z).otherwise(lit(0.0))).as("mk_z"),
+        Funcs.r(s / (n * (n - 1) / 2)).as("mk_tau")): _*)
+  }
 }

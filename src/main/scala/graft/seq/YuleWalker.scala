@@ -118,6 +118,30 @@ object YuleWalker {
       col("__np5").as("yw_neff")): _*)
   }
 
+  /** Ljung–Box portmanteau statistic at h = 5 (Ljung & Box 1978):
+    * Q = n(n+2) Σ_{k=1..5} r_k²/(n−k) over the same biased sample
+    * autocorrelations [[acfPacf]] reports — the whiteness test
+    * Box–Jenkins runs on a candidate's residuals before trusting its
+    * orders (compare Q to χ²_{h−p−q}; the engine reports Q and n, the
+    * threshold is the caller's). Computed from the 4dp-ROUNDED r_k
+    * (exactly the q314 values) so the statistic replays bit-exactly
+    * cross-engine; degenerate series report Q = 0 via the same `ok`
+    * gate. Eligibility as [[ar5Full]]. */
+  def ljungBox(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+               valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val (_, lev) = prep(df, keyCols, ordCols, valueCol)
+    def g(raw: Column) = r(when(col("__ok"), raw).otherwise(lit(0.0)))
+    val n = col("__n")
+    val terms = (1 to 5).map { k =>
+      val rk = g(col(s"__c$k") / sden(col("__c0")))
+      rk * rk / (n - k)
+    }.reduce(_ + _)
+    lev.select(keys ++ Seq(n.as("n_obs"),
+      r(when(col("__ok"), n * (n + 2) * terms).otherwise(lit(0.0)))
+        .as("lb_q")): _*)
+  }
+
   /** Shared prep: the lag-windowed frame `t` and the key-grain
     * Levinson frame (autocovariances, reflection coefficients, `__ok`
     * gate, last-five pivot). */

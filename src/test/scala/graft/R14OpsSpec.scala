@@ -117,6 +117,42 @@ class R14OpsSpec extends SparkSpec {
     assert(out == Map(1 -> 2L)) // series 2 has one distinct x -> absent
   }
 
+  test("mannKendall: hand values on a monotone series; ties zero out") {
+    val up = Seq((1, 1.0, 2.0), (1, 2.0, 5.0), (1, 3.0, 7.0), (1, 4.0, 9.0))
+      .toDF("k", "x", "y")
+    val r = graft.operators.Ols.mannKendall(up, Seq("k"), col("x"), col("y"))
+      .select("n_obs", "mk_s", "var_s", "mk_z", "mk_tau")
+      .as[(Double, Long, Double, Double, Double)].head()
+    assert(r._1 == 4.0 && r._2 == 6L) // all C(4,2)=6 pairs ascending
+    // Var(S) = 4*3*13/18 = 8.6667; z = (6-1)/sqrt(var) = 1.6984; tau = 1
+    assert(r._3 == 8.6667 && r._4 == 1.6984 && r._5 == 1.0, s"$r")
+    val tied = Seq((1, 1.0, 3.0), (1, 2.0, 3.0), (1, 3.0, 3.0)).toDF("k", "x", "y")
+    val t = graft.operators.Ols.mannKendall(tied, Seq("k"), col("x"), col("y"))
+      .select("mk_s", "var_s", "mk_z").as[(Long, Double, Double)].head()
+    assert(t == ((0L, 0.0, 0.0))) // tie correction removes ALL variance
+  }
+
+  test("ljungBox: trending series fails whiteness, noise does not, constant is 0") {
+    val ns = noiseLike(99L)
+    val noise = (1 to 60).map(t => (1, t, ns.next())).toDF("k", "t", "v")
+    val trend = (1 to 60).map(t => (2, t, t.toDouble)).toDF("k", "t", "v")
+    val const = (1 to 60).map(t => (3, t, 4.0)).toDF("k", "t", "v")
+    val all = noise.unionByName(trend).unionByName(const)
+    val q = graft.seq.YuleWalker.ljungBox(all, Seq("k"), Seq(col("t")), "v")
+      .orderBy("k").select("k", "n_obs", "lb_q")
+      .as[(Int, Double, Double)].collect()
+    assert(q.forall(_._2 == 60.0))
+    // chi2(5) 99th percentile ~ 15.1: trend blows way past, noise stays low
+    assert(q(0)._3 < 15.0, s"noise Q = ${q(0)._3}")
+    assert(q(1)._3 > 100.0, s"trend Q = ${q(1)._3}")
+    assert(q(2)._3 == 0.0) // degenerate: ok-gate
+  }
+
+  private def noiseLike(seed: Long): Iterator[Double] = {
+    val rnd = new java.util.Random(seed)
+    Iterator.continually(rnd.nextDouble() - 0.5)
+  }
+
   test("arma21Forecast one-call convenience == fit + forecastFrom") {
     val df = (1 to 40).map(t => (1, t, 10.0 + 3.0 * math.sin(t / 3.0)))
       .toDF("k", "t", "v")
