@@ -50,7 +50,8 @@ object Bench {
     "q308_sarima011", "q309_blend_ext", "q310_sarma11", "q311_ma3_probe",
     "q312_boilerplate", "q313_ar5_probe", "q314_acf_pacf",
     "q315_overlap_join", "q316_dp_release", "q317_rrf_fusion",
-    "q318_theil_sen", "q319_mann_kendall", "q320_ljung_box")
+    "q318_theil_sen", "q319_mann_kendall", "q320_ljung_box",
+    "q321_ccf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1844,6 +1844,19 @@ object SparkEntry {
       graft.operators.Ols.theilSen(monthly, Seq("l_suppkey"),
         datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"))
     }),
+    // lead–lag cross-correlation (sample CCF, Box–Jenkins transfer-
+    // function identification): weekly supplier quantity vs discounted
+    // revenue at lags −3..+3 — the cross-series companion of q314
+    "q321_ccf" -> ((s, d) => {
+      val weekly2 = li(s, d)
+        .groupBy(date_trunc("week", col("l_shipdate")).cast("date")
+          .as("week_start"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_sum"))
+      graft.seq.CrossCorr.ccf(weekly2, Seq("l_suppkey"),
+        Seq(col("week_start")), "qty_sum", "rev_sum", maxLag = 3)
+    }),
     // Mann–Kendall monotone-trend test on the same monthly pairwise
     // structure as q318: S = sum of pairwise signs, tie-corrected
     // variance, continuity-corrected z, Kendall tau — significance for
@@ -6896,6 +6909,50 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // CCF: micro-int centered series, +-3 shifted copies of y in one
+    // window pass, HUGEINT product sums, guarded sqrt denominator
+    "q321_ccf" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) ws,
+                     l_suppkey, sum(l_quantity) qx,
+                     sum(l_extendedprice*(1-l_discount)) qy
+                    FROM lineitem GROUP BY 1,2),
+         mu AS (SELECT l_suppkey,
+                 (CAST(sum(CAST(round(qx*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) mx,
+                 (CAST(sum(CAST(round(qy*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) my
+                FROM w GROUP BY 1),
+         t AS (SELECT w.l_suppkey, w.ws,
+                CAST(round((w.qx - mu.mx)*1e4) AS BIGINT) xi,
+                CAST(round((w.qy - mu.my)*1e4) AS BIGINT) yi
+               FROM w JOIN mu USING (l_suppkey)),
+         s AS (SELECT *,
+                lag(yi, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) yb1,
+                lag(yi, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) yb2,
+                lag(yi, 3) OVER (PARTITION BY l_suppkey ORDER BY ws) yb3,
+                lead(yi, 1) OVER (PARTITION BY l_suppkey ORDER BY ws) yf1,
+                lead(yi, 2) OVER (PARTITION BY l_suppkey ORDER BY ws) yf2,
+                lead(yi, 3) OVER (PARTITION BY l_suppkey ORDER BY ws) yf3
+               FROM t),
+         g AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) n,
+                (CAST(sum(CAST(xi AS HUGEINT)*xi) AS DOUBLE)/1e8 + 0.0e0) sxx,
+                (CAST(sum(CAST(yi AS HUGEINT)*yi) AS DOUBLE)/1e8 + 0.0e0) syy,
+                (CAST(sum(CAST(xi AS HUGEINT)*yi) AS DOUBLE)/1e8 + 0.0e0) s0,
+                (CAST(sum(CAST(xi AS HUGEINT)*yb1) AS DOUBLE)/1e8 + 0.0e0) sp1,
+                (CAST(sum(CAST(xi AS HUGEINT)*yb2) AS DOUBLE)/1e8 + 0.0e0) sp2,
+                (CAST(sum(CAST(xi AS HUGEINT)*yb3) AS DOUBLE)/1e8 + 0.0e0) sp3,
+                (CAST(sum(CAST(xi AS HUGEINT)*yf1) AS DOUBLE)/1e8 + 0.0e0) sn1,
+                (CAST(sum(CAST(xi AS HUGEINT)*yf2) AS DOUBLE)/1e8 + 0.0e0) sn2,
+                (CAST(sum(CAST(xi AS HUGEINT)*yf3) AS DOUBLE)/1e8 + 0.0e0) sn3
+               FROM s GROUP BY 1 HAVING count(*) >= 5),
+         lagt AS (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag)
+         SELECT g.l_suppkey, g.n AS n_obs, CAST(l.lag AS BIGINT) AS lag,
+                (round((CASE WHEN g.sxx/g.n >= 1e-8 AND g.syy/g.n >= 1e-8 THEN
+                   (CASE l.lag WHEN 0 THEN g.s0 WHEN 1 THEN g.sp1
+                               WHEN 2 THEN g.sp2 WHEN 3 THEN g.sp3
+                               WHEN -1 THEN g.sn1 WHEN -2 THEN g.sn2
+                               ELSE g.sn3 END / g.n)
+                   / sqrt((g.sxx/g.n)*(g.syy/g.n))
+                 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS ccf
+         FROM g CROSS JOIN lagt l""",
     // Mann-Kendall: pairwise sign sum (exact BIGINT), tie-corrected
     // variance from the y-group sizes (integer-valued doubles — exact
     // in any order), continuity-corrected z, tau-a

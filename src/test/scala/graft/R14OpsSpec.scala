@@ -153,6 +153,22 @@ class R14OpsSpec extends SparkSpec {
     Iterator.continually(rnd.nextDouble() - 0.5)
   }
 
+  test("ccf: a delayed copy peaks at its true lead-lag offset; constants zero out") {
+    val ns = noiseLike(5L)
+    val x = (1 to 80).map(_ => ns.next())
+    // y_t = x_{t-2}: y is a DELAYED copy, so x correlates with y two
+    // steps AHEAD -> the CCF peak sits at lag = -2
+    val rows = (3 to 80).map(t => (1, t, x(t - 1), x(t - 3))) ++
+      (1 to 20).map(t => (2, t, t.toDouble, 5.0)) // constant y: degenerate
+    val out = graft.seq.CrossCorr.ccf(rows.toDF("k", "t", "x", "y"),
+      Seq("k"), Seq(col("t")), "x", "y", maxLag = 3)
+      .collect().map(r => ((r.getInt(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(out((1, -2L)) > 0.9, s"peak = ${out((1, -2L))}")
+    assert(Seq(-3L, -1L, 0L, 1L, 2L, 3L).forall(l => out((1, l)) < 0.5),
+      s"off-peak = $out")
+    assert(Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).forall(l => out((2, l)) == 0.0))
+  }
+
   test("arma21Forecast one-call convenience == fit + forecastFrom") {
     val df = (1 to 40).map(t => (1, t, 10.0 + 3.0 * math.sin(t / 3.0)))
       .toDF("k", "t", "v")
