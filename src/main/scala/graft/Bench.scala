@@ -51,7 +51,7 @@ object Bench {
     "q312_boilerplate", "q313_ar5_probe", "q314_acf_pacf",
     "q315_overlap_join", "q316_dp_release", "q317_rrf_fusion",
     "q318_theil_sen", "q319_mann_kendall", "q320_ljung_box",
-    "q321_ccf")
+    "q321_ccf", "q322_kmv_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

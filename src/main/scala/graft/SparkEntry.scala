@@ -1844,6 +1844,15 @@ object SparkEntry {
       graft.operators.Ols.theilSen(monthly, Seq("l_suppkey"),
         datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"))
     }),
+    // KMV sketch set operations: per-return-flag part-audience
+    // sketches (k=32 portable Lehmer minima), then union / Jaccard /
+    // intersection estimates for every flag pair — overlap analytics
+    // from O(k) state, no data-grain pairwise join
+    "q322_kmv_overlap" -> ((s, d) => {
+      val sk = graft.operators.SketchRollup.kmvSketchTable(li(s, d),
+        Seq("l_returnflag"), lit(0), col("l_partkey")).drop("period")
+      graft.operators.SketchRollup.kmvOverlap(sk, "l_returnflag")
+    }),
     // lead–lag cross-correlation (sample CCF, Box–Jenkins transfer-
     // function identification): weekly supplier quantity vs discounted
     // revenue at lags −3..+3 — the cross-series companion of q314
@@ -6909,6 +6918,35 @@ object SparkEntry {
                 (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
          FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
          GROUP BY 1""",
+    // KMV overlap: the q285 Lehmer/k-min pipeline per flag, pair
+    // merge via list concat+sort+slice, support/intersection counts,
+    // (k-1)M/h_k union estimator, J*U intersection estimate
+    "q322_kmv_overlap" ->
+      """WITH h AS (SELECT l_returnflag,
+                      ((((l_partkey % 2147483647)*48271 % 2147483647)
+                        *48271 % 2147483647)*48271 % 2147483647) AS hv
+                    FROM lineitem),
+         sk AS (SELECT l_returnflag AS key,
+                  list_sort(list(DISTINCT hv))[1:32] AS kmv
+                FROM h GROUP BY 1),
+         p AS (SELECT a.key AS key_a, b.key AS key_b, a.kmv AS ka, b.kmv AS kb
+               FROM sk a JOIN sk b ON a.key < b.key),
+         c AS (SELECT *, list_sort(list_distinct(ka || kb))[1:32] AS merged
+               FROM p),
+         e AS (SELECT *, len(merged) AS support,
+                len(list_filter(merged, x -> list_contains(ka, x)
+                    AND list_contains(kb, x))) AS inter
+               FROM c)
+         SELECT key_a, key_b,
+                CAST(support AS BIGINT) AS n_support,
+                CAST(inter AS BIGINT) AS n_both,
+                (round((CASE WHEN support < 32 THEN CAST(support AS DOUBLE)
+                   ELSE 31.0e0*2147483647.0e0/CAST(merged[32] AS DOUBLE) END)*1e4)/1e4 + 0.0e0) AS est_union,
+                (round((CAST(inter AS DOUBLE)/support)*1e4)/1e4 + 0.0e0) AS est_jaccard,
+                (round(((CAST(inter AS DOUBLE)/support)
+                   * (CASE WHEN support < 32 THEN CAST(support AS DOUBLE)
+                      ELSE 31.0e0*2147483647.0e0/CAST(merged[32] AS DOUBLE) END))*1e4)/1e4 + 0.0e0) AS est_intersection
+         FROM e""",
     // CCF: micro-int centered series, +-3 shifted copies of y in one
     // window pass, HUGEINT product sums, guarded sqrt denominator
     "q321_ccf" ->

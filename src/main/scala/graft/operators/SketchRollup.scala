@@ -253,6 +253,42 @@ object SketchRollup {
 
   /** Merge each key's period KMV sketches and estimate the distinct
     * count over the whole range. Output: keys..., n_kept, est_distinct. */
+  /** KMV set operations over key PAIRS (Beyer et al., SIGMOD 2007 —
+    * distinct-value synopses for multi-set operations): for every
+    * (a, b) key pair, the union sketch is the k smallest of the merged
+    * supports (the exactly-associative KMV merge), the Jaccard
+    * estimate is the fraction of the union's k-support present in
+    * BOTH input sketches, and the intersection estimate is
+    * J · |A∪B|. Audience-overlap analytics from O(k) state per key:
+    * no fact rescan, no data-grain pairwise join — the pair join is
+    * SKETCH-grain (|keys|² rows of 2k longs; the inequality join on a
+    * dim-sized table is a broadcast loop by construction). Below k
+    * the estimates are EXACT (the sketch is the distinct set).
+    * Everything is per-row integer/array arithmetic on the portable
+    * Lehmer hashes, so a SQL oracle replays it bit for bit. */
+  def kmvOverlap(sketches: DataFrame, keyCol: String, k: Int = 32): DataFrame = {
+    import graft.functions.Funcs.r
+    val m = graft.functions.PortableHash.M31
+    val a = sketches.select(col(keyCol).as("key_a"), col("kmv").as("__ka"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("kmv").as("__kb"))
+    val paired = a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__merged", slice(array_sort(array_distinct(
+        concat(col("__ka"), col("__kb")))), 1, k))
+      .withColumn("__support", size(col("__merged")))
+      .withColumn("__inter", size(filter(col("__merged"),
+        h => array_contains(col("__ka"), h) && array_contains(col("__kb"), h))))
+    val uRaw = when(col("__support") < k, col("__support").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) /
+        element_at(col("__merged"), k).cast("double"))
+    val jRaw = col("__inter").cast("double") / col("__support")
+    paired.select(col("key_a"), col("key_b"),
+      col("__support").cast("long").as("n_support"),
+      col("__inter").cast("long").as("n_both"),
+      r(uRaw).as("est_union"),
+      r(jRaw).as("est_jaccard"),
+      r(jRaw * uRaw).as("est_intersection"))
+  }
+
   def kmvDistinctOverRange(sketches: DataFrame, keyCols: Seq[String],
                            k: Int = 32): DataFrame = {
     import graft.functions.Funcs.r

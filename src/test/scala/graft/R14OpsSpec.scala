@@ -153,6 +153,25 @@ class R14OpsSpec extends SparkSpec {
     Iterator.continually(rnd.nextDouble() - 0.5)
   }
 
+  test("kmvOverlap: exact below k — support, intersection, Jaccard by hand") {
+    import graft.operators.SketchRollup
+    // audiences: A = {1..20}, B = {11..30} (overlap 10), C = {100..105}
+    val rows = (1 to 20).map(v => ("A", v.toLong)) ++
+      (11 to 30).map(v => ("B", v.toLong)) ++
+      (100 to 105).map(v => ("C", v.toLong))
+    val sk = SketchRollup.kmvSketchTable(rows.toDF("aud", "item"),
+      Seq("aud"), lit(0), col("item")).drop("period")
+    val out = SketchRollup.kmvOverlap(sk, "aud")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6)))).toMap
+    // |A∪B| = 30 < k=32 -> everything exact
+    assert(out(("A", "B")) == ((30L, 10L, 30.0, 0.3333, 10.0)))
+    // disjoint pairs: intersection and Jaccard exactly zero
+    assert(out(("A", "C"))._2 == 0L && out(("A", "C"))._5 == 0.0)
+    assert(out(("B", "C"))._4 == 0.0)
+  }
+
   test("ccf: a delayed copy peaks at its true lead-lag offset; constants zero out") {
     val ns = noiseLike(5L)
     val x = (1 to 80).map(_ => ns.next())
