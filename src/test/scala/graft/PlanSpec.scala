@@ -38,6 +38,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("BroadcastNestedLoopJoin").length <= 2, plan)
   }
 
+  test("q315: the interval-overlap join is a bucket equi-join, never a nested loop") {
+    val plan = SparkEntry.queries("q315_overlap_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__bl"), plan) // bucket key reached the join
+  }
+
+  test("q312: the boilerplate census joins on an equi key; no nested loop") {
+    val plan = SparkEntry.queries("q312_boilerplate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("J1: dimension enrichment joins broadcast, never shuffle the fact") {
     val plan = SparkEntry.queries("q23_enrich_join")(spark, dir)
       .queryExecution.executedPlan.toString
