@@ -54,6 +54,20 @@ class BoilerplateSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hot span: corpus-wide boilerplate in 500 docs scrubs from every one") {
+    val boiler = "subscribe to our newsletter"
+    val hot = (1L to 500L).map(i => (i, s"$boiler unique tail $i"))
+      .toDF("doc_id", "text")
+    // census is partial-aggregated distinct+count — the hot span is one
+    // row per upstream partition, never a single hot reducer
+    val out = Boilerplate.scrub(hot.repartition(8), "doc_id", "text",
+      w = 4, maxDocFreq = 100)
+    assert(out.count() == 500L)
+    val agg = out.agg(sum(col("n_dropped")), count(lit(1))).head()
+    assert(agg.getLong(0) == 500L) // the boilerplate span left EVERY doc
+    assert(out.filter(col("clean_text").startsWith("unique tail")).count() == 500L)
+  }
+
   test("guards: w >= 1, maxDocFreq >= 2") {
     intercept[IllegalArgumentException] {
       Boilerplate.scrub(docs, "doc_id", "text", w = 0)
