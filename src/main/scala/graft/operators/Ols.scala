@@ -101,12 +101,22 @@ object Ols {
 
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
     * nonparametric significance companion of [[theilSen]], over the
-    * same x-ordered pairwise structure: S = Σ_{i<j} sign(y_j − y_i),
-    * tie-corrected Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18,
-    * continuity-corrected z = (S∓1)/√Var(S), and Kendall's τ_a =
-    * S / (n(n−1)/2). Monotone-trend detection with NO distributional
-    * or linearity assumption — spikes move S by at most their pair
-    * count of sign flips.
+    * same x-ordered pairwise structure: S = Σ_{i<j} sign(y_j − y_i)
+    * over strictly x-ordered pairs (tied-x pairs score 0, exactly the
+    * τ_a convention), the FULL Kendall (1975 §4) tie-corrected
+    * variance with tied groups in BOTH coordinates —
+    *   Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5) − Σ u(u−1)(2u+5)]/18
+    *          + [Σ t(t−1)(t−2) · Σ u(u−1)(u−2)] / (9n(n−1)(n−2))
+    *          + [Σ t(t−1) · Σ u(u−1)] / (2n(n−1))
+    * (t over tied-x groups, u over tied-y groups; every term vanishes
+    * when that coordinate is tie-free, so unique-x input reduces to
+    * the familiar tied-y-only form) — continuity-corrected
+    * z = (S∓1)/√Var(S), and Kendall's τ_a = S / (n(n−1)/2) (the τ_a
+    * denominator counts ALL pairs by definition; tied pairs score 0
+    * and shrink |τ| — use duplicate-free x for the classical trend
+    * reading). Monotone-trend detection with NO distributional or
+    * linearity assumption — spikes move S by at most their pair count
+    * of sign flips.
     *
     * Same O(grain²)-pairs-per-series cost model and equal-x exclusion
     * as [[theilSen]]; sign sums are small exact integers, √ is IEEE
@@ -122,19 +132,31 @@ object Ols {
     val sAgg = a.join(b, keyCols).filter(col("__x") < col("__x2"))
       .groupBy(keys: _*)
       .agg(sum(signum(col("__y2") - col("__y")).cast("long")).as("mk_s"))
-    val ties = a.groupBy((keys :+ col("__y")): _*)
+    // one tie table per coordinate: Σ t(t−1)(2t+5), Σ t(t−1)(t−2),
+    // Σ t(t−1) over the tied groups — all three Kendall correction
+    // sums from a single two-level aggregate, zero for a tie-free
+    // coordinate
+    def tieSums(c: String, p: String) = a.groupBy((keys :+ col(c)): _*)
       .agg(count(lit(1)).cast("double").as("__t"))
       .groupBy(keys: _*)
       .agg(sum(col("__t") * (col("__t") - 1) * (lit(2.0) * col("__t") + 5))
-        .as("__tie"))
+        .as(s"__${p}1"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") - 2)).as(s"__${p}2"),
+        sum(col("__t") * (col("__t") - 1)).as(s"__${p}3"))
+    val tiesY = tieSums("__y", "ty")
+    val tiesX = tieSums("__x", "tx")
     val nAgg = a.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("n_obs"))
     val n = col("n_obs")
-    val varS = (n * (n - 1) * (lit(2.0) * n + 5) - col("__tie")) / lit(18.0)
+    val varS = (n * (n - 1) * (lit(2.0) * n + 5) - col("__ty1") - col("__tx1")) / lit(18.0) +
+      when(n > 2, col("__tx2") * col("__ty2") / (lit(9.0) * n * (n - 1) * (n - 2)))
+        .otherwise(lit(0.0)) +
+      when(n > 1, col("__tx3") * col("__ty3") / (lit(2.0) * n * (n - 1)))
+        .otherwise(lit(0.0))
     val s = col("mk_s").cast("double")
     val z = when(col("mk_s") > 0, (s - 1) / sqrt(col("__var")))
       .when(col("mk_s") < 0, (s + 1) / sqrt(col("__var")))
       .otherwise(lit(0.0))
-    nAgg.join(sAgg, keyCols).join(ties, keyCols)
+    nAgg.join(sAgg, keyCols).join(tiesY, keyCols).join(tiesX, keyCols)
       .withColumn("__var", varS)
       .select(keys ++ Seq(col("n_obs"), col("mk_s"),
         Funcs.r(col("__var")).as("var_s"),

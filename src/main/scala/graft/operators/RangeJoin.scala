@@ -37,9 +37,16 @@ object RangeJoin {
     val banded = intervals.withColumn("__bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: an interval ending exactly on a bucket
-        // boundary does not reach into the next bucket
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+        // hi is exclusive, so an interval ending exactly on a bucket
+        // boundary does not REACH into the next bucket — but the end
+        // bucket is floor(hi/w) unconditionally, never floor((hi-ε)/w):
+        // a subtracted epsilon silently DROPS the last bucket when hi
+        // sits within ε above a boundary (losing matches confined to
+        // that sliver) and is a ulp-absorbed no-op for |hi| ≳ 2³⁰
+        // (epoch-millis). The possible extra boundary bucket is
+        // harmless — each fact row carries exactly ONE bucket and the
+        // exact range predicate refines the candidates.
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     fact.withColumn("__bucket", floor(value / bucketWidth).cast("long"))
       .join(banded, "__bucket")
       .filter(value >= col(loCol) && value < col(hiCol))
@@ -75,11 +82,18 @@ object RangeJoin {
     val clash = left.columns.toSeq.intersect(right.columns.toSeq)
     require(clash.isEmpty,
       s"column name(s) $clash appear on both sides — rename before the overlap join")
+    // End bucket is floor(hi/w) unconditionally (no exclusive-hi
+    // epsilon): subtracting ε drops the last bucket when hi lies
+    // within ε above a boundary — a wrong-result sliver — and is a
+    // ulp no-op at epoch-millis magnitudes. The extra boundary bucket
+    // an on-boundary hi produces cannot double-emit a pair: emission
+    // is pinned to the single first-shared bucket below, and the
+    // exact overlap predicate refines away non-matches.
     def bucketed(df: DataFrame, lo: String, hi: String, b: String) =
       df.filter(col(lo) < col(hi)).withColumn(b,
         explode(sequence(
           floor(col(lo) / bucketWidth).cast("long"),
-          floor((col(hi) - lit(1e-9)) / bucketWidth).cast("long"))))
+          floor(col(hi) / bucketWidth).cast("long"))))
     val lb = bucketed(left, loL, hiL, "__bl")
     val rb = bucketed(right, loR, hiR, "__br")
     lb.join(rb, col("__bl") === col("__br") &&
