@@ -1887,6 +1887,28 @@ object SparkEntry {
       graft.seq.YuleWalker.ljungBox(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum")
     }),
+    // Jarque–Bera normality statistic on the q111 residual frame
+    // (per-part group-mean model, per-flag slices) — the named
+    // normality test of the reference's residual suite
+    // (error_analysis.py:29-30,687-700): JB = n/6(S² + K²/4) from
+    // exact micro-int central moments
+    "q323_jarque_bera" -> ((s, d) => {
+      val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val scored = li(s, d).withColumn("__pred", avg(col("l_quantity")).over(byPart))
+      graft.metrics.ResidualDiagnostics.jarqueBera(
+        scored, Seq("l_returnflag"), col("l_quantity"), col("__pred"))
+    }),
+    // Engle ARCH-LM (lag-1 n·r1² form) + McLeod–Li Q(5) on SQUARED
+    // residuals of the same frame — the heteroskedasticity/ARCH leg of
+    // the reference's residual suite, q320's portmanteau machinery
+    // pointed at resid²
+    "q324_arch_lm" -> ((s, d) => {
+      val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val scored = li(s, d).withColumn("__pred", avg(col("l_quantity")).over(byPart))
+      graft.metrics.ResidualDiagnostics.archLm(
+        scored, Seq("l_returnflag"), col("l_quantity"), col("__pred"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+    }),
     // reciprocal-rank fusion (Cormack et al. 2009) over two
     // heterogeneous per-flag supplier rankings (by quantity and by
     // discounted revenue) — rank order only, no score calibration;
@@ -6994,6 +7016,82 @@ object SparkEntry {
     // Mann-Kendall: pairwise sign sum (exact BIGINT), tie-corrected
     // variance from the y-group sizes (integer-valued doubles — exact
     // in any order), continuity-corrected z, tau-a
+    "q323_jarque_bera" ->
+      """WITH scored AS (
+           SELECT l_returnflag,
+                  (round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_partkey))*1e4)/1e4 + 0.0e0) AS resid
+           FROM lineitem),
+         stats AS (
+           SELECT l_returnflag,
+                  (CAST(sum(CAST(round(resid*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS rmean
+           FROM scored GROUP BY 1),
+         m AS (
+           SELECT s.l_returnflag,
+                  CAST(round((s.resid - t.rmean)*1e4) AS HUGEINT) AS mm
+           FROM scored s JOIN stats t USING (l_returnflag)),
+         sums AS (
+           SELECT l_returnflag, count(*) AS n_obs,
+                  sum(mm*mm) AS s2, sum(mm*mm*mm) AS s3, sum(mm*mm*mm*mm) AS s4
+           FROM m GROUP BY 1),
+         mom AS (
+           SELECT l_returnflag, n_obs,
+                  CAST(s2 AS DOUBLE)/1e8/n_obs AS m2,
+                  CAST(s3 AS DOUBLE)/1e12/n_obs AS m3,
+                  CAST(s4 AS DOUBLE)/1e16/n_obs AS m4
+           FROM sums),
+         sk AS (
+           SELECT l_returnflag, n_obs,
+                  (round((CASE WHEN m2 > 0 THEN m3/(m2*sqrt(m2)) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS jb_skew,
+                  (round((CASE WHEN m2 > 0 THEN m4/(m2*m2) - 3.0e0 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS jb_kurt
+           FROM mom)
+         SELECT l_returnflag, n_obs, jb_skew, jb_kurt,
+                (round((CAST(n_obs AS DOUBLE)/6.0e0*(jb_skew*jb_skew + jb_kurt*jb_kurt/4.0e0))*1e4)/1e4 + 0.0e0) AS jb_stat
+         FROM sk""",
+    "q324_arch_lm" ->
+      """WITH scored0 AS (
+           SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                  (round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_partkey))*1e4)/1e4 + 0.0e0) AS e
+           FROM lineitem),
+         scored AS (
+           SELECT *, (round((e*e)*1e4)/1e4 + 0.0e0) AS sq FROM scored0),
+         stats AS (
+           SELECT l_returnflag,
+                  (CAST(sum(CAST(round(sq*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS smean
+           FROM scored GROUP BY 1),
+         lagged AS (
+           SELECT s.l_returnflag,
+                  CAST(round((s.sq - t.smean)*1e4) AS HUGEINT) AS m,
+                  lag(CAST(round((s.sq - t.smean)*1e4) AS HUGEINT), 1) OVER w AS m1,
+                  lag(CAST(round((s.sq - t.smean)*1e4) AS HUGEINT), 2) OVER w AS m2,
+                  lag(CAST(round((s.sq - t.smean)*1e4) AS HUGEINT), 3) OVER w AS m3,
+                  lag(CAST(round((s.sq - t.smean)*1e4) AS HUGEINT), 4) OVER w AS m4,
+                  lag(CAST(round((s.sq - t.smean)*1e4) AS HUGEINT), 5) OVER w AS m5
+           FROM scored s JOIN stats t USING (l_returnflag)
+           WINDOW w AS (PARTITION BY s.l_returnflag
+                        ORDER BY s.l_shipdate, s.l_orderkey, s.l_linenumber, s.l_quantity)),
+         agg AS (
+           SELECT l_returnflag, count(*) AS n_obs,
+                  sum(m*m) AS c0,
+                  sum(CASE WHEN m1 IS NOT NULL THEN m*m1 ELSE CAST(0 AS HUGEINT) END) AS c1,
+                  sum(CASE WHEN m2 IS NOT NULL THEN m*m2 ELSE CAST(0 AS HUGEINT) END) AS c2,
+                  sum(CASE WHEN m3 IS NOT NULL THEN m*m3 ELSE CAST(0 AS HUGEINT) END) AS c3,
+                  sum(CASE WHEN m4 IS NOT NULL THEN m*m4 ELSE CAST(0 AS HUGEINT) END) AS c4,
+                  sum(CASE WHEN m5 IS NOT NULL THEN m*m5 ELSE CAST(0 AS HUGEINT) END) AS c5
+           FROM lagged GROUP BY 1),
+         acf AS (
+           SELECT l_returnflag, n_obs, CAST(n_obs AS DOUBLE) AS nd,
+                  (round((CASE WHEN CAST(c0 AS DOUBLE)/1e8 > 0 THEN (CAST(c1 AS DOUBLE)/1e8)/(CAST(c0 AS DOUBLE)/1e8) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS r1,
+                  (round((CASE WHEN CAST(c0 AS DOUBLE)/1e8 > 0 THEN (CAST(c2 AS DOUBLE)/1e8)/(CAST(c0 AS DOUBLE)/1e8) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS r2,
+                  (round((CASE WHEN CAST(c0 AS DOUBLE)/1e8 > 0 THEN (CAST(c3 AS DOUBLE)/1e8)/(CAST(c0 AS DOUBLE)/1e8) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS r3,
+                  (round((CASE WHEN CAST(c0 AS DOUBLE)/1e8 > 0 THEN (CAST(c4 AS DOUBLE)/1e8)/(CAST(c0 AS DOUBLE)/1e8) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS r4,
+                  (round((CASE WHEN CAST(c0 AS DOUBLE)/1e8 > 0 THEN (CAST(c5 AS DOUBLE)/1e8)/(CAST(c0 AS DOUBLE)/1e8) ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS r5
+           FROM agg)
+         SELECT l_returnflag, n_obs, r1 AS sr_acf1,
+                (round((nd*r1*r1)*1e4)/1e4 + 0.0e0) AS arch_lm1,
+                CASE WHEN n_obs > 5 THEN
+                  (round((nd*(nd+2.0e0)*(r1*r1/(nd-1.0e0) + r2*r2/(nd-2.0e0) + r3*r3/(nd-3.0e0) + r4*r4/(nd-4.0e0) + r5*r5/(nd-5.0e0)))*1e4)/1e4 + 0.0e0)
+                END AS ml_q
+         FROM acf""",
     "q319_mann_kendall" ->
       """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
                      l_suppkey, sum(l_quantity) q

@@ -73,6 +73,81 @@ class R15OpsSpec extends SparkSpec {
       math.round(3.0 / math.sqrt(16.0 / 3) * 1e4) / 1e4) < 1e-9)
   }
 
+  test("jarqueBera matches the hand-computed moments (and zeroes degenerate slices)") {
+    // resid = [1..5] - 0: centered [-2,-1,0,1,2] -> m2 = 2, m3 = 0,
+    // m4 = 6.8 -> skew 0, excess kurt -1.3, JB = 5/6 * 1.69/4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 7.0), ("b", 7.0)).toDF("k", "y")
+    val out = graft.metrics.ResidualDiagnostics
+      .jarqueBera(df, Seq("k"), col("y"), lit(0.0))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_obs") == 5L)
+    assert(math.abs(a.getAs[Double]("jb_skew")) < 1e-12)
+    assert(math.abs(a.getAs[Double]("jb_kurt") - (-1.3)) < 1e-9)
+    assert(math.abs(a.getAs[Double]("jb_stat") - 0.3521) < 1e-9)
+    val b = out("b") // constant residuals: m2 = 0 gate
+    assert(b.getAs[Double]("jb_skew") == 0.0 && b.getAs[Double]("jb_stat") == 0.0)
+  }
+
+  test("jarqueBera flags a planted heavy-tailed slice above the near-normal one") {
+    val norm = (1 to 400).map(i => ("n", i.toDouble,
+      math.sin(i * 2.399) * 2.0)) // bounded, thin-tailed
+    val heavy = (1 to 400).map(i => ("h", i.toDouble,
+      if (i % 97 == 0) 60.0 else math.sin(i * 2.399) * 0.5)) // rare huge spikes
+    val df = (norm ++ heavy).toDF("k", "t", "y")
+    val out = graft.metrics.ResidualDiagnostics
+      .jarqueBera(df, Seq("k"), col("y"), lit(0.0))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("jb_stat")).toMap
+    assert(out("h") > 10 * out("n"), s"heavy=${out("h")} normal=${out("n")}")
+  }
+
+  test("archLm matches the hand case and gates short/degenerate slices") {
+    // e = [2,0,2,0,2,0] -> sq centered [2,-2,2,-2,2,-2]:
+    // r1 = -20/24 = -0.8333, arch_lm1 = 6 * 0.8333^2 = 4.1663
+    val df = (1 to 6).map(i => ("a", i, if (i % 2 == 1) 2.0 else 0.0))
+      .toDF("k", "t", "y")
+    val row = graft.metrics.ResidualDiagnostics
+      .archLm(df, Seq("k"), col("y"), lit(0.0), Seq(col("t"))).head()
+    assert(row.getAs[Long]("n_obs") == 6L)
+    assert(math.abs(row.getAs[Double]("sr_acf1") - (-0.8333)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("arch_lm1") - 4.1663) < 1e-9)
+    assert(!row.isNullAt(row.fieldIndex("ml_q")))
+    // n <= maxLag -> ml_q NULL; constant residuals -> zero statistics
+    val shortDf = (1 to 4).map(i => ("a", i, i.toDouble)).toDF("k", "t", "y")
+    val s = graft.metrics.ResidualDiagnostics
+      .archLm(shortDf, Seq("k"), col("y"), lit(0.0), Seq(col("t"))).head()
+    assert(s.isNullAt(s.fieldIndex("ml_q")))
+    val constDf = (1 to 8).map(i => ("a", i, 3.0)).toDF("k", "t", "y")
+    val c = graft.metrics.ResidualDiagnostics
+      .archLm(constDf, Seq("k"), col("y"), lit(0.0), Seq(col("t"))).head()
+    assert(c.getAs[Double]("sr_acf1") == 0.0 && c.getAs[Double]("arch_lm1") == 0.0)
+  }
+
+  test("archLm detects planted volatility clustering that a homoskedastic twin lacks") {
+    // same marginal magnitudes, one series clusters them (ARCH), one
+    // alternates them away: LM must separate the two
+    val clustered = (1 to 200).map { i =>
+      val burst = (i / 20) % 2 == 0 // 20-step volatility regimes
+      ("arch", i, (if (burst) 10.0 else 0.5) * (if (i % 2 == 0) 1 else -1))
+    }
+    val flat = (1 to 200).map { i =>
+      // same two magnitudes, scattered by a deterministic avalanche
+      // mix so the squared series carries ~zero lag-1 structure
+      var h = i.toLong
+      h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL
+      h = (h ^ (h >>> 33)) * 0xC4CEB9FE1A85EC53L
+      val big = (h ^ (h >>> 33)) < 0L
+      ("flat", i, (if (big) 10.0 else 0.5) * (if (i % 2 == 0) 1 else -1))
+    }
+    val df = (clustered ++ flat).toDF("k", "t", "y")
+    val out = graft.metrics.ResidualDiagnostics
+      .archLm(df, Seq("k"), col("y"), lit(0.0), Seq(col("t")))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("arch_lm1")).toMap
+    assert(out("arch") > 5 * math.max(out("flat"), 1.0),
+      s"arch=${out("arch")} flat=${out("flat")}")
+  }
+
   test("mannKendall reduces to the tied-y-only form on unique x") {
     // unique x, tied y — the pre-fix shape; values must be unchanged
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 5.0),
