@@ -1870,6 +1870,32 @@ object SparkEntry {
     // structure as q318: S = sum of pairwise signs, tie-corrected
     // variance, continuity-corrected z, Kendall tau — significance for
     // the Theil–Sen slope with no distributional assumption
+    // Sampled Theil–Sen (the q318 scaladoc's "sample pairs" option as
+    // a real operator): 200 deterministic Lehmer-drawn index pairs per
+    // series instead of the exact O(n²) self-join — O(n + s) per
+    // series, the long-series scale path
+    "q326_theil_sen_sampled" -> ((s, d) => {
+      val monthly = li(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month_start"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+      graft.operators.Ols.theilSenSampled(monthly, Seq("l_suppkey"),
+        datediff(col("month_start"), lit("1992-01-01")), col("qty_sum"),
+        pairsPerSeries = 200)
+    }),
+    // Mann–Kendall with TIED x, exercising the full Kendall (1975)
+    // variance (both tie tables + cross terms — the r15 ADVICE fix):
+    // monthly observations scored against a QUARTER time index, so
+    // every quarter is a 3-way x tie by construction
+    "q327_mann_kendall_tied" -> ((s, d) => {
+      val monthly = li(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month_start"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+      graft.operators.Ols.mannKendall(monthly, Seq("l_suppkey"),
+        floor(months_between(col("month_start"), lit("1992-01-01")) / 3),
+        col("qty_sum"))
+    }),
     "q319_mann_kendall" -> ((s, d) => {
       val monthly = li(s, d)
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
@@ -1887,6 +1913,15 @@ object SparkEntry {
       graft.seq.YuleWalker.ljungBox(weekly, Seq("l_suppkey"),
         Seq(col("week_start")), "qty_sum")
     }),
+    // Skew-proof rolling aggregates: coarse-bucket partial aggregation,
+    // then the window over partials (the SkewProbe mitigation as an
+    // operator) — trailing-4-week supplier rollup whose per-series
+    // window depth is bounded by the calendar, not the row count
+    "q325_partialed_rolling" -> ((s, d) =>
+      graft.operators.WindowFeatures.partialedRolling(
+        li(s, d), Seq(col("l_suppkey")),
+        floor(datediff(col("l_shipdate"), lit("1992-01-01")) / lit(7)),
+        col("l_quantity"), nBuckets = 4)),
     // Jarque–Bera normality statistic on the q111 residual frame
     // (per-part group-mean model, per-flag slices) — the named
     // normality test of the reference's residual suite
@@ -7016,6 +7051,24 @@ object SparkEntry {
     // Mann-Kendall: pairwise sign sum (exact BIGINT), tie-corrected
     // variance from the y-group sizes (integer-valued doubles — exact
     // in any order), continuity-corrected z, tau-a
+    "q325_partialed_rolling" ->
+      """WITH partials AS (
+           SELECT l_suppkey,
+                  CAST(floor((CAST(l_shipdate AS DATE) - DATE '1992-01-01')/7) AS BIGINT) AS bucket,
+                  CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS psum,
+                  count(l_quantity) AS pcnt,
+                  min(l_quantity) AS pmin,
+                  max(l_quantity) AS pmax
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_suppkey, bucket,
+                (round((sum(psum) OVER w)*1e4)/1e4 + 0.0e0) AS roll_sum,
+                CAST(sum(pcnt) OVER w AS BIGINT) AS roll_cnt,
+                (round(((round((sum(psum) OVER w)*1e4)/1e4 + 0.0e0)/CAST(sum(pcnt) OVER w AS BIGINT))*1e4)/1e4 + 0.0e0) AS roll_avg,
+                min(pmin) OVER w AS roll_min,
+                max(pmax) OVER w AS roll_max
+         FROM partials
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY bucket
+                      RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)""",
     "q323_jarque_bera" ->
       """WITH scored AS (
            SELECT l_returnflag,
@@ -7092,6 +7145,49 @@ object SparkEntry {
                   (round((nd*(nd+2.0e0)*(r1*r1/(nd-1.0e0) + r2*r2/(nd-2.0e0) + r3*r3/(nd-3.0e0) + r4*r4/(nd-4.0e0) + r5*r5/(nd-5.0e0)))*1e4)/1e4 + 0.0e0)
                 END AS ml_q
          FROM acf""",
+    "q327_mann_kendall_tied" ->
+      """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
+                     l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+         a AS (SELECT l_suppkey,
+                CAST(floor(((EXTRACT(year FROM ws)-1992)*12 + EXTRACT(month FROM ws)-1)/3.0) AS DOUBLE) x,
+                CAST(q AS DOUBLE) y FROM w),
+         sg AS (SELECT a1.l_suppkey,
+                 CAST(sum(CAST(sign(a2.y - a1.y) AS BIGINT)) AS BIGINT) AS mk_s
+                FROM a a1 JOIN a a2 ON a1.l_suppkey = a2.l_suppkey
+                  AND a1.x < a2.x GROUP BY 1),
+         ty AS (SELECT l_suppkey,
+                 sum(tt*(tt-1)*(2.0e0*tt+5)) AS ty1,
+                 sum(tt*(tt-1)*(tt-2)) AS ty2,
+                 sum(tt*(tt-1)) AS ty3
+                FROM (SELECT l_suppkey, CAST(count(*) AS DOUBLE) tt
+                      FROM a GROUP BY l_suppkey, y) GROUP BY 1),
+         tx AS (SELECT l_suppkey,
+                 sum(tt*(tt-1)*(2.0e0*tt+5)) AS tx1,
+                 sum(tt*(tt-1)*(tt-2)) AS tx2,
+                 sum(tt*(tt-1)) AS tx3
+                FROM (SELECT l_suppkey, CAST(count(*) AS DOUBLE) tt
+                      FROM a GROUP BY l_suppkey, x) GROUP BY 1),
+         nn AS (SELECT l_suppkey, CAST(count(*) AS DOUBLE) n FROM a GROUP BY 1),
+         v AS (SELECT nn.l_suppkey, nn.n, sg.mk_s,
+                (nn.n*(nn.n-1)*(2.0e0*nn.n+5) - ty.ty1 - tx.tx1)/18.0e0
+                + CASE WHEN nn.n > 2
+                    THEN tx.tx2*ty.ty2/(9.0e0*nn.n*(nn.n-1)*(nn.n-2))
+                    ELSE 0.0e0 END
+                + CASE WHEN nn.n > 1
+                    THEN tx.tx3*ty.ty3/(2.0e0*nn.n*(nn.n-1))
+                    ELSE 0.0e0 END AS vr
+               FROM nn JOIN sg USING (l_suppkey) JOIN ty USING (l_suppkey)
+                 JOIN tx USING (l_suppkey))
+         SELECT l_suppkey, n AS n_obs, mk_s,
+                (round(vr*1e4)/1e4 + 0.0e0) AS var_s,
+                (round((CASE WHEN vr > 0 THEN
+                   CASE WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1)/sqrt(vr)
+                        WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1)/sqrt(vr)
+                        ELSE 0.0e0 END
+                 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS mk_z,
+                (round((CAST(mk_s AS DOUBLE)/(n*(n-1)/2))*1e4)/1e4 + 0.0e0) AS mk_tau
+         FROM v""",
     "q319_mann_kendall" ->
       """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
                      l_suppkey, sum(l_quantity) q
@@ -7122,6 +7218,39 @@ object SparkEntry {
     // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
     // vertical pairs), 4dp slopes -> exact interpolated median; the
     // intercept pass re-rounds (y - slope*x) candidates the same way
+    "q326_theil_sen_sampled" ->
+      """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
+                     l_suppkey, sum(l_quantity) q
+                    FROM lineitem GROUP BY 1,2),
+         a AS (SELECT l_suppkey, CAST(ws - DATE '1992-01-01' AS DOUBLE) x,
+                      CAST(q AS DOUBLE) y FROM w),
+         idx AS (SELECT l_suppkey, x, y,
+                  CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY x, y) AS BIGINT) AS i
+                 FROM a),
+         nn AS (SELECT l_suppkey, max(i) AS n FROM idx GROUP BY 1),
+         sl AS (SELECT l_suppkey, n,
+                 ((((42 + 2*t.t) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS h1,
+                 ((((43 + 2*t.t) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS h2
+                FROM nn, range(1, 201) AS t(t) WHERE n >= 2),
+         dr AS (SELECT l_suppkey, (h1 % n) + 1 AS pi,
+                 CASE WHEN (h2 % (n-1)) + 1 >= (h1 % n) + 1
+                      THEN (h2 % (n-1)) + 2 ELSE (h2 % (n-1)) + 1 END AS pj
+                FROM sl),
+         p AS (SELECT d.l_suppkey,
+                (round(((p2.y - p1.y)/(p2.x - p1.x))*1e4)/1e4 + 0.0e0) AS s
+               FROM dr d
+               JOIN idx p1 ON p1.l_suppkey = d.l_suppkey AND p1.i = d.pi
+               JOIN idx p2 ON p2.l_suppkey = d.l_suppkey AND p2.i = d.pj
+               WHERE p1.x <> p2.x),
+         m AS (SELECT l_suppkey,
+                (round((quantile_cont(s, 0.5e0))*1e4)/1e4 + 0.0e0) AS ts_slope,
+                count(*) AS n_pairs
+               FROM p GROUP BY 1),
+         ic AS (SELECT a.l_suppkey,
+                 (round((quantile_cont((round((a.y - m.ts_slope*a.x)*1e4)/1e4 + 0.0e0), 0.5e0))*1e4)/1e4 + 0.0e0) AS ts_intercept
+                FROM a JOIN m USING (l_suppkey) GROUP BY 1)
+         SELECT m.l_suppkey, m.ts_slope, m.n_pairs, ic.ts_intercept
+         FROM m JOIN ic USING (l_suppkey)""",
     "q318_theil_sen" ->
       """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
                      l_suppkey, sum(l_quantity) q

@@ -100,18 +100,84 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Long-packed random-hyperplane signature — bit p = sign(v · h_p),
+    * same planes and the same rounded-dot sign rule as
+    * [[rhpSignature]], but packed in a LONG so numPlanes may reach 62.
+    * This is what lets the banded paths size their per-band width with
+    * N ([[sizeLshWidth]]): at 16-plane Int packing the bucket space is
+    * frozen and candidate pairs go quadratic (the r14 100× probe
+    * measured 40.5B fan-out at 200k vectors); with width ≈ log₂(N) the
+    * same probe measured 2.53M — linear. Bucket VALUES for any
+    * numPlanes ≤ 31 are identical to the Int form (same bits, wider
+    * register), so existing oracles are unaffected. */
+  def rhpSignatureLong(vec: Column, dim: Int, numPlanes: Int,
+                       seed: Long = 42L): Column = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1, 62], got $numPlanes")
+    val vd = vec.cast("array<double>")
+    (0 until numPlanes).map { p =>
+      val plane = array(hyperplane(p, dim, seed).map(lit): _*)
+      when(graft.functions.Funcs.r(dot(vd, plane)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** N-aware per-band LSH width (the r14 100× probe's measured fix,
+    * promoted to API): a FIXED width freezes the bucket space
+    * (bands × 2^width), so per-bucket occupancy — and with it the
+    * candidate-pair fan-out Σ_buckets C(n_b, 2) — grows linearly /
+    * quadratically with corpus size (measured: 40.5B candidate pairs
+    * at 200k vectors under the fixed 16-plane default). Sizing
+    * width = ⌈log₂ n⌉ holds expected occupancy at O(1), which keeps
+    * fan-out ~linear (measured: 2.53M pairs, 2.0× wall for 100×
+    * vectors). Floor 8 preserves small-corpus recall (narrower bands
+    * collide more); cap 30 keeps bands × width ≤ 62 long-signature
+    * bits at the default two bands — past ~10⁹ vectors per job, shard
+    * the corpus or move to the IVF path (nlist ≈ √N, q204/q106). */
+  def sizeLshWidth(n: Long, floorWidth: Int = 8, capWidth: Int = 30): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(floorWidth >= 1 && capWidth >= floorWidth,
+      s"need 1 <= floorWidth <= capWidth, got ($floorWidth, $capWidth)")
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(capWidth, math.max(floorWidth, ceilLog2))
+  }
+
+  /** Candidate-pair fan-out of a banded RHP-LSH configuration,
+    * WITHOUT running the join: Σ over (band, bucket) of C(n_b, 2) —
+    * one signature pass + one aggregate, so it is safe to evaluate at
+    * a scale where the join itself would be the wall. The detection
+    * side of [[sizeLshWidth]]: size, measure, then run. */
+  def lshBucketFanout(df: DataFrame, dim: Int, numPlanes: Int, bands: Int,
+                      seed: Long = 42L, vecCol: String = "embedding"): Long = {
+    val width = numPlanes / bands
+    val mask = (1L << width) - 1
+    df.withColumn("__sig", rhpSignatureLong(col(vecCol), dim, numPlanes, seed))
+      .select(posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .toDF("band", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / lit(2)).cast("long")),
+        lit(0L)))
+      .head().getLong(0)
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors with cosine ≥
     * threshold, candidates from random-hyperplane LSH bands (equi-join
     * on (band, bucket) — high-cosine pairs agree on many sign bits, so
     * band collisions catch them), exact cosine verify on candidates
     * only. Recall < 1 by construction (raise bands/lower width to push
-    * it up); the all-pairs exact computation is the test oracle. */
+    * it up); the all-pairs exact computation is the test oracle.
+    *
+    * The fixed 16-plane default keeps the historical (q107/q218)
+    * candidate sets but does NOT scale: size `numPlanes`/`bands` with
+    * the corpus via [[cosineNearDupesSized]] (or [[sizeLshWidth]]
+    * directly) — the fixed bucket space goes quadratic in N. */
   def cosineNearDupes(df: DataFrame, dim: Int, threshold: Double = 0.95,
                       numPlanes: Int = 16, bands: Int = 8, seed: Long = 42L,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val width = numPlanes / bands
-    val mask = (1 << width) - 1
-    val signed = df.withColumn("__sig", rhpSignature(col(vecCol), dim, numPlanes, seed))
+    val mask = (1L << width) - 1
+    val signed = df.withColumn("__sig", rhpSignatureLong(col(vecCol), dim, numPlanes, seed))
       .select(col(idCol), col(vecCol), posexplode(
         array((0 until bands).map(b =>
           shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
@@ -256,15 +322,20 @@ object Similarity {
     * `numPlanes` hyperplane bits grouped into `bands`; vectors sharing
     * any band bucket become candidates (equi-join on (band, bucket)),
     * and exact cosine + top-k runs on candidates only. Recall < 1 by
-    * construction — the scale path; brute force is the oracle. */
+    * construction — the scale path; brute force is the oracle.
+    *
+    * The fixed 16-plane default keeps the historical (q69) candidate
+    * sets but does NOT scale: size the width with the corpus via
+    * [[lshTopKSized]] (or [[sizeLshWidth]] directly) — a fixed bucket
+    * space sends candidate fan-out quadratic in N. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               numPlanes: Int = 16, bands: Int = 4, seed: Long = 42L,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val width = numPlanes / bands
-    val mask = (1 << width) - 1
+    val mask = (1L << width) - 1
     def banded(df: DataFrame, id: String, vec: String, outId: String, outVec: String) =
-      df.withColumn("__sig", rhpSignature(col(vec), dim, numPlanes, seed))
+      df.withColumn("__sig", rhpSignatureLong(col(vec), dim, numPlanes, seed))
         .select(col(id).as(outId), col(vec).as(outVec),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("__sig"), b * width).bitwiseAND(lit(mask))): _*)))
@@ -281,5 +352,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** [[cosineNearDupes]] with the per-band width sized to the corpus
+    * ([[sizeLshWidth]] — the r14 probe's measured linear-fan-out
+    * recipe as the default instead of BENCH_NOTES prose). Pass `n`
+    * when the caller already knows the corpus size; otherwise one
+    * metadata-cheap `count()` fetches it (parquet row-group stats — no
+    * data scan). Two bands (the probe's configuration) balance recall
+    * against fan-out at scale; raise `bands` to push recall, each band
+    * adds one signature slice and ~n/2^width·n candidates. */
+  def cosineNearDupesSized(df: DataFrame, dim: Int, threshold: Double = 0.95,
+                           n: Long = -1L, bands: Int = 2, seed: Long = 42L,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val count = if (n > 0) n else df.count()
+    val width = sizeLshWidth(count)
+    cosineNearDupes(df, dim, threshold, numPlanes = bands * width,
+      bands = bands, seed = seed, idCol = idCol, vecCol = vecCol)
+  }
+
+  /** [[lshTopK]] with the per-band width sized to the CORPUS side
+    * (candidate fan-out per query is Σ_bands corpus-bucket occupancy,
+    * so the corpus count is the one that must set the width). Same
+    * sizing contract as [[cosineNearDupesSized]]. */
+  def lshTopKSized(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   n: Long = -1L, bands: Int = 2, seed: Long = 42L,
+                   corpusId: String = "vec_id", corpusVec: String = "embedding",
+                   queryId: String = "query_id",
+                   queryVec: String = "query_vec"): DataFrame = {
+    val count = if (n > 0) n else corpus.count()
+    val width = sizeLshWidth(count)
+    lshTopK(corpus, queries, k, dim, numPlanes = bands * width,
+      bands = bands, seed = seed, corpusId = corpusId, corpusVec = corpusVec,
+      queryId = queryId, queryVec = queryVec)
   }
 }

@@ -106,6 +106,15 @@ object SkewProbe {
         WindowFeatures.rollingAvg(col("qty_sum"), 4, sw).as("roll_avg") :+
         WindowFeatures.rollingStd(col("qty_sum"), 4, sw).as("roll_std"): _*)
     }
+    // stage 4 (r14 verdict ask #3): mitigation (b) as an OPERATOR —
+    // partialedRolling runs the same trailing-window measure directly
+    // on the raw fact by aggregating to weekly partials first, so its
+    // per-series window depth is calendar-bounded and the hot key
+    // cannot straggle
+    def partialed(li: DataFrame) = WindowFeatures.partialedRolling(
+      li, seriesKeys,
+      floor(datediff(col("l_shipdate"), lit("1992-01-01")) / lit(7)),
+      col("l_quantity"), nBuckets = 4)
 
     val bal = spark.read.parquet(balancedPath)
     val skw = spark.read.parquet(skewedPath)
@@ -122,6 +131,8 @@ object SkewProbe {
     val rawSkw = timed(rawWindow(skw))
     val wkBal = timed(weeklyWindow(bal))
     val wkSkw = timed(weeklyWindow(skw))
+    val prBal = timed(partialed(bal))
+    val prSkw = timed(partialed(skw))
 
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -133,6 +144,7 @@ object SkewProbe {
          |"weekly_agg":{"balanced_sec":$aggBal%.2f,"skewed_sec":$aggSkw%.2f,"ratio":${aggSkw / aggBal}%.2f},
          |"raw_window":{"balanced_sec":$rawBal%.2f,"skewed_sec":$rawSkw%.2f,"ratio":${rawSkw / rawBal}%.2f},
          |"weekly_window":{"balanced_sec":$wkBal%.2f,"skewed_sec":$wkSkw%.2f,"ratio":${wkSkw / wkBal}%.2f},
+         |"partialed_rolling":{"balanced_sec":$prBal%.2f,"skewed_sec":$prSkw%.2f,"ratio":${prSkw / prBal}%.2f},
          |"loadavg":"$loadavg"}""".stripMargin.replace("\n", ""))
     spark.stop()
   }

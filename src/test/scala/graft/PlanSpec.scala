@@ -53,6 +53,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q325: partial aggregation runs BEFORE the rolling window (skew-proof shape)") {
+    val plan = SparkEntry.queries("q325_partialed_rolling")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the window's input is the (key, bucket) aggregate, never the raw
+    // fact: a HashAggregate must sit below the Window node, and the
+    // window frame is the RANGE form on the bucket
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx > 0, plan)
+    assert(plan.indexOf("HashAggregate", winIdx) > 0, plan) // agg below window
+    assert(plan.contains("RangeFrame"), plan)
+    // the row skew is absorbed MAP-SIDE: a partial aggregate must run
+    // before any exchange carries fact rows
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q326: sampled Theil-Sen joins endpoints by rank — no pairwise self-join") {
+    val plan = SparkEntry.queries("q326_theil_sen_sampled")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // every join is an equi-join on (series, rank); the exact
+    // operator's O(n^2) inequality self-join must be absent
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__pi"), plan) // the drawn rank reached a join key
+  }
+
   test("J1: dimension enrichment joins broadcast, never shuffle the fact") {
     val plan = SparkEntry.queries("q23_enrich_join")(spark, dir)
       .queryExecution.executedPlan.toString

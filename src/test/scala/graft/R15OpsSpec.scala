@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ols, RangeJoin}
+import graft.operators.{Ols, RangeJoin, WindowFeatures}
+import graft.sim.Similarity
 
 /** Round-15 unit coverage: the ADVICE regression cases (overlap-join
-  * boundary-sliver buckets, Mann–Kendall tied-x variance). */
+  * boundary-sliver buckets, Mann–Kendall tied-x variance), the new
+  * residual statistics, and the N-aware LSH sizing. */
 class R15OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -146,6 +148,174 @@ class R15OpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("arch_lm1")).toMap
     assert(out("arch") > 5 * math.max(out("flat"), 1.0),
       s"arch=${out("arch")} flat=${out("flat")}")
+  }
+
+  test("sizeLshWidth follows ceil(log2 n) between its floor and cap") {
+    assert(Similarity.sizeLshWidth(100) == 8)          // floor
+    assert(Similarity.sizeLshWidth(256) == 8)          // exact power
+    assert(Similarity.sizeLshWidth(257) == 9)
+    assert(Similarity.sizeLshWidth(40960) == 16)
+    assert(Similarity.sizeLshWidth(200000) == 18)      // the probe scale
+    assert(Similarity.sizeLshWidth(1L << 40) == 30)    // cap
+    intercept[IllegalArgumentException](Similarity.sizeLshWidth(0))
+  }
+
+  test("sized LSH width bounds candidate fan-out where the fixed default goes quadratic") {
+    // planted 40960-vector corpus (pseudo-random 16-dim embeddings):
+    // the fixed 16-plane default freezes the bucket space at
+    // 4 bands x 16 buckets, so fan-out is ~N^2/32; width = log2(N)
+    // holds expected occupancy at O(1). Fan-out is measured by the
+    // bucket-histogram aggregate (lshBucketFanout) — no join runs.
+    val n = 40960L
+    val dim = 16
+    val corpus = spark.range(1, n + 1).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)), j =>
+          pmod(xxhash64(col("vec_id") * lit(37) + j), lit(1000)).cast("double")
+            / lit(500.0) - lit(1.0)))
+    val fixed = Similarity.lshBucketFanout(corpus, dim, numPlanes = 16, bands = 4)
+    val width = Similarity.sizeLshWidth(n)
+    val sized = Similarity.lshBucketFanout(corpus, dim,
+      numPlanes = 2 * width, bands = 2)
+    assert(sized <= 10 * n, s"sized fan-out $sized not ~linear in n=$n")
+    assert(fixed >= 100 * sized,
+      s"fixed fan-out $fixed vs sized $sized — expected a >=100x gap")
+  }
+
+  test("cosineNearDupesSized keeps planted near-duplicates at small N (floor width)") {
+    // 200 spread vectors + one planted near-identical pair; the sized
+    // path must still emit the planted pair through its banding
+    val dim = 8
+    val base = spark.range(1, 201).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)), j =>
+          pmod(xxhash64(col("vec_id") * lit(53) + j), lit(1000)).cast("double")
+            / lit(500.0) - lit(1.0)))
+    val planted = Seq(
+      (1001L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1002L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.01))
+    ).toDF("vec_id", "embedding")
+    val df = base.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .unionByName(planted.select(col("vec_id"), col("embedding").cast("array<double>")))
+    val pairs = Similarity.cosineNearDupesSized(df, dim, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1001L, 1002L)))
+  }
+
+  test("lshTopKSized returns ranked neighbors through the sized banding") {
+    val dim = 8
+    val corpus = spark.range(1, 501).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)), j =>
+          pmod(xxhash64(col("vec_id") * lit(71) + j), lit(1000)).cast("double")
+            / lit(500.0) - lit(1.0)))
+    val queries = corpus.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Similarity.lshTopKSized(corpus, queries, k = 3, dim = dim)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rank") <= 3L))
+    // self-matches are excluded by construction
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("partialedRolling equals the raw-row range window at bucket grain (gaps included)") {
+    // two series, integer values (exact sums), a calendar GAP in
+    // series a (buckets 1,2,5): the range frame must shorten across
+    // the gap exactly as the raw-row range window does
+    val df = Seq(
+      ("a", 1L, 2.0), ("a", 1L, 4.0), ("a", 2L, 6.0), ("a", 5L, 10.0),
+      ("b", 1L, 1.0), ("b", 2L, 3.0), ("b", 3L, 5.0), ("b", 4L, 7.0))
+      .toDF("k", "b", "v")
+    val got = WindowFeatures.partialedRolling(df, Seq(col("k")), col("b"),
+      col("v"), nBuckets = 3)
+      .orderBy("k", "bucket")
+      .as[(String, Long, Double, Long, Double, Double, Double)].collect().toSeq
+    // raw-row range window over the SAME frame, evaluated per row and
+    // collapsed to bucket grain
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("b")).rangeBetween(-2L, 0L)
+    val want = df
+      .withColumn("roll_sum", sum(col("v")).over(w))
+      .withColumn("roll_cnt", count(col("v")).over(w))
+      .withColumn("roll_avg", round(col("roll_sum") / col("roll_cnt"), 4))
+      .withColumn("roll_min", min(col("v")).over(w))
+      .withColumn("roll_max", max(col("v")).over(w))
+      .select(col("k"), col("b").as("bucket"), col("roll_sum"),
+        col("roll_cnt"), col("roll_avg"), col("roll_min"), col("roll_max"))
+      .distinct().orderBy("k", "bucket")
+      .as[(String, Long, Double, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+    // the gap shortens the frame: bucket 5 of series a sees only itself
+    assert(got.find(r => r._1 == "a" && r._2 == 5L).get._3 == 10.0)
+  }
+
+  test("partialedRolling absorbs a planted hot key the raw-row window straggles on") {
+    // 2M rows, 200 series x ~100 buckets; the skewed twin remaps 25%
+    // of all rows onto ONE series. partialedRolling's window depth is
+    // bounded by the CALENDAR, so its skewed/balanced wall ratio must
+    // stay near 1 while the raw-row window pays the single-task sort
+    // of the hot partition (the r14 SkewProbe result, in-suite).
+    val n = 2000000L
+    def base = spark.range(n)
+      .withColumn("b", pmod(xxhash64(col("id") * lit(13)), lit(100)))
+      .withColumn("v", pmod(xxhash64(col("id") * lit(29)), lit(50)).cast("double"))
+    val balanced = base
+      .withColumn("k", pmod(xxhash64(col("id") * lit(7)), lit(200)))
+    val skewed = base
+      .withColumn("k", when(pmod(xxhash64(col("id") * lit(7)), lit(4)) === 0,
+        lit(-1L)).otherwise(pmod(xxhash64(col("id") * lit(7)), lit(200))))
+    def timePartialed(df: org.apache.spark.sql.DataFrame): Double = {
+      def run() = WindowFeatures.partialedRolling(df, Seq(col("k")), col("b"),
+        col("v"), nBuckets = 4).write.format("noop").mode("overwrite").save()
+      run() // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val tBal = timePartialed(balanced)
+    val tSkw = timePartialed(skewed)
+    val ratio = tSkw / tBal
+    info(f"partialedRolling skewed/balanced wall ratio: $ratio%.2f " +
+      f"($tSkw%.2f s vs $tBal%.2f s)")
+    assert(ratio < 1.5, f"partialedRolling not skew-immune: ratio $ratio%.2f")
+  }
+
+  test("theilSenSampled tracks the exact slope on a planted trend at O(s) pairs") {
+    // y = 3.5x + bounded wiggle + 4 planted spikes per series: the
+    // sampled median must land on the exact Theil-Sen slope while
+    // scoring only s pairs instead of n(n-1)/2
+    val n = 300
+    val rows = for (k <- Seq("a", "b"); i <- 1 to n) yield {
+      val spike = if (i % 75 == 0) 500.0 else 0.0
+      (k, i.toDouble, 3.5 * i + math.sin(i * 1.7) * 2.0 + spike)
+    }
+    val df = rows.toDF("k", "x", "y")
+    val exact = Ols.theilSen(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("ts_slope"), r.getAs[Long]("n_pairs"))).toMap
+    val sampled = Ols.theilSenSampled(df, Seq("k"), col("x"), col("y"),
+      pairsPerSeries = 200)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("ts_slope"), r.getAs[Long]("n_pairs"))).toMap
+    Seq("a", "b").foreach { k =>
+      assert(exact(k)._2 == n.toLong * (n - 1) / 2)   // exact: O(n^2) pairs
+      assert(sampled(k)._2 == 200L,                   // sampled: exactly s
+        s"series $k scored ${sampled(k)._2} pairs, expected 200")
+      assert(math.abs(sampled(k)._1 - exact(k)._1) < 0.05,
+        s"series $k sampled ${sampled(k)._1} vs exact ${exact(k)._1}")
+    }
+    // deterministic draws: a second run is bit-identical
+    val again = Ols.theilSenSampled(df, Seq("k"), col("x"), col("y"),
+      pairsPerSeries = 200)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("ts_slope"), r.getAs[Long]("n_pairs"))).toMap
+    assert(again == sampled)
+    // a different seed draws different pairs (tiny drift allowed)
+    val reseeded = Ols.theilSenSampled(df, Seq("k"), col("x"), col("y"),
+      pairsPerSeries = 200, seed = 7L)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("ts_slope")).toMap
+    Seq("a", "b").foreach(k => assert(math.abs(reseeded(k) - exact(k)._1) < 0.05))
   }
 
   test("mannKendall reduces to the tied-y-only form on unique x") {
