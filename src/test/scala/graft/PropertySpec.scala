@@ -298,6 +298,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin parity survives boundary-exact and epsilon-sliver interval ends") {
+    // the r15 ADVICE class: ends exactly ON k*width, within 1e-9 above
+    // it, and at epoch-millis magnitudes where a subtracted epsilon is
+    // ulp-absorbed — generated deliberately, not left to chance
+    val width = 2.5
+    def boundaryish: Gen[(Double, Double)] = {
+      val k = Gen.chooseNum(-20, 20)
+      val jitter = Gen.oneOf(0.0, 5e-10, 1e-9, -5e-10, 0.25, 1.25)
+      Gen.zip(k, jitter, Gen.chooseNum(0, 4), Gen.oneOf(0.0, 5e-10, 0.75))
+        .map { case (kk, jl, spanK, jh) =>
+          val lo = kk * width + jl
+          (lo, (kk + spanK) * width + jh) }
+    }
+    (0 until 4).foreach { i =>
+      val ls = gen(Gen.nonEmptyListOf(boundaryish), 500L + i)
+        .zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val rs = gen(Gen.nonEmptyListOf(boundaryish), 600L + i)
+        .zipWithIndex.map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+      val l = ls.toDF("lid", "llo", "lhi")
+      val r = rs.toDF("rid", "rlo", "rhi")
+      val got = graft.operators.RangeJoin
+        .overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", width)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val want = l.crossJoin(r)
+        .filter(col("llo") < col("lhi") && col("rlo") < col("rhi") &&
+          col("llo") < col("rhi") && col("rlo") < col("lhi"))
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"seed $i")
+      // same property at epoch-millis offsets (ulp-absorption regime)
+      val base = 1.7e12
+      val lb = ls.map { case (j, lo, hi) => (j, base + lo * 1e6, base + hi * 1e6) }
+        .toDF("lid", "llo", "lhi")
+      val rb = rs.map { case (j, lo, hi) => (j, base + lo * 1e6, base + hi * 1e6) }
+        .toDF("rid", "rlo", "rhi")
+      val gotB = graft.operators.RangeJoin
+        .overlapJoin(lb, "llo", "lhi", rb, "rlo", "rhi", width * 1e6)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val wantB = lb.crossJoin(rb)
+        .filter(col("llo") < col("lhi") && col("rlo") < col("rhi") &&
+          col("llo") < col("rhi") && col("rlo") < col("lhi"))
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(gotB == wantB, s"seed $i (epoch-millis)")
+    }
+  }
+
   test("boilerplate scrub invariants on random corpora") {
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
     val doc: Gen[String] = Gen.chooseNum(1, 24)
