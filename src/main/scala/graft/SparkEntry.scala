@@ -1870,6 +1870,18 @@ object SparkEntry {
     // structure as q318: S = sum of pairwise signs, tie-corrected
     // variance, continuity-corrected z, Kendall tau — significance for
     // the Theil–Sen slope with no distributional assumption
+    // Kendall tau-b + Goodman-Kruskal gamma per return flag over the
+    // supplier grain (total qty vs mean discount) — the concordance
+    // rank-association companion of q247's Spearman, with the
+    // both-sides tie correction the q327 machinery carries
+    "q328_kendall_tau" -> ((s, d) => {
+      val pts = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("__qty"),
+          avg(col("l_discount")).as("__disc"))
+      graft.operators.Assoc.kendall(pts, Seq("l_returnflag"),
+        col("__qty"), col("__disc"))
+    }),
     // Sampled Theil–Sen (the q318 scaladoc's "sample pairs" option as
     // a real operator): 200 deterministic Lehmer-drawn index pairs per
     // series instead of the exact O(n²) self-join — O(n + s) per
@@ -7218,6 +7230,41 @@ object SparkEntry {
     // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
     // vertical pairs), 4dp slopes -> exact interpolated median; the
     // intercept pass re-rounds (y - slope*x) candidates the same way
+    "q328_kendall_tau" ->
+      """WITH pts AS (
+           SELECT l_returnflag,
+                  (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS x,
+                  (round((avg(l_discount))*1e4)/1e4 + 0.0e0) AS y
+           FROM lineitem GROUP BY l_returnflag, l_suppkey),
+         pr AS (
+           SELECT a.l_returnflag,
+                  CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS p
+           FROM pts a JOIN pts b USING (l_returnflag)),
+         pa AS (
+           SELECT l_returnflag,
+                  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END)/2 AS BIGINT) AS conc,
+                  CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END)/2 AS BIGINT) AS disc
+           FROM pr GROUP BY 1),
+         tx AS (SELECT l_returnflag, CAST(sum(t*(t-1))/2 AS BIGINT) AS nx
+                FROM (SELECT l_returnflag, count(*) AS t
+                      FROM pts GROUP BY l_returnflag, x) GROUP BY 1),
+         ty AS (SELECT l_returnflag, CAST(sum(t*(t-1))/2 AS BIGINT) AS ny
+                FROM (SELECT l_returnflag, count(*) AS t
+                      FROM pts GROUP BY l_returnflag, y) GROUP BY 1),
+         nn AS (SELECT l_returnflag, count(*) AS n_obs FROM pts GROUP BY 1),
+         v AS (SELECT nn.l_returnflag, nn.n_obs, pa.conc, pa.disc, tx.nx, ty.ny,
+                CAST(nn.n_obs AS DOUBLE) AS nd
+               FROM nn JOIN pa USING (l_returnflag) JOIN tx USING (l_returnflag)
+                 JOIN ty USING (l_returnflag))
+         SELECT l_returnflag, n_obs, conc, disc,
+                (round((CASE WHEN (nd*(nd-1)/2 - nx)*(nd*(nd-1)/2 - ny) > 0
+                   THEN CAST(conc - disc AS DOUBLE)
+                        / sqrt((nd*(nd-1)/2 - nx)*(nd*(nd-1)/2 - ny))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS tau_b,
+                (round((CASE WHEN conc + disc > 0
+                   THEN CAST(conc - disc AS DOUBLE)/CAST(conc + disc AS DOUBLE)
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS gk_gamma
+         FROM v""",
     "q326_theil_sen_sampled" ->
       """WITH w AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) ws,
                      l_suppkey, sum(l_quantity) q

@@ -133,6 +133,58 @@ object Assoc {
       Funcs.r(num / (sqrt(dx) * sqrt(dy))).as("spearman")): _*)
   }
 
+  /** Kendall rank association per group — τ_b AND Goodman–Kruskal γ
+    * from one concordance pass: over all point pairs, C = concordant
+    * (sign(Δx)·sign(Δy) > 0), D = discordant (< 0),
+    * τ_b = (C−D)/√((n₀−n_x)(n₀−n_y)) with n₀ = n(n−1)/2 and
+    * n_x/n_y = Σ t(t−1)/2 over each coordinate's tied groups (the
+    * both-sides tie correction [[graft.operators.Ols.mannKendall]]
+    * carries for its variance), γ = (C−D)/(C+D) (ties ignored — the
+    * ordinal-data companion). The rank-correlation complement of
+    * [[spearman]]: τ counts pairwise inversions (robust, directly
+    * interpretable as P(concordant)−P(discordant)), Spearman ranks.
+    *
+    * Pair generation needs NO unique tiebreak: the sign product is
+    * symmetric under swap, so the group self-join sums over all
+    * ordered pairs (self pairs contribute 0) and halves the even
+    * counts. O(n²) pairs per GROUP — run at an aggregate grain
+    * (the [[graft.operators.Ols.theilSen]] cost model; sample or
+    * coarsen for very wide groups). Values round to the 4dp grid
+    * before comparison, so tie detection is exact cross-engine; all
+    * counts are exact integers and τ/γ are deterministic transforms
+    * of them. Degenerate groups (either coordinate all-tied) report
+    * τ_b = 0; all-tied-pairs groups report γ = 0. */
+  def kendall(df: DataFrame, groupCols: Seq[String], x: Column,
+              y: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val a = df.select(keys ++ Seq(Funcs.r(x).as("__x"), Funcs.r(y).as("__y")): _*)
+    val b = a.toDF((groupCols ++ Seq("__x2", "__y2")): _*)
+    val prod = signum(col("__x2") - col("__x")) * signum(col("__y2") - col("__y"))
+    val pairAgg = a.join(b, groupCols)
+      .select(keys :+ prod.cast("long").as("__p"): _*)
+      .groupBy(keys: _*)
+      .agg((sum(when(col("__p") > 0, 1L).otherwise(0L)) / lit(2)).cast("long")
+        .as("conc"),
+        (sum(when(col("__p") < 0, 1L).otherwise(0L)) / lit(2)).cast("long")
+          .as("disc"))
+    def tieHalf(c: String, out: String) = a.groupBy((keys :+ col(c)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keys: _*)
+      .agg((sum(col("__t") * (col("__t") - 1)) / lit(2)).cast("long").as(out))
+    val nAgg = a.groupBy(keys: _*).agg(count(lit(1)).as("n_obs"))
+    val joined = nAgg.join(pairAgg, groupCols)
+      .join(tieHalf("__x", "__nx"), groupCols)
+      .join(tieHalf("__y", "__ny"), groupCols)
+    val n = col("n_obs").cast("double")
+    val n0 = n * (n - 1) / 2
+    val s = (col("conc") - col("disc")).cast("double")
+    val denT = (n0 - col("__nx")) * (n0 - col("__ny"))
+    val denG = (col("conc") + col("disc")).cast("double")
+    joined.select(keys ++ Seq(col("n_obs"), col("conc"), col("disc"),
+      Funcs.r(when(denT > 0, s / sqrt(denT)).otherwise(lit(0.0))).as("tau_b"),
+      Funcs.r(when(denG > 0, s / denG).otherwise(lit(0.0))).as("gk_gamma")): _*)
+  }
+
   /** Out-of-fold target encoding — the leakage-safe variant used when
     * the encoding is consumed by the SAME training rows it was fit on
     * (fit-on-train [[targetEncode]] covers the train/score split;

@@ -318,6 +318,43 @@ class R15OpsSpec extends SparkSpec {
     Seq("a", "b").foreach(k => assert(math.abs(reseeded(k) - exact(k)._1) < 0.05))
   }
 
+  test("Assoc.kendall matches hand-computed tau-b / gamma with ties") {
+    // points (1,1),(2,2),(3,3),(4,2): C=4, D=1, one tied-y pair ->
+    // tau_b = 3/sqrt(6*5), gamma = 3/5
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 3.0),
+      ("a", 4.0, 2.0)).toDF("k", "x", "y")
+    val row = graft.operators.Assoc.kendall(df, Seq("k"), col("x"), col("y")).head()
+    assert(row.getAs[Long]("conc") == 4L && row.getAs[Long]("disc") == 1L)
+    assert(math.abs(row.getAs[Double]("tau_b") -
+      math.round(3.0 / math.sqrt(30.0) * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(row.getAs[Double]("gk_gamma") - 0.6) < 1e-9)
+    // perfect concordance -> both 1; all-tied x -> both gated to 0
+    val mono = Seq(("m", 1.0, 5.0), ("m", 2.0, 6.0), ("m", 3.0, 9.0))
+      .toDF("k", "x", "y")
+    val mr = graft.operators.Assoc.kendall(mono, Seq("k"), col("x"), col("y")).head()
+    assert(mr.getAs[Double]("tau_b") == 1.0 && mr.getAs[Double]("gk_gamma") == 1.0)
+    val flat = Seq(("f", 2.0, 1.0), ("f", 2.0, 3.0), ("f", 2.0, 7.0))
+      .toDF("k", "x", "y")
+    val fr = graft.operators.Assoc.kendall(flat, Seq("k"), col("x"), col("y")).head()
+    assert(fr.getAs[Double]("tau_b") == 0.0 && fr.getAs[Double]("gk_gamma") == 0.0)
+  }
+
+  test("Assoc.kendall agrees in sign and monotone order with spearman on shared data") {
+    val rows = for (k <- Seq("pos", "neg"); i <- 1 to 40) yield {
+      val wiggle = math.sin(i * 2.1) * 3.0
+      ("" + k, i.toDouble, if (k == "pos") i + wiggle else -i + wiggle)
+    }
+    val df = rows.toDF("k", "x", "y")
+    val tau = graft.operators.Assoc.kendall(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("tau_b")).toMap
+    val rho = graft.operators.Assoc.spearman(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("spearman")).toMap
+    assert(tau("pos") > 0.5 && rho("pos") > 0.5)
+    assert(tau("neg") < -0.5 && rho("neg") < -0.5)
+    // tau and rho agree in sign; |tau| <= |rho| on near-monotone data
+    assert(math.abs(tau("pos")) <= math.abs(rho("pos")) + 1e-9)
+  }
+
   test("mannKendall reduces to the tied-y-only form on unique x") {
     // unique x, tied y — the pre-fix shape; values must be unchanged
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 5.0),
