@@ -1870,6 +1870,14 @@ object SparkEntry {
     // structure as q318: S = sum of pairwise signs, tie-corrected
     // variance, continuity-corrected z, Kendall tau — significance for
     // the Theil–Sen slope with no distributional assumption
+    // Mann-Whitney U per return flag: do discounted lines (> 5%) ship
+    // a different quantity distribution than the rest? Rank-sum test
+    // with the tie-corrected normal approximation — segment-vs-rest
+    // comparison with no normality assumption, fact-linear (one rank
+    // window, no pair join)
+    "q329_mann_whitney" -> ((s, d) =>
+      graft.operators.Assoc.mannWhitneyU(li(s, d), Seq("l_returnflag"),
+        col("l_discount") > 0.05, col("l_quantity"))),
     // Kendall tau-b + Goodman-Kruskal gamma per return flag over the
     // supplier grain (total qty vs mean discount) — the concordance
     // rank-association companion of q247's Spearman, with the
@@ -7230,6 +7238,43 @@ object SparkEntry {
     // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
     // vertical pairs), 4dp slopes -> exact interpolated median; the
     // intercept pass re-rounds (y - slope*x) candidates the same way
+    "q329_mann_whitney" ->
+      """WITH base AS (
+           SELECT l_returnflag,
+                  (l_discount > 0.05) AS f,
+                  (round(l_quantity*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem),
+         ranked AS (
+           SELECT l_returnflag, f,
+                  CAST(2*rank() OVER (PARTITION BY l_returnflag ORDER BY v)
+                       + count(*) OVER (PARTITION BY l_returnflag, v) - 1 AS BIGINT) AS r2
+           FROM base),
+         tie AS (
+           SELECT l_returnflag, sum(t*t*t - t) AS tie
+           FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) t
+                 FROM base GROUP BY l_returnflag, v) GROUP BY 1),
+         agg AS (
+           SELECT l_returnflag,
+                  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN f THEN r2 ELSE 0 END) AS BIGINT) AS s2x
+           FROM ranked GROUP BY 1),
+         v AS (
+           SELECT a.l_returnflag, a.n1, a.n2,
+                  CAST(a.n1 AS DOUBLE) AS nd1, CAST(a.n2 AS DOUBLE) AS nd2,
+                  CAST(a.n1 AS DOUBLE) + CAST(a.n2 AS DOUBLE) AS nd,
+                  (CAST(a.s2x AS DOUBLE) - CAST(a.n1 AS DOUBLE)*(CAST(a.n1 AS DOUBLE)+1))/2 AS u1,
+                  t.tie
+           FROM agg a JOIN tie t USING (l_returnflag))
+         SELECT l_returnflag, n1, n2,
+                (round(u1*1e4)/1e4 + 0.0e0) AS u1,
+                (round((CASE WHEN nd1*nd2/12*((nd+1) - tie/(nd*(nd-1))) > 0
+                   THEN (u1 - nd1*nd2/2)
+                        / sqrt(nd1*nd2/12*((nd+1) - tie/(nd*(nd-1))))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS mw_z,
+                (round((CASE WHEN n1*n2 > 0 THEN u1/(nd1*nd2)
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS cles
+         FROM v""",
     "q328_kendall_tau" ->
       """WITH pts AS (
            SELECT l_returnflag,

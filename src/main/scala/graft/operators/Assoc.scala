@@ -185,6 +185,58 @@ object Assoc {
       Funcs.r(when(denG > 0, s / denG).otherwise(lit(0.0))).as("gk_gamma")): _*)
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test per group —
+    * does the `inSample` subset's value distribution sit above/below
+    * the rest's? U₁ = S₁ − n₁(n₁+1)/2 over average ranks of the
+    * combined sample, tie-corrected normal approximation
+    * z = (U₁ − n₁n₂/2)/σ with σ² = n₁n₂/12·[(n+1) − Σ(t³−t)/(n(n−1))],
+    * and the common-language effect size U₁/(n₁n₂) = P(X₁ > X₂) +
+    * ½P(X₁ = X₂). The distribution-comparison member of the round's
+    * nonparametric family (Mann–Kendall trends, Theil–Sen slopes,
+    * Kendall τ): segment-vs-rest error/measure comparisons without a
+    * normality assumption.
+    *
+    * Exactness: values round to the 4dp grid (tie detection is then
+    * cross-engine exact); average ranks ride the 2·rank + t − 1
+    * integer device ([[spearman]]'s), so 2S₁ is an exact integer and
+    * every statistic is a deterministic transform of exact integers.
+    * Scale shape: one rank window + one aggregate on the group key —
+    * no pair join, fact-linear. Degenerate groups (one-sided or
+    * all-tied: σ = 0) report z = 0; empty-side groups report
+    * effect 0. No continuity correction (document vs scipy's
+    * use_continuity=True default). */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[String], inSample: Column,
+                   value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df.select(keys ++ Seq(inSample.cast("boolean").as("__f"),
+      Funcs.r(value).as("__v")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val tw = Window.partitionBy((keys :+ col("__v")): _*)
+    val ranked = base.withColumn("__2r",
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - 1).cast("long"))
+    val tieAgg = base.groupBy((keys :+ col("__v")): _*)
+      .agg(count(lit(1)).cast("double").as("__t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+    val agg = ranked.groupBy(keys: _*).agg(
+      sum(when(col("__f"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("__f"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("__f"), col("__2r")).otherwise(lit(0L))).as("__2s1"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val u1 = (col("__2s1").cast("double") - n1 * (n1 + 1)) / 2
+    val mu = n1 * n2 / 2
+    val sig2 = n1 * n2 / 12 * ((n + 1) - col("__tie") / (n * (n - 1)))
+    agg.join(tieAgg, groupCols).select(keys ++ Seq(col("n1"), col("n2"),
+      Funcs.r(u1).as("u1"),
+      Funcs.r(when(sig2 > 0, (u1 - mu) / sqrt(sig2)).otherwise(lit(0.0)))
+        .as("mw_z"),
+      Funcs.r(when(col("n1") * col("n2") > 0, u1 / (n1 * n2))
+        .otherwise(lit(0.0))).as("cles")): _*)
+  }
+
   /** Out-of-fold target encoding — the leakage-safe variant used when
     * the encoding is consumed by the SAME training rows it was fit on
     * (fit-on-train [[targetEncode]] covers the train/score split;

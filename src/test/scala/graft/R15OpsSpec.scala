@@ -355,6 +355,43 @@ class R15OpsSpec extends SparkSpec {
     assert(math.abs(tau("pos")) <= math.abs(rho("pos")) + 1e-9)
   }
 
+  test("Assoc.mannWhitneyU matches hand-computed U/z/effect, ties included") {
+    // sample1 {1,3} vs sample2 {2,4,5}: S1 = 4, U1 = 1, z = -2/sqrt(3)
+    val df = Seq(("a", true, 1.0), ("a", true, 3.0), ("a", false, 2.0),
+      ("a", false, 4.0), ("a", false, 5.0)).toDF("k", "f", "v")
+    val r0 = graft.operators.Assoc
+      .mannWhitneyU(df, Seq("k"), col("f"), col("v")).head()
+    assert(r0.getAs[Long]("n1") == 2L && r0.getAs[Long]("n2") == 3L)
+    assert(r0.getAs[Double]("u1") == 1.0)
+    assert(math.abs(r0.getAs[Double]("mw_z") -
+      math.round(-2.0 / math.sqrt(3.0) * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("cles") - 0.1667) < 1e-9)
+    // tied case: {1,2} vs {2,3} -> U1 = 0.5, sigma^2 = 1.5
+    val t = Seq(("a", true, 1.0), ("a", true, 2.0), ("a", false, 2.0),
+      ("a", false, 3.0)).toDF("k", "f", "v")
+    val r1 = graft.operators.Assoc
+      .mannWhitneyU(t, Seq("k"), col("f"), col("v")).head()
+    assert(r1.getAs[Double]("u1") == 0.5)
+    assert(math.abs(r1.getAs[Double]("mw_z") -
+      math.round(-1.5 / math.sqrt(1.5) * 1e4) / 1e4) < 1e-9)
+    // complete separation upward: U1 = n1*n2, effect 1, z > 0
+    val s = Seq(("a", true, 10.0), ("a", true, 11.0), ("a", false, 1.0),
+      ("a", false, 2.0), ("a", false, 3.0)).toDF("k", "f", "v")
+    val r2 = graft.operators.Assoc
+      .mannWhitneyU(s, Seq("k"), col("f"), col("v")).head()
+    assert(r2.getAs[Double]("u1") == 6.0 && r2.getAs[Double]("cles") == 1.0)
+    assert(r2.getAs[Double]("mw_z") > 0)
+    // degenerate gates: one-sided and all-tied groups report z = 0
+    val d = Seq(("one", true, 5.0), ("one", true, 7.0),
+      ("flat", true, 4.0), ("flat", false, 4.0)).toDF("k", "f", "v")
+    val dr = graft.operators.Assoc
+      .mannWhitneyU(d, Seq("k"), col("f"), col("v"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(dr("one").getAs[Double]("mw_z") == 0.0 &&
+      dr("one").getAs[Double]("cles") == 0.0)
+    assert(dr("flat").getAs[Double]("mw_z") == 0.0)
+  }
+
   test("mannKendall reduces to the tied-y-only form on unique x") {
     // unique x, tied y — the pre-fix shape; values must be unchanged
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 5.0),
