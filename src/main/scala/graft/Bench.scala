@@ -53,7 +53,8 @@ object Bench {
     "q318_theil_sen", "q319_mann_kendall", "q320_ljung_box",
     "q321_ccf", "q322_kmv_overlap", "q323_jarque_bera", "q324_arch_lm",
     "q325_partialed_rolling", "q326_theil_sen_sampled",
-    "q327_mann_kendall_tied", "q328_kendall_tau", "q329_mann_whitney")
+    "q327_mann_kendall_tied", "q328_kendall_tau", "q329_mann_whitney",
+    "q330_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1870,6 +1870,12 @@ object SparkEntry {
     // structure as q318: S = sum of pairwise signs, tie-corrected
     // variance, continuity-corrected z, Kendall tau — significance for
     // the Theil–Sen slope with no distributional assumption
+    // Kruskal-Wallis H per return flag: does ANY discount tier (the
+    // 11 cent-grid levels) ship a shifted quantity distribution? The
+    // k-sample screen run before pairwise q329 drills
+    "q330_kruskal_wallis" -> ((s, d) =>
+      graft.operators.Assoc.kruskalWallis(li(s, d), Seq("l_returnflag"),
+        round(col("l_discount") * 100, 0).cast("int"), col("l_quantity"))),
     // Mann-Whitney U per return flag: do discounted lines (> 5%) ship
     // a different quantity distribution than the rest? Rank-sum test
     // with the tie-corrected normal approximation — segment-vs-rest
@@ -7238,6 +7244,40 @@ object SparkEntry {
     // Theil-Sen: pairwise-slope self-join (x strict inequality excludes
     // vertical pairs), 4dp slopes -> exact interpolated median; the
     // intercept pass re-rounds (y - slope*x) candidates the same way
+    "q330_kruskal_wallis" ->
+      """WITH base AS (
+           SELECT l_returnflag,
+                  CAST(round(l_discount*100) AS INTEGER) AS g,
+                  (round(l_quantity*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem),
+         ranked AS (
+           SELECT l_returnflag, g,
+                  CAST(2*rank() OVER (PARTITION BY l_returnflag ORDER BY v)
+                       + count(*) OVER (PARTITION BY l_returnflag, v) - 1 AS BIGINT) AS r2
+           FROM base),
+         ps AS (
+           SELECT l_returnflag, g, CAST(count(*) AS BIGINT) AS nj,
+                  CAST(sum(r2) AS BIGINT) AS rj2
+           FROM ranked GROUP BY 1, 2),
+         grp AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS k_samples,
+                  CAST(sum(nj) AS BIGINT) AS n_obs,
+                  sum(CAST(rj2 AS DOUBLE)*CAST(rj2 AS DOUBLE)/(4*nj)) AS sumT
+           FROM ps GROUP BY 1),
+         tie AS (
+           SELECT l_returnflag, sum(t*t*t - t) AS tie
+           FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) t
+                 FROM base GROUP BY l_returnflag, v) GROUP BY 1),
+         v AS (
+           SELECT g.l_returnflag, g.k_samples, g.n_obs,
+                  CAST(g.n_obs AS DOUBLE) AS nd, g.sumT, t.tie
+           FROM grp g JOIN tie t USING (l_returnflag))
+         SELECT l_returnflag, k_samples, n_obs,
+                (round((CASE WHEN nd > 1 AND 1.0e0 - tie/(nd*nd*nd - nd) > 0
+                   THEN (12.0e0/(nd*(nd+1))*sumT - 3.0e0*(nd+1))
+                        / (1.0e0 - tie/(nd*nd*nd - nd))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS kw_h
+         FROM v""",
     "q329_mann_whitney" ->
       """WITH base AS (
            SELECT l_returnflag,

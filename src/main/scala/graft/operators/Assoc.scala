@@ -237,6 +237,55 @@ object Assoc {
         .otherwise(lit(0.0))).as("cles")): _*)
   }
 
+  /** Kruskal–Wallis H per group — the k-sample extension of
+    * [[mannWhitneyU]] (one-way ANOVA on ranks): with R_j the rank sum
+    * of sample j over the combined average ranks,
+    * H = [12/(n(n+1)) · Σ_j R_j²/n_j − 3(n+1)] / [1 − Σ(t³−t)/(n³−n)]
+    * (tie-corrected denominator; compare to χ²_{k−1}). Does ANY of k
+    * segments draw its values from a shifted distribution — the
+    * multi-segment screen run before pairwise [[mannWhitneyU]] drills.
+    *
+    * Same exactness discipline: 4dp-grid values, the 2·rank + t − 1
+    * integer device (2R_j is an exact long), every statistic a
+    * deterministic transform — the Σ R_j²/n_j terms are bit-identical
+    * doubles in any engine and only their k-term sum order can differ
+    * (ulp-level, absorbed by the 4dp output rounding; the q111 sum
+    * precedent). One rank window + two aggregates on the group key,
+    * no pair join — fact-linear. Degenerate groups (n < 2 or all
+    * values tied: correction ≤ 0) report H = 0. */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String], sample: Column,
+                    value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df.select(keys ++ Seq(sample.cast("string").as("__g"),
+      Funcs.r(value).as("__v")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val tw = Window.partitionBy((keys :+ col("__v")): _*)
+    val ranked = base.withColumn("__2r",
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - 1).cast("long"))
+    val perSample = ranked.groupBy((keys :+ col("__g")): _*)
+      .agg(count(lit(1)).as("__nj"), sum(col("__2r")).as("__2rj"))
+    val grp = perSample.groupBy(keys: _*).agg(
+      count(lit(1)).as("k_samples"),
+      sum(col("__nj")).as("n_obs"),
+      // Σ R_j²/n_j = Σ (2R_j)²/(4 n_j); 2R_j squared as a double —
+      // (2R_j)² passes 2⁶³ at fact scale, and double(long)² is
+      // engine-deterministic
+      sum(col("__2rj").cast("double") * col("__2rj").cast("double")
+        / (lit(4L) * col("__nj"))).as("__sumT"))
+    val ties = base.groupBy((keys :+ col("__v")): _*)
+      .agg(count(lit(1)).cast("double").as("__t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+    val n = col("n_obs").cast("double")
+    val hRaw = lit(12.0) / (n * (n + 1)) * col("__sumT") - lit(3.0) * (n + 1)
+    val corr = lit(1.0) - col("__tie") / (n * n * n - n)
+    grp.join(ties, groupCols).select(keys ++ Seq(col("k_samples"),
+      col("n_obs"),
+      Funcs.r(when(n > 1 && corr > 0, hRaw / corr).otherwise(lit(0.0)))
+        .as("kw_h")): _*)
+  }
+
   /** Out-of-fold target encoding — the leakage-safe variant used when
     * the encoding is consumed by the SAME training rows it was fit on
     * (fit-on-train [[targetEncode]] covers the train/score split;

@@ -392,6 +392,41 @@ class R15OpsSpec extends SparkSpec {
     assert(dr("flat").getAs[Double]("mw_z") == 0.0)
   }
 
+  test("Assoc.kruskalWallis matches hand values and the k=2 z-squared identity") {
+    // {1,2} vs {3,4}: H = 12/20*(9/2+49/2) - 15 = 2.4, no ties
+    val df = Seq(("a", "A", 1.0), ("a", "A", 2.0), ("a", "B", 3.0),
+      ("a", "B", 4.0)).toDF("k", "g", "v")
+    val r0 = graft.operators.Assoc
+      .kruskalWallis(df, Seq("k"), col("g"), col("v")).head()
+    assert(r0.getAs[Long]("k_samples") == 2L && r0.getAs[Long]("n_obs") == 4L)
+    assert(math.abs(r0.getAs[Double]("kw_h") - 2.4) < 1e-9)
+    // tied case {1,2} vs {2,3}: H = 1.35/0.9 = 1.5 — and for k = 2,
+    // H must equal mannWhitneyU's z² (the rank-test identity)
+    val t = Seq(("a", "A", 1.0), ("a", "A", 2.0), ("a", "B", 2.0),
+      ("a", "B", 3.0)).toDF("k", "g", "v")
+    val r1 = graft.operators.Assoc
+      .kruskalWallis(t, Seq("k"), col("g"), col("v")).head()
+    assert(math.abs(r1.getAs[Double]("kw_h") - 1.5) < 1e-9)
+    val z = graft.operators.Assoc
+      .mannWhitneyU(t, Seq("k"), col("g") === "A", col("v")).head()
+      .getAs[Double]("mw_z")
+    assert(math.abs(r1.getAs[Double]("kw_h") - z * z) < 1e-3)
+    // all-tied group: correction <= 0 -> gated to 0
+    val flat = Seq(("f", "A", 5.0), ("f", "B", 5.0), ("f", "C", 5.0))
+      .toDF("k", "g", "v")
+    val fr = graft.operators.Assoc
+      .kruskalWallis(flat, Seq("k"), col("g"), col("v")).head()
+    assert(fr.getAs[Double]("kw_h") == 0.0)
+    // a planted shifted segment among equals drives H up
+    val rows = for (g <- Seq("s1", "s2", "s3"); i <- 1 to 60) yield {
+      val shift = if (g == "s3") 30.0 else 0.0
+      ("p", g, i % 17 + shift + math.sin(i * 1.3))
+    }
+    val pr = graft.operators.Assoc
+      .kruskalWallis(rows.toDF("k", "g", "v"), Seq("k"), col("g"), col("v")).head()
+    assert(pr.getAs[Double]("kw_h") > 50.0, s"H=${pr.getAs[Double]("kw_h")}")
+  }
+
   test("mannKendall reduces to the tied-y-only form on unique x") {
     // unique x, tied y — the pre-fix shape; values must be unchanged
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 2.0), ("a", 3.0, 5.0),
