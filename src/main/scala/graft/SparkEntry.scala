@@ -1892,7 +1892,11 @@ object SparkEntry {
       val pts = li(s, d)
         .groupBy(col("l_returnflag"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("__qty"),
-          avg(col("l_discount")).as("__disc"))
+          // micro-int exact mean, not raw avg(): kendall's 4dp tie
+          // detection must see the same double in every engine, and a
+          // raw double avg() is partial-order dependent at a rounding
+          // knife-edge (r15 ADVICE; the Theta/q221 class)
+          graft.functions.Funcs.microMean(col("l_discount")).as("__disc"))
       graft.operators.Assoc.kendall(pts, Seq("l_returnflag"),
         col("__qty"), col("__disc"))
     }),
@@ -7319,7 +7323,7 @@ object SparkEntry {
       """WITH pts AS (
            SELECT l_returnflag,
                   (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS x,
-                  (round((avg(l_discount))*1e4)/1e4 + 0.0e0) AS y
+                  (round((CAST(sum(CAST(round(l_discount*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS y
            FROM lineitem GROUP BY l_returnflag, l_suppkey),
          pr AS (
            SELECT a.l_returnflag,

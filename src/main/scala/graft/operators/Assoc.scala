@@ -209,8 +209,13 @@ object Assoc {
                    value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
+    // NULL predicate/value rows would be ranked into the combined
+    // sample yet counted in neither n1 nor n2 (when/otherwise both
+    // miss NULL), silently skewing U and sigma — drop them up front so
+    // the rank window and the n1/n2/tie aggregates see the same rows
     val base = df.select(keys ++ Seq(inSample.cast("boolean").as("__f"),
       Funcs.r(value).as("__v")): _*)
+      .filter(col("__f").isNotNull && col("__v").isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
     val tw = Window.partitionBy((keys :+ col("__v")): _*)
     val ranked = base.withColumn("__2r",
@@ -257,8 +262,11 @@ object Assoc {
                     value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
+    // same NULL hazard as [[mannWhitneyU]]: a NULL sample id or value
+    // must not enter the combined ranking
     val base = df.select(keys ++ Seq(sample.cast("string").as("__g"),
       Funcs.r(value).as("__v")): _*)
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
     val tw = Window.partitionBy((keys :+ col("__v")): _*)
     val ranked = base.withColumn("__2r",

@@ -354,6 +354,20 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Sized width with the signature-capacity clamp: the scaladoc on
+    * the sized entry points invites raising `bands` for recall, but
+    * bands × width must stay ≤ 62 ([[rhpSignatureLong]]'s long
+    * packing) — at the uncapped width of 30, bands ≥ 3 would throw the
+    * signature-width assertion at runtime (r15 ADVICE). Clamp the cap
+    * (and, for very large band counts, the floor) to ⌊62/bands⌋ so the
+    * documented raise-bands-for-recall path always constructs a legal
+    * signature; narrower bands collide more, which only ADDS recall. */
+  private[sim] def sizedWidthFor(n: Long, bands: Int): Int = {
+    require(bands >= 1 && bands <= 62, s"bands must be in [1, 62], got $bands")
+    val cap = math.max(1, 62 / bands)
+    sizeLshWidth(n, floorWidth = math.min(8, cap), capWidth = math.min(30, cap))
+  }
+
   /** [[cosineNearDupes]] with the per-band width sized to the corpus
     * ([[sizeLshWidth]] — the r14 probe's measured linear-fan-out
     * recipe as the default instead of BENCH_NOTES prose). Pass `n`
@@ -367,7 +381,7 @@ object Similarity {
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
     val count = if (n > 0) n else df.count()
-    val width = sizeLshWidth(count)
+    val width = sizedWidthFor(count, bands)
     cosineNearDupes(df, dim, threshold, numPlanes = bands * width,
       bands = bands, seed = seed, idCol = idCol, vecCol = vecCol)
   }
@@ -382,7 +396,7 @@ object Similarity {
                    queryId: String = "query_id",
                    queryVec: String = "query_vec"): DataFrame = {
     val count = if (n > 0) n else corpus.count()
-    val width = sizeLshWidth(count)
+    val width = sizedWidthFor(count, bands)
     lshTopK(corpus, queries, k, dim, numPlanes = bands * width,
       bands = bands, seed = seed, corpusId = corpusId, corpusVec = corpusVec,
       queryId = queryId, queryVec = queryVec)
