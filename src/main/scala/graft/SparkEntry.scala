@@ -1755,10 +1755,12 @@ object SparkEntry {
     // lag/delta/rolling/momentum, behavioral rank/age/activity,
     // calendar cyclical, aggregation share/ADI).
     "q110_feature_store" -> ((s, d) => {
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
-      graft.operators.FeatureStore.wide(weekly,
-        Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum")
+      // wideFromFact = the skew-proof default path (r15 ask #5): weekly
+      // partial aggregation BEFORE any window — value-identical to the
+      // old wide(weeklyAggregate(...)) composition (R16OpsSpec parity
+      // pin), so the oracle is unchanged
+      graft.operators.FeatureStore.wideFromFact(li(s, d),
+        Seq("l_partkey", "l_suppkey"), col("l_shipdate"), col("l_quantity"))
         .select(col("week_start"), col("l_partkey"), col("l_suppkey"),
           r(col("lag_1")).as("lag_1"),
           r(col("delta_2")).as("delta_2"),
@@ -1884,6 +1886,19 @@ object SparkEntry {
     "q329_mann_whitney" -> ((s, d) =>
       graft.operators.Assoc.mannWhitneyU(li(s, d), Seq("l_returnflag"),
         col("l_discount") > 0.05, col("l_quantity"))),
+    // Sampled Kendall tau (the q328 grain-cap's "sample" option as a
+    // real operator, r15 verdict ask #4): 300 deterministic
+    // Lehmer-drawn index pairs per group estimate concordance; the tie
+    // corrections n0/nx/ny stay exact fact-linear aggregates — O(n+s)
+    // per group, the long-series scale path mirroring q326's
+    "q331_kendall_tau_sampled" -> ((s, d) => {
+      val pts = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("__qty"),
+          graft.functions.Funcs.microMean(col("l_discount")).as("__disc"))
+      graft.operators.Assoc.kendallTauSampled(pts, Seq("l_returnflag"),
+        col("__qty"), col("__disc"), pairsPerGroup = 300)
+    }),
     // Kendall tau-b + Goodman-Kruskal gamma per return flag over the
     // supplier grain (total qty vs mean discount) — the concordance
     // rank-association companion of q247's Spearman, with the
@@ -7318,6 +7333,52 @@ object SparkEntry {
                    ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS mw_z,
                 (round((CASE WHEN n1*n2 > 0 THEN u1/(nd1*nd2)
                    ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS cles
+         FROM v""",
+    "q331_kendall_tau_sampled" ->
+      """WITH pts AS (
+           SELECT l_returnflag,
+                  (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS x,
+                  (round((CAST(sum(CAST(round(l_discount*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS y
+           FROM lineitem GROUP BY l_returnflag, l_suppkey),
+         idx AS (SELECT l_returnflag, x, y,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY x, y) AS BIGINT) AS i
+                 FROM pts),
+         nn AS (SELECT l_returnflag, max(i) AS n, count(*) AS n_obs FROM idx GROUP BY 1),
+         sl AS (SELECT l_returnflag, n,
+                 ((((42 + 2*t.t) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS h1,
+                 ((((43 + 2*t.t) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS h2
+                FROM nn, range(1, 301) AS t(t) WHERE n >= 2),
+         dr AS (SELECT l_returnflag, (h1 % n) + 1 AS pi,
+                 CASE WHEN (h2 % (n-1)) + 1 >= (h1 % n) + 1
+                      THEN (h2 % (n-1)) + 2 ELSE (h2 % (n-1)) + 1 END AS pj
+                FROM sl),
+         pr AS (SELECT d.l_returnflag,
+                 CAST(sign(p2.x - p1.x) * sign(p2.y - p1.y) AS BIGINT) AS p
+                FROM dr d
+                JOIN idx p1 ON p1.l_returnflag = d.l_returnflag AND p1.i = d.pi
+                JOIN idx p2 ON p2.l_returnflag = d.l_returnflag AND p2.i = d.pj),
+         pa AS (SELECT l_returnflag, count(*) AS s_pairs,
+                 CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                 CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+                FROM pr GROUP BY 1),
+         tx AS (SELECT l_returnflag, CAST(sum(t*(t-1))/2 AS BIGINT) AS nx
+                FROM (SELECT l_returnflag, count(*) AS t
+                      FROM pts GROUP BY l_returnflag, x) GROUP BY 1),
+         ty AS (SELECT l_returnflag, CAST(sum(t*(t-1))/2 AS BIGINT) AS ny
+                FROM (SELECT l_returnflag, count(*) AS t
+                      FROM pts GROUP BY l_returnflag, y) GROUP BY 1),
+         v AS (SELECT nn.l_returnflag, nn.n_obs, pa.s_pairs, pa.conc, pa.disc,
+                tx.nx, ty.ny, CAST(nn.n_obs AS DOUBLE) AS nd
+               FROM nn JOIN pa USING (l_returnflag) JOIN tx USING (l_returnflag)
+                 JOIN ty USING (l_returnflag))
+         SELECT l_returnflag, n_obs, s_pairs, conc, disc,
+                (round((CASE WHEN (nd*(nd-1)/2 - nx)*(nd*(nd-1)/2 - ny) > 0
+                   THEN (nd*(nd-1)/2) * CAST(conc - disc AS DOUBLE) / CAST(s_pairs AS DOUBLE)
+                        / sqrt((nd*(nd-1)/2 - nx)*(nd*(nd-1)/2 - ny))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS tau_b_est,
+                (round((CASE WHEN conc + disc > 0
+                   THEN CAST(conc - disc AS DOUBLE)/CAST(conc + disc AS DOUBLE)
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS gk_gamma_est
          FROM v""",
     "q328_kendall_tau" ->
       """WITH pts AS (

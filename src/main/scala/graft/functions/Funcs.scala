@@ -49,12 +49,17 @@ object Funcs {
     // x.xxxx5 (binary ...49999) rounds DOWN while engines using the
     // multiply form round it UP — a systematic off-by-one-ulp divergence
     // on terminating-decimal data (prices / small-int divisions).
+    // graft_round_half_up, not Spark round: value-identical (pinned by
+    // the RoundCheck bit-level probe + the full oracle gate) but skips
+    // the ~160 ns/value BigDecimal.valueOf detour — r() wraps nearly
+    // every engine output, so this is a whole-engine hot-path win
+    // (q283's scoring tail alone spent 2.4 s/15M rows in round()).
     val p = math.pow(10, scale)
     // + 0.0 normalizes IEEE -0.0 → +0.0 (NULL stays NULL). The driver's
     // correctness gate hashes raw bytes, so a -0.0/+0.0 split between
     // engines is a hash mismatch; both this and every oracle SQL append
     // the same `+ 0.0` after rounding so zeros are bit-identical.
-    round(c * lit(p), 0) / lit(p) + lit(0.0)
+    graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(p)) / lit(p) + lit(0.0)
   }
 
   /** Exact mean of a 4dp-grid column: quantize each value to the 1e-4
@@ -67,8 +72,8 @@ object Funcs {
     * determinism convention. Oracle twin:
     * `CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0`. */
   def microMean(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") /
-      lit(1e4) / count(lit(1)) + lit(0.0)
+    sum(graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))
+      .cast("decimal(38,0)")).cast("double") / lit(1e4) / count(lit(1)) + lit(0.0)
 
   /** Exact sum of a 4dp-grid column via micro-int accumulation in
     * decimal(38,0) — the summand of [[microMean]], shared by every
@@ -76,14 +81,16 @@ object Funcs {
     * sums. Oracle twin: `CAST(sum(CAST(round(x*1e4) AS HUGEINT)) AS
     * DOUBLE)/1e4`. */
   def microSum(c: Column): Column =
-    sum(round(c * lit(1e4), 0).cast("decimal(38,0)")).cast("double") / lit(1e4)
+    sum(graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))
+      .cast("decimal(38,0)")).cast("double") / lit(1e4)
 
   /** Exact sum of squares of a 4dp-grid column (squares quantized to
     * the 1e-8 grid; decimal(38,0) leaves ~30 integer digits of
     * headroom). Oracle twin: `CAST(sum(CAST(round(x*x*1e8) AS
     * HUGEINT)) AS DOUBLE)/1e8`. */
   def microSumSq(c: Column): Column =
-    sum(round(c * c * lit(1e8), 0).cast("decimal(38,0)")).cast("double") / lit(1e8)
+    sum(graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))
+      .cast("decimal(38,0)")).cast("double") / lit(1e8)
 
   /** Normalize NaN → NULL. Spark's corr/stddev return NaN on zero
     * variance where most SQL engines (and the reference's pandas ops)

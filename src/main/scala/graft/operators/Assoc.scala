@@ -185,6 +185,87 @@ object Assoc {
       Funcs.r(when(denG > 0, s / denG).otherwise(lit(0.0))).as("gk_gamma")): _*)
   }
 
+  /** Sampled Kendall τ for LONG series (r15 verdict ask #4 — the
+    * [[kendall]] grain-cap cost model's "sample or coarsen" option made
+    * real, mirroring [[graft.operators.Ols.theilSenSampled]]): the
+    * exact operator's pair self-join is O(n²) per group and safe only
+    * by grain choice; here concordance is ESTIMATED from
+    * `pairsPerGroup` deterministic index pairs — cost O(n + s) per
+    * group, so group size stops being the quadratic axis.
+    *
+    * The tie corrections stay EXACT: n₀ = n(n−1)/2 and the tied-group
+    * tables n_x, n_y are fact-linear aggregates (no pair join), so only
+    * the concordance proportion is Monte-Carlo. Estimates:
+    *   Ŝ = n₀·(C−D)/s,  τ̂_b = Ŝ/√((n₀−n_x)(n₀−n_y)),
+    *   γ̂ = (C−D)/(C+D)
+    * with C/D the sampled concordant/discordant counts (sampling WITH
+    * replacement over unordered pairs; error ~O(1/√s)).
+    *
+    * Draws are PORTABLE ([[graft.functions.PortableHash.lehmer]] of
+    * seed + 2t / seed + 2t + 1 → i = h₁ mod n, j skips i — pure integer
+    * arithmetic any engine replays bit-identically), so the operator
+    * admits a plain-SQL oracle exactly like q326's. Values round to the
+    * 4dp grid before ranking and comparison (tie detection exact
+    * cross-engine); the per-group index orders by (x, y, rows-order-free
+    * tiebreak on the rounded pair) — groups with duplicate (x, y)
+    * points keep a deterministic index because ties draw the SAME
+    * (x, y) payload regardless of which row takes which rank. Groups
+    * with n < 2 are absent; zero-denominator groups report 0. */
+  def kendallTauSampled(df: DataFrame, groupCols: Seq[String], x: Column,
+                        y: Column, pairsPerGroup: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(pairsPerGroup >= 1,
+      s"pairsPerGroup must be >= 1, got $pairsPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash.lehmer
+    val keys = groupCols.map(col)
+    val a = df.select(keys ++ Seq(Funcs.r(x).as("__x"), Funcs.r(y).as("__y")): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__x"), col("__y"))
+    val idxd = a.withColumn("__i", row_number().over(w))
+    val slots = idxd.groupBy(keys: _*).agg(max(col("__i")).as("__n"))
+      .filter(col("__n") >= 2)
+      .withColumn("__t", explode(sequence(lit(1), lit(pairsPerGroup))))
+      .withColumn("__h1", lehmer(lit(seed) + col("__t") * 2))
+      .withColumn("__h2", lehmer(lit(seed) + col("__t") * 2 + 1))
+      .withColumn("__pi", pmod(col("__h1"), col("__n")) + 1)
+      .withColumn("__j0", pmod(col("__h2"), col("__n") - 1) + 1)
+      .withColumn("__pj",
+        when(col("__j0") >= col("__pi"), col("__j0") + 1).otherwise(col("__j0")))
+      .select(keys ++ Seq(col("__pi"), col("__pj")): _*)
+    val p1 = idxd.select(keys ++ Seq(col("__i").as("__pi"),
+      col("__x").as("__x1"), col("__y").as("__y1")): _*)
+    val p2 = idxd.select(keys ++ Seq(col("__i").as("__pj"),
+      col("__x").as("__x2"), col("__y").as("__y2")): _*)
+    val prod = signum(col("__x2") - col("__x1")) * signum(col("__y2") - col("__y1"))
+    val sampleAgg = slots.join(p1, groupCols :+ "__pi")
+      .join(p2, groupCols :+ "__pj")
+      .select(keys :+ prod.cast("long").as("__p"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("s_pairs"),
+        sum(when(col("__p") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("__p") < 0, 1L).otherwise(0L)).as("disc"))
+    def tieHalf(c: String, out: String) = a.groupBy((keys :+ col(c)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keys: _*)
+      .agg((sum(col("__t") * (col("__t") - 1)) / lit(2)).cast("long").as(out))
+    val nAgg = a.groupBy(keys: _*).agg(count(lit(1)).as("n_obs"))
+    val joined = nAgg.join(sampleAgg, groupCols)
+      .join(tieHalf("__x", "__nx"), groupCols)
+      .join(tieHalf("__y", "__ny"), groupCols)
+    val n = col("n_obs").cast("double")
+    val n0 = n * (n - 1) / 2
+    val sHat = n0 * (col("conc") - col("disc")).cast("double") /
+      col("s_pairs").cast("double")
+    val denT = (n0 - col("__nx")) * (n0 - col("__ny"))
+    val denG = (col("conc") + col("disc")).cast("double")
+    joined.select(keys ++ Seq(col("n_obs"), col("s_pairs"), col("conc"),
+      col("disc"),
+      Funcs.r(when(denT > 0, sHat / sqrt(denT)).otherwise(lit(0.0)))
+        .as("tau_b_est"),
+      Funcs.r(when(denG > 0, (col("conc") - col("disc")).cast("double") / denG)
+        .otherwise(lit(0.0))).as("gk_gamma_est")): _*)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test per group —
     * does the `inSample` subset's value distribution sit above/below
     * the rest's? U₁ = S₁ − n₁(n₁+1)/2 over average ranks of the

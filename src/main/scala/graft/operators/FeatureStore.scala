@@ -130,6 +130,40 @@ object FeatureStore {
     out
   }
 
+  /** The skew-proof fact→store path (r15 verdict ask #5): the q325
+    * partialed-rolling discipline as the DEFAULT entry for building the
+    * store from raw facts, instead of an opt-in operator the caller
+    * must remember.
+    *
+    * Stage 1 PARTIALS the raw fact to the (keys, week) series grain
+    * with one hash aggregate ([[graft.etl.Enrichment.weeklyAggregate]]):
+    * map-side combine absorbs hot keys — a key with 10⁹ fact rows ships
+    * one partial per map partition into the shuffle, never 10⁹ window
+    * inputs. Stage 2 runs [[wide]]'s window families OVER THE PARTIALS,
+    * where per-series window depth is bounded by the CALENDAR (weeks
+    * observed), not the fact row count — exactly q325
+    * `partialedRolling`'s window-over-partials shape, generalized from
+    * one rolling sum to the whole temporal family (every W4 rolling
+    * column, lags, slopes, autocorr). The raw-window alternative
+    * (row frames straight over fact rows) pays the hot key inside the
+    * window sort: SkewProbe measured 4.12× degradation raw vs 0.76×
+    * partialed under a hot key (BENCH_NOTES r15).
+    *
+    * R16OpsSpec pins (a) row-for-row parity with the external
+    * `wide(weeklyAggregate(fact))` composition (so the q110 oracle is
+    * unchanged by construction) and (b) the plan shape: a partial
+    * HashAggregate sits between the fact scan and the first Window —
+    * no window function ever sees a fact-grain row. */
+  def wideFromFact(fact: DataFrame, keys: Seq[String], dateCol: Column,
+                   measure: Column,
+                   lagSet: Seq[Int] = Seq(1, 2, 3, 4, 6, 8, 12),
+                   rollSet: Seq[Int] = Seq(2, 3, 4, 6, 8, 12),
+                   withEwma: Boolean = true): DataFrame = {
+    val weekly = graft.etl.Enrichment.weeklyAggregate(
+      fact, dateCol, keys.map(col), measure)
+    wide(weekly, keys, "week_start", "qty_sum", lagSet, rollSet, withEwma)
+  }
+
   /** `wide` + the reference's select-top-K step: score every generated
     * feature against a LEAK-FREE target (next week's quantity) and keep
     * the top K plus essentials (feature_pipeline.py:423-468; scoring =

@@ -362,7 +362,7 @@ object Similarity {
     * (and, for very large band counts, the floor) to ⌊62/bands⌋ so the
     * documented raise-bands-for-recall path always constructs a legal
     * signature; narrower bands collide more, which only ADDS recall. */
-  private[sim] def sizedWidthFor(n: Long, bands: Int): Int = {
+  private[graft] def sizedWidthFor(n: Long, bands: Int): Int = {
     require(bands >= 1 && bands <= 62, s"bands must be in [1, 62], got $bands")
     val cap = math.max(1, 62 / bands)
     sizeLshWidth(n, floorWidth = math.min(8, cap), capWidth = math.min(30, cap))

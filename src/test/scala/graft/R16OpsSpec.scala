@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.RoundHalfUpExpr
+import graft.operators.{Assoc, FeatureStore}
+import graft.sim.Similarity
+
+/** Round-16 unit coverage: the fast-round equivalence pin, the r15
+  * ADVICE regression cases (rank-test NULL hygiene, LSH sized-width
+  * clamp), the sampled Kendall twin, and the skew-proof feature-store
+  * entry. */
+class R16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RoundHalfUpExpr is bit-identical to Spark round(x, 0) on adversarial doubles") {
+    // the corpus that matters: the JDK-8010430 value (x+0.5 rounds up
+    // in floating point — the naive floor(x+0.5) form FAILED here in
+    // the r16 RoundCheck probe), exact .5 boundaries both signs, zero
+    // signs, 2^52 integral threshold, non-finites, plus random draws
+    val rnd = new java.util.Random(7)
+    val adversarial = Seq(
+      0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      0.49999999999999994, -0.49999999999999994,
+      4.503599627370495e15, -4.503599627370495e15, 4.503599627370496e15,
+      9.007199254740992e15, Double.MaxValue, Double.MinValue,
+      Double.MinPositiveValue, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 123456.99995, -123456.99995,
+      123456.99994999999, 1550.0000000000002, 267.49999999999994)
+    val boundary = (0 until 20000).flatMap { _ =>
+      val m = rnd.nextInt(1 << 30).toDouble
+      Seq(m + 0.5, -(m + 0.5), Math.nextDown(m + 0.5), Math.nextUp(m + 0.5))
+    }
+    val randoms = (0 until 50000).map(_ =>
+      java.lang.Double.longBitsToDouble(rnd.nextLong())) ++
+      (0 until 50000).map(_ =>
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(18)))
+    val rows = (adversarial ++ boundary ++ randoms).toDF("x")
+      .select(col("x"), round(col("x"), 0).as("spark"),
+        RoundHalfUpExpr.column(col("x")).as("fast"))
+      .collect()
+    rows.foreach { r =>
+      val s = java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+      val f = java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+      assert(s == f, s"mismatch at x=${r.getDouble(0)}: " +
+        s"spark=${r.getDouble(1)} fast=${r.getDouble(2)}")
+    }
+  }
+
+  test("mannWhitneyU drops NULL predicate/value rows before ranking") {
+    // r15 ADVICE: NULL rows were ranked into the combined sample but
+    // counted in neither n1 nor n2, silently skewing U and sigma
+    val clean = Seq[(String, Option[Boolean], Option[Double])](
+      ("a", Some(true), Some(5.0)), ("a", Some(true), Some(7.0)),
+      ("a", Some(false), Some(1.0)), ("a", Some(false), Some(2.0)),
+      ("a", Some(false), Some(3.0))).toDF("g", "f", "v")
+    val dirty = clean.unionByName(
+      Seq[(String, Option[Boolean], Option[Double])](
+        ("a", None, Some(100.0)), ("a", Some(true), None)).toDF("g", "f", "v"))
+    val a = Assoc.mannWhitneyU(clean, Seq("g"), col("f"), col("v")).collect()(0)
+    val b = Assoc.mannWhitneyU(dirty, Seq("g"), col("f"), col("v")).collect()(0)
+    assert(a == b, s"NULL rows changed the statistic: $a vs $b")
+    assert(b.getAs[Long]("n1") + b.getAs[Long]("n2") == 5L)
+  }
+
+  test("kruskalWallis drops NULL sample/value rows before ranking") {
+    val clean = Seq[(String, Option[String], Option[Double])](
+      ("a", Some("s1"), Some(5.0)), ("a", Some("s1"), Some(7.0)),
+      ("a", Some("s2"), Some(1.0)), ("a", Some("s2"), Some(2.0)),
+      ("a", Some("s3"), Some(9.0)), ("a", Some("s3"), Some(4.0)))
+      .toDF("g", "s", "v")
+    val dirty = clean.unionByName(
+      Seq[(String, Option[String], Option[Double])](
+        ("a", None, Some(100.0)), ("a", Some("s1"), None)).toDF("g", "s", "v"))
+    val a = Assoc.kruskalWallis(clean, Seq("g"), col("s"), col("v")).collect()(0)
+    val b = Assoc.kruskalWallis(dirty, Seq("g"), col("s"), col("v")).collect()(0)
+    assert(a == b, s"NULL rows changed the statistic: $a vs $b")
+    assert(b.getAs[Long]("n_obs") == 6L)
+  }
+
+  test("sized LSH width clamps so bands x width never exceeds the 62-plane packing") {
+    // r15 ADVICE: at the uncapped width of 30, bands >= 3 exceeded
+    // rhpSignatureLong's 62-plane limit and threw at runtime
+    for (bands <- 1 to 8; n <- Seq(100L, 1L << 20, 1L << 40)) {
+      val w = Similarity.sizedWidthFor(n, bands)
+      assert(bands * w <= 62, s"bands=$bands n=$n width=$w")
+      assert(w >= 1)
+    }
+    // the documented raise-bands-for-recall path must construct a
+    // legal signature end-to-end
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(((i % 5) + 1).toFloat))).toDF("vec_id", "embedding")
+    Similarity.cosineNearDupesSized(vecs, dim = 8, threshold = 0.9,
+      bands = 4).collect() // must not throw the signature-width require
+  }
+
+  test("kendallTauSampled: exact tie terms, deterministic draws, estimate near exact tau") {
+    // one group with a known monotone association + ties on both axes
+    val pts = (0 until 400).map { i =>
+      ("g", (i / 3).toDouble, (i / 5).toDouble + (if (i % 7 == 0) -20.0 else 0.0))
+    }.toDF("g", "x", "y")
+    val exact = Assoc.kendall(pts, Seq("g"), col("x"), col("y")).collect()(0)
+    val s1 = Assoc.kendallTauSampled(pts, Seq("g"), col("x"), col("y"), 500)
+      .collect()(0)
+    val s2 = Assoc.kendallTauSampled(pts, Seq("g"), col("x"), col("y"), 500)
+      .collect()(0)
+    assert(s1 == s2, "Lehmer draws must be deterministic across runs")
+    assert(s1.getAs[Long]("s_pairs") == 500L)
+    val tauExact = exact.getAs[Double]("tau_b")
+    val tauEst = s1.getAs[Double]("tau_b_est")
+    assert(math.abs(tauEst - tauExact) < 0.15,
+      s"sampled tau $tauEst too far from exact $tauExact")
+    // groups with n < 2 are absent, mirroring theilSenSampled
+    val tiny = Seq(("solo", 1.0, 2.0)).toDF("g", "x", "y")
+    assert(Assoc.kendallTauSampled(tiny, Seq("g"), col("x"), col("y"), 10)
+      .count() == 0L)
+  }
+
+  test("wideFromFact is row-for-row the wide(weeklyAggregate(...)) composition") {
+    val fact = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val viaFact = FeatureStore.wideFromFact(fact,
+      Seq("l_partkey", "l_suppkey"), col("l_shipdate"), col("l_quantity"))
+    val weekly = graft.etl.Enrichment.weeklyAggregate(fact, col("l_shipdate"),
+      Seq(col("l_partkey"), col("l_suppkey")), col("l_quantity"))
+    val viaWeekly = FeatureStore.wide(weekly,
+      Seq("l_partkey", "l_suppkey"), "week_start", "qty_sum")
+    assert(viaFact.columns.toSeq == viaWeekly.columns.toSeq)
+    assert(viaFact.exceptAll(viaWeekly).isEmpty && viaWeekly.exceptAll(viaFact).isEmpty)
+  }
+
+  test("wideFromFact plan partials the fact BEFORE any window (the q325 shape)") {
+    val fact = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // every Window node must have an Aggregate somewhere BELOW it:
+    // window functions never see a fact-grain row (optimized logical
+    // plan — the physical plan hides under AdaptiveSparkPlanExec
+    // before execution)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = FeatureStore.wideFromFact(fact,
+      Seq("l_partkey", "l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected window nodes in the wide store plan")
+    windows.foreach { w =>
+      val hasAggBelow = w.child.collectFirst { case a: Aggregate => a }.nonEmpty
+      assert(hasAggBelow, s"window over fact-grain rows:\n$w")
+    }
+  }
+}
