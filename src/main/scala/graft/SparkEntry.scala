@@ -233,6 +233,27 @@ object SparkEntry {
     (t._1, t._2)
   }
 
+  /** The SIXTEEN-member board + forecast union (q336/q337): the
+    * extended fourteen (extShared) widened with the promoted ma3/ar5
+    * members (r15 verdict optional ask #7 — the parked 3 ≤ p,q ≤ 5
+    * probes as board members). Every underlying fit rides an existing
+    * memo (extShared, ma3Shared, ywShared), so the widening itself is
+    * two series-grain unions + one re-rank. */
+  private def fullShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    Memos.memo(s, "full", d) {
+      val (extBoard, extFcs) = extShared(s, d)
+      val (weekly, _, _, _, _) = extFitShared(s, d)
+      val wide = graft.seq.OrderSearch.wideMemberScoresFrom(
+        ma3Shared(s, d), ywShared(s, d), weekly, Seq("l_suppkey"), "qty_sum")
+      val board = graft.seq.OrderSearch.boardFrom(
+        extBoard.drop("rank"), wide, Seq("l_suppkey")).localCheckpoint(true)
+      val fcs = extFcs.unionByName(
+        graft.seq.OrderSearch.wideMemberForecastsFrom(
+          ma3Shared(s, d), ywShared(s, d), Seq("l_suppkey"), h = 4))
+        .localCheckpoint(true)
+      (board, fcs)
+    }
+
   /** The extended members' expensive state — the weekly frame plus the
     * three grid-fit bases and the last-level frame ([[graft.seq
     * .OrderSearch.extFitBases]]) — fit ONCE per (session, sfDir) and
@@ -1313,6 +1334,17 @@ object SparkEntry {
     // arima021, arima211, arima212 and the seasonal sari + sma + sarma,
     // re-ranked by (AIC, member order)
     "q299_order_search_ext" -> ((s, d) => extShared(s, d)._1),
+    // the SIXTEEN-member board: the fourteen of q299 plus ma3/ar5
+    // promoted from the q311/q313 probes (r15 verdict ask #7) — the
+    // full 3 <= p,q <= 5 legs now COMPETE on AIC instead of proving
+    // existence; the grid still costs what one stepwise path costs
+    "q336_order_search_full" -> ((s, d) => fullShared(s, d)._1),
+    // the sixteen-member argmin + winner forecast (q300's tail over
+    // the widened board)
+    "q337_champion_full" -> ((s, d) => {
+      val (board, fcs) = fullShared(s, d)
+      graft.seq.OrderSearch.pickFrom(board, fcs, Seq("l_suppkey"))
+    }),
     // the extended champion: argmin over the fourteen-member scoreboard,
     // winner's forecast joined from the shared family forecast union
     // plus the six extended forecasters (one fit each — extShared)
@@ -1886,6 +1918,59 @@ object SparkEntry {
     "q329_mann_whitney" -> ((s, d) =>
       graft.operators.Assoc.mannWhitneyU(li(s, d), Seq("l_returnflag"),
         col("l_discount") > 0.05, col("l_quantity"))),
+    // Wilcoxon signed-rank per return flag: did supplier shipment
+    // volumes SHIFT year-over-year (1996 -> 1997)? The PAIRED member
+    // of the nonparametric family — each supplier is its own control,
+    // so between-supplier level differences cancel (q329 compares
+    // independent samples; this compares matched pairs)
+    "q332_wilcoxon_signed_rank" -> ((s, d) => {
+      val pairs = li(s, d)
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(when(year(col("l_shipdate")) === 1996, col("l_quantity")))
+          .as("__a"),
+          sum(when(year(col("l_shipdate")) === 1997, col("l_quantity")))
+            .as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull)
+      graft.operators.Assoc.wilcoxonSignedRank(pairs, Seq("l_returnflag"),
+        col("__a"), col("__b"))
+    }),
+    // Friedman test per return flag: blocks = suppliers, treatments =
+    // calendar quarters — does ANY quarter ship shifted volumes, with
+    // each supplier ranked against itself (the BLOCKED k-sample
+    // member; q330 Kruskal-Wallis assumes independent samples)
+    "q333_friedman" -> ((s, d) => {
+      val cells = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"),
+          quarter(col("l_shipdate")).as("__q"))
+        .agg(sum(col("l_quantity")).as("__qty"))
+      graft.operators.Assoc.friedman(cells, Seq("l_returnflag"),
+        col("l_suppkey"), col("__q"), col("__qty"))
+    }),
+    // Hodges-Lehmann shift per return flag: the experiment-readout
+    // estimator — suppliers deterministically split into two arms
+    // (lehmer parity, the engine's A/B assignment convention), Delta =
+    // median of all cross-arm differences of per-supplier volumes: the
+    // "how much higher" number q329's z only tests, robust to 29%
+    // contamination
+    "q334_hl_shift" -> ((s, d) => {
+      val pts = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("__qty"))
+      graft.operators.Assoc.hodgesLehmannShift(pts, Seq("l_returnflag"),
+        pmod(graft.functions.PortableHash.lehmer(col("l_suppkey")), lit(2)) === 0,
+        col("__qty"))
+    }),
+    // One-sample Hodges-Lehmann pseudo-median of per-supplier volume
+    // per return flag — the robust location companion of q332 (median
+    // of Walsh averages, 29% breakdown vs the mean's 0%)
+    "q335_hl_center" -> ((s, d) => {
+      val pts = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("__qty"))
+      graft.operators.Assoc.hodgesLehmannCenter(pts, Seq("l_returnflag"),
+        col("__qty"))
+    }),
     // Sampled Kendall tau (the q328 grain-cap's "sample" option as a
     // real operator, r15 verdict ask #4): 300 deterministic
     // Lehmer-drawn index pairs per group estimate concordance; the tie
@@ -4265,9 +4350,11 @@ object SparkEntry {
     * series (rides championMembersSql's mat/muq/steps CTEs), winner by
     * (sse, θ₁, θ₂, θ₃), three-step memory-drain forecast — mirrors
     * SequentialKernels.fitMa3Full / ma3ForecastFrom. */
-  private lazy val ma3ProbeSql: String =
-    s"""$championMembersSql,
-           m3g AS (SELECT a.t1, b.t2, c.t3
+  /** MA(3) fit CTE chain (grid cross, CLS recursion, per-series pick)
+    * over championMembersSql's `mat`/`muq` — shared by the q311 probe
+    * and the sixteen-member full board (q336/q337). */
+  private lazy val ma3BlocksSql: String =
+    s"""m3g AS (SELECT a.t1, b.t2, c.t3
                  FROM (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t1) a
                  CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t2) b
                  CROSS JOIN (SELECT unnest([-0.4e0,0.0e0,0.4e0]) AS t3) c),
@@ -4289,8 +4376,11 @@ object SparkEntry {
                          t1, t2, t3 ORDER BY rn DESC) rd FROM m3e)
                  WHERE rd = 1),
            m3pick AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
-                   ORDER BY sse, t1, t2, t3) rn2 FROM m3fin),
-           m3f AS (SELECT p.l_suppkey, p.t1 AS theta1, p.t2 AS theta2,
+                   ORDER BY sse, t1, t2, t3) rn2 FROM m3fin)"""
+
+  /** MA(3) forecast tail over the pick — q311's oracle body. */
+  private lazy val ma3FcSql: String =
+    s"""m3f AS (SELECT p.l_suppkey, p.t1 AS theta1, p.t2 AS theta2,
                    p.t3 AS theta3,
                    (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
                    CAST(s.step AS BIGINT) AS step,
@@ -4301,7 +4391,12 @@ object SparkEntry {
                       WHEN 3 THEN round((m.mu + p.t3*p.eps)*1e4)/1e4
                       ELSE round(m.mu*1e4)/1e4 END + 0.0e0) AS forecast
                  FROM m3pick p JOIN muq m USING (l_suppkey) CROSS JOIN steps s
-                 WHERE p.rn2 = 1)
+                 WHERE p.rn2 = 1)"""
+
+  private lazy val ma3ProbeSql: String =
+    s"""$championMembersSql,
+           $ma3BlocksSql,
+           $ma3FcSql
          SELECT l_suppkey, theta1, theta2, theta3, sse, step, forecast
          FROM m3f"""
 
@@ -4311,10 +4406,15 @@ object SparkEntry {
   /** Shared q313/q314 CTE core: centered micro-int weekly series,
     * autocovariance product sums, Levinson–Durbin chain through k₅ and
     * the `ok` gate (graft.seq.YuleWalker.prep mirrored verbatim). */
-  private lazy val ywCoreSql: String = {
-    def sd(v: String) = ywsd(v)
+  private lazy val ywCoreSql: String =
     s"""$championMembersSql,
-           ywt AS (SELECT w.l_suppkey, w.ws,
+           $ywChainSql"""
+
+  /** The yw chain WITHOUT the champion prefix — composable into the
+    * full-board oracle next to the ext/ma3 blocks. */
+  private lazy val ywChainSql: String = {
+    def sd(v: String) = ywsd(v)
+    s"""ywt AS (SELECT w.l_suppkey, w.ws,
                    CAST(round((w.q - muq.mu)*1e4) AS BIGINT) AS xi,
                    row_number() OVER (PARTITION BY w.l_suppkey
                      ORDER BY w.ws DESC) rd
@@ -4364,9 +4464,10 @@ object SparkEntry {
 
   /** q313 oracle tail: rounded φ's, conditioned-row SSE, and the
     * rounded-feedback 4-step forecast over the shared core. */
-  private lazy val ywProbeSql: String =
-    s"""$ywCoreSql,
-           ywf AS (SELECT l_suppkey, x1i, x2i, x3i, x4i, x5i,
+  /** AR(5) coefficient + conditioned-SSE blocks over the yw chain —
+    * shared by the q313 probe and the sixteen-member full board. */
+  private lazy val ywFitSql: String =
+    s"""ywf AS (SELECT l_suppkey, x1i, x2i, x3i, x4i, x5i,
                    (round((CASE WHEN ok THEN a41 - k5*k4 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi1,
                    (round((CASE WHEN ok THEN a42 - k5*a43 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi2,
                    (round((CASE WHEN ok THEN a43 - k5*a42 ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) phi3,
@@ -4376,8 +4477,12 @@ object SparkEntry {
            ywr AS (SELECT l.l_suppkey,
                    ${sq("(l.xi/1e4 + 0.0e0) - (f.phi1*(l.i1/1e4 + 0.0e0) + f.phi2*(l.i2/1e4 + 0.0e0) + f.phi3*(l.i3/1e4 + 0.0e0) + f.phi4*(l.i4/1e4 + 0.0e0) + f.phi5*(l.i5/1e4 + 0.0e0))")} AS sse
                  FROM ywl l JOIN ywf f ON l.l_suppkey = f.l_suppkey
-                 WHERE l.i5 IS NOT NULL GROUP BY 1),
-           ywg AS (SELECT f.l_suppkey, f.phi1, f.phi2, f.phi3, f.phi4,
+                 WHERE l.i5 IS NOT NULL GROUP BY 1)"""
+
+  /** AR(5) forecast chain (rounded-feedback recursion) — q313's
+    * oracle tail and the full-board forecast leg. */
+  private lazy val ywFcSql: String =
+    s"""ywg AS (SELECT f.l_suppkey, f.phi1, f.phi2, f.phi3, f.phi4,
                    f.phi5, r.sse, m.mu,
                    (f.x1i/1e4 + 0.0e0) x1, (f.x2i/1e4 + 0.0e0) x2,
                    (f.x3i/1e4 + 0.0e0) x3, (f.x4i/1e4 + 0.0e0) x4,
@@ -4391,7 +4496,12 @@ object SparkEntry {
            ywg3 AS (SELECT *, (round((phi1*g2 + phi2*g1 + phi3*x1
                      + phi4*x2 + phi5*x3)*1e4)/1e4 + 0.0e0) g3 FROM ywg2),
            ywg4 AS (SELECT *, (round((phi1*g3 + phi2*g2 + phi3*g1
-                     + phi4*x1 + phi5*x2)*1e4)/1e4 + 0.0e0) g4 FROM ywg3)
+                     + phi4*x1 + phi5*x2)*1e4)/1e4 + 0.0e0) g4 FROM ywg3)"""
+
+  private lazy val ywProbeSql: String =
+    s"""$ywCoreSql,
+           $ywFitSql,
+           $ywFcSql
          SELECT l_suppkey, phi1, phi2, phi3, phi4, phi5, sse,
                 CAST(s.step AS BIGINT) AS step,
                 (CASE s.step WHEN 1 THEN round((mu + g1)*1e4)/1e4
@@ -4500,6 +4610,87 @@ object SparkEntry {
                  UNION ALL SELECT * FROM sarma_fc)
          SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
          FROM champx c JOIN fcsx f ON c.l_suppkey = f.l_suppkey
+           AND c.model = f.model"""
+
+  /** q336 oracle: the SIXTEEN-member scoreboard — the fourteen of q299
+    * plus the promoted ma3 (MA(3) CLS grid, mrank 14, k = 4, n_eff = n,
+    * entry n >= 4) and ar5 (Levinson AR(5), mrank 15, k = 6, n_eff =
+    * the lag-5-conditioned row count) members, AIC by the identical
+    * closed form, re-ranked by (aic, member order). */
+  private lazy val orderSearchFullSql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql,
+           $ma3BlocksSql,
+           $ywChainSql,
+           $ywFitSql,
+           m3_sc AS (SELECT p.l_suppkey, 'ma3' AS model, 14 AS mrank,
+                   4.0e0 AS k, (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(c.n AS DOUBLE) AS neff
+                 FROM m3pick p JOIN cnt c USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND c.n >= 4),
+           y5_sc AS (SELECT r.l_suppkey, 'ar5' AS model, 15 AS mrank,
+                   6.0e0 AS k, r.sse AS sse, y.np5 AS neff
+                 FROM ywr r JOIN ywk5 y USING (l_suppkey)
+                 WHERE y.np5 >= 1),
+           scbf AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc
+                 UNION ALL SELECT * FROM sarma_sc
+                 UNION ALL SELECT * FROM m3_sc UNION ALL SELECT * FROM y5_sc),
+           aicsf AS (SELECT l_suppkey, model, mrank, k, sse, neff,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scbf WHERE sse IS NOT NULL AND neff >= 1),
+           rkf AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY aic, mrank) AS rank FROM aicsf)
+         SELECT l_suppkey, model, k, sse, neff AS n_eff, aic, rank
+         FROM rkf"""
+
+  /** q337 oracle: the sixteen-member argmin with the winner's forecast
+    * joined from the full forecast union (ext six + ma3 + ar5 legs). */
+  private lazy val championFullSql: String =
+    s"""$championMembersSql,
+           $extOrderBlocksSql,
+           $ma3BlocksSql,
+           $ma3FcSql,
+           $ywChainSql,
+           $ywFitSql,
+           $ywFcSql,
+           m3_sc AS (SELECT p.l_suppkey, 'ma3' AS model, 14 AS mrank,
+                   4.0e0 AS k, (round(p.sse*1e4)/1e4 + 0.0e0) AS sse,
+                   CAST(c.n AS DOUBLE) AS neff
+                 FROM m3pick p JOIN cnt c USING (l_suppkey)
+                 WHERE p.rn2 = 1 AND c.n >= 4),
+           y5_sc AS (SELECT r.l_suppkey, 'ar5' AS model, 15 AS mrank,
+                   6.0e0 AS k, r.sse AS sse, y.np5 AS neff
+                 FROM ywr r JOIN ywk5 y USING (l_suppkey)
+                 WHERE y.np5 >= 1),
+           scbf AS (SELECT * FROM scb UNION ALL SELECT * FROM d2_sc
+                 UNION ALL SELECT * FROM a2_sc UNION ALL SELECT * FROM a22_sc
+                 UNION ALL SELECT * FROM sar_sc UNION ALL SELECT * FROM sma_sc
+                 UNION ALL SELECT * FROM sarma_sc
+                 UNION ALL SELECT * FROM m3_sc UNION ALL SELECT * FROM y5_sc),
+           aicsf AS (SELECT l_suppkey, model, mrank, k, sse, neff,
+                   (round((neff*ln(greatest(sse, 1e-8)/neff) + 2.0e0*k)*1e4)/1e4 + 0.0e0) AS aic
+                 FROM scbf WHERE sse IS NOT NULL AND neff >= 1),
+           champf AS (SELECT l_suppkey, model, aic
+                 FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY aic, mrank) rk2 FROM aicsf)
+                 WHERE rk2 = 1),
+           m3_fc AS (SELECT l_suppkey, 'ma3' AS model, step, forecast FROM m3f),
+           y5_fc AS (SELECT l_suppkey, 'ar5' AS model,
+                   CAST(s.step AS BIGINT) AS step,
+                   (CASE s.step WHEN 1 THEN round((mu + g1)*1e4)/1e4
+                                WHEN 2 THEN round((mu + g2)*1e4)/1e4
+                                WHEN 3 THEN round((mu + g3)*1e4)/1e4
+                                ELSE round((mu + g4)*1e4)/1e4 END + 0.0e0) AS forecast
+                 FROM ywg4 CROSS JOIN steps s),
+           fcsf AS (SELECT * FROM fcs UNION ALL SELECT * FROM d2_fc
+                 UNION ALL SELECT * FROM a2_fc UNION ALL SELECT * FROM a22_fc
+                 UNION ALL SELECT * FROM sar_fc UNION ALL SELECT * FROM sma_fc
+                 UNION ALL SELECT * FROM sarma_fc
+                 UNION ALL SELECT * FROM m3_fc UNION ALL SELECT * FROM y5_fc)
+         SELECT c.l_suppkey, c.model AS champion, c.aic, f.step, f.forecast
+         FROM champf c JOIN fcsf f ON c.l_suppkey = f.l_suppkey
            AND c.model = f.model"""
 
   /** q267 tail: Akaike weights w ∝ exp(−Δ/2) rounded to the 4dp grid,
@@ -4631,6 +4822,8 @@ object SparkEntry {
     "q297_arima211" -> arima211Sql,
     "q298_arima021" -> arima021Sql,
     "q299_order_search_ext" -> orderSearchExtSql,
+    "q336_order_search_full" -> orderSearchFullSql,
+    "q337_champion_full" -> championFullSql,
     "q300_champion_ext" -> championExtSql,
     "q307_arima212" -> arima212Sql,
     "q308_sarima011" -> sarima011Sql,
@@ -7334,6 +7527,110 @@ object SparkEntry {
                 (round((CASE WHEN n1*n2 > 0 THEN u1/(nd1*nd2)
                    ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS cles
          FROM v""",
+    "q332_wilcoxon_signed_rank" ->
+      """WITH pairs AS (
+           SELECT l_returnflag,
+                  sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity END) AS a,
+                  sum(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity END) AS b
+           FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+           GROUP BY l_returnflag, l_suppkey
+           HAVING a IS NOT NULL AND b IS NOT NULL),
+         dd AS (SELECT l_returnflag,
+                 (round((a - b)*1e4)/1e4 + 0.0e0) AS d
+                FROM pairs),
+         nz AS (SELECT l_returnflag, d, abs(d) AS ad FROM dd WHERE d <> 0),
+         ranked AS (SELECT l_returnflag, d,
+                 2*rank() OVER (PARTITION BY l_returnflag ORDER BY ad)
+                   + count(*) OVER (PARTITION BY l_returnflag, ad) - 1 AS r2
+                FROM nz),
+         tie AS (SELECT l_returnflag, sum(t*t*t - t) AS tie
+                 FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS t
+                       FROM nz GROUP BY l_returnflag, ad) GROUP BY 1),
+         agg AS (SELECT l_returnflag, count(*) AS n_pairs,
+                  CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2
+                 FROM ranked GROUP BY 1),
+         v AS (SELECT a.l_returnflag, a.n_pairs,
+                CAST(a.n_pairs AS DOUBLE) AS nd,
+                CAST(a.w2 AS DOUBLE)/2 AS wp, t.tie
+               FROM agg a JOIN tie t USING (l_returnflag))
+         SELECT l_returnflag, n_pairs,
+                (round(wp*1e4)/1e4 + 0.0e0) AS w_plus,
+                (round((CASE WHEN nd*(nd+1)*(2*nd+1)/24 - tie/48 > 0
+                   THEN (wp - nd*(nd+1)/4)
+                        / sqrt(nd*(nd+1)*(2*nd+1)/24 - tie/48)
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS wsr_z,
+                (round((CASE WHEN n_pairs > 0
+                   THEN 4.0e0*wp/(nd*(nd+1)) - 1 ELSE 0.0e0 END)*1e4)/1e4
+                 + 0.0e0) AS rank_biserial
+         FROM v""",
+    "q333_friedman" ->
+      """WITH cells AS (
+           SELECT l_returnflag, l_suppkey,
+                  CAST(quarter(l_shipdate) AS VARCHAR) AS j,
+                  (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem GROUP BY 1, 2, quarter(l_shipdate)),
+         kp AS (SELECT l_returnflag, count(DISTINCT j) AS k
+                FROM cells GROUP BY 1),
+         bs AS (SELECT l_returnflag, l_suppkey, count(*) AS bn
+                FROM cells GROUP BY 1, 2),
+         comp AS (SELECT c.l_returnflag, c.l_suppkey, c.j, c.v
+                  FROM cells c
+                  JOIN bs USING (l_returnflag, l_suppkey)
+                  JOIN kp USING (l_returnflag)
+                  WHERE bs.bn = kp.k),
+         ranked AS (SELECT l_returnflag, l_suppkey, j,
+                 2*rank() OVER (PARTITION BY l_returnflag, l_suppkey ORDER BY v)
+                   + count(*) OVER (PARTITION BY l_returnflag, l_suppkey, v) - 1 AS r2
+                FROM comp),
+         pt AS (SELECT l_returnflag, j, CAST(sum(r2) AS BIGINT) AS r2j,
+                 CAST(sum(r2*r2) AS BIGINT) AS r4, count(*) AS nb
+                FROM ranked GROUP BY 1, 2),
+         g AS (SELECT pt.l_returnflag,
+                CAST(kp.k AS DOUBLE) AS k,
+                CAST(sum(nb)/kp.k AS DOUBLE) AS n,
+                sum(CAST(r2j AS DOUBLE)*CAST(r2j AS DOUBLE)/4) AS sumbigr2,
+                sum(CAST(r4 AS DOUBLE)/4) AS sumlitr2
+               FROM pt JOIN kp USING (l_returnflag) GROUP BY 1, kp.k)
+         SELECT l_returnflag, CAST(k AS BIGINT) AS k_treatments,
+                CAST(n AS BIGINT) AS n_blocks,
+                (round((CASE WHEN k >= 2 AND n >= 1
+                   AND (sumlitr2 - n*k*(k+1)*(k+1)/4) > 0
+                   THEN (k-1) * (sumbigr2 - n*n*k*(k+1)*(k+1)/4)
+                        / (sumlitr2 - n*k*(k+1)*(k+1)/4)
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS friedman_chi2
+         FROM g""",
+    "q334_hl_shift" ->
+      """WITH pts AS (
+           SELECT l_returnflag, l_suppkey,
+                  (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem GROUP BY 1, 2),
+         f AS (SELECT l_returnflag, v,
+                (((l_suppkey % 2147483647) * 48271 % 2147483647)
+                  * 48271 % 2147483647) * 48271 % 2147483647 AS h
+               FROM pts),
+         xs AS (SELECT l_returnflag, v AS x FROM f WHERE h % 2 = 0),
+         ys AS (SELECT l_returnflag, v AS y FROM f WHERE h % 2 <> 0),
+         dd AS (SELECT xs.l_returnflag,
+                 (round((xs.x - ys.y)*1e4)/1e4 + 0.0e0) AS d
+                FROM xs JOIN ys USING (l_returnflag))
+         SELECT l_returnflag, count(*) AS n_pairs,
+                (round((quantile_cont(d, 0.5e0))*1e4)/1e4 + 0.0e0) AS hl_shift
+         FROM dd GROUP BY 1""",
+    "q335_hl_center" ->
+      """WITH pts AS (
+           SELECT l_returnflag,
+                  (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem GROUP BY l_returnflag, l_suppkey),
+         idx AS (SELECT l_returnflag, v,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS i
+                 FROM pts),
+         wl AS (SELECT a.l_returnflag,
+                 (round(((a.v + b.v)/2)*1e4)/1e4 + 0.0e0) AS w
+                FROM idx a JOIN idx b
+                  ON a.l_returnflag = b.l_returnflag AND a.i <= b.i)
+         SELECT l_returnflag, count(*) AS n_walsh,
+                (round((quantile_cont(w, 0.5e0))*1e4)/1e4 + 0.0e0) AS hl_center
+         FROM wl GROUP BY 1""",
     "q331_kendall_tau_sampled" ->
       """WITH pts AS (
            SELECT l_returnflag,

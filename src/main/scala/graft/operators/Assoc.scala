@@ -148,8 +148,10 @@ object Assoc {
     * symmetric under swap, so the group self-join sums over all
     * ordered pairs (self pairs contribute 0) and halves the even
     * counts. O(n²) pairs per GROUP — run at an aggregate grain
-    * (the [[graft.operators.Ols.theilSen]] cost model; sample or
-    * coarsen for very wide groups). Values round to the 4dp grid
+    * (the [[graft.operators.Ols.theilSen]] cost model); past a few
+    * thousand points per group switch to [[kendallTauSampled]], the
+    * O(n + s) Lehmer-sampled twin (KendallProbe: exact 15.2 s vs
+    * sampled 3.1 s at 20k-point series). Values round to the 4dp grid
     * before comparison, so tie detection is exact cross-engine; all
     * counts are exact integers and τ/γ are deterministic transforms
     * of them. Degenerate groups (either coordinate all-tied) report
@@ -373,6 +375,175 @@ object Assoc {
       col("n_obs"),
       Funcs.r(when(n > 1 && corr > 0, hRaw / corr).otherwise(lit(0.0)))
         .as("kw_h")): _*)
+  }
+
+  /** Wilcoxon signed-rank test per group — the PAIRED member of the
+    * nonparametric family ([[mannWhitneyU]] compares two independent
+    * samples; this compares matched pairs, e.g. the same entity
+    * before/after): with dᵢ = aᵢ − bᵢ (4dp-rounded, zeros dropped per
+    * the standard Wilcoxon treatment), rank |dᵢ| with average ranks,
+    * W⁺ = Σ ranks of positive d, and the tie-corrected normal
+    * approximation z = (W⁺ − n(n+1)/4)/σ with
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. The rank-biserial effect size
+    * r = 2(W⁺ − W⁻)/(n(n+1)) accompanies (matched-pairs effect
+    * direction/magnitude without a normality assumption).
+    *
+    * Exactness: d rounds to the 4dp grid (sign and tie detection exact
+    * cross-engine); average ranks ride the 2·rank + t − 1 integer
+    * device, so 2W⁺ is an exact long and every statistic is a
+    * deterministic transform of exact integers. One rank window + one
+    * aggregate on the group key — fact-linear, no pair join. NULL a/b
+    * rows are dropped up front (the [[mannWhitneyU]] NULL contract).
+    * No continuity correction (document vs scipy's default). Groups
+    * with every pair tied (n = 0 after zero-drop) or σ = 0 report
+    * z = 0 and effect 0. */
+  def wilcoxonSignedRank(df: DataFrame, groupCols: Seq[String], a: Column,
+                         b: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df.select(keys :+ Funcs.r(a - b).as("__d"): _*)
+      .filter(col("__d").isNotNull && col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__ad"))
+    val tw = Window.partitionBy((keys :+ col("__ad")): _*)
+    val ranked = base.withColumn("__2r",
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - 1).cast("long"))
+    val ties = base.groupBy((keys :+ col("__ad")): _*)
+      .agg(count(lit(1)).cast("double").as("__t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+    val agg = ranked.groupBy(keys: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("__d") > 0, col("__2r")).otherwise(lit(0L))).as("__2wp"))
+    val n = col("n_pairs").cast("double")
+    val wPlus = col("__2wp").cast("double") / 2
+    val mu = n * (n + 1) / 4
+    val sig2 = n * (n + 1) * (lit(2.0) * n + 1) / 24 - col("__tie") / 48
+    agg.join(ties, groupCols).select(keys ++ Seq(col("n_pairs"),
+      Funcs.r(wPlus).as("w_plus"),
+      Funcs.r(when(sig2 > 0, (wPlus - mu) / sqrt(sig2)).otherwise(lit(0.0)))
+        .as("wsr_z"),
+      // W⁻ = n(n+1)/2 − W⁺, so r_rb = 2(W⁺−W⁻)/(n(n+1)) = 4W⁺/(n(n+1)) − 1
+      Funcs.r(when(col("n_pairs") > 0,
+        lit(4.0) * wPlus / (n * (n + 1)) - 1).otherwise(lit(0.0)))
+        .as("rank_biserial")): _*)
+  }
+
+  /** Friedman test per group — the BLOCKED k-sample member of the
+    * family ([[kruskalWallis]] assumes independent samples; this ranks
+    * WITHIN each block, e.g. each supplier's quarters against each
+    * other, so between-block level differences cancel): with average
+    * ranks r_bj of the k treatments within block b and rank sums
+    * R_j = Σ_b r_bj, the tie-general statistic
+    *   χ²_F = (k−1)·[Σ_j R_j² − n²k(k+1)²/4] / [Σ_{b,j} r_bj² − nk(k+1)²/4]
+    * (reduces to the textbook 12/(nk(k+1))·ΣR_j² − 3n(k+1) when no
+    * ties; compare to χ²_{k−1}).
+    *
+    * Blocks must be COMPLETE (one row per treatment): the operator
+    * keeps blocks whose row count equals the group's treatment count k
+    * and reports kept blocks as n_blocks — incomplete blocks would
+    * shift every R_j, so dropping them is the standard treatment.
+    * Exactness: values round to the 4dp grid; within-block average
+    * ranks ride 2·rank + t − 1 (2R_j and Σ(2r)² are exact longs);
+    * NULL treatment/value rows are dropped up front. Degenerate
+    * groups (k < 2, n = 0, or an all-tied denominator) report 0. */
+  def friedman(df: DataFrame, groupCols: Seq[String], block: Column,
+               treatment: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df.select(keys ++ Seq(block.cast("string").as("__b"),
+      treatment.cast("string").as("__j"), Funcs.r(value).as("__v")): _*)
+      .filter(col("__b").isNotNull && col("__j").isNotNull &&
+        col("__v").isNotNull)
+    // k = treatments observed in the group; keep complete blocks only
+    val kPer = base.groupBy(keys: _*)
+      .agg(countDistinct(col("__j")).as("__k"))
+    val blockSize = Window.partitionBy((keys :+ col("__b")): _*)
+    val complete = base.join(broadcast(kPer), groupCols)
+      .withColumn("__bn", count(lit(1)).over(blockSize))
+      .filter(col("__bn") === col("__k"))
+    val w = Window.partitionBy((keys :+ col("__b")): _*).orderBy(col("__v"))
+    val tw = Window.partitionBy((keys ++ Seq(col("__b"), col("__v"))): _*)
+    val ranked = complete.withColumn("__2r",
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tw) - 1).cast("long"))
+    val perTreat = ranked.groupBy((keys :+ col("__j")): _*)
+      .agg(first(col("__k")).as("__k"), sum(col("__2r")).as("__2rj"),
+        // Σ r² within the treatment as exact quarter-integers: (2r)²/4
+        sum(col("__2r") * col("__2r")).as("__4r2"),
+        count(lit(1)).as("__nb"))
+    val grp = perTreat.groupBy(keys: _*).agg(
+      first(col("__k")).cast("double").as("k_treatments"),
+      (sum(col("__nb")) / first(col("__k"))).cast("double").as("n_blocks"),
+      // Σ_j R_j² = Σ_j (2R_j)²/4 — (2R_j)² as double(long)·double(long),
+      // engine-deterministic (the q330 device)
+      sum(col("__2rj").cast("double") * col("__2rj").cast("double") / lit(4.0))
+        .as("__sum_bigr2"),
+      sum(col("__4r2").cast("double") / lit(4.0)).as("__sum_litr2"))
+    val k = col("k_treatments")
+    val n = col("n_blocks")
+    val num = col("__sum_bigr2") - n * n * k * (k + 1) * (k + 1) / 4
+    val den = col("__sum_litr2") - n * k * (k + 1) * (k + 1) / 4
+    grp.select(keys ++ Seq(k.cast("long").as("k_treatments"),
+      n.cast("long").as("n_blocks"),
+      Funcs.r(when(k >= 2 && n >= 1 && den > 0, (k - 1) * num / den)
+        .otherwise(lit(0.0))).as("friedman_chi2")): _*)
+  }
+
+  /** Hodges–Lehmann shift estimator per group — the EFFECT-SIZE
+    * companion the rank tests imply (the estimator associated with
+    * [[mannWhitneyU]]): Δ̂ = median over all cross pairs of
+    * (x_i − y_j), x from the `inSample` subset, y from the rest. The
+    * one-sample/paired variant (associated with [[wilcoxonSignedRank]])
+    * is the median of Walsh averages (xᵢ+xⱼ)/2, i ≤ j — pass the
+    * differences as `value` with `inSample = lit(true)` and read
+    * `hl_center`. Robust location shift: 29% breakdown, no normality
+    * or symmetry-of-tails assumption, directly the "how much higher
+    * does the discounted segment ship" number q329's z only tests.
+    *
+    * Scale shape: an n₁×n₂ pair join per group — the [[kendall]] /
+    * [[graft.operators.Ols.theilSen]] cost model: run at an aggregate
+    * grain (entity-level points, thousands per group), not fact rows;
+    * for longer series the Lehmer pair-sampling device
+    * ([[kendallTauSampled]]) transplants verbatim. Values round to the
+    * 4dp grid; differences/averages of grid values are deterministic
+    * doubles and the median is the exact `percentile` — every engine
+    * replays it bit-identically. Groups missing either side are
+    * absent. */
+  def hodgesLehmannShift(df: DataFrame, groupCols: Seq[String],
+                         inSample: Column, value: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val base = df.select(keys ++ Seq(inSample.cast("boolean").as("__f"),
+      Funcs.r(value).as("__v")): _*)
+      .filter(col("__f").isNotNull && col("__v").isNotNull)
+    val xs = base.filter(col("__f")).select(keys :+ col("__v").as("__x"): _*)
+    val ys = base.filter(!col("__f")).select(keys :+ col("__v").as("__y"): _*)
+    xs.join(ys, groupCols)
+      .select(keys :+ Funcs.r(col("__x") - col("__y")).as("__d"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        Funcs.r(percentile(col("__d"), lit(0.5))).as("hl_shift"))
+  }
+
+  /** One-sample Hodges–Lehmann pseudo-median per group: the median of
+    * Walsh averages (xᵢ + xⱼ)/2 over i ≤ j (self-pairs included, the
+    * standard definition) — [[wilcoxonSignedRank]]'s associated
+    * location estimator. Same pair-join cost model and determinism
+    * discipline as [[hodgesLehmannShift]]. */
+  def hodgesLehmannCenter(df: DataFrame, groupCols: Seq[String],
+                          value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df.select(keys :+ Funcs.r(value).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val idxd = base.withColumn("__i", row_number().over(w))
+    val a = idxd.select(keys ++ Seq(col("__i").as("__ia"), col("__v").as("__x")): _*)
+    val b = idxd.select(keys ++ Seq(col("__i").as("__ib"), col("__v").as("__y")): _*)
+    a.join(b, groupCols).filter(col("__ia") <= col("__ib"))
+      .select(keys :+ Funcs.r((col("__x") + col("__y")) / 2).as("__w"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_walsh"),
+        Funcs.r(percentile(col("__w"), lit(0.5))).as("hl_center"))
   }
 
   /** Out-of-fold target encoding — the leakage-safe variant used when

@@ -269,12 +269,58 @@ object OrderSearch {
       sarima011Full(df, keyCols, ordCols, valueCol, m, grid),
       seasonalBase(df, keyCols, ordCols, valueCol, h, m), keyCols, h)
 
-  /** Fixed tiebreak order across the fourteen searched members. */
+  /** Fixed tiebreak order across the sixteen searched members (r16:
+    * ma3/ar5 promoted from parked probes to board members — the r15
+    * verdict's optional ask #7, closing the 3 ≤ p,q ≤ 5 gap with the
+    * grid's cheapest representatives of each leg: the q-side MA(3)
+    * CLS fold and the p-side AR(5) Levinson closed form). */
   private val MemberRank: Map[String, Int] = Map(
     "mean_naive" -> 0, "snaive" -> 1, "ar2" -> 2, "ari" -> 3, "ma1" -> 4,
     "arma11" -> 5, "theta" -> 6, "holt_damped" -> 7,
     "arima021" -> 8, "arima211" -> 9, "sari" -> 10, "arima212" -> 11,
-    "sma" -> 12, "sarma" -> 13)
+    "sma" -> 12, "sarma" -> 13, "ma3" -> 14, "ar5" -> 15)
+
+  /** MA(3) + AR(5) member SCORE rows over already-built fit tables
+    * ([[SequentialKernels.fitMa3Full]] / [[graft.seq.YuleWalker.ar5Full]]
+    * — the q311/q313 probes' shared state, fit once per session):
+    * ma3 follows the family's MA(q) conventions (n_eff = series length,
+    * the CLS recursion conditions nothing; k = θ₁+θ₂+θ₃+μ = 4; entry
+    * gate n ≥ 4 = k, the ma1 n ≥ k rule); ar5 scores its
+    * lag-5-conditioned SSE over yw_neff = n − 5 rows (k = φ₁..φ₅+μ = 6;
+    * the fit table itself gates n_eff ≥ 3). Same (model, k, sse,
+    * n_eff, aic) schema as every member — union into [[boardFrom]]. */
+  def wideMemberScoresFrom(ma3Full: DataFrame, ar5Full: DataFrame,
+                           df: DataFrame, keyCols: Seq[String],
+                           valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    def aicOf(sse: Column, neff: Column, k: Double): Column =
+      r(neff * log(greatest(sse, lit(1e-8)) / neff) + lit(2.0 * k))
+    val counts = df.groupBy(keys: _*).agg(count(col(valueCol)).as("__n"))
+    val ma3Score = ma3Full.join(counts, keyCols).filter(col("__n") >= 4)
+      .select(keys ++ Seq(lit("ma3").as("model"), lit(4.0).as("k"),
+        col("ma3_sse").as("sse"), col("__n").cast("double").as("n_eff"),
+        aicOf(col("ma3_sse"), col("__n").cast("double"), 4.0).as("aic")): _*)
+    val ar5Score = ar5Full.filter(col("yw_neff") >= 1)
+      .select(keys ++ Seq(lit("ar5").as("model"), lit(6.0).as("k"),
+        col("yw_sse").as("sse"), col("yw_neff").cast("double").as("n_eff"),
+        aicOf(col("yw_sse"), col("yw_neff").cast("double"), 6.0).as("aic")): _*)
+    ma3Score.unionByName(ar5Score)
+  }
+
+  /** MA(3) + AR(5) member FORECAST rows (keys..., model, step,
+    * forecast) over the same fit tables — the union leg [[pickFrom]]
+    * joins the full-board winner against. */
+  def wideMemberForecastsFrom(ma3Full: DataFrame, ar5Full: DataFrame,
+                              keyCols: Seq[String], h: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val ma3Fc = graft.seq.SequentialKernels.ma3ForecastFrom(ma3Full, keyCols, h)
+      .select(keys ++ Seq(lit("ma3").as("model"), col("step"),
+        col("ma3_forecast").as("forecast")): _*)
+    val ar5Fc = graft.seq.YuleWalker.ar5ForecastFrom(ar5Full, keyCols, h)
+      .select(keys ++ Seq(lit("ar5").as("model"), col("step"),
+        col("forecast")): _*)
+    ma3Fc.unionByName(ar5Fc)
+  }
 
   /** The fourteen-member order-search scoreboard: the Champion family's
     * eight rows per series ([[Champion.scoreboard]] columns model, k,

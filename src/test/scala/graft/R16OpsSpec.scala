@@ -116,6 +116,89 @@ class R16OpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("wilcoxonSignedRank matches hand values, drops zero diffs, handles ties") {
+    // d = [+1, +2, -3, +4], no ties: ranks of |d| are 1,2,3,4 ->
+    // W+ = 1+2+4 = 7, mu = 5, sig2 = 4*5*9/24 = 7.5, z = 2/sqrt(7.5)
+    val pairs = Seq(("g", 2.0, 1.0), ("g", 5.0, 3.0), ("g", 1.0, 4.0),
+      ("g", 9.0, 5.0), ("g", 6.0, 6.0) /* d=0, dropped */)
+      .toDF("g", "a", "b")
+    val r = Assoc.wilcoxonSignedRank(pairs, Seq("g"), col("a"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Double]("w_plus") == 7.0)
+    assert(math.abs(r.getAs[Double]("wsr_z") - 2.0 / math.sqrt(7.5)) < 5e-5)
+    assert(math.abs(r.getAs[Double]("rank_biserial") - 0.4) < 5e-5)
+    // tied |d|: d = [+1, -1, +2] -> avg ranks 1.5, 1.5, 3; W+ = 4.5;
+    // sig2 = 3*4*7/24 - 6/48 = 3.375
+    val t = Assoc.wilcoxonSignedRank(
+      Seq(("g", 2.0, 1.0), ("g", 1.0, 2.0), ("g", 5.0, 3.0)).toDF("g", "a", "b"),
+      Seq("g"), col("a"), col("b")).collect()(0)
+    assert(t.getAs[Double]("w_plus") == 4.5)
+    assert(math.abs(t.getAs[Double]("wsr_z") - 1.5 / math.sqrt(3.375)) < 5e-5)
+  }
+
+  test("friedman matches the textbook statistic and drops incomplete blocks") {
+    // k=3, blocks b1 (1,2,3) and b2 ranked (1,2,3) again -> R = (2,4,6)
+    // chi2 = 12/(nk(k+1)) * sum R^2 - 3n(k+1) = 28 - 24 = 4; block b3
+    // has only 2 of 3 treatments and must be dropped
+    val cells = Seq(
+      ("g", "b1", "t1", 1.0), ("g", "b1", "t2", 2.0), ("g", "b1", "t3", 3.0),
+      ("g", "b2", "t1", 10.0), ("g", "b2", "t2", 20.0), ("g", "b2", "t3", 30.0),
+      ("g", "b3", "t1", 5.0), ("g", "b3", "t2", 6.0))
+      .toDF("g", "b", "t", "v")
+    val r = Assoc.friedman(cells, Seq("g"), col("b"), col("t"), col("v"))
+      .collect()(0)
+    assert(r.getAs[Long]("k_treatments") == 3L)
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Double]("friedman_chi2") == 4.0)
+    // perfectly disagreeing blocks -> R_j all equal -> chi2 = 0
+    val flat = Seq(
+      ("g", "b1", "t1", 1.0), ("g", "b1", "t2", 2.0), ("g", "b1", "t3", 3.0),
+      ("g", "b2", "t1", 3.0), ("g", "b2", "t2", 2.0), ("g", "b2", "t3", 1.0))
+      .toDF("g", "b", "t", "v")
+    assert(Assoc.friedman(flat, Seq("g"), col("b"), col("t"), col("v"))
+      .collect()(0).getAs[Double]("friedman_chi2") == 0.0)
+  }
+
+  test("Hodges-Lehmann shift and center match hand enumerations") {
+    // xs = [5,7] vs ys = [1,2]: diffs {4,3,6,5} -> median 4.5
+    val two = Seq(("g", true, 5.0), ("g", true, 7.0),
+      ("g", false, 1.0), ("g", false, 2.0)).toDF("g", "f", "v")
+    val sh = Assoc.hodgesLehmannShift(two, Seq("g"), col("f"), col("v"))
+      .collect()(0)
+    assert(sh.getAs[Long]("n_pairs") == 4L)
+    assert(sh.getAs[Double]("hl_shift") == 4.5)
+    // xs = [1,3,5]: Walsh averages {1,2,3,3,4,5} -> median 3, 6 pairs
+    val one = Seq(("g", 1.0), ("g", 3.0), ("g", 5.0)).toDF("g", "v")
+    val ce = Assoc.hodgesLehmannCenter(one, Seq("g"), col("v")).collect()(0)
+    assert(ce.getAs[Long]("n_walsh") == 6L)
+    assert(ce.getAs[Double]("hl_center") == 3.0)
+  }
+
+  test("sixteen-member board: widening never worsens the champion, ma3/ar5 compete") {
+    val d = "/root/testdata/sf0.001"
+    val ext = SparkEntry.queries("q299_order_search_ext")(spark, d)
+      .filter(col("rank") === 1)
+      .select(col("l_suppkey"), col("aic").as("aic_ext"))
+    val full = SparkEntry.queries("q336_order_search_full")(spark, d)
+    val champs = full.filter(col("rank") === 1)
+      .select(col("l_suppkey"), col("aic").as("aic_full"))
+    // the winner over a SUPERSET of members can only have <= AIC
+    val worse = champs.join(ext, "l_suppkey")
+      .filter(col("aic_full") > col("aic_ext")).count()
+    assert(worse == 0L, s"$worse series got a WORSE champion from widening")
+    // both promoted members actually enter scoreboards
+    val models = full.select("model").distinct().as[String].collect().toSet
+    assert(models.contains("ma3") && models.contains("ar5"),
+      s"promoted members missing from the board: $models")
+    // ranks are a clean 1..n sequence per series
+    val badRank = full.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        countDistinct(col("rank")).as("d"))
+      .filter(col("mx") =!= col("n") || col("d") =!= col("n")).count()
+    assert(badRank == 0L)
+  }
+
   test("wideFromFact is row-for-row the wide(weeklyAggregate(...)) composition") {
     val fact = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val viaFact = FeatureStore.wideFromFact(fact,
