@@ -127,5 +127,5 @@ object Calendar {
   /** D14 — integer business rounding of forecasts: round half-up,
     * clamped to ≥ 0 (reference: business_rules.py:553-690). */
   def businessRound(c: Column): Column =
-    greatest(round(c, 0), lit(0.0)).cast("long")
+    greatest(graft.expr.RoundHalfUpExpr.column(c), lit(0.0)).cast("long")
 }

@@ -178,12 +178,12 @@ object Diagnostics {
       .withColumn("__cn", sum(col("nn")).over(cum))
       .withColumn("__tp", sum(col("np")).over(pAll))
       .withColumn("__tn", sum(col("nn")).over(pAll))
-      .withColumn("__rs", wSum(col("nn"), round(col("value") * lit(1e4), 0), 1e4))
+      .withColumn("__rs", wSum(col("nn"), graft.expr.RoundHalfUpExpr.column(col("value") * lit(1e4)), 1e4))
       .withColumn("__rss",
-        wSum(col("nn"), round(col("value") * col("value") * lit(1e8), 0), 1e8))
-      .withColumn("__cs", wSum(col("np"), round(col("value") * lit(1e4), 0), 1e4))
+        wSum(col("nn"), graft.expr.RoundHalfUpExpr.column(col("value") * col("value") * lit(1e8)), 1e8))
+      .withColumn("__cs", wSum(col("np"), graft.expr.RoundHalfUpExpr.column(col("value") * lit(1e4)), 1e4))
       .withColumn("__css",
-        wSum(col("np"), round(col("value") * col("value") * lit(1e8), 0), 1e8))
+        wSum(col("np"), graft.expr.RoundHalfUpExpr.column(col("value") * col("value") * lit(1e8)), 1e8))
       .withColumn("diff",
         abs(col("__cp") / col("__tp") - col("__cn") / col("__tn")))
       .withColumn("__mx", max(col("diff")).over(pAll))

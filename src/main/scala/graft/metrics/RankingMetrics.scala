@@ -54,7 +54,7 @@ object RankingMetrics {
         sum(col(relCol).cast("long") *
           element_at(lit(disc), col(rankCol).cast("int"))).as("__dcgm"),
         sum(when(col(relCol) === 1,
-          round(col("__cum").cast("double") / col(rankCol) * lit(1e6), 0)
+          graft.expr.RoundHalfUpExpr.column(col("__cum").cast("double") / col(rankCol) * lit(1e6))
             .cast("long")).otherwise(0L)).as("__apm"),
         min(when(col(relCol) === 1, col(rankCol))).as("__minrank"))
     agg.join(nRel, queryCol)

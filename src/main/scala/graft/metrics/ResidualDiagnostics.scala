@@ -141,7 +141,7 @@ object ResidualDiagnostics {
       .agg(graft.functions.Funcs.microMean(col("__resid")).as("__rmean"))
     val m = base.join(broadcast(stats), sliceCols)
       .withColumn("__m",
-        round((col("__resid") - col("__rmean")) * lit(1e4), 0).cast(Dec))
+        graft.expr.RoundHalfUpExpr.column((col("__resid") - col("__rmean")) * lit(1e4)).cast(Dec))
     val sums = m.groupBy(slice: _*).agg(
       count(lit(1)).as("n_obs"),
       sum(col("__m") * col("__m")).as("__s2"),
@@ -193,7 +193,7 @@ object ResidualDiagnostics {
     val w = Window.partitionBy(slice: _*).orderBy(ord: _*)
     var lagged = base.join(broadcast(stats), sliceCols)
       .withColumn("__m",
-        round((col("__sq") - col("__smean")) * lit(1e4), 0).cast("long"))
+        graft.expr.RoundHalfUpExpr.column((col("__sq") - col("__smean")) * lit(1e4)).cast("long"))
     (1 to maxLag).foreach { k =>
       lagged = lagged.withColumn(s"__m$k", lag(col("__m"), k).over(w))
     }

@@ -49,7 +49,7 @@ import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, pct, r}
 object Validation {
 
   private def microSumP(c: Column, scale: Double): Column =
-    sum(round(c * lit(scale), 0).cast("decimal(38,0)")).cast("double") / lit(scale)
+    sum(graft.expr.RoundHalfUpExpr.column(c * lit(scale)).cast("decimal(38,0)")).cast("double") / lit(scale)
 
   def validateModel(df: DataFrame, groupCols: Seq[String], actual: Column,
                     pred: Column, ord: Seq[Column],
@@ -89,8 +89,8 @@ object Validation {
         .as("__spx"),
       microSum(col("__rprev")).as("__spy"),
       (sum(when(col("__rprev").isNotNull,
-        round(col("__r") * lit(1e4), 0).cast("decimal(38,0)") *
-          round(col("__rprev") * lit(1e4), 0).cast("decimal(38,0)"))
+        graft.expr.RoundHalfUpExpr.column(col("__r") * lit(1e4)).cast("decimal(38,0)") *
+          graft.expr.RoundHalfUpExpr.column(col("__rprev") * lit(1e4)).cast("decimal(38,0)"))
         .otherwise(lit(null))).cast("double") / lit(1e8)).as("__spxy"),
       microSumSq(when(col("__rprev").isNotNull, col("__r")).otherwise(lit(null)))
         .as("__spxx"),

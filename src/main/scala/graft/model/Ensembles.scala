@@ -51,7 +51,7 @@ object Ensembles {
     val wNorm = if (scenarioCols.isEmpty) Window.partitionBy(lit(0))
     else Window.partitionBy(keys: _*)
     g.withColumn("__tot",
-      sum(round(col("__raw") * lit(1e8), 0).cast("decimal(38,0)")).over(wNorm)
+      sum(graft.expr.RoundHalfUpExpr.column(col("__raw") * lit(1e8)).cast("decimal(38,0)")).over(wNorm)
         .cast("double") / lit(1e8))
       .select(keys ++ Seq(col("model"), col("n_rows"), col("wmape"),
         r(col("__raw") / col("__tot"), 6).as("weight")): _*)
@@ -73,10 +73,10 @@ object Ensembles {
         Seq(col("model"), col("weight")): _*)), scenarioCols :+ "model")
     joined.groupBy(keys: _*)
       .agg(
-        (sum(round(col("weight") * lit(1e6), 0).cast("decimal(38,0)") *
-          round(col("__p") * lit(1e4), 0).cast("decimal(38,0)"))
+        (sum(graft.expr.RoundHalfUpExpr.column(col("weight") * lit(1e6)).cast("decimal(38,0)") *
+          graft.expr.RoundHalfUpExpr.column(col("__p") * lit(1e4)).cast("decimal(38,0)"))
           .cast("double") / lit(1e10)).as("__num"),
-        (sum(round(col("weight") * lit(1e6), 0).cast("decimal(38,0)"))
+        (sum(graft.expr.RoundHalfUpExpr.column(col("weight") * lit(1e6)).cast("decimal(38,0)"))
           .cast("double") / lit(1e6)).as("__den"),
         count(lit(1)).as("n_models"))
       // degenerate all-zero-weight rows (every present model's weight

@@ -25,7 +25,7 @@ object Benford {
     *              Non-positive amounts are excluded (Benford is
     *              defined on positive magnitudes). */
   def firstDigitProfile(df: DataFrame, value: Column, scale: Int = 2): DataFrame = {
-    val cents = round(value * math.pow(10, scale), 0).cast("long")
+    val cents = graft.expr.RoundHalfUpExpr.column(value * math.pow(10, scale)).cast("long")
     // ≤9-row grain; checkpointing pins it so the total and the output
     // both read it — ONE scan of the fact
     val digits = df.select(cents.as("__c")).filter(col("__c") > 0)

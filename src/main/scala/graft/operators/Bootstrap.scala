@@ -62,7 +62,7 @@ object Bootstrap {
     // exactly (micro-ints in decimal) so the sd is partial-agg-order
     // independent — the house Theta/q221 convention
     val dec = "decimal(38,0)"
-    val mMicro = round(col("__m") * lit(1e4), 0)
+    val mMicro = graft.expr.RoundHalfUpExpr.column(col("__m") * lit(1e4))
     val s = sum(mMicro.cast(dec)).cast("double") / lit(1e4)
     val ss = sum(mMicro.cast(dec) * mMicro.cast("long")).cast("double") / lit(1e8)
     val n = count(lit(1)).cast("double")

@@ -52,10 +52,10 @@ object Leaderboard {
       // .over must attach to the sum itself, hence the inline form)
       .withColumn("__n20", sum(when(col("rank") <= 20, 1L).otherwise(0L)).over(wAll))
       .withColumn("__s20",
-        sum(when(col("rank") <= 20, round(col("score") * lit(1e4), 0)
+        sum(when(col("rank") <= 20, graft.expr.RoundHalfUpExpr.column(col("score") * lit(1e4))
           .cast("decimal(38,0)"))).over(wAll).cast("double") / lit(1e4))
       .withColumn("__ss20",
-        sum(when(col("rank") <= 20, round(col("score") * col("score") * lit(1e8), 0)
+        sum(when(col("rank") <= 20, graft.expr.RoundHalfUpExpr.column(col("score") * col("score") * lit(1e8))
           .cast("decimal(38,0)"))).over(wAll).cast("double") / lit(1e8))
     val nD = col("total_teams").cast("double")
     val std20 = sqrt(greatest(col("__ss20") / col("__n20") -

@@ -33,7 +33,7 @@ import graft.functions.Funcs.r
 object PriceOpt {
 
   private def lnMicro(c: Column): Column =
-    round(log(c) * 1e6, 0).cast("long")
+    graft.expr.RoundHalfUpExpr.column(log(c) * 1e6).cast("long")
 
   /** @param price unit price column (> 0), @param qty demand (> 0),
     * @param cost per-row marginal cost (constant within a key).

@@ -66,12 +66,12 @@ object QuantileReg {
       .withColumn("tau", explode(array(taus.map(lit): _*)))
     val keys = groupCols :+ "tau"
 
-    def mxL = round(col("__x") * lit(1e4), 0).cast("long")
-    def myL = round(col("__y") * lit(1e4), 0).cast("long")
+    def mxL = graft.expr.RoundHalfUpExpr.column(col("__x") * lit(1e4)).cast("long")
+    def myL = graft.expr.RoundHalfUpExpr.column(col("__y") * lit(1e4)).cast("long")
     def cntL = col("__cnt")
 
     def solve(weighted: DataFrame, w: Column): DataFrame = {
-      val mw = round(w * lit(1e4), 0).cast(dec) * cntL
+      val mw = graft.expr.RoundHalfUpExpr.column(w * lit(1e4)).cast(dec) * cntL
       val sums = weighted.groupBy(keys.map(col): _*).agg(
         (sum(mw).cast("double") / lit(1e4)).as("__sw"),
         (sum(mw * mxL).cast("double") / lit(1e8)).as("__swx"),
@@ -105,7 +105,7 @@ object QuantileReg {
         (col("tau") - 1) * col("__r"))))
     scored.groupBy(keys.map(col): _*)
       .agg(max(col("__a")).as("qr_a"), max(col("__b")).as("qr_b"),
-        r((sum(round(col("__rho") * lit(1e4), 0).cast(dec) * cntL).cast("double") /
+        r((sum(graft.expr.RoundHalfUpExpr.column(col("__rho") * lit(1e4)).cast(dec) * cntL).cast("double") /
           lit(1e4) / sum(cntL).cast("double"))).as("pinball"))
   }
 }

@@ -57,8 +57,8 @@ object Ar {
     // to decimal micro-units for the exact sum, mL() is the long twin
     // used as the second product factor (decimal × long stays decimal)
     val dec = "decimal(38,0)"
-    def m(c: Column) = round(c * lit(1e4), 0).cast(dec)
-    def mL(c: Column) = round(c * lit(1e4), 0).cast("long")
+    def m(c: Column) = graft.expr.RoundHalfUpExpr.column(c * lit(1e4)).cast(dec)
+    def mL(c: Column) = graft.expr.RoundHalfUpExpr.column(c * lit(1e4)).cast("long")
     def d4(c: Column) = c.cast("double") / lit(1e4) + lit(0.0)
     def d8(c: Column) = c.cast("double") / lit(1e8) + lit(0.0)
     val (y, l1, l2) = (col("__y"), col("__l1"), col("__l2"))
@@ -179,7 +179,7 @@ object Ar {
     // Theta knife-edge class)
     val sq = (col("__y") - col("__fit")) * (col("__y") - col("__fit"))
     val sig = resid.groupBy(key: _*)
-      .agg(r(sum(round(sq * 1e8, 0).cast("decimal(38,0)")).cast("double")
+      .agg(r(sum(graft.expr.RoundHalfUpExpr.column(sq * 1e8).cast("decimal(38,0)")).cast("double")
         / lit(1e8) / count(lit(1))).as("__s2"))
     val w = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
     val lastVals = indexed.withColumn("__rd", row_number().over(w))

@@ -65,7 +65,7 @@ object Champion {
     * decimal(38,0) sum → one division back (Ar.forecastIntervals σ²
     * convention), rounded at emit. */
   private def sqSum(resid: Column): Column =
-    r(sum(round(resid * resid * lit(1e8), 0).cast("decimal(38,0)"))
+    r(sum(graft.expr.RoundHalfUpExpr.column(resid * resid * lit(1e8)).cast("decimal(38,0)"))
       .cast("double") / lit(1e8))
 
   /** Shared member machinery: the eight family members' AIC scoreboard
@@ -356,10 +356,10 @@ object Champion {
     fcs.join(wts, keyCols :+ "model")
       .groupBy(keys :+ col("step"): _*)
       .agg(
-        (sum(round(col("__w") * lit(1e4), 0).cast("long") *
-          round(col("forecast") * lit(1e4), 0).cast("long"))
+        (sum(graft.expr.RoundHalfUpExpr.column(col("__w") * lit(1e4)).cast("long") *
+          graft.expr.RoundHalfUpExpr.column(col("forecast") * lit(1e4)).cast("long"))
           .cast("double") / lit(1e8)).as("__num"),
-        (sum(round(col("__w") * lit(1e4), 0).cast("long"))
+        (sum(graft.expr.RoundHalfUpExpr.column(col("__w") * lit(1e4)).cast("long"))
           .cast("double") / lit(1e4)).as("__den"),
         count(lit(1)).as("n_members"))
       .select(keys ++ Seq(col("step"),

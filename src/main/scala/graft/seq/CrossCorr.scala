@@ -45,9 +45,9 @@ object CrossCorr {
     val shifted = (1 to maxLag).foldLeft(
       df.join(mu, keyCols)
         .withColumn("__xi",
-          round((col(xCol).cast("double") - col("__mx")) * lit(1e4), 0).cast("long"))
+          graft.expr.RoundHalfUpExpr.column((col(xCol).cast("double") - col("__mx")) * lit(1e4)).cast("long"))
         .withColumn("__yi",
-          round((col(yCol).cast("double") - col("__my")) * lit(1e4), 0).cast("long"))
+          graft.expr.RoundHalfUpExpr.column((col(yCol).cast("double") - col("__my")) * lit(1e4)).cast("long"))
     ) { (d, k) =>
       d.withColumn(s"__yb$k", lag(col("__yi"), k).over(w))
         .withColumn(s"__yf$k", lead(col("__yi"), k).over(w))

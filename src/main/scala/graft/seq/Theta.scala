@@ -101,13 +101,13 @@ object Theta {
     val x = col(valueCol)
     val dec = "decimal(38,0)"
     val tL = col("__t").cast(dec)
-    val xm = round(x * 1e4, 0).cast(dec)
+    val xm = graft.expr.RoundHalfUpExpr.column(x * 1e4).cast(dec)
     val sums = indexed.groupBy(key: _*).agg(
       count(lit(1)).as("__n"),
       sum(tL).as("__st"),
       sum(xm).as("__sxm"),
       sum(tL * col("__t").cast("long")).as("__stt"),
-      sum(tL * round(x * 1e4, 0).cast("long")).as("__stxm"))
+      sum(tL * graft.expr.RoundHalfUpExpr.column(x * 1e4).cast("long")).as("__stxm"))
     val nD = col("__n").cast(dec)
     val bRaw = (nD * col("__stxm") - col("__st") * col("__sxm")).cast("double") /
       lit(1e4) /

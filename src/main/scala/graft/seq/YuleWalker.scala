@@ -87,7 +87,7 @@ object YuleWalker {
         col("yw_phi3") :+ col("yw_phi4") :+ col("yw_phi5")): _*), keyCols)
       .withColumn("__res", resid)
       .groupBy(keys: _*)
-      .agg(r(sum(round(col("__res") * col("__res") * lit(1e8), 0).cast(dec))
+      .agg(r(sum(graft.expr.RoundHalfUpExpr.column(col("__res") * col("__res") * lit(1e8)).cast(dec))
         .cast("double") / lit(1e8)).as("yw_sse"))
     coefs.join(sse, keyCols)
   }
@@ -154,7 +154,7 @@ object YuleWalker {
     val wd = Window.partitionBy(keys: _*).orderBy(ordCols.map(_.desc): _*)
     val t = df.join(mu, keyCols)
       .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
-      .withColumn("__m", round(col("__xc") * lit(1e4), 0).cast("long"))
+      .withColumn("__m", graft.expr.RoundHalfUpExpr.column(col("__xc") * lit(1e4)).cast("long"))
       .withColumn("__i1", lag(col("__m"), 1).over(w))
       .withColumn("__i2", lag(col("__m"), 2).over(w))
       .withColumn("__i3", lag(col("__m"), 3).over(w))

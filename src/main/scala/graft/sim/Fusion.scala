@@ -35,7 +35,7 @@ object Fusion {
       .reduce(_ unionByName _)
     uni.groupBy(col(queryCol), col(docCol))
       .agg(
-        (sum(round(lit(1e6) / (lit(k0) + col(rankCol)), 0).cast("decimal(38,0)"))
+        (sum(graft.expr.RoundHalfUpExpr.column(lit(1e6) / (lit(k0) + col(rankCol))).cast("decimal(38,0)"))
           .cast("double") / lit(1e6)).as("rrf_score"),
         count(lit(1)).as("n_rankers"))
       .withColumn("rank", row_number().over(

@@ -71,7 +71,7 @@ object CorpusMix {
       .withColumn("__pw", r(pow(col("raw_share"), lit(invT)), 8))
     counts
       .withColumn("__norm",
-        sum(round(col("__pw") * lit(1e8), 0).cast("decimal(38,0)")).over(wAll)
+        sum(graft.expr.RoundHalfUpExpr.column(col("__pw") * lit(1e8)).cast("decimal(38,0)")).over(wAll)
           .cast("double") / lit(1e8))
       .select(col("source"), col("n_docs"), col("raw_share"),
         r(col("__pw") / col("__norm"), 6).as("weight"))

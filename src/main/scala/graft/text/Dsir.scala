@@ -41,10 +41,9 @@ object Dsir {
     val totals = counts.agg(sum(col("__cc")).as("__tc"),
       sum(col("__ct")).as("__tt"), count(lit(1)).as("__v"))
     val ratios = counts.crossJoin(broadcast(totals))
-      .select(col("w"), round(
+      .select(col("w"), graft.expr.RoundHalfUpExpr.column(
         log(((col("__ct") + lit(k)) / (col("__tt") + lit(k) * col("__v"))) /
-          ((col("__cc") + lit(k)) / (col("__tc") + lit(k) * col("__v")))) * 1e6,
-        0).cast("long").as("__lr"))
+          ((col("__cc") + lit(k)) / (col("__tc") + lit(k) * col("__v")))) * 1e6).cast("long").as("__lr"))
     toks.join(ratios, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

@@ -73,9 +73,8 @@ object NgramLm {
       .join(broadcast(bi), Seq("w1", "w2"))
       .join(broadcast(uni.withColumnRenamed("cnt", "c1").withColumnRenamed("w", "w1")), Seq("w1"))
       .crossJoin(broadcast(v))
-      .withColumn("__lpm", round(
-        log((col("cnt") + lit(k)) / (col("c1") + lit(k) * col("__v"))) * 1e6,
-        0).cast("long"))
+      .withColumn("__lpm", graft.expr.RoundHalfUpExpr.column(
+        log((col("cnt") + lit(k)) / (col("c1") + lit(k) * col("__v"))) * 1e6).cast("long"))
 
     lp.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -119,10 +118,9 @@ object NgramLm {
       .join(broadcast(fwd), Seq("w1"))
       .join(broadcast(bwd), Seq("w2"))
       .crossJoin(broadcast(t))
-      .withColumn("__lpm", round(log(
+      .withColumn("__lpm", graft.expr.RoundHalfUpExpr.column(log(
         (col("cnt") - lit(d)) / col("__c1") +
-          lit(d) * col("__n1f") / col("__c1") * (col("__n1b") / col("__t"))) * 1e6,
-        0).cast("long"))
+          lit(d) * col("__n1f") / col("__c1") * (col("__n1b") / col("__t"))) * 1e6).cast("long"))
 
     lp.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),

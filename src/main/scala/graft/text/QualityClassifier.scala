@@ -70,7 +70,7 @@ object QualityClassifier {
       .agg(count(lit(1)).as("cnt"))
       .join(nTok, "doc_id")
       .select(col("doc_id"), col("y"), col("b"),
-        round(col("cnt").cast("double") / col("n") * lit(1e6), 0)
+        graft.expr.RoundHalfUpExpr.column(col("cnt").cast("double") / col("n") * lit(1e6))
           .cast("long").as("xi"))
     // bias rows: constant feature 1.0 for EVERY doc (even token-less)
     val biasRows = base.select(col("doc_id"), col("y"),
@@ -87,10 +87,10 @@ object QualityClassifier {
       sum(element_at(lit(w), col("b") + 1) * col("xi"))
     def docFrame: DataFrame = feat
       .groupBy(col("doc_id"), col("y"))
-      .agg(round(termSum.cast("double") / lit(1e6), 0).cast("long").as("sm"))
+      .agg(graft.expr.RoundHalfUpExpr.column(termSum.cast("double") / lit(1e6)).cast("long").as("sm"))
       .withColumn("s", col("sm").cast("double") / lit(1e6))
-      .withColumn("pm", round((lit(0.5) + col("s") /
-        (lit(2.0) * (lit(1.0) + abs(col("s"))))) * lit(1e6), 0).cast("long"))
+      .withColumn("pm", graft.expr.RoundHalfUpExpr.column((lit(0.5) + col("s") /
+        (lit(2.0) * (lit(1.0) + abs(col("s"))))) * lit(1e6)).cast("long"))
       .withColumn("rm", col("pm") - col("y") * lit(Micro))
 
     var i = 0

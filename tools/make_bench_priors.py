@@ -57,6 +57,9 @@ def main():
     short2full = {}
     for name in full["queries"]:
         short2full[name.split("_")[0]] = name
+        # r16+: compact keys drop the 'q' prefix to stay inside the
+        # driver's 2000-byte tail window
+        short2full[name.split("_")[0].lstrip("q")] = name
 
     priors = {}
     for src, rec in sources:
