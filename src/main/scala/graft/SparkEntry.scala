@@ -1918,6 +1918,40 @@ object SparkEntry {
     "q329_mann_whitney" -> ((s, d) =>
       graft.operators.Assoc.mannWhitneyU(li(s, d), Seq("l_returnflag"),
         col("l_discount") > 0.05, col("l_quantity"))),
+    // Benjamini-Hochberg FDR over a 1000-hypothesis family: the
+    // per-SUPPLIER Mann-Whitney battery (discounted vs rest quantity),
+    // z -> two-sided normal p (A&S 7.1.26 erf polynomial, the accepted
+    // exp class) -> BH step-up q-values + reject set at alpha = 0.05 —
+    // the multiple-testing capstone the segment-grain rank tests imply
+    "q338_bh_fdr" -> ((s, d) => {
+      val mw = graft.operators.Assoc.mannWhitneyU(li(s, d), Seq("l_suppkey"),
+        col("l_discount") > 0.05, col("l_quantity"))
+      graft.metrics.MultipleTesting.bhFdr(
+        mw, Nil, Seq("l_suppkey"),
+        graft.metrics.MultipleTesting.normalPTwoSided(col("mw_z")),
+        alpha = 0.05, tiebreak = col("l_suppkey"))
+    }),
+    // Split-conformal intervals per return flag: per-part mean model
+    // FIT ON CALIBRATION ROWS ONLY (pre-1999; unseen parts fall back
+    // to the global calibration mean), conformity quantile qhat =
+    // ceil((n+1)(1-alpha))-th smallest |y - yhat|, then the empirical
+    // coverage of [yhat +- qhat] on the 1999+ test rows — the
+    // distribution-free interval companion of q251/q261, coverage
+    // verified inside the query itself
+    "q339_conformal" -> ((s, d) => {
+      val lines = li(s, d).withColumn("__calib",
+        col("l_shipdate") < lit("1999-01-01").cast("date"))
+      val partMean = lines.filter(col("__calib"))
+        .groupBy(col("l_partkey"))
+        .agg(graft.functions.Funcs.microMean(col("l_quantity")).as("__pm"))
+      val globalMean = lines.filter(col("__calib"))
+        .agg(graft.functions.Funcs.microMean(col("l_quantity")).as("__gm"))
+      val scored = lines.join(partMean, Seq("l_partkey"), "left")
+        .crossJoin(broadcast(globalMean))
+        .withColumn("__pred", coalesce(col("__pm"), col("__gm")))
+      graft.metrics.Conformal.splitConformal(scored, Seq("l_returnflag"),
+        col("l_quantity"), col("__pred"), col("__calib"), alpha = 0.1)
+    }),
     // Wilcoxon signed-rank per return flag: did supplier shipment
     // volumes SHIFT year-over-year (1996 -> 1997)? The PAIRED member
     // of the nonparametric family — each supplier is its own control,
@@ -7527,6 +7561,92 @@ object SparkEntry {
                 (round((CASE WHEN n1*n2 > 0 THEN u1/(nd1*nd2)
                    ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS cles
          FROM v""",
+    "q338_bh_fdr" ->
+      """WITH base AS (
+           SELECT l_suppkey,
+                  CASE WHEN l_discount > 0.05 THEN TRUE ELSE FALSE END AS f,
+                  (round(l_quantity*1e4)/1e4 + 0.0e0) AS v
+           FROM lineitem),
+         ranked AS (SELECT l_suppkey, f,
+                 2*rank() OVER (PARTITION BY l_suppkey ORDER BY v)
+                   + count(*) OVER (PARTITION BY l_suppkey, v) - 1 AS r2
+                FROM base),
+         tie AS (SELECT l_suppkey, sum(t*t*t - t) AS tie
+                 FROM (SELECT l_suppkey, CAST(count(*) AS DOUBLE) AS t
+                       FROM base GROUP BY l_suppkey, v) GROUP BY 1),
+         agg AS (SELECT l_suppkey,
+                  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN f THEN r2 ELSE 0 END) AS BIGINT) AS s2x
+                 FROM ranked GROUP BY 1),
+         z AS (SELECT a.l_suppkey,
+                (round((CASE WHEN CAST(a.n1 AS DOUBLE)*CAST(a.n2 AS DOUBLE)/12
+                     *((CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE)+1)
+                       - t.tie/((CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE))
+                         *(CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE)-1))) > 0
+                   THEN ((CAST(a.s2x AS DOUBLE) - CAST(a.n1 AS DOUBLE)*(CAST(a.n1 AS DOUBLE)+1))/2
+                         - CAST(a.n1 AS DOUBLE)*CAST(a.n2 AS DOUBLE)/2)
+                        / sqrt(CAST(a.n1 AS DOUBLE)*CAST(a.n2 AS DOUBLE)/12
+                            *((CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE)+1)
+                              - t.tie/((CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE))
+                                *(CAST(a.n1 AS DOUBLE)+CAST(a.n2 AS DOUBLE)-1))))
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS zz
+               FROM agg a JOIN tie t USING (l_suppkey)),
+         pv AS (SELECT l_suppkey,
+                 (round(((0.254829592*tt - 0.284496736*(tt*tt)
+                    + 1.421413741*(tt*tt*tt) - 1.453152027*(tt*tt*tt*tt)
+                    + 1.061405429*(tt*tt*tt*tt*tt))
+                   * exp(-(xx*xx)))*1e4)/1e4 + 0.0e0) AS p_value
+                FROM (SELECT l_suppkey,
+                        (round(abs(zz)*1e4)/1e4 + 0.0e0)/sqrt(2.0e0) AS xx,
+                        1.0e0/(1.0e0 + 0.3275911
+                          *((round(abs(zz)*1e4)/1e4 + 0.0e0)/sqrt(2.0e0))) AS tt
+                      FROM z)),
+         bh AS (SELECT l_suppkey, p_value,
+                 CAST(row_number() OVER (ORDER BY p_value, l_suppkey) AS BIGINT) AS bh_rank,
+                 count(*) OVER () AS m_tests
+                FROM pv),
+         qv AS (SELECT *,
+                 (round((least(min(p_value * m_tests / bh_rank)
+                    OVER (ORDER BY bh_rank DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   1.0e0))*1e4)/1e4 + 0.0e0) AS q_value,
+                 max(CASE WHEN p_value <= bh_rank * 0.05 / m_tests
+                     THEN bh_rank END) OVER () AS passrk
+                FROM bh)
+         SELECT l_suppkey, p_value, bh_rank, m_tests, q_value,
+                CASE WHEN passrk IS NOT NULL AND bh_rank <= passrk
+                     THEN 1 ELSE 0 END AS reject
+         FROM qv""",
+    "q339_conformal" ->
+      """WITH pm AS (SELECT l_partkey,
+                  (CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS pmv
+                FROM lineitem WHERE l_shipdate < DATE '1999-01-01' GROUP BY 1),
+         gm AS (SELECT (CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0) AS gmv
+                FROM lineitem WHERE l_shipdate < DATE '1999-01-01'),
+         sc AS (SELECT l.l_returnflag,
+                 (round((abs(l.l_quantity - coalesce(pm.pmv, gm.gmv)))*1e4)/1e4 + 0.0e0) AS s,
+                 l.l_shipdate < DATE '1999-01-01' AS c
+                FROM lineitem l LEFT JOIN pm USING (l_partkey) CROSS JOIN gm),
+         cal AS (SELECT l_returnflag, s,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY s) AS BIGINT) AS rn
+                 FROM sc WHERE c),
+         nc AS (SELECT l_returnflag, count(*) AS n_calib,
+                 least(CAST(ceil((count(*) + 1) * 0.9e0) AS BIGINT), count(*)) AS k_order
+                FROM sc WHERE c GROUP BY 1),
+         qh AS (SELECT c2.l_returnflag, n.n_calib, n.k_order, c2.s AS qhat
+                FROM cal c2 JOIN nc n ON c2.l_returnflag = n.l_returnflag
+                  AND c2.rn = n.k_order),
+         cov AS (SELECT sc.l_returnflag, count(*) AS n_test,
+                  CAST(sum(CASE WHEN sc.s <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+                 FROM sc JOIN qh USING (l_returnflag) WHERE NOT sc.c GROUP BY 1)
+         SELECT qh.l_returnflag, qh.n_calib, qh.k_order, qh.qhat,
+                coalesce(cov.n_test, 0) AS n_test,
+                coalesce(cov.n_covered, 0) AS n_covered,
+                (round((CASE WHEN coalesce(cov.n_test, 0) > 0
+                   THEN CAST(cov.n_covered AS DOUBLE)/cov.n_test
+                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS coverage
+         FROM qh LEFT JOIN cov USING (l_returnflag)""",
     "q332_wilcoxon_signed_rank" ->
       """WITH pairs AS (
            SELECT l_returnflag,

@@ -175,6 +175,49 @@ class R16OpsSpec extends SparkSpec {
     assert(ce.getAs[Double]("hl_center") == 3.0)
   }
 
+  test("BH step-up matches the textbook example; normal p bridge is calibrated") {
+    import graft.metrics.MultipleTesting
+    // p = [.001, .008, .039, .041, .9] at alpha = .05, m = 5:
+    // thresholds j*.01 -> ranks 1,2 pass, 3,4 fail individually but the
+    // step-up rejects ONLY ranks <= 2; q-values are the tail-min
+    // [.005, .02, .05125, .05125, .9]
+    val tests = Seq(("t1", 0.001), ("t2", 0.008), ("t3", 0.039),
+      ("t4", 0.041), ("t5", 0.9)).toDF("tid", "p")
+    val r = MultipleTesting.bhFdr(tests, Nil, Seq("tid"), col("p"),
+      alpha = 0.05, tiebreak = col("tid"))
+      .orderBy("bh_rank").collect()
+    assert(r.map(_.getAs[Int]("reject")).toSeq == Seq(1, 1, 0, 0, 0))
+    assert(r.map(_.getAs[Double]("q_value")).toSeq ==
+      Seq(0.005, 0.02, 0.0513, 0.0513, 0.9)) // 4dp grid
+    assert(r.forall(_.getAs[Long]("m_tests") == 5L))
+    // the erf-polynomial p-value at the canonical z's
+    val ps = Seq(0.0, 1.96, 2.5758).toDF("z")
+      .select(MultipleTesting.normalPTwoSided(col("z")).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(ps(0) - 1.0) < 2e-4)
+    assert(math.abs(ps(1) - 0.05) < 2e-4)
+    assert(math.abs(ps(2) - 0.01) < 2e-4)
+  }
+
+  test("split-conformal qhat is the ceil((n+1)(1-alpha)) order statistic; coverage counts") {
+    import graft.metrics.Conformal
+    // calib scores 1..10 (pred = 0), alpha = .2 -> k = ceil(11*.8) = 9
+    // -> qhat = 9; test |y| = {5, 8.5, 12} -> {5, 8.5} covered
+    val rows = (1 to 10).map(i => ("g", i.toDouble, true)) ++
+      Seq(("g", 5.0, false), ("g", 8.5, false), ("g", 12.0, false))
+    val df = rows.toDF("g", "y", "calib")
+    val r = Conformal.splitConformal(df, Seq("g"), col("y"), lit(0.0),
+      col("calib"), alpha = 0.2).collect()(0)
+    assert(r.getAs[Long]("n_calib") == 10L)
+    assert(r.getAs[Long]("k_order") == 9L)
+    assert(r.getAs[Double]("qhat") == 9.0)
+    assert(r.getAs[Long]("n_test") == 3L && r.getAs[Long]("n_covered") == 2L)
+    // alpha below 1/(n+1) clamps k to n (documented caveat)
+    val tiny = Conformal.splitConformal(df.filter(col("calib")), Seq("g"),
+      col("y"), lit(0.0), lit(true), alpha = 0.01).collect()(0)
+    assert(tiny.getAs[Long]("k_order") == 10L)
+  }
+
   test("sixteen-member board: widening never worsens the champion, ma3/ar5 compete") {
     val d = "/root/testdata/sf0.001"
     val ext = SparkEntry.queries("q299_order_search_ext")(spark, d)
