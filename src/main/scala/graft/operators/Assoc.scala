@@ -159,7 +159,11 @@ object Assoc {
   def kendall(df: DataFrame, groupCols: Seq[String], x: Column,
               y: Column): DataFrame = {
     val keys = groupCols.map(col)
+    // NULL coordinates enter n_obs and the tie tables but produce NULL
+    // sign products (counted in neither C nor D) — the same silent-skew
+    // hazard the r15 ADVICE flagged on mannWhitneyU; drop them up front
     val a = df.select(keys ++ Seq(Funcs.r(x).as("__x"), Funcs.r(y).as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
     val b = a.toDF((groupCols ++ Seq("__x2", "__y2")): _*)
     val prod = signum(col("__x2") - col("__x")) * signum(col("__y2") - col("__y"))
     val pairAgg = a.join(b, groupCols)
@@ -221,7 +225,11 @@ object Assoc {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PortableHash.lehmer
     val keys = groupCols.map(col)
+    // same NULL hygiene as [[kendall]]: a NULL coordinate must not
+    // take an index slot (a sampled pair hitting it would vanish from
+    // both C and D while still counting in s_pairs)
     val a = df.select(keys ++ Seq(Funcs.r(x).as("__x"), Funcs.r(y).as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col("__x"), col("__y"))
     val idxd = a.withColumn("__i", row_number().over(w))
     val slots = idxd.groupBy(keys: _*).agg(max(col("__i")).as("__n"))
