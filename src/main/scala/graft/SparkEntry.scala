@@ -438,8 +438,12 @@ object SparkEntry {
       AggFeatures.zeroDemand(li(s, d), Seq(col("l_partkey")), col("l_discount"))
         .select(col("l_partkey"), r(col("zero_ratio")).as("zero_ratio"),
           col("zero_count"), col("n_obs"))),
+    // r17: routed through the single auto-gated entry point — lineitem
+    // baskets are thin (p99 ~7 items), so the gate picks the exact
+    // self-join and the oracle is unchanged; R17OpsSpec pins both the
+    // gate decision and exact↔FP-Growth parity at the fat boundary
     "q21_cooccurrence" -> ((s, d) =>
-      AggFeatures.coOccurrence(li(s, d), Seq("l_orderkey"), "l_partkey", 3)
+      AggFeatures.coOccurrenceAuto(li(s, d), Seq("l_orderkey"), "l_partkey", 3)
         .select(col("item_a"), col("item_b"), col("pair_count"), col("n_a"), col("n_b"),
           r(col("lift")).as("lift"))),
     "q22_weekly_aggregate" -> ((s, d) =>
@@ -764,6 +768,21 @@ object SparkEntry {
           col("bits"), col("n_samples"), col("duration_ms"),
           col("mean_amp"), col("rms_amp"), col("zero_cross"), col("decode_ok"))
     }),
+    // REAL video-codec round trip (r17 — the last media stub falls):
+    // plant a deterministic multi-frame ANIMATED GIF per doc (frame f's
+    // pixel (x,y) is a fixed integer gray formula of (id,x,y,f), over
+    // an identity 256-gray palette so the encoding is lossless), decode
+    // it back through the JDK ImageIO GIF reader walking every frame,
+    // emit frame count + dims + luminance stats. The oracle replays the
+    // same stats analytically from the formulas — the actual JDK decode
+    // is on the hashed path
+    "q341_video_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id").as("media_id"))
+      val planted = graft.multimodal.Multimodal.plantVideos(ids)
+      graft.multimodal.Multimodal.decodeVideoFeatures(planted)
+        .select(col("media_id"), col("n_frames"), col("width"), col("height"),
+          col("mean_lum"), col("first_lum"), col("last_lum"), col("decode_ok"))
+    }),
     // trained quality classifier (CCNet/fastText-style): 6 exact
     // gradient steps of quasi-logistic regression of (lang = 'en') on
     // hashed token-count features, then score every doc — the fit is
@@ -855,12 +874,18 @@ object SparkEntry {
           floor(col("c_acctbal").cast("double") / 1000).as("bal_bucket")),
         Seq("n" -> col("c_nationkey"), "m" -> col("c_mktsegment"),
           "b" -> col("bal_bucket")))),
+    // r17: repointed from the hash-derived decodeStub (which kept this
+    // row oracle-less) to the REAL planted-GIF video path — dims now
+    // come from the actual JDK frame decode, so the row carries a full
+    // analytic oracle; the hash featurizer contributes only its
+    // (constant) dimensionality here, pinned by MultimodalSpec
     "q72_media_features" -> ((s, d) => {
-      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      val ids = Tables.documents(s, d).select(col("doc_id").as("media_id"))
+      val planted = graft.multimodal.Multimodal.plantVideos(ids)
       graft.multimodal.Multimodal.featuresByPartition(
-        graft.multimodal.Multimodal.decodeStub(media))
-        .select(col("media_id"), col("decoded.width").as("width"),
-          col("decoded.height").as("height"), size(col("features")).as("feat_dim"))
+        graft.multimodal.Multimodal.decodeVideoFeatures(planted))
+        .select(col("media_id"), col("width"), col("height"),
+          size(col("features")).as("feat_dim"))
     }),
 
     // ---- sequential kernels (W9/W10/M5/M6) ----
@@ -2017,6 +2042,138 @@ object SparkEntry {
           graft.functions.Funcs.microMean(col("l_discount")).as("__disc"))
       graft.operators.Assoc.kendallTauSampled(pts, Seq("l_returnflag"),
         col("__qty"), col("__disc"), pairsPerGroup = 300)
+    }),
+    // ---- r17: full oracles for the previously spec-only §2.2/§2.9
+    // rows (F1/F2/F6/F9/F11, M2/M3). The cleaning predicates need
+    // NULLs/inconsistencies the synthetic tables don't carry, so each
+    // query PLANTS them deterministically (key-mod conditions the
+    // oracle mirrors verbatim) and then lets the operator clean up —
+    // the operator path under test is the real library transform.
+    // F1 dropNullKeys: plant NULL keys on two mod conditions, drop,
+    // roll up — kept rows are exactly the non-planted ones
+    "q342_drop_null_keys" -> ((s, d) => {
+      val planted = li(s, d)
+        .withColumn("k1", when(col("l_orderkey") % 13 === 0,
+          lit(null).cast("long")).otherwise(col("l_partkey")))
+        .withColumn("k2", when(col("l_linenumber") % 7 === 3,
+          lit(null).cast("long")).otherwise(col("l_suppkey")))
+      Cleaning.dropNullKeys(Seq("k1", "k2"))(planted)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), r(sum(col("l_quantity"))).as("sum_qty"))
+    }),
+    // F2 fillZero: plant NULL measures, fill with 0, verify via sums
+    // and explicit zero counts (the fill is visible only if the zeros
+    // are counted — a plain sum would match a silent null-skip)
+    "q343_fill_zero" -> ((s, d) => {
+      val planted = li(s, d)
+        .withColumn("qv", when(col("l_orderkey") % 5 === 0,
+          lit(null).cast("double")).otherwise(col("l_quantity")))
+        .withColumn("dv", when(col("l_suppkey") % 3 === 1,
+          lit(null).cast("double")).otherwise(col("l_discount")))
+      Cleaning.fillZero(Seq("qv", "dv"))(planted)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          r(sum(col("qv"))).as("sum_qv"),
+          graft.functions.Funcs.microSum(col("dv")).as("sum_dv"),
+          sum(when(col("qv") === 0.0, 1L).otherwise(0L)).as("n_zero_qv"),
+          sum(when(col("dv") === 0.0, 1L).otherwise(0L)).as("n_zero_dv"))
+    }),
+    // F6 repairUnitPrice: plant a 4dp-rounded unit price, triple it on
+    // a mod condition, and let the repair recompute total/qty where
+    // the consistency check |total − q·p| > tol trips
+    "q344_repair_unit_price" -> ((s, d) => {
+      val planted = li(s, d)
+        .withColumn("total", col("l_extendedprice"))
+        .withColumn("qty", col("l_quantity"))
+        .withColumn("price",
+          when(col("l_orderkey") % 11 === 0,
+            r(col("l_extendedprice") / col("l_quantity")) * lit(3.0))
+            .otherwise(r(col("l_extendedprice") / col("l_quantity"))))
+      Cleaning.repairUnitPrice("total", "qty", "price")(planted)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Funcs.microSum(col("price")).as("sum_price"))
+    }),
+    // F9/D9 normalizeString: pad part names with whitespace, normalize
+    // (trim + initcap), group on the cleaned value
+    "q345_normalize_string" -> ((s, d) => {
+      val messy = Tables.part(s, d)
+        .withColumn("p_name", concat(lit("  "), col("p_name"), lit("   ")))
+      Cleaning.normalizeString("p_name")(messy)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    }),
+    // F11 priceAnomalyRepair: plant 50× price spikes on a sparse mod
+    // condition; the repair caps values above 10×Q99 at the exact Q99
+    "q346_price_anomaly" -> ((s, d) => {
+      val planted = li(s, d)
+        .withColumn("price", when(col("l_orderkey") % 997 === 0,
+          col("l_extendedprice") * lit(50.0)).otherwise(col("l_extendedprice")))
+      Cleaning.priceAnomalyRepair("price", capMult = 10.0,
+        exact = Some(true))(planted)
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Funcs.microSum(col("price")).as("sum_price"),
+          r(max(col("price"))).as("max_price"))
+    }),
+    // M2 blocked CV + purge gap: the fold-boundary table is pure date
+    // arithmetic from the dataset bounds — fully oracle-able
+    "q347_blocked_cv" -> ((s, d) => {
+      val (lo, hi) = graft.cv.TimeSplits.dateBounds(li(s, d), col("l_shipdate"))
+      graft.cv.TimeSplits.foldTable(s,
+        graft.cv.TimeSplits.blocked(lo, hi, nBlocks = 5, gapWeeks = 1))
+    }),
+    // M3 per-segment walk-forward: each return flag gets its own date
+    // bounds and fold ladder (the q80 spec per segment)
+    "q348_per_segment_cv" -> ((s, d) => {
+      graft.cv.TimeSplits.perSegmentFoldTable(s, li(s, d),
+        col("l_returnflag"), col("l_shipdate"),
+        (lo, hi) => graft.cv.TimeSplits.walkForward(lo, hi,
+          initialTrainWeeks = 52, horizonWeeks = 4, stepWeeks = 26,
+          gapWeeks = 1, maxSplits = 5))
+    }),
+    // The Optuna-boundary closure (reference
+    // src/models/lightgbm_master.py:447-530, optimization_pipeline.py):
+    // hyperparameter grid × walk-forward folds → per-config CV-WMAPE
+    // scoreboard → argmin champion. The SELECTION arithmetic is the
+    // engine operator under full oracle here (Tuning.cvScoreboard);
+    // the members are deterministic trailing-mean forecasters with the
+    // window length as the hyperparameter (w ∈ {1,2,4,8} weeks), so
+    // every prediction replays in DuckDB — the MLlib-GBT member family
+    // runs through the SAME scoreboard via Tuning.gridSearchGbt
+    // (rows-only class, pinned by TuningSpec's XOR-separation test)
+    "q340_hyperparam_scoreboard" -> ((s, d) => {
+      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+        Seq(col("l_suppkey")), col("l_quantity"))
+      val (lo, hi) = graft.cv.TimeSplits.dateBounds(li(s, d), col("l_shipdate"))
+      val folds = graft.cv.TimeSplits.walkForward(lo, hi,
+        initialTrainWeeks = 52, horizonWeeks = 4, stepWeeks = 26,
+        gapWeeks = 1, maxSplits = 3)
+      val foldDf = broadcast(graft.cv.TimeSplits.foldTable(s, folds))
+      // per (fold, supplier): trailing-w-day micro-int mean over the
+      // fold's train tail — each window length is one grid config
+      def mm(days: Int) = {
+        val inWin = col("week_start") >= date_sub(col("train_end"), days)
+        val cnt = sum(when(inWin, 1L).otherwise(0L))
+        when(cnt > 0,
+          r(sum(when(inWin, graft.expr.RoundHalfUpExpr.column(
+            col("qty_sum").cast("double") * lit(1e4)).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / lit(1e4) / cnt))
+          .otherwise(lit(null).cast("double"))
+      }
+      val train = weekly.join(foldDf,
+        col("week_start") >= date_sub(col("train_end"), 56) &&
+          col("week_start") < col("train_end"))
+      val preds = train.groupBy(col("fold"), col("l_suppkey"))
+        .agg(mm(7).as("pw1"), mm(14).as("pw2"), mm(28).as("pw4"),
+          mm(56).as("pw8"))
+      val test = weekly.join(foldDf,
+        col("week_start") >= col("test_start") &&
+          col("week_start") < col("test_end"))
+        .select(col("fold"), col("l_suppkey"), col("qty_sum"))
+      val scored = test.join(preds, Seq("fold", "l_suppkey"))
+        .selectExpr("fold", "qty_sum",
+          "stack(4, 'w1', pw1, 'w2', pw2, 'w4', pw4, 'w8', pw8) AS (config, pred)")
+      graft.cv.Tuning.cvScoreboard(scored, col("config"), col("fold"),
+        col("qty_sum"), col("pred"))
     }),
     // Kendall tau-b + Goodman-Kruskal gamma per return flag over the
     // supplier grain (total qty vs mean discount) — the concordance
@@ -3526,8 +3683,9 @@ object SparkEntry {
   /** q283 oracle: the rank-2 explicit ALS unrolled — per half-step, the
     * exact micro-int sufficient statistics (squares on the 1e-8 grid,
     * rating·factor on the 1e-4 grid — ratings are integral counts), the
-    * IDENTICALLY-parenthesized Cramer solve, and the 4dp rounding of
-    * each factor, so every arithmetic input is bit-equal cross-engine.
+    * IDENTICALLY-parenthesized Cramer solve, the ±9 overflow clamp,
+    * and the 4dp rounding of each factor, so every arithmetic input is
+    * bit-equal cross-engine.
     * The final cross-score + per-user top-5 mirrors the Spark tail. */
   /** q288 oracle: the quality-classifier fit unrolled — 6 gradient
     * steps on the 1e-6 micro-int grid, rational squash (no exp), bias
@@ -3697,10 +3855,10 @@ object SparkEntry {
                     ${s4("rv*f1")} AS b1, ${s4("rv*f2")} AS b2
                   FROM rt JOIN $srcFac USING ($joinKey) GROUP BY 1),
          $out AS (SELECT $outKey,
-                    (round((((a22 + $lam)*b1 - a12*b2)
-                      /((a11 + $lam)*(a22 + $lam) - a12*a12))*1e4)/1e4 + 0.0e0) AS f1,
-                    (round((((a11 + $lam)*b2 - a12*b1)
-                      /((a11 + $lam)*(a22 + $lam) - a12*a12))*1e4)/1e4 + 0.0e0) AS f2
+                    (round(least(greatest(((a22 + $lam)*b1 - a12*b2)
+                      /((a11 + $lam)*(a22 + $lam) - a12*a12), -9.0e0), 9.0e0)*1e4)/1e4 + 0.0e0) AS f1,
+                    (round(least(greatest(((a11 + $lam)*b2 - a12*b1)
+                      /((a11 + $lam)*(a22 + $lam) - a12*a12), -9.0e0), 9.0e0)*1e4)/1e4 + 0.0e0) AS f2
                   FROM $agg)"""
     val iters = (1 to 2).map { n =>
       solveCte(n, s"y${n - 1}", "i", "u", s"ua$n", s"u$n") +
@@ -7645,7 +7803,7 @@ object SparkEntry {
                 coalesce(cov.n_covered, 0) AS n_covered,
                 (round((CASE WHEN coalesce(cov.n_test, 0) > 0
                    THEN CAST(cov.n_covered AS DOUBLE)/cov.n_test
-                   ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS coverage
+                   ELSE NULL END)*1e4)/1e4 + 0.0e0) AS coverage
          FROM qh LEFT JOIN cov USING (l_returnflag)""",
     "q332_wilcoxon_signed_rank" ->
       """WITH pairs AS (
@@ -7797,6 +7955,138 @@ object SparkEntry {
                    THEN CAST(conc - disc AS DOUBLE)/CAST(conc + disc AS DOUBLE)
                    ELSE 0.0e0 END)*1e4)/1e4 + 0.0e0) AS gk_gamma_est
          FROM v""",
+    "q342_drop_null_keys" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                (round((sum(l_quantity))*1e4)/1e4 + 0.0e0) AS sum_qty
+         FROM lineitem
+         WHERE NOT (l_orderkey % 13 = 0) AND NOT (l_linenumber % 7 = 3)
+         GROUP BY 1""",
+    "q343_fill_zero" ->
+      """WITH p AS (SELECT l_returnflag,
+                  CASE WHEN l_orderkey % 5 = 0 THEN 0.0e0 ELSE l_quantity END AS qv,
+                  CASE WHEN l_suppkey % 3 = 1 THEN 0.0e0 ELSE l_discount END AS dv
+                FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_rows,
+                (round((sum(qv))*1e4)/1e4 + 0.0e0) AS sum_qv,
+                (CAST(sum(CAST(round(dv*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) AS sum_dv,
+                CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_qv,
+                CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_dv
+         FROM p GROUP BY 1""",
+    "q344_repair_unit_price" ->
+      """WITH p AS (SELECT l_returnflag, l_extendedprice AS total,
+                  l_quantity AS qty,
+                  CASE WHEN l_orderkey % 11 = 0
+                    THEN (round((l_extendedprice/l_quantity)*1e4)/1e4 + 0.0e0)*3.0e0
+                    ELSE (round((l_extendedprice/l_quantity)*1e4)/1e4 + 0.0e0) END AS price
+                FROM lineitem),
+         rp AS (SELECT l_returnflag,
+                  CASE WHEN abs(total - qty*price) > 0.01e0 AND qty > 0
+                    THEN total/qty ELSE price END AS price
+                FROM p)
+         SELECT l_returnflag, count(*) AS n_rows,
+                (CAST(sum(CAST(round(price*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) AS sum_price
+         FROM rp GROUP BY 1""",
+    "q345_normalize_string" ->
+      """SELECT array_to_string(list_transform(
+                  string_split(trim('  ' || p_name || '   '), ' '),
+                  w -> upper(w[1]) || lower(w[2:])), ' ') AS p_name,
+                count(*) AS n_parts
+         FROM part GROUP BY 1""",
+    "q346_price_anomaly" ->
+      """WITH p AS (SELECT CASE WHEN l_orderkey % 997 = 0
+                    THEN l_extendedprice*50.0e0 ELSE l_extendedprice END AS price
+                FROM lineitem),
+         pos AS (SELECT price FROM p WHERE price >= 0),
+         q AS (SELECT quantile_cont(price, 0.99) AS q99 FROM pos),
+         rp AS (SELECT CASE WHEN price > 10.0e0*q99 THEN q99 ELSE price END AS price
+                FROM pos, q)
+         SELECT count(*) AS n_rows,
+                (CAST(sum(CAST(round(price*1e4) AS BIGINT)) AS DOUBLE)/1e4 + 0.0e0) AS sum_price,
+                (round((max(price))*1e4)/1e4 + 0.0e0) AS max_price
+         FROM rp""",
+    "q347_blocked_cv" ->
+      """WITH g AS (SELECT min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
+                    FROM lineitem),
+         b AS (SELECT mn, mx, (date_diff('day', mn, mx) + 1) // 5 AS bd FROM g)
+         SELECT CAST(i AS INT) AS fold,
+                mn + CAST(i*bd AS INT) AS train_start,
+                mn + CAST(i*bd + bd AS INT) AS train_end,
+                mn + CAST(i*bd + bd + 7 AS INT) AS test_start,
+                mn + CAST(i*bd + bd + 7 + bd AS INT) AS test_end
+         FROM b, range(0, 4) r(i)
+         WHERE mn + CAST(i*bd + bd + 7 + bd AS INT) <= mx + 1""",
+    "q348_per_segment_cv" ->
+      """WITH g AS (SELECT l_returnflag AS segment,
+                      min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
+                    FROM lineitem GROUP BY 1)
+         SELECT segment, CAST(i AS INT) AS fold,
+                mn AS train_start,
+                mn + CAST((52 + i*26)*7 AS INT) AS train_end,
+                mn + CAST((52 + i*26)*7 + 7 AS INT) AS test_start,
+                mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end
+         FROM g, range(0, 5) r(i)
+         WHERE mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) <= mx + 1""",
+    "q340_hyperparam_scoreboard" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                  l_suppkey, sum(l_quantity) AS qty_sum
+                FROM lineitem GROUP BY 1, 2),
+         g AS (SELECT min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
+               FROM lineitem),
+         f AS (SELECT CAST(i AS INT) AS fold,
+                 mn + CAST((52 + i*26)*7 AS INT) AS train_end,
+                 mn + CAST((52 + i*26)*7 + 7 AS INT) AS test_start,
+                 mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end
+               FROM g, range(0, 3) r(i)
+               WHERE mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) <= mx + 1),
+         tr AS (SELECT f.fold, w.l_suppkey, w.week_start, w.qty_sum, f.train_end
+                FROM wk w JOIN f ON w.week_start >= f.train_end - 56
+                  AND w.week_start < f.train_end),
+         pr AS (SELECT fold, l_suppkey,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 7 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 7
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 7 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw1,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 14 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 14
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 14 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw2,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 28 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 28
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 28 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw4,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 56 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 56
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 56 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw8
+                FROM tr GROUP BY 1, 2),
+         te AS (SELECT f.fold, w.l_suppkey, w.qty_sum
+                FROM wk w JOIN f ON w.week_start >= f.test_start
+                  AND w.week_start < f.test_end),
+         base AS (SELECT t.fold, t.qty_sum AS y, p.pw1, p.pw2, p.pw4, p.pw8
+                  FROM te t JOIN pr p USING (fold, l_suppkey)),
+         sc AS (SELECT fold, 'w1' AS config, y, pw1 AS pred FROM base
+                UNION ALL SELECT fold, 'w2', y, pw2 FROM base
+                UNION ALL SELECT fold, 'w4', y, pw4 FROM base
+                UNION ALL SELECT fold, 'w8', y, pw8 FROM base),
+         pf AS (SELECT config, fold,
+                  CAST(sum(CAST(round(abs(y - pred)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS sae,
+                  CAST(sum(CAST(round(abs(y)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS say
+                FROM sc WHERE y IS NOT NULL AND pred IS NOT NULL
+                GROUP BY 1, 2),
+         fw AS (SELECT config, fold, (round(sae/say*1e4)/1e4 + 0.0e0) AS fold_wmape
+                FROM pf WHERE say > 0),
+         pc AS (SELECT config, count(*) AS n_folds,
+                  (round((CAST(sum(CAST(round(fold_wmape*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS cv_wmape
+                FROM fw GROUP BY 1),
+         rk AS (SELECT *, CAST(row_number() OVER (ORDER BY cv_wmape, config) AS BIGINT) AS rank
+                FROM pc)
+         SELECT config, n_folds, cv_wmape, rank,
+                CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_champion
+         FROM rk""",
     "q328_kendall_tau" ->
       """WITH pts AS (
            SELECT l_returnflag,
@@ -9984,6 +10274,39 @@ object SparkEntry {
          FROM allp, n WHERE CAST(freq AS DOUBLE) >= 0.2e0 * ns""",
     // q282: the planted-PNG formulas replayed analytically — integer
     // channel sums over the x×y grid are exact in both engines
+    // q72: dims from the REAL GIF decode replay analytically; the hash
+    // featurizer contributes only its constant dimensionality
+    "q72_media_features" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 + doc_id % 9 AS INT) AS width,
+                CAST(8 + (7*doc_id) % 9 AS INT) AS height,
+                CAST(8 AS INT) AS feat_dim
+         FROM documents""",
+    // q341: the planted animated-GIF gray formula replayed analytically
+    // over (x, y, frame) — integer mod sums are exact in both engines
+    "q341_video_decode" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+                      CAST(8 + doc_id % 9 AS INT) AS w,
+                      CAST(8 + (7*doc_id) % 9 AS INT) AS h,
+                      CAST(2 + doc_id % 4 AS INT) AS nf
+                    FROM documents),
+           px AS (SELECT media_id, w, h, nf, x.x, y.y, f.f
+                  FROM d, unnest(range(0, w)) x(x), unnest(range(0, h)) y(y),
+                       unnest(range(0, nf)) f(f)),
+           m AS (SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+                   any_value(nf) AS nf,
+                   sum((media_id + 3*x + 5*y + 11*f) % 256) AS tot,
+                   sum(CASE WHEN f = 0
+                     THEN (media_id + 3*x + 5*y) % 256 ELSE 0 END) AS fsum,
+                   sum(CASE WHEN f = nf - 1
+                     THEN (media_id + 3*x + 5*y + 11*f) % 256 ELSE 0 END) AS lsum
+                 FROM px GROUP BY 1)
+         SELECT media_id, nf AS n_frames, w AS width, h AS height,
+                (round(CAST(tot AS DOUBLE)/(w*h*nf)*1e4)/1e4 + 0.0e0) AS mean_lum,
+                (round(CAST(fsum AS DOUBLE)/(w*h)*1e4)/1e4 + 0.0e0) AS first_lum,
+                (round(CAST(lsum AS DOUBLE)/(w*h)*1e4)/1e4 + 0.0e0) AS last_lum,
+                TRUE AS decode_ok
+         FROM m""",
     "q282_image_decode" ->
       """WITH d AS (SELECT doc_id AS media_id,
                       CAST(8 + doc_id % 9 AS INT) AS w,

@@ -95,4 +95,26 @@ object TimeSplits {
       s -> mk(lo, hi)
     }
   }
+
+  /** [[perSegment]] flattened to one inspectable DataFrame
+    * (segment, fold, train_start, train_end, test_start, test_end) —
+    * the M3 registration surface (per-segment boundary arithmetic is
+    * a deterministic date transform, so it carries a full oracle). */
+  def perSegmentFoldTable(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, segmentCol: Column, dateCol: Column,
+                          mk: (LocalDate, LocalDate) => Seq[Fold]): DataFrame = {
+    import spark.implicits._
+    perSegment(df, segmentCol, dateCol, mk)
+      .flatMap { case (s, fs) =>
+        fs.map(f => (s, f.fold, f.trainStart.toString, f.trainEnd.toString,
+          f.testStart.toString, f.testEnd.toString))
+      }
+      .toDF("segment", "fold", "train_start", "train_end",
+        "test_start", "test_end")
+      .select(col("segment"), col("fold"),
+        to_date(col("train_start")).as("train_start"),
+        to_date(col("train_end")).as("train_end"),
+        to_date(col("test_start")).as("test_start"),
+        to_date(col("test_end")).as("test_end"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.cv
 
 import org.apache.spark.ml.regression.GBTRegressionModel
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs
 import graft.metrics.Metrics
 import graft.model.Models
 
@@ -60,5 +61,45 @@ object Tuning {
     val model = Models.fitGbt(full, features, target,
       maxIter = best.params.maxIter, maxDepth = best.params.maxDepth, seed = best.params.seed)
     SearchResult(ranked, best, model)
+  }
+
+  /** The SELECTION arithmetic of the hyperparameter search as a pure
+    * engine operator — the piece of the reference's Optuna loop
+    * (src/models/optimization_pipeline.py) that is fully
+    * oracle-expressible. Input: one row per (config, fold, test
+    * observation) with actual `y` and the candidate's prediction
+    * `pred` (from ANY member family — MLlib fits, deterministic
+    * forecasters, blends). Output: one row per config —
+    *   config, n_folds, cv_wmape (mean of per-fold micro-int WMAPEs,
+    *   4dp), rank (1 = champion; ties break on config name so the
+    *   board is deterministic), is_champion.
+    * Rows with NULL y or pred are dropped (a config that cannot
+    * predict an observation simply doesn't get scored on it — the
+    * fold WMAPE is over its scored rows). Folds whose |y| sum is 0
+    * report no WMAPE and drop from that config's mean (mirrors
+    * [[Metrics.wmape]]'s undefined-denominator contract).
+    *
+    * Scale shape: one hash aggregate to (config, fold) grain with
+    * map-side combine, one to config grain, then a rank over the
+    * CONFIG table — grid-sized (dozens of rows), so the single-
+    * partition window is free. Fact-sized inputs never hit a window. */
+  def cvScoreboard(scored: DataFrame, config: Column, fold: Column,
+                   y: Column, pred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perFold = scored
+      .filter(y.isNotNull && pred.isNotNull)
+      .groupBy(config.as("config"), fold.as("fold"))
+      .agg(Funcs.microSum(abs(y - pred)).as("__sae"),
+        Funcs.microSum(abs(y)).as("__say"))
+      .filter(col("__say") > 0)
+      .withColumn("fold_wmape", Funcs.r(col("__sae") / col("__say")))
+    val perConfig = perFold.groupBy(col("config"))
+      .agg(count(lit(1)).as("n_folds"),
+        Funcs.r(Funcs.microMean(col("fold_wmape"))).as("cv_wmape"))
+    perConfig
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cv_wmape"), col("config")))
+          .cast("long"))
+      .withColumn("is_champion", when(col("rank") === 1, 1L).otherwise(0L))
   }
 }

@@ -32,7 +32,9 @@ object Conformal {
     * (keys..., n_calib, k_order, qhat, n_test, n_covered, coverage).
     * Groups with no calibration rows are absent; k clamps to n_calib
     * (α smaller than 1/(n+1) cannot be honored by a finite sample —
-    * the standard caveat, documented rather than hidden). */
+    * the standard caveat, documented rather than hidden). Groups with
+    * calibration rows but NO test rows report coverage = NULL (with
+    * n_test = 0), never 0.0 — absent test data is not 0% coverage. */
   def splitConformal(df: DataFrame, groupCols: Seq[String], y: Column,
                      pred: Column, isCalib: Column,
                      alpha: Double): DataFrame = {
@@ -61,8 +63,12 @@ object Conformal {
       .select(keys ++ Seq(col("n_calib"), col("k_order"), col("qhat"),
         coalesce(col("n_test"), lit(0L)).as("n_test"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        // NULL (not 0.0) when the group has no test rows: 0% empirical
+        // coverage is a meaningful (bad) outcome, absent test data is
+        // not — conflating them would hide the difference from readers
+        // who don't cross-check n_test (r16 ADVICE)
         Funcs.r(when(coalesce(col("n_test"), lit(0L)) > 0,
           col("n_covered").cast("double") / col("n_test"))
-          .otherwise(lit(0.0))).as("coverage")): _*)
+          .otherwise(lit(null).cast("double"))).as("coverage")): _*)
   }
 }

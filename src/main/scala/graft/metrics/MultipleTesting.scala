@@ -54,10 +54,24 @@ object MultipleTesting {
     *              rejects, even rows that individually miss their own
     *              threshold).
     * All arithmetic is deterministic transforms of the rounded p and
-    * exact integer ranks; q_value rounds to the 4dp grid. */
+    * exact integer ranks; q_value rounds to the 4dp grid.
+    *
+    * Scale bound: BH is a GLOBAL order statistic over each family, so
+    * every family's ranks run in one window partition — with empty
+    * `familyCols` that is one single partition over the whole battery.
+    * Intended bound: ≤ ~10⁶ hypotheses per family (a one-partition
+    * sort of narrow (p, tiebreak) rows; same class as A13's documented
+    * dim-grain ranks). Wider batteries must carry a real family key in
+    * `familyCols` (per-metric, per-segment) so the rank windows
+    * partition — FDR control is per-family by definition, so that is
+    * also the statistically right scoping. */
   def bhFdr(df: DataFrame, familyCols: Seq[String], idCols: Seq[String],
             p: Column, alpha: Double, tiebreak: Column): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    if (familyCols.isEmpty)
+      System.err.println("graft.MultipleTesting.bhFdr: empty familyCols = " +
+        "single-partition rank over the whole battery; intended for " +
+        "families <= ~1e6 hypotheses (pass familyCols to partition wider)")
     val fam = familyCols.map(col)
     val ids = idCols.map(col)
     val base = df.select((fam ++ ids) :+ Funcs.r(p).as("p_value") :+

@@ -96,10 +96,19 @@ object Recommend {
           s4(col("rv") * col("f2")).as("b2"))
       val det = (col("a11") + lit(lambda)) * (col("a22") + lit(lambda)) -
         col("a12") * col("a12")
+      // Overflow guard for the long accumulators (r16 ADVICE): clamp
+      // factors to ±9 after each solve. With |f| ≤ 9 the per-row
+      // |f·f|·1e8 term is ≤ 8.1e9, so a single entity needs > 1.1e9
+      // ratings before a long s8 sum can reach 2^63 — far past any
+      // real user/item degree, and the bound now holds REGARDLESS of
+      // how degenerate the ridge solve gets (a near-zero det can no
+      // longer inflate f unboundedly into the next half-step's sums).
+      // The clamp is mirrored verbatim in the DuckDB oracle.
+      def clamp(c: Column) = least(greatest(c, lit(-9.0)), lit(9.0))
       g.select(col(key),
-        r(((col("a22") + lit(lambda)) * col("b1") - col("a12") * col("b2")) / det)
+        r(clamp(((col("a22") + lit(lambda)) * col("b1") - col("a12") * col("b2")) / det))
           .as("f1"),
-        r(((col("a11") + lit(lambda)) * col("b2") - col("a12") * col("b1")) / det)
+        r(clamp(((col("a11") + lit(lambda)) * col("b2") - col("a12") * col("b1")) / det))
           .as("f2"))
     }
     var itemF = rt.select(col("i")).distinct()

@@ -16,13 +16,17 @@ import org.apache.spark.sql.types._
   * path is oracle-checkable end-to-end. AUDIO decode is REAL too:
   * [[decodeAudioFeatures]] runs the JDK `javax.sound.sampled` codec
   * (WAV/AIFF/AU PCM) and [[plantAudio]] writes genuine RIFF/WAVE PCM-16
-  * payloads from a deterministic sample formula. Only VIDEO has no JDK
-  * codec, so it stays behind `decodeStub` — a deterministic fake
-  * derived from the payload hash — with everything Spark-side real
-  * and tested: schemas, the mapPartitions batch shape (the Scala
-  * analogue of `mapInPandas`: an iterator of row batches, model loaded
-  * once per partition), partitioning-preserving signatures, and the
-  * explode-based frame sampler.
+  * payloads from a deterministic sample formula. VIDEO decode is REAL
+  * as of r17: [[decodeVideoFeatures]] walks a multi-frame animated-GIF
+  * container through the JDK `ImageIO` GIF reader (frame count, dims,
+  * per-frame luminance stats) and [[plantVideos]] writes genuine
+  * animated GIFs (palette-indexed, hence lossless) from deterministic
+  * per-frame pixel formulas — the same plant→JDK-decode→analytic-oracle
+  * pattern as image/audio. The Spark-side plumbing is shared: the
+  * mapPartitions batch shape (the Scala analogue of `mapInPandas`: an
+  * iterator of row batches, codec initialized once per partition),
+  * partitioning-preserving signatures, and the explode-based frame
+  * sampler.
   */
 object Multimodal {
 
@@ -35,17 +39,6 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
-
-  /** Deterministic fake "decode": dimensions and a feature vector
-    * derived from the payload hash. STUB — replace the expression with a
-    * real codec in a mapPartitions batch (see featuresByPartition). */
-  def decodeStub(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val h = xxhash64(col(payloadCol))
-    df.withColumn("decoded", struct(
-      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
-      (pmod(h * 31L, lit(1080L)) + 1).cast("int").as("height"),
-      lit(3).as("channels")))
-  }
 
   /** Resize plumbing: recomputes metadata for a target box preserving
     * aspect ratio; payload passthrough (STUB — a real resize re-encodes
@@ -300,6 +293,139 @@ object Multimodal {
               } catch { case _: Exception => None }
             case _ => None
           }).getOrElse(Seq(null, null, null, null, null, null, null, null, false))
+          Row.fromSeq(row.toSeq ++ extra)
+        }
+      }
+    }(enc)
+  }
+
+  /** Plant a deterministic REAL multi-frame video per id: an ANIMATED
+    * GIF (the one video container the JDK can both write and read with
+    * zero extra dependencies) with
+    *   w = 8 + id % 9,  h = 8 + (7·id) % 9,  frames F = 2 + id % 4,
+    *   pixel (x, y) of frame f = gray level (id + 3x + 5y + 11f) % 256
+    * — frames are TYPE_BYTE_INDEXED over an explicit 256-gray identity
+    * palette, so the GIF encoding is LOSSLESS by construction (palette
+    * formats quantize only when the source exceeds 256 colors) and the
+    * decoded stats are oracle-computable analytically from the
+    * formulas, exactly like [[plantImages]]/[[plantAudio]]. Written
+    * through the real `ImageIO` GIF sequence writer per partition. */
+  def plantVideos(df: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      // identity gray palette: color i = (i, i, i). TYPE_BYTE_GRAY is
+      // NOT used on purpose — its linear colorspace makes getRGB apply
+      // a nonlinear gray→sRGB mapping; an explicit IndexColorModel
+      // keeps the value→color map the identity on both sides
+      val levels = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, levels, levels, levels)
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + (7 * id) % 9).toInt
+        val nf = (2 + id % 4).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id + 3 * x + 5 * y + 11 * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row.fromSeq(row.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL video decode through the JDK GIF reader: per-partition
+    * batched like [[decodeImageFeatures]], walking every frame of the
+    * animated-GIF container and emitting frame count, dimensions, and
+    * luminance stats (mean gray over ALL frames' pixels, plus the
+    * first and last frames' means — the "did the content change"
+    * signal a curation pipeline thresholds on). Undecodable payloads
+    * degrade to `decode_ok = false` with NULL stats. Scale shape: pure
+    * per-row work behind one narrow mapPartitions, no shuffle; decoded
+    * frames never leave the task. At 100 TB the same seam hosts an
+    * ffmpeg/JNI codec — only the bytes→frames closure changes. */
+  def decodeVideoFeatures(df: DataFrame, payloadCol: String = "payload",
+                          batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_lum", DoubleType, nullable = true),
+      StructField("first_lum", DoubleType, nullable = true),
+      StructField("last_lum", DoubleType, nullable = true),
+      StructField("decode_ok", BooleanType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    def r4(x: Double): Double = math.round(x * 1e4) / 1e4 + 0.0
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val extra: Seq[Any] = (row.get(payloadIdx) match {
+            case bytes: Array[Byte] if bytes.nonEmpty =>
+              val reader =
+                javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                reader.setInput(iis, false)
+                val nf = reader.getNumImages(true)
+                if (nf <= 0) None
+                else {
+                  var (total, w0, h0) = (0L, 0, 0)
+                  var (firstSum, lastSum) = (0L, 0L)
+                  var pixelsPerFrame = 0L
+                  var f = 0
+                  while (f < nf) {
+                    val img = reader.read(f)
+                    if (f == 0) { w0 = img.getWidth; h0 = img.getHeight }
+                    var frameSum = 0L
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        frameSum += (img.getRGB(x, y) >> 16) & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    if (f == 0) { firstSum = frameSum
+                      pixelsPerFrame = img.getWidth.toLong * img.getHeight }
+                    if (f == nf - 1) lastSum = frameSum
+                    total += frameSum
+                    f += 1
+                  }
+                  val ppf = pixelsPerFrame.toDouble
+                  Some(Seq(nf, w0, h0, r4(total / (ppf * nf)),
+                    r4(firstSum / ppf), r4(lastSum / ppf), true))
+                }
+              } catch { case _: Exception => None }
+              finally reader.dispose()
+            case _ => None
+          }).getOrElse(Seq(null, null, null, null, null, null, false))
           Row.fromSeq(row.toSeq ++ extra)
         }
       }

@@ -246,6 +246,47 @@ object AggFeatures {
           ((col("n_a") / lit(nBaskets.toDouble)) * (col("n_b") / lit(nBaskets.toDouble))))
   }
 
+  /** The A29 path gate: measures the items-per-basket distribution
+    * with ONE light aggregate (graft.etl.Skew.keySkewReport over the
+    * distinct (basket, item) frame) and names the co-occurrence path
+    * that survives it. The exact self-join shuffles Σ|basket|²
+    * candidate pairs — fine while baskets are thin, quadratic death on
+    * fat ones — so the gate routes to FP-Growth when EITHER the p99
+    * basket (heavy tail: most baskets fat) or the max basket (one
+    * whale: a single 10⁵-item basket alone emits 10¹⁰ pairs) crosses
+    * its bound. One scalar collect per call (the same deliberate
+    * driver action class as FP-Growth's own minSupport fraction). */
+  def coOccurrencePath(df: DataFrame, basketKey: Seq[String], item: String,
+                       fatP99: Long = 64, fatMax: Long = 1024): String = {
+    val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+    val rep = graft.etl.Skew.keySkewReport(items, basketKey).head()
+    val p99 = rep.getAs[Double]("p99_cnt")
+    val mx = rep.getAs[Long]("max_cnt")
+    if (p99 > fatP99 || mx > fatMax) "fpgrowth" else "exact"
+  }
+
+  /** A29 single entry point (r17 verdict ask #5): the basket-size gate
+    * above picks the execution path, so callers stop hand-choosing
+    * between [[coOccurrence]] and [[coOccurrenceFpGrowth]]. Returns
+    * (chosen path, result) — the path makes the decision pinnable in
+    * specs; use [[coOccurrenceAuto]] when only the frame is wanted.
+    * Output schema and values are path-independent (AggFeaturesSpec
+    * proves parity on real data AND on a fat corpus at the boundary). */
+  def coOccurrenceAutoWithPath(df: DataFrame, basketKey: Seq[String], item: String,
+                               minSupport: Long = 5, fatP99: Long = 64,
+                               fatMax: Long = 1024): (String, DataFrame) = {
+    val path = coOccurrencePath(df, basketKey, item, fatP99, fatMax)
+    val out = if (path == "fpgrowth")
+      coOccurrenceFpGrowth(df, basketKey, item, minSupport)
+    else coOccurrence(df, basketKey, item, minSupport)
+    (path, out)
+  }
+
+  /** [[coOccurrenceAutoWithPath]] without the path tag. */
+  def coOccurrenceAuto(df: DataFrame, basketKey: Seq[String], item: String,
+                       minSupport: Long = 5): DataFrame =
+    coOccurrenceAutoWithPath(df, basketKey, item, minSupport)._2
+
   /** A18 — frequency encoding: per-value counts joined back
     * (reference: src/data/preprocessors.py:210-248). */
   def frequencyEncode(df: DataFrame, c: String): DataFrame = {

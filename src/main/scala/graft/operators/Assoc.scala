@@ -403,8 +403,10 @@ object Assoc {
     * aggregate on the group key — fact-linear, no pair join. NULL a/b
     * rows are dropped up front (the [[mannWhitneyU]] NULL contract).
     * No continuity correction (document vs scipy's default). Groups
-    * with every pair tied (n = 0 after zero-drop) or σ = 0 report
-    * z = 0 and effect 0. */
+    * whose every pair is tied (n = 0 after the zero-drop) have no
+    * surviving rows and are therefore ABSENT from the output; only
+    * groups with surviving rows but σ = 0 report z = 0 (the oracle
+    * behaves identically — r16 ADVICE doc fix). */
   def wilcoxonSignedRank(df: DataFrame, groupCols: Seq[String], a: Column,
                          b: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -448,9 +450,12 @@ object Assoc {
     * ties; compare to χ²_{k−1}).
     *
     * Blocks must be COMPLETE (one row per treatment): the operator
-    * keeps blocks whose row count equals the group's treatment count k
-    * and reports kept blocks as n_blocks — incomplete blocks would
-    * shift every R_j, so dropping them is the standard treatment.
+    * keeps blocks with EXACTLY one row per treatment — row count = k
+    * AND distinct treatments = k, so a block like {t1,t1,t2} with a
+    * duplicated treatment masking a missing one is dropped, not
+    * silently admitted (r16 ADVICE) — and reports kept blocks as
+    * n_blocks; incomplete blocks would shift every R_j, so dropping
+    * them is the standard treatment.
     * Exactness: values round to the 4dp grid; within-block average
     * ranks ride 2·rank + t − 1 (2R_j and Σ(2r)² are exact longs);
     * NULL treatment/value rows are dropped up front. Degenerate
@@ -469,7 +474,11 @@ object Assoc {
     val blockSize = Window.partitionBy((keys :+ col("__b")): _*)
     val complete = base.join(broadcast(kPer), groupCols)
       .withColumn("__bn", count(lit(1)).over(blockSize))
-      .filter(col("__bn") === col("__k"))
+      // distinct treatments per block via collect_set (bounded by k —
+      // the treatment alphabet, never the fact grain); row count alone
+      // would admit a duplicated treatment masking a missing one
+      .withColumn("__bk", size(collect_set(col("__j")).over(blockSize)))
+      .filter(col("__bn") === col("__k") && col("__bk") === col("__k"))
     val w = Window.partitionBy((keys :+ col("__b")): _*).orderBy(col("__v"))
     val tw = Window.partitionBy((keys ++ Seq(col("__b"), col("__v"))): _*)
     val ranked = complete.withColumn("__2r",

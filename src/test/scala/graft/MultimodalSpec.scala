@@ -18,20 +18,63 @@ class MultimodalSpec extends SparkSpec {
     assert(m.schema("payload").dataType.typeName == "binary")
   }
 
-  test("decode stub is deterministic and in-range") {
-    val d1 = Multimodal.decodeStub(media).select("media_id", "decoded.width", "decoded.height")
+  // the r16-era hash-derived decode stub, DEMOTED to a test fixture in
+  // r17 (the real video path is Multimodal.decodeVideoFeatures): it
+  // survives here only to exercise resizeMeta's struct plumbing with
+  // arbitrary dimensions
+  private def decodeStubFixture(df: org.apache.spark.sql.DataFrame) = {
+    val h = xxhash64(col("payload"))
+    df.withColumn("decoded", struct(
+      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(h * 31L, lit(1080L)) + 1).cast("int").as("height"),
+      lit(3).as("channels")))
+  }
+
+  test("decode stub fixture is deterministic and in-range") {
+    val d1 = decodeStubFixture(media).select("media_id", "decoded.width", "decoded.height")
       .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
-    val d2 = Multimodal.decodeStub(media).select("media_id", "decoded.width", "decoded.height")
+    val d2 = decodeStubFixture(media).select("media_id", "decoded.width", "decoded.height")
       .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     assert(d1 == d2)
-    Multimodal.decodeStub(media).select("decoded.width", "decoded.height")
+    decodeStubFixture(media).select("decoded.width", "decoded.height")
       .as[(Int, Int)].collect().foreach { case (w, h) =>
         assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
       }
   }
 
+  test("planted animated GIF round-trips losslessly through the JDK codec") {
+    val ids = Seq(0L, 1L, 5L, 17L, 254L, 1023L).toDF("media_id")
+    val out = Multimodal.decodeVideoFeatures(Multimodal.plantVideos(ids))
+      .select("media_id", "n_frames", "width", "height", "mean_lum",
+        "first_lum", "last_lum", "decode_ok")
+      .as[(Long, Int, Int, Int, Double, Double, Double, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4 + 0.0
+    out.foreach { case (id, (_, nf, w, h, mean, first, last, ok)) =>
+      assert(ok, s"id=$id must decode")
+      assert(nf == (2 + id % 4).toInt && w == (8 + id % 9).toInt &&
+        h == (8 + (7 * id) % 9).toInt, s"id=$id dims/frames")
+      // analytic replay of the planted gray formula
+      var (tot, fs, ls) = (0L, 0L, 0L)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val v = (id + 3 * x + 5 * y + 11 * f) % 256
+        tot += v
+        if (f == 0) fs += v
+        if (f == nf - 1) ls += v
+      }
+      val ppf = (w.toLong * h).toDouble
+      assert(mean == r4(tot / (ppf * nf)), s"id=$id mean_lum")
+      assert(first == r4(fs / ppf) && last == r4(ls / ppf), s"id=$id frame lums")
+    }
+    // truncated payload degrades, never throws
+    val bad = Multimodal.decodeVideoFeatures(
+      Seq((9L, Array[Byte](71, 73, 70, 56))).toDF("media_id", "payload"))
+      .select("decode_ok").as[Boolean].collect()
+    assert(bad.toSeq == Seq(false))
+  }
+
   test("resize preserves aspect ratio and never upscales") {
-    val out = Multimodal.resizeMeta(Multimodal.decodeStub(media), 100, 100)
+    val out = Multimodal.resizeMeta(decodeStubFixture(media), 100, 100)
       .select("decoded.width", "decoded.height", "resized.width", "resized.height")
       .as[(Int, Int, Int, Int)].collect()
     out.foreach { case (w, h, rw, rh) =>
