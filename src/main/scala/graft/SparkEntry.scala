@@ -2130,6 +2130,22 @@ object SparkEntry {
           initialTrainWeeks = 52, horizonWeeks = 4, stepWeeks = 26,
           gapWeeks = 1, maxSplits = 5))
     }),
+    // The exact-MIPS kernel (q283's r17 scoring tail) under its OWN
+    // full oracle: factor-like 2-d vectors from supplier/part
+    // aggregates, top-3 items per queried user by inner product —
+    // the oracle replays every pair's rounded score and ranks in SQL,
+    // so the norm-pruned scan is proven exhaustive-equivalent on real
+    // data at both SFs (R17OpsSpec pins the adversarial corners)
+    "q349_mips_topk" -> ((s, d) => {
+      val users = li(s, d).groupBy(col("l_suppkey").cast("long").as("u"))
+        .agg(r(graft.functions.Funcs.microMean(col("l_quantity"))).as("f1"),
+          r(graft.functions.Funcs.microMean(col("l_discount")) * 10).as("f2"))
+        .filter(col("u") % 10 === 0)
+      val items = li(s, d).groupBy(col("l_partkey").cast("long").as("i"))
+        .agg(r(graft.functions.Funcs.microMean(col("l_quantity"))).as("g1"),
+          r(graft.functions.Funcs.microMean(col("l_tax")) * 10).as("g2"))
+      graft.model.Recommend.mipsTopK(users, items, 3, "user", "item")
+    }),
     // The Optuna-boundary closure (reference
     // src/models/lightgbm_master.py:447-530, optimization_pipeline.py):
     // hyperparameter grid × walk-forward folds → per-config CV-WMAPE
@@ -8026,6 +8042,22 @@ object SparkEntry {
                 mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end
          FROM g, range(0, 5) r(i)
          WHERE mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) <= mx + 1""",
+    "q349_mips_topk" ->
+      """WITH u AS (SELECT CAST(l_suppkey AS BIGINT) AS u,
+                  (round((CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS x1,
+                  (round(((CAST(sum(CAST(round(l_discount*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*10)*1e4)/1e4 + 0.0e0) AS x2
+                FROM lineitem GROUP BY 1 HAVING CAST(l_suppkey AS BIGINT) % 10 = 0),
+         it AS (SELECT CAST(l_partkey AS BIGINT) AS i,
+                  (round((CAST(sum(CAST(round(l_quantity*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS y1,
+                  (round(((CAST(sum(CAST(round(l_tax*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*10)*1e4)/1e4 + 0.0e0) AS y2
+                FROM lineitem GROUP BY 1),
+         sc AS (SELECT u.u, it.i,
+                  (round((u.x1*it.y1 + u.x2*it.y2)*1e4)/1e4 + 0.0e0) AS score
+                FROM u, it),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY u
+                  ORDER BY score DESC, i ASC) AS rank FROM sc)
+       SELECT u AS "user", i AS item, score, CAST(rank AS BIGINT) AS rank
+       FROM rk WHERE rank <= 3""",
     "q340_hyperparam_scoreboard" ->
       """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
                   l_suppkey, sum(l_quantity) AS qty_sum

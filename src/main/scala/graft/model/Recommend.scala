@@ -136,23 +136,117 @@ object Recommend {
       case Some(m) => userF.filter(pmod(col("u"), lit(m)) === 0)
       case None => userF
     }
-    val scored = scoreUsers.select(col("u"), col("f1").as("x1"), col("f2").as("x2"))
-      .crossJoin(broadcast(
-        itemF.select(col("i"), col("f1").as("y1"), col("f2").as("y2"))))
+    // r17: the scoring tail is the exact MIPS kernel, not the all-pairs
+    // crossJoin — the 10× scale probe measured the cross form at 12×
+    // wall for 10× data (users × items both scale, pairs scale 100×),
+    // while the norm-pruned scan only TOUCHES pairs whose rounded
+    // upper bound |x||y| can still enter the user's top-k. Output is
+    // bit-identical (same FP ops, same rounding, same tie contract) —
+    // R17OpsSpec pins row-for-row equality with the cross form, and
+    // the q283 oracle is unchanged.
+    mipsTopK(scoreUsers.select(col("u"), col("f1"), col("f2")),
+      itemF.select(col("i"), col("f1"), col("f2")), k, userCol, itemCol)
+  }
+
+  /** The pre-r17 all-pairs scoring tail, kept for the parity spec: score
+    * every (user, item) pair, bounded-heap top-k per user (score desc,
+    * id asc). Quadratic in entity count by construction. */
+  private[graft] def crossScoreTopK(users: DataFrame, items: DataFrame, k: Int,
+                                    userCol: String, itemCol: String): DataFrame =
+    users.toDF("u", "x1", "x2")
+      .crossJoin(broadcast(items.toDF("i", "y1", "y2")))
       .select(col("u"), col("i"),
         r(col("x1") * col("y1") + col("x2") * col("y2")).as("score"))
-    // top-k per user via the bounded-heap aggregate, NOT a rank window:
-    // the window form sorts every user's full item list map-side (even
-    // under WindowGroupLimit rank limiting is sort-based — measured
-    // 3.7s vs 1.5s warm at sf0.1 on the 15M-row scoring frame), while
-    // the aggregate ships at most k (score, id) pairs per user per
-    // partition. Order contract is identical: score desc, id asc —
-    // RecommendSpec pins row-for-row equality with the window form.
-    scored.groupBy(col("u"))
+      .groupBy(col("u"))
       .agg(graft.expr.TopKPairsExpr.column(col("score"), col("i"), k).as("__top"))
       .select(col("u"), posexplode(col("__top")))
       .select(col("u").as(userCol), col("col.id").as(itemCol),
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+
+  /** EXACT maximum-inner-product top-k (the LEMP/FEXIPRO norm-pruning
+    * pattern): items are broadcast sorted by norm descending, and each
+    * user's scan STOPS as soon as the rounded Cauchy–Schwarz bound
+    * r(|x|·|y_j|) falls below its current k-th score — no remaining
+    * item can beat the heap (r is monotone and score ≤ |x||y|). Same
+    * score arithmetic as the cross form (x·y rounded through
+    * RoundHalfUpExpr.compute at 1e4) and the same tie contract (score
+    * desc, id asc via java.lang.Double.compare, NaN above finite), so
+    * the result is row-for-row identical — only the touched-pair count
+    * changes: all n per user in the adversarial equal-norm worst case,
+    * a handful on real skewed-norm factor tables.
+    *
+    * One deliberate dimension-grain driver collect: the item factor
+    * table (one row per item — the PCA/MMR precedent class; ~24 B/item,
+    * so 10⁷ items ≈ 240 MB is the practical bound, far past any
+    * factorization's item side; a require pins 10⁶). */
+  def mipsTopK(users: DataFrame, items: DataFrame, k: Int,
+               userCol: String, itemCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val itemRows = items.toDF("i", "y1", "y2")
+      .select(col("i").cast("long"), col("y1").cast("double"),
+        col("y2").cast("double")).collect()
+    require(itemRows.length <= 1000000,
+      s"mipsTopK broadcasts the item table (${itemRows.length} rows) — " +
+        "past 1e6 items hand the factors to the ANN module instead")
+    val sorted = itemRows
+      .map(r0 => (r0.getLong(0), r0.getDouble(1), r0.getDouble(2)))
+      .sortBy { case (i, y1, y2) => (-math.sqrt(y1 * y1 + y2 * y2), i) }
+    val itemIds = sorted.map(_._1)
+    val itemY1 = sorted.map(_._2)
+    val itemY2 = sorted.map(_._3)
+    val itemNorm = sorted.map(t => math.sqrt(t._2 * t._2 + t._3 * t._3))
+    val spark = users.sparkSession
+    val bcIds = spark.sparkContext.broadcast(itemIds)
+    val bcY1 = spark.sparkContext.broadcast(itemY1)
+    val bcY2 = spark.sparkContext.broadcast(itemY2)
+    val bcNorm = spark.sparkContext.broadcast(itemNorm)
+    val outSchema = StructType(Seq(
+      StructField(userCol, LongType, nullable = false),
+      StructField(itemCol, LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    def r4(x: Double): Double =
+      graft.expr.RoundHalfUpExpr.compute(x * 1e4) / 1e4 + 0.0
+    // (score desc, id asc): a beats b?
+    def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c > 0 || (c == 0 && ia < ib)
+    }
+    users.toDF("u", "x1", "x2").mapPartitions { rows =>
+      val ids = bcIds.value; val y1 = bcY1.value; val y2 = bcY2.value
+      val nm = bcNorm.value
+      val n = ids.length
+      rows.flatMap { row =>
+        val u = row.getLong(0)
+        val x1 = row.getDouble(1); val x2 = row.getDouble(2)
+        val xn = math.sqrt(x1 * x1 + x2 * x2)
+        // insertion top-k (k is single digits): kept sorted best-first
+        val ks = new Array[Double](k); val ki = new Array[Long](k)
+        var m = 0
+        var j = 0
+        var done = false
+        while (j < n && !done) {
+          if (m == k && java.lang.Double.compare(r4(xn * nm(j)), ks(m - 1)) < 0)
+            done = true // no remaining item can enter the heap
+          else {
+            val s = r4(x1 * y1(j) + x2 * y2(j))
+            val id = ids(j)
+            if (m < k || beats(s, id, ks(m - 1), ki(m - 1))) {
+              var p = if (m < k) m else m - 1
+              while (p > 0 && beats(s, id, ks(p - 1), ki(p - 1))) {
+                ks(p) = ks(p - 1); ki(p) = ki(p - 1); p -= 1
+              }
+              ks(p) = s; ki(p) = id
+              if (m < k) m += 1
+            }
+            j += 1
+          }
+        }
+        (0 until m).map(p => Row(u, ki(p), ks(p), (p + 1).toLong))
+      }
+    }(enc)
   }
 
   /** Fully-oracle-comparable sequential-pattern twin for single-item

@@ -174,9 +174,18 @@ object AggFeatures {
     * (behavioral_features_engine.py:457-508; min support 5).
     */
   def coOccurrence(df: DataFrame, basketKey: Seq[String], item: String,
-                   minSupport: Long = 5): DataFrame = {
-    val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
-      .cache() // reused 4x below (pair join sides, basket count, item counts)
+                   minSupport: Long = 5): DataFrame =
+    coOccurrenceFromItems(
+      df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+        .cache(), // reused 4x below (pair join sides, basket count, item counts)
+      basketKey, minSupport)
+
+  /** [[coOccurrence]] over a pre-distincted (basketKey..., item) frame —
+    * the shared body that lets [[coOccurrenceAutoWithPath]] reuse the
+    * SAME cached frame its gate already materialized instead of
+    * re-scanning the fact. `items` must be distinct and cached. */
+  private def coOccurrenceFromItems(items: DataFrame, basketKey: Seq[String],
+                                    minSupport: Long): DataFrame = {
     val a = items.toDF((basketKey :+ "item_a"): _*)
     val b = items.toDF((basketKey :+ "item_b"): _*)
     // Total basket count as a 1-row agg cross-joined in (broadcast) — no
@@ -257,8 +266,13 @@ object AggFeatures {
     * its bound. One scalar collect per call (the same deliberate
     * driver action class as FP-Growth's own minSupport fraction). */
   def coOccurrencePath(df: DataFrame, basketKey: Seq[String], item: String,
-                       fatP99: Long = 64, fatMax: Long = 1024): String = {
-    val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+                       fatP99: Long = 64, fatMax: Long = 1024): String =
+    pathFromItems(
+      df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct(),
+      basketKey, fatP99, fatMax)
+
+  private def pathFromItems(items: DataFrame, basketKey: Seq[String],
+                            fatP99: Long, fatMax: Long): String = {
     val rep = graft.etl.Skew.keySkewReport(items, basketKey).head()
     val p99 = rep.getAs[Double]("p99_cnt")
     val mx = rep.getAs[Long]("max_cnt")
@@ -271,14 +285,21 @@ object AggFeatures {
     * (chosen path, result) — the path makes the decision pinnable in
     * specs; use [[coOccurrenceAuto]] when only the frame is wanted.
     * Output schema and values are path-independent (AggFeaturesSpec
-    * proves parity on real data AND on a fat corpus at the boundary). */
+    * proves parity on real data AND on a fat corpus at the boundary).
+    * Cost discipline: the distinct (basket, item) frame is built and
+    * cached ONCE — the gate's skew report materializes it, and the
+    * exact path's four reuses then hit the cache, so the gate adds one
+    * dim-grain aggregate to the plain-coOccurrence cost, not a second
+    * fact scan. */
   def coOccurrenceAutoWithPath(df: DataFrame, basketKey: Seq[String], item: String,
                                minSupport: Long = 5, fatP99: Long = 64,
                                fatMax: Long = 1024): (String, DataFrame) = {
-    val path = coOccurrencePath(df, basketKey, item, fatP99, fatMax)
+    val items = df.select((basketKey.map(col) :+ col(item).as("item")): _*).distinct()
+      .cache()
+    val path = pathFromItems(items, basketKey, fatP99, fatMax)
     val out = if (path == "fpgrowth")
       coOccurrenceFpGrowth(df, basketKey, item, minSupport)
-    else coOccurrence(df, basketKey, item, minSupport)
+    else coOccurrenceFromItems(items, basketKey, minSupport)
     (path, out)
   }
 

@@ -448,15 +448,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("portable ALS: scoring cross is a broadcast of the factor table, never cartesian") {
-    // the half-step joins are materialized behind localCheckpoints, so
-    // the FINAL plan is the scoring tail: query-user factors crossed
-    // with the broadcast entity-grain item-factor table + top-k window
+  test("portable ALS: scoring tail is the MIPS scan — no pair join of any kind") {
+    // r17: the half-step joins are materialized behind localCheckpoints
+    // and the scoring tail is the norm-pruned mipsTopK mapPartitions
+    // over the broadcast item array — the FINAL plan must contain NO
+    // join at all (the 12x-at-10x crossJoin form is retired; its shape
+    // is pinned separately via crossScoreTopK in the parity spec)
     val plan = SparkEntry.queries("q283_als_portable")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Join"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("MapPartitions"), plan)
   }
 
   test("portable sequential patterns: every pattern probe is an equi-join on key") {
@@ -532,15 +534,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("als portable: scoring top-k is the bounded-heap aggregate, not a window sort") {
+  test("als portable: scoring top-k never becomes a window sort") {
+    // r17: the tail is the MIPS kernel (per-user insertion top-k inside
+    // mapPartitions) — no rank window, no sort of scored item lists.
+    // The bounded-heap aggregate pin lives on in crossScoreTopK's
+    // RecommendSpec row-for-row test.
     val plan = SparkEntry.queries("q283_als_portable")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_topk_pairs"), plan)
-    // the rank-window form would sort every user's full scored item
-    // list map-side (WindowGroupLimit is sort-based); the aggregate
-    // ships at most k pairs per user per partition instead
     assert(!plan.contains("WindowGroupLimit"), plan)
-    assert(plan.contains("partial_graft_topk_pairs"), plan) // map-side combine
+    assert(!plan.contains("Window"), plan)
   }
 
   test("record linkage: pairs equi-join on the block key; the ratio frame broadcasts") {

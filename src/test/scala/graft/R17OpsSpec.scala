@@ -161,6 +161,27 @@ class R17OpsSpec extends SparkSpec {
     assert(salted.queryExecution.analyzed.toString.contains("__salt"))
   }
 
+  test("mipsTopK is row-for-row the all-pairs cross scoring tail (exact pruning)") {
+    // adversarial corners: equal norms (no pruning possible), exact
+    // score ties resolved by id, negative components, tiny k vs n
+    val rng = new scala.util.Random(11)
+    val users = (0 until 200).map(u => (u.toLong,
+      math.round((rng.nextDouble() * 4 - 2) * 1e4) / 1e4,
+      math.round((rng.nextDouble() * 4 - 2) * 1e4) / 1e4))
+      .toDF("u", "f1", "f2")
+    val items = ((0 until 300).map(i => (i.toLong,
+      math.round((rng.nextDouble() * 4 - 2) * 1e4) / 1e4,
+      math.round((rng.nextDouble() * 4 - 2) * 1e4) / 1e4)) ++
+      // equal-norm, equal-score tie block: items 1000-1004 all (1.0, 0)
+      (0 until 5).map(i => (1000L + i, 1.0, 0.0)))
+      .toDF("i", "f1", "f2")
+    val mips = graft.model.Recommend.mipsTopK(users, items, 5, "user", "item")
+    val cross = graft.model.Recommend.crossScoreTopK(users, items, 5, "user", "item")
+    assert(mips.count() == cross.count())
+    assert(mips.except(cross).isEmpty && cross.except(mips).isEmpty,
+      "MIPS pruning must not change a single row vs the exhaustive cross form")
+  }
+
   test("alsPortable clamps factors under degenerate/huge-rating solves") {
     // a near-singular 2x2 system with a gigantic rating: unclamped,
     // the solve inflates f into the next half-step's long sums (the
