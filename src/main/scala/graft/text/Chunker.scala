@@ -40,9 +40,16 @@ object Chunker {
     require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size")
     val stride = size - overlap
     val toks = split(trim(col(textCol)), "\\s+")
-    val nMinus1 = floor((greatest(size_(toks), lit(1)) - 1) / lit(stride)).cast("long")
-    df.select(col(idCol), toks.as("__toks"),
-      posexplode(sequence(lit(0L), nMinus1)))
+    // Stage the token array BELOW the generate: aliasing a computed
+    // column in the same select as posexplode plans that expression in
+    // a Project ABOVE the Generate, re-running the split once per chunk
+    // row instead of once per document (the QualityFilter.gopherFilter
+    // staging note — same analyzer behavior).
+    val nMinus1 = floor((greatest(size_(col("__toks")), lit(1)) - 1)
+      / lit(stride)).cast("long")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0L), nMinus1)))
       .select(col(idCol), col("col").as("chunk_id"),
         slice(col("__toks"), (col("col") * stride + 1).cast("int"), lit(size)).as("__ctoks"))
       .select(col(idCol), col("chunk_id"),

@@ -64,11 +64,14 @@ object ScaleProbe10x {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$work/$t.parquet")
 
-    // ---- the top-10 headline rows (r16 officials, most expensive) ----
+    // ---- the top-10 headline rows (r16 officials, most expensive),
+    // plus any extra query names passed as args(2..) — used to extend
+    // the evidence to new rows without re-probing the standing ten ----
     val probes = Seq(
       "q110_feature_store", "q283_als_portable", "q288_quality_classifier",
       "q138_curate", "q318_theil_sen", "q21_cooccurrence",
-      "q285_kmv_distinct", "q272_validation", "q312_boilerplate", "q147_bpe")
+      "q285_kmv_distinct", "q272_validation", "q312_boilerplate", "q147_bpe") ++
+      args.drop(2).toSeq
     val spine = Seq("q22_weekly_aggregate", "q40_rolling_stats", "q37_scorecard")
 
     def run(df: DataFrame): Unit =

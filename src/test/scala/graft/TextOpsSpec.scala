@@ -128,6 +128,52 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2)._2 == 0 && out(2)._5 == 0) // too short
   }
 
+  test("gopher filter fusion is bit-identical to the unfused stats+join composition") {
+    import graft.functions.Funcs.safeDiv
+    // corners: empty text, one word (no bigrams), heavy repetition,
+    // digit noise, a clean doc — plus the real sf0.001 corpus below
+    val corners = Seq(
+      (1L, ""), (2L, "word"), (3L, "a b a b a b a b a b a b"),
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12"),
+      (5L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    // the pre-r17 unfused composition, verbatim
+    def unfused(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val ws = graft.text.TextAnalysis.tokens(col("text"))
+      val nWords = size(ws)
+      val avgLen = safeDiv(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double"),
+        nWords.cast("double"))
+      val digitRatio = safeDiv(
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double"),
+        length(col("text")).cast("double"))
+      val rep = graft.text.Repetition.ngramRepetition(df, "doc_id", "text", 2)
+        .select(col("doc_id"), col("top_gram_char_frac"), col("dup_gram_char_frac"))
+      df.select(col("doc_id"), col("text"))
+        .withColumn("ok_words", (nWords >= 10 && nWords <= 1000).cast("int"))
+        .withColumn("ok_word_len", (avgLen >= 2.0 && avgLen <= 12.0).cast("int"))
+        .withColumn("ok_digit", (digitRatio < 0.2).cast("int"))
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("ok_top2",
+          (coalesce(col("top_gram_char_frac"), lit(0.0)) < 0.2).cast("int"))
+        .withColumn("ok_dup2",
+          (coalesce(col("dup_gram_char_frac"), lit(0.0)) < 0.4).cast("int"))
+        .withColumn("keep",
+          (col("ok_words") === 1 && col("ok_word_len") === 1 && col("ok_digit") === 1 &&
+            col("ok_top2") === 1 && col("ok_dup2") === 1).cast("int"))
+        .select(col("doc_id"), col("ok_words"), col("ok_word_len"), col("ok_digit"),
+          col("ok_top2"), col("ok_dup2"), col("keep"))
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (corpus <- Seq(corners, real)) {
+      val got = QualityFilter.gopherFilter(corpus, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val want = unfused(corpus).orderBy("doc_id").collect()
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
   test("bm25: term-dense short doc outranks sparse long doc; k respected") {
     val corpus = Seq(
       (1L, "spark spark shuffle"), // 2 hits of one query term, short
