@@ -2156,41 +2156,18 @@ object SparkEntry {
     // every prediction replays in DuckDB — the MLlib-GBT member family
     // runs through the SAME scoreboard via Tuning.gridSearchGbt
     // (rows-only class, pinned by TuningSpec's XOR-separation test)
-    "q340_hyperparam_scoreboard" -> ((s, d) => {
-      val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
-        Seq(col("l_suppkey")), col("l_quantity"))
-      val (lo, hi) = graft.cv.TimeSplits.dateBounds(li(s, d), col("l_shipdate"))
-      val folds = graft.cv.TimeSplits.walkForward(lo, hi,
-        initialTrainWeeks = 52, horizonWeeks = 4, stepWeeks = 26,
-        gapWeeks = 1, maxSplits = 3)
-      val foldDf = broadcast(graft.cv.TimeSplits.foldTable(s, folds))
-      // per (fold, supplier): trailing-w-day micro-int mean over the
-      // fold's train tail — each window length is one grid config
-      def mm(days: Int) = {
-        val inWin = col("week_start") >= date_sub(col("train_end"), days)
-        val cnt = sum(when(inWin, 1L).otherwise(0L))
-        when(cnt > 0,
-          r(sum(when(inWin, graft.expr.RoundHalfUpExpr.column(
-            col("qty_sum").cast("double") * lit(1e4)).cast("decimal(38,0)"))
-            .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / lit(1e4) / cnt))
-          .otherwise(lit(null).cast("double"))
-      }
-      val train = weekly.join(foldDf,
-        col("week_start") >= date_sub(col("train_end"), 56) &&
-          col("week_start") < col("train_end"))
-      val preds = train.groupBy(col("fold"), col("l_suppkey"))
-        .agg(mm(7).as("pw1"), mm(14).as("pw2"), mm(28).as("pw4"),
-          mm(56).as("pw8"))
-      val test = weekly.join(foldDf,
-        col("week_start") >= col("test_start") &&
-          col("week_start") < col("test_end"))
-        .select(col("fold"), col("l_suppkey"), col("qty_sum"))
-      val scored = test.join(preds, Seq("fold", "l_suppkey"))
-        .selectExpr("fold", "qty_sum",
-          "stack(4, 'w1', pw1, 'w2', pw2, 'w4', pw4, 'w8', pw8) AS (config, pred)")
-      graft.cv.Tuning.cvScoreboard(scored, col("config"), col("fold"),
-        col("qty_sum"), col("pred"))
-    }),
+    "q340_hyperparam_scoreboard" -> ((s, d) =>
+      graft.cv.Tuning.cvScoreboard(cvScored(s, d), col("config"), col("fold"),
+        col("qty_sum"), col("pred"))),
+    // The PRUNER half of the Optuna boundary (optuna.pruners in
+    // optimization_pipeline.py): successive halving over the SAME
+    // scored frame — round 0 ranks all four window configs on the
+    // first fold and keeps 2; round 1 ranks the survivors on all
+    // three folds and crowns the champion. The bracket is the literal
+    // Seq((1,2),(3,1)) so the oracle unrolls it as two CTE rounds.
+    "q350_successive_halving" -> ((s, d) =>
+      graft.cv.Tuning.successiveHalving(cvScored(s, d), col("config"),
+        col("fold"), col("qty_sum"), col("pred"), Seq(1 -> 2, 3 -> 1))),
     // Kendall tau-b + Goodman-Kruskal gamma per return flag over the
     // supplier grain (total qty vs mean discount) — the concordance
     // rank-association companion of q247's Spearman, with the
@@ -3338,6 +3315,45 @@ object SparkEntry {
         graft.functions.Funcs.microSum(abs(col("__a") - col("pred"))).as("__sad"),
         graft.functions.Funcs.microSum(abs(col("__a"))).as("__saa"))
       .withColumn("score", r(col("__sad") / (col("__saa") + lit(graft.functions.Funcs.Eps))))
+  }
+
+  /** The shared (config, fold, y, pred) frame behind q340/q350: the
+    * four trailing-mean forecasters (window w ∈ {1,2,4,8} weeks) scored
+    * on the q340 walk-forward folds — every prediction is micro-int
+    * arithmetic, so both the scoreboard and the halving bracket replay
+    * fully in DuckDB. */
+  private def cvScored(s: SparkSession, d: String): DataFrame = {
+    val weekly = Enrichment.weeklyAggregate(li(s, d), col("l_shipdate"),
+      Seq(col("l_suppkey")), col("l_quantity"))
+    val (lo, hi) = graft.cv.TimeSplits.dateBounds(li(s, d), col("l_shipdate"))
+    val folds = graft.cv.TimeSplits.walkForward(lo, hi,
+      initialTrainWeeks = 52, horizonWeeks = 4, stepWeeks = 26,
+      gapWeeks = 1, maxSplits = 3)
+    val foldDf = broadcast(graft.cv.TimeSplits.foldTable(s, folds))
+    // per (fold, supplier): trailing-w-day micro-int mean over the
+    // fold's train tail — each window length is one grid config
+    def mm(days: Int) = {
+      val inWin = col("week_start") >= date_sub(col("train_end"), days)
+      val cnt = sum(when(inWin, 1L).otherwise(0L))
+      when(cnt > 0,
+        r(sum(when(inWin, graft.expr.RoundHalfUpExpr.column(
+          col("qty_sum").cast("double") * lit(1e4)).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / lit(1e4) / cnt))
+        .otherwise(lit(null).cast("double"))
+    }
+    val train = weekly.join(foldDf,
+      col("week_start") >= date_sub(col("train_end"), 56) &&
+        col("week_start") < col("train_end"))
+    val preds = train.groupBy(col("fold"), col("l_suppkey"))
+      .agg(mm(7).as("pw1"), mm(14).as("pw2"), mm(28).as("pw4"),
+        mm(56).as("pw8"))
+    val test = weekly.join(foldDf,
+      col("week_start") >= col("test_start") &&
+        col("week_start") < col("test_end"))
+      .select(col("fold"), col("l_suppkey"), col("qty_sum"))
+    test.join(preds, Seq("fold", "l_suppkey"))
+      .selectExpr("fold", "qty_sum",
+        "stack(4, 'w1', pw1, 'w2', pw2, 'w4', pw4, 'w8', pw8) AS (config, pred)")
   }
 
   /** Target mix for q131: five named sources get explicit weights (the
@@ -8119,6 +8135,85 @@ object SparkEntry {
          SELECT config, n_folds, cv_wmape, rank,
                 CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_champion
          FROM rk""",
+    // q350: the same scored frame, the halving bracket unrolled — one
+    // CTE pair per round (prefix-budget mean + rank), survivors joined
+    // into the next round exactly as Tuning.successiveHalving chains
+    "q350_successive_halving" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+                  l_suppkey, sum(l_quantity) AS qty_sum
+                FROM lineitem GROUP BY 1, 2),
+         g AS (SELECT min(CAST(l_shipdate AS DATE)) mn, max(CAST(l_shipdate AS DATE)) mx
+               FROM lineitem),
+         f AS (SELECT CAST(i AS INT) AS fold,
+                 mn + CAST((52 + i*26)*7 AS INT) AS train_end,
+                 mn + CAST((52 + i*26)*7 + 7 AS INT) AS test_start,
+                 mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) AS test_end
+               FROM g, range(0, 3) r(i)
+               WHERE mn + CAST((52 + i*26)*7 + 7 + 28 AS INT) <= mx + 1),
+         tr AS (SELECT f.fold, w.l_suppkey, w.week_start, w.qty_sum, f.train_end
+                FROM wk w JOIN f ON w.week_start >= f.train_end - 56
+                  AND w.week_start < f.train_end),
+         pr AS (SELECT fold, l_suppkey,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 7 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 7
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 7 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw1,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 14 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 14
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 14 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw2,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 28 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 28
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 28 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw4,
+                  CASE WHEN sum(CASE WHEN week_start >= train_end - 56 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(sum(CASE WHEN week_start >= train_end - 56
+                           THEN CAST(round(qty_sum*1e4) AS BIGINT) ELSE 0 END) AS DOUBLE)/1e4
+                         / sum(CASE WHEN week_start >= train_end - 56 THEN 1 ELSE 0 END)*1e4)/1e4 + 0.0e0
+                    ELSE NULL END AS pw8
+                FROM tr GROUP BY 1, 2),
+         te AS (SELECT f.fold, w.l_suppkey, w.qty_sum
+                FROM wk w JOIN f ON w.week_start >= f.test_start
+                  AND w.week_start < f.test_end),
+         base AS (SELECT t.fold, t.qty_sum AS y, p.pw1, p.pw2, p.pw4, p.pw8
+                  FROM te t JOIN pr p USING (fold, l_suppkey)),
+         sc AS (SELECT fold, 'w1' AS config, y, pw1 AS pred FROM base
+                UNION ALL SELECT fold, 'w2', y, pw2 FROM base
+                UNION ALL SELECT fold, 'w4', y, pw4 FROM base
+                UNION ALL SELECT fold, 'w8', y, pw8 FROM base),
+         pf AS (SELECT config, fold,
+                  CAST(sum(CAST(round(abs(y - pred)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS sae,
+                  CAST(sum(CAST(round(abs(y)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS say
+                FROM sc WHERE y IS NOT NULL AND pred IS NOT NULL
+                GROUP BY 1, 2),
+         fw AS (SELECT config, fold, (round(sae/say*1e4)/1e4 + 0.0e0) AS fold_wmape
+                FROM pf WHERE say > 0),
+         r0 AS (SELECT config, count(*) AS n_folds,
+                  (round((CAST(sum(CAST(round(fold_wmape*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS cv_wmape
+                FROM fw WHERE fold < 1 GROUP BY 1),
+         r0b AS (SELECT CAST(0 AS INT) AS "round", config, CAST(1 AS INT) AS budget_folds,
+                   n_folds, cv_wmape,
+                   CAST(row_number() OVER (ORDER BY cv_wmape, config) AS BIGINT) AS rank
+                 FROM r0),
+         r0s AS (SELECT *, CAST(CASE WHEN rank <= 2 THEN 1 ELSE 0 END AS BIGINT) AS survived
+                 FROM r0b),
+         r1 AS (SELECT w.config, count(*) AS n_folds,
+                  (round((CAST(sum(CAST(round(w.fold_wmape*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0)*1e4)/1e4 + 0.0e0) AS cv_wmape
+                FROM fw w JOIN r0s s ON w.config = s.config AND s.survived = 1
+                WHERE w.fold < 3 GROUP BY 1),
+         r1b AS (SELECT CAST(1 AS INT) AS "round", config, CAST(3 AS INT) AS budget_folds,
+                   n_folds, cv_wmape,
+                   CAST(row_number() OVER (ORDER BY cv_wmape, config) AS BIGINT) AS rank
+                 FROM r1),
+         r1s AS (SELECT *, CAST(CASE WHEN rank <= 1 THEN 1 ELSE 0 END AS BIGINT) AS survived
+                 FROM r1b),
+         ub AS (SELECT * FROM r0s UNION ALL SELECT * FROM r1s)
+         SELECT "round", config, budget_folds, n_folds, cv_wmape, rank, survived,
+                CAST(CASE WHEN "round" = 1 AND rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_champion
+         FROM ub""",
     "q328_kendall_tau" ->
       """WITH pts AS (
            SELECT l_returnflag,

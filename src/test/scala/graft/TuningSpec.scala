@@ -45,4 +45,51 @@ class TuningSpec extends SparkSpec {
     assert(math.abs(scored(0) - 100.0) < 20 && math.abs(scored(1) - 10.0) < 20,
       scored.toSeq.toString)
   }
+
+  // planted fold WMAPEs: A = (0.1, 0.5), B = (0.2, 0.2), C = (0.3, _).
+  // Round 0 (first fold, keep 2) ranks A < B < C and drops C; round 1
+  // (both folds, keep 1) crowns B (mean 0.2) over A (mean 0.3).
+  private def shaScored = Seq(
+    ("A", 0, 10.0, 9.0), ("A", 1, 10.0, 5.0),
+    ("B", 0, 10.0, 8.0), ("B", 1, 10.0, 8.0),
+    ("C", 0, 10.0, 7.0), ("C", 1, 10.0, 10.0))
+    .toDF("config", "fold", "y", "pred")
+
+  test("successive halving: early-fold elimination, later-fold champion flip") {
+    val out = Tuning.successiveHalving(shaScored, col("config"), col("fold"),
+      col("y"), col("pred"), Seq(1 -> 2, 2 -> 1))
+      .orderBy("round", "rank")
+      .as[(Int, String, Int, Long, Double, Long, Long, Long)].collect()
+    // round 0: all three on fold 0 only
+    assert(out.take(3).map(r => (r._2, r._5, r._6, r._7)).toSeq ==
+      Seq(("A", 0.1, 1L, 1L), ("B", 0.2, 2L, 1L), ("C", 0.3, 3L, 0L)))
+    assert(out.take(3).forall(r => r._1 == 0 && r._3 == 1 && r._4 == 1L && r._8 == 0L))
+    // round 1: C is GONE; B's two-fold mean beats A's — the flip SHA
+    // is built to allow; champion flag only here
+    val r1 = out.drop(3)
+    assert(r1.map(_._2).toSeq == Seq("B", "A"))
+    assert(r1.map(r => (r._5, r._6, r._7, r._8)).toSeq ==
+      Seq((0.2, 1L, 1L, 1L), (0.3, 2L, 0L, 0L)))
+    assert(r1.forall(r => r._1 == 1 && r._3 == 2 && r._4 == 2L))
+  }
+
+  test("single-round bracket reproduces the cvScoreboard ranking") {
+    val sha = Tuning.successiveHalving(shaScored, col("config"), col("fold"),
+      col("y"), col("pred"), Seq(2 -> 1))
+      .select("config", "n_folds", "cv_wmape", "rank").orderBy("rank")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val board = Tuning.cvScoreboard(shaScored, col("config"), col("fold"),
+      col("y"), col("pred"))
+      .select("config", "n_folds", "cv_wmape", "rank").orderBy("rank")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(sha == board)
+  }
+
+  test("shaSchedule: geometric budgets, final full-budget round, saturation collapse") {
+    assert(Tuning.shaSchedule(4, 3) == Seq((1, 2), (3, 1)))
+    assert(Tuning.shaSchedule(8, 10, eta = 2) == Seq((1, 4), (2, 2), (10, 1)))
+    // every budget saturates at 1 fold: collapses to one round, keep 1
+    assert(Tuning.shaSchedule(4, 1) == Seq((1, 1)))
+    assert(Tuning.shaSchedule(1, 5) == Seq((5, 1)))
+  }
 }
