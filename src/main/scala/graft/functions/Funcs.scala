@@ -62,33 +62,89 @@ object Funcs {
     graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(p)) / lit(p) + lit(0.0)
   }
 
+  /** Exactness bound for the guarded-long micro sums: when
+    * n·max|v| < 2^62 the TRUE sum lies inside ±2^62, and a two's-
+    * complement long accumulation equals the true sum no matter how
+    * partial aggregation ordered or wrapped the intermediates (modular
+    * arithmetic: the final residue mod 2^64 of a value inside ±2^63 IS
+    * the value). 4.0e18 < 2^62·... is the round double constant used
+    * for the compare (2^62 ≈ 4.61e18; the slack absorbs the double
+    * compare itself). */
+  private val ExactLongBound = 4.0e18
+
+  /** Quantized micro-int as a LONG with decimal-cast-identical null
+    * semantics: NaN → NULL (decimal(38,0) cast of NaN is NULL — sum
+    * skips it either way). Values beyond ±2^63 saturate the long cast,
+    * drive max|v| to 2^63 and trip the [[ExactLongBound]] guard — a
+    * LOUD raise_error where decimal(38,0) kept summing; no 4dp-grid
+    * operator in the engine is within 10^4 of that regime (it needs
+    * |x| > 9·10^14 on the 1e-4 grid). */
+  private def microLong(scaled: Column): Column =
+    when(isnan(scaled), lit(null)).otherwise(scaled).cast("long")
+
+  /** The guarded exact-long sum: long-speed aggregation buffers (a
+    * decimal(38,0) buffer exceeds UnsafeRow's 18-digit compact-long
+    * slot, so EVERY update pays a serialized-BigDecimal detour —
+    * measured ~330 ns/update vs ~30 ns for the long+max+count triple;
+    * the q272 wide aggregate dropped 2.78 → 1.23 s at sf0.1) with the
+    * overflow case failing loudly instead of wrapping (the r16 ADVICE
+    * contract for long accumulators). Oracle twins are unchanged: the
+    * long sum is bit-equal to the HUGEINT/decimal sum whenever the
+    * guard admits it. */
+  private def guardedLongSum(l: Column, outScale: Double, what: String): Column = {
+    val s = sum(l); val g = max(abs(l)); val n = count(l)
+    when(g.isNull, lit(null).cast("double"))
+      .when(n.cast("double") * g.cast("double") < lit(ExactLongBound),
+        s.cast("double") / lit(outScale))
+      .otherwise(raise_error(lit(
+        s"$what: group sum exceeds the exact-long bound (n*max|v| >= 2^62); " +
+          "use the decimal variant for this magnitude regime")).cast("double"))
+  }
+
   /** Exact mean of a 4dp-grid column: quantize each value to the 1e-4
-    * grid once (round(x·1e4) as a micro-int), accumulate exactly in
-    * decimal(38,0), divide back once. Partial-aggregation-order
-    * independent where a raw `avg()` of doubles can land one
-    * 4th-decimal ulp apart across partial orders at a rounding
-    * knife-edge (the Theta/q221 class). For off-grid inputs this is
-    * the exact mean of the quantized series — the repo-wide
-    * determinism convention. Oracle twin:
+    * grid once (round(x·1e4) as a micro-int), accumulate exactly
+    * (guarded long — see [[guardedLongSum]]), divide back once.
+    * Partial-aggregation-order independent where a raw `avg()` of
+    * doubles can land one 4th-decimal ulp apart across partial orders
+    * at a rounding knife-edge (the Theta/q221 class). For off-grid
+    * inputs this is the exact mean of the quantized series — the
+    * repo-wide determinism convention. Oracle twin:
     * `CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0`. */
   def microMean(c: Column): Column =
-    sum(graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))
-      .cast("decimal(38,0)")).cast("double") / lit(1e4) / count(lit(1)) + lit(0.0)
+    guardedLongSum(microLong(
+      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
+      1e4, "microMean") / count(lit(1)) + lit(0.0)
 
-  /** Exact sum of a 4dp-grid column via micro-int accumulation in
-    * decimal(38,0) — the summand of [[microMean]], shared by every
+  /** Exact sum of a 4dp-grid column via guarded-long micro-int
+    * accumulation — the summand of [[microMean]], shared by every
     * operator that needs partial-aggregation-order-independent error
-    * sums. Oracle twin: `CAST(sum(CAST(round(x*1e4) AS HUGEINT)) AS
-    * DOUBLE)/1e4`. */
+    * sums. Exact for |x| up to 9·10^14 with the group bound
+    * n·max|round(x·1e4)| < 2^62 (overflow raises — see
+    * [[guardedLongSum]]). Oracle twin: `CAST(sum(CAST(round(x*1e4) AS
+    * HUGEINT)) AS DOUBLE)/1e4`. */
   def microSum(c: Column): Column =
+    guardedLongSum(microLong(
+      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
+      1e4, "microSum")
+
+  /** Exact sum of squares of a 4dp-grid column (squares quantized to
+    * the 1e-8 grid; guarded long — per-row |x| up to ~3·10^5 and the
+    * n·max bound, overflow raises). Oracle twin:
+    * `CAST(sum(CAST(round(x*x*1e8) AS HUGEINT)) AS DOUBLE)/1e8`. */
+  def microSumSq(c: Column): Column =
+    guardedLongSum(microLong(
+      graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))),
+      1e8, "microSumSq")
+
+  /** decimal(38,0) twins for magnitude regimes the exact-long guard
+    * cannot admit (high-scale quantizations like the r³/r⁴ power sums
+    * at 1e12, whose PER-ROW micro-int already brushes 2^63): the
+    * pre-r17 accumulators, kept verbatim. */
+  def microSumDec(c: Column): Column =
     sum(graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))
       .cast("decimal(38,0)")).cast("double") / lit(1e4)
 
-  /** Exact sum of squares of a 4dp-grid column (squares quantized to
-    * the 1e-8 grid; decimal(38,0) leaves ~30 integer digits of
-    * headroom). Oracle twin: `CAST(sum(CAST(round(x*x*1e8) AS
-    * HUGEINT)) AS DOUBLE)/1e8`. */
-  def microSumSq(c: Column): Column =
+  def microSumSqDec(c: Column): Column =
     sum(graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))
       .cast("decimal(38,0)")).cast("double") / lit(1e8)
 

@@ -88,10 +88,26 @@ object Validation {
       microSum(when(col("__rprev").isNotNull, col("__r")).otherwise(lit(null)))
         .as("__spx"),
       microSum(col("__rprev")).as("__spy"),
-      (sum(when(col("__rprev").isNotNull,
-        graft.expr.RoundHalfUpExpr.column(col("__r") * lit(1e4)).cast("decimal(38,0)") *
-          graft.expr.RoundHalfUpExpr.column(col("__rprev") * lit(1e4)).cast("decimal(38,0)"))
-        .otherwise(lit(null))).cast("double") / lit(1e8)).as("__spxy"),
+      // lag-1 cross product as guarded exact longs: per-row |l1·l2| ≤
+      // max|l1|·max|l2|, so n·max|l1|·max|l2| < 2^62 bounds the true
+      // sum AND proves no per-row product wrapped — same two's-
+      // complement exactness argument as Funcs.guardedLongSum, with the
+      // pairwise bound replacing max|v| (overflow raises loudly; the
+      // decimal form this replaces is bit-equal whenever the guard
+      // admits).
+      {
+        val l1 = graft.expr.RoundHalfUpExpr.column(col("__r") * lit(1e4)).cast("long")
+        val l2 = graft.expr.RoundHalfUpExpr.column(col("__rprev") * lit(1e4)).cast("long")
+        val s = sum(when(col("__rprev").isNotNull, l1 * l2).otherwise(lit(null)))
+        val g1 = max(when(col("__rprev").isNotNull, abs(l1)))
+        val g2 = max(abs(l2))
+        val n = sum(when(col("__rprev").isNotNull, 1L).otherwise(0L))
+        when(g1.isNull || g2.isNull, lit(null).cast("double"))
+          .when(n.cast("double") * g1.cast("double") * g2.cast("double") < lit(4.0e18),
+            s.cast("double") / lit(1e8))
+          .otherwise(raise_error(lit(
+            "validateModel lag-1 product: exact-long bound exceeded")).cast("double"))
+      }.as("__spxy"),
       microSumSq(when(col("__rprev").isNotNull, col("__r")).otherwise(lit(null)))
         .as("__spxx"),
       microSumSq(col("__rprev")).as("__spyy"),
