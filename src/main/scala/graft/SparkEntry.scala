@@ -3147,9 +3147,9 @@ object SparkEntry {
         .withColumn("pred", r(lag(col("qty_sum"), 1).over(w)))
         .withColumn("unc", r(abs(lag(col("qty_sum"), 1).over(w) -
           lag(col("qty_sum"), 2).over(w))))
-        .withColumn("tgt", r(sum(round(col("qty_sum") * lit(1e4), 0)
-          .cast("decimal(38,0)")).over(wAll).cast("double") / lit(1e4) /
-          count(lit(1)).over(wAll)))
+        .withColumn("tgt", r(graft.functions.Funcs.guardedLongSumOver(
+          round(col("qty_sum") * lit(1e4), 0).cast("long"), 1e4, wAll,
+          "q268 tgt") / count(lit(1)).over(wAll)))
         .filter(col("unc").isNotNull)
       graft.metrics.Diagnostics.qualityScorecard(t, Seq("l_suppkey"),
         col("qty_sum"), col("pred"), col("unc"), col("tgt"),
@@ -3201,9 +3201,9 @@ object SparkEntry {
       val t = weekly
         .withColumn("__naive", r(lag(col("qty_sum"), 1).over(w)))
         .withColumn("__snaive", r(lag(col("qty_sum"), 13).over(w)))
-        .withColumn("__smean", r(sum(round(col("qty_sum") * lit(1e4), 0)
-          .cast("decimal(38,0)")).over(wAll).cast("double") / lit(1e4) /
-          count(lit(1)).over(wAll)))
+        .withColumn("__smean", r(graft.functions.Funcs.guardedLongSumOver(
+          round(col("qty_sum") * lit(1e4), 0).cast("long"), 1e4, wAll,
+          "q271 smean") / count(lit(1)).over(wAll)))
         .withColumn("__nw", count(lit(1)).over(wAll))
         .withColumn("scenario", when(col("__nw") >= 40, "long")
           .when(col("__nw") >= 20, "mid").otherwise("short"))
@@ -3336,9 +3336,10 @@ object SparkEntry {
       val inWin = col("week_start") >= date_sub(col("train_end"), days)
       val cnt = sum(when(inWin, 1L).otherwise(0L))
       when(cnt > 0,
-        r(sum(when(inWin, graft.expr.RoundHalfUpExpr.column(
-          col("qty_sum").cast("double") * lit(1e4)).cast("decimal(38,0)"))
-          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / lit(1e4) / cnt))
+        r(graft.functions.Funcs.microSumPre(when(inWin,
+          graft.expr.RoundHalfUpExpr.column(
+            col("qty_sum").cast("double") * lit(1e4))).otherwise(lit(0.0)),
+          1e4) / cnt))
         .otherwise(lit(null).cast("double"))
     }
     val train = weekly.join(foldDf,

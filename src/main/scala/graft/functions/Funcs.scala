@@ -136,6 +136,57 @@ object Funcs {
       graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))),
       1e8, "microSumSq")
 
+  /** Guarded exact-long sum at an arbitrary quantization scale (the
+    * generalized [[microSum]] — same bound, same loud overflow). */
+  def microSumScaled(c: Column, scale: Double): Column =
+    guardedLongSum(microLong(
+      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(scale))),
+      scale, "microSumScaled")
+
+  /** Guarded exact-long sum of a PAIRWISE PRODUCT of quantized factors:
+    * per-group bound n·max|la|·max|lb| < 2^62 covers both the true-sum
+    * magnitude and every per-row product (|la·lb| ≤ max|la|·max|lb|),
+    * so neither the row multiply nor the accumulation can wrap
+    * unnoticed — the Validation lag-1 cross-product device, shared. */
+  def microSumProd(a: Column, sa: Double, b: Column, sb: Double): Column = {
+    val la = microLong(graft.expr.RoundHalfUpExpr.column(a.cast("double") * lit(sa)))
+    val lb = microLong(graft.expr.RoundHalfUpExpr.column(b.cast("double") * lit(sb)))
+    val prod = la * lb
+    val s = sum(prod); val ga = max(abs(la)); val gb = max(abs(lb))
+    val n = count(prod)
+    when(ga.isNull || gb.isNull, lit(null).cast("double"))
+      .when(n.cast("double") * ga.cast("double") * gb.cast("double") < lit(ExactLongBound),
+        s.cast("double") / lit(sa * sb))
+      .otherwise(raise_error(lit(
+        "microSumProd: group sum exceeds the exact-long bound (n*max|a|*max|b| >= 2^62); " +
+          "use a decimal form for this magnitude regime")).cast("double"))
+  }
+
+  /** Guarded exact-long sum over an ALREADY QUANTIZED micro-int
+    * column (still a double at this point — NaN maps to NULL exactly
+    * like the decimal(38,0) cast it replaces). For call sites whose
+    * quantization expression is not of the `c·scale` form (e.g.
+    * `round(1e6/x)` — a single division, where `(1.0/x)·1e6` could
+    * land one ulp away at a half-up knife-edge). */
+  def microSumPre(scaled: Column, outScale: Double): Column =
+    guardedLongSum(microLong(scaled), outScale, "microSumPre")
+
+  /** Window twin of the guarded exact-long sum, over an ALREADY
+    * QUANTIZED micro-int long column (callers own the rounding idiom —
+    * round() vs graft_round_half_up — so the quantized value is
+    * bit-identical to what their decimal form summed). */
+  def guardedLongSumOver(l: Column, outScale: Double,
+                         w: org.apache.spark.sql.expressions.WindowSpec,
+                         what: String): Column = {
+    val s = sum(l).over(w); val g = max(abs(l)).over(w); val n = count(l).over(w)
+    when(g.isNull, lit(null).cast("double"))
+      .when(n.cast("double") * g.cast("double") < lit(ExactLongBound),
+        s.cast("double") / lit(outScale))
+      .otherwise(raise_error(lit(
+        s"$what: window sum exceeds the exact-long bound (n*max|v| >= 2^62)"))
+        .cast("double"))
+  }
+
   /** decimal(38,0) twins for magnitude regimes the exact-long guard
     * cannot admit (high-scale quantizations like the r³/r⁴ power sums
     * at 1e12, whose PER-ROW micro-int already brushes 2^63): the

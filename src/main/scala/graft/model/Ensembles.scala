@@ -73,11 +73,9 @@ object Ensembles {
         Seq(col("model"), col("weight")): _*)), scenarioCols :+ "model")
     joined.groupBy(keys: _*)
       .agg(
-        (sum(graft.expr.RoundHalfUpExpr.column(col("weight") * lit(1e6)).cast("decimal(38,0)") *
-          graft.expr.RoundHalfUpExpr.column(col("__p") * lit(1e4)).cast("decimal(38,0)"))
-          .cast("double") / lit(1e10)).as("__num"),
-        (sum(graft.expr.RoundHalfUpExpr.column(col("weight") * lit(1e6)).cast("decimal(38,0)"))
-          .cast("double") / lit(1e6)).as("__den"),
+        graft.functions.Funcs.microSumProd(col("weight"), 1e6, col("__p"), 1e4)
+          .as("__num"),
+        graft.functions.Funcs.microSumScaled(col("weight"), 1e6).as("__den"),
         count(lit(1)).as("n_models"))
       // degenerate all-zero-weight rows (every present model's weight
       // rounds to 0 on the 1e-6 grid) emit an explicit NULL, not NaN

@@ -92,12 +92,18 @@ object QuantileReg {
       r(when(resid > 0, tau / scale).otherwise((lit(1.0) - tau) / scale))
     }
 
-    // round 0: unit weights = the plain OLS start
-    val init = solve(base, lit(1.0))
+    // round 0: unit weights = the plain OLS start. Each round's state
+    // (one (a, b) row per (group, tau) — broadcast-sized by the same
+    // assumption broadcast(state) already makes) is eagerly
+    // checkpointed so round k is planned against a LEAF, not the
+    // k-deep join/aggregate tree: without this, every action re-plans
+    // and re-codegens the full nested tree and the per-round marginal
+    // is dominated by the driver, not the 2x2 solve (QrProbe r17).
+    val init = solve(base, lit(1.0)).localCheckpoint(true)
     val fitted = (1 to iters).foldLeft(init) { (state, _) =>
       val joined = base.join(broadcast(state), keys)
       val resid = col("__y") - col("__a") - col("__b") * col("__x")
-      solve(joined, weight(col("tau"), resid))
+      solve(joined, weight(col("tau"), resid)).localCheckpoint(true)
     }
     val scored = base.join(broadcast(fitted), keys)
       .withColumn("__r", col("__y") - col("__a") - col("__b") * col("__x"))

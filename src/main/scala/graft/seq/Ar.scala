@@ -177,10 +177,9 @@ object Ar {
     // the 1e-8 grid: sum exact micro²-longs in decimal and divide back
     // once — a raw double avg would be partial-agg-order dependent (the
     // Theta knife-edge class)
-    val sq = (col("__y") - col("__fit")) * (col("__y") - col("__fit"))
     val sig = resid.groupBy(key: _*)
-      .agg(r(sum(graft.expr.RoundHalfUpExpr.column(sq * 1e8).cast("decimal(38,0)")).cast("double")
-        / lit(1e8) / count(lit(1))).as("__s2"))
+      .agg(r(graft.functions.Funcs.microSumSq(col("__y") - col("__fit"))
+        / count(lit(1))).as("__s2"))
     val w = Window.partitionBy(key: _*).orderBy(ord.map(_.desc): _*)
     val lastVals = indexed.withColumn("__rd", row_number().over(w))
       .groupBy(key: _*)

@@ -62,11 +62,10 @@ import graft.functions.Funcs.{microMean, r}
 object Champion {
 
   /** Exact SSE of a 4dp-grid residual column: square → 1e-8 grid →
-    * decimal(38,0) sum → one division back (Ar.forecastIntervals σ²
-    * convention), rounded at emit. */
+    * guarded exact-long sum → one division back (Ar.forecastIntervals
+    * σ² convention), rounded at emit. */
   private def sqSum(resid: Column): Column =
-    r(sum(graft.expr.RoundHalfUpExpr.column(resid * resid * lit(1e8)).cast("decimal(38,0)"))
-      .cast("double") / lit(1e8))
+    r(graft.functions.Funcs.microSumSq(resid))
 
   /** Shared member machinery: the eight family members' AIC scoreboard
     * (keys..., model, __mrank, aic) and their h-step forecast union

@@ -435,8 +435,7 @@ object OrderSearch {
       col(valueCol).cast("double") - lag(col(valueCol).cast("double"), m).over(w))
       .filter(col("__sd").isNotNull)
     val sqSum = (resid: Column) =>
-      r(sum(graft.expr.RoundHalfUpExpr.column(resid * resid * lit(1e8)).cast("decimal(38,0)"))
-        .cast("double") / lit(1e8))
+      r(graft.functions.Funcs.microSumSq(resid))
     val sariScore = Ar.fitted(sd, keyCols, ordCols, "__sd")
       .filter(col("ar_fitted").isNotNull)
       .withColumn("__res", col("__sd") - col("ar_fitted"))

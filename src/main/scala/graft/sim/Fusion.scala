@@ -35,8 +35,8 @@ object Fusion {
       .reduce(_ unionByName _)
     uni.groupBy(col(queryCol), col(docCol))
       .agg(
-        (sum(graft.expr.RoundHalfUpExpr.column(lit(1e6) / (lit(k0) + col(rankCol))).cast("decimal(38,0)"))
-          .cast("double") / lit(1e6)).as("rrf_score"),
+        graft.functions.Funcs.microSumPre(graft.expr.RoundHalfUpExpr.column(
+          lit(1e6) / (lit(k0) + col(rankCol))), 1e6).as("rrf_score"),
         count(lit(1)).as("n_rankers"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryCol))
