@@ -57,9 +57,12 @@ object BiasAnalysis {
                      pred: Column,
                      exactPercentile: Option[Boolean] = None): DataFrame = {
     val keys = groupCols.map(col)
+    // same shared-materialization trade as systematicBias: the
+    // threshold aggregate and the segment join-back both consume pre
     val pre = df.select(keys ++ Seq(r(actual).as("__a"), r(pred).as("__p")): _*)
       .withColumn("__e", r(col("__a") - col("__p")))
       .withColumn("__pe", r(abs(col("__e")) / (abs(col("__a")) + lit(1e-8)) * lit(100.0)))
+      .localCheckpoint(true)
     val th = pre.groupBy(keys: _*).agg(
       r(pct(col("__a"), 0.33, exactPercentile)).as("__t33"),
       r(pct(col("__a"), 0.67, exactPercentile)).as("__t67"))
@@ -125,9 +128,16 @@ object BiasAnalysis {
                      exactMedian: Option[Boolean] = None): DataFrame = {
     val keys = groupCols.map(col)
     val dimNames = dims.map(_._1)
+    // narrow (keys, dims, e, a) projection materialized ONCE: the
+    // GROUPING-SETS pass and the signed-rank pass are separate
+    // consumers, and without the checkpoint each re-runs the caller's
+    // full input lineage (q278 feeds a fact-wide window — measured as
+    // the whole scan+sort+window twice; guide §2.4's "shared exchange"
+    // argument, realized as a shared materialization)
     val pre = df.select(keys ++
       dims.map { case (n, c) => c.cast("string").as(n) } ++
       Seq(r(actual - pred).as("__e"), r(actual).as("__a")): _*)
+      .localCheckpoint(true)
 
     // ---- one pass: overall + per-dimension grains via GROUPING SETS
     val aggs = Seq(
