@@ -37,9 +37,9 @@ object Cleaning {
     */
   def quantileRangeFilter(c: String, lo: Double = 0.01, hi: Double = 0.99,
                           exact: Option[Boolean] = None)(df: DataFrame): DataFrame = {
-    val b = df.agg(
-      graft.functions.Funcs.pct(col(c), lo, exact).as("__lo"),
-      graft.functions.Funcs.pct(col(c), hi, exact).as("__hi"))
+    val b = df.agg(graft.functions.Funcs.pctArray(col(c), Seq(lo, hi), exact)
+        .as("__b"))
+      .select(col("__b").getItem(0).as("__lo"), col("__b").getItem(1).as("__hi"))
     df.join(broadcast(b))
       .filter(col(c).between(col("__lo"), col("__hi")))
       .drop("__lo", "__hi")
@@ -151,9 +151,13 @@ object Cleaning {
                   out: String = "robust_z"): DataFrame = {
     import graft.functions.Funcs
     val w = Window.partitionBy(keys: _*)
-    val med = Funcs.pct(value, 0.5).over(w)
-    val iqr = Funcs.pct(value, 0.75).over(w) - Funcs.pct(value, 0.25).over(w)
-    df.withColumn(out, Funcs.safeDiv(value - med, iqr))
+    // r17: the three quantiles share one array-percentile window
+    // function (one value->count buffer per partition, one sort)
+    // instead of three independent ones
+    df.withColumn("__q", Funcs.pctArray(value, Seq(0.5, 0.25, 0.75)).over(w))
+      .withColumn(out, Funcs.safeDiv(value - col("__q").getItem(0),
+        col("__q").getItem(2) - col("__q").getItem(1)))
+      .drop("__q")
   }
 
   /** Expectation-suite style rule report: each rule is a named boolean

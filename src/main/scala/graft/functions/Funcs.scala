@@ -224,4 +224,15 @@ object Funcs {
       .conf.get(ExactPercentilesConf, "true").toBoolean)
     if (ex) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
   }
+
+  /** Array form of [[pct]]: N percentiles of the same column share ONE
+    * aggregation buffer (value→count map + one sort) instead of N
+    * independent ones — same exact/approx switch, same per-quantile
+    * values as N separate calls. */
+  def pctArray(c: Column, ps: Seq[Double], exact: Option[Boolean] = None): Column = {
+    val ex = exact.getOrElse(org.apache.spark.sql.SparkSession.active
+      .conf.get(ExactPercentilesConf, "true").toBoolean)
+    val arr = array(ps.map(lit): _*)
+    if (ex) percentile(c, arr) else percentile_approx(c, arr, lit(10000))
+  }
 }

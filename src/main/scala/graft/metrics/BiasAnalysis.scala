@@ -64,8 +64,10 @@ object BiasAnalysis {
       .withColumn("__pe", r(abs(col("__e")) / (abs(col("__a")) + lit(1e-8)) * lit(100.0)))
       .localCheckpoint(true)
     val th = pre.groupBy(keys: _*).agg(
-      r(pct(col("__a"), 0.33, exactPercentile)).as("__t33"),
-      r(pct(col("__a"), 0.67, exactPercentile)).as("__t67"))
+      graft.functions.Funcs.pctArray(col("__a"), Seq(0.33, 0.67),
+        exactPercentile).as("__t"))
+      .select(keys ++ Seq(r(col("__t").getItem(0)).as("__t33"),
+        r(col("__t").getItem(1)).as("__t67")): _*)
     val seg = (if (groupCols.isEmpty) pre.crossJoin(th) else pre.join(th, groupCols))
       .withColumn("volume_segment",
         when(col("__a") <= col("__t33"), "Small")

@@ -88,9 +88,13 @@ object Decompose {
   def psi(df: DataFrame, isReference: Column, value: Column,
           nBins: Int = 10, exact: Option[Boolean] = None): DataFrame = {
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val edgeCols = qs.zipWithIndex.map { case (q, i) =>
-      Funcs.pct(when(isReference, value), q, exact).as(s"__e$i") }
-    val edges = df.agg(edgeCols.head, edgeCols.tail: _*)
+    // r17: one array-percentile — the nBins-1 edges share a single
+    // value->count buffer and one sort instead of nBins-1 independent
+    // TypedImperativeAggregate buffers over the same column (guide §1.2
+    // per-task work; values are identical to the per-quantile calls)
+    val edges = df.agg(Funcs.pctArray(when(isReference, value), qs, exact)
+        .as("__edges"))
+      .select(qs.indices.map(i => col("__edges").getItem(i).as(s"__e$i")): _*)
     // bin = number of edges strictly below the value (0..nBins-1)
     val bin = (0 until nBins - 1)
       .map(i => when(value > col(s"__e$i"), 1).otherwise(0))
