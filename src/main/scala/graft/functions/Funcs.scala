@@ -93,8 +93,12 @@ object Funcs {
     * guard admits it. */
   private def guardedLongSum(l: Column, outScale: Double, what: String): Column = {
     val s = sum(l); val g = max(abs(l)); val n = count(l)
+    // g >= 0 closes the one hole in the bound: if EVERY row saturates
+    // the long cast at Long.MinValue, abs(MinValue) is still MinValue
+    // (two's complement) and a negative g would falsely admit — route
+    // that pathological regime to the loud branch too
     when(g.isNull, lit(null).cast("double"))
-      .when(n.cast("double") * g.cast("double") < lit(ExactLongBound),
+      .when(g >= 0 && n.cast("double") * g.cast("double") < lit(ExactLongBound),
         s.cast("double") / lit(outScale))
       .otherwise(raise_error(lit(
         s"$what: group sum exceeds the exact-long bound (n*max|v| >= 2^62); " +
@@ -155,7 +159,8 @@ object Funcs {
     val s = sum(prod); val ga = max(abs(la)); val gb = max(abs(lb))
     val n = count(prod)
     when(ga.isNull || gb.isNull, lit(null).cast("double"))
-      .when(n.cast("double") * ga.cast("double") * gb.cast("double") < lit(ExactLongBound),
+      .when(ga >= 0 && gb >= 0 &&
+        n.cast("double") * ga.cast("double") * gb.cast("double") < lit(ExactLongBound),
         s.cast("double") / lit(sa * sb))
       .otherwise(raise_error(lit(
         "microSumProd: group sum exceeds the exact-long bound (n*max|a|*max|b| >= 2^62); " +
@@ -180,7 +185,7 @@ object Funcs {
                          what: String): Column = {
     val s = sum(l).over(w); val g = max(abs(l)).over(w); val n = count(l).over(w)
     when(g.isNull, lit(null).cast("double"))
-      .when(n.cast("double") * g.cast("double") < lit(ExactLongBound),
+      .when(g >= 0 && n.cast("double") * g.cast("double") < lit(ExactLongBound),
         s.cast("double") / lit(outScale))
       .otherwise(raise_error(lit(
         s"$what: window sum exceeds the exact-long bound (n*max|v| >= 2^62)"))

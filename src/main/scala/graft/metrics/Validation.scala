@@ -103,7 +103,8 @@ object Validation {
         val g2 = max(abs(l2))
         val n = sum(when(col("__rprev").isNotNull, 1L).otherwise(0L))
         when(g1.isNull || g2.isNull, lit(null).cast("double"))
-          .when(n.cast("double") * g1.cast("double") * g2.cast("double") < lit(4.0e18),
+          .when(g1 >= 0 && g2 >= 0 &&
+            n.cast("double") * g1.cast("double") * g2.cast("double") < lit(4.0e18),
             s.cast("double") / lit(1e8))
           .otherwise(raise_error(lit(
             "validateModel lag-1 product: exact-long bound exceeded")).cast("double"))
