@@ -154,10 +154,13 @@ object Cleaning {
     // r17: the three quantiles share one array-percentile window
     // function (one value->count buffer per partition, one sort)
     // instead of three independent ones
-    df.withColumn("__q", Funcs.pctArray(value, Seq(0.5, 0.25, 0.75)).over(w))
-      .withColumn(out, Funcs.safeDiv(value - col("__q").getItem(0),
-        col("__q").getItem(2) - col("__q").getItem(1)))
-      .drop("__q")
+    // __robustz_q, not a generic __q: withColumn silently replaces a
+    // pre-existing caller column of the same name (r17 ADVICE) — the
+    // operator-specific prefix makes a collision practically impossible
+    df.withColumn("__robustz_q", Funcs.pctArray(value, Seq(0.5, 0.25, 0.75)).over(w))
+      .withColumn(out, Funcs.safeDiv(value - col("__robustz_q").getItem(0),
+        col("__robustz_q").getItem(2) - col("__robustz_q").getItem(1)))
+      .drop("__robustz_q")
   }
 
   /** Expectation-suite style rule report: each rule is a named boolean

@@ -70,17 +70,38 @@ object Funcs {
     * the value). 4.0e18 < 2^62·... is the round double constant used
     * for the compare (2^62 ≈ 4.61e18; the slack absorbs the double
     * compare itself). */
-  private val ExactLongBound = 4.0e18
+  private[graft] val ExactLongBound = 4.0e18
+
+  /** Session conf controlling the engine-wide exact-sum accumulator
+    * (the r17 verdict's one-conf-recovery ask): `true` (the unset
+    * default) = guarded exact-long buffers (fast; a group crossing
+    * n·max|v| ≥ 2^62 raises loudly); `false` = the pre-r17
+    * decimal(38,0) buffers verbatim (slower, but admits any magnitude
+    * regime without aborting). Mirrors [[ExactPercentilesConf]]: a
+    * 100 TB deployment whose group magnitudes exceed the long bound
+    * flips ONE conf; no operator call sites change, and the two modes
+    * are bit-identical wherever the guard admits (FuncsFallbackSpec
+    * pins both the in-bound equality and the NaN/±Inf edge cases).
+    * Read at COLUMN-CONSTRUCTION time (driver-side): set it before the
+    * query is built — an already-built plan keeps its accumulators. */
+  val ExactLongSumsConf = "spark.graft.exactLongSums"
+
+  private def exactLongs: Boolean = org.apache.spark.sql.SparkSession.active
+    .conf.get(ExactLongSumsConf, "true").toBoolean
 
   /** Quantized micro-int as a LONG with decimal-cast-identical null
-    * semantics: NaN → NULL (decimal(38,0) cast of NaN is NULL — sum
-    * skips it either way). Values beyond ±2^63 saturate the long cast,
-    * drive max|v| to 2^63 and trip the [[ExactLongBound]] guard — a
-    * LOUD raise_error where decimal(38,0) kept summing; no 4dp-grid
-    * operator in the engine is within 10^4 of that regime (it needs
-    * |x| > 9·10^14 on the 1e-4 grid). */
+    * semantics: NaN and ±Infinity → NULL (the decimal(38,0) cast maps
+    * both to NULL in non-ANSI mode — sum skips them either way; before
+    * r18 an ±Inf input instead saturated the long cast and tripped the
+    * guard into raise_error, a divergence from the decimal twin that
+    * FuncsFallbackSpec now pins closed). Values beyond ±2^63 saturate
+    * the long cast, drive max|v| to 2^63 and trip the
+    * [[ExactLongBound]] guard — a LOUD raise_error where decimal(38,0)
+    * kept summing; no 4dp-grid operator in the engine is within 10^4
+    * of that regime (it needs |x| > 9·10^14 on the 1e-4 grid). */
   private def microLong(scaled: Column): Column =
-    when(isnan(scaled), lit(null)).otherwise(scaled).cast("long")
+    when(isnan(scaled) || abs(scaled) === lit(Double.PositiveInfinity), lit(null))
+      .otherwise(scaled).cast("long")
 
   /** The guarded exact-long sum: long-speed aggregation buffers (a
     * decimal(38,0) buffer exceeds UnsafeRow's 18-digit compact-long
@@ -115,9 +136,11 @@ object Funcs {
     * repo-wide determinism convention. Oracle twin:
     * `CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) + 0.0e0`. */
   def microMean(c: Column): Column =
-    guardedLongSum(microLong(
-      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
-      1e4, "microMean") / count(lit(1)) + lit(0.0)
+    (if (exactLongs)
+      guardedLongSum(microLong(
+        graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
+        1e4, "microMean")
+    else microSumDec(c)) / count(lit(1)) + lit(0.0)
 
   /** Exact sum of a 4dp-grid column via guarded-long micro-int
     * accumulation — the summand of [[microMean]], shared by every
@@ -127,45 +150,60 @@ object Funcs {
     * [[guardedLongSum]]). Oracle twin: `CAST(sum(CAST(round(x*1e4) AS
     * HUGEINT)) AS DOUBLE)/1e4`. */
   def microSum(c: Column): Column =
-    guardedLongSum(microLong(
-      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
-      1e4, "microSum")
+    if (exactLongs)
+      guardedLongSum(microLong(
+        graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(1e4))),
+        1e4, "microSum")
+    else microSumDec(c)
 
   /** Exact sum of squares of a 4dp-grid column (squares quantized to
     * the 1e-8 grid; guarded long — per-row |x| up to ~3·10^5 and the
     * n·max bound, overflow raises). Oracle twin:
     * `CAST(sum(CAST(round(x*x*1e8) AS HUGEINT)) AS DOUBLE)/1e8`. */
   def microSumSq(c: Column): Column =
-    guardedLongSum(microLong(
-      graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))),
-      1e8, "microSumSq")
+    if (exactLongs)
+      guardedLongSum(microLong(
+        graft.expr.RoundHalfUpExpr.column((c * c).cast("double") * lit(1e8))),
+        1e8, "microSumSq")
+    else microSumSqDec(c)
 
   /** Guarded exact-long sum at an arbitrary quantization scale (the
     * generalized [[microSum]] — same bound, same loud overflow). */
   def microSumScaled(c: Column, scale: Double): Column =
-    guardedLongSum(microLong(
-      graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(scale))),
-      scale, "microSumScaled")
+    if (exactLongs)
+      guardedLongSum(microLong(
+        graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(scale))),
+        scale, "microSumScaled")
+    else
+      sum(graft.expr.RoundHalfUpExpr.column(c.cast("double") * lit(scale))
+        .cast("decimal(38,0)")).cast("double") / lit(scale)
 
   /** Guarded exact-long sum of a PAIRWISE PRODUCT of quantized factors:
     * per-group bound n·max|la|·max|lb| < 2^62 covers both the true-sum
     * magnitude and every per-row product (|la·lb| ≤ max|la|·max|lb|),
     * so neither the row multiply nor the accumulation can wrap
     * unnoticed — the Validation lag-1 cross-product device, shared. */
-  def microSumProd(a: Column, sa: Double, b: Column, sb: Double): Column = {
-    val la = microLong(graft.expr.RoundHalfUpExpr.column(a.cast("double") * lit(sa)))
-    val lb = microLong(graft.expr.RoundHalfUpExpr.column(b.cast("double") * lit(sb)))
-    val prod = la * lb
-    val s = sum(prod); val ga = max(abs(la)); val gb = max(abs(lb))
-    val n = count(prod)
-    when(ga.isNull || gb.isNull, lit(null).cast("double"))
-      .when(ga >= 0 && gb >= 0 &&
-        n.cast("double") * ga.cast("double") * gb.cast("double") < lit(ExactLongBound),
-        s.cast("double") / lit(sa * sb))
-      .otherwise(raise_error(lit(
-        "microSumProd: group sum exceeds the exact-long bound (n*max|a|*max|b| >= 2^62); " +
-          "use a decimal form for this magnitude regime")).cast("double"))
-  }
+  def microSumProd(a: Column, sa: Double, b: Column, sb: Double): Column =
+    if (exactLongs) {
+      val la = microLong(graft.expr.RoundHalfUpExpr.column(a.cast("double") * lit(sa)))
+      val lb = microLong(graft.expr.RoundHalfUpExpr.column(b.cast("double") * lit(sb)))
+      val prod = la * lb
+      val s = sum(prod); val ga = max(abs(la)); val gb = max(abs(lb))
+      val n = count(prod)
+      when(ga.isNull || gb.isNull, lit(null).cast("double"))
+        .when(ga >= 0 && gb >= 0 &&
+          n.cast("double") * ga.cast("double") * gb.cast("double") < lit(ExactLongBound),
+          s.cast("double") / lit(sa * sb))
+        .otherwise(raise_error(lit(
+          "microSumProd: group sum exceeds the exact-long bound (n*max|a|*max|b| >= 2^62); " +
+            "use a decimal form for this magnitude regime")).cast("double"))
+    } else {
+      val da = graft.expr.RoundHalfUpExpr.column(a.cast("double") * lit(sa))
+        .cast("decimal(38,0)")
+      val db = graft.expr.RoundHalfUpExpr.column(b.cast("double") * lit(sb))
+        .cast("decimal(38,0)")
+      sum(da * db).cast("double") / lit(sa * sb)
+    }
 
   /** Guarded exact-long sum over an ALREADY QUANTIZED micro-int
     * column (still a double at this point — NaN maps to NULL exactly
@@ -174,7 +212,8 @@ object Funcs {
     * `round(1e6/x)` — a single division, where `(1.0/x)·1e6` could
     * land one ulp away at a half-up knife-edge). */
   def microSumPre(scaled: Column, outScale: Double): Column =
-    guardedLongSum(microLong(scaled), outScale, "microSumPre")
+    if (exactLongs) guardedLongSum(microLong(scaled), outScale, "microSumPre")
+    else sum(scaled.cast("decimal(38,0)")).cast("double") / lit(outScale)
 
   /** Window twin of the guarded exact-long sum, over an ALREADY
     * QUANTIZED micro-int long column (callers own the rounding idiom —
@@ -182,15 +221,17 @@ object Funcs {
     * bit-identical to what their decimal form summed). */
   def guardedLongSumOver(l: Column, outScale: Double,
                          w: org.apache.spark.sql.expressions.WindowSpec,
-                         what: String): Column = {
-    val s = sum(l).over(w); val g = max(abs(l)).over(w); val n = count(l).over(w)
-    when(g.isNull, lit(null).cast("double"))
-      .when(g >= 0 && n.cast("double") * g.cast("double") < lit(ExactLongBound),
-        s.cast("double") / lit(outScale))
-      .otherwise(raise_error(lit(
-        s"$what: window sum exceeds the exact-long bound (n*max|v| >= 2^62)"))
-        .cast("double"))
-  }
+                         what: String): Column =
+    if (exactLongs) {
+      val s = sum(l).over(w); val g = max(abs(l)).over(w); val n = count(l).over(w)
+      when(g.isNull, lit(null).cast("double"))
+        .when(g >= 0 && n.cast("double") * g.cast("double") < lit(ExactLongBound),
+          s.cast("double") / lit(outScale))
+        .otherwise(raise_error(lit(
+          s"$what: window sum exceeds the exact-long bound (n*max|v| >= 2^62)"))
+          .cast("double"))
+    } else
+      sum(l.cast("decimal(38,0)")).over(w).cast("double") / lit(outScale)
 
   /** decimal(38,0) twins for magnitude regimes the exact-long guard
     * cannot admit (high-scale quantizations like the r³/r⁴ power sums

@@ -3,7 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.{Eps, microSum, microSumSq, nanToNull, pct, r}
+import graft.functions.Funcs.{Eps, microSum, microSumProd, microSumSq, nanToNull, pct, r}
 
 /** Model-validation check suite — the engine side of the reference's
   * ModelValidator framework (src/validation/model_validator.py): five
@@ -88,27 +88,16 @@ object Validation {
       microSum(when(col("__rprev").isNotNull, col("__r")).otherwise(lit(null)))
         .as("__spx"),
       microSum(col("__rprev")).as("__spy"),
-      // lag-1 cross product as guarded exact longs: per-row |l1·l2| ≤
-      // max|l1|·max|l2|, so n·max|l1|·max|l2| < 2^62 bounds the true
-      // sum AND proves no per-row product wrapped — same two's-
-      // complement exactness argument as Funcs.guardedLongSum, with the
-      // pairwise bound replacing max|v| (overflow raises loudly; the
-      // decimal form this replaces is bit-equal whenever the guard
-      // admits).
-      {
-        val l1 = graft.expr.RoundHalfUpExpr.column(col("__r") * lit(1e4)).cast("long")
-        val l2 = graft.expr.RoundHalfUpExpr.column(col("__rprev") * lit(1e4)).cast("long")
-        val s = sum(when(col("__rprev").isNotNull, l1 * l2).otherwise(lit(null)))
-        val g1 = max(when(col("__rprev").isNotNull, abs(l1)))
-        val g2 = max(abs(l2))
-        val n = sum(when(col("__rprev").isNotNull, 1L).otherwise(0L))
-        when(g1.isNull || g2.isNull, lit(null).cast("double"))
-          .when(g1 >= 0 && g2 >= 0 &&
-            n.cast("double") * g1.cast("double") * g2.cast("double") < lit(4.0e18),
-            s.cast("double") / lit(1e8))
-          .otherwise(raise_error(lit(
-            "validateModel lag-1 product: exact-long bound exceeded")).cast("double"))
-      }.as("__spxy"),
+      // lag-1 cross product via the shared guarded pairwise-product sum
+      // (Funcs.microSumProd — one bound constant, one guard; the r17
+      // ADVICE flagged this site as a third inline copy of the 2^62
+      // bound). Value-identical to the inline form it replaces: a NULL
+      // __rprev nulls the product, which the sum skips exactly like the
+      // explicit isNotNull gate did, and the quantization expressions
+      // are verbatim. The guard bound differs only in tightness
+      // (global max|l1|·count(prod) vs the row-filtered maxima), never
+      // in the admitted value.
+      microSumProd(col("__r"), 1e4, col("__rprev"), 1e4).as("__spxy"),
       microSumSq(when(col("__rprev").isNotNull, col("__r")).otherwise(lit(null)))
         .as("__spxx"),
       microSumSq(col("__rprev")).as("__spyy"),

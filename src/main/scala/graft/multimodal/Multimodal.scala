@@ -136,8 +136,10 @@ object Multimodal {
     * exactly like [[featuresByPartition]], emitting decoded dimensions,
     * channel count, and per-channel pixel means. Undecodable payloads
     * (null, truncated, non-image bytes) degrade to `decode_ok = false`
-    * with NULL stats — callers that need a value anyway can fall back to
-    * [[decodeStub]]. Scale shape: pure per-row work behind one narrow
+    * with NULL stats — callers that need a value anyway can filter on
+    * the flag or impute downstream (the hash-derived decodeStub this
+    * doc once pointed at was deleted when the real decoder shipped).
+    * Scale shape: pure per-row work behind one narrow
     * mapPartitions, no shuffle; the decoded image never leaves the task. */
   def decodeImageFeatures(df: DataFrame, payloadCol: String = "payload",
                           batchSize: Int = 64): DataFrame = {
