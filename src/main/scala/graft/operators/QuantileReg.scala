@@ -47,12 +47,165 @@ import graft.functions.Funcs.r
   */
 object QuantileReg {
 
+  /** Session conf selecting the execution shape (r17 verdict ask #2):
+    * `true` (the unset default) = single-pass — the per-(group) distinct
+    * cells are packed into one array and ALL IRLS rounds run inside one
+    * `aggregate` higher-order function, so the whole fit is ONE Spark
+    * job instead of 1 + iters + 1 sequential checkpoint jobs (each
+    * ~0.15 s of launch latency that dominated the fit at bench scale);
+    * `false` = the r17 per-round-checkpoint iterative form. The two are
+    * value-identical — every quantization, decimal accumulation and
+    * branch is expression-for-expression the same, and the fold
+    * accumulators are exact integer/decimal sums, so cell order cannot
+    * move a bit (QuantileRegSpec pins equality across the toggle).
+    * Flip to `false` only when a single group's distinct-(x, y) cell
+    * count cannot fit one task's memory — the iterative form degrades
+    * to distributed hash aggregates instead. */
+  val SinglePassConf = "spark.graft.qrSinglePass"
+
   def fit(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
           taus: Seq[Double] = Seq(0.25, 0.5, 0.75), iters: Int = 8,
           eps: Double = 0.01): DataFrame = {
     require(taus.nonEmpty && taus.forall(t => t > 0 && t < 1),
       "quantiles must lie in (0, 1)")
     require(iters >= 1, "need at least one reweighted round")
+    val singlePass = org.apache.spark.sql.SparkSession.active
+      .conf.get(SinglePassConf, "true").toBoolean
+    if (singlePass) fitSinglePass(df, groupCols, x, y, taus, iters, eps)
+    else fitIterative(df, groupCols, x, y, taus, iters, eps)
+  }
+
+  /** One-job IRLS: fold the per-group cell array through all rounds
+    * inside a single projection. Every arithmetic step mirrors
+    * [[fitIterative]] verbatim; the only representational difference is
+    * that each round's five weighted sums accumulate via an explicit
+    * array fold — exact decimal/long adds with a per-sum non-null
+    * count, which reproduces `Sum`'s semantics (null terms skipped,
+    * all-null group → NULL) in any fold order. */
+  private def fitSinglePass(df: DataFrame, groupCols: Seq[String], x: Column,
+                            y: Column, taus: Seq[Double], iters: Int,
+                            eps: Double): DataFrame = {
+    val groups = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val dec0 = lit(0).cast(dec)
+
+    // same distinct-(group, x, y) grain as the iterative form (one fact
+    // pass, cell-bounded downstream cost), then ONE more tiny exchange
+    // packs each group's cells into an array — the whole iteration is
+    // a per-row computation from here, no further shuffle or job
+    val packed = df.select(groups ++ Seq(x.cast("double").as("__x"),
+        y.cast("double").as("__y")): _*)
+      .groupBy(groups ++ Seq(col("__x"), col("__y")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(groups: _*)
+      .agg(collect_list(struct(col("__x"), col("__y"), col("__cnt"))).as("__cells"))
+      .withColumn("tau", explode(array(taus.map(lit): _*)))
+
+    val cells = col("__cells")
+    val tau = col("tau")
+
+    // let-binding for expression trees: evaluate `v` ONCE and expose it
+    // to `body` as a lambda variable (a single-element transform), so
+    // formulas can reference expensive subtrees without re-evaluating
+    // them per reference (interpreted HOFs re-eval on every reference)
+    def bind(v: Column)(body: Column => Column): Column =
+      transform(array(v), body).getItem(0)
+
+    def mxL(c: Column): Column =
+      graft.expr.RoundHalfUpExpr.column(c.getField("__x") * lit(1e4)).cast("long")
+    def myL(c: Column): Column =
+      graft.expr.RoundHalfUpExpr.column(c.getField("__y") * lit(1e4)).cast("long")
+
+    // the five weighted sums of one IRLS round as an exact fold, then
+    // the closed-form 2x2 solve — returns struct(__a, __b); `w` builds
+    // the round's weight column from a cell (fitIterative's
+    // weight-then-quantize idiom, verbatim)
+    def solve(w: Column => Column): Column = {
+      val zero = struct(
+        dec0.as("sw"), lit(0L).as("nw"), dec0.as("swx"), lit(0L).as("nwx"),
+        dec0.as("swxx"), lit(0L).as("nwxx"), dec0.as("swy"), lit(0L).as("nwy"),
+        dec0.as("swxy"), lit(0L).as("nwxy"))
+      val folded = aggregate(cells, zero, (a: Column, c: Column) =>
+        bind(struct(
+          (graft.expr.RoundHalfUpExpr.column(w(c) * lit(1e4)).cast(dec) *
+            c.getField("__cnt")).as("mw"),
+          mxL(c).as("mx"), myL(c).as("my"))) { v =>
+          val mw = v.getField("mw"); val mx = v.getField("mx"); val my = v.getField("my")
+          def add(f: String, nf: String, t: Column) = Seq(
+            (a.getField(f) + coalesce(t, dec0)).cast(dec).as(f),
+            (a.getField(nf) + when(t.isNotNull, 1L).otherwise(0L)).as(nf))
+          struct((add("sw", "nw", mw) ++ add("swx", "nwx", mw * mx) ++
+            add("swxx", "nwxx", mw * mx * mx) ++ add("swy", "nwy", mw * my) ++
+            add("swxy", "nwxy", mw * mx * my)): _*)
+        })
+      bind(folded) { acc =>
+        def fin(f: String, nf: String, sc: Double): Column =
+          when(acc.getField(nf) > 0, acc.getField(f).cast("double") / lit(sc))
+            .otherwise(lit(null).cast("double"))
+        bind(struct(fin("sw", "nw", 1e4).as("sw"), fin("swx", "nwx", 1e8).as("swx"),
+          fin("swxx", "nwxx", 1e12).as("swxx"), fin("swy", "nwy", 1e8).as("swy"),
+          fin("swxy", "nwxy", 1e12).as("swxy"))) { s =>
+          val sw = s.getField("sw"); val swx = s.getField("swx")
+          val swxx = s.getField("swxx"); val swy = s.getField("swy")
+          val swxy = s.getField("swxy")
+          bind(struct((sw * swxx - swx * swx).as("den"))) { d =>
+            val den = d.getField("den")
+            bind(struct(r(when(abs(den) >= 1e-8,
+              (sw * swxy - swx * swy) / den).otherwise(lit(0.0))).as("b"))) { bb =>
+              val b = bb.getField("b")
+              struct(r((swy - b * swx) / sw).as("__a"), b.as("__b"))
+            }
+          }
+        }
+      }
+    }
+
+    def weight(st: Column)(c: Column): Column = {
+      val resid = c.getField("__y") - st.getField("__a") -
+        st.getField("__b") * c.getField("__x")
+      val scale = greatest(abs(resid), lit(eps))
+      r(when(resid > 0, tau / scale).otherwise((lit(1.0) - tau) / scale))
+    }
+
+    // round 0 = unit weights (the OLS start), rounds 1..iters reweight
+    // from the previous state: a runtime fold over the round indices,
+    // NOT a driver-side unroll — the expression tree holds exactly two
+    // solve bodies (init + step) however many rounds run
+    val fitted = aggregate(sequence(lit(1), lit(iters)),
+      solve(_ => lit(1.0)),
+      (st: Column, _: Column) => bind(st)(s => solve(weight(s))))
+
+    packed.withColumn("__fit", fitted)
+      .withColumn("__pb", bind(col("__fit")) { st =>
+        // final pinball pass, fitIterative's quantize-then-exact-sum:
+        // rho 4dp-rounded per cell, micro-ints summed in decimal scaled
+        // by the cell count, divided by the total row count
+        bind(aggregate(cells,
+          struct(dec0.as("num"), lit(0L).as("nnum"), lit(0L).as("den")),
+          (a: Column, c: Column) => bind(struct(
+            (graft.expr.RoundHalfUpExpr.column(
+              r(greatest(tau * (c.getField("__y") - st.getField("__a") -
+                st.getField("__b") * c.getField("__x")),
+                (tau - 1) * (c.getField("__y") - st.getField("__a") -
+                  st.getField("__b") * c.getField("__x")))) * lit(1e4)).cast(dec) *
+              c.getField("__cnt")).as("t"))) { v =>
+            val t = v.getField("t")
+            struct((a.getField("num") + coalesce(t, dec0)).cast(dec).as("num"),
+              (a.getField("nnum") + when(t.isNotNull, 1L).otherwise(0L)).as("nnum"),
+              (a.getField("den") + c.getField("__cnt")).as("den"))
+          })) { acc =>
+          r(when(acc.getField("nnum") > 0,
+            acc.getField("num").cast("double") / lit(1e4))
+            .otherwise(lit(null).cast("double")) / acc.getField("den").cast("double"))
+        }
+      })
+      .select(groups ++ Seq(tau, col("__fit").getField("__a").as("qr_a"),
+        col("__fit").getField("__b").as("qr_b"), col("__pb").as("pinball")): _*)
+  }
+
+  private def fitIterative(df: DataFrame, groupCols: Seq[String], x: Column,
+                           y: Column, taus: Seq[Double], iters: Int,
+                           eps: Double): DataFrame = {
     val groups = groupCols.map(col)
     val dec = "decimal(38,0)"
     // distinct-(group, x, y) grain with multiplicities: every weighted

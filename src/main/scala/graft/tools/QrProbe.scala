@@ -17,7 +17,10 @@ object QrProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    for (it <- Seq(1, 2, 4, 8)) {
+    // r18: both execution shapes in one JVM — single-pass (HOF fold,
+    // one job) vs the r17 per-round-checkpoint iterative form
+    for (single <- Seq("false", "true"); it <- Seq(1, 2, 4, 8)) {
+      spark.conf.set(graft.operators.QuantileReg.SinglePassConf, single)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.operators.QuantileReg.fit(li, Seq("l_returnflag"),
@@ -25,7 +28,7 @@ object QrProbe {
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"QRPROBE iters=$it ${ts.map(t => f"$t%.2f").mkString(" ")} min=${ts.min}%.2f")
+      println(f"QRPROBE single=$single iters=$it ${ts.map(t => f"$t%.2f").mkString(" ")} min=${ts.min}%.2f")
     }
     spark.stop()
   }

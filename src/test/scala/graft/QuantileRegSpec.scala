@@ -69,4 +69,31 @@ class QuantileRegSpec extends SparkSpec {
       .as[(Double, Double, Double, Double)].collect().toSeq.sortBy(_._1)
     assert(run(1) == run(8))
   }
+
+  test("single-pass and iterative forms are bit-identical (r18 one-job rewrite)") {
+    // multi-group heteroskedastic frame + a degenerate (no-x-variance)
+    // group + repeated cells (multiplicity path) — every branch of the
+    // solve is exercised; the two execution shapes must agree on every
+    // byte of every output row (same quantization, same decimal sums)
+    val rows = (0 until 600).map { i =>
+      val g = s"g${i % 3}"
+      val x = if (i % 3 == 2) 1.0 else (i % 25) / 5.0 // g2 degenerate
+      (g, x, r4(1.0 + 0.7 * x + x * (white(i) - 0.5) * 3.0))
+    }
+    val df = rows.toDF("g", "x", "y")
+    def run() = QuantileReg.fit(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g", "tau")
+      .select("g", "tau", "qr_a", "qr_b", "pinball")
+      .collect().map(_.toSeq).toSeq
+    val single = run() // default: single-pass
+    val prev = spark.conf.getOption(QuantileReg.SinglePassConf)
+    spark.conf.set(QuantileReg.SinglePassConf, "false")
+    val iterative = try run() finally prev match {
+      case Some(v) => spark.conf.set(QuantileReg.SinglePassConf, v)
+      case None    => spark.conf.unset(QuantileReg.SinglePassConf)
+    }
+    assert(single == iterative)
+    // degenerate group really took the b = 0 fallback in both shapes
+    assert(single.filter(_.head == "g2").forall(r => r(3) == 0.0))
+  }
 }
