@@ -558,6 +558,14 @@ object Jobs {
     val keepIds = QualityFilter.gopherFilter(docs, "doc_id", "text")
       .filter(col("keep") === 1).select(col("doc_id"))
     val kept = docs.join(keepIds, Seq("doc_id"))
+    // mixToTarget consumes the deduped frame three times (per-source
+    // counts, the total, the fact filter). NOT checkpointed: AQE's
+    // runtime exchange reuse already shares the filter+dedup shuffles
+    // across the three consumers (CurateProbe r18 — the mix/pack
+    // stages add ~0.4 s over the dedup stage where three full replays
+    // would add ~2x the 2.4 s gopher pass), and a checkpoint of the
+    // text-carrying corpus measured as a wash at sf0.1 (3.59 s →
+    // 3.72 s) while pinning non-reconstructible blocks.
     val deduped = Dedup.exactDedup(kept, "text", Seq(col("doc_id")))
     val mixed = CorpusMix.mixToTarget(deduped, "doc_id", "source", weights, targetFraction)
     SequencePack.bins(mixed, "source", "doc_id", "text", budget)

@@ -12,33 +12,30 @@ import graft.functions.Funcs.safeDiv
   * (the reference's quality-report idiom, src/utils/data_loader.py:206-246,
   * at document grain).
   *
-  * Scale shape: the stats rules are pure per-row projections; the
-  * repetition rules come from [[Repetition.ngramRepetition]] (one
-  * partial-agg shuffle on (doc, gram) + doc rollup) joined back at doc
-  * grain — both sides doc-partitioned, no broadcast of anything
-  * corpus-sized.
+  * Scale shape (r18): ONE narrow per-document projection — the stats
+  * rules are per-row expressions and the repetition rules come from
+  * [[graft.expr.WordGramRunStatsExpr]]'s zero-copy sorted-run walk
+  * over the document's own bytes. No explode, no shuffle, no window:
+  * the filter's cost is pure data-parallel CPU and its memory is
+  * O(grams per document), so it scales with corpus bytes alone.
   */
 object QualityFilter {
 
   /** Rule thresholds (fixed, documented). A document is kept when ALL
     * rules pass. Flags are ints (1 = pass) for cross-engine hashing.
     *
-    * Single-scan fusion (r17): the per-row stats rules and the
-    * bigram-repetition rules share ONE pass over the text column. The
-    * stats flags are evaluated in the same projection that builds the
-    * bigram array (so the document text is read and tokenized once,
-    * not twice), ride the (doc, gram) partial aggregation as
-    * constant-per-doc key columns, and the doc rollup emits flags and
-    * repetition fractions together — no second fact scan, no doc-grain
-    * join. Docs shorter than the gram width survive via explode_outer
-    * (their NULL gram row is masked out of every repetition sum, so
-    * the fractions stay NULL → coalesce(0.0), exactly the left-join
-    * semantics of the unfused form). All value expressions are
+    * Single-projection form (r17 fused the stats pass into the
+    * repetition rollup; r18 removed the rollup itself): stats flags
+    * and the [[graft.expr.WordGramRunStatsExpr]] kernel are evaluated
+    * in ONE projection over the text column, so the document is read
+    * and tokenized once and nothing leaves the row. Docs shorter than
+    * the gram width get a NULL stats struct (the r17 explode_outer
+    * NULL row), keeping the fraction NULLs → coalesce(0.0) semantics
+    * of the original left-join composition. All value expressions are
     * verbatim [[Repetition.ngramRepetition]] / stats shapes — output
-    * is bit-identical to the unfused composition (QualityFilterSpec
-    * pins the equality). Assumes `id` is unique per document (the
-    * corpus contract; the unfused form fans duplicate ids out through
-    * the join instead — neither is meaningful on dup ids).
+    * is bit-identical (TextOpsSpec pins it; the q130 oracle replays
+    * it end to end). Assumes `id` is unique per document (the
+    * corpus contract).
     */
   def gopherFilter(df: DataFrame, id: String, text: String,
                    minWords: Int = 10, maxWords: Int = 1000,
@@ -46,7 +43,6 @@ object QualityFilter {
                    maxDigitRatio: Double = 0.2,
                    maxTopGramFrac: Double = 0.2,
                    maxDupGramFrac: Double = 0.4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Funcs
     val ws = TextAnalysis.tokens(col(text))
     val nWords = size(ws)
@@ -56,48 +52,37 @@ object QualityFilter {
     val digitRatio = safeDiv(
       (length(col(text)) - length(regexp_replace(col(text), "[0-9]", ""))).cast("double"),
       length(col(text)).cast("double"))
-    // bigram array — the exact Repetition.ngrams(n = 2) expression
-    val ws2 = split(col(text), " ")
-    val grams = when(size(ws2) >= 2,
-      transform(sequence(lit(1), size(ws2) - 1),
-        i => concat_ws(" ", slice(ws2, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    // Stage the gram ARRAY as a named column so the stats expressions
-    // land in the Generate's CHILD projection (evaluated once per doc).
-    // Selecting stats and explode_outer in one projection puts the
-    // stats Project ABOVE the Generate — the tokenizer/regex exprs
-    // then re-evaluate once per gram row (measured 2.8× slower).
+    // r18 projection-only shape: the repetition signals come from the
+    // per-row zero-copy gram kernel (WordGramRunStatsExpr — every word
+    // bigram is a contiguous byte span of the text, so no gram array is
+    // ever built) instead of the fused explode → (doc, gram) aggregate
+    // → ranking window of r17 — the whole filter is now a narrow
+    // per-document projection with ZERO exchanges (the r17 form
+    // shuffled the exploded gram table once and sorted it once; at any
+    // scale that was the dominant cost — CurateProbe measured the gram
+    // stages at ~80% of q138, and the array-building HOF twin kept
+    // 2.1 s of that as transform+slice+concat_ws allocation).
+    // The kernel is NULL for gram-less docs (the explode_outer NULL
+    // row of the r17 form), so the fraction/flag null semantics below
+    // are verbatim; RepetitionKernelSpec pins the expression against
+    // the HOF fold twin and the original explode form. Layered selects
+    // keep the expensive stats struct evaluated once per row
+    // (CollapseProject's non-cheap guard).
     val staged = df.select(col(id),
       (nWords >= minWords && nWords <= maxWords).cast("int").as("ok_words"),
       (avgLen >= minAvgWordLen && avgLen <= maxAvgWordLen).cast("int").as("ok_word_len"),
       (digitRatio < maxDigitRatio).cast("int").as("ok_digit"),
       length(col(text)).cast("long").as("__n_chars"),
-      grams.as("__grams"))
-    val exploded = staged.select(col(id), col("ok_words"), col("ok_word_len"),
-      col("ok_digit"), col("__n_chars"), explode_outer(col("__grams")).as("gram"))
-    val counted = exploded
-      .groupBy(col(id), col("ok_words"), col("ok_word_len"), col("ok_digit"),
-        col("__n_chars"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val byDoc = Window.partitionBy(col(id))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    counted.withColumn("__rk", row_number().over(byDoc))
-      .groupBy(col(id))
-      .agg(
-        first(col("ok_words")).as("ok_words"),
-        first(col("ok_word_len")).as("ok_word_len"),
-        first(col("ok_digit")).as("ok_digit"),
-        Funcs.r(max(when(col("__rk") === 1 && col("gram").isNotNull,
-            col("cnt") * length(col("gram")))) /
-          first(col("__n_chars")).cast("double")).as("top_gram_char_frac"),
-        // NULL (not 0/0) for gram-less docs: the when-guard reproduces
-        // the unfused left-join NULL so coalesce(0.0) below matches
-        Funcs.r(when(
-          max(when(col("gram").isNotNull, lit(1)).otherwise(lit(0))) === 1,
-          least(lit(1.0),
-            sum(when(col("cnt") >= 2 && col("gram").isNotNull,
-                col("cnt") * length(col("gram"))).otherwise(0L)) /
-              first(col("__n_chars")).cast("double")))).as("dup_gram_char_frac"))
+      graft.expr.WordGramRunStatsExpr.column(col(text), 2).as("__st"))
+    staged.select(col(id), col("ok_words"), col("ok_word_len"), col("ok_digit"),
+        Funcs.r(col("__st").getField("top_cnt") *
+          length(col("__st").getField("top_gram")) /
+          col("__n_chars").cast("double")).as("top_gram_char_frac"),
+        // NULL (not 0/0) for gram-less docs: the isNotNull guard
+        // reproduces the r17 when-guard so coalesce(0.0) below matches
+        Funcs.r(when(col("__st").isNotNull,
+          least(lit(1.0), col("__st").getField("dup_chars") /
+            col("__n_chars").cast("double")))).as("dup_gram_char_frac"))
       .withColumn("ok_top2",
         (coalesce(col("top_gram_char_frac"), lit(0.0)) < maxTopGramFrac).cast("int"))
       .withColumn("ok_dup2",

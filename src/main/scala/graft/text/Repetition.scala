@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs
 
@@ -37,6 +36,66 @@ object Repetition {
       explode(grams).as("gram"))
   }
 
+  /** Per-document gram-run statistics computed INSIDE one projection
+    * (r18): sort the document's gram array so equal grams are adjacent,
+    * then fold the runs in one pass. Emits
+    * `struct(top_gram, top_cnt, dup_chars)` — the most frequent gram
+    * under the (count DESC, gram ASC) order, its count, and the chars
+    * covered by grams occurring ≥ 2 times — or NULL for an empty array.
+    *
+    * This replaces the explode → (doc, gram) hash-agg exchange →
+    * per-doc ranking window (a full sort of the exploded corpus) with
+    * per-row compute: ZERO shuffles, zero Generate, memory O(grams per
+    * document) — the array the projection already holds. Equivalence:
+    * run lengths over the sorted array ARE the per-gram counts; walking
+    * ascending and replacing the champion only on a STRICTLY greater
+    * count keeps the lexicographically smallest gram on count ties —
+    * exactly `row_number() OVER (ORDER BY cnt DESC, gram ASC) = 1`
+    * (sort_array and the window's gram ordering are both UTF8-binary).
+    * The dup sum is order-independent.
+    *
+    * Kept as the READABLE REFERENCE TWIN of the production kernel:
+    * the hot paths ([[ngramRepetition]], `QualityFilter.gopherFilter`)
+    * use [[graft.expr.WordGramRunStatsExpr]], which computes the same
+    * struct from zero-copy byte spans without materializing the gram
+    * array; RepetitionKernelSpec pins the two against each other and
+    * against the original explode → aggregate → window form. */
+  private[text] val GramStatsType = "struct<top_gram:string,top_cnt:bigint,dup_chars:bigint>"
+  def gramRunStats(grams: Column): Column = {
+    def champion(st: Column): (Column, Column) = (
+      when(st.getField("run") > st.getField("best_cnt"), st.getField("prev"))
+        .otherwise(st.getField("best_gram")),
+      when(st.getField("run") > st.getField("best_cnt"), st.getField("run"))
+        .otherwise(st.getField("best_cnt")))
+    def dupAcc(st: Column): Column =
+      st.getField("dup_chars") + when(st.getField("run") >= 2,
+        st.getField("run") * length(st.getField("prev")).cast("long")).otherwise(lit(0L))
+    aggregate(sort_array(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(null).cast("string").as("best_gram"), lit(0L).as("best_cnt"),
+        lit(0L).as("dup_chars")),
+      (st, g) => when(st.getField("prev").isNull,
+        struct(g.as("prev"), lit(1L).as("run"),
+          lit(null).cast("string").as("best_gram"), lit(0L).as("best_cnt"),
+          lit(0L).as("dup_chars")))
+        .when(g === st.getField("prev"),
+          struct(g.as("prev"), (st.getField("run") + 1L).as("run"),
+            st.getField("best_gram").as("best_gram"),
+            st.getField("best_cnt").as("best_cnt"),
+            st.getField("dup_chars").as("dup_chars")))
+        .otherwise {
+          // run boundary: fold the finished run into champion + dup sum
+          val (bg, bc) = champion(st)
+          struct(g.as("prev"), lit(1L).as("run"), bg.as("best_gram"),
+            bc.as("best_cnt"), dupAcc(st).as("dup_chars"))
+        },
+      st => when(st.getField("prev").isNull, lit(null).cast(GramStatsType))
+        .otherwise {
+          val (bg, bc) = champion(st)
+          struct(bg.as("top_gram"), bc.as("top_cnt"), dupAcc(st).as("dup_chars"))
+        })
+  }
+
   /** Per-document repetition metrics over word `n`-grams:
     *   - `top_gram` / `top_cnt`: the most frequent n-gram (count-desc,
     *     gram-asc tiebreak) and its occurrence count;
@@ -48,22 +107,32 @@ object Repetition {
     *     score a fraction; Gopher's exact overlap accounting needs
     *     positional merging that buys little for filtering).
     * Fractions are rounded via [[Funcs.r]] for oracle-stable output.
-    */
+    *
+    * r18 execution shape: one narrow projection via
+    * [[graft.expr.WordGramRunStatsExpr]] — no explode, no exchange, no
+    * window (the pre-r18 form shuffled and sorted the exploded
+    * (doc, gram) corpus), and no gram-array materialization either:
+    * because `concat_ws(" ", ...)` re-joins with the same separator
+    * `split` consumed, every n-gram is a contiguous byte span of the
+    * original text, so the expression works on zero-copy UTF8String
+    * slices (the array-building `transform`+`slice`+`concat_ws` was
+    * 2.1 s of q130's 2.5 s at sf0.1 — CurateProbe r18). Value-identical
+    * by the run-fold argument on [[gramRunStats]], whose HOF form is
+    * the committed reference twin (RepetitionKernelSpec pins all three
+    * forms against each other). Docs shorter than `n` words still
+    * produce no row (the explode-form dropped their empty arrays; here
+    * an explicit word-count filter does). */
   def ngramRepetition(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val counted = ngrams(df, id, text, n)
-      .groupBy(col(id), col("n_chars"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val byDoc = Window.partitionBy(col(id))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    counted.withColumn("__rk", row_number().over(byDoc))
-      .groupBy(col(id))
-      .agg(
-        max(when(col("__rk") === 1, col("gram"))).as("top_gram"),
-        max(when(col("__rk") === 1, col("cnt"))).as("top_cnt"),
-        Funcs.r(max(when(col("__rk") === 1, col("cnt") * length(col("gram")))) /
-          first(col("n_chars")).cast("double")).as("top_gram_char_frac"),
+    val chars = col("n_chars").cast("double")
+    df.filter(size(split(col(text), " ")) >= n)
+      .select(col(id), length(col(text)).cast("long").as("n_chars"),
+        graft.expr.WordGramRunStatsExpr.column(col(text), n).as("__st"))
+      .select(col(id),
+        col("__st").getField("top_gram").as("top_gram"),
+        col("__st").getField("top_cnt").as("top_cnt"),
+        Funcs.r(col("__st").getField("top_cnt") *
+          length(col("__st").getField("top_gram")) / chars).as("top_gram_char_frac"),
         Funcs.r(least(lit(1.0),
-          sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))).otherwise(0L)) /
-            first(col("n_chars")).cast("double"))).as("dup_gram_char_frac"))
+          col("__st").getField("dup_chars") / chars)).as("dup_gram_char_frac"))
   }
 }
