@@ -143,11 +143,31 @@ object SequentialKernels {
   }
 
   /** W9 — EWMA with pandas `adjust=False` recursion:
-    * y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}. */
+    * y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}.
+    *
+    * r18 execution shape: a native running window aggregate
+    * ([[graft.expr.EwmaExpr]]) instead of the MapPartitions fold — the
+    * kernel is now PRUNABLE (a consumer that drops the column prunes
+    * the recursion: FeatureStore.wide's q110 projection) and shares the
+    * series exchange/sort with neighboring window features instead of
+    * forcing its own repartition plus a second exchange downstream
+    * (MapPartitions reports unknown partitioning). Identical update
+    * order and double arithmetic — SequentialKernelsSpec pins the two
+    * forms row for row. `assumePartitioned` is retained for source
+    * compatibility but moot: ENSURE_REQUIREMENTS already reuses an
+    * existing hash partitioning on `keyCols`. */
   def withEwma(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                valueCol: String, alpha: Double, outCol: String,
                assumePartitioned: Boolean = false): DataFrame =
-    keyedFold[Double](df, keyCols, ordCols, valueCol, Seq(outCol), assumePartitioned) {
+    df.withColumn(outCol,
+      graft.expr.EwmaExpr.over(col(valueCol), alpha, keyCols.map(col), ordCols))
+
+  /** The pre-r18 streaming-fold form of [[withEwma]] — kept as the
+    * readable reference twin the parity spec pins the window aggregate
+    * against. */
+  private[graft] def withEwmaFold(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                                  valueCol: String, alpha: Double, outCol: String): DataFrame =
+    keyedFold[Double](df, keyCols, ordCols, valueCol, Seq(outCol)) {
       case (None, st) => (Seq(st), st)
       case (Some(x), None) => (Seq(Some(x)), Some(x))
       case (Some(x), Some(prev)) =>
@@ -166,9 +186,27 @@ object SequentialKernels {
   def withEwmVar(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                  valueCol: String, alpha: Double,
                  meanCol: String = "ewm_mean", varCol: String = "ewm_var",
-                 assumePartitioned: Boolean = false): DataFrame =
+                 assumePartitioned: Boolean = false): DataFrame = {
+    // r18: native running window aggregate (see withEwma) — prunable,
+    // exchange-sharing, no Row ser/deser; bit-identical to the fold
+    // twin below (SequentialKernelsSpec pins the pair)
+    val st = graft.expr.SeqKernelExprs.windowed(
+      graft.expr.EwmVarExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(valueCol).cast("double")), alpha),
+      keyCols.map(col), ordCols)
+    df.withColumn("__ewmvar", st)
+      .withColumn(meanCol, col("__ewmvar.mean"))
+      .withColumn(varCol, col("__ewmvar.var"))
+      .drop("__ewmvar")
+  }
+
+  /** Pre-r18 fold twin of [[withEwmVar]], kept for the parity spec. */
+  private[graft] def withEwmVarFold(df: DataFrame, keyCols: Seq[String],
+                                    ordCols: Seq[Column], valueCol: String,
+                                    alpha: Double, meanCol: String = "ewm_mean",
+                                    varCol: String = "ewm_var"): DataFrame =
     keyedFold[(Double, Double)](df, keyCols, ordCols, valueCol,
-      Seq(meanCol, varCol), assumePartitioned) {
+      Seq(meanCol, varCol)) {
       case (None, st) => (Seq(st.map(_._1), st.map(_._2)), st)
       case (Some(x), None) => (Seq(Some(x), Some(0.0)), Some((x, 0.0)))
       case (Some(x), Some((m0, v0))) =>
@@ -182,7 +220,27 @@ object SequentialKernels {
     * (temporal_features_engine.py:262-276). */
   def withHolt(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                valueCol: String, alpha: Double, beta: Double,
-               levelCol: String = "holt_level", trendCol: String = "holt_trend"): DataFrame =
+               levelCol: String = "holt_level", trendCol: String = "holt_trend"): DataFrame = {
+    // r18: native running window aggregate (see withEwma) — prunable,
+    // exchange-sharing, no Row ser/deser; bit-identical to the fold
+    // twin below (SequentialKernelsSpec pins the pair)
+    val st = graft.expr.SeqKernelExprs.windowed(
+      graft.expr.HoltExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(valueCol).cast("double")),
+        alpha, beta),
+      keyCols.map(col), ordCols)
+    df.withColumn("__holt", st)
+      .withColumn(levelCol, col("__holt.level"))
+      .withColumn(trendCol, col("__holt.trend"))
+      .drop("__holt")
+  }
+
+  /** Pre-r18 fold twin of [[withHolt]], kept for the parity spec. */
+  private[graft] def withHoltFold(df: DataFrame, keyCols: Seq[String],
+                                  ordCols: Seq[Column], valueCol: String,
+                                  alpha: Double, beta: Double,
+                                  levelCol: String = "holt_level",
+                                  trendCol: String = "holt_trend"): DataFrame =
     keyedFold[(Double, Option[Double], Double)](df, keyCols, ordCols, valueCol,
       Seq(levelCol, trendCol)) {
       // state = (level, trendOpt, lastRawValue)
@@ -219,17 +277,31 @@ object SequentialKernels {
     * Same single-exchange streaming fold as the other kernels; a
     * recursive-CTE oracle replays the identical scalar chain (q250).
     */
+  /** Shared mean-centering stage of the MA/ARMA fits: the exact
+    * micro-int series mean joined back on the series key (AQE
+    * broadcasts it when small; at scale it co-partitions with the
+    * fold's exchange). The source frame feeds BOTH the mean aggregate
+    * and the centered series; a localCheckpoint of it was MEASURED a
+    * wash and rejected (ArProbe r18: q253 2.60 -> 2.44 s, q255 flat —
+    * AQE's runtime exchange reuse already shares the upstream weekly
+    * aggregate across the two consumers, so the checkpoint only trades
+    * lineage replay for a materialize while pinning non-reconstructible
+    * blocks; the q262 rejected-alternative discipline). */
+  private def centeredOnMu(df: DataFrame, keyCols: Seq[String],
+                           valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val mu = df.groupBy(keys: _*)
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
+    df.join(mu, keyCols)
+      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+  }
+
   def withMa1(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
               valueCol: String, theta: Double,
               residCol: String = "ma1_resid",
               fittedCol: String = "ma1_fitted"): DataFrame = {
     val keys = keyCols.map(col)
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    // key-grain mean table: joins back on the series key (AQE broadcasts
-    // it when small; at scale it co-partitions with the fold's exchange)
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     keyedFold[Double](centered, keyCols, ordCols, "__xc", Seq(residCol)) {
       case (None, st) => (Seq(None), st)
       case (Some(xc), st) =>
@@ -269,10 +341,7 @@ object SequentialKernels {
     val keys = keyCols.map(col)
     val nG = grid.size
     val gridArr = grid.toArray
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     val sseCols = grid.indices.map(i => s"__sse$i")
     val epsCols = grid.indices.map(i => s"__e$i")
     // series-end fold: flat primitive state [e_i, sse_i]*, mutated in
@@ -339,10 +408,7 @@ object SequentialKernels {
     val keys = keyCols.map(col)
     val nT = triples.size
     val tripleArr = triples.toArray
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     val sseCols = triples.indices.map(i => s"__sse$i")
     val eCols = triples.indices.map(i => s"__e$i")
     val epCols = triples.indices.map(i => s"__ep$i")
@@ -467,10 +533,7 @@ object SequentialKernels {
     val keys = keyCols.map(col)
     val nP = pairs.size
     val pairArr = pairs.toArray
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     val sseCols = pairs.indices.map(i => s"__sse$i")
     val epsCols = pairs.indices.map(i => s"__e$i")
     // series-end fold; flat primitive state [xp, (e_i, sse_i)*] mutated
@@ -627,10 +690,7 @@ object SequentialKernels {
     val triples = for (p1 <- phi1Grid; p2 <- phi2Grid; t <- thetaGrid)
       yield (p1, p2, t)
     val keys = keyCols.map(col)
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     val sseCols = triples.indices.map(i => s"__sse$i")
     val epsCols = triples.indices.map(i => s"__e$i")
     val nT = triples.size
@@ -825,10 +885,7 @@ object SequentialKernels {
     val quads = for (p1 <- phi1Grid; p2 <- phi2Grid; t1 <- theta1Grid;
                      t2 <- theta2Grid) yield (p1, p2, t1, t2)
     val keys = keyCols.map(col)
-    val mu = df.groupBy(keys: _*)
-      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"))
-    val centered = df.join(mu, keyCols)
-      .withColumn("__xc", col(valueCol).cast("double") - col("__mu"))
+    val centered = centeredOnMu(df, keyCols, valueCol)
     val sseCols = quads.indices.map(i => s"__sse$i")
     val epsCols = quads.indices.map(i => s"__e$i")
     val epsPrevCols = quads.indices.map(i => s"__ep$i")
@@ -972,6 +1029,22 @@ object SequentialKernels {
   def withCroston(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
                   valueCol: String, alpha: Double, sba: Boolean = false,
                   outCol: String = "croston_forecast"): DataFrame = {
+    // r18: native running window aggregate (see withEwma) — prunable,
+    // exchange-sharing, no Row ser/deser; bit-identical to the fold
+    // twin below (SequentialKernelsSpec pins the pair)
+    val factor = if (sba) 1.0 - alpha / 2.0 else 1.0
+    df.withColumn(outCol, graft.expr.SeqKernelExprs.windowed(
+      graft.expr.CrostonExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(valueCol).cast("double")),
+        alpha, factor),
+      keyCols.map(col), ordCols))
+  }
+
+  /** Pre-r18 fold twin of [[withCroston]], kept for the parity spec. */
+  private[graft] def withCrostonFold(df: DataFrame, keyCols: Seq[String],
+                                     ordCols: Seq[Column], valueCol: String,
+                                     alpha: Double, sba: Boolean = false,
+                                     outCol: String = "croston_forecast"): DataFrame = {
     val factor = if (sba) 1.0 - alpha / 2.0 else 1.0
     keyedFold[(Double, Double, Long)](df, keyCols, ordCols, valueCol, Seq(outCol)) {
       // state = (z, p, periodsSinceLastDemand)
@@ -997,6 +1070,20 @@ object SequentialKernels {
   def withTsb(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
               valueCol: String, alpha: Double, beta: Double,
               outCol: String = "tsb_forecast"): DataFrame =
+    // r18: native running window aggregate (see withEwma) — prunable,
+    // exchange-sharing, no Row ser/deser; bit-identical to the fold
+    // twin below (SequentialKernelsSpec pins the pair)
+    df.withColumn(outCol, graft.expr.SeqKernelExprs.windowed(
+      graft.expr.TsbExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(valueCol).cast("double")),
+        alpha, beta),
+      keyCols.map(col), ordCols))
+
+  /** Pre-r18 fold twin of [[withTsb]], kept for the parity spec. */
+  private[graft] def withTsbFold(df: DataFrame, keyCols: Seq[String],
+                                 ordCols: Seq[Column], valueCol: String,
+                                 alpha: Double, beta: Double,
+                                 outCol: String = "tsb_forecast"): DataFrame =
     keyedFold[(Double, Double)](df, keyCols, ordCols, valueCol, Seq(outCol)) {
       // state = (prob, size)
       case (None, st) => (Seq(st.map { case (b, z) => b * z }), st)

@@ -310,4 +310,45 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(out(4) == ((16.796875, 1.8203125, 0.9140625)))
     assert(out.map(_._3) == Seq(0.0, 0.5, 0.625, 0.90625, 0.9140625))
   }
+
+  test("EWMA window aggregate ≡ streaming fold (r18 kernel swap), bit for bit") {
+    // adversarial shape: leading null, interior null runs, negative and
+    // tiny values, a single-row series, a series of only nulls
+    val df = series(
+      ("a", 1, null), ("a", 2, 10.0), ("a", 3, null), ("a", 4, -3.5),
+      ("a", 5, 0.0001), ("a", 6, null), ("a", 7, 42.0),
+      ("b", 1, 7.25), ("c", 1, null), ("c", 2, null),
+      ("d", 1, 1.0), ("d", 2, 2.0), ("d", 3, 3.0), ("d", 4, 4.0))
+    for (alpha <- Seq(0.3, 0.5, 0.9)) {
+      val win = SequentialKernels.withEwma(df, Seq("k"), Seq(col("t")), "v", alpha, "e")
+        .orderBy("k", "t").select("k", "t", "e")
+        .as[(String, Int, Option[Double])].collect().toSeq
+      val fold = SequentialKernels.withEwmaFold(df, Seq("k"), Seq(col("t")), "v", alpha, "e")
+        .orderBy("k", "t").select("k", "t", "e")
+        .as[(String, Int, Option[Double])].collect().toSeq
+      assert(win == fold, s"alpha=$alpha\nwin =$win\nfold=$fold")
+    }
+  }
+
+  test("Holt/Croston/TSB/EWM-var window aggregates ≡ streaming folds, bit for bit") {
+    val df = series(
+      ("a", 1, null), ("a", 2, 10.0), ("a", 3, 0.0), ("a", 4, -3.5),
+      ("a", 5, null), ("a", 6, 42.0), ("a", 7, 0.0),
+      ("b", 1, 7.25), ("c", 1, null), ("c", 2, null),
+      ("d", 1, 0.0), ("d", 2, 2.0), ("d", 3, 0.0), ("d", 4, 4.0))
+    def rows(out: org.apache.spark.sql.DataFrame, cols: String*) = out
+      .orderBy("k", "t").selectExpr(("k" +: "t" +: cols).map(c => s"cast($c as string)"): _*)
+      .collect().map(_.toSeq).toSeq
+    val k = Seq("k"); val o = Seq(col("t"))
+    assert(rows(SequentialKernels.withHolt(df, k, o, "v", 0.3, 0.4), "holt_level", "holt_trend")
+      == rows(SequentialKernels.withHoltFold(df, k, o, "v", 0.3, 0.4), "holt_level", "holt_trend"))
+    assert(rows(SequentialKernels.withCroston(df, k, o, "v", 0.2), "croston_forecast")
+      == rows(SequentialKernels.withCrostonFold(df, k, o, "v", 0.2), "croston_forecast"))
+    assert(rows(SequentialKernels.withCroston(df, k, o, "v", 0.2, sba = true), "croston_forecast")
+      == rows(SequentialKernels.withCrostonFold(df, k, o, "v", 0.2, sba = true), "croston_forecast"))
+    assert(rows(SequentialKernels.withTsb(df, k, o, "v", 0.3, 0.2), "tsb_forecast")
+      == rows(SequentialKernels.withTsbFold(df, k, o, "v", 0.3, 0.2), "tsb_forecast"))
+    assert(rows(SequentialKernels.withEwmVar(df, k, o, "v", 0.25), "ewm_mean", "ewm_var")
+      == rows(SequentialKernels.withEwmVarFold(df, k, o, "v", 0.25), "ewm_mean", "ewm_var"))
+  }
 }
