@@ -201,13 +201,23 @@ object SketchRollup {
     * (KMV ≙ distinct, histogram ≙ quantiles, count-min ≙ frequency):
     * one row per (keys..., period, row j, slot) with the slot's hit
     * count, at most depth·width rows per (key, period) regardless of
-    * item cardinality. Built as one hash aggregate over a depth-way
-    * explode (map-side combinable); merge across periods/batches is
+    * item cardinality. Built as ONE fixed-buffer hash aggregate —
+    * [[graft.expr.CmCountsExpr]] keeps a long[depth·width] per
+    * (key, period) and increments `depth` cells per fact row, so each
+    * map task ships at most |groups| fixed arrays into the shuffle
+    * (the pre-r18 depth-way explode + slot-grain aggregate probed a
+    * per-task hash table of up to depth·width·|groups| entries and
+    * shuffled one row per touched slot per task: 2.65 s of q302's
+    * 2.87 s at sf0.1, CmProbe). The dense array then explodes to the
+    * same sparse (row, slot, cnt > 0) rows — counts are exact integers
+    * either way, so the output is bit-identical (CmSketchSpec pins the
+    * two builds against each other). Merge across periods/batches is
     * slot-count ADDITION — exactly associative, so merge ≡ recompute
     * bit for bit and any engine replays the estimate (q302 is a full
     * hash-checked oracle). `item` must be a non-negative integer
     * column (hash strings through [[graft.functions.PortableHash
-    * .polyHash]] first).
+    * .polyHash]] first; a negative item now raises loudly where the
+    * explode form silently emitted a negative slot).
     *
     * The 100 TB shape: the fact streams once through a narrow
     * map + combinable count; any later "how often did item i occur in
@@ -218,6 +228,20 @@ object SketchRollup {
   def cmSketchTable(df: DataFrame, keyCols: Seq[String], periodCol: Column,
                     item: Column, depth: Int = 3, width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 2, "depth ≥ 1 and width ≥ 2")
+    df.groupBy(keyCols.map(col) :+ periodCol.as("period"): _*)
+      .agg(graft.expr.CmCountsExpr.column(item.cast("long"), depth, width)
+        .as("__cells"))
+      .select(keyCols.map(col) ++ Seq(col("period"),
+        explode(col("__cells")).as("__c")): _*)
+      .select(keyCols.map(col) ++ Seq(col("period"), col("__c.row").as("row"),
+        col("__c.slot").as("slot"), col("__c.cnt").as("cnt")): _*)
+  }
+
+  /** The pre-r18 explode-form build of [[cmSketchTable]] — kept as the
+    * readable reference twin CmSketchSpec pins the array build against. */
+  private[graft] def cmSketchTableExplode(df: DataFrame, keyCols: Seq[String],
+                                          periodCol: Column, item: Column,
+                                          depth: Int, width: Int): DataFrame = {
     val rows = (0 until depth).map(j => struct(lit(j).as("row"),
       cmSlot(item.cast("long"), j, width).as("slot")))
     df.select(keyCols.map(col) :+ periodCol.as("period") :+

@@ -51,6 +51,23 @@ class CmSketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("array build ≡ explode build, rows schema and values (r18 kernel swap)") {
+    val arr = SketchRollup.cmSketchTable(ledger, Seq("g"), col("period"),
+      col("item"), Depth, Width)
+    val exp = SketchRollup.cmSketchTableExplode(ledger, Seq("g"), col("period"),
+      col("item"), Depth, Width)
+    assert(arr.schema == exp.schema,
+      s"schemas differ:\n${arr.schema}\n${exp.schema}")
+    val a = arr.as[(Long, Long, Int, Long, Long)].collect().sorted.toSeq
+    val e = exp.as[(Long, Long, Int, Long, Long)].collect().sorted.toSeq
+    assert(a == e)
+    // negative items now fail loudly instead of hashing to a negative slot
+    val neg = Seq((1L, -5L)).toDF("g", "item")
+    val ex = intercept[Exception](SketchRollup.cmSketchTable(neg, Seq("g"),
+      lit("all"), col("item"), Depth, Width).collect())
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
+
   test("NULL items are not counted") {
     val df = Seq[(Long, java.lang.Long)]((1L, 7L), (1L, 7L), (1L, null))
       .toDF("g", "item")
