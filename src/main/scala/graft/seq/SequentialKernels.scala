@@ -24,6 +24,66 @@ import org.apache.spark.sql.types._
   */
 object SequentialKernels {
 
+  /** Session conf selecting the grid FITS' execution shape (r18, the
+    * QuantileReg.SinglePassConf pattern): `true` (the unset default) =
+    * array form — each series' values pack into ONE sorted array inside
+    * the same hash aggregate that computes the exact micro-int mean,
+    * and every grid member's innovation recursion plus the
+    * (sse, params…)-ascending winner pick run inside a single
+    * projection. That replaces the fold form's FOUR-exchange pipeline
+    * (mean aggregate + mean join + fold repartition/sort + pick window
+    * — the MapPartitions fold reports unknown partitioning, so the
+    * window re-shuffles) with TWO exchanges and no boxed-Row pass, and
+    * is bit-identical: the recursions replicate the fold's IEEE chains
+    * operation for operation, and the comparator pick reproduces the
+    * window's (sse, params…) ascending order including Spark's
+    * NaN-largest comparison semantics (SequentialKernelsSpec pins the
+    * toggle). `false` = the streaming fold form — the recovery shape
+    * for a series whose packed value array cannot fit one task (the
+    * fits' series are calendar-bounded weekly grains, so that regime
+    * is not expected even at 100 TB).
+    *
+    * Array-form constraints (all in-repo callers satisfy them; the
+    * fold form has the same documented requirements): `ordCols` must
+    * be plain ascending orderable columns, unique per series — the
+    * cells sort by struct order exactly as the fold sorts within
+    * partitions. */
+  val ArrayFitsConf = "spark.graft.arrayFits"
+
+  private def arrayFits: Boolean = org.apache.spark.sql.SparkSession.active
+    .conf.get(ArrayFitsConf, "true").toBoolean
+
+  /** Shared packed-series stage of the array-form grid fits: one hash
+    * aggregate per series yields the exact micro-int mean (the
+    * centeredOnMu convention — NULL values still count in the divisor)
+    * and the (ordCols…)-sorted (ord…, value) struct array. Null-key
+    * rows drop first: the fold form's centeredOnMu INNER join can
+    * never match them, so the array form must not emit their group. */
+  private def packedSeries(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                           valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.filter(keys.map(_.isNotNull).reduce(_ && _))
+      .groupBy(keys: _*)
+      .agg(graft.functions.Funcs.microMean(col(valueCol)).as("__mu"),
+        sort_array(collect_list(struct(
+          ordCols.zipWithIndex.map { case (o, i) => o.as(s"__o$i") } :+
+            col(valueCol).cast("double").as("__v"): _*))).as("__cells"))
+  }
+
+  /** One-projection grid fit over the packed series: every member's
+    * recursion and the (sse, params…)-ascending winner pick run inside
+    * [[graft.expr.GridFitExpr]] — one compiled call per SERIES row.
+    * The `__best` struct materializes in its own projection
+    * (CollapseProject keeps multi-referenced non-cheap aliases), so
+    * the caller's field extraction never re-runs the fit. */
+  private def gridArrayFit(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+                           valueCol: String, kind: String,
+                           members: Seq[Seq[Double]]): DataFrame =
+    packedSeries(df, keyCols, ordCols, valueCol)
+      .withColumn("__best", graft.expr.GridFitExpr.column(
+        col("__cells"), col("__mu"), vIdx = ordCols.size, kind, members))
+      .drop("__cells")
+
   /** Generic keyed streaming fold: emits input row + extra double
     * columns computed by `step`, which receives the row's value and the
     * per-series state (None at series start) and returns (outputs,
@@ -338,6 +398,33 @@ object SequentialKernels {
                  valueCol: String,
                  grid: Seq[Double] = Seq(-0.8, -0.4, 0.0, 0.4, 0.8)): DataFrame = {
     require(grid.nonEmpty, "theta grid must be non-empty")
+    if (arrayFits) fitMa1FullArray(df, keyCols, ordCols, valueCol, grid)
+    else fitMa1FullFold(df, keyCols, ordCols, valueCol, grid)
+  }
+
+  /** Array form of [[fitMa1Full]] ([[ArrayFitsConf]]): per θ, state
+    * (ε, SSE) starts at (0, 0) and each non-null observation applies
+    *   ε' = xc − θ·ε ;  SSE' = SSE + ε'·ε'
+    * — the fold form's exact chain. */
+  private def fitMa1FullArray(df: DataFrame, keyCols: Seq[String],
+                              ordCols: Seq[Column], valueCol: String,
+                              grid: Seq[Double]): DataFrame = {
+    val keys = keyCols.map(col)
+    val fitted = gridArrayFit(df, keyCols, ordCols, valueCol,
+      "ma1", grid.map(Seq(_)))
+    val b = col("__best")
+    fitted.select(keys ++ Seq(b.getField("theta").as("ma1_theta"),
+      graft.functions.Funcs.r(b.getField("sse")).as("ma1_sse"),
+      col("__mu").as("ma1_mu"),
+      b.getField("e").as("ma1_eps_last")): _*)
+  }
+
+  /** Pre-r18 streaming-fold form of [[fitMa1Full]] — the
+    * [[ArrayFitsConf]] fallback and the parity spec's reference
+    * twin. */
+  private[graft] def fitMa1FullFold(df: DataFrame, keyCols: Seq[String],
+                                    ordCols: Seq[Column], valueCol: String,
+                                    grid: Seq[Double]): DataFrame = {
     val keys = keyCols.map(col)
     val nG = grid.size
     val gridArr = grid.toArray
@@ -403,6 +490,38 @@ object SequentialKernels {
                  valueCol: String,
                  grid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
     require(grid.nonEmpty, "theta grid must be non-empty")
+    if (arrayFits) fitMa3FullArray(df, keyCols, ordCols, valueCol, grid)
+    else fitMa3FullFold(df, keyCols, ordCols, valueCol, grid)
+  }
+
+  /** Array form of [[fitMa3Full]] ([[ArrayFitsConf]]): per θ-triple,
+    * state (ε, ε₋₁, ε₋₂, SSE) starts at zeros and each non-null
+    * observation applies
+    *   ε' = xc − θ₁·ε − θ₂·ε₋₁ − θ₃·ε₋₂ ;  SSE' = SSE + ε'·ε'
+    * with the ε memory shifting — the fold form's exact chain. */
+  private def fitMa3FullArray(df: DataFrame, keyCols: Seq[String],
+                              ordCols: Seq[Column], valueCol: String,
+                              grid: Seq[Double]): DataFrame = {
+    val triples = for (t1 <- grid; t2 <- grid; t3 <- grid) yield Seq(t1, t2, t3)
+    val keys = keyCols.map(col)
+    val fitted = gridArrayFit(df, keyCols, ordCols, valueCol, "ma3", triples)
+    val b = col("__best")
+    fitted.select(keys ++ Seq(b.getField("theta1").as("ma3_theta1"),
+      b.getField("theta2").as("ma3_theta2"),
+      b.getField("theta3").as("ma3_theta3"),
+      graft.functions.Funcs.r(b.getField("sse")).as("ma3_sse"),
+      col("__mu").as("ma3_mu"),
+      b.getField("e").as("ma3_eps_last"),
+      b.getField("ep").as("ma3_eps_prev"),
+      b.getField("epp").as("ma3_eps_prev2")): _*)
+  }
+
+  /** Pre-r18 streaming-fold form of [[fitMa3Full]] — the
+    * [[ArrayFitsConf]] fallback and the parity spec's reference
+    * twin. */
+  private[graft] def fitMa3FullFold(df: DataFrame, keyCols: Seq[String],
+                                    ordCols: Seq[Column], valueCol: String,
+                                    grid: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val triples = for (t1 <- grid; t2 <- grid; t3 <- grid) yield (t1, t2, t3)
     val keys = keyCols.map(col)
@@ -528,6 +647,41 @@ object SequentialKernels {
                     phiGrid: Seq[Double] = Seq(-0.5, 0.0, 0.5, 0.9),
                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
     require(phiGrid.nonEmpty && thetaGrid.nonEmpty, "grids must be non-empty")
+    if (arrayFits) fitArma11FullArray(df, keyCols, ordCols, valueCol,
+      phiGrid, thetaGrid)
+    else fitArma11FullFold(df, keyCols, ordCols, valueCol, phiGrid, thetaGrid)
+  }
+
+  /** Array form of [[fitArma11Full]] ([[ArrayFitsConf]]): per (φ, θ),
+    * state (xcₚ, ε, SSE) — the first non-null observation only seeds
+    * xcₚ (ε₁ = 0, no SSE term, the fold's conditioning); each later
+    * one applies
+    *   ε' = xc − φ·xcₚ − θ·ε ;  SSE' = SSE + ε'·ε' ;  xcₚ' = xc
+    * xcₚ starts NULL so an all-null series reports a NULL xc_last,
+    * exactly like the fold's absent state. */
+  private def fitArma11FullArray(df: DataFrame, keyCols: Seq[String],
+                                 ordCols: Seq[Column], valueCol: String,
+                                 phiGrid: Seq[Double],
+                                 thetaGrid: Seq[Double]): DataFrame = {
+    val pairs = for (p <- phiGrid; t <- thetaGrid) yield Seq(p, t)
+    val keys = keyCols.map(col)
+    val fitted = gridArrayFit(df, keyCols, ordCols, valueCol, "arma11", pairs)
+    val b = col("__best")
+    fitted.select(keys ++ Seq(b.getField("phi").as("arma_phi"),
+      b.getField("theta").as("arma_theta"),
+      graft.functions.Funcs.r(b.getField("sse")).as("arma_sse"),
+      col("__mu").as("arma_mu"),
+      b.getField("e").as("arma_eps_last"),
+      b.getField("xcn").as("arma_xc_last")): _*)
+  }
+
+  /** Pre-r18 streaming-fold form of [[fitArma11Full]] — the
+    * [[ArrayFitsConf]] fallback and the parity spec's reference
+    * twin. */
+  private[graft] def fitArma11FullFold(df: DataFrame, keyCols: Seq[String],
+                                       ordCols: Seq[Column], valueCol: String,
+                                       phiGrid: Seq[Double],
+                                       thetaGrid: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = for (p <- phiGrid; t <- thetaGrid) yield (p, t)
     val keys = keyCols.map(col)
@@ -686,6 +840,47 @@ object SequentialKernels {
                     thetaGrid: Seq[Double] = Seq(-0.4, 0.0, 0.4)): DataFrame = {
     require(phi1Grid.nonEmpty && phi2Grid.nonEmpty && thetaGrid.nonEmpty,
       "grids must be non-empty")
+    if (arrayFits) fitArma21FullArray(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, thetaGrid)
+    else fitArma21FullFold(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, thetaGrid)
+  }
+
+  /** Array form of [[fitArma21Full]] ([[ArrayFitsConf]]): per triple,
+    * state (xc₁, xc₂, nObs, nSse, ε, SSE) — the first TWO non-null
+    * observations only shift the xc memory (ε = 0, no SSE term, the
+    * fold's two-row conditioning); each later one applies
+    *   ε' = xc − φ₁·xc₁ − φ₂·xc₂ − θ·ε ;  SSE' = SSE + ε'·ε'
+    * with the xc memory shifting. xc₁ starts NULL (all-null series →
+    * NULL xc_last), xc₂ starts 0.0 (the fold's array default — a
+    * single-observation series reports xc_prev = 0.0). */
+  private def fitArma21FullArray(df: DataFrame, keyCols: Seq[String],
+                                 ordCols: Seq[Column], valueCol: String,
+                                 phi1Grid: Seq[Double], phi2Grid: Seq[Double],
+                                 thetaGrid: Seq[Double]): DataFrame = {
+    val triples = for (p1 <- phi1Grid; p2 <- phi2Grid; t <- thetaGrid)
+      yield Seq(p1, p2, t)
+    val keys = keyCols.map(col)
+    val fitted = gridArrayFit(df, keyCols, ordCols, valueCol, "arma21", triples)
+    val b = col("__best")
+    fitted.select(keys ++ Seq(b.getField("phi1").as("arma2_phi1"),
+      b.getField("phi2").as("arma2_phi2"),
+      b.getField("theta").as("arma2_theta"),
+      graft.functions.Funcs.r(b.getField("sse")).as("arma2_sse"),
+      b.getField("nsse").as("arma2_neff"),
+      col("__mu").as("arma2_mu"),
+      b.getField("e").as("arma2_eps_last"),
+      b.getField("xcn").as("arma2_xc_last"),
+      b.getField("xcp").as("arma2_xc_prev")): _*)
+  }
+
+  /** Pre-r18 streaming-fold form of [[fitArma21Full]] — the
+    * [[ArrayFitsConf]] fallback and the parity spec's reference
+    * twin. */
+  private[graft] def fitArma21FullFold(df: DataFrame, keyCols: Seq[String],
+                                       ordCols: Seq[Column], valueCol: String,
+                                       phi1Grid: Seq[Double], phi2Grid: Seq[Double],
+                                       thetaGrid: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val triples = for (p1 <- phi1Grid; p2 <- phi2Grid; t <- thetaGrid)
       yield (p1, p2, t)
@@ -881,6 +1076,50 @@ object SequentialKernels {
                     theta2Grid: Seq[Double] = Seq(-0.3, 0.0, 0.3)): DataFrame = {
     require(phi1Grid.nonEmpty && phi2Grid.nonEmpty &&
       theta1Grid.nonEmpty && theta2Grid.nonEmpty, "grids must be non-empty")
+    if (arrayFits) fitArma22FullArray(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, theta1Grid, theta2Grid)
+    else fitArma22FullFold(df, keyCols, ordCols, valueCol,
+      phi1Grid, phi2Grid, theta1Grid, theta2Grid)
+  }
+
+  /** Array form of [[fitArma22Full]] ([[ArrayFitsConf]]): per
+    * quadruple, state (xc₁, xc₂, nObs, nSse, ε, ε₋₁, SSE) — the first
+    * TWO non-null observations only shift the xc memory (the fold's
+    * conditioning); each later one applies
+    *   ε' = xc − φ₁·xc₁ − φ₂·xc₂ − θ₁·ε − θ₂·ε₋₁ ;  SSE' = SSE + ε'·ε'
+    * with both memories shifting. Defaults as in
+    * [[fitArma21FullArray]]. */
+  private def fitArma22FullArray(df: DataFrame, keyCols: Seq[String],
+                                 ordCols: Seq[Column], valueCol: String,
+                                 phi1Grid: Seq[Double], phi2Grid: Seq[Double],
+                                 theta1Grid: Seq[Double],
+                                 theta2Grid: Seq[Double]): DataFrame = {
+    val quads = for (p1 <- phi1Grid; p2 <- phi2Grid; t1 <- theta1Grid;
+                     t2 <- theta2Grid) yield Seq(p1, p2, t1, t2)
+    val keys = keyCols.map(col)
+    val fitted = gridArrayFit(df, keyCols, ordCols, valueCol, "arma22", quads)
+    val b = col("__best")
+    fitted.select(keys ++ Seq(b.getField("phi1").as("arma22_phi1"),
+      b.getField("phi2").as("arma22_phi2"),
+      b.getField("theta1").as("arma22_theta1"),
+      b.getField("theta2").as("arma22_theta2"),
+      graft.functions.Funcs.r(b.getField("sse")).as("arma22_sse"),
+      b.getField("nsse").as("arma22_neff"),
+      col("__mu").as("arma22_mu"),
+      b.getField("e").as("arma22_eps_last"),
+      b.getField("ep").as("arma22_eps_prev"),
+      b.getField("xcn").as("arma22_xc_last"),
+      b.getField("xcp").as("arma22_xc_prev")): _*)
+  }
+
+  /** Pre-r18 streaming-fold form of [[fitArma22Full]] — the
+    * [[ArrayFitsConf]] fallback and the parity spec's reference
+    * twin. */
+  private[graft] def fitArma22FullFold(df: DataFrame, keyCols: Seq[String],
+                                       ordCols: Seq[Column], valueCol: String,
+                                       phi1Grid: Seq[Double], phi2Grid: Seq[Double],
+                                       theta1Grid: Seq[Double],
+                                       theta2Grid: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quads = for (p1 <- phi1Grid; p2 <- phi2Grid; t1 <- theta1Grid;
                      t2 <- theta2Grid) yield (p1, p2, t1, t2)

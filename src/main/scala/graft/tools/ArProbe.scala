@@ -46,6 +46,50 @@ object ArProbe {
       Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4))
     t("full_q251")(graft.seq.Ar.forecastIntervals(weekly,
       Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum", h = 4))
+
+    // r18 array-vs-fold A/B inside ONE JVM (cross-JVM variance at sf0.1
+    // is ±1 s — within-session alternation cancels the drift): the conf
+    // is read at plan-build time, so flipping it between builds selects
+    // the form. Also the packed-series stage alone, to separate the
+    // collect_list aggregate's cost from the fit projection's.
+    def packOnly = weekly.filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.functions.Funcs.microMean(col("qty_sum")).as("__mu"),
+        sort_array(collect_list(struct(col("week_start").as("__o0"),
+          col("qty_sum").cast("double").as("__v")))).as("__cells"))
+    t("pack_only")(packOnly)
+    (1 to 2).foreach { round =>
+      spark.conf.set(graft.seq.SequentialKernels.ArrayFitsConf, "true")
+      t(s"q253_array_r$round")(graft.seq.SequentialKernels.fitMa1(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      t(s"q255_array_r$round")(graft.seq.SequentialKernels.fitArma11(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      spark.conf.set(graft.seq.SequentialKernels.ArrayFitsConf, "false")
+      t(s"q253_fold_r$round")(graft.seq.SequentialKernels.fitMa1(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      t(s"q255_fold_r$round")(graft.seq.SequentialKernels.fitArma11(weekly,
+        Seq("l_partkey", "l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      spark.conf.unset(graft.seq.SequentialKernels.ArrayFitsConf)
+    }
+
+    // supplier-grain big-grid fits (the extFitShared members: ARMA(2,1)
+    // 36 triples, ARMA(2,2) 108 quads over ~60-week series) — the
+    // regime where the interpreted HOF cost could bite
+    def weeklySup = graft.etl.Enrichment.weeklyAggregate(li, col("l_shipdate"),
+      Seq(col("l_suppkey")), col("l_quantity"))
+    (1 to 2).foreach { round =>
+      spark.conf.set(graft.seq.SequentialKernels.ArrayFitsConf, "true")
+      t(s"a21sup_array_r$round")(graft.seq.SequentialKernels.fitArma21Full(weeklySup,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      t(s"a22sup_array_r$round")(graft.seq.SequentialKernels.fitArma22Full(weeklySup,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      spark.conf.set(graft.seq.SequentialKernels.ArrayFitsConf, "false")
+      t(s"a21sup_fold_r$round")(graft.seq.SequentialKernels.fitArma21Full(weeklySup,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      t(s"a22sup_fold_r$round")(graft.seq.SequentialKernels.fitArma22Full(weeklySup,
+        Seq("l_suppkey"), Seq(col("week_start")), "qty_sum"))
+      spark.conf.unset(graft.seq.SequentialKernels.ArrayFitsConf)
+    }
     spark.stop()
   }
 }

@@ -8,13 +8,16 @@ import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).toSeq
-    val spark = SparkSession.builder().master("local[32]")
+    val (confArgs, names) = args.drop(1).toSeq.partition(_.startsWith("--conf="))
+    val confs = confArgs.map(_.stripPrefix("--conf=").split("=", 2))
+      .map(kv => kv(0) -> kv(1))
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    confs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val times = (1 to 3).map { _ =>

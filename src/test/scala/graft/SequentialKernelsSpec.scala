@@ -351,4 +351,61 @@ class SequentialKernelsSpec extends SparkSpec {
     assert(rows(SequentialKernels.withEwmVar(df, k, o, "v", 0.25), "ewm_mean", "ewm_var")
       == rows(SequentialKernels.withEwmVarFold(df, k, o, "v", 0.25), "ewm_mean", "ewm_var"))
   }
+
+  test("grid fits: array form ≡ fold form bit-for-bit on an adversarial frame " +
+    "(r18 one-aggregate rewrite, conf toggle)") {
+    // every parity-relevant regime in one frame: a normal multi-week
+    // series with negatives and an interior NULL (state carries over),
+    // a trailing-NULL series (xc_last from state, not the last row), a
+    // single-row series (full grid tie → smallest params win), an
+    // all-null series (zero state, NULL mu/xc_last), an exact-constant
+    // series (all-tied SSE 0), a two-row series (ARMA21/22 still fully
+    // conditioned → SSE 0 ties), and a NULL-KEY series (dropped by the
+    // fold form's inner mean-join — the array form must drop it too)
+    val rows: Seq[(String, Int, Option[Double])] = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, Some(14.0)), ("a", 3, None), ("a", 4, Some(8.0)),
+      ("a", 5, Some(12.0)), ("a", 6, Some(6.25)), ("a", 7, Some(-3.5)), ("a", 8, Some(11.0)),
+      ("b", 1, Some(10.0)), ("b", 2, Some(14.0)), ("b", 3, Some(8.0)),
+      ("b", 4, Some(12.0)), ("b", 5, None),
+      ("c", 1, Some(5.0)),
+      ("d", 1, None), ("d", 2, None),
+      ("e", 1, Some(7.0)), ("e", 2, Some(7.0)), ("e", 3, Some(7.0)), ("e", 4, Some(7.0)),
+      ("f", 1, Some(3.0)), ("f", 2, Some(-9.0)),
+      // all-NaN series: microMean maps NaN to NULL, so μ is NULL and
+      // every centered value is NULL → both forms must skip every cell
+      // (zero state, NULL mu/xc_last), NOT propagate NaN
+      ("g", 1, Some(Double.NaN)), ("g", 2, Some(Double.NaN)),
+      // NaN mixed into a normal series: μ is non-NULL, the NaN centered
+      // value flows through the recursion as NaN in both forms
+      ("h", 1, Some(2.0)), ("h", 2, Some(Double.NaN)), ("h", 3, Some(4.0)),
+      (null, 1, Some(4.0)), (null, 2, Some(5.0)))
+    val df = rows.map { case (kk, t, v) =>
+      (kk, t, v.map(java.lang.Double.valueOf).orNull) }.toDF("k", "t", "v")
+    val k = Seq("k"); val o = Seq(col("t"))
+    def normalized(out: org.apache.spark.sql.DataFrame): (Seq[(String, String)], Seq[Seq[Any]]) =
+      (out.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq,
+        out.orderBy("k").collect().map(_.toSeq.map {
+          // Scala == on boxed doubles is IEEE (NaN != NaN): compare the
+          // BIT pattern instead — strictly stronger (it also splits ±0.0)
+          case dd: Double => java.lang.Double.doubleToLongBits(dd)
+          case other => other
+        }).toSeq)
+    def both(build: => org.apache.spark.sql.DataFrame): Unit = {
+      val array = normalized(build) // default: array form
+      val prev = spark.conf.getOption(SequentialKernels.ArrayFitsConf)
+      spark.conf.set(SequentialKernels.ArrayFitsConf, "false")
+      val fold = try normalized(build) finally prev match {
+        case Some(v) => spark.conf.set(SequentialKernels.ArrayFitsConf, v)
+        case None    => spark.conf.unset(SequentialKernels.ArrayFitsConf)
+      }
+      assert(array._1 == fold._1) // names + types (nullability is free)
+      assert(array._2 == fold._2) // exact values, NULL placement included
+      assert(array._2.nonEmpty && !array._2.exists(_.head == null)) // null key dropped
+    }
+    both(SequentialKernels.fitMa1Full(df, k, o, "v"))
+    both(SequentialKernels.fitMa3Full(df, k, o, "v"))
+    both(SequentialKernels.fitArma11Full(df, k, o, "v"))
+    both(SequentialKernels.fitArma21Full(df, k, o, "v"))
+    both(SequentialKernels.fitArma22Full(df, k, o, "v"))
+  }
 }
