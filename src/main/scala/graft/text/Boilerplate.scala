@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * combine collapses within-document repeats before the shuffle — then
   * a count per span, partially aggregated again, so a span shared by
   * millions of documents costs one row per upstream partition, never a
-  * single hot reducer. The verdict join back to occurrences is a plain
-  * equi join on the span; reassembly is one document-grain shuffle with
-  * a bounded per-document collect. Memory per task is O(longest
-  * document). By default the census and join key is `xxhash64(span)`
+  * single hot reducer. The verdict joins back to occurrences as the
+  * FILTERED census (only spans past the threshold — the boilerplate
+  * vocabulary), so the build side is broadcast-sized in any realistic
+  * corpus and the occurrence side never shuffles by span; reassembly is
+  * one document-grain shuffle with a bounded per-document collect.
+  * Memory per task is O(longest document). By default the census and join key is `xxhash64(span)`
   * (8-byte shuffle key instead of the span text); pass
   * `hashedKey = false` for the bit-exact string-keyed twin (what the
   * DuckDB oracle replays — identical output short of a 64-bit hash
@@ -57,16 +59,29 @@ object Boilerplate {
     val sp = SpanDedup.spans(df, id, text, w)
     val keyed = if (hashedKey) sp.withColumn("__sk", xxhash64(col("span")))
                 else sp.withColumn("__sk", col("span"))
-    val cen = keyed.select(col(id), col("__sk")).distinct()
+    // r18 join shape: the occurrences only need the BOILERPLATE VERDICT
+    // (span_df >= maxDocFreq ⟺ the span is in the filtered census), so
+    // join the filtered verdict SET, not the full census — the build
+    // side shrinks from every distinct span to the boilerplate
+    // vocabulary (AQE broadcasts it at any realistic size, removing the
+    // corpus-wide span-keyed exchange of the occurrence side; a
+    // pathological vocabulary falls back to a shuffle join that carries
+    // strictly less data than the unfiltered census did). A LEFT join
+    // marks occurrences: matched ⟺ dropped — value-identical to the
+    // old inner-join-the-census + threshold-per-row form
+    // (BoilerplateSpec pins the pair).
+    val bad = keyed.select(col(id), col("__sk")).distinct()
       .groupBy("__sk").agg(count(lit(1)).as("span_df"))
-    keyed.join(cen, "__sk")
+      .filter(col("span_df") >= maxDocFreq)
+      .select(col("__sk"), lit(true).as("__bad"))
+    keyed.join(bad, Seq("__sk"), "left")
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when(col("span_df") >= maxDocFreq, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("span_df") < maxDocFreq,
+            array_sort(collect_list(when(col("__bad").isNull,
               struct(col("span_no"), col("span"))))),
             s => s.getField("span")),
           " ").as("clean_text"))

@@ -68,6 +68,44 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.filter(col("clean_text").startsWith("unique tail")).count() == 500L)
   }
 
+  test("scrub: filtered-verdict left join ≡ the full-census inner join " +
+    "(r18 join shape) on a randomized corpus") {
+    // the pre-r18 form, inline: inner-join the UNFILTERED census and
+    // threshold per occurrence row — the verdict-set left join must be
+    // value-identical on every column
+    def oldForm(df: org.apache.spark.sql.DataFrame, w: Int, maxDocFreq: Int) = {
+      val sp = graft.text.SpanDedup.spans(df, "doc_id", "text", w)
+      val cen = sp.select(col("doc_id"), col("span")).distinct()
+        .groupBy("span").agg(count(lit(1)).as("span_df"))
+      sp.join(cen, "span")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("span_df") >= maxDocFreq, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("span_df") < maxDocFreq,
+                struct(col("span_no"), col("span"))))),
+              s => s.getField("span")),
+            " ").as("clean_text"))
+    }
+    // deterministic pseudo-random corpus with a planted boilerplate span
+    // at several frequencies plus unique tails
+    val corpus = (1L to 300L).map { i =>
+      val banner = if (i % 3 != 0) "click here to subscribe " else ""
+      val mid = if (i % 7 == 0) "rare shared middle " else ""
+      (i, s"${banner}${mid}tail ${i * 37 % 101} ${i * 53 % 89} end$i")
+    }.toDF("doc_id", "text")
+    for (mdf <- Seq(2, 50, 500)) {
+      val now = Boilerplate.scrub(corpus, "doc_id", "text", w = 2,
+        maxDocFreq = mdf, hashedKey = false).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val old = oldForm(corpus, 2, mdf).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(now == old, s"maxDocFreq=$mdf")
+    }
+  }
+
   test("guards: w >= 1, maxDocFreq >= 2") {
     intercept[IllegalArgumentException] {
       Boilerplate.scrub(docs, "doc_id", "text", w = 0)

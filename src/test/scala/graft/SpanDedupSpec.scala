@@ -22,6 +22,31 @@ class SpanDedupSpec extends SparkSpec {
     assert(sp.toSeq == Seq((1L, 1L, "a b c d"), (1L, 2L, "e f g")))
   }
 
+  test("spans: zero-copy expression ≡ split/slice/concat_ws array form " +
+    "on an adversarial corpus (r18 kernel swap)") {
+    // multi-space runs (empty words), leading/trailing spaces, multi-byte
+    // UTF-8, empty doc, single word, NULL text, width-1 and width-3 spans
+    val adv = Seq(
+      (1L, Some("a  b   c d")),            // empty words between spaces
+      (2L, Some(" leading and trailing ")),
+      (3L, Some("héllo wörld ünïcode 漢字 テスト")),
+      (4L, Some("")),
+      (5L, Some("single")),
+      (6L, None),
+      (7L, Some("exactly three words here now six")),
+      (8L, Some("　full-width　space U+3000 is not a separator"))
+    ).map { case (i, t) => (i, t.orNull) }.toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 4)) {
+      val a = SpanDedup.spans(adv, "doc_id", "text", w)
+        .orderBy("doc_id", "span_no").collect().map(_.toSeq).toSeq
+      val b = SpanDedup.spansArrayForm(adv, "doc_id", "text", w)
+        .orderBy("doc_id", "span_no").collect().map(_.toSeq).toSeq
+      assert(a == b, s"w=$w")
+      assert(SpanDedup.spans(adv, "doc_id", "text", w).schema ==
+        SpanDedup.spansArrayForm(adv, "doc_id", "text", w).schema)
+    }
+  }
+
   test("dedupSpans: first global occurrence wins; later copies dropped") {
     val out = SpanDedup.dedupSpans(docs, "doc_id", "text", 4)
       .orderBy("doc_id")
