@@ -41,6 +41,13 @@ object BoilerProbe {
       w = 3, maxDocFreq = 5, hashedKey = false))
     t("full_hashed")(graft.text.Boilerplate.scrub(docs, "doc_id", "text",
       w = 3, maxDocFreq = 5, hashedKey = true))
+    // shingle-build stage of the LSH/Jaccard family (q64/q65/q146):
+    // is the transform+slice+concat_ws gram build a material slice of
+    // those rows, or is the prefix-filter join the whole cost?
+    t("shingles")(graft.text.Dedup.shingles(docs, "doc_id", "text", 3))
+    t("full_q64")(graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8))
+    t("full_q65")(graft.text.Dedup.minHashCandidates(docs, "doc_id", "text"))
     spark.stop()
   }
 }
